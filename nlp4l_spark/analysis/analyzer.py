@@ -1,0 +1,191 @@
+"""Analyzer: the tokenization/normalization contract of the engine.
+
+Reference semantics (what, not how): Lucene analysis chains built by
+``SchemaLoader.buildAnalyzer`` (/root/reference/app/org/nlp4l/lucene/
+SchemaLoader.scala:98-149) — char filters -> tokenizer -> token filters.
+The indexed-text pipeline used by every golden test is ``StandardAnalyzer``:
+UAX#29 word break + lowercase + the 33-word English stop set
+(/root/reference/test/org/nlp4l/lucene/RawReaderSpec.scala:30,
+ stats/TFIDFSuite.scala:33).
+
+Our contract (documented deviation, pinned by the pure-Python oracle, see
+SURVEY.md §7.3): tokens are maximal ASCII ``[a-z0-9]+`` runs of the
+lowercased text. This is identical to UAX#29 on the fixture/synthetic
+alphabet (ASCII letters, digits, whitespace incl. U+3000, and punctuation)
+and is expressible 1:1 in Spark SQL, DuckDB SQL (the correctness oracle),
+and NumPy/pandas.
+
+Two execution engines produce identical tokens:
+
+* ``tokens_col`` — pure Spark SQL expressions (JVM, whole-stage codegen;
+  zero Python in the hot path). Preferred for ad-hoc queries.
+* ``tokenize_udf`` / ``term_counts_udf`` — Arrow-vectorized pandas UDFs
+  (the ``north_star`` index-build path; one pass computes per-doc term
+  counts so the explode after it is narrow).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Lucene's StopAnalyzer.ENGLISH_STOP_WORDS_SET (Lucene 7.2.1), identical to
+# /root/reference/test/resources/org/nlp4l/lucene/stopwords_en.txt
+LUCENE_ENGLISH_STOPWORDS: frozenset[str] = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or
+    such that the their then there these they this to was will with""".split()
+)
+
+TOKEN_PATTERN = r"[a-z0-9]+"
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+
+def load_stopwords(path: str, comment_char: str = "#") -> frozenset[str]:
+    """Stopword file loader: one word per line, ``#`` comments, blank lines
+    ignored (reference loader: StopWordsUtil.stopwords,
+    /root/reference/app/org/nlp4l/framework/builtin/FeaturedProcessors.scala:189-213).
+    """
+    words: set[str] = set()
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith(comment_char):
+                continue
+            words.add(line.split(",")[0].strip())
+    return frozenset(words)
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    """A declarative analyzer spec (reference: Schema/FieldType per-field
+    analyzers, /root/reference/app/org/nlp4l/lucene/Schema.scala:45-90)."""
+
+    lowercase: bool = True
+    token_pattern: str = TOKEN_PATTERN
+    stopwords: frozenset[str] = field(default_factory=frozenset)
+
+    # ---- driver-side / oracle path (plain Python; used for query strings
+    # and the single-node oracle, never on the distributed hot path) ----
+    def tokenize(self, text: str | None) -> list[str]:
+        if not text:
+            return []
+        if self.lowercase:
+            text = text.lower()
+        toks = re.findall(self.token_pattern, text)
+        if self.stopwords:
+            toks = [t for t in toks if t not in self.stopwords]
+        return toks
+
+    # ---- Spark SQL engine (JVM-side, codegen; no Python) ----
+    def tokens_col(self, col: Column | str) -> Column:
+        """Column[array<string>] of analyzed tokens, all built-ins
+        (regexp_extract_all runs JVM-side inside whole-stage codegen)."""
+        name = col if isinstance(col, str) else None
+        if name is None:
+            raise TypeError("tokens_col takes a column NAME (SQL identifier)")
+        return self.tokens_expr(name)
+
+    def tokens_expr(self, col_sql: str) -> Column:
+        """Analyzed tokens from a SQL expression via regexp_extract_all."""
+        src = f"lower({col_sql})" if self.lowercase else col_sql
+        toks = F.expr(f"regexp_extract_all({src}, '{self.token_pattern}', 0)")
+        return self._strip_stopwords(toks)
+
+    def _strip_stopwords(self, toks: Column) -> Column:
+        if not self.stopwords:
+            return toks
+        stop_arr = F.array(*[F.lit(w) for w in sorted(self.stopwords)])
+        return F.filter(toks, lambda x: ~F.array_contains(stop_arr, x))
+
+    def duckdb_tokens_sql(self, col_sql: str) -> str:
+        """The IDENTICAL tokenizer as a DuckDB SQL expression — used by the
+        driver's oracle comparisons (list<varchar> of analyzed tokens)."""
+        src = f"lower({col_sql})" if self.lowercase else col_sql
+        expr = f"regexp_extract_all({src}, '{self.token_pattern}')"
+        if self.stopwords:
+            stoplist = ", ".join(f"'{w}'" for w in sorted(self.stopwords))
+            expr = (
+                f"list_filter({expr}, t -> t NOT IN ({stoplist}))"
+            )
+        return expr
+
+    # ---- Arrow-vectorized engines (index-build hot path) ----
+    def tokenize_udf(self):
+        """pandas UDF string -> array<string> (Arrow-batched)."""
+        pattern = re.compile(self.token_pattern)
+        lowercase = self.lowercase
+        stop = self.stopwords
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def _tok(texts: pd.Series) -> pd.Series:
+            def one(t):
+                if not t:
+                    return []
+                if lowercase:
+                    t = t.lower()
+                toks = pattern.findall(t)
+                if stop:
+                    return [x for x in toks if x not in stop]
+                return toks
+
+            return texts.map(one)
+
+        return _tok
+
+    def term_counts_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField("terms", T.ArrayType(T.StringType())),
+                T.StructField("tfs", T.ArrayType(T.IntegerType())),
+                T.StructField("dl", T.IntegerType()),
+            ]
+        )
+
+    def term_counts_udf(self):
+        """pandas UDF string -> struct(terms array, tfs array, dl int).
+
+        One Arrow pass produces the per-doc term-frequency map AND the doc
+        length, so downstream ``explode(arrays_zip(terms, tfs))`` is narrow
+        (no (doc_id, term) shuffle — the reference re-walks Lucene term
+        vectors for the same data, Terms.scala:118-138).
+        """
+        pattern = re.compile(self.token_pattern)
+        lowercase = self.lowercase
+        stop = self.stopwords
+
+        @F.pandas_udf(self.term_counts_schema())
+        def _counts(texts: pd.Series) -> pd.DataFrame:
+            terms_out: list[list[str]] = []
+            tfs_out: list[list[int]] = []
+            dls: list[int] = []
+            for t in texts:
+                if not t:
+                    terms_out.append([])
+                    tfs_out.append([])
+                    dls.append(0)
+                    continue
+                if lowercase:
+                    t = t.lower()
+                toks = pattern.findall(t)
+                if stop:
+                    toks = [x for x in toks if x not in stop]
+                counts: dict[str, int] = {}
+                for x in toks:
+                    counts[x] = counts.get(x, 0) + 1
+                terms_out.append(list(counts.keys()))
+                tfs_out.append(list(counts.values()))
+                dls.append(len(toks))
+            return pd.DataFrame({"terms": terms_out, "tfs": tfs_out, "dl": dls})
+
+        return _counts
+
+
+STANDARD_ANALYZER = Analyzer(stopwords=LUCENE_ENGLISH_STOPWORDS)
+WHITESPACE_ANALYZER = Analyzer(stopwords=frozenset())

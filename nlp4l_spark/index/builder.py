@@ -1,0 +1,369 @@
+"""Index build pipeline: transcripts -> inverted index tables.
+
+Reference semantics rebuilt (what, not how): LuceneIndexingProcessor +
+IWriter — analyze each doc's text, accumulate per-segment posting lists,
+then merge segments (/root/reference/app/org/nlp4l/framework/builtin/lucene/
+LuceneIndexingProcessor.scala:88-117, /root/reference/app/org/nlp4l/lucene/
+IWriter.scala:56-72). The rebuild is the north_star pipeline
+(BASELINE.json:6): Arrow-UDF tokenization, per-partition posting segments,
+an explicit segment-merge pass, delta-gap+varbyte blocks, block-max
+metadata.
+
+Stages (each a snapshot-committed table; resume skips committed stages):
+
+  stored         doc_id + original transcript columns ("stored fields";
+                 per-turn text round-trip invariant is tested on this)
+  doc_terms_fwd  (doc_id, terms[], tfs[], dl) — forward index / term
+                 vectors analogue; THE tokenize checkpoint
+  doc_lens       (doc_id, dl)
+  segments       per-input-partition, per-doc_id-shard encoded posting
+                 segments — this IS the salted two-phase aggregation: the
+                 per-posting explosion never crosses the network; only
+                 compressed segments shuffle, keyed (term, shard)
+  postings       merged, globally doc_id-sorted, varbyte posting lists with
+                 per-block (last_doc, max_impact) skip metadata
+  term_stats     (term, df, cf) — the term dictionary (FST analogue)
+  field_stats    (field, num_docs, sum_dl, avgdl, uniq_terms)
+  _lineage       per-stage / per-partition counters (turns tokenized,
+                 postings emitted, bytes compressed)
+
+Scale notes (10^12 turns):
+* The only wide shuffles are the docID range partition and the
+  groupBy(term, shard) of *compressed segments*. Head-term skew ("the"
+  appears in ~every doc) is bounded by sharding on doc_id range: no merge
+  task ever sees more than DOCS_PER_SHARD postings for one term, and a
+  term's segments-per-shard is bounded by input partitions overlapping
+  that shard. No driver-resident state is O(corpus): the driver holds only
+  per-partition counts (docIDs) and scalar stats.
+* dl is stored inline per posting (dls_enc), trading ~1 byte/posting for
+  eliminating the 10^12-row doc_lens join at query time — Spark has no
+  random-access norms file, so self-contained posting shards keep scoring
+  embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from nlp4l_spark.analysis import Analyzer, STANDARD_ANALYZER
+from nlp4l_spark.index import codec
+from nlp4l_spark.index.catalog import IndexCatalog
+from nlp4l_spark.index.docids import assign_doc_ids
+
+K1 = 1.2
+B = 0.75
+
+SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("pid", T.IntegerType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("cf", T.LongType()),
+        T.StructField("min_doc", T.LongType()),
+        T.StructField("max_doc", T.LongType()),
+        T.StructField("doc_ids_enc", T.BinaryType()),
+        T.StructField("tfs_enc", T.BinaryType()),
+        T.StructField("dls_enc", T.BinaryType()),
+    ]
+)
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("cf", T.LongType()),
+        T.StructField("min_doc", T.LongType()),
+        T.StructField("max_doc", T.LongType()),
+        T.StructField("doc_ids_enc", T.BinaryType()),
+        T.StructField("tfs_enc", T.BinaryType()),
+        T.StructField("dls_enc", T.BinaryType()),
+        T.StructField(
+            "block_max",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("last_doc", T.LongType()),
+                        T.StructField("max_impact", T.DoubleType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+@dataclass
+class IndexBuilder:
+    """Builds the inverted index for one text field of a transcripts table."""
+
+    analyzer: Analyzer = field(default_factory=lambda: STANDARD_ANALYZER)
+    text_col: str = "text"
+    sort_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+    docs_per_shard: int = 1 << 24  # bounds any merge/scoring task
+    num_partitions: int | None = None
+
+    # ------------------------------------------------------------------ #
+    def build(
+        self,
+        df: DataFrame,
+        index_dir: str,
+        *,
+        resume: bool = True,
+        fail_after_stage: str | None = None,  # test hook for kill/restart
+    ) -> IndexCatalog:
+        spark = df.sparkSession
+        cat = IndexCatalog(index_dir)
+        lineage: list[tuple] = []
+
+        def done(stage: str) -> bool:
+            return resume and cat.is_committed(stage)
+
+        # -- stage 1: docIDs + stored fields --------------------------------
+        if not done("stored"):
+            with_ids = assign_doc_ids(
+                df, self.sort_cols, num_partitions=self.num_partitions
+            )
+            n = with_ids.count()
+            cat.write(
+                with_ids,
+                "stored",
+                sort_by=["doc_id"],
+                counters={"num_docs": n},
+            )
+        self._check_fail(fail_after_stage, "stored")
+        stored = cat.read(spark, "stored")
+
+        # -- stage 2: tokenize (Arrow UDF) -> forward index -----------------
+        if not done("doc_terms_fwd"):
+            tc = self.analyzer.term_counts_udf()
+            fwd = stored.select(
+                "doc_id", tc(F.col(self.text_col)).alias("_tc")
+            ).select(
+                "doc_id",
+                F.col("_tc.terms").alias("terms"),
+                F.col("_tc.tfs").alias("tfs"),
+                F.col("_tc.dl").alias("dl"),
+            )
+            cat.write(fwd, "doc_terms_fwd", sort_by=["doc_id"])
+        self._check_fail(fail_after_stage, "doc_terms_fwd")
+        fwd = cat.read(spark, "doc_terms_fwd")
+
+        # -- stage 3: doc_lens + collection stats ---------------------------
+        if not done("doc_lens"):
+            stats = fwd.agg(
+                F.count("*").alias("num_docs"), F.sum("dl").alias("sum_dl")
+            ).collect()[0]
+            num_docs, sum_dl = stats["num_docs"], int(stats["sum_dl"] or 0)
+            cat.write(
+                fwd.select("doc_id", "dl"),
+                "doc_lens",
+                sort_by=["doc_id"],
+                counters={"num_docs": num_docs, "sum_dl": sum_dl},
+            )
+        self._check_fail(fail_after_stage, "doc_lens")
+        lens_man = cat.manifest("doc_lens")["counters"]
+        num_docs = int(lens_man["num_docs"])
+        sum_dl = int(lens_man["sum_dl"])
+        avgdl = (sum_dl / num_docs) if num_docs else 0.0
+
+        # -- stage 4: per-partition posting segments ------------------------
+        if not done("segments"):
+            segs = fwd.sortWithinPartitions("doc_id").mapInPandas(
+                _segment_builder(self.docs_per_shard), SEGMENT_SCHEMA
+            )
+            cat.write(segs, "segments")
+        self._check_fail(fail_after_stage, "segments")
+        segs = cat.read(spark, "segments")
+
+        # -- stage 5: segment merge -> postings ------------------------------
+        if not done("postings"):
+            merged = segs.groupBy("term", "shard").applyInPandas(
+                _segment_merger(avgdl), POSTINGS_SCHEMA
+            )
+            cat.write(merged, "postings", sort_by=["term"])
+        self._check_fail(fail_after_stage, "postings")
+        postings = cat.read(spark, "postings")
+
+        # -- stage 6: term dictionary ----------------------------------------
+        if not done("term_stats"):
+            cat.write(
+                postings.groupBy("term").agg(
+                    F.sum("df").alias("df"), F.sum("cf").alias("cf")
+                ),
+                "term_stats",
+                sort_by=["term"],
+            )
+        self._check_fail(fail_after_stage, "term_stats")
+
+        # -- stage 7: field stats ---------------------------------------------
+        if not done("field_stats"):
+            uniq = cat.read(spark, "term_stats").count()
+            cat.write(
+                spark.createDataFrame(
+                    [(self.text_col, num_docs, sum_dl, avgdl, uniq)],
+                    "field string, num_docs long, sum_dl long, avgdl double, uniq_terms long",
+                ),
+                "field_stats",
+            )
+        self._check_fail(fail_after_stage, "field_stats")
+
+        # -- stage 8: lineage ---------------------------------------------------
+        if not done("_lineage"):
+            per_pid = (
+                segs.groupBy("pid")
+                .agg(
+                    F.sum("df").alias("postings_emitted"),
+                    (
+                        F.sum(F.length("doc_ids_enc"))
+                        + F.sum(F.length("tfs_enc"))
+                        + F.sum(F.length("dls_enc"))
+                    ).alias("bytes_compressed"),
+                )
+                .select(
+                    F.lit("segments").alias("stage"),
+                    F.col("pid").alias("partition_id"),
+                    F.lit(num_docs).alias("turns_tokenized"),
+                    "postings_emitted",
+                    "bytes_compressed",
+                )
+            )
+            cat.write(per_pid, "_lineage")
+        return cat
+
+    @staticmethod
+    def _check_fail(fail_after_stage: str | None, stage: str) -> None:
+        if fail_after_stage == stage:
+            raise RuntimeError(f"injected failure after stage '{stage}'")
+
+
+# ---------------------------------------------------------------------- #
+def _segment_builder(docs_per_shard: int):
+    """mapInPandas fn: forward-index partition -> encoded posting segments.
+
+    Map-side combine done by hand: the (doc_id, term, tf) explosion stays
+    inside this task; only (term, shard)-keyed compressed segments leave.
+    """
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        acc: dict[tuple[str, int], list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+        for batch in batches:
+            if batch.empty:
+                continue
+            doc_ids = batch["doc_id"].to_numpy(dtype=np.int64)
+            dls = batch["dl"].to_numpy(dtype=np.int64)
+            lens = batch["terms"].map(len).to_numpy(dtype=np.int64)
+            if lens.sum() == 0:
+                continue
+            flat_docs = np.repeat(doc_ids, lens)
+            flat_dls = np.repeat(dls, lens)
+            flat_terms = np.concatenate(
+                [np.asarray(t, dtype=object) for t in batch["terms"] if len(t)]
+            )
+            flat_tfs = np.concatenate(
+                [np.asarray(t, dtype=np.int64) for t in batch["tfs"] if len(t)]
+            )
+            shards = flat_docs // docs_per_shard
+            # group by (term, shard) within the batch via pandas factorize
+            key = pd.DataFrame(
+                {"t": flat_terms, "s": shards, "d": flat_docs, "f": flat_tfs, "l": flat_dls}
+            )
+            for (term, shard), g in key.groupby(["t", "s"], sort=False):
+                acc.setdefault((term, int(shard)), []).append(
+                    (
+                        g["d"].to_numpy(np.int64),
+                        g["f"].to_numpy(np.int64),
+                        g["l"].to_numpy(np.int64),
+                    )
+                )
+        rows = {k: [] for k in (
+            "term", "shard", "pid", "df", "cf", "min_doc", "max_doc",
+            "doc_ids_enc", "tfs_enc", "dls_enc",
+        )}
+        for (term, shard), parts in acc.items():
+            d = np.concatenate([p[0] for p in parts])
+            f = np.concatenate([p[1] for p in parts])
+            l = np.concatenate([p[2] for p in parts])
+            order = np.argsort(d, kind="stable")
+            d, f, l = d[order], f[order], l[order]
+            rows["term"].append(term)
+            rows["shard"].append(shard)
+            rows["pid"].append(pid)
+            rows["df"].append(int(d.size))
+            rows["cf"].append(int(f.sum()))
+            rows["min_doc"].append(int(d[0]))
+            rows["max_doc"].append(int(d[-1]))
+            rows["doc_ids_enc"].append(codec.encode_doc_ids(d))
+            rows["tfs_enc"].append(codec.encode_tfs(f))
+            rows["dls_enc"].append(codec.encode_tfs(l))
+        yield pd.DataFrame(rows)
+
+    return build
+
+
+def _segment_merger(avgdl: float):
+    """applyInPandas fn: all segments of one (term, shard) -> one merged,
+    globally sorted posting row with exact per-block BM25 max impacts.
+
+    impact(tf, dl) = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) — score =
+    idf * impact, so block upper bound = idf * max_impact is tight."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        term = pdf["term"].iloc[0]
+        shard = int(pdf["shard"].iloc[0])
+        ds, fs, ls = [], [], []
+        for _, row in pdf.iterrows():
+            ds.append(codec.decode_doc_ids(row["doc_ids_enc"]))
+            fs.append(codec.decode_tfs(row["tfs_enc"]))
+            ls.append(codec.decode_tfs(row["dls_enc"]))
+        d = np.concatenate(ds)
+        f = np.concatenate(fs)
+        l = np.concatenate(ls)
+        order = np.argsort(d, kind="stable")
+        d, f, l = d[order], f[order], l[order]
+        impact = f * (K1 + 1.0) / (f + K1 * (1.0 - B + B * l / (avgdl or 1.0)))
+        blocks = []
+        for s in range(0, d.size, codec.BLOCK_SIZE):
+            e = min(s + codec.BLOCK_SIZE, d.size)
+            blocks.append(
+                {"last_doc": int(d[e - 1]), "max_impact": float(impact[s:e].max())}
+            )
+        return pd.DataFrame(
+            {
+                "term": [term],
+                "shard": [shard],
+                "df": [int(d.size)],
+                "cf": [int(f.sum())],
+                "min_doc": [int(d[0])],
+                "max_doc": [int(d[-1])],
+                "doc_ids_enc": [codec.encode_doc_ids(d)],
+                "tfs_enc": [codec.encode_tfs(f)],
+                "dls_enc": [codec.encode_tfs(l)],
+                "block_max": [blocks],
+            }
+        )
+
+    return merge
+
+
+def build_index(
+    spark_df: DataFrame,
+    index_dir: str,
+    analyzer: Analyzer | None = None,
+    **kwargs,
+) -> IndexCatalog:
+    return IndexBuilder(analyzer=analyzer or STANDARD_ANALYZER).build(
+        spark_df, index_dir, **kwargs
+    )

@@ -1,0 +1,133 @@
+"""Posting-list codec: delta-gap + varbyte docID/TF blocks with block-max
+metadata.
+
+Reference semantics: Lucene posting lists enumerated via TermDocs/Doc
+(/root/reference/app/org/nlp4l/lucene/Terms.scala:35-157). Lucene 7 stores
+postings as FOR/PackedInts blocks with skip data carrying block maxima;
+we implement the same *capability* (compressed, block-skippable, max-score
+bounded postings) with a vectorized NumPy varbyte codec writing to Spark
+``binary`` columns — per north_star (BASELINE.json:6): "delta-gap +
+varbyte-compressed docID/TF blocks ... with block-max metadata".
+
+Encoding:
+* doc_ids: strictly increasing int64 -> gaps (first gap = doc_id[0] + 1 so
+  every gap >= 1) -> LEB128-style varbyte, little-endian 7-bit groups, high
+  bit set = continuation.
+* tfs: raw values (>= 1) varbyte-encoded the same way.
+* block_max: one entry per BLOCK_SIZE postings: (last_doc, max_tf).
+  max_tf yields an admissible BM25 upper bound per block:
+  ub = idf * (k1+1) * max_tf / (max_tf + k1*(1-b))   [dl -> 0 bound]
+  which is what block-max WAND needs for safe pruning.
+
+Everything is vectorized NumPy — no per-posting Python loops — so it runs
+inside Arrow-batched applyInPandas at full speed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Vectorized LEB128 encode of a non-negative int64 array."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length / 7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp >>= np.uint64(1)
+    nbytes = np.maximum((nbits + 6) // 7, 1)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # position of first byte of each value
+    starts = np.zeros(v.size, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    # byte index within each value: 0..nbytes-1
+    idx = np.arange(total, dtype=np.int64)
+    owner = np.repeat(np.arange(v.size, dtype=np.int64), nbytes)
+    within = idx - starts[owner]
+    chunk = (v[owner] >> (within.astype(np.uint64) * np.uint64(7))) & np.uint64(0x7F)
+    is_last = within == (nbytes[owner] - 1)
+    out[:] = chunk.astype(np.uint8)
+    out[~is_last] |= 0x80
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes) -> np.ndarray:
+    """Vectorized LEB128 decode -> uint64 array."""
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (raw & 0x80) == 0
+    n_vals = int(is_last.sum())
+    # owner[i] = which value byte i belongs to
+    owner = np.zeros(raw.size, dtype=np.int64)
+    owner[1:] = np.cumsum(is_last[:-1])
+    # within-value byte position
+    starts_mask = np.ones(raw.size, dtype=bool)
+    starts_mask[1:] = is_last[:-1]
+    start_idx = np.flatnonzero(starts_mask)
+    within = np.arange(raw.size, dtype=np.int64) - start_idx[owner]
+    contrib = (raw & np.uint8(0x7F)).astype(np.uint64) << (
+        within.astype(np.uint64) * np.uint64(7)
+    )
+    out = np.zeros(n_vals, dtype=np.uint64)
+    np.add.at(out, owner, contrib)
+    return out
+
+
+def encode_doc_ids(doc_ids: np.ndarray) -> bytes:
+    """Delta-gap + varbyte encode of a strictly increasing int64 array."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    if d.size == 0:
+        return b""
+    gaps = np.empty(d.size, dtype=np.uint64)
+    gaps[0] = np.uint64(d[0] + 1)  # ensure every gap >= 1
+    if d.size > 1:
+        gaps[1:] = np.diff(d).astype(np.uint64)
+    return varbyte_encode(gaps)
+
+
+def decode_doc_ids(buf: bytes) -> np.ndarray:
+    gaps = varbyte_decode(buf).astype(np.int64)
+    if gaps.size == 0:
+        return gaps
+    out = np.cumsum(gaps)
+    out -= 1  # undo the +1 on the first gap
+    return out
+
+
+def encode_tfs(tfs: np.ndarray) -> bytes:
+    return varbyte_encode(np.asarray(tfs, dtype=np.uint64))
+
+
+def decode_tfs(buf: bytes) -> np.ndarray:
+    return varbyte_decode(buf).astype(np.int64)
+
+
+def block_max(doc_ids: np.ndarray, tfs: np.ndarray) -> list[dict]:
+    """Per-block (last_doc, max_tf) skip metadata, BLOCK_SIZE postings/block."""
+    d = np.asarray(doc_ids, dtype=np.int64)
+    t = np.asarray(tfs, dtype=np.int64)
+    out: list[dict] = []
+    for s in range(0, d.size, BLOCK_SIZE):
+        e = min(s + BLOCK_SIZE, d.size)
+        out.append({"last_doc": int(d[e - 1]), "max_tf": int(t[s:e].max())})
+    return out
+
+
+def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes, list[dict]]:
+    """Full posting encode: (doc_ids_enc, tfs_enc, block_max)."""
+    return encode_doc_ids(doc_ids), encode_tfs(tfs), block_max(doc_ids, tfs)
+
+
+def decode_posting(doc_ids_enc: bytes, tfs_enc: bytes) -> tuple[np.ndarray, np.ndarray]:
+    return decode_doc_ids(doc_ids_enc), decode_tfs(tfs_enc)

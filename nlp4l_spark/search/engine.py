@@ -1,0 +1,232 @@
+"""Query engine: BM25 top-k over the postings tables.
+
+Reference semantics: ISearcher.search(query, rows, sort) -> top-k ScoreDocs
+under default BM25(k1=1.2, b=0.75), OR over query terms, ties by docID asc
+(/root/reference/app/org/nlp4l/lucene/ISearcher.scala:31-49). Two physical
+strategies, both returning identical results (tested):
+
+* ``dataframe`` — decode matching postings to (doc_id, tf, dl) rows and let
+  Catalyst do the scoring: broadcast (term, idf) join, SQL BM25 expression,
+  hash-agg sum per doc, TakeOrderedAndProject top-k. Fully declarative;
+  the oracle-comparable path.
+* ``wand`` — block-max WAND inside applyInPandas per (qid, shard): only
+  compressed shards of the query's terms move, each task prunes blocks by
+  score upper bound, emits its local top-k; a global top-k merge finishes.
+  This is the 10^12-doc path: work is proportional to the query's posting
+  shards, never to the corpus.
+
+Query-side joins are all broadcast (queries are tiny); the postings scan is
+term-pruned via an ``isin`` filter that parquet row-group stats can skip on
+(postings are written term-sorted).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import types as T
+
+from nlp4l_spark.analysis import Analyzer, STANDARD_ANALYZER
+from nlp4l_spark.index import codec
+from nlp4l_spark.index.catalog import IndexCatalog
+from nlp4l_spark.search import wand as wand_mod
+
+K1 = 1.2
+B = 0.75
+
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("dl", T.IntegerType()),
+    ]
+)
+
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("qid", T.IntegerType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def idf(num_docs: int, df: int) -> float:
+    return math.log(1.0 + (num_docs - df + 0.5) / (df + 0.5))
+
+
+class Searcher:
+    """Opens a built index (IndexCatalog dir) for BM25 top-k queries."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        analyzer: Analyzer | None = None,
+    ):
+        self.spark = spark
+        self.cat = IndexCatalog(index_dir)
+        self.analyzer = analyzer or STANDARD_ANALYZER
+        row = self.cat.read(spark, "field_stats").collect()[0]
+        self.num_docs = int(row["num_docs"])
+        self.avgdl = float(row["avgdl"])
+
+    # ------------------------------------------------------------------ #
+    def _term_stats(self, terms: list[str]) -> dict[str, int]:
+        """df per term — a point lookup on the sorted term dictionary."""
+        if not terms:
+            return {}
+        rows = (
+            self.cat.read(self.spark, "term_stats")
+            .filter(F.col("term").isin(terms))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def _matching_postings(self, terms: list[str]) -> DataFrame:
+        return self.cat.read(self.spark, "postings").filter(
+            F.col("term").isin(terms)
+        )
+
+    # ------------------------------------------------------------------ #
+    def search(self, query: str, k: int = 10, method: str = "wand") -> DataFrame:
+        """Top-k for one query -> DataFrame(doc_id, score, rank)."""
+        res = self.search_batch([(0, query, k)], method=method)
+        return res.select("doc_id", "score", "rank")
+
+    def search_batch(
+        self,
+        queries: Iterable[tuple[int, str, int]],
+        method: str = "wand",
+    ) -> DataFrame:
+        """Batch top-k -> DataFrame(qid, rank, doc_id, score).
+
+        queries: (qid, query_text, k) triples. The per-query analyzed term
+        sets + idf weights form a tiny broadcast frame.
+        """
+        queries = list(queries)
+        per_q_terms: dict[int, list[str]] = {
+            qid: sorted(set(self.analyzer.tokenize(q))) for qid, q, _ in queries
+        }
+        ks = {qid: int(k) for qid, _, k in queries}
+        all_terms = sorted({t for ts in per_q_terms.values() for t in ts})
+        dfs = self._term_stats(all_terms)
+        # (qid, term, idf) — only terms that exist in the index
+        rows = [
+            (qid, t, idf(self.num_docs, dfs[t]))
+            for qid, ts in per_q_terms.items()
+            for t in ts
+            if t in dfs
+        ]
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "qid int, rank int, doc_id long, score double"
+            )
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "qid int, term string, idf double")
+        )
+        postings = self._matching_postings(sorted({r[1] for r in rows}))
+        if method == "dataframe":
+            scored = self._score_dataframe(postings, qterms)
+        elif method == "wand":
+            scored = self._score_wand(postings, qterms, ks)
+        else:
+            raise ValueError(f"unknown method {method!r}")
+
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+        k_df = F.broadcast(
+            self.spark.createDataFrame(list(ks.items()), "qid int, k int")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .join(k_df, "qid")
+            .filter(F.col("rank") <= F.col("k"))
+            .select("qid", "rank", "doc_id", "score")
+        )
+
+    # ------------------------------------------------------------------ #
+    def _score_dataframe(self, postings: DataFrame, qterms: DataFrame) -> DataFrame:
+        decoded = postings.select(
+            "term", "doc_ids_enc", "tfs_enc", "dls_enc"
+        ).mapInPandas(_decode_postings, _DECODED_SCHEMA)
+        avgdl = self.avgdl
+        score_expr = (
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl or 1.0))
+            )
+        )
+        return (
+            decoded.join(qterms, "term")  # broadcast: qterms is hinted
+            .withColumn("_s", score_expr)
+            .groupBy("qid", "doc_id")
+            .agg(F.sum("_s").alias("score"))
+        )
+
+    def _score_wand(
+        self, postings: DataFrame, qterms: DataFrame, ks: dict[int, int]
+    ) -> DataFrame:
+        avgdl = self.avgdl
+        max_k = max(ks.values()) if ks else 10
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            out_qid, out_doc, out_score = [], [], []
+            for qid, g in pdf.groupby("qid", sort=False):
+                tps = []
+                for _, row in g.iterrows():
+                    tps.append(
+                        (
+                            float(row["idf"]),
+                            codec.decode_doc_ids(row["doc_ids_enc"]),
+                            codec.decode_tfs(row["tfs_enc"]),
+                            codec.decode_tfs(row["dls_enc"]),
+                            list(row["block_max"]) if row["block_max"] is not None else [],
+                        )
+                    )
+                for doc, sc in wand_mod.wand_topk(tps, max_k, avgdl):
+                    out_qid.append(int(qid))
+                    out_doc.append(doc)
+                    out_score.append(sc)
+            return pd.DataFrame(
+                {"qid": out_qid, "doc_id": out_doc, "score": out_score}
+            )
+
+        joined = postings.join(qterms, "term").select(
+            "qid", "idf", "shard", "doc_ids_enc", "tfs_enc", "dls_enc", "block_max"
+        )
+        # one WAND task per (query, doc-range shard); local top-k per task,
+        # global merge is the tiny window in search_batch
+        return joined.groupBy("qid", "shard").applyInPandas(run, _TOPK_SCHEMA)
+
+
+def _decode_postings(batches):
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        terms, docs, tfs, dls = [], [], [], []
+        for _, row in pdf.iterrows():
+            d = codec.decode_doc_ids(row["doc_ids_enc"])
+            terms.append(np.full(d.size, row["term"], dtype=object))
+            docs.append(d)
+            tfs.append(codec.decode_tfs(row["tfs_enc"]))
+            dls.append(codec.decode_tfs(row["dls_enc"]))
+        if not docs:
+            continue
+        yield pd.DataFrame(
+            {
+                "term": np.concatenate(terms),
+                "doc_id": np.concatenate(docs),
+                "tf": np.concatenate(tfs).astype(np.int32),
+                "dl": np.concatenate(dls).astype(np.int32),
+            }
+        )

@@ -1,0 +1,62 @@
+"""Varbyte/delta codec round-trip tests (FIXTURES.md §5: empty list, single
+doc, gaps of 1, gaps > 2^28, tf=1 runs, seeded random arrays)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from nlp4l_spark.index import codec
+
+
+CASES = [
+    np.array([], dtype=np.int64),
+    np.array([0], dtype=np.int64),
+    np.array([7], dtype=np.int64),
+    np.arange(1000, dtype=np.int64),  # gaps of 1
+    np.array([0, 1, 2, 3, 2**28 + 5, 2**40, 2**40 + 1], dtype=np.int64),
+    np.array([2**62], dtype=np.int64),
+]
+
+
+@pytest.mark.parametrize("doc_ids", CASES, ids=range(len(CASES)))
+def test_doc_id_roundtrip(doc_ids):
+    enc = codec.encode_doc_ids(doc_ids)
+    out = codec.decode_doc_ids(enc)
+    np.testing.assert_array_equal(out, doc_ids)
+
+
+def test_random_roundtrip_seeded():
+    rng = np.random.RandomState(42)
+    for _ in range(25):
+        n = rng.randint(1, 5000)
+        gaps = rng.randint(1, 2**20, size=n).astype(np.int64)
+        doc_ids = np.cumsum(gaps) - 1
+        tfs = rng.randint(1, 300, size=n).astype(np.int64)
+        d_enc, t_enc, bm = codec.encode_posting(doc_ids, tfs)
+        d, t = codec.decode_posting(d_enc, t_enc)
+        np.testing.assert_array_equal(d, doc_ids)
+        np.testing.assert_array_equal(t, tfs)
+        assert len(bm) == (n + codec.BLOCK_SIZE - 1) // codec.BLOCK_SIZE
+        assert bm[-1]["last_doc"] == int(doc_ids[-1])
+
+
+def test_varbyte_compression_is_compact():
+    # gaps of 1 must take exactly 1 byte each
+    doc_ids = np.arange(10_000, dtype=np.int64)
+    assert len(codec.encode_doc_ids(doc_ids)) == 10_000
+
+
+def test_tf_one_runs():
+    tfs = np.ones(4096, dtype=np.int64)
+    enc = codec.encode_tfs(tfs)
+    assert len(enc) == 4096
+    np.testing.assert_array_equal(codec.decode_tfs(enc), tfs)
+
+
+def test_block_max_values():
+    doc_ids = np.arange(300, dtype=np.int64)
+    tfs = np.concatenate([np.full(128, 3), np.full(128, 9), np.full(44, 1)])
+    bm = codec.block_max(doc_ids, tfs)
+    assert [b["max_tf"] for b in bm] == [3, 9, 1]
+    assert [b["last_doc"] for b in bm] == [127, 255, 299]
