@@ -62,5 +62,7 @@ TRANSCRIPTS_SCHEMA_DDL = (
 )
 
 
-def transcripts_df(spark, verses: list[str] | None = None):
-    return spark.createDataFrame(transcripts_rows(verses), TRANSCRIPTS_SCHEMA_DDL)
+def transcripts_df(spark, verses: list[str] | None = None, conv_id: str = "conv-00000000"):
+    return spark.createDataFrame(
+        transcripts_rows(verses, conv_id=conv_id), TRANSCRIPTS_SCHEMA_DDL
+    )

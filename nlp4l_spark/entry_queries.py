@@ -1,0 +1,781 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 (plus the training-data-pipeline extensions) as a
+(spark, sf_dir) -> DataFrame callable with a matching DuckDB oracle SQL.
+
+Parity rules (driver compares row-count + schema + order-insensitive
+value-hash):
+* every computed column is aliased identically on both sides,
+* floats are rounded to 6 decimals on both sides,
+* counts are bigint on both sides,
+* tokenization is the SAME analyzer contract rendered for each engine
+  (Analyzer.tokens_expr for Spark, Analyzer.duckdb_tokens_sql for DuckDB).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from nlp4l_spark.analysis import (
+    LUCENE_ENGLISH_STOPWORDS,
+    STANDARD_ANALYZER,
+    WHITESPACE_ANALYZER,
+)
+from nlp4l_spark.ops import dedup, multimodal, processors, similarity, textqc
+from nlp4l_spark.stats import Corpus, moments, tfidf, wordcounts
+
+TOK_SQL = STANDARD_ANALYZER.duckdb_tokens_sql("text")
+WS_SQL = WHITESPACE_ANALYZER.duckdb_tokens_sql("text")
+TOKS_CTE = f"toks AS (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)"
+
+BM25_QUERY = "join merge vector"
+BM25_TERMS = ["join", "merge", "vector"]
+BM25_K = 10
+TFIDF_FEATURES = ["join", "hash", "scan", "spark", "window"]
+CHI2_TERMS = ["join", "hash", "scan", "slow"]
+
+SOLR_LOG_LINES = [
+    "2017-01-04 08:18:34.327 INFO  (qtp110456297-15) [   x:collection1] "
+    "o.a.s.c.S.Request [collection1]  webapp=/solr path=/select "
+    "params={q=apple&fq=type:fruit&facet.field=category&rows=10} hits=42 status=0 QTime=3",
+    "2017-01-04 08:19:01.001 INFO  (qtp110456297-16) [   x:collection1] "
+    "o.a.s.c.S.Request [collection1]  webapp=/solr path=/select "
+    "params={q=banana+split&facet.query=price:[0+TO+100]} hits=7 status=0 QTime=12",
+    "2017-01-04 08:20:15.900 INFO  (qtp110456297-17) [   x:collection1] "
+    "o.a.s.c.S.Request [collection1]  webapp=/solr path=/select "
+    "params={q=*:*} hits=1000 status=0 QTime=1",
+]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> Corpus:
+    return Corpus(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+
+# --------------------------------------------------------------------- #
+# WordCounts / RawReader stats surface (SURVEY §2.5)
+# --------------------------------------------------------------------- #
+def q_wordcount_cf(spark, sf_dir):
+    return wordcounts.count_whole_index(_corpus(spark, sf_dir))
+
+
+O_WORDCOUNT_CF = f"""
+WITH {TOKS_CTE}
+SELECT term, count(*)::bigint AS cf FROM toks GROUP BY term
+"""
+
+
+def q_wordcount_df(spark, sf_dir):
+    return wordcounts.count_df(_corpus(spark, sf_dir))
+
+
+O_WORDCOUNT_DF = f"""
+WITH {TOKS_CTE}
+SELECT term, count(DISTINCT doc_id)::bigint AS df FROM toks GROUP BY term
+"""
+
+
+def q_top_terms_df(spark, sf_dir):
+    return wordcounts.top_terms_by_doc_freq(_corpus(spark, sf_dir), 20)
+
+
+O_TOP_TERMS_DF = f"""
+WITH {TOKS_CTE}
+SELECT term, count(DISTINCT doc_id)::bigint AS df FROM toks GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 20
+"""
+
+
+def q_top_terms_cf(spark, sf_dir):
+    return wordcounts.top_terms_by_total_term_freq(_corpus(spark, sf_dir), 20)
+
+
+O_TOP_TERMS_CF = f"""
+WITH {TOKS_CTE}
+SELECT term, count(*)::bigint AS cf FROM toks GROUP BY term
+ORDER BY cf DESC, term ASC LIMIT 20
+"""
+
+
+def q_count_prefix(spark, sf_dir):
+    return wordcounts.count_prefix(_corpus(spark, sf_dir), "s")
+
+
+O_COUNT_PREFIX = f"""
+WITH {TOKS_CTE}
+SELECT count(DISTINCT term)::bigint AS cnt FROM toks WHERE term LIKE 's%'
+"""
+
+
+def q_total_count(spark, sf_dir):
+    return wordcounts.total_count(_corpus(spark, sf_dir))
+
+
+O_TOTAL_COUNT = f"""
+WITH {TOKS_CTE}
+SELECT count(*)::bigint AS total FROM toks
+"""
+
+
+def q_doc_lens(spark, sf_dir):
+    return (
+        _corpus(spark, sf_dir)
+        .doc_lens()
+        .select("doc_id", F.col("dl").cast("long").alias("dl"))
+    )
+
+
+O_DOC_LENS = f"""
+WITH {TOKS_CTE},
+cnt AS (SELECT doc_id, count(*)::bigint AS dl FROM toks GROUP BY doc_id)
+SELECT d.doc_id, coalesce(cnt.dl, 0)::bigint AS dl
+FROM documents d LEFT JOIN cnt USING (doc_id)
+"""
+
+
+def q_field_stats(spark, sf_dir):
+    fs = wordcounts.field_stats(_corpus(spark, sf_dir))
+    return fs.select(
+        "field", "num_docs", "sum_dl", F.round("avgdl", 6).alias("avgdl"), "uniq_terms"
+    )
+
+
+O_FIELD_STATS = f"""
+WITH {TOKS_CTE}
+SELECT 'text' AS field,
+       (SELECT count(*) FROM documents)::bigint AS num_docs,
+       (SELECT count(*) FROM toks)::bigint AS sum_dl,
+       round((SELECT count(*) FROM toks)::double /
+             (SELECT count(*) FROM documents), 6) AS avgdl,
+       (SELECT count(DISTINCT term) FROM toks)::bigint AS uniq_terms
+"""
+
+
+def q_count_docset(spark, sf_dir):
+    return wordcounts.count_docset(_corpus(spark, sf_dir), [0, 1, 2])
+
+
+O_COUNT_DOCSET = f"""
+WITH {TOKS_CTE}
+SELECT term, count(*)::bigint AS cnt FROM toks
+WHERE doc_id IN (0, 1, 2) GROUP BY term
+"""
+
+
+# --------------------------------------------------------------------- #
+# BM25 search (SURVEY §2.6 ranking semantics)
+# --------------------------------------------------------------------- #
+_BM25_ORACLE = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Pure-DataFrame BM25 over the raw corpus (no prebuilt index):
+    the oracle-comparable scoring path."""
+    corpus = _corpus(spark, sf_dir)
+    dt = corpus.doc_terms()
+    dl = corpus.doc_lens()
+    stats = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n, avgdl = stats["n"], stats["sum_dl"] / stats["n"]
+    qdt = dt.filter(F.col("term").isin(BM25_TERMS))
+    dfm = qdt.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = (
+        idf
+        * F.col("tf")
+        * F.lit(2.2)
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        qdt.join(F.broadcast(dfm), "term")
+        .join(dl, "doc_id")
+        .withColumn("_s", score)
+        .groupBy("doc_id")
+        .agg(F.sum("_s").alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+def _index_cache_dir(sf_dir: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(tempfile.gettempdir(), f"nlp4l_idx_{key}")
+
+
+def q_index_bm25_topk(spark, sf_dir):
+    """The real engine path: build (or reuse) the compressed posting-list
+    index for the documents table, answer with block-max WAND."""
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.index.catalog import IndexCatalog
+    from nlp4l_spark.search import Searcher
+
+    idx = _index_cache_dir(sf_dir)
+    cat = IndexCatalog(idx)
+    if not cat.is_committed("field_stats"):
+        IndexBuilder(sort_cols=("doc_id",)).build(_docs(spark, sf_dir), idx)
+    s = Searcher(spark, idx)
+    res = s.search(BM25_QUERY, k=BM25_K, method="wand")
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+# --------------------------------------------------------------------- #
+# TF-IDF (SURVEY §2.5, TFIDF.scala modes)
+# --------------------------------------------------------------------- #
+def q_tfidf_weights(spark, sf_dir):
+    w = tfidf.tf_idf_weights(
+        _corpus(spark, sf_dir), tf_mode="n", idf_mode="t", features=TFIDF_FEATURES
+    )
+    return w.select("doc_id", "term", F.round("weight", 6).alias("weight"))
+
+
+O_TFIDF_WEIGHTS = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks
+       WHERE term IN {tuple(TFIDF_FEATURES)!r} GROUP BY 1, 2),
+dfm AS (SELECT term, count(*)::double AS df FROM dt GROUP BY 1),
+n AS (SELECT count(*)::double AS n FROM documents)
+SELECT doc_id, term, round(tf * ln(n / df), 6) AS weight
+FROM dt JOIN dfm USING (term) CROSS JOIN n
+"""
+
+
+def q_chi2_terms(spark, sf_dir):
+    """Per-term 2x2 chi-square of term counts: lang='en' docs vs the rest
+    (Stats.chiSquare, Stats.scala:81-106)."""
+    docs = _docs(spark, sf_dir)
+    dt = Corpus(docs, "text", "doc_id").doc_terms().join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    grp = dt.withColumn("_g", (F.col("lang") == "en").cast("int"))
+    tot = grp.groupBy("_g").agg(F.sum("tf").alias("tot"))
+    wc = (
+        grp.filter(F.col("term").isin(CHI2_TERMS))
+        .groupBy("term", "_g")
+        .agg(F.sum("tf").alias("wc"))
+    )
+    pivoted = (
+        wc.join(tot, "_g")
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("_g") == 1, F.col("wc"))).alias("wc1"),
+            F.sum(F.when(F.col("_g") == 1, F.col("tot") - F.col("wc"))).alias("oc1"),
+            F.sum(F.when(F.col("_g") == 0, F.col("wc"))).alias("wc2"),
+            F.sum(F.when(F.col("_g") == 0, F.col("tot") - F.col("wc"))).alias("oc2"),
+        )
+    )
+    chi = moments.chi_square_cols(
+        F.col("wc1").cast("double"),
+        F.col("oc1").cast("double"),
+        F.col("wc2").cast("double"),
+        F.col("oc2").cast("double"),
+    )
+    return pivoted.select("term", F.round(chi, 6).alias("chi2"))
+
+
+O_CHI2_TERMS = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT t.doc_id, term, d.lang, count(*)::double AS tf
+       FROM toks t JOIN documents d USING (doc_id) GROUP BY 1, 2, 3),
+g AS (SELECT *, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp FROM dt),
+tot AS (SELECT grp, sum(tf) AS tot FROM g GROUP BY grp),
+wc AS (SELECT term, grp, sum(tf) AS wc FROM g
+       WHERE term IN {tuple(CHI2_TERMS)!r} GROUP BY 1, 2),
+piv AS (SELECT term,
+           sum(CASE WHEN grp = 1 THEN wc END) AS wc1,
+           sum(CASE WHEN grp = 1 THEN tot - wc END) AS oc1,
+           sum(CASE WHEN grp = 0 THEN wc END) AS wc2,
+           sum(CASE WHEN grp = 0 THEN tot - wc END) AS oc2
+        FROM wc JOIN tot USING (grp) GROUP BY term)
+SELECT term, round(
+    pow(wc1 - (oc1+wc1)/(oc1+wc1+oc2+wc2)*(wc1+wc2), 2) / ((oc1+wc1)/(oc1+wc1+oc2+wc2)*(wc1+wc2))
+  + pow(oc1 - (oc1+wc1)/(oc1+wc1+oc2+wc2)*(oc1+oc2), 2) / ((oc1+wc1)/(oc1+wc1+oc2+wc2)*(oc1+oc2))
+  + pow(wc2 - (oc2+wc2)/(oc1+wc1+oc2+wc2)*(wc1+wc2), 2) / ((oc2+wc2)/(oc1+wc1+oc2+wc2)*(wc1+wc2))
+  + pow(oc2 - (oc2+wc2)/(oc1+wc1+oc2+wc2)*(oc1+oc2), 2) / ((oc2+wc2)/(oc1+wc1+oc2+wc2)*(oc1+oc2)),
+  6) AS chi2
+FROM piv
+"""
+
+
+# --------------------------------------------------------------------- #
+# Stats moments (Stats.scala), processors, click analytics
+# --------------------------------------------------------------------- #
+def q_stats_moments(spark, sf_dir):
+    m = moments.moments(_lineitem(spark, sf_dir), "l_quantity", "l_extendedprice")
+    return m.select(
+        F.round("avg1", 6).alias("avg1"),
+        F.round("var1", 6).alias("var1"),
+        F.round("cov12", 6).alias("cov12"),
+        F.round("corr12", 6).alias("corr12"),
+    )
+
+
+O_STATS_MOMENTS = """
+SELECT round(avg(l_quantity), 6) AS avg1,
+       round(var_pop(l_quantity), 6) AS var1,
+       round(covar_pop(l_quantity, l_extendedprice), 6) AS cov12,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr12
+FROM lineitem
+"""
+
+
+def q_merge_records(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    merged = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                " ",
+            ).alias("merged")
+        )
+    )
+    return merged
+
+
+O_MERGE_RECORDS = """
+SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS merged
+FROM events GROUP BY user_id
+"""
+
+
+def q_unique_by_source(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("source", "doc_id")
+    return processors.unique(docs, "source")
+
+
+O_UNIQUE_BY_SOURCE = """
+SELECT source, min(doc_id)::bigint AS doc_id FROM documents GROUP BY source
+"""
+
+
+def q_click_rate(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "is_click", (F.col("event_type") == "click").cast("double")
+    )
+    cr = ev.groupBy("user_id").agg(F.avg("is_click").alias("_r"))
+    return cr.select("user_id", F.round("_r", 6).alias("click_rate"))
+
+
+O_CLICK_RATE = """
+SELECT user_id,
+       round(avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END), 6)
+           AS click_rate
+FROM events GROUP BY user_id
+"""
+
+
+def q_rate_to_label(spark, sf_dir):
+    ev = _events(spark, sf_dir).withColumn(
+        "is_click", (F.col("event_type") == "click").cast("double")
+    )
+    cr = ev.groupBy("user_id").agg(F.avg("is_click").alias("rate"))
+    return processors.rate_to_label(cr, "rate", [0.2, 0.5, 0.8]).select(
+        "user_id", "label"
+    )
+
+
+O_RATE_TO_LABEL = """
+WITH cr AS (SELECT user_id,
+            avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS rate
+            FROM events GROUP BY user_id)
+SELECT user_id,
+       (CASE WHEN rate >= 0.8 THEN 3 WHEN rate >= 0.5 THEN 2
+             WHEN rate >= 0.2 THEN 1 ELSE 0 END)::int AS label
+FROM cr
+"""
+
+
+def q_top_event_types(spark, sf_dir):
+    ev = processors.filter_top_queries(_events(spark, sf_dir), "event_type", 3)
+    return ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+
+O_TOP_EVENT_TYPES = """
+SELECT event_type, count(*)::bigint AS cnt FROM events GROUP BY event_type
+ORDER BY cnt DESC, event_type ASC LIMIT 3
+"""
+
+
+def q_dcm_truncate(spark, sf_dir):
+    """DCM truncation (ClickModelAnalyzer.filterAsDCM): impressions per user
+    ordered by time, truncated at last click; output kept-count."""
+    ev = _events(spark, sf_dir)
+    lists = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("_s")
+    ).select(
+        "user_id",
+        F.transform(F.col("_s"), lambda x: x["event_id"]).alias("imps"),
+        F.transform(
+            F.col("_s"), lambda x: (x["event_type"] == F.lit("click")).cast("int")
+        ).alias("clicks"),
+    )
+    out = processors.dcm_truncate(lists, "imps", "clicks")
+    return out.select("user_id", F.size("imps").cast("long").alias("n_kept"))
+
+
+O_DCM_TRUNCATE = """
+WITH seq AS (SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             FROM events)
+SELECT user_id,
+       coalesce(max(CASE WHEN event_type = 'click' THEN rn END), 0)::bigint AS n_kept
+FROM seq GROUP BY user_id
+"""
+
+
+def q_props_parse(spark, sf_dir):
+    """Regex field extraction (StandardSolrQueryLogProcessor shape) over the
+    events.props JSON-ish strings."""
+    ev = _events(spark, sf_dir).withColumn(
+        "k", F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    )
+    return ev.groupBy("event_type").agg(F.round(F.avg("k"), 6).alias("avg_k"))
+
+
+O_PROPS_PARSE = """
+SELECT event_type,
+       round(avg(regexp_extract(props, '"k": (\\d+)', 1)::int), 6) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_solr_log_parse(spark, sf_dir):
+    df = spark.createDataFrame([(l,) for l in SOLR_LOG_LINES], "line string")
+    return processors.parse_solr_log(df)
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+O_SOLR_LOG_PARSE = f"""
+WITH lines(line) AS (VALUES {", ".join(f"({_sql_quote(l)})" for l in SOLR_LOG_LINES)}),
+p AS (SELECT line, regexp_extract(line, 'params=\\{{(.*?)\\}}', 1) AS params FROM lines)
+SELECT regexp_extract(line, '^(\\S+\\s+\\S+)', 1) AS date,
+       regexp_extract(params, '(?:^|&)q=([^&]*)', 1) AS q,
+       regexp_extract(params, '(?:^|&)fq=([^&]*)', 1) AS fq,
+       regexp_extract(params, '(?:^|&)facet\\.field=([^&]*)', 1) AS facet_field,
+       regexp_extract(params, '(?:^|&)facet\\.query=([^&]*)', 1) AS facet_query,
+       regexp_extract(line, 'hits=(\\d+)', 1)::bigint AS hits,
+       regexp_extract(line, 'QTime=(\\d+)', 1)::bigint AS qtime
+FROM p
+"""
+
+
+def q_sort_paging(spark, sf_dir):
+    """SortProcessor + fetch paging (RunDao.fetch offset/size)."""
+    return (
+        _docs(spark, sf_dir)
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .offset(10)
+        .limit(5)
+        .select("doc_id", "n_chars")
+    )
+
+
+O_SORT_PAGING = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id ASC LIMIT 5 OFFSET 10
+"""
+
+
+def q_validator_unique(spark, sf_dir):
+    _, dup = processors.unique_record_validator(_docs(spark, sf_dir), "doc_id")
+    return spark.createDataFrame([(dup,)], "dup_keys long")
+
+
+O_VALIDATOR_UNIQUE = """
+SELECT count(*)::bigint AS dup_keys FROM (
+  SELECT doc_id FROM documents GROUP BY doc_id HAVING count(*) > 1
+)
+"""
+
+
+# --------------------------------------------------------------------- #
+# Dedup suite
+# --------------------------------------------------------------------- #
+def q_dedup_exact(spark, sf_dir):
+    kept = dedup.exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
+    return kept.select("doc_id")
+
+
+O_DEDUP_EXACT = r"""
+SELECT min(doc_id)::bigint AS doc_id FROM documents
+GROUP BY regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+"""
+
+_WS_TOKS = WHITESPACE_ANALYZER.duckdb_tokens_sql("text")
+
+
+def q_dedup_ngram_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(
+        F.size(WHITESPACE_ANALYZER.tokens_expr("text")) >= 3
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.0)
+    return pairs.orderBy(
+        F.desc("jaccard"), F.asc("id_a"), F.asc("id_b")
+    ).limit(20)
+
+
+O_DEDUP_NGRAM_PAIRS = f"""
+WITH t AS (SELECT doc_id, {_WS_TOKS} AS tk FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+       FROM t WHERE len(tk) >= 3),
+cnt AS (SELECT doc_id, count(*)::double AS c FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::double AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(inter / (ca.c + cb.c - inter), 6) AS jaccard
+FROM pairs JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+ORDER BY round(inter / (ca.c + cb.c - inter), 6) DESC, id_a ASC, id_b ASC LIMIT 20
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (xxhash64-based — Spark-only, rows-only
+    check; the SQL-checkable twin is dedup_ngram_pairs)."""
+    docs = _docs(spark, sf_dir).filter(
+        F.size(WHITESPACE_ANALYZER.tokens_expr("text")) >= 3
+    )
+    return dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", jaccard_threshold=0.3
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(_docs(spark, sf_dir), "text", "doc_id", max_hamming=10)
+
+
+# --------------------------------------------------------------------- #
+# Similarity search
+# --------------------------------------------------------------------- #
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.brute_force_cosine_topk(emb, qvec, k=10)
+
+
+O_ANN_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sc AS (SELECT vec_id,
+         list_aggregate(list_transform(range(1, len(embedding) + 1),
+             i -> embedding[i]::double * qe[i]::double), 'sum')
+         / (sqrt(list_aggregate(list_transform(embedding,
+                x -> x::double * x::double), 'sum'))
+            * sqrt(list_aggregate(list_transform(qe,
+                x -> x::double * x::double), 'sum'))) AS c
+       FROM embeddings CROSS JOIN q)
+SELECT vec_id, round(c, 6) AS cosine FROM sc
+ORDER BY round(c, 6) DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (Spark-only; recall vs brute force is asserted in
+    tests/test_similarity.py, driver does a rows-only check)."""
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.lsh_cosine_topk(emb, qvec, k=10, bits=6, tables=8)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return similarity.embedding_neardup_pairs(
+        _embeddings(spark, sf_dir), threshold=0.9, bits=8, tables=8
+    )
+
+
+# --------------------------------------------------------------------- #
+# Text QC
+# --------------------------------------------------------------------- #
+def q_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", textqc.token_count_col("text").cast("long").alias("n_tokens")
+    )
+
+
+O_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]+'))::bigint
+           AS n_tokens
+FROM documents
+"""
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in sorted(LUCENE_ENGLISH_STOPWORDS))
+
+
+def q_quality(spark, sf_dir):
+    return textqc.quality_score(_docs(spark, sf_dir)).select("doc_id", "quality")
+
+
+O_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         {_WS_TOKS} AS tk,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         len(tk) AS n_tokens,
+         round(n_punct / greatest(n_chars, 1)::double, 6) AS punct_ratio,
+         round(len(list_filter(tk, t -> t IN ({_STOP_LIST})))
+               / greatest(len(tk), 1)::double, 6) AS stopword_ratio
+  FROM base)
+SELECT doc_id,
+       round((least(n_tokens / 50.0, 1.0)
+            + (1.0 - least(punct_ratio * 4, 1.0))
+            + least(stopword_ratio * 3, 1.0)) / 3.0, 6) AS quality
+FROM feat
+"""
+
+_MARKER_SQL = {
+    lang: ", ".join(f"'{m}'" for m in markers)
+    for lang, markers in textqc._LANG_MARKERS.items()
+}
+
+
+def q_lang_id(spark, sf_dir):
+    return textqc.lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+O_LANG_ID = f"""
+WITH t AS (SELECT doc_id, {_WS_TOKS} AS tk FROM documents),
+h AS (SELECT doc_id,
+        len(list_filter(tk, x -> x IN ({_MARKER_SQL['en']}))) AS h_en,
+        len(list_filter(tk, x -> x IN ({_MARKER_SQL['es']}))) AS h_es,
+        len(list_filter(tk, x -> x IN ({_MARKER_SQL['fr']}))) AS h_fr,
+        len(list_filter(tk, x -> x IN ({_MARKER_SQL['de']}))) AS h_de
+      FROM t),
+m AS (SELECT *, greatest(h_en, h_es, h_fr, h_de) AS hm FROM h)
+SELECT doc_id,
+       CASE WHEN hm = 0 THEN 'und'
+            WHEN h_fr = hm THEN 'fr'
+            WHEN h_es = hm THEN 'es'
+            WHEN h_en = hm THEN 'en'
+            ELSE 'de' END AS lang_pred
+FROM m
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return textqc.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp_md5")
+
+
+O_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------- #
+# Multimodal plumbing (rows-only: decode is stubbed by design)
+# --------------------------------------------------------------------- #
+def q_media_features(spark, sf_dir):
+    media = multimodal.synth_media(spark, n=64)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
+def q_media_frame_plan(spark, sf_dir):
+    media = multimodal.synth_media(spark, n=64)
+    plan = multimodal.frame_sample_plan(media, every_ms=5000)
+    return plan.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+
+
+# --------------------------------------------------------------------- #
+# Registry
+# --------------------------------------------------------------------- #
+REGISTRY: dict[str, tuple] = {
+    # (callable, oracle_sql | None)
+    "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
+    "wordcount_df": (q_wordcount_df, O_WORDCOUNT_DF),
+    "top_terms_by_docfreq": (q_top_terms_df, O_TOP_TERMS_DF),
+    "top_terms_by_totaltermfreq": (q_top_terms_cf, O_TOP_TERMS_CF),
+    "count_prefix": (q_count_prefix, O_COUNT_PREFIX),
+    "total_count": (q_total_count, O_TOTAL_COUNT),
+    "doc_lens": (q_doc_lens, O_DOC_LENS),
+    "field_stats": (q_field_stats, O_FIELD_STATS),
+    "count_docset": (q_count_docset, O_COUNT_DOCSET),
+    "bm25_topk": (q_bm25_topk, _BM25_ORACLE),
+    "index_bm25_topk": (q_index_bm25_topk, _BM25_ORACLE),
+    "tfidf_weights": (q_tfidf_weights, O_TFIDF_WEIGHTS),
+    "chi2_terms": (q_chi2_terms, O_CHI2_TERMS),
+    "stats_moments": (q_stats_moments, O_STATS_MOMENTS),
+    "merge_records": (q_merge_records, O_MERGE_RECORDS),
+    "unique_by_source": (q_unique_by_source, O_UNIQUE_BY_SOURCE),
+    "click_rate": (q_click_rate, O_CLICK_RATE),
+    "rate_to_label": (q_rate_to_label, O_RATE_TO_LABEL),
+    "top_event_types": (q_top_event_types, O_TOP_EVENT_TYPES),
+    "dcm_truncate": (q_dcm_truncate, O_DCM_TRUNCATE),
+    "props_parse": (q_props_parse, O_PROPS_PARSE),
+    "solr_log_parse": (q_solr_log_parse, O_SOLR_LOG_PARSE),
+    "sort_paging": (q_sort_paging, O_SORT_PAGING),
+    "validator_unique": (q_validator_unique, O_VALIDATOR_UNIQUE),
+    "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
+    "dedup_ngram_pairs": (q_dedup_ngram_pairs, O_DEDUP_NGRAM_PAIRS),
+    "dedup_minhash": (q_dedup_minhash, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "ann_cosine_topk": (q_ann_cosine_topk, O_ANN_COSINE_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "embedding_neardup": (q_embedding_neardup, None),
+    "token_count": (q_token_count, O_TOKEN_COUNT),
+    "quality_score": (q_quality, O_QUALITY),
+    "lang_id": (q_lang_id, O_LANG_ID),
+    "fingerprint": (q_fingerprint, O_FINGERPRINT),
+    "media_features": (q_media_features, None),
+    "media_frame_plan": (q_media_frame_plan, None),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -186,9 +186,15 @@ class IndexBuilder:
         segs = cat.read(spark, "segments")
 
         # -- stage 5: segment merge -> postings ------------------------------
+        # One hash shuffle keyed (term, shard) moves only compressed
+        # segments; the merge itself is a run-scan over the sorted
+        # partition (mapInPandas), NOT per-group applyInPandas — per-term
+        # Python call overhead would dominate at vocab sizes of 10^4-10^6.
         if not done("postings"):
-            merged = segs.groupBy("term", "shard").applyInPandas(
-                _segment_merger(avgdl), POSTINGS_SCHEMA
+            merged = (
+                segs.repartition("term", "shard")
+                .sortWithinPartitions("term", "shard", "min_doc")
+                .mapInPandas(_segment_merger(avgdl), POSTINGS_SCHEMA)
             )
             cat.write(merged, "postings", sort_by=["term"])
         self._check_fail(fail_after_stage, "postings")
@@ -258,7 +264,7 @@ def _segment_builder(docs_per_shard: int):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
-        acc: dict[tuple[str, int], list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+        doc_parts, dl_parts, term_parts, tf_parts = [], [], [], []
         for batch in batches:
             if batch.empty:
                 continue
@@ -267,72 +273,78 @@ def _segment_builder(docs_per_shard: int):
             lens = batch["terms"].map(len).to_numpy(dtype=np.int64)
             if lens.sum() == 0:
                 continue
-            flat_docs = np.repeat(doc_ids, lens)
-            flat_dls = np.repeat(dls, lens)
-            flat_terms = np.concatenate(
-                [np.asarray(t, dtype=object) for t in batch["terms"] if len(t)]
-            )
-            flat_tfs = np.concatenate(
-                [np.asarray(t, dtype=np.int64) for t in batch["tfs"] if len(t)]
-            )
-            shards = flat_docs // docs_per_shard
-            # group by (term, shard) within the batch via pandas factorize
-            key = pd.DataFrame(
-                {"t": flat_terms, "s": shards, "d": flat_docs, "f": flat_tfs, "l": flat_dls}
-            )
-            for (term, shard), g in key.groupby(["t", "s"], sort=False):
-                acc.setdefault((term, int(shard)), []).append(
-                    (
-                        g["d"].to_numpy(np.int64),
-                        g["f"].to_numpy(np.int64),
-                        g["l"].to_numpy(np.int64),
-                    )
+            doc_parts.append(np.repeat(doc_ids, lens))
+            dl_parts.append(np.repeat(dls, lens))
+            term_parts.append(
+                np.concatenate(
+                    [np.asarray(t, dtype=object) for t in batch["terms"] if len(t)]
                 )
-        rows = {k: [] for k in (
+            )
+            tf_parts.append(
+                np.concatenate(
+                    [np.asarray(t, dtype=np.int64) for t in batch["tfs"] if len(t)]
+                )
+            )
+        cols = (
             "term", "shard", "pid", "df", "cf", "min_doc", "max_doc",
             "doc_ids_enc", "tfs_enc", "dls_enc",
-        )}
-        for (term, shard), parts in acc.items():
-            d = np.concatenate([p[0] for p in parts])
-            f = np.concatenate([p[1] for p in parts])
-            l = np.concatenate([p[2] for p in parts])
-            order = np.argsort(d, kind="stable")
-            d, f, l = d[order], f[order], l[order]
-            rows["term"].append(term)
-            rows["shard"].append(shard)
+        )
+        if not doc_parts:
+            yield pd.DataFrame({k: [] for k in cols})
+            return
+        d = np.concatenate(doc_parts)
+        l = np.concatenate(dl_parts)
+        t = np.concatenate(term_parts)
+        f = np.concatenate(tf_parts)
+        shards = d // docs_per_shard
+        # group by (term, shard), docs ascending inside each run; factorize
+        # + lexsort keeps everything in C, the per-run loop only encodes
+        codes, uniq_terms = pd.factorize(t, sort=False)
+        order = np.lexsort((d, shards, codes))
+        d, l, f = d[order], l[order], f[order]
+        codes, shards = codes[order], shards[order]
+        change = np.flatnonzero(
+            (np.diff(codes) != 0) | (np.diff(shards) != 0)
+        )
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [codes.size]))
+        rows = {k: [] for k in cols}
+        cf_all = np.add.reduceat(f, starts)
+        for s, e, cf in zip(starts.tolist(), ends.tolist(), cf_all.tolist()):
+            rows["term"].append(uniq_terms[codes[s]])
+            rows["shard"].append(int(shards[s]))
             rows["pid"].append(pid)
-            rows["df"].append(int(d.size))
-            rows["cf"].append(int(f.sum()))
-            rows["min_doc"].append(int(d[0]))
-            rows["max_doc"].append(int(d[-1]))
-            rows["doc_ids_enc"].append(codec.encode_doc_ids(d))
-            rows["tfs_enc"].append(codec.encode_tfs(f))
-            rows["dls_enc"].append(codec.encode_tfs(l))
+            rows["df"].append(e - s)
+            rows["cf"].append(int(cf))
+            rows["min_doc"].append(int(d[s]))
+            rows["max_doc"].append(int(d[e - 1]))
+            rows["doc_ids_enc"].append(codec.encode_doc_ids(d[s:e]))
+            rows["tfs_enc"].append(codec.encode_tfs(f[s:e]))
+            rows["dls_enc"].append(codec.encode_tfs(l[s:e]))
         yield pd.DataFrame(rows)
 
     return build
 
 
 def _segment_merger(avgdl: float):
-    """applyInPandas fn: all segments of one (term, shard) -> one merged,
-    globally sorted posting row with exact per-block BM25 max impacts.
+    """mapInPandas fn over a partition hash-keyed by (term, shard) and
+    sorted by (term, shard, min_doc): merges each run of same-key segments
+    into one globally doc_id-sorted posting row with exact per-block BM25
+    max impacts.
 
     impact(tf, dl) = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) — score =
-    idf * impact, so block upper bound = idf * max_impact is tight."""
+    idf * impact, so block upper bound = idf * max_impact is tight.
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        shard = int(pdf["shard"].iloc[0])
-        ds, fs, ls = [], [], []
-        for _, row in pdf.iterrows():
-            ds.append(codec.decode_doc_ids(row["doc_ids_enc"]))
-            fs.append(codec.decode_tfs(row["tfs_enc"]))
-            ls.append(codec.decode_tfs(row["dls_enc"]))
-        d = np.concatenate(ds)
-        f = np.concatenate(fs)
-        l = np.concatenate(ls)
-        order = np.argsort(d, kind="stable")
-        d, f, l = d[order], f[order], l[order]
+    Run-scanning (with a carry buffer across Arrow batches) instead of
+    per-group applyInPandas: one Python call per partition, not per term."""
+
+    def _emit(rows_out: dict, term: str, shard: int, segs: list) -> None:
+        d = np.concatenate([s[0] for s in segs])
+        f = np.concatenate([s[1] for s in segs])
+        l = np.concatenate([s[2] for s in segs])
+        if len(segs) > 1:
+            order = np.argsort(d, kind="stable")
+            d, f, l = d[order], f[order], l[order]
         impact = f * (K1 + 1.0) / (f + K1 * (1.0 - B + B * l / (avgdl or 1.0)))
         blocks = []
         for s in range(0, d.size, codec.BLOCK_SIZE):
@@ -340,20 +352,53 @@ def _segment_merger(avgdl: float):
             blocks.append(
                 {"last_doc": int(d[e - 1]), "max_impact": float(impact[s:e].max())}
             )
-        return pd.DataFrame(
-            {
-                "term": [term],
-                "shard": [shard],
-                "df": [int(d.size)],
-                "cf": [int(f.sum())],
-                "min_doc": [int(d[0])],
-                "max_doc": [int(d[-1])],
-                "doc_ids_enc": [codec.encode_doc_ids(d)],
-                "tfs_enc": [codec.encode_tfs(f)],
-                "dls_enc": [codec.encode_tfs(l)],
-                "block_max": [blocks],
-            }
-        )
+        rows_out["term"].append(term)
+        rows_out["shard"].append(shard)
+        rows_out["df"].append(int(d.size))
+        rows_out["cf"].append(int(f.sum()))
+        rows_out["min_doc"].append(int(d[0]))
+        rows_out["max_doc"].append(int(d[-1]))
+        rows_out["doc_ids_enc"].append(codec.encode_doc_ids(d))
+        rows_out["tfs_enc"].append(codec.encode_tfs(f))
+        rows_out["dls_enc"].append(codec.encode_tfs(l))
+        rows_out["block_max"].append(blocks)
+
+    COLS = (
+        "term", "shard", "df", "cf", "min_doc", "max_doc",
+        "doc_ids_enc", "tfs_enc", "dls_enc", "block_max",
+    )
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry_key: tuple | None = None
+        carry_segs: list = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows_out: dict = {k: [] for k in COLS}
+            terms = pdf["term"].to_numpy(dtype=object)
+            shards = pdf["shard"].to_numpy(dtype=np.int64)
+            d_enc = pdf["doc_ids_enc"].to_numpy(dtype=object)
+            f_enc = pdf["tfs_enc"].to_numpy(dtype=object)
+            l_enc = pdf["dls_enc"].to_numpy(dtype=object)
+            for i in range(len(pdf)):
+                key = (terms[i], int(shards[i]))
+                seg = (
+                    codec.decode_doc_ids(d_enc[i]),
+                    codec.decode_tfs(f_enc[i]),
+                    codec.decode_tfs(l_enc[i]),
+                )
+                if key != carry_key:
+                    if carry_key is not None:
+                        _emit(rows_out, carry_key[0], carry_key[1], carry_segs)
+                    carry_key, carry_segs = key, [seg]
+                else:
+                    carry_segs.append(seg)
+            if rows_out["term"]:
+                yield pd.DataFrame(rows_out)
+        if carry_key is not None:
+            rows_out = {k: [] for k in COLS}
+            _emit(rows_out, carry_key[0], carry_key[1], carry_segs)
+            yield pd.DataFrame(rows_out)
 
     return merge
 

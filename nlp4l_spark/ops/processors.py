@@ -1,0 +1,154 @@
+"""Built-in processor parity: the reference's framework/builtin operators
+re-expressed as DataFrame transformations (SURVEY.md §2.3/§2.4/§2.5).
+
+Each function documents the reference operator it reproduces (file:line in
+/root/reference). All are pure DataFrame ops — Catalyst handles pushdown,
+partial aggregation and broadcast; none of these materialize on the driver
+(the reference materializes every Dictionary in driver memory,
+ProcessorChain.scala:65-98 — the rebuild's biggest semantic upgrade).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def unique(df: DataFrame, col: str) -> DataFrame:
+    """UniqueProcessor (FeaturedProcessors.scala:61-92): drop records whose
+    key equals the previous record's on sorted input == distinct-by-key."""
+    w = Window.partitionBy(col).orderBy(*[c for c in df.columns])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def merge_records(
+    df: DataFrame, key: str, glue: str = " ", value_cols: list[str] | None = None
+) -> DataFrame:
+    """MergeProcessor (InternalProcessors.scala:92-116 + DataModels.scala:
+    52-64): merge records with equal key, concatenating string cells with a
+    glue. Sorted-adjacent in the reference == groupBy on unique keys."""
+    value_cols = value_cols or [c for c in df.columns if c != key]
+    aggs = [
+        F.concat_ws(glue, F.collect_list(c)).alias(c) for c in value_cols
+    ]
+    return df.groupBy(key).agg(*aggs)
+
+
+def replay(
+    df: DataFrame,
+    *,
+    modified: DataFrame | None = None,
+    deleted_hashes: list | None = None,
+    added: DataFrame | None = None,
+    hash_col: str = "record_hash",
+) -> DataFrame:
+    """ReplayProcessor (InternalProcessors.scala:129-149): overlay user
+    edits keyed by record hash — deletes drop, mods replace, adds append.
+    == MERGE INTO: anti-join deletes, anti-join+union mods, union adds."""
+    out = df
+    if deleted_hashes:
+        out = out.filter(~F.col(hash_col).isin(list(deleted_hashes)))
+    if modified is not None:
+        out = out.join(
+            modified.select(hash_col), hash_col, "left_anti"
+        ).unionByName(modified)
+    if added is not None:
+        out = out.unionByName(added)
+    return out
+
+
+def record_hash(df: DataFrame, business_cols: list[str], out_col: str = "record_hash") -> DataFrame:
+    """The Record.hashCode stable-identity concept (DataModels.scala:130-135)
+    as a deterministic xxhash64 over business-key columns (SURVEY.md §1.1)."""
+    return df.withColumn(out_col, F.xxhash64(*business_cols))
+
+
+def stop_words(df: DataFrame, col: str, stopwords: frozenset[str] | list[str]) -> DataFrame:
+    """StopWordsProcessor (FeaturedProcessors.scala:228-259): drop records
+    whose cell value is in the stopword set."""
+    return df.filter(~F.col(col).isin(list(stopwords)))
+
+
+def sort_processor(df: DataFrame, col: str, order: str = "asc") -> DataFrame:
+    """SortProcessor (InternalProcessors.scala:48-73) — the reference ships
+    the whole dataset to an RDBMS to sort; here it's one Spark range-
+    partitioned sort."""
+    return df.orderBy(F.col(col).asc() if order == "asc" else F.col(col).desc())
+
+
+def regex_validator(df: DataFrame, col: str, accept_regex: str) -> tuple[bool, int]:
+    """RegexValidator (FeaturedValidators.scala:88-130): all values must
+    match. Returns (ok, violation_count) — an aggregation, not a collect."""
+    bad = df.filter(~F.col(col).rlike(accept_regex)).count()
+    return bad == 0, bad
+
+
+def unique_record_validator(df: DataFrame, col: str) -> tuple[bool, int]:
+    """UniqueRecordValidator (FeaturedValidators.scala:35-73)."""
+    dup = df.groupBy(col).count().filter(F.col("count") > 1).count()
+    return dup == 0, dup
+
+
+def parse_solr_log(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """StandardSolrQueryLogProcessor (FeaturedProcessors.scala:103-130):
+    regex-parse Solr request logs -> (date, q, fq, facet_field, facet_query,
+    hits, qtime)."""
+    params = F.regexp_extract(F.col(line_col), r"params=\{(.*?)\}", 1)
+
+    def p(name):
+        return F.regexp_extract(params, rf"(?:^|&){name}=([^&]*)", 1)
+
+    return df.select(
+        F.regexp_extract(F.col(line_col), r"^(\S+\s+\S+)", 1).alias("date"),
+        p("q").alias("q"),
+        p("fq").alias("fq"),
+        p("facet\\.field").alias("facet_field"),
+        p("facet\\.query").alias("facet_query"),
+        F.regexp_extract(F.col(line_col), r"hits=(\d+)", 1).cast("long").alias("hits"),
+        F.regexp_extract(F.col(line_col), r"QTime=(\d+)", 1).cast("long").alias("qtime"),
+    )
+
+
+# ---- click-model analytics (ltr/support/procs/ClickModelAnalyzer.scala) ----
+def click_rate(df: DataFrame, query_col: str, doc_col: str, click_col: str) -> DataFrame:
+    """calcClickRate (:41-56): per (query, doc) clicks/impressions."""
+    return df.groupBy(query_col, doc_col).agg(
+        (F.sum(F.col(click_col).cast("double")) / F.count("*")).alias("click_rate")
+    )
+
+
+def filter_top_queries(df: DataFrame, query_col: str, n: int) -> DataFrame:
+    """filterTopQueries (:36-39): keep rows of the n most frequent queries.
+    Top-n is a tiny broadcast semi-join, not a shuffle of the log."""
+    top = df.groupBy(query_col).count().orderBy(F.desc("count"), F.asc(query_col)).limit(n)
+    return df.join(F.broadcast(top.select(query_col)), query_col, "left_semi")
+
+
+def dcm_truncate(df: DataFrame, imps_col: str, clicks_col: str) -> DataFrame:
+    """filterAsDCM (:24-34): truncate each impression list at the last
+    clicked position (Dependent Click Model) — array HOFs, no UDF."""
+    last_click = F.array_max(
+        F.transform(
+            F.col(clicks_col),
+            lambda c, i: F.when(c == 1, i + 1).otherwise(0),
+        )
+    )
+    return df.withColumn(
+        "_n", F.greatest(last_click, F.lit(0))
+    ).select(
+        *[c for c in df.columns if c not in (imps_col, clicks_col)],
+        F.slice(F.col(imps_col), 1, F.col("_n")).alias(imps_col),
+        F.slice(F.col(clicks_col), 1, F.col("_n")).alias(clicks_col),
+    )
+
+
+def rate_to_label(df: DataFrame, rate_col: str, boundaries: list[float]) -> DataFrame:
+    """convertClickRateToLabel (:58-69): bucketize rates into graded labels;
+    label = #boundaries - index of first boundary <= rate (desc thresholds)."""
+    expr = F.lit(0)
+    for i, b in enumerate(sorted(boundaries)):
+        expr = F.when(F.col(rate_col) >= F.lit(b), F.lit(i + 1)).otherwise(expr)
+    return df.withColumn("label", expr.cast("int"))

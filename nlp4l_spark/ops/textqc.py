@@ -1,0 +1,113 @@
+"""Text analysis for training-data pipelines: language ID, quality scores,
+token counting, document fingerprinting.
+
+Extension ops (reference analogue: the analyzer + stats surface). All the
+per-doc scoring is built-in SQL expressions — a 100 TB quality pass is one
+codegen'd scan with zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from nlp4l_spark.analysis import LUCENE_ENGLISH_STOPWORDS, Analyzer, WHITESPACE_ANALYZER
+
+# tiny per-language marker vocabularies for the n-gram/stopword heuristic
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por"],
+    "fr": ["le", "la", "les", "des", "une", "est", "dans", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+}
+
+
+def token_count_col(text_col: str, analyzer: Analyzer | None = None):
+    """Whitespace/alnum token count (BPE-ish proxy: alnum runs + punct runs
+    each count as one token)."""
+    return F.size(
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+|[^a-z0-9\\\\s]+', 0)"
+        )
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: length, token count, mean token length,
+    punctuation ratio, stopword ratio, uppercase ratio, digit ratio."""
+    toks = WHITESPACE_ANALYZER.tokens_expr(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in sorted(LUCENE_ENGLISH_STOPWORDS)])
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    n_upper = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[A-Z]", "")
+    ) + F.lit(0)
+    n_digit = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[0-9]", "")
+    )
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_toks = F.greatest(n_tokens, F.lit(1)).cast("double")
+    return df.withColumns(
+        {
+            "n_chars_calc": n_chars,
+            "n_tokens": n_tokens,
+            "mean_token_len": F.round(
+                F.aggregate(
+                    F.transform(toks, lambda t: F.length(t).cast("double")),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / safe_toks,
+                6,
+            ),
+            "punct_ratio": F.round(n_punct / safe_chars, 6),
+            "stopword_ratio": F.round(n_stop / safe_toks, 6),
+            "upper_ratio": F.round(n_upper / safe_chars, 6),
+            "digit_ratio": F.round(n_digit / safe_chars, 6),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1]: heuristic blend of the features —
+    long-enough, not punctuation-soup, some stopwords (naturalness)."""
+    qf = quality_features(df, text_col)
+    len_score = F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(F.col("punct_ratio") * 4, F.lit(1.0))
+    stop_score = F.least(F.col("stopword_ratio") * 3, F.lit(1.0))
+    return qf.withColumn(
+        "quality",
+        F.round((len_score + punct_score + stop_score) / 3.0, 6),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax over per-language marker-word hit
+    counts; 'und' when nothing matches. One scan, array HOFs only."""
+    toks = WHITESPACE_ANALYZER.tokens_expr(text_col)
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprints: md5 of normalized text (exact
+    identity) + xxhash64 (cheap 64-bit rolling-hash analogue)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.withColumns(
+        {"fp_md5": F.md5(norm), "fp_xx64": F.xxhash64(norm)}
+    )

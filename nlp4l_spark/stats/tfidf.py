@@ -66,9 +66,12 @@ def idf_value(df: float, mode: str, num_docs: int | None = None) -> float:
     if mode == "T":
         return math.log((num_docs + 1) / float(df + 1))
     if mode == "p":
-        return max(0.0, math.log((num_docs - df) / float(df)))
+        # df == N -> log(0) = -inf in the reference's JVM math -> max picks 0
+        r = (num_docs - df) / float(df)
+        return max(0.0, math.log(r)) if r > 0 else 0.0
     if mode == "P":
-        return max(0.0, math.log((num_docs + 1 - (df + 1)) / float(df + 1)))
+        r = (num_docs + 1 - (df + 1)) / float(df + 1)
+        return max(0.0, math.log(r)) if r > 0 else 0.0
     raise ValueError(f"Unknown notation: {mode}")
 
 

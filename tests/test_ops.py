@@ -1,0 +1,216 @@
+"""Ops-layer tests: processors parity semantics, dedup, similarity, text QC,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from nlp4l_spark.ops import dedup, multimodal, processors, similarity, textqc
+
+
+# ---------------- processors ------------------------------------------- #
+def test_unique(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id int, k string"
+    )
+    out = processors.unique(df, "k").orderBy("id").collect()
+    assert [(r["id"], r["k"]) for r in out] == [(1, "a"), (3, "b")]
+
+
+def test_merge_records(spark):
+    df = spark.createDataFrame(
+        [("x", "hello"), ("x", "world"), ("y", "solo")], "k string, v string"
+    )
+    out = {
+        r["k"]: r["v"]
+        for r in processors.merge_records(df, "k", glue="_").collect()
+    }
+    assert out["y"] == "solo"
+    assert set(out["x"].split("_")) == {"hello", "world"}
+
+
+def test_replay(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "record_hash long, v string"
+    )
+    mods = spark.createDataFrame([(2, "B")], "record_hash long, v string")
+    adds = spark.createDataFrame([(9, "z")], "record_hash long, v string")
+    out = {
+        r["record_hash"]: r["v"]
+        for r in processors.replay(
+            base, modified=mods, deleted_hashes=[3], added=adds
+        ).collect()
+    }
+    assert out == {1: "a", 2: "B", 9: "z"}
+
+
+def test_validators(spark):
+    df = spark.createDataFrame([("abc",), ("a1c",)], "v string")
+    ok, bad = processors.regex_validator(df, "v", "^[a-z]+$")
+    assert (ok, bad) == (False, 1)
+    ok, dup = processors.unique_record_validator(df, "v")
+    assert (ok, dup) == (True, 0)
+
+
+def test_dcm_truncate(spark):
+    df = spark.createDataFrame(
+        [(1, [10, 11, 12, 13], [0, 1, 1, 0]), (2, [20, 21], [0, 0])],
+        "u int, imps array<int>, clicks array<int>",
+    )
+    out = {r["u"]: r["imps"] for r in processors.dcm_truncate(df, "imps", "clicks").collect()}
+    assert out[1] == [10, 11, 12]  # truncated at last click (pos 3)
+    assert out[2] == []  # no clicks -> everything truncated
+
+
+def test_parse_solr_log(spark):
+    from nlp4l_spark.entry_queries import SOLR_LOG_LINES
+
+    df = spark.createDataFrame([(l,) for l in SOLR_LOG_LINES], "line string")
+    rows = processors.parse_solr_log(df).collect()
+    assert rows[0]["q"] == "apple"
+    assert rows[0]["fq"] == "type:fruit"
+    assert rows[0]["facet_field"] == "category"
+    assert rows[0]["hits"] == 42 and rows[0]["qtime"] == 3
+    assert rows[1]["facet_query"] == "price:[0+TO+100]"
+    assert rows[2]["q"] == "*:*" and rows[2]["hits"] == 1000
+
+
+# ---------------- dedup ------------------------------------------------- #
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "The  quick brown fox jumps over the lazy dog"),  # ws/case variant
+    (2, "the quick brown fox jumps over the lazy cat"),   # near-dup
+    (3, "completely different content about spark engines"),
+    (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs_df):
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(docs_df).collect())
+    assert kept == [0, 2, 3]  # 1 and 4 normalize to doc 0's text
+
+
+def test_ngram_jaccard_pairs(docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_df, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 4) in pairs and pairs[(0, 4)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            docs_df, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 4) in pairs
+    assert all(j >= 0.5 for j in pairs.values())
+
+
+def test_simhash_pairs(docs_df):
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs_df, max_hamming=8).collect()
+    }
+    assert (0, 1) in out and out[(0, 1)] == 0  # same token multiset
+    assert (0, 4) in out and out[(0, 4)] == 0
+    assert (0, 2) in out  # one-token difference -> small hamming
+
+
+# ---------------- similarity -------------------------------------------- #
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    vecs[7] = vecs[0] * 1.5  # same direction as vec 0
+    return spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_brute_force_cosine(emb_df):
+    q = emb_df.filter("vec_id = 0").collect()[0]["embedding"]
+    top = similarity.brute_force_cosine_topk(emb_df, q, k=3).collect()
+    assert [r["vec_id"] for r in top[:2]] == [0, 7]
+    assert top[0]["cosine"] == pytest.approx(1.0)
+    assert top[1]["cosine"] == pytest.approx(1.0)
+
+
+def test_lsh_recall_vs_brute(emb_df):
+    q = emb_df.filter("vec_id = 0").collect()[0]["embedding"]
+    brute = [r["vec_id"] for r in similarity.brute_force_cosine_topk(emb_df, q, k=5).collect()]
+    lsh = [r["vec_id"] for r in similarity.lsh_cosine_topk(emb_df, q, k=5, bits=4, tables=8).collect()]
+    # recall@5 of the identical-direction vectors must be perfect
+    assert 0 in lsh and 7 in lsh
+    assert len(set(brute) & set(lsh)) >= 3
+
+
+def test_embedding_neardup(emb_df):
+    pairs = similarity.embedding_neardup_pairs(emb_df, threshold=0.99).collect()
+    assert any((r["id_a"], r["id_b"]) == (0, 7) for r in pairs)
+
+
+# ---------------- textqc ------------------------------------------------- #
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog went to the market"),
+            (1, "el perro y la casa de la madre por favor"),
+            (2, "le chat est dans la maison pour les amis"),
+            (3, "zzz qqq 123"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in textqc.lang_id(df).collect()}
+    assert out[0] == "en" and out[1] == "es" and out[2] == "fr" and out[3] == "und"
+
+
+def test_quality_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(0, "A decent length sentence with the usual words in it."),
+         (1, "!!! ??? ***"),],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r["quality"] for r in textqc.quality_score(df).collect()}
+    assert q[0] > q[1]
+    fp = textqc.fingerprint(df).collect()
+    assert all(len(r["fp_md5"]) == 32 for r in fp)
+
+
+# ---------------- multimodal --------------------------------------------- #
+def test_media_plumbing(spark):
+    media = multimodal.synth_media(spark, n=12)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 12
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in feats)
+    # deterministic: same payload -> same features
+    by_id = {r["media_id"]: r["features"] for r in feats}
+    again = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(media).collect()
+    }
+    assert by_id == again
+    # strict decoder is a marked stub
+    with pytest.raises(Exception):
+        multimodal.extract_features(media, decoder=multimodal.strict_decoder).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.synth_media(spark, n=12)
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    rows = plan.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 1 for r in rows)
