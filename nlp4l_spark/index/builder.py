@@ -140,6 +140,9 @@ class IndexBuilder:
                 sort_by=["doc_id"],
                 counters={"num_docs": n},
             )
+            cache = getattr(with_ids, "_docid_cache", None)
+            if cache is not None:
+                cache.unpersist()
         self._check_fail(fail_after_stage, "stored")
         stored = cat.read(spark, "stored")
 

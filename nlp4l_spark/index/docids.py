@@ -69,4 +69,7 @@ def assign_doc_ids(
         .withColumn(doc_id_col, (F.col("_offset") + F.col("_lidx")).cast("long"))
         .drop("_pid", "_lidx", "_offset")
     )
+    # caller should unpersist after materializing `out` once (the builder
+    # does, right after the stored-table write)
+    out._docid_cache = ranged  # type: ignore[attr-defined]
     return out

@@ -54,9 +54,14 @@ def append_to_index(
     n_new = with_ids.count()
     cat.write(with_ids, "stored", mode="append",
               counters={"num_docs": base + n_new})
+    cache = getattr(with_ids, "_docid_cache", None)
+    if cache is not None:
+        cache.unpersist()
+    # work from the committed snapshot (avoids recomputing the range shuffle)
+    new_stored = cat.read(spark, "stored").filter(F.col("doc_id") >= base)
 
     tc = analyzer.term_counts_udf()
-    fwd = with_ids.select("doc_id", tc(F.col(text_col)).alias("_tc")).select(
+    fwd = new_stored.select("doc_id", tc(F.col(text_col)).alias("_tc")).select(
         "doc_id",
         F.col("_tc.terms").alias("terms"),
         F.col("_tc.tfs").alias("tfs"),
