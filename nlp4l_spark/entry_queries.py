@@ -623,6 +623,32 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """Exact all-pairs cosine near-dup (correctness baseline, hash-matched
+    against the DuckDB oracle). threshold=0.5: the synthetic embeddings are
+    near-orthogonal, so 0.5 is the highest level with nonempty output."""
+    return similarity.exact_neardup_pairs(_embeddings(spark, sf_dir), threshold=0.5)
+
+
+O_EMBEDDING_NEARDUP = """
+WITH n AS (SELECT vec_id, embedding,
+        sqrt(list_aggregate(list_transform(embedding,
+            x -> x::double * x::double), 'sum')) AS nm
+    FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+           i -> a.embedding[i]::double * b.embedding[i]::double), 'sum')
+           / (a.nm * b.nm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+          i -> a.embedding[i]::double * b.embedding[i]::double), 'sum')
+      / (a.nm * b.nm) >= 0.5
+"""
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """LSH-blocked near-dup (the 100-TB scale path: candidates bounded per
+    bucket, no quadratic join). Rows-only driver check; recall vs the exact
+    baseline is asserted in tests."""
     return similarity.embedding_neardup_pairs(
         _embeddings(spark, sf_dir), threshold=0.9, bits=8, tables=8
     )
@@ -763,7 +789,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_simhash": (q_dedup_simhash, None),
     "ann_cosine_topk": (q_ann_cosine_topk, O_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
-    "embedding_neardup": (q_embedding_neardup, None),
+    "embedding_neardup": (q_embedding_neardup, O_EMBEDDING_NEARDUP),
+    "embedding_neardup_lsh": (q_embedding_neardup_lsh, None),
     "token_count": (q_token_count, O_TOKEN_COUNT),
     "quality_score": (q_quality, O_QUALITY),
     "lang_id": (q_lang_id, O_LANG_ID),

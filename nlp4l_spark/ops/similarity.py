@@ -125,6 +125,47 @@ def lsh_cosine_topk(
     )
 
 
+def exact_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all-pairs self-join with
+    cosine >= threshold, id_a < id_b. This is the CORRECTNESS baseline
+    (O(n^2) compare — fine for validation corpora); at 100 TB use
+    `embedding_neardup_pairs` (LSH blocking) so candidates are bounded
+    per bucket instead of quadratic."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    base = base.withColumn("nm", nrm)
+    pairs = base.alias("a").join(
+        base.alias("b"), F.col("a.id") < F.col("b.id")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        pairs.withColumn("cosine", dot / (F.col("a.nm") * F.col("b.nm")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

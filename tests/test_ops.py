@@ -164,6 +164,20 @@ def test_embedding_neardup(emb_df):
     assert any((r["id_a"], r["id_b"]) == (0, 7) for r in pairs)
 
 
+def test_exact_neardup_matches_lsh_on_planted(emb_df):
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.exact_neardup_pairs(emb_df, threshold=0.99).collect()
+    }
+    assert (0, 7) in exact and exact[(0, 7)] == pytest.approx(1.0)
+    # LSH blocking must recover every exact pair at this threshold
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs(emb_df, threshold=0.99).collect()
+    }
+    assert set(exact) <= lsh
+
+
 # ---------------- textqc ------------------------------------------------- #
 def test_lang_id(spark):
     df = spark.createDataFrame(
