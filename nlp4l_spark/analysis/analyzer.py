@@ -139,6 +139,92 @@ class Analyzer:
 
         return _tok
 
+    # ---- token stream with positions/offsets (term-vector path) ----
+    def token_stream(self, text: str | None) -> list[tuple[str, int, int, int]]:
+        """[(term, position, start_offset, end_offset)] for one text.
+
+        Position semantics match Lucene's StopFilter position-increment
+        preservation (/root/reference golden:
+        test/org/nlp4l/lucene/RawReaderSpec.scala:185-192): positions are
+        assigned over the FULL token stream, then stopword tokens are
+        dropped, leaving holes. Offsets are character offsets into the
+        original text (lowercasing is length-preserving on the contract
+        alphabet)."""
+        if not text:
+            return []
+        src = text.lower() if self.lowercase else text
+        pattern = (
+            _TOKEN_RE
+            if self.token_pattern == TOKEN_PATTERN
+            else re.compile(self.token_pattern)
+        )
+        out = []
+        for pos, m in enumerate(pattern.finditer(src)):
+            term = m.group(0)
+            if self.stopwords and term in self.stopwords:
+                continue
+            out.append((term, pos, m.start(), m.end()))
+        return out
+
+    def term_vectors_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField("terms", T.ArrayType(T.StringType())),
+                T.StructField(
+                    "positions", T.ArrayType(T.ArrayType(T.IntegerType()))
+                ),
+                T.StructField(
+                    "start_offsets", T.ArrayType(T.ArrayType(T.IntegerType()))
+                ),
+                T.StructField(
+                    "end_offsets", T.ArrayType(T.ArrayType(T.IntegerType()))
+                ),
+            ]
+        )
+
+    def term_vectors_udf(self):
+        """pandas UDF string -> per-doc term vector with positions/offsets:
+        struct(terms[], positions[][], start_offsets[][], end_offsets[][]),
+        arrays aligned by term index, positions ascending per term.
+
+        Grouping happens inside the Arrow pass so the downstream explode is
+        narrow — no (doc_id, term) shuffle is ever needed to materialize
+        term vectors (reference walks Lucene term vectors per doc:
+        /root/reference/app/org/nlp4l/lucene/TermVector.scala:28-59)."""
+        pattern = re.compile(self.token_pattern)
+        lowercase = self.lowercase
+        stop = self.stopwords
+
+        @F.pandas_udf(self.term_vectors_schema())
+        def _tv(texts: pd.Series) -> pd.DataFrame:
+            terms_o, pos_o, so_o, eo_o = [], [], [], []
+            for t in texts:
+                acc: dict[str, list[list[int]]] = {}
+                if t:
+                    src = t.lower() if lowercase else t
+                    for pos, m in enumerate(pattern.finditer(src)):
+                        term = m.group(0)
+                        if stop and term in stop:
+                            continue
+                        e = acc.setdefault(term, [[], [], []])
+                        e[0].append(pos)
+                        e[1].append(m.start())
+                        e[2].append(m.end())
+                terms_o.append(list(acc.keys()))
+                pos_o.append([v[0] for v in acc.values()])
+                so_o.append([v[1] for v in acc.values()])
+                eo_o.append([v[2] for v in acc.values()])
+            return pd.DataFrame(
+                {
+                    "terms": terms_o,
+                    "positions": pos_o,
+                    "start_offsets": so_o,
+                    "end_offsets": eo_o,
+                }
+            )
+
+        return _tv
+
     def term_counts_schema(self) -> T.StructType:
         return T.StructType(
             [

@@ -757,6 +757,269 @@ def q_media_frame_plan(spark, sf_dir):
 # --------------------------------------------------------------------- #
 # Registry
 # --------------------------------------------------------------------- #
+# --------------------------------------------------------------------- #
+# Term vectors / positions (RawReader PosAndOffset surface, SURVEY §1.3)
+# --------------------------------------------------------------------- #
+POS_TERM = "merge"
+
+
+def q_term_positions(spark, sf_dir):
+    """Per-doc positions of one term over the full token stream (Lucene
+    StopFilter position-increment semantics), exploded to scalar rows."""
+    tv = _corpus(spark, sf_dir).term_vectors()
+    return (
+        tv.filter(F.col("term") == POS_TERM)
+        .select("doc_id", F.explode("positions").alias("pos"))
+        .select("doc_id", F.col("pos").cast("int").alias("pos"))
+    )
+
+
+O_TERM_POSITIONS = f"""
+WITH fl AS (SELECT doc_id, {WS_SQL} AS l FROM documents),
+t AS (SELECT doc_id, unnest(l) AS tok,
+             (generate_subscripts(l, 1) - 1)::int AS pos FROM fl)
+SELECT doc_id, pos FROM t WHERE tok = '{POS_TERM}'
+"""
+
+
+# --------------------------------------------------------------------- #
+# ReplayProcessor overlay (SURVEY §2.4) — MERGE INTO semantics
+# --------------------------------------------------------------------- #
+REPLAY_DELETES = [0, 97, 194]
+REPLAY_MODS = [5, 101]
+REPLAY_ADDS = [(10_000_000, "replayed new doc alpha"), (10_000_001, "replayed new doc beta")]
+
+
+def q_replay(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    mods = spark.createDataFrame(
+        [(i, "EDITED", "edit") for i in REPLAY_MODS],
+        "doc_id long, text string, source string",
+    )
+    adds = spark.createDataFrame(
+        [(i, t, "add") for i, t in REPLAY_ADDS],
+        "doc_id long, text string, source string",
+    )
+    return processors.replay(
+        docs, modified=mods, deleted_hashes=REPLAY_DELETES,
+        added=adds, hash_col="doc_id",
+    )
+
+
+O_REPLAY = f"""
+SELECT doc_id, text, source FROM documents
+WHERE doc_id NOT IN ({", ".join(map(str, REPLAY_DELETES + REPLAY_MODS))})
+UNION ALL
+SELECT * FROM (VALUES
+  {", ".join(f"({i}::bigint, 'EDITED', 'edit')" for i in REPLAY_MODS)},
+  {", ".join(f"({i}::bigint, '{t}', 'add')" for i, t in REPLAY_ADDS)}
+) v(doc_id, text, source)
+"""
+
+
+# --------------------------------------------------------------------- #
+# StopWordsProcessor record filter (SURVEY §2.3)
+# --------------------------------------------------------------------- #
+def q_stop_filter(spark, sf_dir):
+    kept = processors.stop_words(_docs(spark, sf_dir), "lang", ["es", "de"])
+    return kept.groupBy("lang").agg(F.count("*").alias("cnt"))
+
+
+O_STOP_FILTER = """
+SELECT lang, count(*)::bigint AS cnt FROM documents
+WHERE lang NOT IN ('es', 'de') GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------- #
+# KEA keyphrase candidates + features (SURVEY §2.3/§2.5)
+# --------------------------------------------------------------------- #
+def q_kea_bigrams(spark, sf_dir):
+    from nlp4l_spark.ops import kea
+
+    return (
+        kea.candidate_counts(_docs(spark, sf_dir), 2)
+        .orderBy(F.desc("cnt"), F.asc("phrase"))
+        .limit(20)
+    )
+
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(LUCENE_ENGLISH_STOPWORDS))
+
+O_KEA_BIGRAMS = f"""
+WITH fl AS (SELECT doc_id, {WS_SQL} AS l FROM documents),
+t AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS ord FROM fl),
+p AS (SELECT a.tok || ' ' || b.tok AS phrase
+      FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1)
+SELECT phrase, count(*)::bigint AS cnt FROM p
+WHERE split_part(phrase, ' ', 1) NOT IN ({_STOPLIST_SQL})
+  AND split_part(phrase, ' ', 2) NOT IN ({_STOPLIST_SQL})
+GROUP BY phrase ORDER BY cnt DESC, phrase ASC LIMIT 20
+"""
+
+
+def q_kea_features(spark, sf_dir):
+    from nlp4l_spark.ops import kea
+
+    feats = kea.kea_features(_docs(spark, sf_dir), CHI2_TERMS)
+    return feats.select(
+        "doc_id",
+        "term",
+        F.round("kea_tfidf", 6).alias("kea_tfidf"),
+        F.round("first_occ", 6).alias("first_occ"),
+    )
+
+
+_KEA_TERMS_SQL = ", ".join(f"'{t}'" for t in CHI2_TERMS)
+
+O_KEA_FEATURES = f"""
+WITH fl AS (SELECT doc_id, {WS_SQL} AS l FROM documents),
+t AS (SELECT doc_id, len(l) AS doc_size, unnest(l) AS tok,
+             (generate_subscripts(l, 1) - 1) AS pos FROM fl),
+per_doc AS (SELECT doc_id, tok AS term, count(*) AS tf, min(pos) AS first_pos,
+                   min(doc_size) AS doc_size
+            FROM t WHERE tok IN ({_KEA_TERMS_SQL}) GROUP BY doc_id, tok),
+dfm AS (SELECT term, count(*) AS df FROM per_doc GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT p.doc_id, p.term,
+       round(p.tf::double / p.doc_size * -(log2(d.df::double / n.n)), 6) AS kea_tfidf,
+       round(p.first_pos::double / p.doc_size, 6) AS first_occ
+FROM per_doc p JOIN dfm d USING (term) CROSS JOIN n
+"""
+
+
+# --------------------------------------------------------------------- #
+# LTR feature extraction (SURVEY §3.3; DocFeature shape)
+# --------------------------------------------------------------------- #
+LTR_QUERIES = [(1, "join merge vector"), (2, "hash scan"), (3, "window stream")]
+
+
+def q_ltr_features(spark, sf_dir):
+    from nlp4l_spark.ops import ltr
+
+    feats = ltr.extract_features(_corpus(spark, sf_dir), LTR_QUERIES)
+    return feats.select(
+        "qid",
+        "doc_id",
+        F.round("bm25", 6).alias("bm25"),
+        F.col("sum_tf").cast("long").alias("sum_tf"),
+        F.round("sum_idf", 6).alias("sum_idf"),
+        F.col("dl").cast("long").alias("dl"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+    )
+
+
+def _ltr_qterms_values() -> str:
+    rows = []
+    for qid, q in LTR_QUERIES:
+        for t in sorted(set(STANDARD_ANALYZER.tokenize(q))):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+O_LTR_FEATURES = f"""
+WITH {TOKS_CTE},
+dl AS (SELECT doc_id, len({TOK_SQL}) AS dl FROM documents),
+n AS (SELECT count(*) AS n FROM documents),
+qt(qid, term) AS (VALUES {_ltr_qterms_values()}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+dfm AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT qt.qid, tf.doc_id, tf.tf, dl.dl,
+         ln(1.0 + (n.n - dfm.df + 0.5) / (dfm.df + 0.5)) AS idf
+  FROM qt JOIN tf USING (term) JOIN dfm USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n
+)
+SELECT qid, doc_id,
+       round(sum(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (
+           SELECT sum(dl)::double / count(*) FROM dl)))), 6) AS bm25,
+       sum(tf)::bigint AS sum_tf,
+       round(sum(idf), 6) AS sum_idf,
+       min(dl)::bigint AS dl,
+       count(*)::bigint AS n_matched
+FROM scored GROUP BY qid, doc_id
+"""
+
+
+# --------------------------------------------------------------------- #
+# Spellcheck char-ngram suggest (SURVEY §2.2 spellcheck index)
+# --------------------------------------------------------------------- #
+SPELL_WORD = "spakr"
+
+
+def q_spellcheck_suggest(spark, sf_dir):
+    from nlp4l_spark.ops import spellcheck
+
+    terms = (
+        _corpus(spark, sf_dir)
+        .tokens()
+        .select(F.explode("tokens").alias("term"))
+        .distinct()
+    )
+    return spellcheck.suggest(terms, SPELL_WORD, k=10)
+
+
+def _spell_grams_sql() -> str:
+    w = SPELL_WORD
+    grams = sorted({w[i : i + 2] for i in range(max(len(w) - 1, 1))})
+    return "[" + ", ".join(f"'{g}'" for g in grams) + "]"
+
+
+O_SPELLCHECK_SUGGEST = f"""
+WITH {TOKS_CTE},
+terms AS (SELECT DISTINCT term FROM toks),
+g AS (SELECT term,
+        list_distinct(list_transform(
+          generate_series(1, greatest(length(term) - 1, 1)),
+          i -> substr(term, i, 2))) AS grams
+      FROM terms),
+s AS (SELECT term,
+        len(list_intersect(grams, {_spell_grams_sql()}))::bigint AS overlap,
+        levenshtein(term, '{SPELL_WORD}')::bigint AS distance
+      FROM g)
+SELECT term, overlap, distance FROM s WHERE overlap >= 1
+ORDER BY overlap DESC, distance ASC, term ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------- #
+# Acronym extraction (SURVEY §2.3) — python alignment logic, rows-only
+# --------------------------------------------------------------------- #
+ACRONYM_SENTENCES = [
+    "The HTTP Hyper Text Transfer Protocol is a protocol.",
+    "We use the Apache Software Foundation (ASF) releases.",
+    "latency of the CPU central processing unit matters",
+    "no acronyms in this line at all",
+]
+
+
+def q_acronyms(spark, sf_dir):
+    from nlp4l_spark.ops import acronyms
+
+    df = spark.createDataFrame([(s,) for s in ACRONYM_SENTENCES], "text string")
+    return acronyms.extract_acronyms(df)
+
+
+# --------------------------------------------------------------------- #
+# ML classification round-trip (SURVEY §2.11) — rows-only (model-based)
+# --------------------------------------------------------------------- #
+def q_ml_classify(spark, sf_dir):
+    from nlp4l_spark.ops import ml
+    from nlp4l_spark.stats import Corpus as _C
+
+    docs = _docs(spark, sf_dir).limit(200).withColumn(
+        "label", F.col("lang")
+    )
+    corpus = _C(docs, "text", "doc_id")
+    featurizer = ml.fit_featurizer(corpus, min_df=2)
+    labels = ml.label_map(docs, "label")
+    feat = featurizer.transform(docs.join(labels, "label"))
+    model, _precision = ml.train_classifier(feat, "naive_bayes")
+    pred = ml.classify(model, featurizer, docs.select("doc_id", "text"))
+    return pred.select("doc_id", F.col("prediction").cast("int").alias("pred"))
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -797,6 +1060,15 @@ REGISTRY: dict[str, tuple] = {
     "fingerprint": (q_fingerprint, O_FINGERPRINT),
     "media_features": (q_media_features, None),
     "media_frame_plan": (q_media_frame_plan, None),
+    "term_positions": (q_term_positions, O_TERM_POSITIONS),
+    "replay": (q_replay, O_REPLAY),
+    "stop_filter": (q_stop_filter, O_STOP_FILTER),
+    "kea_bigrams": (q_kea_bigrams, O_KEA_BIGRAMS),
+    "kea_features": (q_kea_features, O_KEA_FEATURES),
+    "ltr_features": (q_ltr_features, O_LTR_FEATURES),
+    "spellcheck_suggest": (q_spellcheck_suggest, O_SPELLCHECK_SUGGEST),
+    "acronyms": (q_acronyms, None),
+    "ml_classify": (q_ml_classify, None),
 }
 
 

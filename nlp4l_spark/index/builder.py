@@ -111,6 +111,12 @@ class IndexBuilder:
     sort_cols: tuple[str, ...] = ("conv_id", "turn_idx")
     docs_per_shard: int = 1 << 24  # bounds any merge/scoring task
     num_partitions: int | None = None
+    # Lucene FieldType(termVectors, termPositions, termOffsets) analogue
+    # (/root/reference/app/org/nlp4l/lucene/Schema.scala:88-90): opt-in
+    # because BM25 does not need positions; when set, a `term_vectors`
+    # table (doc_id, term, tf, positions, start_offsets, end_offsets) is
+    # written alongside the postings.
+    store_term_vectors: bool = False
 
     # ------------------------------------------------------------------ #
     def build(
@@ -225,6 +231,17 @@ class IndexBuilder:
                 "field_stats",
             )
         self._check_fail(fail_after_stage, "field_stats")
+
+        # -- optional stage: term vectors (positions + offsets) --------------
+        if self.store_term_vectors and not done("term_vectors"):
+            from nlp4l_spark.stats.corpus import Corpus
+
+            tv = Corpus(
+                stored, text_col=self.text_col, analyzer=self.analyzer
+            ).term_vectors()
+            cat.write(tv, "term_vectors", sort_by=["doc_id"])
+        if self.store_term_vectors:
+            self._check_fail(fail_after_stage, "term_vectors")
 
         # -- stage 8: lineage ---------------------------------------------------
         if not done("_lineage"):

@@ -95,6 +95,31 @@ class Searcher:
         )
 
     # ------------------------------------------------------------------ #
+    def positions(self, term: str) -> DataFrame:
+        """Per-doc positions + offsets of one term — the reference's
+        TermDocs/Doc/PosAndOffset walk (/root/reference/app/org/nlp4l/
+        lucene/Terms.scala:95-179). Requires the index to have been built
+        with ``store_term_vectors=True``. Point lookup on a doc_id-sorted
+        table; min/max file stats prune the scan."""
+        return (
+            self.cat.read(self.spark, "term_vectors")
+            .filter(F.col("term") == term)
+            .select(
+                "doc_id", "tf", "positions", "start_offsets", "end_offsets"
+            )
+            .orderBy("doc_id")
+        )
+
+    def term_vector(self, doc_id: int) -> DataFrame:
+        """Forward index for one doc: (term, tf, positions, offsets) —
+        reference TermVector.scala:28-59."""
+        return (
+            self.cat.read(self.spark, "term_vectors")
+            .filter(F.col("doc_id") == int(doc_id))
+            .select("term", "tf", "positions", "start_offsets", "end_offsets")
+        )
+
+    # ------------------------------------------------------------------ #
     def search(self, query: str, k: int = 10, method: str = "wand") -> DataFrame:
         """Top-k for one query -> DataFrame(doc_id, score, rank)."""
         res = self.search_batch([(0, query, k)], method=method)

@@ -63,6 +63,41 @@ class Corpus:
             .agg(F.count("*").alias("tf"))
         )
 
+    def term_vectors(self) -> DataFrame:
+        """(doc_id, term, tf, positions, start_offsets, end_offsets) —
+        the reference's TermVector/PosAndOffset read model
+        (/root/reference/app/org/nlp4l/lucene/Terms.scala:95-179,
+        TermVector.scala:28-59). Positions keep stopword holes (Lucene
+        StopFilter position increments); offsets are char spans in the
+        original text. Grouped inside the Arrow UDF, so the explode is
+        narrow — no shuffle."""
+        tv = self.analyzer.term_vectors_udf()
+        return (
+            self.df.select(
+                F.col(self.id_col).alias("doc_id"),
+                tv(F.col(self.text_col)).alias("_tv"),
+            )
+            .select(
+                "doc_id",
+                F.explode(
+                    F.arrays_zip(
+                        "_tv.terms",
+                        "_tv.positions",
+                        "_tv.start_offsets",
+                        "_tv.end_offsets",
+                    )
+                ).alias("_e"),
+            )
+            .select(
+                "doc_id",
+                F.col("_e.terms").alias("term"),
+                F.size("_e.positions").cast("long").alias("tf"),
+                F.col("_e.positions").alias("positions"),
+                F.col("_e.start_offsets").alias("start_offsets"),
+                F.col("_e.end_offsets").alias("end_offsets"),
+            )
+        )
+
     def doc_lens(self) -> DataFrame:
         """(doc_id, dl) — dl counts post-analysis tokens (exact, unquantized;
         see SURVEY.md §2.6 on the deliberate norm-quantization deviation)."""
