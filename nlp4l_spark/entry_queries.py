@@ -564,9 +564,11 @@ sh AS (SELECT doc_id, unnest(list_distinct(
          list_transform(range(1, len(tk) - 1),
                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
        FROM t WHERE len(tk) >= 3),
-cnt AS (SELECT doc_id, count(*)::double AS c FROM sh GROUP BY doc_id),
+rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 500),
+shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+cnt AS (SELECT doc_id, count(*)::double AS c FROM shr GROUP BY doc_id),
 pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::double AS inter
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT id_a, id_b,
        round(inter / (ca.c + cb.c - inter), 6) AS jaccard

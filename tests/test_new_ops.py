@@ -1,0 +1,125 @@
+"""Tests for KEA, spellcheck, MDLP discretizer, NER, and acronym ops."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nlp4l_spark.ops import discretizer, kea, ner, spellcheck
+
+
+# ---------------- KEA ------------------------------------------------------ #
+def test_kea_shingles_and_stopfilter(spark):
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox and the lazy dog")], "doc_id long, text string"
+    )
+    c2 = {r["phrase"]: r["cnt"] for r in kea.candidate_counts(df, 2).collect()}
+    # phrases beginning/ending with a stopword are dropped (KEAStopFilter n>=2)
+    assert "quick brown" in c2 and "brown fox" in c2 and "lazy dog" in c2
+    assert "the quick" not in c2  # begins with stopword
+    assert "fox and" not in c2  # ends with stopword
+    c1 = {r["phrase"]: r["cnt"] for r in kea.candidate_counts(df, 1).collect()}
+    assert "quick" in c1 and "the" not in c1  # n=1 drops stopwords
+
+    c3 = {r["phrase"]: r["cnt"] for r in kea.candidate_counts(df, 3).collect()}
+    assert c3.get("quick brown fox") == 1
+
+
+def test_kea_single_char_and_numeric_unigrams_dropped(spark):
+    df = spark.createDataFrame([(0, "a 42 x7 word 9")], "doc_id long, text string")
+    c1 = {r["phrase"] for r in kea.candidate_counts(df, 1).collect()}
+    assert c1 == {"x7", "word"}  # 'a' stop/1-char, '42'/'9' numeric
+
+
+def test_kea_features_formulas(spark):
+    # 2 docs; term 'join' in doc0 (tf=2, first at pos 0, size 4) and
+    # doc1 (tf=1, first at pos 1, size 2): df=2, N=2 -> -log2(df/N)=0
+    df = spark.createDataFrame(
+        [(0, "join scan join merge"), (1, "scan join")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["term"]): r
+        for r in kea.kea_features(df, ["join", "merge"]).collect()
+    }
+    r = rows[(0, "join")]
+    assert r["kea_tfidf"] == pytest.approx(0.0)  # df == N -> idf 0
+    assert r["first_occ"] == pytest.approx(0.0)
+    m = rows[(0, "merge")]  # tf=1, size=4, df=1, N=2 -> 1/4 * -log2(1/2)
+    assert m["kea_tfidf"] == pytest.approx(0.25 * 1.0)
+    assert m["first_occ"] == pytest.approx(3 / 4)
+
+
+# ---------------- spellcheck ---------------------------------------------- #
+def test_spellcheck_suggest(spark):
+    terms = spark.createDataFrame(
+        [("spark",), ("spare",), ("park",), ("scan",), ("zzz",)], "term string"
+    )
+    got = spellcheck.suggest(terms, "spakr", k=3).collect()
+    # spark/spare tie on (overlap=2, distance=2); tie broken by term asc
+    assert [r["term"] for r in got][:2] == ["spare", "spark"]
+    assert all(r["overlap"] >= 1 for r in got)
+    assert "zzz" not in {r["term"] for r in got}
+
+
+# ---------------- MDLP ----------------------------------------------------- #
+def test_mdlp_finds_separating_cut(spark):
+    # feature 0 perfectly separates at 5.0; feature 1 is noise
+    rows = [(float(i), float(i % 3), "lo" if i < 5 else "hi") for i in range(10)]
+    df = spark.createDataFrame(rows, "f0 double, f1 double, label string")
+    cuts = {
+        r["feature"]: list(r["cuts"])
+        for r in discretizer.fit_mdlp(df, ["f0", "f1"], "label").collect()
+    }
+    assert cuts[0] == [pytest.approx(4.5)]
+    assert cuts[1] == []  # no MDL-acceptable split in noise
+
+    out = discretizer.transform_mdlp(
+        df, discretizer.fit_mdlp(df, ["f0", "f1"], "label"), ["f0", "f1"]
+    )
+    got = {r["f0"]: r["f0_bin"] for r in out.collect()}
+    assert got[0.0] == 0 and got[4.0] == 0 and got[5.0] == 1 and got[9.0] == 1
+
+
+def test_mdlp_entropy_helper():
+    import numpy as np
+
+    assert discretizer._entropy(np.array([5, 5])) == pytest.approx(1.0)
+    assert discretizer._entropy(np.array([10, 0])) == pytest.approx(0.0)
+    assert discretizer._entropy(np.array([0, 0])) == 0.0
+
+
+def test_mdlp_pure_feature_no_cut(spark):
+    rows = [(1.0, "a"), (1.0, "b"), (1.0, "a")]
+    df = spark.createDataFrame(rows, "f0 double, label string")
+    cuts = discretizer.fit_mdlp(df, ["f0"], "label").collect()
+    assert list(cuts[0]["cuts"]) == []
+
+
+# ---------------- NER ------------------------------------------------------ #
+def test_ner_heuristic_spans(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "We visited London Bridge today. Dr Smith was there."),
+            (1, "nothing capitalized here"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = ner.extract_entities(df).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    ents = {(r["entity"], r["entity_type"], r["sentence_idx"]) for r in by_doc[0]}
+    assert ("London Bridge", "location", 0) in ents
+    assert ("Smith", "person", 1) in ents
+    assert 1 not in by_doc
+
+
+def test_ner_tagger_pure():
+    spans = ner.heuristic_tagger("Call Mr Jones about Tokyo".split())
+    got = {(s, e, t) for s, e, t in spans}
+    assert (2, 3, "person") in got  # Jones after 'Mr'
+    assert (4, 5, "location") in got  # Tokyo gazetteer
