@@ -33,6 +33,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "100000"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
+# Scaling evidence corpus is sized ADAPTIVELY: a calibration build at
+# local[32] estimates throughput, then the corpus is scaled so the
+# 32-core run takes ~TARGET_T32 seconds — large enough that per-build
+# fixed overhead (~10-15s of job launches, python worker spin-up, parquet
+# commits) doesn't dominate the N-vs-4N ratio, and self-adjusting to this
+# sandbox VM's multi-x machine-speed swings (CPU steal + khugepaged
+# compaction stalls). Best-of-N repeats per level filters residual noise.
+SCALING_MIN_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", "300000"))
+SCALING_MAX_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_TURNS", "3000000"))
+SCALING_TARGET_T32 = float(os.environ.get("SPARK_GRAFT_SCALING_TARGET_T32", "75"))
+SCALING_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
 
 BENCH_QUERIES = [
     "wordcount_cf",
@@ -108,16 +119,40 @@ def main():
 
     scaling = {}
     if RUN_SCALING:
-        # N-core run first (cold-ish), 4N second; each gets its own warmup
-        # so JIT state is comparable. Same deterministic input both times.
+        # calibrate on local[32], then measure both levels on the SAME
+        # deterministic input (synth generator is parallelism-independent)
+        spark = make_session(32)
+        warmup(spark)
+        cal_secs = timed_build(
+            spark, SCALING_MIN_TURNS, "/tmp/nlp4l_bench_idx_cal"
+        )
+        rate = SCALING_MIN_TURNS / cal_secs
+        n_turns = int(min(max(rate * SCALING_TARGET_T32, SCALING_MIN_TURNS),
+                          SCALING_MAX_TURNS) // 100_000 * 100_000) or SCALING_MIN_TURNS
+        print(
+            f"  scaling calibration: {cal_secs:.1f}s @ {SCALING_MIN_TURNS} "
+            f"-> corpus {n_turns}",
+            file=sys.stderr,
+        )
+        spark.stop()
         for cores, key in ((8, "local8"), (32, "local32")):
             spark = make_session(cores)
             warmup(spark)
-            secs = timed_build(spark, BENCH_TURNS, f"/tmp/nlp4l_bench_idx_{cores}")
-            scaling[f"{key}_turns_per_sec"] = round(BENCH_TURNS / secs, 1)
-            scaling[f"{key}_sec"] = round(secs, 2)
-            print(f"  build@local[{cores}]: {secs:.1f}s", file=sys.stderr)
+            best = None
+            for rep in range(SCALING_REPEATS):
+                secs = timed_build(
+                    spark, n_turns, f"/tmp/nlp4l_bench_idx_{cores}"
+                )
+                print(
+                    f"  build@local[{cores}] rep{rep}: {secs:.1f}s",
+                    file=sys.stderr,
+                )
+                best = secs if best is None else min(best, secs)
+            scaling[f"{key}_turns_per_sec"] = round(n_turns / best, 1)
+            scaling[f"{key}_sec"] = round(best, 2)
             spark.stop()
+        scaling["turns"] = n_turns
+        scaling["repeats"] = SCALING_REPEATS
         scaling["efficiency"] = round(
             (scaling["local32_turns_per_sec"] / scaling["local8_turns_per_sec"]) / 4.0,
             3,

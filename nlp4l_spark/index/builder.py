@@ -14,8 +14,11 @@ Stages (each a snapshot-committed table; resume skips committed stages):
   stored         doc_id + original transcript columns ("stored fields";
                  per-turn text round-trip invariant is tested on this)
   doc_terms_fwd  (doc_id, terms[], tfs[], dl) — forward index / term
-                 vectors analogue; THE tokenize checkpoint
-  doc_lens       (doc_id, dl)
+                 vectors analogue; OPT-IN checkpoint
+                 (materialize_forward=True) — the default fuses tokenize
+                 into the segment stage, skipping this table's write+scan
+  doc_lens       (doc_id, dl) — computed by the pure-JVM tokenizer
+                 (identical contract to the Arrow UDF, tested)
   segments       per-input-partition, per-doc_id-shard encoded posting
                  segments — this IS the salted two-phase aggregation: the
                  per-posting explosion never crosses the network; only
@@ -117,6 +120,16 @@ class IndexBuilder:
     # table (doc_id, term, tf, positions, start_offsets, end_offsets) is
     # written alongside the postings.
     store_term_vectors: bool = False
+    # parquet checkpoint of the (doc_id, terms[], tfs[], dl) forward index
+    # between tokenize and segment building. Default ON: fusing the two
+    # python stages into one (pandas UDF piped straight into mapInPandas)
+    # measured ~2x SLOWER end-to-end — the JVM relays Arrow batches
+    # between two python workers through one task pipeline and the
+    # accumulate-then-emit segment builder turns that into a stop-and-go
+    # pipe, leaving cores idle. Two separate stages each stream at full
+    # parallelism, and the fwd table doubles as the tokenize resume
+    # checkpoint.
+    materialize_forward: bool = True
 
     # ------------------------------------------------------------------ #
     def build(
@@ -139,7 +152,7 @@ class IndexBuilder:
             with_ids = assign_doc_ids(
                 df, self.sort_cols, num_partitions=self.num_partitions
             )
-            n = with_ids.count()
+            n = with_ids._total_rows  # known from the offsets pass
             cat.write(
                 with_ids,
                 "stored",
@@ -152,29 +165,39 @@ class IndexBuilder:
         self._check_fail(fail_after_stage, "stored")
         stored = cat.read(spark, "stored")
 
-        # -- stage 2: tokenize (Arrow UDF) -> forward index -----------------
-        if not done("doc_terms_fwd"):
-            tc = self.analyzer.term_counts_udf()
-            fwd = stored.select(
-                "doc_id", tc(F.col(self.text_col)).alias("_tc")
-            ).select(
-                "doc_id",
-                F.col("_tc.terms").alias("terms"),
-                F.col("_tc.tfs").alias("tfs"),
-                F.col("_tc.dl").alias("dl"),
-            )
-            cat.write(fwd, "doc_terms_fwd", sort_by=["doc_id"])
-        self._check_fail(fail_after_stage, "doc_terms_fwd")
-        fwd = cat.read(spark, "doc_terms_fwd")
+        # -- stage 2 (default): tokenize -> materialized forward index ------
+        # See the materialize_forward field note: two streaming python
+        # stages with a columnar checkpoint between them beat one fused
+        # stage that relays Arrow batches between two python workers.
+        # materialize_forward=False fuses tokenize into stage 4 instead.
+        if self.materialize_forward:
+            if not done("doc_terms_fwd"):
+                with self._clamped_splits(spark, cat, "stored"):
+                    fwd = self._tokenized(cat.read(spark, "stored"))
+                    cat.write(fwd, "doc_terms_fwd", sort_by=["doc_id"])
+            self._check_fail(fail_after_stage, "doc_terms_fwd")
 
         # -- stage 3: doc_lens + collection stats ---------------------------
+        # With a materialized forward index this is a pruned scan of its dl
+        # column; otherwise dl comes from the pure-JVM tokenizer
+        # (regexp_extract_all inside codegen; identical contract to the
+        # Arrow UDF — tests pin the equivalence).
         if not done("doc_lens"):
-            stats = fwd.agg(
+            if self.materialize_forward:
+                lens = cat.read(spark, "doc_terms_fwd").select("doc_id", "dl")
+            else:
+                lens = stored.select(
+                    "doc_id",
+                    F.size(self.analyzer.tokens_expr(self.text_col))
+                    .cast("int")
+                    .alias("dl"),
+                )
+            stats = lens.agg(
                 F.count("*").alias("num_docs"), F.sum("dl").alias("sum_dl")
             ).collect()[0]
             num_docs, sum_dl = stats["num_docs"], int(stats["sum_dl"] or 0)
             cat.write(
-                fwd.select("doc_id", "dl"),
+                lens,
                 "doc_lens",
                 sort_by=["doc_id"],
                 counters={"num_docs": num_docs, "sum_dl": sum_dl},
@@ -185,12 +208,23 @@ class IndexBuilder:
         sum_dl = int(lens_man["sum_dl"])
         avgdl = (sum_dl / num_docs) if num_docs else 0.0
 
-        # -- stage 4: per-partition posting segments ------------------------
+        # -- stage 4: tokenize + per-partition posting segments -------------
+        # At small corpus sizes the input parquet is only a few hundred MB,
+        # and the default 128 MB maxPartitionBytes packs it into a handful
+        # of read splits — this python-heavy stage would run at parallelism
+        # ~5 on a 32-core cluster. Size splits to the cluster instead
+        # (files are doc_id-ranged, so packing stays doc-contiguous and
+        # delta gaps stay small). At real scale the clamp is a no-op.
         if not done("segments"):
-            segs = fwd.sortWithinPartitions("doc_id").mapInPandas(
-                _segment_builder(self.docs_per_shard), SEGMENT_SCHEMA
-            )
-            cat.write(segs, "segments")
+            src_table = "doc_terms_fwd" if self.materialize_forward else "stored"
+            with self._clamped_splits(spark, cat, src_table):
+                src = cat.read(spark, src_table)
+                if not self.materialize_forward:
+                    src = self._tokenized(src)  # fused: no parquet round-trip
+                segs = src.sortWithinPartitions("doc_id").mapInPandas(
+                    _segment_builder(self.docs_per_shard), SEGMENT_SCHEMA
+                )
+                cat.write(segs, "segments")
         self._check_fail(fail_after_stage, "segments")
         segs = cat.read(spark, "segments")
 
@@ -200,8 +234,12 @@ class IndexBuilder:
         # partition (mapInPandas), NOT per-group applyInPandas — per-term
         # Python call overhead would dominate at vocab sizes of 10^4-10^6.
         if not done("postings"):
+            # explicit numPartitions: AQE would coalesce this exchange by
+            # BYTE size (segments are compressed, ~2 B/posting) down to a
+            # couple of partitions, serializing the python-heavy merge
+            n_merge = spark.sparkContext.defaultParallelism
             merged = (
-                segs.repartition("term", "shard")
+                segs.repartition(n_merge, "term", "shard")
                 .sortWithinPartitions("term", "shard", "min_doc")
                 .mapInPandas(_segment_merger(avgdl), POSTINGS_SCHEMA)
             )
@@ -222,7 +260,7 @@ class IndexBuilder:
 
         # -- stage 7: field stats ---------------------------------------------
         if not done("field_stats"):
-            uniq = cat.read(spark, "term_stats").count()
+            uniq = cat.row_count("term_stats")  # parquet footers, no job
             cat.write(
                 spark.createDataFrame(
                     [(self.text_col, num_docs, sum_dl, avgdl, uniq)],
@@ -266,10 +304,57 @@ class IndexBuilder:
             cat.write(per_pid, "_lineage")
         return cat
 
+    def _tokenized(self, stored: DataFrame) -> DataFrame:
+        """(doc_id, terms[], tfs[], dl) via the Arrow tokenize UDF."""
+        tc = self.analyzer.term_counts_udf()
+        return stored.select(
+            "doc_id", tc(F.col(self.text_col)).alias("_tc")
+        ).select(
+            "doc_id",
+            F.col("_tc.terms").alias("terms"),
+            F.col("_tc.tfs").alias("tfs"),
+            F.col("_tc.dl").alias("dl"),
+        )
+
     @staticmethod
     def _check_fail(fail_after_stage: str | None, stage: str) -> None:
         if fail_after_stage == stage:
             raise RuntimeError(f"injected failure after stage '{stage}'")
+
+    @staticmethod
+    def _clamped_splits(spark, cat: IndexCatalog, name: str):
+        """Context manager: lower spark.sql.files.maxPartitionBytes so a
+        scan of table `name` yields >= ~defaultParallelism splits; restore
+        on exit. Must stay OPEN across the action that scans the table —
+        split planning reads the conf lazily at execution time."""
+        import os as _os
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _cm():
+            path = cat.table_path(name)
+            total = sum(
+                _os.path.getsize(_os.path.join(path, f))
+                for f in _os.listdir(path)
+                if f.endswith(".parquet")
+            )
+            par = max(spark.sparkContext.defaultParallelism, 1)
+            key = "spark.sql.files.maxPartitionBytes"
+            default = spark.conf.get(key)
+            default_bytes = (
+                int(default[:-1]) if default.endswith("b") else int(default)
+            )
+            target = max(min(total // par or 1, default_bytes), 1 << 22)
+            if target >= default_bytes:
+                yield
+                return
+            spark.conf.set(key, str(target))
+            try:
+                yield
+            finally:
+                spark.conf.set(key, default)
+
+        return _cm()
 
 
 # ---------------------------------------------------------------------- #
@@ -328,20 +413,40 @@ def _segment_builder(docs_per_shard: int):
         )
         starts = np.concatenate(([0], change + 1))
         ends = np.concatenate((change + 1, [codes.size]))
-        rows = {k: [] for k in cols}
+        # ONE varbyte pass over the whole partition, then per-run byte
+        # slicing — a per-run encode call is numpy-fixed-cost bound at
+        # ~vocab_size runs per partition (measured ~3x slower stage)
+        gaps = np.empty(d.size, dtype=np.uint64)
+        gaps[1:] = (d[1:] - d[:-1]).astype(np.uint64)
+        gaps[starts] = (d[starts] + 1).astype(np.uint64)  # run-start reset
+        doc_buf, doc_len = codec.varbyte_encode_with_lengths(gaps)
+        tf_buf, tf_len = codec.varbyte_encode_with_lengths(f.astype(np.uint64))
+        dl_buf, dl_len = codec.varbyte_encode_with_lengths(l.astype(np.uint64))
+        doc_cum = np.concatenate(([0], np.cumsum(doc_len)))
+        tf_cum = np.concatenate(([0], np.cumsum(tf_len)))
+        dl_cum = np.concatenate(([0], np.cumsum(dl_len)))
         cf_all = np.add.reduceat(f, starts)
-        for s, e, cf in zip(starts.tolist(), ends.tolist(), cf_all.tolist()):
-            rows["term"].append(uniq_terms[codes[s]])
-            rows["shard"].append(int(shards[s]))
-            rows["pid"].append(pid)
-            rows["df"].append(e - s)
-            rows["cf"].append(int(cf))
-            rows["min_doc"].append(int(d[s]))
-            rows["max_doc"].append(int(d[e - 1]))
-            rows["doc_ids_enc"].append(codec.encode_doc_ids(d[s:e]))
-            rows["tfs_enc"].append(codec.encode_tfs(f[s:e]))
-            rows["dls_enc"].append(codec.encode_tfs(l[s:e]))
-        yield pd.DataFrame(rows)
+        s_l, e_l = starts.tolist(), ends.tolist()
+        yield pd.DataFrame(
+            {
+                "term": uniq_terms[codes[starts]],
+                "shard": shards[starts],
+                "pid": np.full(starts.size, pid, dtype=np.int32),
+                "df": ends - starts,
+                "cf": cf_all,
+                "min_doc": d[starts],
+                "max_doc": d[ends - 1],
+                "doc_ids_enc": [
+                    doc_buf[doc_cum[s] : doc_cum[e]] for s, e in zip(s_l, e_l)
+                ],
+                "tfs_enc": [
+                    tf_buf[tf_cum[s] : tf_cum[e]] for s, e in zip(s_l, e_l)
+                ],
+                "dls_enc": [
+                    dl_buf[dl_cum[s] : dl_cum[e]] for s, e in zip(s_l, e_l)
+                ],
+            }
+        )
 
     return build
 
@@ -355,70 +460,159 @@ def _segment_merger(avgdl: float):
     impact(tf, dl) = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) — score =
     idf * impact, so block upper bound = idf * max_impact is tight.
 
-    Run-scanning (with a carry buffer across Arrow batches) instead of
-    per-group applyInPandas: one Python call per partition, not per term."""
-
-    def _emit(rows_out: dict, term: str, shard: int, segs: list) -> None:
-        d = np.concatenate([s[0] for s in segs])
-        f = np.concatenate([s[1] for s in segs])
-        l = np.concatenate([s[2] for s in segs])
-        if len(segs) > 1:
-            order = np.argsort(d, kind="stable")
-            d, f, l = d[order], f[order], l[order]
-        impact = f * (K1 + 1.0) / (f + K1 * (1.0 - B + B * l / (avgdl or 1.0)))
-        blocks = []
-        for s in range(0, d.size, codec.BLOCK_SIZE):
-            e = min(s + codec.BLOCK_SIZE, d.size)
-            blocks.append(
-                {"last_doc": int(d[e - 1]), "max_impact": float(impact[s:e].max())}
-            )
-        rows_out["term"].append(term)
-        rows_out["shard"].append(shard)
-        rows_out["df"].append(int(d.size))
-        rows_out["cf"].append(int(f.sum()))
-        rows_out["min_doc"].append(int(d[0]))
-        rows_out["max_doc"].append(int(d[-1]))
-        rows_out["doc_ids_enc"].append(codec.encode_doc_ids(d))
-        rows_out["tfs_enc"].append(codec.encode_tfs(f))
-        rows_out["dls_enc"].append(codec.encode_tfs(l))
-        rows_out["block_max"].append(blocks)
+    All numeric work is BULK per Arrow batch (one concat varbyte decode,
+    one lexsort ordering every run's postings at once, one varbyte
+    re-encode sliced per run) — a per-run decode/encode loop is
+    numpy-fixed-cost bound at ~10^5 runs per partition. The only carry
+    across batches is the last (possibly incomplete) run's decoded
+    arrays, so memory stays O(batch + one posting list)."""
 
     COLS = (
         "term", "shard", "df", "cf", "min_doc", "max_doc",
         "doc_ids_enc", "tfs_enc", "dls_enc", "block_max",
     )
 
+    def _process(
+        terms: np.ndarray,
+        shards: np.ndarray,
+        d: np.ndarray,
+        f: np.ndarray,
+        l: np.ndarray,
+        row_df: np.ndarray,
+    ) -> pd.DataFrame:
+        """terms/shards per ROW (segments, same-key rows adjacent); d/f/l
+        flat decoded values; row_df = values per row. Emits one output row
+        per (term, shard) run."""
+        n_rows = terms.size
+        # run boundaries over rows
+        same = np.zeros(n_rows, dtype=bool)
+        if n_rows > 1:
+            same[1:] = (terms[1:] == terms[:-1]) & (shards[1:] == shards[:-1])
+        run_starts = np.flatnonzero(~same)
+        run_id_of_row = np.cumsum(~same) - 1
+        # flat value -> run id, then ONE lexsort orders every run by doc_id
+        run_of_val = np.repeat(run_id_of_row, row_df)
+        order = np.lexsort((d, run_of_val))
+        d, f, l = d[order], f[order], l[order]
+        run_of_val = run_of_val[order]  # still non-decreasing
+        vstarts = np.concatenate(
+            ([0], 1 + np.flatnonzero(np.diff(run_of_val) != 0))
+        )
+        vends = np.concatenate((vstarts[1:], [d.size]))
+        impact = f * (K1 + 1.0) / (f + K1 * (1.0 - B + B * l / (avgdl or 1.0)))
+        # bulk re-encode with per-run gap resets
+        gaps = np.empty(d.size, dtype=np.uint64)
+        gaps[1:] = (d[1:] - d[:-1]).astype(np.uint64)
+        gaps[vstarts] = (d[vstarts] + 1).astype(np.uint64)
+        doc_buf, doc_len = codec.varbyte_encode_with_lengths(gaps)
+        tf_buf, tf_len = codec.varbyte_encode_with_lengths(f.astype(np.uint64))
+        dl_buf, dl_len = codec.varbyte_encode_with_lengths(l.astype(np.uint64))
+        doc_cum = np.concatenate(([0], np.cumsum(doc_len)))
+        tf_cum = np.concatenate(([0], np.cumsum(tf_len)))
+        dl_cum = np.concatenate(([0], np.cumsum(dl_len)))
+        # per-block skip metadata: global block starts never cross runs
+        bsz = codec.BLOCK_SIZE
+        blk_starts = np.concatenate(
+            [np.arange(s, e, bsz) for s, e in zip(vstarts.tolist(), vends.tolist())]
+        )
+        blk_ends = np.concatenate((blk_starts[1:], [d.size]))
+        blk_max = np.maximum.reduceat(impact, blk_starts)
+        blk_last = d[blk_ends - 1]
+        blocks_per_run = (vends - vstarts + bsz - 1) // bsz
+        blk_run_cum = np.concatenate(([0], np.cumsum(blocks_per_run)))
+        block_lists = []
+        last_l = blk_last.tolist()
+        max_l = blk_max.tolist()
+        for r in range(vstarts.size):
+            a, b = int(blk_run_cum[r]), int(blk_run_cum[r + 1])
+            block_lists.append(
+                [
+                    {"last_doc": last_l[i], "max_impact": max_l[i]}
+                    for i in range(a, b)
+                ]
+            )
+        s_l, e_l = vstarts.tolist(), vends.tolist()
+        return pd.DataFrame(
+            {
+                "term": terms[run_starts],
+                "shard": shards[run_starts],
+                "df": vends - vstarts,
+                "cf": np.add.reduceat(f, vstarts),
+                "min_doc": d[vstarts],
+                "max_doc": d[vends - 1],
+                "doc_ids_enc": [
+                    doc_buf[doc_cum[s] : doc_cum[e]] for s, e in zip(s_l, e_l)
+                ],
+                "tfs_enc": [
+                    tf_buf[tf_cum[s] : tf_cum[e]] for s, e in zip(s_l, e_l)
+                ],
+                "dls_enc": [
+                    dl_buf[dl_cum[s] : dl_cum[e]] for s, e in zip(s_l, e_l)
+                ],
+                "block_max": block_lists,
+            }
+        )
+
     def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        carry_key: tuple | None = None
-        carry_segs: list = []
+        # carry: decoded values of the last (term, shard) run of the batch
+        carry: tuple | None = None  # (term, shard, d, f, l)
         for pdf in batches:
             if pdf.empty:
                 continue
-            rows_out: dict = {k: [] for k in COLS}
             terms = pdf["term"].to_numpy(dtype=object)
             shards = pdf["shard"].to_numpy(dtype=np.int64)
-            d_enc = pdf["doc_ids_enc"].to_numpy(dtype=object)
-            f_enc = pdf["tfs_enc"].to_numpy(dtype=object)
-            l_enc = pdf["dls_enc"].to_numpy(dtype=object)
-            for i in range(len(pdf)):
-                key = (terms[i], int(shards[i]))
-                seg = (
-                    codec.decode_doc_ids(d_enc[i]),
-                    codec.decode_tfs(f_enc[i]),
-                    codec.decode_tfs(l_enc[i]),
+            row_df = pdf["df"].to_numpy(dtype=np.int64)
+            # bulk decode: concat buffers decode in one pass (varbyte is
+            # self-delimiting); per-row gap resets are undone vectorized
+            d_all = codec.varbyte_decode(
+                b"".join(pdf["doc_ids_enc"])
+            ).astype(np.int64)
+            f_all = codec.varbyte_decode(b"".join(pdf["tfs_enc"])).astype(np.int64)
+            l_all = codec.varbyte_decode(b"".join(pdf["dls_enc"])).astype(np.int64)
+            vstarts = np.concatenate(([0], np.cumsum(row_df[:-1])))
+            c = np.cumsum(d_all)
+            base = c[vstarts] - d_all[vstarts]
+            d_all = c - np.repeat(base, row_df) - 1  # undo gap+1 encoding
+            if carry is not None:
+                ct, cs, cd, cf_, cl = carry
+                terms = np.concatenate(([ct], terms))
+                shards = np.concatenate(([cs], shards))
+                row_df = np.concatenate(([cd.size], row_df))
+                d_all = np.concatenate((cd, d_all))
+                f_all = np.concatenate((cf_, f_all))
+                l_all = np.concatenate((cl, l_all))
+                carry = None
+            # hold back the trailing run (may continue in the next batch)
+            last_key_rows = (terms == terms[-1]) & (shards == shards[-1])
+            # rows are key-sorted, so the trailing same-key rows are a suffix
+            n_tail = int(last_key_rows[::-1].cumprod().sum())
+            tail_vals = int(row_df[-n_tail:].sum())
+            carry = (
+                terms[-1],
+                int(shards[-1]),
+                d_all[-tail_vals:],
+                f_all[-tail_vals:],
+                l_all[-tail_vals:],
+            )
+            if terms.size > n_tail:
+                yield _process(
+                    terms[:-n_tail],
+                    shards[:-n_tail],
+                    d_all[:-tail_vals],
+                    f_all[:-tail_vals],
+                    l_all[:-tail_vals],
+                    row_df[:-n_tail],
                 )
-                if key != carry_key:
-                    if carry_key is not None:
-                        _emit(rows_out, carry_key[0], carry_key[1], carry_segs)
-                    carry_key, carry_segs = key, [seg]
-                else:
-                    carry_segs.append(seg)
-            if rows_out["term"]:
-                yield pd.DataFrame(rows_out)
-        if carry_key is not None:
-            rows_out = {k: [] for k in COLS}
-            _emit(rows_out, carry_key[0], carry_key[1], carry_segs)
-            yield pd.DataFrame(rows_out)
+        if carry is not None:
+            ct, cs, cd, cf_, cl = carry
+            yield _process(
+                np.array([ct], dtype=object),
+                np.array([cs], dtype=np.int64),
+                cd,
+                cf_,
+                cl,
+                np.array([cd.size], dtype=np.int64),
+            )
 
     return merge
 
@@ -427,8 +621,13 @@ def build_index(
     spark_df: DataFrame,
     index_dir: str,
     analyzer: Analyzer | None = None,
+    *,
+    materialize_forward: bool = True,
+    store_term_vectors: bool = False,
     **kwargs,
 ) -> IndexCatalog:
-    return IndexBuilder(analyzer=analyzer or STANDARD_ANALYZER).build(
-        spark_df, index_dir, **kwargs
-    )
+    return IndexBuilder(
+        analyzer=analyzer or STANDARD_ANALYZER,
+        materialize_forward=materialize_forward,
+        store_term_vectors=store_term_vectors,
+    ).build(spark_df, index_dir, **kwargs)

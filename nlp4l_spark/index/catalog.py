@@ -70,10 +70,12 @@ class IndexCatalog:
         writer = df.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
+        t0 = time.time()
         writer.parquet(path)
         man = {
             "table": name,
             "snapshot_id": uuid.uuid4().hex,
+            "write_secs": round(time.time() - t0, 3),
             "committed_at": time.time(),
             "schema": df.schema.jsonValue(),
             "partition_by": partition_by or [],
@@ -82,6 +84,18 @@ class IndexCatalog:
         with open(self.manifest_path(name), "w", encoding="utf-8") as fh:
             json.dump(man, fh, indent=1)
         return man
+
+    def row_count(self, name: str) -> int:
+        """Exact row count from parquet footers (driver-side metadata read,
+        no Spark job) — the catalog analogue of a snapshot's record count."""
+        import pyarrow.parquet as pq
+
+        path = self.table_path(name)
+        total = 0
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        return total
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         if not self.is_committed(name):

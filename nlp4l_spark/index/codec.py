@@ -30,21 +30,44 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
+def _varbyte_lengths(v: np.ndarray) -> np.ndarray:
+    """Bytes needed per value: ceil(bit_length/7), min 1 — computed with 9
+    threshold compares (O(9n)) instead of a shift loop (O(maxbits*n))."""
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, 10):  # values needing k+1 bytes: >= 2^(7k)
+        nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    return nbytes
+
+
+def varbyte_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Vectorized LEB128 encode; also returns per-value byte lengths so a
+    caller that encoded many runs in ONE call can slice out each run's
+    bytes (the per-run-encode-call pattern is numpy-overhead-bound at
+    ~10^5 runs per partition)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    nbytes = _varbyte_lengths(v)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    starts = np.zeros(v.size, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    idx = np.arange(total, dtype=np.int64)
+    owner = np.repeat(np.arange(v.size, dtype=np.int64), nbytes)
+    within = idx - starts[owner]
+    chunk = (v[owner] >> (within.astype(np.uint64) * np.uint64(7))) & np.uint64(0x7F)
+    is_last = within == (nbytes[owner] - 1)
+    out[:] = chunk.astype(np.uint8)
+    out[~is_last] |= 0x80
+    return out.tobytes(), nbytes
+
+
 def varbyte_encode(values: np.ndarray) -> bytes:
     """Vectorized LEB128 encode of a non-negative int64 array."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # bytes needed per value: ceil(bit_length / 7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        nbits[nz] += 1
-        tmp >>= np.uint64(1)
-    nbytes = np.maximum((nbits + 6) // 7, 1)
+    nbytes = _varbyte_lengths(v)
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
     # position of first byte of each value

@@ -72,4 +72,5 @@ def assign_doc_ids(
     # caller should unpersist after materializing `out` once (the builder
     # does, right after the stored-table write)
     out._docid_cache = ranged  # type: ignore[attr-defined]
+    out._total_rows = running  # row count, already known — saves an action
     return out

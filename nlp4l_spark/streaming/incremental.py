@@ -100,7 +100,7 @@ def append_to_index(
         "term_stats",
         sort_by=["term"],
     )
-    uniq = cat.read(spark, "term_stats").count()
+    uniq = cat.row_count("term_stats")  # parquet footers, no job
     cat.write(
         spark.createDataFrame(
             [(text_col, num_docs, sum_dl, avgdl, uniq)],
