@@ -1004,6 +1004,42 @@ def q_acronyms(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# MDLP discretizer (SURVEY §2.11 vendored MDLPDiscretizer) — rows-only
+# (recursive MDL acceptance is not SQL-expressible)
+# --------------------------------------------------------------------- #
+def q_mdlp_cuts(spark, sf_dir):
+    from nlp4l_spark.ops import discretizer
+
+    li = _lineitem(spark, sf_dir).select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    cuts = discretizer.fit_mdlp(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], "l_returnflag"
+    )
+    return cuts.select(
+        "feature", F.size("cuts").alias("n_cuts"), F.explode_outer("cuts").alias("cut")
+    ).select("feature", "n_cuts", F.round("cut", 6).alias("cut"))
+
+
+# --------------------------------------------------------------------- #
+# NER record processor (SURVEY §2.3 OpenNLPNerRecordProcessor) —
+# rows-only (pluggable tagger; heuristic fake in this environment)
+# --------------------------------------------------------------------- #
+NER_SENTENCES = [
+    (0, "We visited London Bridge today. Dr Smith was there."),
+    (1, "Call Mr Jones about the Tokyo launch."),
+    (2, "nothing capitalized here"),
+]
+
+
+def q_ner_entities(spark, sf_dir):
+    from nlp4l_spark.ops import ner
+
+    df = spark.createDataFrame(NER_SENTENCES, "doc_id long, text string")
+    return ner.extract_entities(df)
+
+
+# --------------------------------------------------------------------- #
 # ML classification round-trip (SURVEY §2.11) — rows-only (model-based)
 # --------------------------------------------------------------------- #
 def q_ml_classify(spark, sf_dir):
@@ -1071,6 +1107,8 @@ REGISTRY: dict[str, tuple] = {
     "spellcheck_suggest": (q_spellcheck_suggest, O_SPELLCHECK_SUGGEST),
     "acronyms": (q_acronyms, None),
     "ml_classify": (q_ml_classify, None),
+    "mdlp_cuts": (q_mdlp_cuts, None),
+    "ner_entities": (q_ner_entities, None),
 }
 
 

@@ -358,52 +358,24 @@ class IndexBuilder:
 
 
 # ---------------------------------------------------------------------- #
+CHUNK_POSTINGS = 4_000_000  # flush threshold: bounds builder task memory
+
+
 def _segment_builder(docs_per_shard: int):
     """mapInPandas fn: forward-index partition -> encoded posting segments.
 
     Map-side combine done by hand: the (doc_id, term, tf) explosion stays
     inside this task; only (term, shard)-keyed compressed segments leave.
-    """
+    Postings are flushed in ~CHUNK_POSTINGS chunks (doc ranges are
+    contiguous per chunk, so delta gaps stay small) — the Lucene
+    per-flush-segment model; peak task memory is O(chunk), not
+    O(partition), which matters both at scale and on hosts where large
+    anonymous allocations trigger compaction stalls."""
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
-        doc_parts, dl_parts, term_parts, tf_parts = [], [], [], []
-        for batch in batches:
-            if batch.empty:
-                continue
-            doc_ids = batch["doc_id"].to_numpy(dtype=np.int64)
-            dls = batch["dl"].to_numpy(dtype=np.int64)
-            lens = batch["terms"].map(len).to_numpy(dtype=np.int64)
-            if lens.sum() == 0:
-                continue
-            doc_parts.append(np.repeat(doc_ids, lens))
-            dl_parts.append(np.repeat(dls, lens))
-            term_parts.append(
-                np.concatenate(
-                    [np.asarray(t, dtype=object) for t in batch["terms"] if len(t)]
-                )
-            )
-            tf_parts.append(
-                np.concatenate(
-                    [np.asarray(t, dtype=np.int64) for t in batch["tfs"] if len(t)]
-                )
-            )
-        cols = (
-            "term", "shard", "pid", "df", "cf", "min_doc", "max_doc",
-            "doc_ids_enc", "tfs_enc", "dls_enc",
-        )
-        if not doc_parts:
-            yield pd.DataFrame({k: [] for k in cols})
-            return
-        d = np.concatenate(doc_parts)
-        l = np.concatenate(dl_parts)
-        t = np.concatenate(term_parts)
-        f = np.concatenate(tf_parts)
+    def _encode_chunk(pid, d, l, t, f):
         shards = d // docs_per_shard
         # group by (term, shard), docs ascending inside each run; factorize
-        # + lexsort keeps everything in C, the per-run loop only encodes
+        # + lexsort keeps everything in C
         codes, uniq_terms = pd.factorize(t, sort=False)
         order = np.lexsort((d, shards, codes))
         d, l, f = d[order], l[order], f[order]
@@ -427,7 +399,7 @@ def _segment_builder(docs_per_shard: int):
         dl_cum = np.concatenate(([0], np.cumsum(dl_len)))
         cf_all = np.add.reduceat(f, starts)
         s_l, e_l = starts.tolist(), ends.tolist()
-        yield pd.DataFrame(
+        return pd.DataFrame(
             {
                 "term": uniq_terms[codes[starts]],
                 "shard": shards[starts],
@@ -447,6 +419,58 @@ def _segment_builder(docs_per_shard: int):
                 ],
             }
         )
+
+    COLS = (
+        "term", "shard", "pid", "df", "cf", "min_doc", "max_doc",
+        "doc_ids_enc", "tfs_enc", "dls_enc",
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        doc_parts, dl_parts, term_parts, tf_parts = [], [], [], []
+        pending = 0
+        emitted = False
+
+        def flush():
+            d = np.concatenate(doc_parts)
+            l = np.concatenate(dl_parts)
+            t = np.concatenate(term_parts)
+            f = np.concatenate(tf_parts)
+            doc_parts.clear(); dl_parts.clear()
+            term_parts.clear(); tf_parts.clear()
+            return _encode_chunk(pid, d, l, t, f)
+
+        for batch in batches:
+            if batch.empty:
+                continue
+            doc_ids = batch["doc_id"].to_numpy(dtype=np.int64)
+            dls = batch["dl"].to_numpy(dtype=np.int64)
+            lens = batch["terms"].map(len).to_numpy(dtype=np.int64)
+            if lens.sum() == 0:
+                continue
+            doc_parts.append(np.repeat(doc_ids, lens))
+            dl_parts.append(np.repeat(dls, lens))
+            term_parts.append(
+                np.concatenate(
+                    [np.asarray(x, dtype=object) for x in batch["terms"] if len(x)]
+                )
+            )
+            tf_parts.append(
+                np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in batch["tfs"] if len(x)]
+                )
+            )
+            pending += int(lens.sum())
+            if pending >= CHUNK_POSTINGS:
+                emitted = True
+                pending = 0
+                yield flush()
+        if doc_parts:
+            yield flush()
+        elif not emitted:
+            yield pd.DataFrame({k: [] for k in COLS})
 
     return build
 

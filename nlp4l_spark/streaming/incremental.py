@@ -86,8 +86,10 @@ def append_to_index(
     # re-merge from the full segments snapshot (fresh avgdl -> fresh bounds)
     avgdl = sum_dl / num_docs if num_docs else 0.0
     segs = cat.read(spark, "segments")
+    # explicit numPartitions: AQE would coalesce this small-byte exchange
+    # under the python-heavy merge (see IndexBuilder stage 5)
     merged = (
-        segs.repartition("term", "shard")
+        segs.repartition(spark.sparkContext.defaultParallelism, "term", "shard")
         .sortWithinPartitions("term", "shard", "min_doc")
         .mapInPandas(_segment_merger(avgdl), POSTINGS_SCHEMA)
     )
