@@ -890,6 +890,47 @@ FROM per_doc p JOIN dfm d USING (term) CROSS JOIN n
 """
 
 
+def q_kea_top_keyphrases(spark, sf_dir):
+    from nlp4l_spark.ops import kea
+
+    return kea.top_keyphrases(_docs(spark, sf_dir), k=15)
+
+
+O_KEA_TOP_KEYPHRASES = f"""
+WITH fl AS (SELECT doc_id, {WS_SQL} AS l FROM documents),
+t AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS ord FROM fl),
+n AS (SELECT count(*) AS n FROM documents),
+c1 AS (SELECT tok AS phrase, 1 AS n, count(*) AS cf,
+              count(DISTINCT doc_id) AS df
+       FROM t WHERE tok NOT IN ({_STOPLIST_SQL}) AND length(tok) > 1
+         AND NOT regexp_matches(tok, '^\\d+$')
+       GROUP BY tok),
+p2 AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS phrase
+       FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+c2 AS (SELECT phrase, 2 AS n, count(*) AS cf,
+              count(DISTINCT doc_id) AS df
+       FROM p2
+       WHERE split_part(phrase, ' ', 1) NOT IN ({_STOPLIST_SQL})
+         AND split_part(phrase, ' ', 2) NOT IN ({_STOPLIST_SQL})
+       GROUP BY phrase),
+cand AS (SELECT phrase, n, cf, df,
+                cf * -(log2(df::double / (SELECT n FROM n))) AS score
+         FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+         ORDER BY score DESC, phrase ASC LIMIT 750),
+ranked AS (SELECT *, row_number() OVER (ORDER BY score DESC, phrase ASC) AS rank
+           FROM cand),
+dropped AS (SELECT DISTINCT u.phrase
+            FROM ranked u JOIN ranked b
+              ON b.n = 2 AND u.n = 1 AND b.rank < u.rank
+             AND (u.phrase = split_part(b.phrase, ' ', 1)
+               OR u.phrase = split_part(b.phrase, ' ', 2)))
+SELECT phrase, n, cf::bigint AS cf, df::bigint AS df,
+       round(score, 6) AS score
+FROM ranked WHERE phrase NOT IN (SELECT phrase FROM dropped)
+ORDER BY rank LIMIT 15
+"""
+
+
 # --------------------------------------------------------------------- #
 # LTR feature extraction (SURVEY §3.3; DocFeature shape)
 # --------------------------------------------------------------------- #
@@ -1103,6 +1144,7 @@ REGISTRY: dict[str, tuple] = {
     "stop_filter": (q_stop_filter, O_STOP_FILTER),
     "kea_bigrams": (q_kea_bigrams, O_KEA_BIGRAMS),
     "kea_features": (q_kea_features, O_KEA_FEATURES),
+    "kea_top_keyphrases": (q_kea_top_keyphrases, O_KEA_TOP_KEYPHRASES),
     "ltr_features": (q_ltr_features, O_LTR_FEATURES),
     "spellcheck_suggest": (q_spellcheck_suggest, O_SPELLCHECK_SUGGEST),
     "acronyms": (q_acronyms, None),

@@ -53,6 +53,21 @@ def test_kea_features_formulas(spark):
     assert m["first_occ"] == pytest.approx(3 / 4)
 
 
+def test_kea_top_keyphrases_subphrase_dedup(spark):
+    # "machine learning" dominates; the bare unigrams "machine"/"learning"
+    # must be deduped away when the bigram ranks above them
+    rows = [(i, "machine learning beats rules") for i in range(4)] + [
+        (10, "unrelated words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = kea.top_keyphrases(df, k=10).collect()
+    phrases = [r["phrase"] for r in got]
+    assert "machine learning" in phrases
+    bigram_rank = phrases.index("machine learning")
+    assert "machine" not in phrases[bigram_rank:]
+    assert "learning" not in phrases[bigram_rank:]
+
+
 # ---------------- spellcheck ---------------------------------------------- #
 def test_spellcheck_suggest(spark):
     terms = spark.createDataFrame(
