@@ -890,6 +890,30 @@ FROM per_doc p JOIN dfm d USING (term) CROSS JOIN n
 """
 
 
+def q_kea_extract(spark, sf_dir):
+    """Full KEA flow (rows-only: MDLP + NB not SQL-expressible): train on
+    docs labeled with their own top tfidf phrase, extract on the corpus."""
+    from nlp4l_spark.ops import kea
+
+    docs = _docs(spark, sf_dir).limit(200)
+    n_docs = docs.count()
+    feats = kea.candidate_features(kea.doc_candidates(docs, (1, 2)), n_docs)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("phrase")
+    )
+    labels = (
+        feats.withColumn("r", F.row_number().over(w))
+        .filter("r = 1")
+        .groupBy("doc_id")
+        .agg(F.collect_list("phrase").alias("keyphrases"))
+    )
+    train = docs.join(labels, "doc_id")
+    model = kea.fit_kea_model(train, ns=(1, 2))
+    return kea.extract_keyphrases(docs, model, max_keyphrases=3, ns=(1, 2))
+
+
 def q_kea_top_keyphrases(spark, sf_dir):
     from nlp4l_spark.ops import kea
 
@@ -1145,6 +1169,7 @@ REGISTRY: dict[str, tuple] = {
     "kea_bigrams": (q_kea_bigrams, O_KEA_BIGRAMS),
     "kea_features": (q_kea_features, O_KEA_FEATURES),
     "kea_top_keyphrases": (q_kea_top_keyphrases, O_KEA_TOP_KEYPHRASES),
+    "kea_extract": (q_kea_extract, None),
     "ltr_features": (q_ltr_features, O_LTR_FEATURES),
     "spellcheck_suggest": (q_spellcheck_suggest, O_SPELLCHECK_SUGGEST),
     "acronyms": (q_acronyms, None),

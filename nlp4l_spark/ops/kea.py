@@ -153,6 +153,257 @@ def top_keyphrases(
     )
 
 
+def doc_candidates(
+    df: DataFrame,
+    ns: tuple[int, ...] = (1, 2, 3),
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: Analyzer = WHITESPACE_ANALYZER,
+    stopwords: frozenset[str] = LUCENE_ENGLISH_STOPWORDS,
+) -> DataFrame:
+    """(doc_id, phrase, n, tf, first_pos, doc_size) for every accepted
+    1..3-gram candidate of every doc (KEAStandardAnalyzer candidates)."""
+    toks_col = analyzer.tokens_expr(text_col)
+    parts = []
+    for n in ns:
+        parts.append(
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.size(toks_col).alias("doc_size"),
+                F.posexplode(shingles_expr(toks_col, n)).alias("pos", "phrase"),
+            )
+            .filter(phrase_filter(F.col("phrase"), n, stopwords))
+            .groupBy("doc_id", "phrase")
+            .agg(
+                F.lit(n).alias("n"),
+                F.count("*").alias("tf"),
+                F.min("pos").alias("first_pos"),
+                F.first("doc_size").alias("doc_size"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def candidate_features(cands: DataFrame, n_docs: int) -> DataFrame:
+    """Adds the two KEA features (CommonProcessor.scala:132-142):
+    tfidf = tf/doc_size * -log2(df/N), first_occ = first_pos/doc_size."""
+    dfm = cands.groupBy("phrase").agg(F.countDistinct("doc_id").alias("df"))
+    return cands.join(dfm, "phrase").select(
+        "doc_id",
+        "phrase",
+        "n",
+        (
+            F.col("tf")
+            / F.col("doc_size")
+            * -(F.log2(F.col("df") / F.lit(float(n_docs))))
+        ).alias("tfidf"),
+        (F.col("first_pos") / F.col("doc_size")).alias("first_occ"),
+    )
+
+
+class KeaModel:
+    """Trained KEA keyphrase model: MDLP cut points + Naive Bayes tables
+    (KeyphraseExtractionProcessor.scala:239-321). The model is a handful
+    of floats — broadcast as literals, scoring is pure JVM expressions."""
+
+    def __init__(self, cuts_tfidf, cuts_dist, p_yes, p_no,
+                 p_tfidf_yes, p_tfidf_no, p_dist_yes, p_dist_no,
+                 df_table=None, n_docs: int = 0):
+        self.cuts_tfidf = cuts_tfidf
+        self.cuts_dist = cuts_dist
+        self.p_yes = p_yes
+        self.p_no = p_no
+        self.p_tfidf_yes = p_tfidf_yes
+        self.p_tfidf_no = p_tfidf_no
+        self.p_dist_yes = p_dist_yes
+        self.p_dist_no = p_dist_no
+        # model-index stats: phrase -> training docFreq, + training numDocs
+        # (KeyphraseExtractionProcessor.getFeatures reads docFreq from the
+        # MODEL index, not the extraction corpus, with +1 'inc' smoothing
+        # for docs outside the model index)
+        self.df_table = df_table
+        self.n_docs = n_docs
+
+    @staticmethod
+    def _bin_expr(col: str, cuts: list[float]):
+        arr = F.array(*[F.lit(float(c)) for c in cuts])
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col(col) >= c, 1).otherwise(0),
+        )
+
+    @staticmethod
+    def _prob_expr(bin_col, probs: list[float]):
+        return F.element_at(
+            F.array(*[F.lit(float(p)) for p in probs]), bin_col + 1
+        )
+
+    def score_expr(self):
+        """Column: P(yes|tfidf_bin, dist_bin) for rows with columns
+        tfidf / first_occ. probYes = P(yes)*P(tb|yes)*P(db|yes);
+        score = probYes / (probYes + probNo) — exactly KeyphraseScore."""
+        tb = self._bin_expr("tfidf", self.cuts_tfidf)
+        db = self._bin_expr("first_occ", self.cuts_dist)
+        py = (
+            F.lit(self.p_yes)
+            * self._prob_expr(tb, self.p_tfidf_yes)
+            * self._prob_expr(db, self.p_dist_yes)
+        )
+        pn = (
+            F.lit(self.p_no)
+            * self._prob_expr(tb, self.p_tfidf_no)
+            * self._prob_expr(db, self.p_dist_no)
+        )
+        return py / (py + pn)
+
+
+def fit_kea_model(
+    df: DataFrame,
+    *,
+    keyphrases_col: str = "keyphrases",
+    max_bins: int = 20,
+    **cand_kwargs,
+) -> KeaModel:
+    """Train from docs carrying a `keyphrases` array<string> column of
+    known (lowercased) keyphrases — the KEAModelBuildProcessor flow:
+    candidates -> (tfidf, first_occ, label) rows -> MDLP cuts per feature
+    -> per-bin class counts -> probability tables."""
+    from nlp4l_spark.ops import discretizer
+
+    n_docs = df.count()
+    cands = doc_candidates(df, **cand_kwargs)
+    feats = candidate_features(cands, n_docs)
+    labeled = feats.join(
+        df.select(
+            F.col(cand_kwargs.get("id_col", "doc_id")).alias("doc_id"),
+            F.col(keyphrases_col).alias("_kp"),
+        ),
+        "doc_id",
+    ).withColumn(
+        "label", F.array_contains("_kp", F.col("phrase")).cast("string")
+    )
+    cuts_df = discretizer.fit_mdlp(
+        labeled, ["tfidf", "first_occ"], "label", max_bins=max_bins
+    )
+    cuts = {r["feature"]: list(r["cuts"]) for r in cuts_df.collect()}
+    ct, cd = cuts.get(0, []), cuts.get(1, [])
+
+    binned = labeled.select(
+        "label",
+        KeaModel._bin_expr("tfidf", ct).alias("tb"),
+        KeaModel._bin_expr("first_occ", cd).alias("db"),
+    )
+    rows = binned.groupBy("label", "tb", "db").count().collect()
+    n_tb, n_db = len(ct) + 1, len(cd) + 1
+    cnt_t = {"true": [0] * n_tb, "false": [0] * n_tb}
+    cnt_d = {"true": [0] * n_db, "false": [0] * n_db}
+    tot = {"true": 0, "false": 0}
+    for r in rows:
+        lbl = r["label"]
+        cnt_t[lbl][r["tb"]] += r["count"]
+        cnt_d[lbl][r["db"]] += r["count"]
+        tot[lbl] += r["count"]
+    n_yes, n_no = max(tot["true"], 1), max(tot["false"], 1)
+    df_table = (
+        cands.groupBy("phrase").agg(F.countDistinct("doc_id").alias("model_df"))
+    )
+    return KeaModel(
+        ct,
+        cd,
+        tot["true"] / max(tot["true"] + tot["false"], 1),
+        tot["false"] / max(tot["true"] + tot["false"], 1),
+        [c / n_yes for c in cnt_t["true"]],
+        [c / n_no for c in cnt_t["false"]],
+        [c / n_yes for c in cnt_d["true"]],
+        [c / n_no for c in cnt_d["false"]],
+        df_table=df_table,
+        n_docs=n_docs,
+    )
+
+
+def extract_keyphrases(
+    df: DataFrame,
+    model: KeaModel,
+    *,
+    max_keyphrases: int = 5,
+    **cand_kwargs,
+) -> DataFrame:
+    """(doc_id, phrase, score, tfidf, rank) — per-doc keyphrases ranked by
+    (NB score desc, tfidf desc, phrase asc) with subphrase dedup, top
+    max_keyphrases (KeyphraseExtractionProcessor.scala:144-158)."""
+    from pyspark.sql import Window
+
+    cands = doc_candidates(df, **cand_kwargs)
+    # features against the MODEL index stats with 'inc' smoothing
+    # (extraction docs are outside the model index):
+    # tfidf = tf/doc_size * -log2((model_df+1)/(model_N+1))
+    feats = cands.join(
+        F.broadcast(model.df_table), "phrase", "left"
+    ).select(
+        "doc_id",
+        "phrase",
+        "n",
+        (
+            F.col("tf")
+            / F.col("doc_size")
+            * -(
+                F.log2(
+                    (F.coalesce(F.col("model_df"), F.lit(0)) + 1)
+                    / F.lit(float(model.n_docs + 1))
+                )
+            )
+        ).alias("tfidf"),
+        (F.col("first_pos") / F.col("doc_size")).alias("first_occ"),
+    )
+    scored = feats.withColumn("score", model.score_expr())
+    # ngram priority on ties: longer phrases first (reference ranking:
+    # score desc, tfidf desc, ngram priority — KeyphraseExtraction
+    # Processor.scala:144-158), then phrase asc for determinism
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.desc("tfidf"), F.desc("n"), F.asc("phrase")
+    )
+    ranked = scored.withColumn("r", F.row_number().over(w))
+    # subphrase dedup: drop a candidate contained (word-bounded) in a
+    # higher-ranked candidate of the same doc
+    a, b = ranked.alias("a"), ranked.alias("b")
+    sub = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.r") < F.col("a.r"))
+            & (
+                F.instr(
+                    F.concat(F.lit(" "), F.col("b.phrase"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("a.phrase"), F.lit(" ")),
+                )
+                > 0
+            ),
+            "left_semi",
+        )
+        .select("a.doc_id", "a.phrase")
+    )
+    kept = ranked.join(sub, ["doc_id", "phrase"], "left_anti")
+    w2 = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.desc("tfidf"), F.desc("n"), F.asc("phrase")
+    )
+    return (
+        kept.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= max_keyphrases)
+        .select(
+            "doc_id",
+            "phrase",
+            F.round("score", 6).alias("score"),
+            F.round("tfidf", 6).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
 def kea_features(
     df: DataFrame,
     terms: list[str],

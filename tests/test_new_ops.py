@@ -68,6 +68,38 @@ def test_kea_top_keyphrases_subphrase_dedup(spark):
     assert "learning" not in phrases[bigram_rank:]
 
 
+def test_kea_model_train_and_extract(spark):
+    """Full KEA flow: train NB on docs with known keyphrases, extract on
+    held-out docs; planted keyphrases (frequent + early) must win."""
+    import itertools
+
+    fillers = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    phrases = ["gradient descent", "beam search", "query planner", "vector clock"]
+
+    def mk(doc_id, phrase):
+        f = list(itertools.islice(itertools.cycle(fillers), 9))
+        text = f"{phrase} {' '.join(f[:4])} {phrase} {' '.join(f[4:])} {phrase}"
+        return (doc_id, text, [phrase])
+
+    train = [mk(i, phrases[i % 3]) for i in range(9)]
+    test = [mk(100 + i, phrases[3]) for i in range(2)]
+    tdf = spark.createDataFrame(
+        train, "doc_id long, text string, keyphrases array<string>"
+    )
+    model = kea.fit_kea_model(tdf)
+    assert 0.0 < model.p_yes < 1.0
+
+    xdf = spark.createDataFrame(
+        [(d, t) for d, t, _ in test], "doc_id long, text string"
+    )
+    got = kea.extract_keyphrases(xdf, model, max_keyphrases=3)
+    top1 = {r["doc_id"]: r["phrase"] for r in got.collect() if r["rank"] == 1}
+    assert top1 == {100: "vector clock", 101: "vector clock"}
+    # subphrase dedup: the bare unigrams of the winning bigram are gone
+    kept = {(r["doc_id"], r["phrase"]) for r in got.collect()}
+    assert (100, "vector") not in kept and (100, "clock") not in kept
+
+
 # ---------------- spellcheck ---------------------------------------------- #
 def test_spellcheck_suggest(spark):
     terms = spark.createDataFrame(
