@@ -231,6 +231,22 @@ def main():
     spark = make_session(CPUS)
     warmup(spark)
     build_secs = timed_build(spark, BENCH_TURNS, "/tmp/nlp4l_bench_idx_main")
+    # batch search throughput over the just-built index (reference query
+    # mix: head/rare/OR/needle/stopword-only/unknown terms)
+    from nlp4l_spark.data.transcripts import synth_queries
+    from nlp4l_spark.search import Searcher
+
+    searcher = Searcher(spark, "/tmp/nlp4l_bench_idx_main")
+    qset = synth_queries(20)
+    searcher.search_batch(qset).count()  # warm the path
+    t0 = time.time()
+    n_hits = searcher.search_batch(qset).count()
+    search_secs = time.time() - t0
+    print(
+        f"  search_batch: {len(qset)} queries in {search_secs:.2f}s "
+        f"({n_hits} hit rows)",
+        file=sys.stderr,
+    )
     queries = run_queries(spark)
     spark.stop()
 
@@ -240,6 +256,11 @@ def main():
         "turns": BENCH_TURNS,
         "sec": round(build_secs, 2),
         "turns_per_sec": round(BENCH_TURNS / build_secs, 1),
+    }
+    result["search"] = {
+        "queries": len(qset),
+        "sec": round(search_secs, 3),
+        "qps": round(len(qset) / search_secs, 1),
     }
     if scaling:
         result["scaling"] = scaling
