@@ -42,6 +42,41 @@ def test_text_and_csv_sources(spark, tmp_path):
     assert sorted((r["a"], r["b"]) for r in inline) == [("p", "q"), ("x", "y")]
 
 
+def test_http_deployer(tmp_path):
+    """HttpFileTransferDeployer parity against an embedded server (the
+    reference tests use a TinyHttpServer the same way)."""
+    import http.server
+    import threading
+
+    from nlp4l_spark.sources.deployers import http_deploy
+
+    received = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            received["body"] = self.rfile.read(n)
+            received["name"] = self.headers.get("X-Filename")
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        p = tmp_path / "artifact.json"
+        p.write_bytes(b'{"model": 1}')
+        status = http_deploy(str(p), f"http://127.0.0.1:{srv.server_port}/up")
+        assert status == 200
+        assert received["body"] == b'{"model": 1}'
+        assert received["name"] == "artifact.json"
+    finally:
+        srv.shutdown()
+
+
 def test_writers_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
     csv_dir = str(tmp_path / "out_csv")
