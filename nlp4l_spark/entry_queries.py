@@ -1123,6 +1123,170 @@ def q_ml_classify(spark, sf_dir):
     return pred.select("doc_id", F.col("prediction").cast("int").alias("pred"))
 
 
+# --------------------------------------------------------------------- #
+# Validators / vocab pruning / label map / TF vectors / pairwise LTR
+# (SURVEY §2.3, §2.5, §2.11 gap-fill)
+# --------------------------------------------------------------------- #
+def q_validator_regex(spark, sf_dir):
+    """RegexValidator (FeaturedValidators.scala:88-130): violation count of
+    source values failing the accept pattern ^src\\d$."""
+    _, bad = processors.regex_validator(_docs(spark, sf_dir), "source", r"^src\d$")
+    return spark.createDataFrame([(bad,)], "violations long")
+
+
+O_VALIDATOR_REGEX = r"""
+SELECT count(*)::bigint AS violations FROM documents
+WHERE NOT regexp_matches(source, '^src[0-9]$')
+"""
+
+SEARCH_VALIDATE_VALUES = ["join", "merge", "zzzunseen", "vector", "qqqmissing"]
+
+
+def q_search_validator(spark, sf_dir):
+    """SolrSearchValidator (FeaturedValidators.scala:144-192) re-expressed
+    against our own term dictionary: per value, found = >=1 hit."""
+    vals = spark.createDataFrame(
+        [(v,) for v in SEARCH_VALIDATE_VALUES], "value string"
+    )
+    terms = _corpus(spark, sf_dir).doc_terms().select("term")
+    return processors.search_validator(vals, "value", terms)
+
+
+O_SEARCH_VALIDATOR = f"""
+WITH {TOKS_CTE},
+v(value) AS (VALUES {", ".join(f"('{v}')" for v in SEARCH_VALIDATE_VALUES)})
+SELECT value,
+       EXISTS(SELECT 1 FROM toks WHERE term = lower(value)) AS found
+FROM v
+"""
+
+
+def q_select_features(spark, sf_dir):
+    """Vocabulary pruning (CommonProcessor.selectFeatures,
+    spark/mllib/CommonProcessor.scala:31-39): df>=5 ∧ df/N<=80% ∧ top-50."""
+    from nlp4l_spark.ops import ml
+
+    out = ml.select_features(
+        _corpus(spark, sf_dir), min_df=5, max_df_percent=80.0, top_k=50
+    )
+    return out.select("term", F.col("df").cast("long").alias("df"))
+
+
+O_SELECT_FEATURES = f"""
+WITH {TOKS_CTE},
+dfm AS (SELECT term, count(DISTINCT doc_id)::bigint AS df FROM toks GROUP BY term),
+n AS (SELECT count(*)::double AS n FROM documents)
+SELECT term, df FROM dfm, n
+WHERE df >= 5 AND df / n.n <= 0.80
+ORDER BY df DESC, term ASC LIMIT 50
+"""
+
+
+def q_label_map(spark, sf_dir):
+    """selectLabelMap (CommonProcessor.scala:41-47): distinct labels ->
+    dense ordered ids."""
+    from nlp4l_spark.ops import ml
+
+    out = ml.label_map(_docs(spark, sf_dir), "lang")
+    return out.select("lang", F.col("label_id").cast("int").alias("label_id"))
+
+
+O_LABEL_MAP = """
+SELECT lang, (row_number() OVER (ORDER BY lang) - 1)::int AS label_id
+FROM (SELECT DISTINCT lang FROM documents)
+"""
+
+
+def q_tf_vectors(spark, sf_dir):
+    """TFIDF.tfVector/tfVectors (TFIDF.scala:37-54): dense per-doc TF rows
+    (explicit zeros) over the sorted feature vocab, docs 0..29."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 30).select("doc_id")
+    return tfidf.tf_vectors(_corpus(spark, sf_dir), TFIDF_FEATURES, doc_ids=docs)
+
+
+O_TF_VECTORS = f"""
+WITH {TOKS_CTE},
+v(term) AS (VALUES {", ".join(f"('{t}')" for t in sorted(TFIDF_FEATURES))}),
+d AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM toks GROUP BY doc_id, term)
+SELECT d.doc_id, v.term, coalesce(tf.tf, 0)::bigint AS tf
+FROM d CROSS JOIN v
+LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.term = v.term
+"""
+
+COUNT_WORDS_TEXT = "The quick brown Fox jumps over the lazy dog and the fox"
+
+
+def q_count_words(spark, sf_dir):
+    """WordCounts.countWords (WordCounts.scala:153-158): analyze a raw
+    string, count tokens (query-side TF)."""
+    return wordcounts.count_words(spark, COUNT_WORDS_TEXT)
+
+
+O_COUNT_WORDS = f"""
+WITH one AS (SELECT '{COUNT_WORDS_TEXT}' AS text),
+t AS (SELECT unnest({TOK_SQL}) AS term FROM one)
+SELECT term, count(*)::bigint AS cnt FROM t GROUP BY term
+"""
+
+
+def q_ltr_pairwise(spark, sf_dir):
+    """RankingSVM pairwise difference transform
+    (RankingSVMTrainer.scala:48-63) over the LTR feature frame, label =
+    n_matched, restricted to the top-5 docs by bm25 within each
+    (qid, n_matched) grade so pairs span label grades (deterministic)."""
+    from pyspark.sql import Window
+
+    from nlp4l_spark.ops import ltr
+
+    feats = ltr.extract_features(_corpus(spark, sf_dir), LTR_QUERIES)
+    w = Window.partitionBy("qid", "n_matched").orderBy(
+        F.round("bm25", 6).desc(), F.col("doc_id").asc()
+    )
+    top = (
+        feats.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 5)
+        .select(
+            "qid",
+            "doc_id",
+            "n_matched",
+            F.round("bm25", 6).alias("bm25"),
+            F.col("sum_tf").cast("long").alias("sum_tf"),
+            F.col("dl").cast("long").alias("dl"),
+        )
+    )
+    pairs = ltr.ranking_svm_pairwise(
+        top,
+        qid_col="qid",
+        label_col="n_matched",
+        feature_cols=["bm25", "sum_tf", "dl"],
+        id_col="doc_id",
+    )
+    return pairs.select(
+        "qid",
+        "id_hi",
+        "id_lo",
+        "label",
+        F.round("d_bm25", 6).alias("d_bm25"),
+        F.col("d_sum_tf").cast("long").alias("d_sum_tf"),
+        F.col("d_dl").cast("long").alias("d_dl"),
+    )
+
+
+O_LTR_PAIRWISE = f"""
+WITH feats AS ({O_LTR_FEATURES}),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY qid, n_matched ORDER BY bm25 DESC, doc_id ASC) AS r
+           FROM feats),
+t AS (SELECT * FROM ranked WHERE r <= 5)
+SELECT a.qid, a.doc_id AS id_hi, b.doc_id AS id_lo, 1 AS label,
+       round(a.bm25 - b.bm25, 6) AS d_bm25,
+       (a.sum_tf - b.sum_tf)::bigint AS d_sum_tf,
+       (a.dl - b.dl)::bigint AS d_dl
+FROM t a JOIN t b ON a.qid = b.qid AND a.n_matched > b.n_matched
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -1176,6 +1340,13 @@ REGISTRY: dict[str, tuple] = {
     "ml_classify": (q_ml_classify, None),
     "mdlp_cuts": (q_mdlp_cuts, None),
     "ner_entities": (q_ner_entities, None),
+    "validator_regex": (q_validator_regex, O_VALIDATOR_REGEX),
+    "search_validator": (q_search_validator, O_SEARCH_VALIDATOR),
+    "select_features": (q_select_features, O_SELECT_FEATURES),
+    "label_map": (q_label_map, O_LABEL_MAP),
+    "tf_vectors": (q_tf_vectors, O_TF_VECTORS),
+    "count_words": (q_count_words, O_COUNT_WORDS),
+    "ltr_pairwise": (q_ltr_pairwise, O_LTR_PAIRWISE),
 }
 
 

@@ -127,13 +127,18 @@ def ranking_svm_pairwise(
     qid_col: str = "qid",
     label_col: str = "label",
     feature_cols: list[str] | None = None,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Pairwise difference-vector transform (RankingSVMTrainer.scala:48-63):
     per qid, for each doc pair with different labels emit
     (higher - lower) feature difference labeled 1. As a self-join per qid
-    (distributed; the reference collects all combinations driver-side)."""
+    (distributed; the reference collects all combinations driver-side).
+    With ``id_col`` the output carries (id_hi, id_lo) so pairs are
+    addressable (and SQL-oracle comparable)."""
     feature_cols = feature_cols or [
-        c for c in features.columns if c not in (qid_col, label_col)
+        c
+        for c in features.columns
+        if c not in (qid_col, label_col) and c != id_col
     ]
     a = features.alias("a")
     b = features.alias("b")
@@ -145,8 +150,17 @@ def ranking_svm_pairwise(
     diff_cols = [
         (F.col(f"a.{c}") - F.col(f"b.{c}")).alias(f"d_{c}") for c in feature_cols
     ]
+    id_cols = (
+        [
+            F.col(f"a.{id_col}").alias("id_hi"),
+            F.col(f"b.{id_col}").alias("id_lo"),
+        ]
+        if id_col
+        else []
+    )
     return pairs.select(
         F.col(f"a.{qid_col}").alias(qid_col),
+        *id_cols,
         F.lit(1).alias("label"),
         *diff_cols,
     )

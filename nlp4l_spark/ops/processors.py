@@ -92,6 +92,29 @@ def unique_record_validator(df: DataFrame, col: str) -> tuple[bool, int]:
     return dup == 0, dup
 
 
+def search_validator(
+    values: DataFrame, value_col: str, terms: DataFrame, term_col: str = "term"
+) -> DataFrame:
+    """SolrSearchValidator (FeaturedValidators.scala:144-192): every value
+    must get >= 1 hit when searched against a collection. The external Solr
+    round-trip becomes a membership check against our own index's term
+    dictionary: the (tiny) values frame is broadcast against the dictionary
+    scan, the matched subset (also tiny) is broadcast back — the big side is
+    only ever semi-joined, never shuffled."""
+    probe = values.select(F.lower(F.col(value_col)).alias("_probe")).distinct()
+    matched = (
+        terms.select(F.col(term_col).alias("_probe"))
+        .join(F.broadcast(probe), "_probe", "left_semi")
+        .distinct()
+        .withColumn("found", F.lit(True))
+    )
+    return (
+        values.withColumn("_probe", F.lower(F.col(value_col)))
+        .join(F.broadcast(matched), "_probe", "left")
+        .select(value_col, F.coalesce("found", F.lit(False)).alias("found"))
+    )
+
+
 def parse_solr_log(df: DataFrame, line_col: str = "line") -> DataFrame:
     """StandardSolrQueryLogProcessor (FeaturedProcessors.scala:103-130):
     regex-parse Solr request logs -> (date, q, fq, facet_field, facet_query,

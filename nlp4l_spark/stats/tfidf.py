@@ -181,3 +181,31 @@ def tf_idf_weights(
         )
         w = w * F.coalesce(boost[F.col("term")], F.lit(1.0))
     return out.select("doc_id", "term", w.alias("weight"))
+
+
+def tf_vectors(
+    corpus: Corpus, features: list[str], doc_ids: DataFrame | None = None
+) -> DataFrame:
+    """Per-doc TF vector over the sorted feature vocabulary
+    (TFIDF.tfVector/tfVectors, TFIDF.scala:37-54), as dense
+    (doc_id, term, tf) rows with explicit zeros — the exploded form of the
+    reference's fixed-width vector. The vocab is a tiny broadcast cross
+    join; actual counts arrive via a left join pruned to feature terms
+    before the shuffle."""
+    spark = corpus.df.sparkSession
+    vocab = spark.createDataFrame(
+        [(t,) for t in sorted(set(features))], "term string"
+    )
+    docs = corpus.df.select(F.col(corpus.id_col).alias("doc_id"))
+    if doc_ids is not None:
+        docs = docs.join(doc_ids, "doc_id", "left_semi")
+    counts = corpus.doc_terms().filter(F.col("term").isin(list(features)))
+    if doc_ids is not None:
+        counts = counts.join(doc_ids, "doc_id", "left_semi")
+    return (
+        docs.crossJoin(F.broadcast(vocab))
+        .join(counts, ["doc_id", "term"], "left")
+        .select(
+            "doc_id", "term", F.coalesce(F.col("tf"), F.lit(0)).cast("long").alias("tf")
+        )
+    )

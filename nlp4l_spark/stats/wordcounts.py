@@ -82,3 +82,18 @@ def field_stats(corpus: Corpus, field_name: str = "text") -> DataFrame:
         (F.col("sum_dl") / F.col("num_docs")).alias("avgdl"),
         "uniq_terms",
     )
+
+
+def count_words(spark, text: str, analyzer=None) -> DataFrame:
+    """Analyze a raw string and count its tokens — the query-side TF
+    (WordCounts.countWords, WordCounts.scala:153-158). One literal row,
+    tokenized by the same JVM-side analyzer expression as the corpus."""
+    from nlp4l_spark.analysis import STANDARD_ANALYZER
+
+    analyzer = analyzer or STANDARD_ANALYZER
+    one = spark.createDataFrame([(text,)], "text string")
+    return (
+        one.select(F.explode(analyzer.tokens_expr("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
