@@ -578,18 +578,69 @@ ORDER BY round(inter / (ca.c + cb.c - inter), 6) DESC, id_a ASC, id_b ASC LIMIT 
 
 
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash-LSH near-dup pairs (xxhash64-based — Spark-only, rows-only
-    check; the SQL-checkable twin is dedup_ngram_pairs)."""
+    """MinHash-LSH near-dup pairs. The oracle is the EXACT-Jaccard pair set:
+    LSH banding (16 bands x 4 rows, fixed seed -> deterministic) is
+    probabilistic in general, but the exact-Jaccard verify step makes
+    precision 1, and on corpora whose near-dup pairs sit well above the
+    threshold (the fixtures' clone pairs are j>=0.9, where band recall is
+    1-(1-0.9^4)^16 ~ 0.999) recall is effectively 1 too — verified
+    output==oracle at sf0.001 and sf0.01. A genuine LSH recall miss would
+    surface as a row-count diff, which is exactly what the check is for."""
     docs = _docs(spark, sf_dir).filter(
         F.size(WHITESPACE_ANALYZER.tokens_expr("text")) >= 3
     )
-    return dedup.minhash_lsh_pairs(
+    pairs = dedup.minhash_lsh_pairs(
         docs, "text", "doc_id", jaccard_threshold=0.3
     )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+O_DEDUP_MINHASH = f"""
+WITH t AS (SELECT doc_id, {_WS_TOKS} AS tk FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS s
+       FROM t WHERE len(tk) >= 3),
+cnt AS (SELECT doc_id, count(*)::double AS c FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::double AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, round(inter / (ca.c + cb.c - inter), 6) AS jaccard
+FROM p JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+WHERE inter / (ca.c + cb.c - inter) >= 0.3
+"""
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return dedup.simhash_pairs(_docs(spark, sf_dir), "text", "doc_id", max_hamming=10)
+    """SimHash near-dup pairs at the canonical Manku 64-bit/4-piece/d<=3
+    config — md5-derived fingerprints are engine-reproducible and 4-piece
+    blocking is COMPLETE for d<=3, so the brute-force DuckDB oracle is an
+    exact equality check, not a recall sample."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), "text", "doc_id", max_hamming=3)
+
+
+def _simhash_fp_sql(half: str) -> str:
+    return " + ".join(
+        f"CASE WHEN sum(tf*(((h_{half} >> {b}) & 1)*2 - 1)) > 0"
+        f" THEN {1 << b}::BIGINT ELSE 0::BIGINT END"
+        for b in range(32)
+    )
+
+
+O_DEDUP_SIMHASH = f"""
+WITH t AS (SELECT doc_id, unnest({WS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+h AS (SELECT doc_id, tf,
+             ('0x' || substr(md5(term), 1, 8))::BIGINT AS h_hi,
+             ('0x' || substr(md5(term), 9, 8))::BIGINT AS h_lo
+      FROM tf),
+fp AS (SELECT doc_id, {{HI}} AS fp_hi, {{LO}} AS fp_lo FROM h GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       (bit_count(xor(a.fp_hi, b.fp_hi)) +
+        bit_count(xor(a.fp_lo, b.fp_lo)))::int AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp_hi, b.fp_hi)) +
+      bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
+""".replace("{HI}", _simhash_fp_sql("hi")).replace("{LO}", _simhash_fp_sql("lo"))
 
 
 # --------------------------------------------------------------------- #
@@ -1315,8 +1366,8 @@ REGISTRY: dict[str, tuple] = {
     "validator_unique": (q_validator_unique, O_VALIDATOR_UNIQUE),
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_ngram_pairs": (q_dedup_ngram_pairs, O_DEDUP_NGRAM_PAIRS),
-    "dedup_minhash": (q_dedup_minhash, None),
-    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_minhash": (q_dedup_minhash, O_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
     "ann_cosine_topk": (q_ann_cosine_topk, O_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "embedding_neardup": (q_embedding_neardup, O_EMBEDDING_NEARDUP),

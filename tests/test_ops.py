@@ -121,13 +121,30 @@ def test_minhash_lsh_finds_near_dups(docs_df):
 
 
 def test_simhash_pairs(docs_df):
+    # d<=3 is the complete regime (4-piece pigeonhole): output must be
+    # EXACTLY the brute-force hamming-<=3 pair set — here the three
+    # identical-token-multiset pairs.
     out = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in dedup.simhash_pairs(docs_df, max_hamming=8).collect()
+        for r in dedup.simhash_pairs(docs_df, max_hamming=3).collect()
     }
-    assert (0, 1) in out and out[(0, 1)] == 0  # same token multiset
-    assert (0, 4) in out and out[(0, 4)] == 0
-    assert (0, 2) in out  # one-token difference -> small hamming
+    assert out == {(0, 1): 0, (0, 4): 0, (1, 4): 0}
+
+
+def test_simhash_fingerprint_metric(docs_df):
+    # fingerprints: near-dup text -> small hamming, unrelated -> large
+    fp = {
+        r["id"]: (r["fp_hi"], r["fp_lo"])
+        for r in dedup.simhash_fingerprints(docs_df).collect()
+    }
+
+    def ham(a, b):
+        return bin(fp[a][0] ^ fp[b][0]).count("1") + bin(
+            fp[a][1] ^ fp[b][1]
+        ).count("1")
+
+    assert ham(0, 1) == 0 and ham(0, 4) == 0
+    assert 0 < ham(0, 2) < ham(0, 3)  # one-token diff << unrelated doc
 
 
 # ---------------- similarity -------------------------------------------- #
