@@ -675,6 +675,53 @@ def q_ann_lsh_topk(spark, sf_dir):
     return similarity.lsh_cosine_topk(emb, qvec, k=10, bits=6, tables=8)
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two list expressions, float->double per
+    element — the same arithmetic as similarity.cosine_col."""
+    return (
+        f"list_aggregate(list_transform(range(1, len({a}) + 1),"
+        f" i -> {a}[i]::double * {b}[i]::double), 'sum')"
+        f" / (sqrt(list_aggregate(list_transform({a},"
+        f" x -> x::double * x::double), 'sum'))"
+        f" * sqrt(list_aggregate(list_transform({b},"
+        f" x -> x::double * x::double), 'sum')))"
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN with a deterministic coarse quantizer (centroids = first 8
+    vectors): nearest-cell assignment + nprobe=2 probing, exact cosine in
+    probed cells. Deterministic end-to-end, so the DuckDB oracle re-derives
+    the identical partition and result — an exact check, not a recall
+    sample. (At scale the centroids come from k-means and the corpus is
+    written partitioned by cell; see similarity.ivf_cosine_topk.)"""
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    cents = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    return similarity.ivf_cosine_topk(emb, qvec, cents, k=10, nprobe=2)
+
+
+O_ANN_IVF_TOPK = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+a AS (SELECT e.vec_id, e.embedding,
+        (SELECT c.cid FROM c
+         ORDER BY {_cos_sql("e.embedding", "c.cv")} DESC, c.cid ASC
+         LIMIT 1) AS cell
+      FROM embeddings e),
+p AS (SELECT cid FROM c CROSS JOIN q
+      ORDER BY {_cos_sql("qe", "cv")} DESC, cid ASC LIMIT 2)
+SELECT vec_id, round({_cos_sql("a.embedding", "q.qe")}, 6) AS cosine
+FROM a CROSS JOIN q
+WHERE a.cell IN (SELECT cid FROM p)
+ORDER BY round({_cos_sql("a.embedding", "q.qe")}, 6) DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Exact all-pairs cosine near-dup (correctness baseline, hash-matched
     against the DuckDB oracle). threshold=0.5: the synthetic embeddings are
@@ -1370,6 +1417,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
     "ann_cosine_topk": (q_ann_cosine_topk, O_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
     "embedding_neardup": (q_embedding_neardup, O_EMBEDDING_NEARDUP),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, None),
     "token_count": (q_token_count, O_TOKEN_COUNT),

@@ -125,6 +125,61 @@ def lsh_cosine_topk(
     )
 
 
+def ivf_cosine_topk(
+    df: DataFrame,
+    query_vec,
+    centroids,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest centroid
+    cell (ties -> lower centroid index), then score exact cosine only inside
+    the ``nprobe`` cells nearest the query. ``centroids`` is a caller-
+    supplied list of vectors — deterministic here (so the DuckDB oracle can
+    re-derive the identical partition); at scale they come from a k-means
+    fit (pyspark.ml), and the corpus is WRITTEN partitioned by cell so a
+    probe reads ~nprobe/C of the data via partition pruning instead of
+    scanning: that is the whole point of IVF over brute force.
+
+    Everything is JVM expressions: per-centroid cosine is a zip_with/
+    aggregate HOF, the argmax is array_max over (cosine, -index) structs."""
+    cents = [np.asarray(c, dtype=np.float64) for c in centroids]
+    structs = F.array(
+        *[
+            F.struct(
+                cosine_col(F.col(vec_col), c).alias("c"),
+                F.lit(-i).alias("ni"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    cell = (-F.array_max(structs)["ni"]).cast("int")
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q)) or 1.0
+    by_query = sorted(
+        range(len(cents)),
+        key=lambda i: (
+            -float(cents[i] @ q) / ((float(np.linalg.norm(cents[i])) or 1.0) * qn),
+            i,
+        ),
+    )
+    probe = by_query[:nprobe]
+    return (
+        df.withColumn("_cell", cell)
+        .filter(F.col("_cell").isin(probe))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_col(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def exact_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -176,6 +176,32 @@ def test_lsh_recall_vs_brute(emb_df):
     assert len(set(brute) & set(lsh)) >= 3
 
 
+def test_ivf_probe_all_equals_brute(emb_df):
+    q = emb_df.filter("vec_id = 0").collect()[0]["embedding"]
+    cents = [
+        r["embedding"]
+        for r in emb_df.filter("vec_id < 4").orderBy("vec_id").collect()
+    ]
+    brute = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.brute_force_cosine_topk(emb_df, q, k=5).collect()
+    ]
+    # probing ALL cells makes IVF exact
+    ivf_all = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_cosine_topk(emb_df, q, cents, k=5, nprobe=4).collect()
+    ]
+    assert ivf_all == brute
+    # probing 1 cell: results are a subset of the corpus scored exactly —
+    # the query's own cell (centroid 0 = vec 0) must surface vec 0 and its
+    # scaled clone vec 7 at cosine 1.0
+    ivf_1 = {
+        r["vec_id"]: r["cosine"]
+        for r in similarity.ivf_cosine_topk(emb_df, q, cents, k=5, nprobe=1).collect()
+    }
+    assert ivf_1[0] == pytest.approx(1.0) and ivf_1[7] == pytest.approx(1.0)
+
+
 def test_embedding_neardup(emb_df):
     pairs = similarity.embedding_neardup_pairs(emb_df, threshold=0.99).collect()
     assert any((r["id_a"], r["id_b"]) == (0, 7) for r in pairs)
