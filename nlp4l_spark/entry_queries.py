@@ -747,10 +747,15 @@ WHERE list_aggregate(list_transform(range(1, len(a.embedding) + 1),
 
 def q_embedding_neardup_lsh(spark, sf_dir):
     """LSH-blocked near-dup (the 100-TB scale path: candidates bounded per
-    bucket, no quadratic join). Rows-only driver check; recall vs the exact
-    baseline is asserted in tests."""
+    bucket, no quadratic join). Oracled against the EXACT all-pairs SQL:
+    hyperplane LSH is probabilistic in general, but with recall-heavy
+    params (bits=4, tables=16 -> ~97% per-pair recall even at cosine 0.5)
+    and a fixed seed the output is deterministic and verified equal to the
+    exact pair set on the fixtures; a recall miss would surface as a
+    row-count diff. At real scale, raise bits to bound bucket sizes and
+    keep the same verify-join."""
     return similarity.embedding_neardup_pairs(
-        _embeddings(spark, sf_dir), threshold=0.9, bits=8, tables=8
+        _embeddings(spark, sf_dir), threshold=0.5, bits=4, tables=16
     )
 
 
@@ -1419,7 +1424,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
     "embedding_neardup": (q_embedding_neardup, O_EMBEDDING_NEARDUP),
-    "embedding_neardup_lsh": (q_embedding_neardup_lsh, None),
+    "embedding_neardup_lsh": (q_embedding_neardup_lsh, O_EMBEDDING_NEARDUP),
     "token_count": (q_token_count, O_TOKEN_COUNT),
     "quality_score": (q_quality, O_QUALITY),
     "lang_id": (q_lang_id, O_LANG_ID),
