@@ -57,7 +57,9 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_ngram_pairs",
     "dedup_minhash",
+    "dedup_simhash",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "quality_score",
     "token_count",
 ]
