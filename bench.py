@@ -249,6 +249,17 @@ def main():
         f"({n_hits} hit rows)",
         file=sys.stderr,
     )
+    # batch-size scaling: one Spark job either way, so per-job launch cost
+    # amortizes — qps should rise near-linearly with batch size
+    qset_big = synth_queries(200)
+    t0 = time.time()
+    searcher.search_batch(qset_big).count()
+    search_big_secs = time.time() - t0
+    print(
+        f"  search_batch: {len(qset_big)} queries in {search_big_secs:.2f}s "
+        f"({len(qset_big) / search_big_secs:.1f} qps)",
+        file=sys.stderr,
+    )
     queries = run_queries(spark)
     spark.stop()
 
@@ -263,6 +274,9 @@ def main():
         "queries": len(qset),
         "sec": round(search_secs, 3),
         "qps": round(len(qset) / search_secs, 1),
+        "queries_big": len(qset_big),
+        "sec_big": round(search_big_secs, 3),
+        "qps_big": round(len(qset_big) / search_big_secs, 1),
     }
     if scaling:
         result["scaling"] = scaling
