@@ -5,6 +5,12 @@ from nlp4l_spark.analysis.analyzer import (
     LUCENE_ENGLISH_STOPWORDS,
     load_stopwords,
 )
+from nlp4l_spark.analysis.schema import (
+    FieldType,
+    Schema,
+    SchemaError,
+    load_schema,
+)
 
 __all__ = [
     "Analyzer",
@@ -12,4 +18,8 @@ __all__ = [
     "WHITESPACE_ANALYZER",
     "LUCENE_ENGLISH_STOPWORDS",
     "load_stopwords",
+    "FieldType",
+    "Schema",
+    "SchemaError",
+    "load_schema",
 ]

@@ -1227,6 +1227,53 @@ def q_ml_classify(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# Dictionary phrase matching (SimpleFST surface, SURVEY §1.4)
+# --------------------------------------------------------------------- #
+DICT_PHRASES = [
+    "join",
+    "window",
+    "merge join",
+    "sort merge",
+    "hash scan",
+    "sort merge join",
+]
+
+
+def q_dict_match(spark, sf_dir):
+    """All dictionary-phrase occurrences (FST substring lookup re-expressed
+    as a broadcast n-gram equality join; ops/dictmatch.py)."""
+    from nlp4l_spark.ops import dictmatch
+
+    return dictmatch.phrase_occurrences(
+        _docs(spark, sf_dir), DICT_PHRASES, "text", "doc_id"
+    )
+
+
+def _dict_gram_cte(n: int) -> str:
+    concat = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    guard = f" WHERE len(tk) >= {n}" if n > 1 else ""
+    return (
+        f"g{n} AS (SELECT doc_id, unnest(list_transform("
+        f"range(1, len(tk) - {n} + 2), i -> {{'s': i - 1, 'p': {concat}}})) "
+        f"AS u FROM t{guard})"
+    )
+
+
+O_DICT_MATCH = f"""
+WITH t AS (SELECT doc_id, {WS_SQL} AS tk FROM documents),
+p(phrase, n_toks) AS (VALUES {", ".join(
+    f"('{ph}', {len(ph.split())})" for ph in DICT_PHRASES)}),
+{_dict_gram_cte(1)}, {_dict_gram_cte(2)}, {_dict_gram_cte(3)},
+g AS (SELECT doc_id, u.s AS start_tok, 1 AS n_toks, u.p AS phrase FROM g1
+      UNION ALL SELECT doc_id, u.s, 2, u.p FROM g2
+      UNION ALL SELECT doc_id, u.s, 3, u.p FROM g3)
+SELECT g.doc_id, g.start_tok::int AS start_tok, g.n_toks::int AS n_toks,
+       g.phrase
+FROM g JOIN p ON g.phrase = p.phrase AND g.n_toks = p.n_toks
+"""
+
+
+# --------------------------------------------------------------------- #
 # Validators / vocab pruning / label map / TF vectors / pairwise LTR
 # (SURVEY §2.3, §2.5, §2.11 gap-fill)
 # --------------------------------------------------------------------- #
@@ -1451,6 +1498,7 @@ REGISTRY: dict[str, tuple] = {
     "tf_vectors": (q_tf_vectors, O_TF_VECTORS),
     "count_words": (q_count_words, O_COUNT_WORDS),
     "ltr_pairwise": (q_ltr_pairwise, O_LTR_PAIRWISE),
+    "dict_match": (q_dict_match, O_DICT_MATCH),
 }
 
 

@@ -1,0 +1,165 @@
+"""Schema loader parity with SchemaLoaderSuite
+(/root/reference/test/org/nlp4l/lucene/SchemaLoaderSuite.scala and
+testschema1.conf / testschema_invalid1-5.conf): one valid config exercising
+default + per-field analyzers and index-option flags, plus the negative
+validation matrix. Pure Python — no Spark session needed."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from nlp4l_spark.analysis import (
+    LUCENE_ENGLISH_STOPWORDS,
+    SchemaError,
+    load_schema,
+)
+
+VALID = {
+    "schema": {
+        "defAnalyzer": {"tokenizer": "standard", "filters": ["lowercase", "stop"]},
+        "fields": [
+            {
+                "name": "body",
+                "termVectors": True,
+                "termPositions": True,
+                "termOffsets": True,
+            },
+            {
+                "name": "tag",
+                "analyzer": {"tokenizer": "keyword", "filters": ["lowercase"]},
+                "indexed": True,
+                "stored": False,
+            },
+            {
+                "name": "code",
+                "analyzer": {
+                    "tokenizer": "pattern",
+                    "pattern": "[A-Za-z0-9_]+",
+                    "filters": [],
+                },
+            },
+        ],
+    }
+}
+
+
+def test_valid_schema_parses():
+    s = load_schema(VALID)
+    assert s.field_names == ["body", "tag", "code"]
+    # default analyzer: lowercase + Lucene stop set
+    body = s.analyzer("body")
+    assert body.lowercase and body.stopwords == LUCENE_ENGLISH_STOPWORDS
+    assert body.tokenize("The Quick code_X") == ["quick", "code", "x"]
+    # per-field overrides
+    assert s.analyzer("tag").tokenize("Red Apple") == ["red apple"]  # keyword
+    code = s.analyzer("code")
+    assert not code.lowercase
+    assert code.tokenize("Foo_bar Baz") == ["Foo_bar", "Baz"]
+    # flags (reference FieldType booleans)
+    bt = s.field_type("body")
+    assert bt.term_vectors and bt.term_positions and bt.term_offsets
+    assert not s.field_type("tag").stored
+    # unknown field falls back to default analyzer; field_type raises
+    assert s.analyzer("nope") is s.default_analyzer
+    with pytest.raises(SchemaError):
+        s.field_type("nope")
+
+
+def test_json_file_round_trip(tmp_path):
+    p = tmp_path / "schema.json"
+    p.write_text(json.dumps(VALID))
+    s = load_schema(str(p))
+    assert s.field_names == ["body", "tag", "code"]
+
+
+@pytest.mark.parametrize(
+    "config,msg",
+    [
+        ({}, "no 'schema' root"),  # invalid1: missing root
+        ({"schema": {"fields": [{"name": "a"}]}}, "defAnalyzer"),  # invalid2
+        (
+            {"schema": {"defAnalyzer": {"tokenizer": "standard"}}},
+            "fields",
+        ),  # invalid3: missing fields
+        (
+            {
+                "schema": {
+                    "defAnalyzer": {"tokenizer": "standard"},
+                    "fields": [{"stored": True}],
+                }
+            },
+            "no 'name'",
+        ),  # invalid4: field without name
+        (
+            {
+                "schema": {
+                    "defAnalyzer": {"tokenizer": "wavelet"},
+                    "fields": [{"name": "a"}],
+                }
+            },
+            "unknown tokenizer",
+        ),  # invalid5: unknown analyzer component
+        (
+            {
+                "schema": {
+                    "defAnalyzer": {"tokenizer": "standard"},
+                    "fields": [{"name": "a"}, {"name": "a"}],
+                }
+            },
+            "duplicate field",
+        ),
+        (
+            {
+                "schema": {
+                    "defAnalyzer": {
+                        "tokenizer": "standard",
+                        "filters": ["phonemic"],
+                    },
+                    "fields": [{"name": "a"}],
+                }
+            },
+            "unknown filter",
+        ),
+        (
+            {
+                "schema": {
+                    "defAnalyzer": {"tokenizer": "pattern"},
+                    "fields": [{"name": "a"}],
+                }
+            },
+            "requires a 'pattern'",
+        ),
+        (
+            {
+                "schema": {
+                    "defAnalyzer": {"tokenizer": "ngram"},
+                    "fields": [{"name": "a"}],
+                }
+            },
+            "spellcheck",
+        ),
+    ],
+)
+def test_invalid_schemas_raise(config, msg):
+    with pytest.raises(SchemaError, match=msg):
+        load_schema(config)
+
+
+def test_stopwords_from_file(tmp_path):
+    p = tmp_path / "stop.txt"
+    p.write_text("# comment\nfoo\nbar\n\n")
+    s = load_schema(
+        {
+            "schema": {
+                "defAnalyzer": {
+                    "tokenizer": "standard",
+                    "filters": ["lowercase", "stop"],
+                    "stopwords_path": str(p),
+                },
+                "fields": [{"name": "a"}],
+            }
+        }
+    )
+    assert s.default_analyzer.tokenize("Foo sees bar run") == ["sees", "run"]
