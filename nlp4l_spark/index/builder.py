@@ -655,3 +655,27 @@ def build_index(
         materialize_forward=materialize_forward,
         store_term_vectors=store_term_vectors,
     ).build(spark_df, index_dir, **kwargs)
+
+
+def build_index_from_schema(
+    spark_df: DataFrame,
+    index_dir: str,
+    schema,
+    field: str = "text",
+    **kwargs,
+) -> IndexCatalog:
+    """Schema-driven build: the field's declared analyzer drives
+    tokenization and its termVectors/termPositions/termOffsets flags opt
+    into the term_vectors table — the rebuild of LuceneIndexingProcessor's
+    cells->schema-fields mapping + IWriter's per-field analyzer dispatch
+    (/root/reference/app/org/nlp4l/framework/builtin/lucene/
+    LuceneIndexingProcessor.scala:79-110, Schema.perFieldAnalyzer
+    Schema.scala:50-52). ``schema`` is an analysis.Schema (load_schema)."""
+    ft = schema.field_type(field)
+    return IndexBuilder(
+        analyzer=ft.analyzer,
+        text_col=field,
+        store_term_vectors=(
+            ft.term_vectors or ft.term_positions or ft.term_offsets
+        ),
+    ).build(spark_df, index_dir, **kwargs)

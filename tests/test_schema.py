@@ -163,3 +163,39 @@ def test_stopwords_from_file(tmp_path):
         }
     )
     assert s.default_analyzer.tokenize("Foo sees bar run") == ["sees", "run"]
+
+
+def test_schema_driven_index_build(spark, tmp_path):
+    """build_index_from_schema: the field's analyzer + term-vector flags
+    drive the build (LuceneIndexingProcessor + perFieldAnalyzer shape)."""
+    from nlp4l_spark.index import build_index_from_schema
+    from nlp4l_spark.search import Searcher
+
+    schema = load_schema(
+        {
+            "schema": {
+                "defAnalyzer": {
+                    "tokenizer": "standard",
+                    "filters": ["lowercase", "stop"],
+                },
+                "fields": [{"name": "text", "termPositions": True}],
+            }
+        }
+    )
+    df = spark.createDataFrame(
+        [
+            ("c0", 0, "user", "london bridge is falling down", None, None),
+            ("c0", 1, "agent", "build it up with iron bars", None, None),
+            ("c1", 0, "user", "iron bars will bend and break", None, None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    cat = build_index_from_schema(df, str(tmp_path / "idx"), schema)
+    # termPositions flag materialized the term_vectors table
+    tv = cat.read(spark, "term_vectors")
+    pos = tv.filter("doc_id = 0 AND term = 'falling'").collect()[0]
+    assert pos["positions"] == [3]  # stopword 'is' leaves a position hole
+    s = Searcher(spark, str(tmp_path / "idx"), analyzer=schema.analyzer("text"))
+    hits = s.search("iron bars", k=3).collect()
+    assert [h["doc_id"] for h in hits][:2] == [1, 2] or len(hits) == 2
