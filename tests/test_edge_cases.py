@@ -1,0 +1,95 @@
+"""Degenerate-input robustness for the core build/search path: null /
+empty / stopword-only / whitespace-only texts, an all-degenerate corpus,
+and duplicate (conv_id, turn_idx) keys. The reference inherits this from
+Lucene (empty docs index fine and match nothing); our engine must not
+diverge or crash on them."""
+
+from __future__ import annotations
+
+import pytest
+
+from nlp4l_spark.index import build_index
+from nlp4l_spark.search import Searcher
+
+SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def _build(spark, tmp_path, rows, name):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return build_index(df, str(tmp_path / name))
+
+
+def test_degenerate_texts_index_and_search(spark, tmp_path):
+    rows = [
+        ("c0", 0, "user", None, None, None),            # null text
+        ("c0", 1, "user", "", None, None),              # empty
+        ("c0", 2, "user", "   \t  ", None, None),       # whitespace only
+        ("c0", 3, "user", "the and of", None, None),    # stopwords only
+        ("c1", 0, "user", "needle in haystack", None, None),
+        ("c1", 1, "user", "another needle", None, None),
+    ]
+    cat = _build(spark, tmp_path, rows, "degen")
+    # every turn got a docID and round-trips its text (incl. NULL/empty)
+    stored = cat.read(spark, "stored").orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in stored] == [0, 1, 2, 3, 4, 5]
+    assert stored[0]["text"] is None and stored[1]["text"] == ""
+    # dl = 0 for all degenerate docs; field stats count ALL docs
+    lens = {r["doc_id"]: r["dl"] for r in cat.read(spark, "doc_lens").collect()}
+    assert lens[0] == lens[1] == lens[2] == lens[3] == 0
+    fs = cat.read(spark, "field_stats").collect()[0]
+    # 'in' is a stopword: both needle docs analyze to dl=2
+    assert fs["num_docs"] == 6 and fs["sum_dl"] == 4
+    s = Searcher(spark, str(tmp_path / "degen"))
+    hits = s.search("needle", k=10).collect()
+    # equal tf and dl -> equal score -> Lucene tie-break by docID asc
+    assert [h["doc_id"] for h in hits] == [4, 5]
+    assert hits[0]["score"] == pytest.approx(hits[1]["score"])
+    assert s.search("the and", k=10).count() == 0
+
+
+def test_all_degenerate_corpus(spark, tmp_path):
+    rows = [("c0", i, "user", t, None, None) for i, t in enumerate([None, "", "the"])]
+    cat = _build(spark, tmp_path, rows, "allnull")
+    fs = cat.read(spark, "field_stats").collect()[0]
+    assert fs["num_docs"] == 3 and fs["sum_dl"] == 0
+    assert cat.read(spark, "postings").count() == 0
+    s = Searcher(spark, str(tmp_path / "allnull"))
+    assert s.search("anything", k=5).count() == 0
+
+
+def test_duplicate_sort_keys_still_dense_and_deterministic(spark, tmp_path):
+    # two turns share (conv_id, turn_idx): docIDs must stay dense 0..N-1
+    # and the assignment deterministic across parallelism levels
+    rows = [
+        ("c0", 0, "user", "alpha", None, None),
+        ("c0", 0, "agent", "beta", None, None),  # duplicate key
+        ("c1", 0, "user", "gamma", None, None),
+    ]
+    ids = []
+    for p, name in [(2, "dup2"), (8, "dup8")]:
+        df = spark.createDataFrame(rows, SCHEMA).repartition(p)
+        cat = build_index(df, str(tmp_path / name))
+        got = sorted(
+            (r["doc_id"], r["text"])
+            for r in cat.read(spark, "stored").collect()
+        )
+        ids.append(got)
+        assert [d for d, _ in got] == [0, 1, 2]
+    assert ids[0] == ids[1]  # identical assignment at both parallelism levels
+
+
+def test_unicode_text_survives_roundtrip(spark, tmp_path):
+    # non-ASCII is outside the token contract ([a-z0-9]+) but must
+    # round-trip byte-identically through the stored table
+    txt = "café 東京 \U0001f600 mixed ascii words"
+    rows = [("c0", 0, "user", txt, None, None),
+            ("c0", 1, "user", "plain ascii", None, None)]
+    cat = _build(spark, tmp_path, rows, "uni")
+    stored = {r["doc_id"]: r["text"] for r in cat.read(spark, "stored").collect()}
+    assert stored[0] == txt
+    # ASCII subtokens of the unicode doc are still indexed
+    s = Searcher(spark, str(tmp_path / "uni"))
+    assert {h["doc_id"] for h in s.search("mixed", k=5).collect()} == {0}
