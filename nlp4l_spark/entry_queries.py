@@ -1171,6 +1171,23 @@ def q_acronyms(spark, sf_dir):
     return acronyms.extract_acronyms(df)
 
 
+def q_acronym_candidates(spark, sf_dir):
+    """Regex candidate-find half of AcronymExtractionProcessor (JVM-side,
+    SQL-oracled); the alignment half is the rows-only `acronyms` query."""
+    from nlp4l_spark.ops import acronyms
+
+    df = spark.createDataFrame([(s,) for s in ACRONYM_SENTENCES], "text string")
+    return acronyms.acronym_candidates(df)
+
+
+O_ACRONYM_CANDIDATES = r"""
+WITH s(text) AS (VALUES {vals}),
+c AS (SELECT unnest(regexp_extract_all(text, '[A-Z][A-Za-z/\-]*[A-Z]')) AS acronym FROM s)
+SELECT acronym, count(*)::bigint AS cnt FROM c
+WHERE length(acronym) <= 10 GROUP BY acronym
+""".format(vals=", ".join(f"('{s}')" for s in ACRONYM_SENTENCES))
+
+
 # --------------------------------------------------------------------- #
 # MDLP discretizer (SURVEY §2.11 vendored MDLPDiscretizer) — rows-only
 # (recursive MDL acceptance is not SQL-expressible)
@@ -1488,6 +1505,7 @@ REGISTRY: dict[str, tuple] = {
     "ltr_features": (q_ltr_features, O_LTR_FEATURES),
     "spellcheck_suggest": (q_spellcheck_suggest, O_SPELLCHECK_SUGGEST),
     "acronyms": (q_acronyms, None),
+    "acronym_candidates": (q_acronym_candidates, O_ACRONYM_CANDIDATES),
     "ml_classify": (q_ml_classify, None),
     "mdlp_cuts": (q_mdlp_cuts, None),
     "ner_entities": (q_ner_entities, None),

@@ -111,3 +111,23 @@ def extract_acronyms(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         F.explode(_extract(F.col(text_col))).alias("acronyms")
     )
+
+
+def acronym_candidates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(acronym, cnt) — the regex-find half of the reference operator
+    (AcronymExtractionProcessor.scala:36: candidates match
+    ``[A-Z][A-Za-z/-]*[A-Z]`` and are <= 10 chars), as pure JVM expressions
+    (regexp_extract_all + explode), SQL-oracle comparable. The expansion
+    alignment half stays in the pandas UDF (extract_acronyms)."""
+    return (
+        df.select(
+            F.explode(
+                F.expr(
+                    rf"regexp_extract_all({text_col}, '[A-Z][A-Za-z/\\-]*[A-Z]', 0)"
+                )
+            ).alias("acronym")
+        )
+        .filter(F.length("acronym") <= 10)
+        .groupBy("acronym")
+        .agg(F.count("*").alias("cnt"))
+    )
