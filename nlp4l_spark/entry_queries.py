@@ -1216,6 +1216,36 @@ NER_SENTENCES = [
     (2, "nothing capitalized here"),
 ]
 
+_CAP_RUN = r"[A-Z][A-Za-z.\-]*(?:\s+[A-Z][A-Za-z.\-]*)*"
+
+
+def q_ner_candidates(spark, sf_dir):
+    """SQL-expressible half of the NER processor: maximal capitalized-token
+    runs (the heuristic tagger's candidate spans) via regexp_extract_all —
+    JVM-side, DuckDB-oracled. The typed span alignment stays in the Arrow
+    UDF (`ner_entities`, rows-only)."""
+    df = spark.createDataFrame(NER_SENTENCES, "doc_id long, text string")
+    return (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all("text", F.lit(_CAP_RUN), 0)
+            ).alias("span"),
+        )
+        .groupBy("doc_id", "span")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+O_NER_CANDIDATES = """
+WITH s(doc_id, text) AS (VALUES {vals}),
+c AS (SELECT doc_id, unnest(regexp_extract_all(text, '{pat}')) AS span FROM s)
+SELECT doc_id, span, count(*)::bigint AS cnt FROM c GROUP BY doc_id, span
+""".format(
+    vals=", ".join(f"({i}, '{t}')" for i, t in NER_SENTENCES),
+    pat=_CAP_RUN,
+)
+
 
 def q_ner_entities(spark, sf_dir):
     from nlp4l_spark.ops import ner
@@ -1509,6 +1539,7 @@ REGISTRY: dict[str, tuple] = {
     "ml_classify": (q_ml_classify, None),
     "mdlp_cuts": (q_mdlp_cuts, None),
     "ner_entities": (q_ner_entities, None),
+    "ner_candidates": (q_ner_candidates, O_NER_CANDIDATES),
     "validator_regex": (q_validator_regex, O_VALIDATOR_REGEX),
     "search_validator": (q_search_validator, O_SEARCH_VALIDATOR),
     "select_features": (q_select_features, O_SELECT_FEATURES),
