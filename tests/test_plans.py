@@ -1,0 +1,78 @@
+"""Physical-plan regression guards for the properties PLANS.md documents:
+term pushdown must reach the parquet reader, JVM-only operators must stay
+free of Python eval nodes, scans must stay narrow, and top-k must compile
+to TakeOrderedAndProject. These lock in the `.explain`-reviewed plan shapes
+so a refactor can't silently regress them."""
+
+from __future__ import annotations
+
+import pytest
+
+from nlp4l_spark import entry_queries as eq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# Queries whose hot path must be 100% JVM (no row/Arrow Python eval).
+JVM_ONLY = [
+    "dedup_simhash",
+    "dict_match",
+    "ann_ivf_topk",
+    "ann_cosine_topk",
+    "token_count",
+    "dedup_exact",
+    "sort_paging",
+    "top_event_types",
+    "ner_candidates",
+    "acronym_candidates",
+]
+
+
+@pytest.mark.parametrize("name", JVM_ONLY)
+def test_no_python_eval_in_jvm_only_queries(spark, name):
+    plan = _plan(eq.REGISTRY[name][0](spark, SF))
+    assert "BatchEvalPython" not in plan, f"{name} fell back to row-Python"
+    assert "ArrowEvalPython" not in plan, f"{name} gained a Python stage"
+    assert "FlatMapGroupsInPandas" not in plan, name
+
+
+def test_search_term_pushdown_reaches_parquet(spark, tmp_path):
+    from nlp4l_spark.data.transcripts import synth_transcripts
+    from nlp4l_spark.index import build_index
+    from nlp4l_spark.search import Searcher
+
+    idx = str(tmp_path / "idx")
+    build_index(synth_transcripts(spark, 1500, num_partitions=4), idx)
+    s = Searcher(spark, idx)
+    plan = _plan(s.search("w00001 w00454", k=5, method="dataframe"))
+    # the postings scan must be term-pruned AT THE READER: the query's
+    # terms appear as an In(...) pushed filter, so parquet row-group
+    # min/max stats on the term-sorted table skip everything else
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("term" in ln and "In(" in ln for ln in pushed), pushed
+    # dl rides inside the shards — no join against doc_lens at query time
+    assert "doc_lens" not in plan
+
+
+def test_wordcount_scan_is_single_column(spark):
+    plan = _plan(eq.REGISTRY["wordcount_cf"][0](spark, SF))
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all("text" in ln and "lang" not in ln for ln in read), read
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    for name in ["top_terms_by_docfreq", "ann_cosine_topk", "sort_paging"]:
+        plan = _plan(eq.REGISTRY[name][0](spark, SF))
+        assert "TakeOrderedAndProject" in plan, f"{name}: global sort for top-k"
+
+
+def test_stats_joins_are_broadcast_not_shuffle(spark):
+    # bm25_topk joins per-term df/idf onto doc_terms: must be broadcast
+    plan = _plan(eq.REGISTRY["bm25_topk"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "stats join regressed to a shuffle join"
