@@ -233,6 +233,43 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+PHRASE_QUERY = "merge join"
+
+
+def q_phrase_bm25_topk(spark, sf_dir):
+    """Exact-phrase top-k, Lucene PhraseQuery BM25 semantics (tf = phrase
+    frequency with stopword-hole adjacency, idf = Σ per-term idf); the
+    index path (Searcher.search_phrase over term_vectors positions) is
+    identity-tested against this in tests/test_phrase.py."""
+    from nlp4l_spark.search import phrase_bm25_topk
+
+    return phrase_bm25_topk(_docs(spark, sf_dir), PHRASE_QUERY, k=BM25_K)
+
+
+O_PHRASE_BM25_TOPK = f"""
+WITH t AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS ft,
+             {TOK_SQL} AS at FROM documents),
+base AS (SELECT doc_id,
+           CASE WHEN len(ft) >= 2 THEN len(list_filter(range(1, len(ft)),
+                i -> ft[i] = 'merge' AND ft[i+1] = 'join')) ELSE 0 END AS tf,
+           len(at) AS dl
+         FROM t),
+n AS (SELECT count(*)::double AS n,
+             sum(dl)::double / count(*) AS avgdl FROM base),
+d AS (SELECT
+        (SELECT count(*) FROM t WHERE list_contains(at, 'merge')) AS dfm,
+        (SELECT count(*) FROM t WHERE list_contains(at, 'join')) AS dfj)
+SELECT doc_id,
+       round((ln(1 + (n.n - d.dfm + 0.5) / (d.dfm + 0.5))
+              + ln(1 + (n.n - d.dfj + 0.5) / (d.dfj + 0.5)))
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / n.avgdl)), 6)
+           AS score
+FROM base, n, d WHERE tf > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 def _index_cache_dir(sf_dir: str) -> str:
     key = sf_dir.strip("/").replace("/", "_")
     return os.path.join(tempfile.gettempdir(), f"nlp4l_idx_{key}")
@@ -1497,6 +1534,7 @@ REGISTRY: dict[str, tuple] = {
     "count_docset": (q_count_docset, O_COUNT_DOCSET),
     "bm25_topk": (q_bm25_topk, _BM25_ORACLE),
     "index_bm25_topk": (q_index_bm25_topk, _BM25_ORACLE),
+    "phrase_bm25_topk": (q_phrase_bm25_topk, O_PHRASE_BM25_TOPK),
     "tfidf_weights": (q_tfidf_weights, O_TFIDF_WEIGHTS),
     "chi2_terms": (q_chi2_terms, O_CHI2_TERMS),
     "stats_moments": (q_stats_moments, O_STATS_MOMENTS),

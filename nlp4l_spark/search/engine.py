@@ -176,6 +176,66 @@ class Searcher:
         )
 
     # ------------------------------------------------------------------ #
+    def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:
+        """Exact-phrase top-k over the INDEX using the opt-in term_vectors
+        positions table (build with ``store_term_vectors=True``; reference
+        read model: TermVector/PosAndOffset, Terms.scala:95-179). Lucene
+        PhraseQuery BM25: tf = phrase freq (consecutive positions — valid
+        across stopword holes because StopFilter preserves position
+        increments), idf = Σ per-term idf. Candidate docs come from an
+        inner join of the per-term position lists (term-pruned scans);
+        the position-adjacency check is an array-HOF intersection."""
+        terms = self.analyzer.tokenize(phrase)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        if not self.cat.is_committed("term_vectors"):
+            raise ValueError(
+                "phrase search needs term_vectors "
+                "(IndexBuilder(store_term_vectors=True))"
+            )
+        tv = self.cat.read(self.spark, "term_vectors")
+        # per query term: (doc_id, positions), term-pruned scan
+        joined = None
+        for i, t in enumerate(terms):
+            side = (
+                tv.filter(F.col("term") == t)
+                .select("doc_id", F.col("positions").alias(f"_p{i}"))
+            )
+            joined = side if joined is None else joined.join(side, "doc_id")
+        # phrase positions: p in _p0 with p+i in _pi for all i
+        # (transform lambdas must be 1-arg: 2-arg means (element, index))
+        def _shift(off: int):
+            return lambda p: p - off
+
+        first = F.col("_p0")
+        for i in range(1, len(terms)):
+            first = F.array_intersect(
+                first, F.transform(F.col(f"_p{i}"), _shift(i))
+            )
+        cand = joined.select("doc_id", F.size(first).alias("tf")).filter(
+            F.col("tf") > 0
+        )
+        dfs = self._term_stats(terms)
+        idf_sum = sum(idf(self.num_docs, dfs.get(t, 0)) for t in terms)
+        dl = self.cat.read(self.spark, "doc_lens")
+        score = (
+            F.lit(idf_sum)
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1 - B) + F.lit(B) * F.col("dl") / F.lit(self.avgdl))
+            )
+        )
+        return (
+            cand.join(dl, "doc_id")
+            .select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    # ------------------------------------------------------------------ #
     def _score_dataframe(self, postings: DataFrame, qterms: DataFrame) -> DataFrame:
         decoded = postings.select(
             "term", "doc_ids_enc", "tfs_enc", "dls_enc"
@@ -255,3 +315,81 @@ def _decode_postings(batches):
                 "dl": np.concatenate(dls).astype(np.int32),
             }
         )
+
+
+# --------------------------------------------------------------------- #
+# Phrase queries (Lucene PhraseQuery semantics)
+# --------------------------------------------------------------------- #
+def _phrase_tf_expr(full_toks, terms: list[str]):
+    """Column: # of positions where the analyzed phrase occurs exactly
+    (slop 0). Adjacency is over the FULL token stream — identical to
+    Lucene's filtered-stream positions, because StopFilter preserves
+    position increments (holes), so "consecutive positions" means
+    "adjacent in the unfiltered stream"."""
+    n = len(terms)
+    match_at = lambda i: F.forall(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda j: F.element_at(full_toks, i + j) == F.element_at(
+            F.array(*[F.lit(t) for t in terms]), j + 1
+        ),
+    )
+    return F.when(
+        F.size(full_toks) >= n,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size(full_toks) - n + 1), match_at
+            )
+        ),
+    ).otherwise(F.lit(0))
+
+
+def phrase_bm25_topk(
+    docs_df: DataFrame,
+    phrase: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: Analyzer | None = None,
+) -> DataFrame:
+    """Index-free exact-phrase top-k with Lucene PhraseQuery BM25 scoring:
+    tf = phrase frequency, idf = Σ idf(term_i) (BM25Similarity sums the
+    per-term idfs for a phrase), dl/avgdl as usual. All JVM expressions —
+    the SQL-oracle-comparable path; the index path is
+    ``Searcher.search_phrase`` (term_vectors positions)."""
+    analyzer = analyzer or STANDARD_ANALYZER
+    terms = analyzer.tokenize(phrase)
+    if not terms:
+        return docs_df.sparkSession.createDataFrame([], "doc_id long, score double")
+    full = Analyzer(
+        lowercase=analyzer.lowercase,
+        token_pattern=analyzer.token_pattern,
+        stopwords=frozenset(),
+    )
+    base = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        _phrase_tf_expr(full.tokens_expr(text_col), terms).alias("tf"),
+        F.size(analyzer.tokens_expr(text_col)).alias("dl"),
+    )
+    stats = base.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n, avgdl = stats["n"], stats["sum_dl"] / stats["n"]
+    # per-term df over the ANALYZED stream (what Lucene's idf uses)
+    dt = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(analyzer.tokens_expr(text_col))).alias("term"),
+    ).filter(F.col("term").isin(terms))
+    dfs = {r["term"]: r["cnt"] for r in dt.groupBy("term").agg(F.count("*").alias("cnt")).collect()}
+    idf_sum = sum(idf(n, dfs.get(t, 0)) for t in terms)
+    score = (
+        F.lit(idf_sum)
+        * F.col("tf")
+        * F.lit(K1 + 1.0)
+        / (F.col("tf") + F.lit(K1) * (F.lit(1 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        base.filter(F.col("tf") > 0)
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

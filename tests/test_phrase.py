@@ -1,0 +1,100 @@
+"""Phrase query (Lucene PhraseQuery semantics): exact adjacency incl.
+stopword-hole behavior (StopFilter keeps position increments, so terms
+separated by a stopword are NOT adjacent), phrase-freq tf, summed per-term
+idf, BM25. The corpus path (phrase_bm25_topk, SQL-oracle-comparable) and
+the index path (Searcher.search_phrase over term_vectors positions) must
+agree exactly."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nlp4l_spark.index import IndexBuilder
+from nlp4l_spark.search import Searcher, idf, phrase_bm25_topk
+from nlp4l_spark.search.engine import B, K1
+
+DOCS = [
+    (0, "london bridge is falling down falling down london bridge"),
+    (1, "the bridge in london is falling"),      # "london ... bridge" NOT adjacent
+    (2, "london the bridge"),                    # stopword hole -> NOT a phrase hit
+    (3, "we crossed london bridge at dawn"),
+    (4, "bridge london backwards order"),        # reversed -> no hit
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def indexed(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("phraseidx") / "idx")
+    df = (
+        spark.createDataFrame(DOCS, "doc_id long, text string")
+        .select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.lit("user").alias("role"),
+            "text",
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+    IndexBuilder(
+        sort_cols=("conv_id", "turn_idx"), store_term_vectors=True
+    ).build(df, d)
+    return d
+
+
+def test_phrase_hits_and_holes(docs_df):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in phrase_bm25_topk(docs_df, "london bridge", k=10).collect()
+    }
+    # docs 0 (tf=2) and 3 (tf=1) match; 1/2 (hole), 4 (reversed) don't
+    assert set(got) == {0, 3}
+
+
+def test_phrase_scores_first_principles(docs_df):
+    rows = phrase_bm25_topk(docs_df, "london bridge", k=10).collect()
+    got = {r["doc_id"]: r["score"] for r in rows}
+    # analyzed dls (stopwords removed): 8, 3, 2, 5, 4
+    n = 5
+    avgdl = (8 + 3 + 2 + 5 + 4) / 5.0
+    idf_sum = idf(n, 5) + idf(n, 5)  # both terms appear in all 5 docs
+    def bm25(tf, dl):
+        return idf_sum * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+    assert got[0] == pytest.approx(round(bm25(2, 8), 6), abs=1e-6)
+    assert got[3] == pytest.approx(round(bm25(1, 5), 6), abs=1e-6)
+
+
+def test_index_path_matches_corpus_path(spark, docs_df, indexed):
+    s = Searcher(spark, indexed)
+    for phrase in ["london bridge", "falling down", "bridge london", "nohit phrase"]:
+        via_index = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in s.search_phrase(phrase, k=10).collect()
+        ]
+        via_corpus = [
+            (r["doc_id"], r["score"])
+            for r in phrase_bm25_topk(docs_df, phrase, k=10).collect()
+        ]
+        assert via_index == via_corpus, phrase
+
+
+def test_phrase_without_term_vectors_raises(spark, tmp_path, docs_df):
+    df = docs_df.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"), F.lit("u").alias("role"), "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    d = str(tmp_path / "novec")
+    IndexBuilder().build(df, d)
+    with pytest.raises(ValueError, match="term_vectors"):
+        Searcher(spark, d).search_phrase("london bridge")
