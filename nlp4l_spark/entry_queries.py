@@ -233,6 +233,87 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+_BM25_AND_ORACLE = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id
+       HAVING count(DISTINCT dt.term) = {len(BM25_TERMS)})
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+def q_bm25_and_topk(spark, sf_dir):
+    """Conjunctive (Lucene BooleanQuery MUST) BM25 top-k: docs must contain
+    EVERY query term; scoring is the same BM25 sum (MUST only changes the
+    candidate set). Index path: Searcher.search(..., operator='and'),
+    identity-tested in tests/test_boolean.py."""
+    corpus = _corpus(spark, sf_dir)
+    dt = corpus.doc_terms()
+    dl = corpus.doc_lens()
+    stats = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n, avgdl = stats["n"], stats["sum_dl"] / stats["n"]
+    qdt = dt.filter(F.col("term").isin(BM25_TERMS))
+    dfm = qdt.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = (
+        idf
+        * F.col("tf")
+        * F.lit(2.2)
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        qdt.join(F.broadcast(dfm), "term")
+        .join(dl, "doc_id")
+        .withColumn("_s", score)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_s").alias("s"),
+            F.countDistinct("term").alias("_nm"),
+        )
+        .filter(F.col("_nm") == len(BM25_TERMS))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+PREFIX_SEARCH = "sc"
+
+
+def q_prefix_search(spark, sf_dir):
+    """Lucene PrefixQuery semantics over the corpus: docs containing any
+    term with the prefix, constant score (omitted — docID set), docID asc.
+    Index path: Searcher.search_prefix (term-dictionary range scan)."""
+    corpus = _corpus(spark, sf_dir)
+    return (
+        corpus.doc_terms()
+        .filter(F.col("term").startswith(PREFIX_SEARCH))
+        .select("doc_id")
+        .distinct()
+        .orderBy(F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+O_PREFIX_SEARCH = f"""
+WITH {TOKS_CTE}
+SELECT DISTINCT doc_id FROM toks WHERE term LIKE '{PREFIX_SEARCH}%'
+ORDER BY doc_id ASC LIMIT 20
+"""
+
+
 PHRASE_QUERY = "merge join"
 
 
@@ -1535,6 +1616,8 @@ REGISTRY: dict[str, tuple] = {
     "bm25_topk": (q_bm25_topk, _BM25_ORACLE),
     "index_bm25_topk": (q_index_bm25_topk, _BM25_ORACLE),
     "phrase_bm25_topk": (q_phrase_bm25_topk, O_PHRASE_BM25_TOPK),
+    "bm25_and_topk": (q_bm25_and_topk, _BM25_AND_ORACLE),
+    "prefix_search": (q_prefix_search, O_PREFIX_SEARCH),
     "tfidf_weights": (q_tfidf_weights, O_TFIDF_WEIGHTS),
     "chi2_terms": (q_chi2_terms, O_CHI2_TERMS),
     "stats_moments": (q_stats_moments, O_STATS_MOMENTS),

@@ -120,10 +120,92 @@ class Searcher:
         )
 
     # ------------------------------------------------------------------ #
-    def search(self, query: str, k: int = 10, method: str = "wand") -> DataFrame:
-        """Top-k for one query -> DataFrame(doc_id, score, rank)."""
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        method: str = "wand",
+        operator: str = "or",
+    ) -> DataFrame:
+        """Top-k for one query -> DataFrame(doc_id, score, rank).
+
+        operator: "or" = Lucene BooleanQuery SHOULD (default), "and" =
+        MUST — the doc must contain EVERY analyzed query term; scores are
+        the same BM25 sum over matching terms either way (Lucene
+        semantics: MUST only changes the candidate set)."""
+        if operator == "and":
+            return self._search_conjunctive(query, k)
         res = self.search_batch([(0, query, k)], method=method)
         return res.select("doc_id", "score", "rank")
+
+    def _search_conjunctive(self, query: str, k: int) -> DataFrame:
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        dfs = self._term_stats(terms)
+        if len(dfs) < len(terms) or not terms:
+            # a MUST term missing from the index -> no results
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, rank int"
+            )
+        rows = [(t, idf(self.num_docs, dfs[t])) for t in terms]
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "term string, idf double")
+        )
+        decoded = self._decoded(self._matching_postings(terms))
+        score_expr = (
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (
+                    F.lit(1.0 - B)
+                    + F.lit(B) * F.col("dl") / F.lit(self.avgdl or 1.0)
+                )
+            )
+        )
+        out = (
+            decoded.join(qterms, "term")
+            .withColumn("_s", score_expr)
+            .groupBy("doc_id")
+            .agg(
+                F.sum("_s").alias("score"),
+                F.countDistinct("term").alias("_nm"),
+            )
+            .filter(F.col("_nm") == len(terms))  # the MUST candidate set
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.withColumn("rank", F.row_number().over(w))
+
+    def search_prefix(self, prefix: str, k: int = 10) -> DataFrame:
+        """Lucene PrefixQuery semantics: docs containing >=1 term with the
+        prefix, constant score 1.0 (Lucene rewrites multi-term queries to
+        constant-score), docID ascending. The term-dictionary 'range scan'
+        is a startswith filter the term-sorted parquet can min/max-prune."""
+        matching = self.cat.read(self.spark, "postings").filter(
+            F.col("term").startswith(prefix.lower())
+        )
+        docs = (
+            self._decoded(matching)
+            .select("doc_id")
+            .distinct()
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+        return docs.select("doc_id", F.lit(1.0).alias("score"))
+
+    def match_all(self, k: int = 10) -> DataFrame:
+        """MatchAllDocsQuery (the reference ISearcher's default query,
+        ISearcher.scala:42): every doc, constant score 1.0, docID asc."""
+        return (
+            self.cat.read(self.spark, "stored")
+            .select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
 
     def search_batch(
         self,
@@ -236,10 +318,14 @@ class Searcher:
         )
 
     # ------------------------------------------------------------------ #
-    def _score_dataframe(self, postings: DataFrame, qterms: DataFrame) -> DataFrame:
-        decoded = postings.select(
+    def _decoded(self, postings: DataFrame) -> DataFrame:
+        """(term, doc_id, tf, dl) rows decoded from posting shards."""
+        return postings.select(
             "term", "doc_ids_enc", "tfs_enc", "dls_enc"
         ).mapInPandas(_decode_postings, _DECODED_SCHEMA)
+
+    def _score_dataframe(self, postings: DataFrame, qterms: DataFrame) -> DataFrame:
+        decoded = self._decoded(postings)
         avgdl = self.avgdl
         score_expr = (
             F.col("idf")

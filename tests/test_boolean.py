@@ -1,0 +1,74 @@
+"""Boolean MUST (conjunction), PrefixQuery, and MatchAllDocsQuery over the
+index: Lucene query-type surface beyond OR top-k. Index results must equal
+the corpus-path DataFrame queries (same BM25 sums, MUST candidate set) and
+respect constant-score/docID-asc semantics for the rewritten query types."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nlp4l_spark.index import IndexBuilder
+from nlp4l_spark.search import Searcher
+
+DOCS = [
+    (0, "spark join merge vector window"),
+    (1, "join merge nothing else"),
+    (2, "vector vector join"),
+    (3, "merge vector scan"),
+    (4, "join merge vector join"),
+    (5, "scan scan scan"),
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("boolidx") / "idx")
+    df = spark.createDataFrame(DOCS, "doc_id long, text string").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("u").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    IndexBuilder(sort_cols=("conv_id", "turn_idx")).build(df, d)
+    return d
+
+
+def test_conjunction_candidate_set(spark, idx):
+    s = Searcher(spark, idx)
+    got_and = [r["doc_id"] for r in s.search("join merge vector", operator="and").collect()]
+    # only docs 0 and 4 contain ALL three terms
+    assert sorted(got_and) == [0, 4]
+    got_or = {r["doc_id"] for r in s.search("join merge vector", k=10).collect()}
+    assert {0, 1, 2, 3, 4} == got_or  # OR matches any
+    # AND scores equal the OR scores for the same docs (MUST only filters)
+    or_scores = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in s.search("join merge vector", k=10, method="dataframe").collect()
+    }
+    for r in s.search("join merge vector", operator="and").collect():
+        assert round(r["score"], 9) == or_scores[r["doc_id"]]
+
+
+def test_conjunction_missing_term_empty(spark, idx):
+    s = Searcher(spark, idx)
+    assert s.search("join zzznothere", operator="and").count() == 0
+    # while OR still matches the present term
+    assert s.search("join zzznothere", k=10).count() > 0
+
+
+def test_prefix_query(spark, idx):
+    s = Searcher(spark, idx)
+    got = [(r["doc_id"], r["score"]) for r in s.search_prefix("sc", k=10).collect()]
+    # docs containing a term starting with "sc" (scan): 3, 5 — docID asc,
+    # constant score 1.0
+    assert got == [(3, 1.0), (5, 1.0)]
+
+
+def test_match_all(spark, idx):
+    s = Searcher(spark, idx)
+    got = [(r["doc_id"], r["score"]) for r in s.match_all(k=4).collect()]
+    assert got == [(0, 1.0), (1, 1.0), (2, 1.0), (3, 1.0)]
