@@ -314,6 +314,50 @@ ORDER BY doc_id ASC LIMIT 20
 """
 
 
+def q_wildcard_search(spark, sf_dir):
+    """Lucene WildcardQuery over the corpus: docs containing a term
+    matching the pattern (constant-score rewrite -> docID set). Index
+    path: Searcher.search_wildcard."""
+    corpus = _corpus(spark, sf_dir)
+    return (
+        corpus.doc_terms()
+        .filter(F.col("term").rlike("^s.a.*$"))
+        .select("doc_id")
+        .distinct()
+        .orderBy(F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+O_WILDCARD_SEARCH = f"""
+WITH {TOKS_CTE}
+SELECT DISTINCT doc_id FROM toks WHERE regexp_matches(term, '^s.a.*$')
+ORDER BY doc_id ASC LIMIT 20
+"""
+
+
+def q_term_range_search(spark, sf_dir):
+    """Lucene TermRangeQuery over the corpus: docs containing >=1 term in
+    ['s', 't') — the term-dictionary range scan. Index path:
+    Searcher.search_term_range (min/max-pruned on the sorted postings)."""
+    corpus = _corpus(spark, sf_dir)
+    return (
+        corpus.doc_terms()
+        .filter((F.col("term") >= "s") & (F.col("term") < "t"))
+        .select("doc_id")
+        .distinct()
+        .orderBy(F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+O_TERM_RANGE_SEARCH = f"""
+WITH {TOKS_CTE}
+SELECT DISTINCT doc_id FROM toks WHERE term >= 's' AND term < 't'
+ORDER BY doc_id ASC LIMIT 20
+"""
+
+
 PHRASE_QUERY = "merge join"
 
 
@@ -1618,6 +1662,8 @@ REGISTRY: dict[str, tuple] = {
     "phrase_bm25_topk": (q_phrase_bm25_topk, O_PHRASE_BM25_TOPK),
     "bm25_and_topk": (q_bm25_and_topk, _BM25_AND_ORACLE),
     "prefix_search": (q_prefix_search, O_PREFIX_SEARCH),
+    "wildcard_search": (q_wildcard_search, O_WILDCARD_SEARCH),
+    "term_range_search": (q_term_range_search, O_TERM_RANGE_SEARCH),
     "tfidf_weights": (q_tfidf_weights, O_TFIDF_WEIGHTS),
     "chi2_terms": (q_chi2_terms, O_CHI2_TERMS),
     "stats_moments": (q_stats_moments, O_STATS_MOMENTS),

@@ -197,6 +197,55 @@ class Searcher:
         )
         return docs.select("doc_id", F.lit(1.0).alias("score"))
 
+    def search_wildcard(self, pattern: str, k: int = 10) -> DataFrame:
+        """Lucene WildcardQuery (* = any run, ? = one char), rewritten like
+        Lucene to a constant-score disjunction over the matching dictionary
+        terms; docID ascending."""
+        import re as _re
+
+        rx = "".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+            for c in pattern.lower()
+        )
+        matching = self.cat.read(self.spark, "postings").filter(
+            F.col("term").rlike(f"^{rx}$")
+        )
+        docs = (
+            self._decoded(matching)
+            .select("doc_id")
+            .distinct()
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+        return docs.select("doc_id", F.lit(1.0).alias("score"))
+
+    def search_term_range(
+        self,
+        lower: str | None,
+        upper: str | None,
+        k: int = 10,
+        include_lower: bool = True,
+        include_upper: bool = True,
+    ) -> DataFrame:
+        """Lucene TermRangeQuery: docs containing >=1 dictionary term in
+        the lexicographic range — a pure range predicate the term-sorted
+        postings table min/max-prunes; constant score, docID asc."""
+        t = F.col("term")
+        cond = F.lit(True)
+        if lower is not None:
+            cond = cond & (t >= lower if include_lower else t > lower)
+        if upper is not None:
+            cond = cond & (t <= upper if include_upper else t < upper)
+        matching = self.cat.read(self.spark, "postings").filter(cond)
+        docs = (
+            self._decoded(matching)
+            .select("doc_id")
+            .distinct()
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+        return docs.select("doc_id", F.lit(1.0).alias("score"))
+
     def match_all(self, k: int = 10) -> DataFrame:
         """MatchAllDocsQuery (the reference ISearcher's default query,
         ISearcher.scala:42): every doc, constant score 1.0, docID asc."""

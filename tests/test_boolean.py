@@ -72,3 +72,26 @@ def test_match_all(spark, idx):
     s = Searcher(spark, idx)
     got = [(r["doc_id"], r["score"]) for r in s.match_all(k=4).collect()]
     assert got == [(0, 1.0), (1, 1.0), (2, 1.0), (3, 1.0)]
+
+
+def test_wildcard_query(spark, idx):
+    s = Searcher(spark, idx)
+    # s?a* matches "spark" (doc 0) and "scan" (docs 3, 5)
+    got = [r["doc_id"] for r in s.search_wildcard("s?a*", k=10).collect()]
+    assert got == [0, 3, 5]
+    # ? is exactly one char: "sc?n" matches scan only
+    assert [r["doc_id"] for r in s.search_wildcard("sc?n", k=10).collect()] == [3, 5]
+    assert s.search_wildcard("zz*", k=10).count() == 0
+
+
+def test_term_range_query(spark, idx):
+    s = Searcher(spark, idx)
+    # ['s', 't'): terms scan, spark -> docs 0, 3, 5
+    got = [r["doc_id"] for r in s.search_term_range("s", "t", include_upper=False).collect()]
+    assert got == [0, 3, 5]
+    # ['join', 'join']: exact single-term range -> docs 0, 1, 2, 4
+    got = [r["doc_id"] for r in s.search_term_range("join", "join").collect()]
+    assert got == [0, 1, 2, 4]
+    # open-ended lower bound
+    got = [r["doc_id"] for r in s.search_term_range(None, "join", include_upper=False).collect()]
+    assert got == [1]  # only "else" sorts before "join" (doc 1)
