@@ -358,6 +358,70 @@ ORDER BY doc_id ASC LIMIT 20
 """
 
 
+FUZZY_TERM = "joun"  # 1 edit from "join"
+
+
+def q_fuzzy_bm25_topk(spark, sf_dir):
+    """Lucene FuzzyQuery shape over the corpus: expand to dictionary terms
+    within 2 edits, BM25 weighted by the fuzzy boost
+    1 - edits/min(|term|,|query|), sum per doc. Index path:
+    Searcher.search_fuzzy (same formulas over term_stats)."""
+    corpus = _corpus(spark, sf_dir)
+    dt = corpus.doc_terms()
+    dl = corpus.doc_lens()
+    stats = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n, avgdl = stats["n"], stats["sum_dl"] / stats["n"]
+    dfm = dt.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    lev = F.levenshtein(F.col("term"), F.lit(FUZZY_TERM))
+    exp = dfm.filter(lev <= 2).withColumn(
+        "boost",
+        F.lit(1.0) - lev / F.least(F.length("term"), F.lit(len(FUZZY_TERM))),
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score = (
+        idf
+        * F.col("boost")
+        * F.col("tf")
+        * F.lit(2.2)
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        dt.join(F.broadcast(exp), "term")
+        .join(dl, "doc_id")
+        .withColumn("_s", score)
+        .groupBy("doc_id")
+        .agg(F.sum("_s").alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_FUZZY_BM25_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+dfm AS (SELECT term, count(*)::double AS df FROM dt GROUP BY 1),
+exp AS (SELECT term, df,
+               1.0 - levenshtein(term, '{FUZZY_TERM}')::double
+                     / least(length(term), {len(FUZZY_TERM)}) AS boost
+        FROM dfm WHERE levenshtein(term, '{FUZZY_TERM}') <= 2),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * boost
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+       FROM dt JOIN exp USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 PHRASE_QUERY = "merge join"
 
 
@@ -1664,6 +1728,7 @@ REGISTRY: dict[str, tuple] = {
     "prefix_search": (q_prefix_search, O_PREFIX_SEARCH),
     "wildcard_search": (q_wildcard_search, O_WILDCARD_SEARCH),
     "term_range_search": (q_term_range_search, O_TERM_RANGE_SEARCH),
+    "fuzzy_bm25_topk": (q_fuzzy_bm25_topk, O_FUZZY_BM25_TOPK),
     "tfidf_weights": (q_tfidf_weights, O_TFIDF_WEIGHTS),
     "chi2_terms": (q_chi2_terms, O_CHI2_TERMS),
     "stats_moments": (q_stats_moments, O_STATS_MOMENTS),

@@ -246,6 +246,48 @@ class Searcher:
         )
         return docs.select("doc_id", F.lit(1.0).alias("score"))
 
+    def search_fuzzy(
+        self, term: str, k: int = 10, max_edits: int = 2
+    ) -> DataFrame:
+        """Lucene FuzzyQuery shape: expand the query term to all dictionary
+        terms within ``max_edits`` Levenshtein edits, score BM25 per
+        expanded term weighted by Lucene's fuzzy boost
+        ``1 - edits / min(|term|, |query|)``, sum per doc. (Simplification
+        vs Lucene's TopTermsBlendedFreq rewrite, which blends df across the
+        expanded set and keeps only the top 50 terms — documented
+        deviation; the expansion set and boost formula are Lucene's.)
+        The dictionary scan is the tiny term_stats table."""
+        q = term.lower()
+        stats = self.cat.read(self.spark, "term_stats")
+        lev = F.levenshtein(F.col("term"), F.lit(q))
+        boost = F.lit(1.0) - lev / F.least(F.length("term"), F.lit(len(q)))
+        expanded = (
+            stats.filter(lev <= max_edits)
+            .select(
+                "term",
+                "df",
+                (F.lit(0) + boost).alias("boost"),
+            )
+            .collect()
+        )
+        if not expanded:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        # fold the boost into the idf column and reuse the OR scorer
+        rows = [
+            (0, r["term"], idf(self.num_docs, int(r["df"])) * float(r["boost"]))
+            for r in expanded
+        ]
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "qid int, term string, idf double")
+        )
+        postings = self._matching_postings([r["term"] for r in expanded])
+        scored = self._score_dataframe(postings, qterms)
+        return (
+            scored.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def match_all(self, k: int = 10) -> DataFrame:
         """MatchAllDocsQuery (the reference ISearcher's default query,
         ISearcher.scala:42): every doc, constant score 1.0, docID asc."""

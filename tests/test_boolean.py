@@ -95,3 +95,30 @@ def test_term_range_query(spark, idx):
     # open-ended lower bound
     got = [r["doc_id"] for r in s.search_term_range(None, "join", include_upper=False).collect()]
     assert got == [1]  # only "else" sorts before "join" (doc 1)
+
+
+def test_fuzzy_query_index_matches_corpus(spark, idx):
+    s = Searcher(spark, idx)
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in s.search_fuzzy("joun", k=10).collect()
+    ]
+    # expansion: "join" (1 edit); every join-bearing doc scores
+    assert [d for d, _ in got] and set(d for d, _ in got) == {0, 1, 2, 4}
+    # exact same scores from first principles: boost = 1 - 1/4
+    from nlp4l_spark.search import idf as _idf
+    from nlp4l_spark.search.engine import B, K1
+
+    dls = {0: 5, 1: 4, 2: 3, 3: 3, 4: 4, 5: 3}
+    avgdl = sum(dls.values()) / 6.0
+    tfs = {0: 1, 1: 1, 2: 1, 4: 2}
+    w = _idf(6, 4) * (1 - 1 / 4)
+    for d, sc in got:
+        tf = tfs[d]
+        expect = w * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dls[d] / avgdl))
+        assert sc == pytest.approx(round(expect, 6), abs=1e-6)
+
+
+def test_fuzzy_no_expansion_empty(spark, idx):
+    s = Searcher(spark, idx)
+    assert s.search_fuzzy("qqqqqqqqqq", k=5).count() == 0
