@@ -52,6 +52,9 @@ SCALING_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
 BENCH_QUERIES = [
     "wordcount_cf",
     "bm25_topk",
+    "bm25_and_topk",
+    "phrase_bm25_topk",
+    "fuzzy_bm25_topk",
     "index_bm25_topk",
     "tfidf_weights",
     "dedup_exact",
