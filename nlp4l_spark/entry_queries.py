@@ -358,6 +358,71 @@ ORDER BY doc_id ASC LIMIT 20
 """
 
 
+BOOL_SHOULD = ["join", "vector"]
+BOOL_MUST_NOT = "scan"
+BOOL_BOOST = {"vector": 2.0}
+
+
+def q_bm25_not_topk(spark, sf_dir):
+    """BooleanQuery with MUST_NOT + BoostQuery over the corpus: score
+    SHOULD terms (vector boosted 2x), exclude any doc containing the
+    MUST_NOT term. Index path: Searcher.search_boolean / Searcher.query
+    ("join vector^2 -scan"), identity-tested in tests/test_boolean.py."""
+    corpus = _corpus(spark, sf_dir)
+    dt = corpus.doc_terms()
+    dl = corpus.doc_lens()
+    stats = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n, avgdl = stats["n"], stats["sum_dl"] / stats["n"]
+    qdt = dt.filter(F.col("term").isin(BOOL_SHOULD))
+    dfm = qdt.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    boost = F.when(
+        F.col("term") == "vector", F.lit(BOOL_BOOST["vector"])
+    ).otherwise(F.lit(1.0))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = (
+        idf
+        * boost
+        * F.col("tf")
+        * F.lit(2.2)
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+    )
+    excl = dt.filter(F.col("term") == BOOL_MUST_NOT).select("doc_id").distinct()
+    return (
+        qdt.join(F.broadcast(dfm), "term")
+        .join(dl, "doc_id")
+        .withColumn("_s", score)
+        .groupBy("doc_id")
+        .agg(F.sum("_s").alias("s"))
+        .join(excl, "doc_id", "left_anti")
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_BM25_NOT_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest(['join', 'vector']) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+excl AS (SELECT DISTINCT doc_id FROM dt WHERE term = '{BOOL_MUST_NOT}'),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * (CASE WHEN dt.term = 'vector' THEN 2.0 ELSE 1.0 END)
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       WHERE dt.doc_id NOT IN (SELECT doc_id FROM excl)
+       GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 FUZZY_TERM = "joun"  # 1 edit from "join"
 
 
@@ -1729,6 +1794,7 @@ REGISTRY: dict[str, tuple] = {
     "wildcard_search": (q_wildcard_search, O_WILDCARD_SEARCH),
     "term_range_search": (q_term_range_search, O_TERM_RANGE_SEARCH),
     "fuzzy_bm25_topk": (q_fuzzy_bm25_topk, O_FUZZY_BM25_TOPK),
+    "bm25_not_topk": (q_bm25_not_topk, O_BM25_NOT_TOPK),
     "tfidf_weights": (q_tfidf_weights, O_TFIDF_WEIGHTS),
     "chi2_terms": (q_chi2_terms, O_CHI2_TERMS),
     "stats_moments": (q_stats_moments, O_STATS_MOMENTS),

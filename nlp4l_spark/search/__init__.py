@@ -1,3 +1,8 @@
-from nlp4l_spark.search.engine import Searcher, idf, phrase_bm25_topk
+from nlp4l_spark.search.engine import (
+    Searcher,
+    idf,
+    parse_query,
+    phrase_bm25_topk,
+)
 
-__all__ = ["Searcher", "idf", "phrase_bm25_topk"]
+__all__ = ["Searcher", "idf", "parse_query", "phrase_bm25_topk"]

@@ -180,6 +180,93 @@ class Searcher:
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.withColumn("rank", F.row_number().over(w))
 
+    def search_boolean(
+        self,
+        should: list[str] | None = None,
+        must: list[str] | None = None,
+        must_not: list[str] | None = None,
+        boosts: dict[str, float] | None = None,
+        k: int = 10,
+    ) -> DataFrame:
+        """Full Lucene BooleanQuery clause surface: SHOULD (scores, optional
+        if a MUST exists), MUST (restricts candidates AND scores), MUST_NOT
+        (pure exclusion, never scores). Per-term ``boosts`` multiply that
+        term's score contribution (BoostQuery). All clause terms are single
+        analyzed terms."""
+        should = [t for s in (should or []) for t in self.analyzer.tokenize(s)]
+        must = [t for s in (must or []) for t in self.analyzer.tokenize(s)]
+        must_not = [
+            t for s in (must_not or []) for t in self.analyzer.tokenize(s)
+        ]
+        boosts = boosts or {}
+        scoring = sorted(set(should) | set(must))
+        dfs = self._term_stats(scoring)
+        must_present = [t for t in set(must)]
+        if any(t not in dfs for t in must_present):
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        rows = [
+            (0, t, idf(self.num_docs, dfs[t]) * float(boosts.get(t, 1.0)))
+            for t in scoring
+            if t in dfs
+        ]
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "qid int, term string, idf double")
+        )
+        decoded = self._decoded(self._matching_postings([r[1] for r in rows]))
+        score_expr = (
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (
+                    F.lit(1.0 - B)
+                    + F.lit(B) * F.col("dl") / F.lit(self.avgdl or 1.0)
+                )
+            )
+        )
+        n_must = F.sum(
+            F.when(F.col("term").isin(must_present), 1).otherwise(0)
+        )
+        scored = (
+            decoded.join(qterms, "term")
+            .withColumn("_s", score_expr)
+            .groupBy("doc_id")
+            .agg(F.sum("_s").alias("score"), n_must.alias("_nm"))
+        )
+        if must_present:
+            scored = scored.filter(F.col("_nm") >= len(must_present))
+        if must_not:
+            excl = (
+                self._decoded(self._matching_postings(sorted(set(must_not))))
+                .select("doc_id")
+                .distinct()
+            )
+            scored = scored.join(excl, "doc_id", "left_anti")
+        return (
+            scored.select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def query(self, qstring: str, k: int = 10) -> DataFrame:
+        """Parse-and-search a Lucene-classic-syntax subset (see
+        ``parse_query``): +must / -must_not / term^boost / bare SHOULD, or
+        an entire-query "exact phrase"."""
+        parsed = parse_query(qstring)
+        if parsed["phrase"] is not None:
+            return self.search_phrase(parsed["phrase"], k=k)
+        return self.search_boolean(
+            should=parsed["should"],
+            must=parsed["must"],
+            must_not=parsed["must_not"],
+            boosts=parsed["boosts"],
+            k=k,
+        )
+
     def search_prefix(self, prefix: str, k: int = 10) -> DataFrame:
         """Lucene PrefixQuery semantics: docs containing >=1 term with the
         prefix, constant score 1.0 (Lucene rewrites multi-term queries to
@@ -570,3 +657,42 @@ def phrase_bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------- #
+# Minimal query-string parser (Lucene classic-syntax subset)
+# --------------------------------------------------------------------- #
+def parse_query(q: str) -> dict:
+    """Parse a Lucene-classic-syntax subset into BooleanQuery clauses:
+
+      +term     -> MUST            -term    -> MUST_NOT
+      term^2.5  -> SHOULD w/ boost  term    -> SHOULD
+      "a b"     -> exact phrase (only supported as the ENTIRE query)
+
+    Returns {"should": [...], "must": [...], "must_not": [...],
+    "boosts": {...}, "phrase": str | None}. Grouping, ranges, and fuzzy
+    syntax are served by the dedicated Searcher methods instead.
+    """
+    q = q.strip()
+    if q.startswith('"') and q.endswith('"') and len(q) >= 2:
+        return {
+            "should": [], "must": [], "must_not": [],
+            "boosts": {}, "phrase": q[1:-1],
+        }
+    if '"' in q:
+        raise ValueError(
+            'phrases are only supported as the entire query: "..."'
+        )
+    out = {"should": [], "must": [], "must_not": [], "boosts": {}, "phrase": None}
+    for tok in q.split():
+        target = "should"
+        if tok.startswith("+"):
+            target, tok = "must", tok[1:]
+        elif tok.startswith("-"):
+            target, tok = "must_not", tok[1:]
+        if "^" in tok:
+            tok, _, b = tok.partition("^")
+            out["boosts"][tok.lower()] = float(b)
+        if tok:
+            out[target].append(tok)
+    return out

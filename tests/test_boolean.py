@@ -122,3 +122,47 @@ def test_fuzzy_query_index_matches_corpus(spark, idx):
 def test_fuzzy_no_expansion_empty(spark, idx):
     s = Searcher(spark, idx)
     assert s.search_fuzzy("qqqqqqqqqq", k=5).count() == 0
+
+
+def test_must_not_and_boosts(spark, idx):
+    s = Searcher(spark, idx)
+    # "join vector^2 -scan": scan-bearing docs (3, 5) excluded; vector
+    # contributions doubled
+    got = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in s.query("join vector^2 -scan", k=10).collect()
+    }
+    assert set(got) == {0, 1, 2, 4}  # 3, 5 excluded by -scan
+    plain = {
+        r["doc_id"]: round(r["score"], 6)
+        for r in s.search_boolean(should=["join", "vector"], k=10).collect()
+    }
+    # doc 1 has no 'vector' -> boost changes nothing for it
+    assert got[1] == plain[1]
+    # doc 2 is vector-heavy -> boosted score strictly higher
+    assert got[2] > plain[2]
+
+
+def test_must_with_should_scores_both(spark, idx):
+    s = Searcher(spark, idx)
+    # +merge vector: candidates must contain merge; vector still scores
+    got = {r["doc_id"] for r in s.query("+merge vector", k=10).collect()}
+    assert got == {0, 1, 3, 4}
+    # and the merge+vector doc outscores the merge-only doc of equal length
+    sc = {
+        r["doc_id"]: r["score"]
+        for r in s.query("+merge vector", k=10).collect()
+    }
+    assert sc[3] > sc[1]  # doc 3 (merge vector scan) > doc 1 (merge only), same dl
+
+
+def test_parse_query_forms():
+    from nlp4l_spark.search import parse_query
+
+    p = parse_query('+alpha -beta gamma^1.5 delta')
+    assert p["must"] == ["alpha"] and p["must_not"] == ["beta"]
+    assert p["should"] == ["gamma", "delta"]
+    assert p["boosts"] == {"gamma": 1.5} and p["phrase"] is None
+    assert parse_query('"london bridge"')["phrase"] == "london bridge"
+    with pytest.raises(ValueError):
+        parse_query('mixed "phrase here" terms')
