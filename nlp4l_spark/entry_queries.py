@@ -728,6 +728,34 @@ ORDER BY cnt DESC, event_type ASC LIMIT 3
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events stream (30-min gap): the
+    transcripts/agent-log workload's session segmentation, as one window
+    pass (lag + running sum; ops/processors.sessionize)."""
+    ev = processors.sessionize(_events(spark, sf_dir), "user_id", "ts", 1800)
+    return ev.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+O_SESSIONIZE = """
+WITH seq AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts)::BIGINT - epoch(lag(ts) OVER w)::BIGINT > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+lab AS (SELECT user_id,
+               (sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) - 1)::int AS session_id
+        FROM seq)
+SELECT user_id, session_id, count(*)::bigint AS n_events
+FROM lab GROUP BY user_id, session_id
+"""
+
+
 def q_dcm_truncate(spark, sf_dir):
     """DCM truncation (ClickModelAnalyzer.filterAsDCM): impressions per user
     ordered by time, truncated at last click; output kept-count."""
@@ -1804,6 +1832,7 @@ REGISTRY: dict[str, tuple] = {
     "rate_to_label": (q_rate_to_label, O_RATE_TO_LABEL),
     "top_event_types": (q_top_event_types, O_TOP_EVENT_TYPES),
     "dcm_truncate": (q_dcm_truncate, O_DCM_TRUNCATE),
+    "sessionize": (q_sessionize, O_SESSIONIZE),
     "props_parse": (q_props_parse, O_PROPS_PARSE),
     "solr_log_parse": (q_solr_log_parse, O_SOLR_LOG_PARSE),
     "sort_paging": (q_sort_paging, O_SORT_PAGING),

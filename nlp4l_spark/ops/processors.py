@@ -175,3 +175,30 @@ def rate_to_label(df: DataFrame, rate_col: str, boundaries: list[float]) -> Data
     for i, b in enumerate(sorted(boundaries)):
         expr = F.when(F.col(rate_col) >= F.lit(b), F.lit(i + 1)).otherwise(expr)
     return df.withColumn("label", expr.cast("int"))
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to the
+    previous event of the same user exceeds ``gap_seconds``. One window
+    pass (lag + running sum) — the standard scalable formulation: state is
+    per-user-partition, no driver involvement, no UDF. Output adds
+    ``session_id`` (0-based per user)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    # NTZ timestamps can't cast straight to long; the tz-cast offset
+    # cancels in the gap difference
+    secs = F.col(ts_col).cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_id",
+        (F.sum(new_sess).over(w) - F.lit(1)).cast("int"),
+    )

@@ -252,6 +252,41 @@ class Searcher:
             .limit(k)
         )
 
+    def search_conversations(
+        self, query: str, k: int = 10, agg: str = "max"
+    ) -> DataFrame:
+        """Conversation-level top-k for the transcripts payload: score ALL
+        matching turns (OR BM25), aggregate per conv_id via the stored
+        doc->conv mapping (agg = 'max' best-turn or 'sum'), rank
+        conversations. Returns (conv_id, score, n_turns_matched). The
+        turn->conv join is on doc_id against the doc_id-sorted stored
+        table; only matching turns join, never the corpus."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        dfs = self._term_stats(terms)
+        rows = [(0, t, idf(self.num_docs, dfs[t])) for t in terms if t in dfs]
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "conv_id string, score double, n_turns_matched long"
+            )
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "qid int, term string, idf double")
+        )
+        scored = self._score_dataframe(
+            self._matching_postings([r[1] for r in rows]), qterms
+        )
+        conv = self.cat.read(self.spark, "stored").select("doc_id", "conv_id")
+        agg_fn = F.max("score") if agg == "max" else F.sum("score")
+        return (
+            scored.join(conv, "doc_id")
+            .groupBy("conv_id")
+            .agg(
+                agg_fn.alias("score"),
+                F.count("*").alias("n_turns_matched"),
+            )
+            .orderBy(F.desc("score"), F.asc("conv_id"))
+            .limit(k)
+        )
+
     def query(self, qstring: str, k: int = 10) -> DataFrame:
         """Parse-and-search a Lucene-classic-syntax subset (see
         ``parse_query``): +must / -must_not / term^boost / bare SHOULD, or

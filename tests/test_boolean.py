@@ -166,3 +166,34 @@ def test_parse_query_forms():
     assert parse_query('"london bridge"')["phrase"] == "london bridge"
     with pytest.raises(ValueError):
         parse_query('mixed "phrase here" terms')
+
+
+def test_conversation_search(spark, tmp_path):
+    # multi-turn conversations: conv-level rank aggregates turn scores
+    rows = [
+        ("c0", 0, "user", "tell me about spark", None, None),
+        ("c0", 1, "agent", "spark is a cluster engine", None, None),
+        ("c1", 0, "user", "what is a vector", None, None),
+        ("c1", 1, "agent", "spark spark spark everywhere", None, None),
+        ("c2", 0, "user", "nothing relevant here", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    d = str(tmp_path / "convidx")
+    IndexBuilder().build(df, d)
+    s = Searcher(spark, d)
+    got = [
+        (r["conv_id"], r["n_turns_matched"])
+        for r in s.search_conversations("spark", k=5).collect()
+    ]
+    # c1's turn has tf=3 in a 4-token turn -> best single turn; c0 matched twice
+    assert [c for c, _ in got] == ["c1", "c0"]
+    assert dict(got) == {"c1": 1, "c0": 2}
+    # sum aggregation rewards multi-turn matches
+    got_sum = [
+        r["conv_id"] for r in s.search_conversations("spark", k=5, agg="sum").collect()
+    ]
+    assert set(got_sum) == {"c0", "c1"}
