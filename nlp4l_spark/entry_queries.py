@@ -1593,6 +1593,95 @@ def q_ml_classify(spark, sf_dir):
 
 
 # --------------------------------------------------------------------- #
+# Pipeline hygiene: PII redaction, deterministic sampling, percentiles
+# --------------------------------------------------------------------- #
+PII_SENTENCES = [
+    (0, "contact bob@example.com or call 555-123-4567 today"),
+    (1, "ssn 123-45-6789 leaked from host 10.1.2.3"),
+    (2, "nothing sensitive in this line"),
+]
+
+
+def q_redact_pii(spark, sf_dir):
+    """Regex PII scrub (ops/textqc.redact_pii): chained JVM regexp_replace;
+    the standard first-pass scrub of a training corpus."""
+    df = spark.createDataFrame(PII_SENTENCES, "sid long, text string")
+    return textqc.redact_pii(df, "text", out_col="redacted").select(
+        "sid", "redacted"
+    )
+
+
+O_REDACT_PII = r"""
+WITH s(sid, text) AS (VALUES {vals})
+SELECT sid,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+        '\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\b', '[SSN]', 'g'),
+      '\b(?:\+?1[-. ]?)?\(?[0-9]{{3}}\)?[-. ][0-9]{{3}}[-. ][0-9]{{4}}\b',
+      '[PHONE]', 'g'),
+    '\b(?:[0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}\b', '[IP]', 'g') AS redacted
+FROM s
+""".format(vals=", ".join(f"({i}, '{t}')" for i, t in PII_SENTENCES))
+
+
+SAMPLE_RATES = {"en": 0.5, "fr": 1.0, "de": 0.25}
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language sampling (ops/textqc.stratified_sample):
+    hash-threshold keep rule — the SAME rows survive on any cluster size or
+    engine, the reproducibility a resumable pipeline needs (vs rand())."""
+    return textqc.stratified_sample(
+        _docs(spark, sf_dir), SAMPLE_RATES, "lang", "doc_id"
+    ).select("doc_id", "lang")
+
+
+O_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('sample' || doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+      / 4294967295.0
+      < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 1.0
+                  WHEN 'de' THEN 0.25 ELSE 0.0 END
+"""
+
+
+def q_length_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles of document length per language
+    (corpus-shape profiling)."""
+    pcts = [0.25, 0.5, 0.75, 0.9]
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.percentile("n_chars", F.array(*[F.lit(p) for p in pcts])).alias("_p")
+        )
+        .select(
+            "lang",
+            F.posexplode("_p").alias("idx", "val"),
+        )
+        .select(
+            "lang",
+            F.col("idx").cast("int").alias("idx"),
+            F.round("val", 6).alias("val"),
+        )
+    )
+
+
+O_LENGTH_PERCENTILES = """
+SELECT lang, idx::int AS idx, round(q, 6) AS val
+FROM (
+  SELECT lang,
+         unnest([0, 1, 2, 3]) AS idx,
+         unnest(quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9])) AS q
+  FROM documents GROUP BY lang
+)
+"""
+
+
+# --------------------------------------------------------------------- #
 # Dictionary phrase matching (SimpleFST surface, SURVEY §1.4)
 # --------------------------------------------------------------------- #
 DICT_PHRASES = [
@@ -1833,6 +1922,9 @@ REGISTRY: dict[str, tuple] = {
     "top_event_types": (q_top_event_types, O_TOP_EVENT_TYPES),
     "dcm_truncate": (q_dcm_truncate, O_DCM_TRUNCATE),
     "sessionize": (q_sessionize, O_SESSIONIZE),
+    "redact_pii": (q_redact_pii, O_REDACT_PII),
+    "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
+    "length_percentiles": (q_length_percentiles, O_LENGTH_PERCENTILES),
     "props_parse": (q_props_parse, O_PROPS_PARSE),
     "solr_log_parse": (q_solr_log_parse, O_SOLR_LOG_PARSE),
     "sort_paging": (q_sort_paging, O_SORT_PAGING),

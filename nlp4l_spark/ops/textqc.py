@@ -111,3 +111,73 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns(
         {"fp_md5": F.md5(norm), "fp_xx64": F.xxhash64(norm)}
     )
+
+
+# ---- PII redaction ------------------------------------------------------ #
+PII_PATTERNS: dict[str, str] = {
+    # order matters: applied in this sequence
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "SSN": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "PHONE": r"\b(?:\+?1[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b",
+    "IP": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Regex PII scrubbing (emails, SSNs, phone numbers, IPs -> [TYPE]
+    placeholders) — chained JVM regexp_replace, one codegen'd scan, the
+    standard first-pass scrub of a web-scale training corpus."""
+    patterns = patterns or PII_PATTERNS
+    col = F.col(text_col)
+    for name, rx in patterns.items():
+        col = F.regexp_replace(col, rx, f"[{name}]")
+    return df.withColumn(out_col or text_col, col)
+
+
+# ---- deterministic sampling --------------------------------------------- #
+def deterministic_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Reproducible sampling by hash threshold: keep rows whose
+    md5(salt||key)-derived uniform in [0,1) is < rate. Unlike rand()-based
+    sampling this is engine- and run-independent (the SAME rows are kept on
+    any cluster size, any engine — md5 is bit-identical everywhere), which
+    is what a resumable 100 TB pipeline needs; it is also SQL-oracle
+    reproducible."""
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(0xFFFFFFFF))
+    )
+    return df.filter(u < rate)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-language rates when
+    rebalancing a corpus): the same hash-threshold rule with a per-stratum
+    rate looked up from a literal map (broadcast-free: it folds into the
+    filter expression)."""
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(0xFFFFFFFF))
+    )
+    rate = F.lit(float(default_rate))
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == s, F.lit(float(r))).otherwise(rate)
+    return df.filter(u < rate)
