@@ -302,6 +302,77 @@ class Searcher:
             k=k,
         )
 
+    def facets(self, query: str, facet_col: str, k: int = 10) -> DataFrame:
+        """Facet counts over the query's matching docs (the Solr
+        facet.field surface the reference's log parser extracts,
+        FeaturedProcessors.scala:103-130): distinct matching docIDs
+        semi-joined to the stored metadata column, grouped. Matching-doc
+        set work ∝ query postings; the stored join is doc_id-pruned."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        present = [t for t in terms if t in self._term_stats(terms)]
+        if not present:
+            return self.spark.createDataFrame(
+                [], f"{facet_col} string, cnt long"
+            )
+        docs = (
+            self._decoded(self._matching_postings(present))
+            .select("doc_id")
+            .distinct()
+        )
+        return (
+            self.cat.read(self.spark, "stored")
+            .join(docs, "doc_id", "left_semi")
+            .groupBy(facet_col)
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc(facet_col))
+            .limit(k)
+        )
+
+    def highlight(
+        self,
+        query: str,
+        doc_id: int,
+        pre: str = "<b>",
+        post: str = "</b>",
+    ) -> str:
+        """Highlight the query's terms in one stored document using the
+        term_vectors character offsets (Lucene highlighter semantics on
+        exact analyzed-term matches; requires
+        ``store_term_vectors=True``). Driver-side by design — highlighting
+        is a per-displayed-result operation, not a corpus scan."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        if not terms:
+            raise ValueError("query analyzed to no terms")
+        stored = (
+            self.cat.read(self.spark, "stored")
+            .filter(F.col("doc_id") == int(doc_id))
+            .select("text")
+            .collect()
+        )
+        if not stored:
+            raise KeyError(f"doc_id {doc_id} not found")
+        text = stored[0]["text"] or ""
+        tv = (
+            self.cat.read(self.spark, "term_vectors")
+            .filter(
+                (F.col("doc_id") == int(doc_id)) & F.col("term").isin(terms)
+            )
+            .select("start_offsets", "end_offsets")
+            .collect()
+        )
+        spans = sorted(
+            (s, e)
+            for r in tv
+            for s, e in zip(r["start_offsets"], r["end_offsets"])
+        )
+        out, prev = [], 0
+        for s, e in spans:
+            out.append(text[prev:s])
+            out.append(pre + text[s:e] + post)
+            prev = e
+        out.append(text[prev:])
+        return "".join(out)
+
     def search_prefix(self, prefix: str, k: int = 10) -> DataFrame:
         """Lucene PrefixQuery semantics: docs containing >=1 term with the
         prefix, constant score 1.0 (Lucene rewrites multi-term queries to

@@ -197,3 +197,45 @@ def test_conversation_search(spark, tmp_path):
         r["conv_id"] for r in s.search_conversations("spark", k=5, agg="sum").collect()
     ]
     assert set(got_sum) == {"c0", "c1"}
+
+
+def test_facets(spark, tmp_path):
+    rows = [
+        ("c0", 0, "user", "spark join", None, None),
+        ("c0", 1, "agent", "spark is fast", None, None),
+        ("c1", 0, "agent", "spark spark", None, None),
+        ("c1", 1, "user", "unrelated text", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    d = str(tmp_path / "facetidx")
+    IndexBuilder().build(df, d)
+    s = Searcher(spark, d)
+    got = [(r["role"], r["cnt"]) for r in s.facets("spark", "role").collect()]
+    assert got == [("agent", 2), ("user", 1)]
+    assert s.facets("zzznothere", "role").count() == 0
+
+
+def test_highlight(spark, tmp_path):
+    rows = [("c0", 0, "user", "London bridge is falling down near london", None, None)]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    d = str(tmp_path / "hlidx")
+    IndexBuilder(store_term_vectors=True).build(df, d)
+    s = Searcher(spark, d)
+    # both 'london' occurrences highlighted with ORIGINAL casing preserved
+    assert s.highlight("london", 0) == (
+        "<b>London</b> bridge is falling down near <b>london</b>"
+    )
+    # multi-term query highlights every term's spans in offset order
+    assert s.highlight("falling london", 0, pre="[", post="]") == (
+        "[London] bridge is [falling] down near [london]"
+    )
+    with pytest.raises(KeyError):
+        s.highlight("london", 99)
