@@ -302,6 +302,78 @@ class Searcher:
             k=k,
         )
 
+    def more_like_this(
+        self, doc_id: int, k: int = 10, max_query_terms: int = 10
+    ) -> DataFrame:
+        """Lucene MoreLikeThisQuery shape: pick the source doc's top terms
+        by tf*idf (from the stored text + the term dictionary's df), then
+        run an OR BM25 search with them, excluding the source doc itself.
+        The term selection is driver-side (one doc); the search is the
+        normal distributed path."""
+        stored = (
+            self.cat.read(self.spark, "stored")
+            .filter(F.col("doc_id") == int(doc_id))
+            .select("text")
+            .collect()
+        )
+        if not stored:
+            raise KeyError(f"doc_id {doc_id} not found")
+        toks = self.analyzer.tokenize(stored[0]["text"])
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        dfs = self._term_stats(sorted(counts))
+        ranked = sorted(
+            (
+                (-(tf * idf(self.num_docs, dfs[t])), t)
+                for t, tf in counts.items()
+                if t in dfs
+            ),
+        )[:max_query_terms]
+        if not ranked:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, rank int"
+            )
+        query = " ".join(t for _, t in ranked)
+        res = self.search(query, k=k + 1, method="dataframe")
+        return (
+            res.filter(F.col("doc_id") != int(doc_id))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
+
+    def search_corrected(
+        self, query: str, k: int = 10, method: str = "wand"
+    ) -> tuple[DataFrame, dict[str, str]]:
+        """Spell-corrected search ("did you mean"): query terms absent from
+        the term dictionary are replaced by their top spellcheck suggestion
+        (ops/spellcheck gram-overlap + levenshtein) before searching.
+        Returns (results, corrections_applied)."""
+        from nlp4l_spark.ops import spellcheck
+
+        terms = self.analyzer.tokenize(query)
+        dfs = self._term_stats(sorted(set(terms)))
+        corrections: dict[str, str] = {}
+        stats = self.cat.read(self.spark, "term_stats")
+        fixed = []
+        for t in terms:
+            if t in dfs:
+                fixed.append(t)
+                continue
+            cand = spellcheck.suggest(stats, t, k=1).collect()
+            if cand:
+                corrections[t] = cand[0]["term"]
+                fixed.append(cand[0]["term"])
+        if not fixed:
+            return (
+                self.spark.createDataFrame(
+                    [], "doc_id long, score double, rank int"
+                ),
+                corrections,
+            )
+        return self.search(" ".join(fixed), k=k, method=method), corrections
+
     def facets(self, query: str, facet_col: str, k: int = 10) -> DataFrame:
         """Facet counts over the query's matching docs (the Solr
         facet.field surface the reference's log parser extracts,

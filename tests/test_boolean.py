@@ -239,3 +239,27 @@ def test_highlight(spark, tmp_path):
     )
     with pytest.raises(KeyError):
         s.highlight("london", 99)
+
+
+def test_more_like_this(spark, idx):
+    s = Searcher(spark, idx)
+    # doc 2 = "vector vector join": MLT should surface the other
+    # vector/join-heavy docs, never doc 2 itself
+    got = [r["doc_id"] for r in s.more_like_this(2, k=5).collect()]
+    assert 2 not in got
+    assert set(got) <= {0, 1, 3, 4} and 4 in got  # join+vector doc matches
+    with pytest.raises(KeyError):
+        s.more_like_this(999)
+
+
+def test_search_corrected(spark, idx):
+    s = Searcher(spark, idx)
+    res, corrections = s.search_corrected("vectr merge", k=10)
+    assert corrections == {"vectr": "vector"}
+    got = {r["doc_id"] for r in res.collect()}
+    # same candidate set as the corrected query
+    direct = {r["doc_id"] for r in s.search("vector merge", k=10).collect()}
+    assert got == direct
+    # in-dictionary queries pass through untouched
+    _, none_needed = s.search_corrected("join", k=5)
+    assert none_needed == {}
