@@ -47,7 +47,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles_col(text_col: str, n: int = 3, analyzer: Analyzer | None = None):
-    """array<string> of word n-gram shingles (distinct), all built-ins."""
+    """array<string> of word n-gram shingles (distinct), all built-ins.
+    NB: Spark evaluates the nested transform/slice/concat_ws HOFs
+    INTERPRETED (measured ~7 s for a 5k-doc scan) — the hot paths use
+    ``shingles_udf`` below (identical output, one Arrow pass); this stays
+    as the declarative/SQL-twin form."""
     analyzer = analyzer or WHITESPACE_ANALYZER
     toks = analyzer.tokens_expr(text_col)
     # slide a window of n over the token array via transform+sequence
@@ -60,6 +64,30 @@ def shingles_col(text_col: str, n: int = 3, analyzer: Analyzer | None = None):
             ),
         ).otherwise(F.array(F.concat_ws(" ", toks)))
     )
+
+
+def shingles_udf(n: int = 3, analyzer: Analyzer | None = None):
+    """Arrow UDF: text -> array<string> of distinct word n-gram shingles —
+    byte-identical output to ``shingles_col`` (same analyzer, same
+    ' '-join), one vectorized pass instead of interpreted nested HOFs."""
+    analyzer = analyzer or WHITESPACE_ANALYZER
+    tokenize = analyzer.tokenize
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = tokenize(t)
+            if len(toks) >= n:
+                seen = dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+                out.append(list(seen))
+            else:
+                out.append([" ".join(toks)])
+        return pd.Series(out)
+
+    return _sh
 
 
 _MERSENNE61 = (1 << 61) - 1
@@ -130,10 +158,15 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sig = minhash_signature_udf(num_hashes)
-    with_sig = df.select(
+    # shingles once via the Arrow UDF (interpreted-HOF shingling measured
+    # ~7s/5k docs); hash them with a FLAT xxhash64 transform so signature
+    # inputs are bit-identical to the declarative path
+    with_sh = df.select(
         F.col(id_col).alias("id"),
-        shingles_col(text_col, shingle_n).alias("_sh"),
-        sig(hashed_shingles_col(text_col, shingle_n)).alias("_sig"),
+        shingles_udf(shingle_n)(F.col(text_col)).alias("_sh"),
+    )
+    with_sig = with_sh.withColumn(
+        "_sig", sig(F.transform(F.col("_sh"), lambda x: F.xxhash64(x)))
     ).persist()  # referenced by banding AND verify; don't recompute the UDF
     banded = with_sig.select(
         "id",
@@ -195,7 +228,8 @@ def ngram_jaccard_pairs(
     carrying no similarity signal. The oracle SQL applies the identical
     filter."""
     sh = df.select(
-        F.col(id_col).alias("id"), shingles_col(text_col, shingle_n).alias("_sh")
+        F.col(id_col).alias("id"),
+        shingles_udf(shingle_n)(F.col(text_col)).alias("_sh"),
     )
     # persist: the shingle explode feeds the df-filter, BOTH sides of the
     # self-join, and the per-doc counts — without a cache the (interpreted
