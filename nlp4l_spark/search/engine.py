@@ -767,7 +767,9 @@ def _phrase_tf_expr(full_toks, terms: list[str]):
     (slop 0). Adjacency is over the FULL token stream — identical to
     Lucene's filtered-stream positions, because StopFilter preserves
     position increments (holes), so "consecutive positions" means
-    "adjacent in the unfiltered stream"."""
+    "adjacent in the unfiltered stream". NB: nested HOFs run interpreted
+    in Spark — the scan path uses ``_phrase_tf_udf`` (identical counts,
+    one Arrow pass); this is the declarative/SQL-twin form."""
     n = len(terms)
     match_at = lambda i: F.forall(
         F.sequence(F.lit(0), F.lit(n - 1)),
@@ -783,6 +785,30 @@ def _phrase_tf_expr(full_toks, terms: list[str]):
             )
         ),
     ).otherwise(F.lit(0))
+
+
+def _phrase_tf_udf(terms: list[str], full_analyzer: Analyzer):
+    """Arrow UDF: text -> phrase frequency (same contract as
+    ``_phrase_tf_expr``, vectorized)."""
+    tokenize = full_analyzer.tokenize
+    tgt = tuple(terms)
+    n = len(tgt)
+
+    @F.pandas_udf(T.IntegerType())
+    def _tf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = tokenize(t)
+            out.append(
+                sum(
+                    1
+                    for i in range(len(toks) - n + 1)
+                    if tuple(toks[i : i + n]) == tgt
+                )
+            )
+        return pd.Series(out, dtype="int32")
+
+    return _tf
 
 
 def phrase_bm25_topk(
@@ -809,7 +835,7 @@ def phrase_bm25_topk(
     )
     base = docs_df.select(
         F.col(id_col).alias("doc_id"),
-        _phrase_tf_expr(full.tokens_expr(text_col), terms).alias("tf"),
+        _phrase_tf_udf(terms, full)(F.col(text_col)).alias("tf"),
         F.size(analyzer.tokens_expr(text_col)).alias("dl"),
     )
     stats = base.agg(
