@@ -14,9 +14,10 @@ Stages (each a snapshot-committed table; resume skips committed stages):
   stored         doc_id + original transcript columns ("stored fields";
                  per-turn text round-trip invariant is tested on this)
   doc_terms_fwd  (doc_id, terms[], tfs[], dl) — forward index / term
-                 vectors analogue; OPT-IN checkpoint
-                 (materialize_forward=True) — the default fuses tokenize
-                 into the segment stage, skipping this table's write+scan
+                 vectors analogue; checkpointed by DEFAULT
+                 (materialize_forward=True, measured ~2x faster than
+                 fusing tokenize into the segment stage — see the field
+                 comment); materialize_forward=False fuses instead
   doc_lens       (doc_id, dl) — computed by the pure-JVM tokenizer
                  (identical contract to the Arrow UDF, tested)
   segments       per-input-partition, per-doc_id-shard encoded posting
@@ -46,14 +47,13 @@ Scale notes (10^12 turns):
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from nlp4l_spark.analysis import Analyzer, STANDARD_ANALYZER

@@ -20,7 +20,6 @@ DataFrame ops:
 from __future__ import annotations
 
 import math
-from typing import Iterator
 
 import numpy as np
 import pandas as pd

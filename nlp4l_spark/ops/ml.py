@@ -17,13 +17,12 @@ files) so prediction re-vectorizes identically.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-from nlp4l_spark.analysis import Analyzer, STANDARD_ANALYZER
+from nlp4l_spark.analysis import STANDARD_ANALYZER
 from nlp4l_spark.stats import Corpus
 from nlp4l_spark.stats.tfidf import idf_value, tf_value
 
