@@ -756,6 +756,36 @@ FROM lab GROUP BY user_id, session_id
 """
 
 
+def q_event_transitions(spark, sf_dir):
+    """Per-user event-type transition counts (Markov/funnel view of the
+    agent/event log): one window pass (lead over ts, event_id tiebreak),
+    then a count aggregation."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    ev = _events(spark, sf_dir).withColumn(
+        "next_type", F.lead("event_type").over(w)
+    )
+    return (
+        ev.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"),
+                 F.col("next_type").alias("to_type"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+O_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events)
+SELECT from_type, to_type, count(*)::bigint AS cnt
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
 def q_dcm_truncate(spark, sf_dir):
     """DCM truncation (ClickModelAnalyzer.filterAsDCM): impressions per user
     ordered by time, truncated at last click; output kept-count."""
@@ -1922,6 +1952,7 @@ REGISTRY: dict[str, tuple] = {
     "top_event_types": (q_top_event_types, O_TOP_EVENT_TYPES),
     "dcm_truncate": (q_dcm_truncate, O_DCM_TRUNCATE),
     "sessionize": (q_sessionize, O_SESSIONIZE),
+    "event_transitions": (q_event_transitions, O_EVENT_TRANSITIONS),
     "redact_pii": (q_redact_pii, O_REDACT_PII),
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
     "length_percentiles": (q_length_percentiles, O_LENGTH_PERCENTILES),
