@@ -440,9 +440,16 @@ def q_fuzzy_bm25_topk(spark, sf_dir):
     n, avgdl = stats["n"], stats["sum_dl"] / stats["n"]
     dfm = dt.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     lev = F.levenshtein(F.col("term"), F.lit(FUZZY_TERM))
-    exp = dfm.filter(lev <= 2).withColumn(
-        "boost",
-        F.lit(1.0) - lev / F.least(F.length("term"), F.lit(len(FUZZY_TERM))),
+    exp = (
+        dfm.filter(lev <= 2)
+        .withColumn(
+            "boost",
+            F.lit(1.0)
+            - lev / F.least(F.length("term"), F.lit(len(FUZZY_TERM))),
+        )
+        # mirror Searcher.search_fuzzy: zero/negative-boost expansions
+        # (possible for 1-2 char terms) are dropped, not zero-scored
+        .filter(F.col("boost") > 0)
     )
     idf = F.log(
         F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -476,7 +483,9 @@ dfm AS (SELECT term, count(*)::double AS df FROM dt GROUP BY 1),
 exp AS (SELECT term, df,
                1.0 - levenshtein(term, '{FUZZY_TERM}')::double
                      / least(length(term), {len(FUZZY_TERM)}) AS boost
-        FROM dfm WHERE levenshtein(term, '{FUZZY_TERM}') <= 2),
+        FROM dfm WHERE levenshtein(term, '{FUZZY_TERM}') <= 2
+          AND 1.0 - levenshtein(term, '{FUZZY_TERM}')::double
+                    / least(length(term), {len(FUZZY_TERM)}) > 0),
 sc AS (SELECT dt.doc_id,
               sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * boost
                   * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s

@@ -250,9 +250,13 @@ class IndexBuilder:
         # -- stage 6: term dictionary ----------------------------------------
         if not done("term_stats"):
             cat.write(
-                postings.groupBy("term").agg(
-                    F.sum("df").alias("df"), F.sum("cf").alias("cf")
-                ),
+                postings.groupBy("term")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+                # materialized term length: fuzzy expansion pushes the exact
+                # Levenshtein length bound |len - |q|| <= max_edits down to
+                # the parquet scan instead of levenshtein()-scanning the
+                # whole dictionary (search/engine.py::search_fuzzy)
+                .withColumn("tlen", F.length("term").cast("int")),
                 "term_stats",
                 sort_by=["term"],
             )

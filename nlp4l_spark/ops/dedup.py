@@ -399,7 +399,11 @@ def simhash_pairs(
     is the standard piece-blocking candidate recall."""
     # persist: BOTH sides of the self-join reference the fingerprints; the
     # Arrow path has no shuffle exchange Spark could reuse, so without the
-    # cache the UDF would run twice
+    # cache the UDF would run twice. The cache is released before return:
+    # the (near-dup-pair-sized, << corpus-sized) result is eagerly
+    # materialized via localCheckpoint below, after which the
+    # corpus-sized fingerprint blocks are unpersisted deterministically —
+    # repeated calls do not accumulate cached fingerprint blocks.
     sh = simhash_fingerprints_arrow(df, text_col, id_col, analyzer).persist()
     pieces = sh.select(
         "id",
@@ -443,5 +447,6 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    out._simhash_cache = sh  # caller may unpersist after materializing
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
     return out

@@ -381,7 +381,8 @@ class Searcher:
         semi-joined to the stored metadata column, grouped. Matching-doc
         set work ∝ query postings; the stored join is doc_id-pruned."""
         terms = sorted(set(self.analyzer.tokenize(query)))
-        present = [t for t in terms if t in self._term_stats(terms)]
+        stats = self._term_stats(terms)  # one collect job for all terms
+        present = [t for t in terms if t in stats]
         if not present:
             return self.spark.createDataFrame(
                 [], f"{facet_col} string, cnt long"
@@ -494,12 +495,16 @@ class Searcher:
     ) -> DataFrame:
         """Lucene TermRangeQuery: docs containing >=1 dictionary term in
         the lexicographic range — a pure range predicate the term-sorted
-        postings table min/max-prunes; constant score, docID asc."""
+        postings table min/max-prunes; constant score, docID asc. Bounds
+        are lowercased to match the all-lowercase term dictionary (same
+        normalization as search_prefix / search_wildcard)."""
         t = F.col("term")
         cond = F.lit(True)
         if lower is not None:
+            lower = lower.lower()
             cond = cond & (t >= lower if include_lower else t > lower)
         if upper is not None:
+            upper = upper.lower()
             cond = cond & (t <= upper if include_upper else t < upper)
         matching = self.cat.read(self.spark, "postings").filter(cond)
         docs = (
@@ -517,22 +522,37 @@ class Searcher:
         """Lucene FuzzyQuery shape: expand the query term to all dictionary
         terms within ``max_edits`` Levenshtein edits, score BM25 per
         expanded term weighted by Lucene's fuzzy boost
-        ``1 - edits / min(|term|, |query|)``, sum per doc. (Simplification
-        vs Lucene's TopTermsBlendedFreq rewrite, which blends df across the
-        expanded set and keeps only the top 50 terms — documented
-        deviation; the expansion set and boost formula are Lucene's.)
-        The dictionary scan is the tiny term_stats table."""
+        ``1 - edits / min(|term|, |query|)``, sum per doc. (Deviations vs
+        Lucene, documented: no TopTermsBlendedFreq rewrite — Lucene blends
+        df across the expanded set and keeps only the top 50 terms — and
+        plain Levenshtein rather than Lucene's default Damerau distance,
+        so a transposition costs 2 edits here, not 1. Expanded terms with
+        boost <= 0 — possible for 1-2 char terms at max_edits=2 — are
+        dropped rather than contributing zero/negative score.)
+
+        Scale path: the dictionary scan is pre-pruned by the exact
+        Levenshtein length bound ``|tlen - |q|| <= max_edits`` on the
+        materialized ``tlen`` column — a range predicate pushed to the
+        parquet reader (PushedFilters) so a 10^9-term dictionary reads
+        only the row groups in the length window, instead of running
+        levenshtein() over every term. Falls back to computed length on
+        pre-``tlen`` indexes."""
         q = term.lower()
         stats = self.cat.read(self.spark, "term_stats")
+        tlen = (
+            F.col("tlen") if "tlen" in stats.columns else F.length("term")
+        )
         lev = F.levenshtein(F.col("term"), F.lit(q))
         boost = F.lit(1.0) - lev / F.least(F.length("term"), F.lit(len(q)))
         expanded = (
-            stats.filter(lev <= max_edits)
+            stats.filter(tlen.between(len(q) - max_edits, len(q) + max_edits))
+            .filter(lev <= max_edits)
             .select(
                 "term",
                 "df",
                 (F.lit(0) + boost).alias("boost"),
             )
+            .filter(F.col("boost") > 0)
             .collect()
         )
         if not expanded:

@@ -96,9 +96,9 @@ def append_to_index(
     cat.write(merged, "postings", sort_by=["term"])
     postings = cat.read(spark, "postings")
     cat.write(
-        postings.groupBy("term").agg(
-            F.sum("df").alias("df"), F.sum("cf").alias("cf")
-        ),
+        postings.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .withColumn("tlen", F.length("term").cast("int")),
         "term_stats",
         sort_by=["term"],
     )

@@ -9,6 +9,12 @@ sessions are appended downstream. State survives restarts via the
 checkpoint — a session spanning micro-batches (or a query restart) is
 stitched together exactly (tested in tests/test_streaming_sessions.py).
 
+Out-of-order delivery across micro-batches: a late event whose ts falls
+at or before the open session's last ts merges into that session
+(start = min, last = max — the session never rewinds); there is no
+watermark, so an arbitrarily old event still merges rather than being
+dropped. Within a batch, events are processed in ts order.
+
 The reference has no streaming at all (SURVEY.md §2.9); this is the
 training-pipeline extension the task brief names (custom stateful
 operators via applyInPandasWithState).
@@ -50,7 +56,10 @@ def _session_fn(gap_seconds: int):
                 closed.append((uid, start, last, n))
                 start, last, n = sec, sec, 1
             else:
-                last, n = sec, n + 1
+                # Late (out-of-order across micro-batches) events merge into
+                # the open session without rewinding its end: last only ever
+                # moves forward, start only backward.
+                start, last, n = min(start, sec), max(last, sec), n + 1
         if last is not None:
             state.update((int(start), int(last), int(n)))
         if closed:
