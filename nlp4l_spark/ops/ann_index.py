@@ -1,0 +1,212 @@
+"""Materialized ANN index: the scale path for similarity search.
+
+`similarity.lsh_cosine_topk` / `ivf_cosine_topk` are the query-semantics
+baselines, but both recompute signatures / cell assignments over the FULL
+corpus per query — correct, not 100 TB-shaped. This module writes the
+corpus ONCE as partitioned parquet so a probe is partition-PRUNED at the
+file-listing level (Catalyst `PartitionFilters`; zero data read outside
+the probed buckets/cells):
+
+* LSH layout  — corpus exploded per hash table, written
+  ``partitionBy(tbl, bucket)``; a query reads only its `tables` matching
+  (tbl, bucket) directories: ~tables/2^bits of the data.
+* IVF layout  — corpus written ``partitionBy(cell)`` under a coarse
+  quantizer (caller-supplied deterministic centroids, or a seeded k-means
+  fit persisted to the index meta); a probe reads ~nprobe/C of the data.
+
+Meta (hyperplane seed/shape, centroids) is persisted to ``meta.json`` in
+the index dir so probes, rebuilds, and the DuckDB oracle all derive the
+identical geometry.
+
+At cluster scale the same layout holds: `partitionBy` dirs are the unit
+of pruning, one ~1 GB file per (bucket|cell) via the pre-write
+repartition on the partition keys; probes touch `tables` (LSH) or
+`nprobe` (IVF) directories regardless of corpus size.
+
+No reference counterpart (nlp4l has no ANN); task-brief extension.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from nlp4l_spark.ops.similarity import (
+    _hyperplanes,
+    _signature_cols,
+    cosine_col,
+)
+
+META = "meta.json"
+
+
+def _cell_col(vec_col, cents: list[np.ndarray]):
+    """Nearest-centroid cell id (cosine, ties -> lower index) as a pure
+    JVM expression — same arithmetic as similarity.ivf_cosine_topk."""
+    structs = F.array(
+        *[
+            F.struct(
+                cosine_col(vec_col, c).alias("c"),
+                F.lit(-i).alias("ni"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    return (-F.array_max(structs)["ni"]).cast("int")
+
+
+def fit_centroids(
+    df: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Seeded k-means fit (pyspark.ml) -> plain python centroid list.
+    Deterministic for a fixed (df, seed); persisted into meta.json so the
+    quantizer never drifts between build and probe."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def build_ann_index(
+    df: DataFrame,
+    index_dir: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 6,
+    tables: int = 8,
+    seed: int = 42,
+    centroids=None,
+    n_cells: int = 8,
+) -> None:
+    """Write both ANN layouts + meta under ``index_dir``.
+
+    ``centroids=None`` fits a seeded k-means (see fit_centroids);
+    passing explicit centroids keeps the quantizer SQL-rederivable
+    (the registry query does this so its DuckDB oracle stays exact).
+    """
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bits, tables, seed)
+    if centroids is None:
+        centroids = fit_centroids(df, n_cells, vec_col, seed)
+    cents = [np.asarray(c, dtype=np.float64) for c in centroids]
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    # LSH layout: one row per (table, vector); repartition on the
+    # partition keys -> one file per (tbl, bucket) dir, no small-file blowup
+    sigs = _signature_cols(F.col("v"), planes)
+    lsh = base.select(
+        "id", "v", F.posexplode(F.array(*sigs)).alias("tbl", "bucket")
+    )
+    (
+        lsh.repartition("tbl", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("tbl", "bucket")
+        .parquet(os.path.join(index_dir, "lsh"))
+    )
+
+    # IVF layout: quantize once at build, partition by cell
+    ivf = base.withColumn("cell", _cell_col(F.col("v"), cents))
+    (
+        ivf.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "ivf"))
+    )
+
+    with open(os.path.join(index_dir, META), "w") as fh:
+        json.dump(
+            {
+                "dim": dim,
+                "bits": bits,
+                "tables": tables,
+                "seed": seed,
+                "centroids": [[float(x) for x in c] for c in centroids],
+            },
+            fh,
+        )
+
+
+def _load_meta(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, META)) as fh:
+        return json.load(fh)
+
+
+def lsh_topk_indexed(
+    spark: SparkSession, index_dir: str, query_vec, k: int = 10
+) -> DataFrame:
+    """LSH ANN probe over the materialized layout: the query's `tables`
+    (tbl, bucket) pairs are computed driver-side from the persisted
+    hyperplanes, and the read is an OR of partition-key equalities —
+    Catalyst prunes to exactly those directories (asserted in
+    tests/test_plans.py), so probe I/O is ~tables/2^bits of the corpus
+    independent of corpus size."""
+    meta = _load_meta(index_dir)
+    planes = _hyperplanes(meta["dim"], meta["bits"], meta["tables"], meta["seed"])
+    q = np.asarray(query_vec, dtype=np.float64)
+    cond = F.lit(False)
+    for t in range(meta["tables"]):
+        bucket = 0
+        for b in range(meta["bits"]):
+            bucket = bucket * 2 + (1 if float(planes[t, b] @ q) > 0 else 0)
+        cond = cond | ((F.col("tbl") == t) & (F.col("bucket") == bucket))
+    cand = (
+        spark.read.parquet(os.path.join(index_dir, "lsh"))
+        .filter(cond)
+        .dropDuplicates(["id"])  # a vector collides in >=1 tables
+    )
+    return (
+        cand.select(
+            F.col("id").alias("vec_id"),
+            F.round(cosine_col(F.col("v"), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN probe over the materialized layout: nprobe nearest cells
+    are picked driver-side from the persisted centroids; the read is a
+    partition-key IN filter -> directory-level pruning, ~nprobe/C of the
+    corpus read per probe."""
+    meta = _load_meta(index_dir)
+    cents = [np.asarray(c, dtype=np.float64) for c in meta["centroids"]]
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q)) or 1.0
+    by_query = sorted(
+        range(len(cents)),
+        key=lambda i: (
+            -float(cents[i] @ q)
+            / ((float(np.linalg.norm(cents[i])) or 1.0) * qn),
+            i,
+        ),
+    )
+    probe = by_query[:nprobe]
+    return (
+        spark.read.parquet(os.path.join(index_dir, "ivf"))
+        .filter(F.col("cell").isin(probe))
+        .select(
+            F.col("id").alias("vec_id"),
+            F.round(cosine_col(F.col("v"), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

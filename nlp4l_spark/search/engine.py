@@ -538,23 +538,7 @@ class Searcher:
         levenshtein() over every term. Falls back to computed length on
         pre-``tlen`` indexes."""
         q = term.lower()
-        stats = self.cat.read(self.spark, "term_stats")
-        tlen = (
-            F.col("tlen") if "tlen" in stats.columns else F.length("term")
-        )
-        lev = F.levenshtein(F.col("term"), F.lit(q))
-        boost = F.lit(1.0) - lev / F.least(F.length("term"), F.lit(len(q)))
-        expanded = (
-            stats.filter(tlen.between(len(q) - max_edits, len(q) + max_edits))
-            .filter(lev <= max_edits)
-            .select(
-                "term",
-                "df",
-                (F.lit(0) + boost).alias("boost"),
-            )
-            .filter(F.col("boost") > 0)
-            .collect()
-        )
+        expanded = self._fuzzy_expansion(q, max_edits).collect()
         if not expanded:
             return self.spark.createDataFrame([], "doc_id long, score double")
         # fold the boost into the idf column and reuse the OR scorer
@@ -571,6 +555,22 @@ class Searcher:
             scored.select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
+        )
+
+    def _fuzzy_expansion(self, q: str, max_edits: int) -> DataFrame:
+        """Dictionary expansion for search_fuzzy: a tlen range filter
+        (pushed to the parquet reader — plan-guarded in tests/test_plans.py)
+        prunes the scan to the exact Levenshtein length window before the
+        levenshtein() pass runs."""
+        stats = self.cat.read(self.spark, "term_stats")
+        tlen = F.col("tlen") if "tlen" in stats.columns else F.length("term")
+        lev = F.levenshtein(F.col("term"), F.lit(q))
+        boost = F.lit(1.0) - lev / F.least(F.length("term"), F.lit(len(q)))
+        return (
+            stats.filter(tlen.between(len(q) - max_edits, len(q) + max_edits))
+            .filter(lev <= max_edits)
+            .select("term", "df", (F.lit(0) + boost).alias("boost"))
+            .filter(F.col("boost") > 0)
         )
 
     def match_all(self, k: int = 10) -> DataFrame:

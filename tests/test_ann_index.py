@@ -1,0 +1,96 @@
+"""Materialized ANN index (ops/ann_index.py): layout, probe identity with
+the full-scan paths, k-means centroid fit, and meta round-trip."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from nlp4l_spark.ops import similarity
+from nlp4l_spark.ops.ann_index import (
+    build_ann_index,
+    fit_centroids,
+    ivf_topk_indexed,
+    lsh_topk_indexed,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+
+
+def test_ivf_indexed_identical_to_full_scan(spark, tmp_path):
+    emb = _emb(spark)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cents = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    d = str(tmp_path / "ann")
+    build_ann_index(emb, d, bits=4, tables=8, centroids=cents)
+    indexed = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk_indexed(spark, d, qvec, k=10, nprobe=2).collect()
+    ]
+    full = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_cosine_topk(
+            emb, qvec, cents, k=10, nprobe=2
+        ).collect()
+    ]
+    assert indexed == full
+
+
+def test_lsh_indexed_matches_full_scan_lsh(spark, tmp_path):
+    emb = _emb(spark)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cents = [emb.select("embedding").first()[0]]
+    d = str(tmp_path / "ann")
+    build_ann_index(emb, d, bits=4, tables=8, seed=7, centroids=cents)
+    indexed = [
+        (r["vec_id"], r["cosine"])
+        for r in lsh_topk_indexed(spark, d, qvec, k=10).collect()
+    ]
+    full = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.lsh_cosine_topk(
+            emb, qvec, k=10, bits=4, tables=8, seed=7
+        ).collect()
+    ]
+    # same geometry (seed/bits/tables) -> identical candidate set, so the
+    # indexed probe must reproduce the full-scan LSH result exactly
+    assert indexed == full
+
+
+def test_lsh_layout_partitioned_by_table_and_bucket(spark, tmp_path):
+    emb = _emb(spark)
+    d = str(tmp_path / "ann")
+    build_ann_index(
+        emb, d, bits=2, tables=2, centroids=[emb.select("embedding").first()[0]]
+    )
+    tbl_dirs = [
+        p for p in os.listdir(os.path.join(d, "lsh")) if p.startswith("tbl=")
+    ]
+    assert sorted(tbl_dirs) == ["tbl=0", "tbl=1"]
+    buckets = os.listdir(os.path.join(d, "lsh", "tbl=0"))
+    assert all(b.startswith("bucket=") for b in buckets)
+    meta = json.load(open(os.path.join(d, "meta.json")))
+    assert meta["bits"] == 2 and meta["tables"] == 2 and meta["dim"] == 64
+
+
+def test_kmeans_centroid_fit_is_deterministic_and_probeable(spark, tmp_path):
+    emb = _emb(spark).limit(200)
+    c1 = fit_centroids(emb, n_cells=4, seed=11)
+    c2 = fit_centroids(emb, n_cells=4, seed=11)
+    assert c1 == c2
+    qvec = emb.select("embedding").first()[0]
+    d = str(tmp_path / "ann")
+    build_ann_index(emb, d, bits=2, tables=2, centroids=None, n_cells=4)
+    rows = ivf_topk_indexed(spark, d, qvec, k=5, nprobe=4).collect()
+    # nprobe = all cells -> exact brute force
+    exact = similarity.brute_force_cosine_topk(emb, qvec, k=5).collect()
+    assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in exact]

@@ -73,6 +73,39 @@ def test_topk_compiles_to_take_ordered(spark):
         assert "TakeOrderedAndProject" in plan, f"{name}: global sort for top-k"
 
 
+def test_ann_probes_are_partition_pruned(spark):
+    """The materialized ANN index exists so probes read only their
+    (tbl, bucket) / cell directories: the scan must carry partition-key
+    PartitionFilters (directory-level pruning), never a full-corpus read."""
+    import re
+
+    for name, keys in [("ann_ivf_topk", ["cell"]), ("ann_lsh_topk", ["tbl", "bucket"])]:
+        plan = _plan(eq.REGISTRY[name][0](spark, SF))
+        m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+        assert m, f"{name}: no PartitionFilters — probe scans the whole corpus"
+        for key in keys:
+            assert key in m.group(1), (name, key, m.group(1))
+
+
+def test_fuzzy_length_window_pushed_to_term_dictionary(spark, tmp_path):
+    from nlp4l_spark.data.transcripts import synth_transcripts
+    from nlp4l_spark.index import build_index
+    from nlp4l_spark.search import Searcher
+
+    idx = str(tmp_path / "idx")
+    build_index(synth_transcripts(spark, 800, num_partitions=4), idx)
+    s = Searcher(spark, idx)
+    plan = _plan(s._fuzzy_expansion("w00454", max_edits=2))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    # the Levenshtein length bound must reach the parquet reader as a
+    # range on the materialized tlen column
+    assert any("tlen" in ln and "GreaterThanOrEqual" in ln for ln in pushed), (
+        pushed
+    )
+    # and the search itself still answers through the pruned expansion
+    assert s.search_fuzzy("w00454", k=5).count() > 0
+
+
 def test_stats_joins_are_broadcast_not_shuffle(spark):
     # bm25_topk joins per-term df/idf onto doc_terms: must be broadcast
     plan = _plan(eq.REGISTRY["bm25_topk"][0](spark, SF))
