@@ -1248,20 +1248,70 @@ FROM documents
 
 
 # --------------------------------------------------------------------- #
-# Multimodal plumbing (rows-only: decode is stubbed by design)
+# Multimodal: REAL pure-python codecs (PNG/WAV/MP4), oracle-checked
 # --------------------------------------------------------------------- #
 def q_media_features(spark, sf_dir):
+    """Structural decode of real PNG/WAV/MP4 payloads (ops/multimodal
+    codecs) via one Arrow pass. The payload pixel/sample patterns are
+    closed-form in media_id, so the DuckDB oracle recomputes width/
+    height/sample counts/means analytically — if the codec misparses a
+    single byte, the hash check fails. (Video = container metadata only;
+    frame decode needs pyav, out of sandbox scope.)"""
     media = multimodal.synth_media(spark, n=64)
-    feats = multimodal.extract_features(media)
-    return feats.select(
-        "media_id", "kind", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+    st = multimodal.media_stats(media)
+    return st.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        "sample_rate",
+        "duration_ms",
+        "n_units",
+        F.round("mean_val", 6).alias("mean_val"),
     )
 
 
+O_MEDIA_FEATURES = """
+WITH ids AS (SELECT i FROM generate_series(0, 63) s(i)),
+gx AS (SELECT x FROM generate_series(0, 16) t(x)),
+gy AS (SELECT y FROM generate_series(0, 16) t(y)),
+gj AS (SELECT j FROM generate_series(0, 127) t(j)),
+img AS (SELECT i, 8 + (i % 9) AS w, 8 + ((i * 7) % 9) AS h
+        FROM ids WHERE i % 3 = 0),
+imf AS (SELECT i, w, h, count(*)::bigint AS n_units,
+               avg(((x * 3 + y * 5 + i) % 256)::double) AS mean_val
+        FROM img JOIN gx ON x < w JOIN gy ON y < h GROUP BY i, w, h),
+aud AS (SELECT i, 64 + (i % 64) AS ns FROM ids WHERE i % 3 = 1),
+auf AS (SELECT i, ns, avg((((j * 37 + i * 11) % 2048) - 1024)::double) AS mean_val
+        FROM aud JOIN gj ON j < ns GROUP BY i, ns)
+SELECT i AS media_id, 'image' AS kind, w AS width, h AS height,
+       NULL AS sample_rate, NULL AS duration_ms, n_units,
+       round(mean_val, 6) AS mean_val
+FROM imf
+UNION ALL
+SELECT i, 'audio', NULL, NULL, 8000, ns * 1000 // 8000, ns::bigint,
+       round(mean_val, 6)
+FROM auf
+UNION ALL
+SELECT i, 'video', NULL, NULL, NULL, (i % 30) * 1000, NULL, NULL
+FROM ids WHERE i % 3 = 2
+ORDER BY media_id
+"""
+
+
 def q_media_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan: metadata-only explode (payload column
+    pruned from the scan), one row per sampled frame timestamp."""
     media = multimodal.synth_media(spark, n=64)
     plan = multimodal.frame_sample_plan(media, every_ms=5000)
     return plan.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+
+
+O_MEDIA_FRAME_PLAN = """
+SELECT i AS media_id,
+       (1 + greatest((i % 30) * 1000 - 1, 0) // 5000)::bigint AS n_frames
+FROM generate_series(0, 63) s(i) WHERE i % 3 = 2
+"""
 
 
 # --------------------------------------------------------------------- #
@@ -2029,8 +2079,8 @@ REGISTRY: dict[str, tuple] = {
     "quality_score": (q_quality, O_QUALITY),
     "lang_id": (q_lang_id, O_LANG_ID),
     "fingerprint": (q_fingerprint, O_FINGERPRINT),
-    "media_features": (q_media_features, None),
-    "media_frame_plan": (q_media_frame_plan, None),
+    "media_features": (q_media_features, O_MEDIA_FEATURES),
+    "media_frame_plan": (q_media_frame_plan, O_MEDIA_FRAME_PLAN),
     "term_positions": (q_term_positions, O_TERM_POSITIONS),
     "replay": (q_replay, O_REPLAY),
     "stop_filter": (q_stop_filter, O_STOP_FILTER),

@@ -261,9 +261,48 @@ def test_media_plumbing(spark):
         for r in multimodal.extract_features(media).collect()
     }
     assert by_id == again
-    # strict decoder is a marked stub
-    with pytest.raises(Exception):
-        multimodal.extract_features(media, decoder=multimodal.strict_decoder).collect()
+    # strict decoder now REALLY parses the payload containers: feature[0/1]
+    # of an image row must equal the PNG's actual IHDR width/height
+    strict = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(
+            media, decoder=multimodal.strict_decoder
+        ).collect()
+    }
+    for i in range(0, 12, 3):  # image rows
+        assert strict[i][0] == 8 + (i % 9)
+        assert strict[i][1] == 8 + ((i * 7) % 9)
+
+
+def test_media_codecs_roundtrip():
+    import numpy as np
+
+    # PNG: encode a known pattern, decode, compare pixel-exact
+    px = (np.arange(7 * 5, dtype=np.uint8).reshape(5, 7) * 11) % 256
+    w, h, out = multimodal.decode_png(multimodal.encode_png(7, 5, px))
+    assert (w, h) == (7, 5) and np.array_equal(out, px)
+    # WAV: int16 round-trip incl. negative samples
+    s = np.array([-1024, -1, 0, 1, 777, 32767, -32768], dtype=np.int16)
+    rate, back = multimodal.decode_wav(multimodal.encode_wav(s, 8000))
+    assert rate == 8000 and np.array_equal(back, s)
+    # MP4: duration survives the box walk (incl. a non-ms timescale)
+    assert (
+        multimodal.decode_mp4_duration(
+            multimodal.encode_mp4_skeleton(12_345, timescale=600)
+        )
+        == 12_345
+    )
+    assert (
+        multimodal.decode_mp4_duration(multimodal.encode_mp4_skeleton(12_000))
+        == 12_000
+    )
+    # corrupt payloads are rejected, not misparsed
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"not a png at all")
+    with pytest.raises(ValueError):
+        multimodal.decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        multimodal.decode_mp4_duration(b"\x00\x00\x00\x08free")
 
 
 def test_frame_sample_plan(spark):
