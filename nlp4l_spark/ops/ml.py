@@ -40,32 +40,134 @@ class Featurizer:
     tf_mode: str = "n"
     idf_mode: str = "t"
 
-    def transform(self, df: DataFrame, text_col: str = "text") -> DataFrame:
-        """Adds a pyspark.ml SparseVector column `features`."""
-        from pyspark.ml.linalg import SparseVector, VectorUDT
-
-        vocab_index = {w: i for i, w in enumerate(self.vocab)}
-        dim = len(self.vocab)
-        idf_w = {
+    def _idf_weights(self) -> dict[str, float]:
+        return {
             w: idf_value(self.df_map[w], self.idf_mode, self.num_docs)
             for w in self.vocab
         }
+
+    def transform(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> DataFrame:
+        """Adds a pyspark.ml vector column ``features`` (tf*idf over the
+        fitted vocabulary) with a 100% JVM plan: analyzer tokens are a
+        codegen regexp, the vocabulary join is a broadcast, tf-mode
+        arithmetic is SQL (per-doc max/ave tf for the m/L modes come from
+        one aggregate), and the vector materializes via map-lookup dense
+        assembly + ``pyspark.ml.functions.array_to_vector`` — no Python
+        eval node anywhere (plan-guarded in tests/test_plans.py). This
+        replaces a row-at-a-time ``@F.udf(VectorUDT())`` that was the
+        slowest node in the repo at scale.
+
+        Dense-width note: the vector is dim-wide per doc; ``fit_featurizer``
+        prunes the vocabulary (min_df/max_df/top_k, the reference's
+        CommonProcessor.selectFeatures), so dim is broadcast-sized by
+        construction. Requires a unique ``id_col`` to join features back;
+        use ``transform_arrow`` for id-less frames."""
+        from pyspark.ml.functions import array_to_vector
+
+        if not self.vocab:
+            raise ValueError("empty vocabulary; refit with looser pruning")
+        if id_col not in df.columns:
+            return self.transform_arrow(df, text_col)
+        dim = len(self.vocab)
+        idf_w = self._idf_weights()
+        spark = df.sparkSession
+        vocab_df = F.broadcast(
+            spark.createDataFrame(
+                [(w, i, idf_w[w]) for i, w in enumerate(self.vocab)],
+                "term string, idx int, idf double",
+            )
+        )
+        toks = STANDARD_ANALYZER.tokens_col(text_col)
+        counts = (
+            df.select(id_col, F.explode(toks).alias("term"))
+            .groupBy(id_col, "term")
+            .agg(F.count("*").cast("double").alias("c"))
+        )
+        mode, c = self.tf_mode, F.col("c")
+        if mode in ("m", "L"):
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(id_col)
+            counts = counts.withColumn("max_tf", F.max("c").over(w)).withColumn(
+                "ave_tf", F.avg("c").over(w)
+            )
+        tf = {
+            "n": c,
+            "l": F.lit(1.0) + F.log(c),
+            "b": F.lit(1.0),
+            "w": F.lit(1.0) + F.log(c),  # c > 0 after the count
+            "m": F.lit(0.4) + F.lit(0.4) * c / F.col("max_tf"),
+            "L": (F.lit(1.0) + F.log(c)) / (F.lit(1.0) + F.log(F.col("ave_tf"))),
+        }[mode]
+        entries = (
+            counts.join(vocab_df, "term")
+            .select(id_col, F.struct("idx", (tf * F.col("idf")).alias("w")).alias("e"))
+            .groupBy(id_col)
+            .agg(F.map_from_entries(F.collect_list("e")).alias("m"))
+        )
+        empty_map = F.map_from_arrays(
+            F.array().cast("array<int>"), F.array().cast("array<double>")
+        )
+        # map[i] is KEY lookup (the 0-based vocab idx), missing key -> null
+        dense = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(
+                F.coalesce(F.col("m"), empty_map)[i], F.lit(0.0)
+            ),
+        )
+        return (
+            df.join(entries, id_col, "left")
+            .withColumn("features", array_to_vector(dense))
+            .drop("m")
+        )
+
+    def transform_arrow(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        """Arrow-batched fallback for frames without a unique id column:
+        one pandas pass emits the dense weight array, the VectorUDT wrap
+        stays JVM (array_to_vector). Never row-at-a-time Python."""
+        import pandas as pd
+
+        from pyspark.ml.functions import array_to_vector
+
+        vocab_index = {w: i for i, w in enumerate(self.vocab)}
+        dim = len(self.vocab)
+        idf_w = self._idf_weights()
         analyzer = STANDARD_ANALYZER
         tf_mode = self.tf_mode
 
-        @F.udf(VectorUDT())
-        def vectorize(text):
+        @F.pandas_udf(T.ArrayType(T.DoubleType()))
+        def weights(texts: pd.Series) -> pd.Series:
             from collections import Counter
 
-            counts = Counter(analyzer.tokenize(text))
-            pairs = sorted(
-                (vocab_index[w], tf_value(c, tf_mode) * idf_w[w])
-                for w, c in counts.items()
-                if w in vocab_index
-            )
-            return SparseVector(dim, [i for i, _ in pairs], [v for _, v in pairs])
+            out = []
+            for t in texts:
+                counts = Counter(analyzer.tokenize(t))
+                vocab_counts = {
+                    w: c for w, c in counts.items() if w in vocab_index
+                }
+                max_tf = max(vocab_counts.values(), default=1)
+                ave_tf = (
+                    sum(vocab_counts.values()) / len(vocab_counts)
+                    if vocab_counts
+                    else 1.0
+                )
+                vec = [0.0] * dim
+                for w, cnt in vocab_counts.items():
+                    vec[vocab_index[w]] = (
+                        tf_value(cnt, tf_mode, max_tf=max_tf, ave_tf=ave_tf)
+                        * idf_w[w]
+                    )
+                out.append(vec)
+            return pd.Series(out)
 
-        return df.withColumn("features", vectorize(F.col(text_col)))
+        return df.withColumn(
+            "features", array_to_vector(weights(F.col(text_col)))
+        )
 
 
 def select_features(

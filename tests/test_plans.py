@@ -106,6 +106,26 @@ def test_fuzzy_length_window_pushed_to_term_dictionary(spark, tmp_path):
     assert s.search_fuzzy("w00454", k=5).count() > 0
 
 
+def test_featurize_stage_is_jvm_only(spark):
+    """Featurizer.transform replaced a row-at-a-time VectorUDT UDF: on an
+    id-carrying frame the whole featurize plan (tokenize, vocab join, tf
+    arithmetic, dense assembly, vector wrap) must be JVM — no Python eval
+    node of any flavor — and the vocab join must be broadcast."""
+    from nlp4l_spark.ops import ml
+    from nlp4l_spark.stats import Corpus
+
+    df = spark.createDataFrame(
+        [(i, f"spark executor task w{i % 3} shuffle") for i in range(20)],
+        "doc_id long, text string",
+    )
+    feat = ml.fit_featurizer(Corpus(df), min_df=2).transform(df)
+    plan = _plan(feat)
+    assert "BatchEvalPython" not in plan, "featurize fell back to row-Python"
+    assert "ArrowEvalPython" not in plan, "featurize gained a Python stage"
+    assert "BroadcastHashJoin" in plan
+    assert feat.count() == 20
+
+
 def test_stats_joins_are_broadcast_not_shuffle(spark):
     # bm25_topk joins per-term df/idf onto doc_terms: must be broadcast
     plan = _plan(eq.REGISTRY["bm25_topk"][0](spark, SF))
