@@ -117,24 +117,14 @@ class Analyzer:
 
     # ---- Arrow-vectorized engines (index-build hot path) ----
     def tokenize_udf(self):
-        """pandas UDF string -> array<string> (Arrow-batched)."""
-        pattern = re.compile(self.token_pattern)
-        lowercase = self.lowercase
-        stop = self.stopwords
+        """pandas UDF string -> array<string> (Arrow-batched). Delegates to
+        ``self.tokenize`` so analyzer subclasses (UnicodeCJKAnalyzer)
+        inherit the Arrow engine with their own contract."""
+        analyzer = self  # frozen dataclass: pickles by fields
 
         @F.pandas_udf(T.ArrayType(T.StringType()))
         def _tok(texts: pd.Series) -> pd.Series:
-            def one(t):
-                if not t:
-                    return []
-                if lowercase:
-                    t = t.lower()
-                toks = pattern.findall(t)
-                if stop:
-                    return [x for x in toks if x not in stop]
-                return toks
-
-            return texts.map(one)
+            return texts.map(analyzer.tokenize)
 
         return _tok
 
@@ -241,9 +231,7 @@ class Analyzer:
         (no (doc_id, term) shuffle — the reference re-walks Lucene term
         vectors for the same data, Terms.scala:118-138).
         """
-        pattern = re.compile(self.token_pattern)
-        lowercase = self.lowercase
-        stop = self.stopwords
+        analyzer = self
 
         @F.pandas_udf(self.term_counts_schema())
         def _counts(texts: pd.Series) -> pd.DataFrame:
@@ -251,16 +239,12 @@ class Analyzer:
             tfs_out: list[list[int]] = []
             dls: list[int] = []
             for t in texts:
-                if not t:
+                toks = analyzer.tokenize(t)
+                if not toks:
                     terms_out.append([])
                     tfs_out.append([])
                     dls.append(0)
                     continue
-                if lowercase:
-                    t = t.lower()
-                toks = pattern.findall(t)
-                if stop:
-                    toks = [x for x in toks if x not in stop]
                 counts: dict[str, int] = {}
                 for x in toks:
                     counts[x] = counts.get(x, 0) + 1

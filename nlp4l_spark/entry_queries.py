@@ -533,6 +533,66 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+# --------------------------------------------------------------------- #
+# Unicode / CJK analysis (stand-in for JaUserDictionaryProcessor,
+# FeaturedProcessors.scala:302-342 — dictionary-free CJK bigrams)
+# --------------------------------------------------------------------- #
+UNI_SNIPPETS = [
+    "漢字 解析 テスト 形態素",
+    "café résumé naïve münchen",
+    "москва зима тест поиск",
+    "한국어 형태소 분석 검색",
+]
+
+
+def _uni_augmented_sql_case() -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(UNI_SNIPPETS)
+    )
+    return f"(text || ' ' || CASE doc_id % 4 {whens} END)"
+
+
+def q_unicode_wordcount(spark, sf_dir):
+    """Multilingual wordcount through the Unicode+CJK-bigram analyzer
+    (UnicodeCJKAnalyzer): the documents corpus deterministically augmented
+    with CJK/Cyrillic/accented-Latin snippets keyed by doc_id, tokenized
+    by the 4-engine-identical unicode contract, top-30 terms by cf. The
+    base ASCII analyzer tokenizes all of the added text to nothing — this
+    query is green ONLY if the unicode contract matches in Spark and
+    DuckDB."""
+    from nlp4l_spark.analysis.unicode import UNICODE_CJK_ANALYZER
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    snip = F.element_at(
+        F.array(*[F.lit(s) for s in UNI_SNIPPETS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    aug = docs.withColumn("text", F.concat_ws(" ", F.col("text"), snip))
+    toks = UNICODE_CJK_ANALYZER.tokens_expr("text")
+    return (
+        aug.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(30)
+    )
+
+
+def _o_unicode_wordcount() -> str:
+    from nlp4l_spark.analysis.unicode import UNICODE_CJK_ANALYZER
+
+    tok = UNICODE_CJK_ANALYZER.duckdb_tokens_sql("text")
+    return f"""
+WITH aug AS (SELECT doc_id, {_uni_augmented_sql_case()} AS text FROM documents),
+toks AS (SELECT unnest({tok}) AS term FROM aug)
+SELECT term, count(*)::bigint AS cf FROM toks GROUP BY term
+ORDER BY cf DESC, term ASC LIMIT 30
+"""
+
+
+O_UNICODE_WORDCOUNT = _o_unicode_wordcount()
+
+
 def _index_cache_dir(sf_dir: str) -> str:
     key = sf_dir.strip("/").replace("/", "_")
     return os.path.join(tempfile.gettempdir(), f"nlp4l_idx_{key}")
@@ -2102,6 +2162,7 @@ REGISTRY: dict[str, tuple] = {
     "label_map": (q_label_map, O_LABEL_MAP),
     "tf_vectors": (q_tf_vectors, O_TF_VECTORS),
     "count_words": (q_count_words, O_COUNT_WORDS),
+    "unicode_wordcount": (q_unicode_wordcount, O_UNICODE_WORDCOUNT),
     "ltr_pairwise": (q_ltr_pairwise, O_LTR_PAIRWISE),
     "dict_match": (q_dict_match, O_DICT_MATCH),
 }

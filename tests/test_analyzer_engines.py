@@ -35,9 +35,30 @@ def _random_texts(n: int, seed: int) -> list[str]:
     return out
 
 
-@pytest.mark.parametrize("analyzer", [STANDARD_ANALYZER, WHITESPACE_ANALYZER])
-def test_four_engines_agree(spark, analyzer):
-    texts = _random_texts(300, seed=1234)
+# multilingual alphabet for the Unicode contract: CJK (Han/kana/Hangul),
+# Cyrillic, accented Latin, fullwidth digits, ideographic space + ASCII
+UNI_ALPHABET = list(
+    "abcdefXYZ0123  \t　.,;!?()-_"
+    "漢字解析形態素日本語処理検索引擎"
+    "ひらがなですますカタカナテスト"
+    "한국어형태소분석"
+    "éèàçöüßñ"
+    "МоскваЗимаПоиск"
+    "４５６７"
+)
+
+
+def _random_unicode_texts(n: int, seed: int) -> list[str]:
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        length = int(rng.randint(0, 60))
+        out.append("".join(rng.choice(UNI_ALPHABET, size=length)))
+    out += ["", "漢字テスト", "abc漢def", "한국어 처리", "café МОСКВА", "漢。字"]
+    return out
+
+
+def _assert_four_engines(spark, analyzer, texts):
     expected = [analyzer.tokenize(t) for t in texts]
 
     df = spark.createDataFrame(
@@ -64,6 +85,52 @@ def test_four_engines_agree(spark, analyzer):
         ).fetchall()
     ]
     assert got_ddb == expected
+
+
+@pytest.mark.parametrize("analyzer", [STANDARD_ANALYZER, WHITESPACE_ANALYZER])
+def test_four_engines_agree(spark, analyzer):
+    _assert_four_engines(spark, analyzer, _random_texts(300, seed=1234))
+
+
+def test_four_engines_agree_unicode(spark):
+    """The Unicode+CJK-bigram contract holds across all four engines on
+    multilingual inputs — including the inputs the ASCII contract
+    tokenizes to nothing."""
+    from nlp4l_spark.analysis.unicode import UNICODE_CJK_ANALYZER
+
+    texts = _random_unicode_texts(300, seed=4321)
+    _assert_four_engines(spark, UNICODE_CJK_ANALYZER, texts)
+    # and the ASCII analyzer really is blind to this corpus (the reason
+    # the unicode mode exists): pure-CJK inputs tokenize to nothing
+    assert STANDARD_ANALYZER.tokenize("漢字テスト 한국어") == []
+
+
+def test_cjk_index_build_and_bm25_search(spark, tmp_path):
+    """The unicode analyzer drops into the real index-build + BM25 path
+    (inherited Arrow term_counts engine): CJK queries return the docs
+    containing the bigrams, ranked."""
+    from nlp4l_spark.analysis.unicode import UNICODE_CJK_ANALYZER
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.search import Searcher
+
+    docs = spark.createDataFrame(
+        [
+            (0, "日本語の形態素解析を実行する"),
+            (1, "形態素解析はテキスト処理の基本"),
+            (2, "spark で検索エンジンを構築"),
+            (3, "全く関係ない英語 only ascii text"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "cjk_idx")
+    IndexBuilder(analyzer=UNICODE_CJK_ANALYZER, sort_cols=("doc_id",)).build(
+        docs, idx
+    )
+    s = Searcher(spark, idx, analyzer=UNICODE_CJK_ANALYZER)
+    hits = s.search("形態素解析", k=3, method="dataframe").collect()
+    assert {r["doc_id"] for r in hits} == {0, 1}
+    assert s.search("検索エンジン", k=3, method="dataframe").collect()[0]["doc_id"] == 2
+    assert s.search("only ascii", k=3, method="dataframe").collect()[0]["doc_id"] == 3
 
 
 def test_term_counts_udf_agrees_with_tokenize(spark):
