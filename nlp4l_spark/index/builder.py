@@ -120,6 +120,14 @@ class IndexBuilder:
     # table (doc_id, term, tf, positions, start_offsets, end_offsets) is
     # written alongside the postings.
     store_term_vectors: bool = False
+    # opt-in positions IN the posting shards (pos_postings table): the
+    # phrase scale path. search_phrase joins per-term position lists from
+    # term_vectors — an n-way corpus-sized join; with positions riding in
+    # (term, shard) segments the adjacency check runs INSIDE the per-shard
+    # task (Searcher._phrase_postings), plan = pushed In(term) scan ->
+    # grouped Arrow task -> TakeOrdered. Lucene stores positions in the
+    # postings the same way (FieldType.termPositions).
+    store_positions: bool = False
     # parquet checkpoint of the (doc_id, terms[], tfs[], dl) forward index
     # between tokenize and segment building. Default ON: fusing the two
     # python stages into one (pandas UDF piped straight into mapInPandas)
@@ -284,6 +292,27 @@ class IndexBuilder:
             cat.write(tv, "term_vectors", sort_by=["doc_id"])
         if self.store_term_vectors:
             self._check_fail(fail_after_stage, "term_vectors")
+
+        # -- optional stage: positions in posting shards (phrase scale path)
+        # Written SEGMENTED (one row per (term, shard, pid), disjoint doc
+        # ranges) and term-sorted: the per-doc gap reset in the positions
+        # codec makes segment rows concatenable at query time, so no merge
+        # shuffle is needed at all — the phrase task just stacks the
+        # pushed-In(term) rows it receives per shard.
+        if self.store_positions and not done("pos_postings"):
+            with self._clamped_splits(spark, cat, "stored"):
+                src = cat.read(spark, "stored")
+                tvu = self.analyzer.term_vectors_udf()
+                per_doc = src.select(
+                    "doc_id", tvu(F.col(self.text_col)).alias("_tv")
+                )
+                segs_p = per_doc.sortWithinPartitions("doc_id").mapInPandas(
+                    _pos_segment_builder(self.docs_per_shard),
+                    POS_POSTINGS_SCHEMA,
+                )
+                cat.write(segs_p, "pos_postings", sort_by=["term"])
+        if self.store_positions:
+            self._check_fail(fail_after_stage, "pos_postings")
 
         # -- stage 8: lineage ---------------------------------------------------
         if not done("_lineage"):
@@ -475,6 +504,92 @@ def _segment_builder(docs_per_shard: int):
             yield flush()
         elif not emitted:
             yield pd.DataFrame({k: [] for k in COLS})
+
+    return build
+
+
+POS_POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("pid", T.IntegerType()),
+        T.StructField("df", T.LongType()),
+        T.StructField("min_doc", T.LongType()),
+        T.StructField("max_doc", T.LongType()),
+        T.StructField("doc_ids_enc", T.BinaryType()),
+        T.StructField("dls_enc", T.BinaryType()),
+        T.StructField("pos_lens_enc", T.BinaryType()),
+        T.StructField("pos_enc", T.BinaryType()),
+    ]
+)
+
+
+def _pos_segment_builder(docs_per_shard: int):
+    """mapInPandas fn: (doc_id, term_vectors struct) partition -> encoded
+    position-carrying posting segments, one row per (term, shard) of the
+    partition. Positions are full-token-stream indices (stopword holes
+    preserved, the Lucene StopFilter contract); dl = Σ per-term position
+    counts = the analyzed token count BM25 uses."""
+
+    def build(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        # accumulate one flat (doc, term) table for the whole partition:
+        # rows arrive doc-sorted, so per-run doc ids stay ascending
+        docs: list[int] = []
+        terms: list[str] = []
+        plens: list[int] = []
+        pos_parts: list[np.ndarray] = []
+        dls: list[int] = []
+        for pdf in batches:
+            for doc, tv in zip(pdf["doc_id"], pdf["_tv"]):
+                t_terms = tv["terms"]
+                t_pos = tv["positions"]
+                dl = int(sum(len(p) for p in t_pos))
+                for tm, ps in zip(t_terms, t_pos):
+                    docs.append(int(doc))
+                    terms.append(tm)
+                    plens.append(len(ps))
+                    pos_parts.append(np.asarray(ps, dtype=np.int64))
+                    dls.append(dl)
+        if not docs:
+            return
+        d = np.asarray(docs, dtype=np.int64)
+        l = np.asarray(dls, dtype=np.int64)
+        pl = np.asarray(plens, dtype=np.int64)
+        shards = d // docs_per_shard
+        codes, uniq_terms = pd.factorize(pd.Index(terms), sort=False)
+        order = np.lexsort((d, shards, codes))
+        d, l, pl = d[order], l[order], pl[order]
+        codes, shards = codes[order], shards[order]
+        change = np.flatnonzero((np.diff(codes) != 0) | (np.diff(shards) != 0))
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [codes.size]))
+        rows = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            run_d = d[s:e]
+            run_pl = pl[s:e]
+            flat = (
+                np.concatenate([pos_parts[order[i]] for i in range(s, e)])
+                if run_pl.sum()
+                else np.empty(0, dtype=np.int64)
+            )
+            rows.append(
+                {
+                    "term": uniq_terms[codes[s]],
+                    "shard": int(shards[s]),
+                    "pid": pid,
+                    "df": e - s,
+                    "min_doc": int(run_d[0]),
+                    "max_doc": int(run_d[-1]),
+                    "doc_ids_enc": codec.encode_doc_ids(run_d),
+                    "dls_enc": codec.encode_tfs(l[s:e]),
+                    "pos_lens_enc": codec.encode_tfs(run_pl),
+                    "pos_enc": codec.encode_positions(flat, run_pl),
+                }
+            )
+        yield pd.DataFrame(rows)
 
     return build
 

@@ -154,3 +154,42 @@ def encode_posting(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes, 
 
 def decode_posting(doc_ids_enc: bytes, tfs_enc: bytes) -> tuple[np.ndarray, np.ndarray]:
     return decode_doc_ids(doc_ids_enc), decode_tfs(tfs_enc)
+
+
+def encode_positions(flat_positions: np.ndarray, lens: np.ndarray) -> bytes:
+    """Per-doc position runs (lens[i] positions for doc i, ascending
+    within each run), delta-gapped with a reset at every run start
+    (first value = pos0 + 1 so every gap >= 1), one varbyte buffer.
+    Concatenating buffers of disjoint doc ranges stays decodable because
+    the reset is per-DOC, not per-buffer."""
+    p = np.asarray(flat_positions, dtype=np.int64)
+    if p.size == 0:
+        return b""
+    lens = np.asarray(lens, dtype=np.int64)
+    starts = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    starts = starts[lens > 0]
+    gaps = np.empty(p.size, dtype=np.uint64)
+    gaps[1:] = np.diff(p).astype(np.uint64)
+    gaps[starts] = (p[starts] + 1).astype(np.uint64)
+    return varbyte_encode(gaps)
+
+
+def decode_positions(buf: bytes, lens: np.ndarray) -> np.ndarray:
+    """Inverse of encode_positions: flat int64 positions, per-doc runs
+    delimited by ``lens`` (cumsum within each run, -1 at run starts)."""
+    v = varbyte_decode(buf).astype(np.int64)
+    if v.size == 0:
+        return v
+    lens = np.asarray(lens, dtype=np.int64)
+    starts = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    starts = starts[lens > 0]
+    # segmented cumsum: subtract, at each run start, the running total of
+    # the previous runs so each run restarts from its own first value
+    out = np.cumsum(v)
+    run_of = np.zeros(v.size, dtype=np.int64)
+    run_of[starts[1:]] = 1
+    run_of = np.cumsum(run_of)
+    base = np.concatenate(([0], out[starts[1:] - 1]))
+    return out - base[run_of] - 1

@@ -634,18 +634,37 @@ class Searcher:
         )
 
     # ------------------------------------------------------------------ #
-    def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:
-        """Exact-phrase top-k over the INDEX using the opt-in term_vectors
-        positions table (build with ``store_term_vectors=True``; reference
-        read model: TermVector/PosAndOffset, Terms.scala:95-179). Lucene
-        PhraseQuery BM25: tf = phrase freq (consecutive positions — valid
-        across stopword holes because StopFilter preserves position
-        increments), idf = Σ per-term idf. Candidate docs come from an
-        inner join of the per-term position lists (term-pruned scans);
-        the position-adjacency check is an array-HOF intersection."""
+    def search_phrase(
+        self, phrase: str, k: int = 10, method: str = "auto"
+    ) -> DataFrame:
+        """Exact-phrase top-k over the INDEX. Lucene PhraseQuery BM25:
+        tf = phrase freq (consecutive positions — valid across stopword
+        holes because StopFilter preserves position increments),
+        idf = Σ per-term idf.
+
+        Two paths (identity-tested in tests/test_phrase.py):
+
+        * ``postings`` (the scale path, default when the index has a
+          ``pos_postings`` table — ``IndexBuilder(store_positions=True)``):
+          positions ride inside (term, shard) posting segments, the
+          adjacency check runs INSIDE a per-shard Arrow task. Plan =
+          pushed-In(term) scan -> grouped task -> TakeOrdered; no
+          corpus-sized join anywhere (plan-guarded in tests/test_plans.py).
+        * ``term_vectors``: n-way doc_id join of per-term position lists
+          from the opt-in term_vectors table; fine while per-term df is
+          modest, but the join sides are df-sized — the reason the
+          postings path exists."""
         terms = self.analyzer.tokenize(phrase)
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
+        if method == "auto":
+            method = (
+                "postings"
+                if self.cat.is_committed("pos_postings")
+                else "term_vectors"
+            )
+        if method == "postings":
+            return self._phrase_postings(terms, k)
         if not self.cat.is_committed("term_vectors"):
             raise ValueError(
                 "phrase search needs term_vectors "
@@ -689,6 +708,107 @@ class Searcher:
         return (
             cand.join(dl, "doc_id")
             .select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def _phrase_postings(self, terms: list[str], k: int) -> DataFrame:
+        """Phrase scoring over position-carrying posting shards: per
+        (shard) task decodes each query term's (doc_ids, dls, positions)
+        segments (concatenable by construction), intersects candidate
+        docs, counts adjacent-position runs (p0, p0+1, ...) and emits the
+        shard-local BM25 top-k; the global merge is TakeOrderedAndProject.
+        Work ∝ query-term postings, never corpus size."""
+        if not self.cat.is_committed("pos_postings"):
+            raise ValueError(
+                "phrase postings path needs IndexBuilder(store_positions=True)"
+            )
+        dfs = self._term_stats(terms)
+        if any(t not in dfs for t in terms):
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        idf_sum = float(sum(idf(self.num_docs, dfs[t]) for t in terms))
+        avgdl = self.avgdl or 1.0
+        pp = self.cat.read(self.spark, "pos_postings").filter(
+            F.col("term").isin(list(set(terms)))
+        )
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            # stack segments per term (disjoint doc ranges, min_doc order)
+            per_term: dict[str, list] = {}
+            for _, row in pdf.sort_values("min_doc").iterrows():
+                per_term.setdefault(row["term"], []).append(row)
+            if len(per_term) < len(set(terms)):
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"),
+                     "tf": pd.Series([], dtype="int64"),
+                     "dl": pd.Series([], dtype="int64")}
+                )
+            decoded: dict[str, tuple] = {}
+            for t, rows in per_term.items():
+                d = np.concatenate(
+                    [codec.decode_doc_ids(r["doc_ids_enc"]) for r in rows]
+                )
+                dl = np.concatenate(
+                    [codec.decode_tfs(r["dls_enc"]) for r in rows]
+                )
+                pl = np.concatenate(
+                    [codec.decode_tfs(r["pos_lens_enc"]) for r in rows]
+                )
+                flat = np.concatenate(
+                    [
+                        codec.decode_positions(r["pos_enc"], codec.decode_tfs(r["pos_lens_enc"]))
+                        for r in rows
+                    ]
+                )
+                pstarts = np.zeros(pl.size + 1, dtype=np.int64)
+                np.cumsum(pl, out=pstarts[1:])
+                decoded[t] = (d, dl, pl, flat, pstarts)
+            # candidate docs: docs containing ALL distinct terms
+            cand = None
+            for t in set(terms):
+                cand = decoded[t][0] if cand is None else np.intersect1d(
+                    cand, decoded[t][0], assume_unique=True
+                )
+            out_doc, out_tf, out_dl = [], [], []
+            for doc in cand.tolist():
+                plist = []
+                for i, t in enumerate(terms):
+                    d, dl, pl, flat, pstarts = decoded[t]
+                    j = int(np.searchsorted(d, doc))
+                    ps = flat[pstarts[j] : pstarts[j + 1]] - i
+                    plist.append(ps)
+                inter = plist[0]
+                for ps in plist[1:]:
+                    inter = np.intersect1d(inter, ps, assume_unique=True)
+                    if inter.size == 0:
+                        break
+                if inter.size:
+                    d0, dl0, _, _, ps0 = decoded[terms[0]]
+                    j = int(np.searchsorted(d0, doc))
+                    out_doc.append(doc)
+                    out_tf.append(int(inter.size))
+                    out_dl.append(int(dl0[j]))
+            return pd.DataFrame(
+                {"doc_id": pd.Series(out_doc, dtype="int64"),
+                 "tf": pd.Series(out_tf, dtype="int64"),
+                 "dl": pd.Series(out_dl, dtype="int64")}
+            )
+
+        cand = pp.groupBy("shard").applyInPandas(
+            run, "doc_id long, tf long, dl long"
+        )
+        score = (
+            F.lit(idf_sum)
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+            )
+        )
+        return (
+            cand.select("doc_id", score.alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )

@@ -46,7 +46,9 @@ def indexed(spark, tmp_path_factory):
         )
     )
     IndexBuilder(
-        sort_cols=("conv_id", "turn_idx"), store_term_vectors=True
+        sort_cols=("conv_id", "turn_idx"),
+        store_term_vectors=True,
+        store_positions=True,
     ).build(df, d)
     return d
 
@@ -76,15 +78,43 @@ def test_phrase_scores_first_principles(docs_df):
 def test_index_path_matches_corpus_path(spark, docs_df, indexed):
     s = Searcher(spark, indexed)
     for phrase in ["london bridge", "falling down", "bridge london", "nohit phrase"]:
-        via_index = [
-            (r["doc_id"], round(r["score"], 6))
-            for r in s.search_phrase(phrase, k=10).collect()
-        ]
         via_corpus = [
             (r["doc_id"], r["score"])
             for r in phrase_bm25_topk(docs_df, phrase, k=10).collect()
         ]
-        assert via_index == via_corpus, phrase
+        for method in ("term_vectors", "postings"):
+            via_index = [
+                (r["doc_id"], round(r["score"], 6))
+                for r in s.search_phrase(phrase, k=10, method=method).collect()
+            ]
+            assert via_index == via_corpus, (phrase, method)
+
+
+def test_phrase_postings_plan_has_no_corpus_join(spark, indexed):
+    """The scale path's plan: pushed In(term) scan of pos_postings ->
+    per-shard Arrow task -> TakeOrderedAndProject. No join of any kind —
+    the old term_vectors path built an n-way doc_id join."""
+    s = Searcher(spark, indexed)
+    plan = (
+        s.search_phrase("london bridge", k=10, method="postings")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("term" in ln and "In(" in ln for ln in pushed), pushed
+    # auto dispatch prefers the postings path when the table exists
+    auto = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in s.search_phrase("london bridge", k=10).collect()
+    ]
+    via_postings = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in s.search_phrase("london bridge", k=10, method="postings").collect()
+    ]
+    assert auto == via_postings
 
 
 def test_phrase_without_term_vectors_raises(spark, tmp_path, docs_df):
