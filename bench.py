@@ -143,20 +143,56 @@ def timed_build(spark, n_turns: int, out_dir: str) -> float:
     return time.time() - t0
 
 
-def run_queries(spark) -> dict[str, float]:
+CONTROL_QUERY = "wordcount_cf"
+
+
+def run_queries(spark) -> tuple[dict[str, float], dict]:
+    """Timed headline queries + a NOISE CONTROL: the same fixed query
+    re-run interleaved through the suite. Its spread is the host's noise
+    floor at measurement time (documented ±40% CPU-steal swing on this
+    VM) — round-over-round per-query deltas smaller than the control
+    spread are noise, not regressions."""
     from nlp4l_spark import entry_queries as eq
 
     # fresh index cache so index_bm25_topk measures a real build+search
     shutil.rmtree(eq._index_cache_dir(SF_DIR), ignore_errors=True)
     out: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    control_fn = eq.REGISTRY[CONTROL_QUERY][0]
+    control_times: list[float] = []
+
+    def run_control():
+        t0 = time.time()
+        control_fn(spark, SF_DIR).count()
+        control_times.append(round(time.time() - t0, 3))
+
+    run_control()  # prime + first sample
+    run_control()
+    for i, name in enumerate(BENCH_QUERIES):
         fn = eq.REGISTRY[name][0]
         t0 = time.time()
         df = fn(spark, SF_DIR)
         n = df.count()
         out[name] = round(time.time() - t0, 3)
         print(f"  {name}: {out[name]}s ({n} rows)", file=sys.stderr)
-    return out
+        if (i + 1) % 5 == 0:
+            run_control()
+    run_control()
+    samples = control_times[1:]  # drop the cold prime
+    med = sorted(samples)[len(samples) // 2]
+    control = {
+        "query": CONTROL_QUERY,
+        "times": samples,
+        "median": med,
+        "spread_pct": round(100.0 * (max(samples) - min(samples)) / med, 1)
+        if med
+        else None,
+    }
+    print(
+        f"  noise control ({CONTROL_QUERY}): {samples} "
+        f"median={med}s spread={control['spread_pct']}%",
+        file=sys.stderr,
+    )
+    return out, control
 
 
 def main():
@@ -263,10 +299,11 @@ def main():
         f"({len(qset_big) / search_big_secs:.1f} qps)",
         file=sys.stderr,
     )
-    queries = run_queries(spark)
+    queries, noise_control = run_queries(spark)
     spark.stop()
 
     result["queries"] = queries
+    result["noise_control"] = noise_control
     result["value"] = round(sum(queries.values()) + build_secs, 3)
     result["build"] = {
         "turns": BENCH_TURNS,

@@ -2168,6 +2168,37 @@ REGISTRY: dict[str, tuple] = {
 }
 
 
+# Driver-facing order: the external correctness gate walks the registry
+# front-to-back under a budget, so every oracle-backed entry comes FIRST
+# (cheapest first, measured at sf0.01) and the 5 rows-only entries
+# (trained models / iterative algorithms / Python alignment) sit at the
+# tail. The ANN pair stays adjacent so the cached materialized index is
+# built once.
+_DRIVER_ORDER = [
+    "sort_paging", "fingerprint", "label_map", "lang_id", "rate_to_label",
+    "stop_filter", "props_parse", "stats_moments", "token_count", "quality_score",
+    "sample_stratified", "length_percentiles", "merge_records", "redact_pii", "acronym_candidates",
+    "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words", "click_rate",
+    "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
+    "unicode_wordcount", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",
+    "total_count", "validator_unique", "select_features", "term_range_search", "prefix_search",
+    "term_positions", "event_transitions", "kea_features", "count_prefix", "replay",
+    "media_features", "sessionize", "ann_cosine_topk", "count_docset", "dict_match",
+    "wordcount_df", "tf_vectors", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
+    "top_terms_by_docfreq", "wordcount_cf", "chi2_terms", "dedup_simhash", "kea_bigrams",
+    "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
+    "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "embedding_neardup",
+    "index_bm25_topk", "bm25_topk", "embedding_neardup_lsh", "ann_lsh_topk", "ann_ivf_topk",
+    # rows-only tail
+    "ner_entities", "mdlp_cuts", "acronyms", "ml_classify", "kea_extract",
+]
+
+assert sorted(_DRIVER_ORDER) == sorted(REGISTRY), (
+    set(_DRIVER_ORDER) ^ set(REGISTRY)
+)
+REGISTRY = {name: REGISTRY[name] for name in _DRIVER_ORDER}
+
+
 def queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
