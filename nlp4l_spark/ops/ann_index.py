@@ -37,26 +37,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from nlp4l_spark.ops.similarity import (
     _hyperplanes,
-    _signature_cols,
     cosine_col,
+    ivf_cells_arrow,
+    lsh_buckets_arrow,
 )
 
 META = "meta.json"
-
-
-def _cell_col(vec_col, cents: list[np.ndarray]):
-    """Nearest-centroid cell id (cosine, ties -> lower index) as a pure
-    JVM expression — same arithmetic as similarity.ivf_cosine_topk."""
-    structs = F.array(
-        *[
-            F.struct(
-                cosine_col(vec_col, c).alias("c"),
-                F.lit(-i).alias("ni"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
-    return (-F.array_max(structs)["ni"]).cast("int")
 
 
 def fit_centroids(
@@ -101,13 +87,13 @@ def build_ann_index(
         centroids = fit_centroids(df, n_cells, vec_col, seed)
     cents = [np.asarray(c, dtype=np.float64) for c in centroids]
 
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-
     # LSH layout: one row per (table, vector); repartition on the
-    # partition keys -> one file per (tbl, bucket) dir, no small-file blowup
-    sigs = _signature_cols(F.col("v"), planes)
-    lsh = base.select(
-        "id", "v", F.posexplode(F.array(*sigs)).alias("tbl", "bucket")
+    # partition keys -> one file per (tbl, bucket) dir, no small-file
+    # blowup. Signatures come from the Arrow matmul pass
+    # (similarity.lsh_buckets_arrow) — the interpreted-HOF
+    # _signature_cols form is the declarative twin.
+    lsh = lsh_buckets_arrow(df, planes, vec_col, id_col).select(
+        "id", "v", F.posexplode("buckets").alias("tbl", "bucket")
     )
     (
         lsh.repartition("tbl", "bucket")
@@ -116,8 +102,9 @@ def build_ann_index(
         .parquet(os.path.join(index_dir, "lsh"))
     )
 
-    # IVF layout: quantize once at build, partition by cell
-    ivf = base.withColumn("cell", _cell_col(F.col("v"), cents))
+    # IVF layout: quantize once at build (Arrow matmul argmax), partition
+    # by cell
+    ivf = ivf_cells_arrow(df, cents, vec_col, id_col)
     (
         ivf.repartition("cell")
         .write.mode("overwrite")

@@ -88,6 +88,106 @@ def _signature_cols(vec_col, planes: np.ndarray):
     return sigs
 
 
+def lsh_buckets_arrow(
+    df: DataFrame,
+    planes: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, v, buckets array<long>[tables]) via ONE Arrow pass: a NumPy
+    matmul of the batch's vectors against all hyperplanes at once,
+    replacing the interpreted zip_with/aggregate HOF chain of
+    ``_signature_cols`` (the declarative twin) — same sign-bit buckets,
+    ~10x less driver-measured wall on signature-heavy paths. Sign
+    agreement with the sequential-sum HOF form holds unless a dot sits
+    within float rounding of zero; callers that feed oracle-checked
+    queries re-verify end-result identity at two SFs (see
+    entry_queries._ann_index docstring)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    tables, bits, dim = planes.shape
+    flat = planes.reshape(tables * bits, dim).T  # (dim, tables*bits)
+    weights = (1 << np.arange(bits - 1, -1, -1, dtype=np.int64))
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.FloatType())),
+            T.StructField("buckets", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+            )
+            bits_m = (mat @ flat) > 0  # (n, tables*bits)
+            bits_m = bits_m.reshape(len(pdf), tables, bits)
+            buckets = (bits_m * weights).sum(axis=2)  # (n, tables)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "v": pdf["v"],
+                    "buckets": list(buckets),
+                }
+            )
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return base.mapInPandas(run, schema)
+
+
+def ivf_cells_arrow(
+    df: DataFrame,
+    centroids: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, v, cell) via one Arrow pass: batch cosine against all
+    centroids as a NumPy matmul + argmax (ties -> lower index, matching
+    the (cosine, -idx) struct-max of the declarative twin)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    C = np.asarray(
+        [np.asarray(c, dtype=np.float64) for c in centroids]
+    )  # (k, dim)
+    Cn = np.linalg.norm(C, axis=1)
+    Cn[Cn == 0] = 1.0
+    CT = (C / Cn[:, None]).T  # (dim, k)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.FloatType())),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+            )
+            nrm = np.linalg.norm(mat, axis=1)
+            nrm[nrm == 0] = 1.0
+            cos = (mat / nrm[:, None]) @ CT  # (n, k)
+            cells = np.argmax(cos, axis=1).astype(np.int32)  # first max wins
+            yield pd.DataFrame(
+                {"id": pdf["id"], "v": pdf["v"], "cell": cells}
+            )
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return base.mapInPandas(run, schema)
+
+
 def lsh_cosine_topk(
     df: DataFrame,
     query_vec,
@@ -236,11 +336,13 @@ def embedding_neardup_pairs(
     sample = df.select(vec_col).first()
     dim = len(sample[0])
     planes = _hyperplanes(dim, bits, tables, seed)
-    sigs = _signature_cols(F.col(vec_col), planes)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.posexplode(F.array(*sigs)).alias("tbl", "bucket"),
+    # signatures via the Arrow matmul pass (lsh_buckets_arrow; the
+    # interpreted-HOF _signature_cols chain measured ~4x slower here);
+    # persisted because BOTH sides of the self-join read them, released
+    # after the (small) candidate-pair result is materialized
+    sh = lsh_buckets_arrow(df, planes, vec_col, id_col).persist()
+    base = sh.select(
+        "id", "v", F.posexplode("buckets").alias("tbl", "bucket")
     )
     cand = (
         base.alias("a")
@@ -273,8 +375,11 @@ def embedding_neardup_pairs(
             )
         )
 
-    return (
+    out = (
         cand.withColumn("cosine", dot / (norm(F.col("va")) * norm(F.col("vb"))))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+    out = out.localCheckpoint(eager=True)  # near-dup pairs << corpus
+    sh.unpersist()
+    return out
