@@ -86,3 +86,40 @@ def test_sessions_span_batches_and_restarts(spark, tmp_path):
     bset = {(r["user_id"], r["n"]) for r in closed_batch.collect()}
     for u, n in got2:
         assert (u, n) in bset
+
+
+def test_out_of_order_events_merge_without_rewinding(spark, tmp_path):
+    """A later micro-batch delivering an event with ts EARLIER than the
+    stored session tail must merge into the open session (start=min,
+    last=max) — it must NOT rewind `last` and split the session when an
+    on-time event follows."""
+    in_dir = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    out_dir = str(tmp_path / "out")
+    t = "2026-01-01 10:{m:02d}:00"
+
+    # batch 1: session open with last=10:08
+    _write_batch(spark, in_dir, [(7, t.format(m=0)), (7, t.format(m=8))], "b1")
+    _run_available_now(spark, in_dir, chk, out_dir)
+
+    # batch 2: a LATE event at 10:03 (before the stored last)
+    _write_batch(spark, in_dir, [(7, t.format(m=3))], "b2")
+    _run_available_now(spark, in_dir, chk, out_dir)
+
+    # batch 3: an on-time event at 10:15 — within gap of last=10:08, so
+    # the session must EXTEND (a rewound last=10:03 would still pass
+    # here; the split shows at close time via n_events)
+    # batch 4: 11:00 closes it — the session must contain all 4 events
+    _write_batch(spark, in_dir, [(7, t.format(m=15))], "b3")
+    _run_available_now(spark, in_dir, chk, out_dir)
+    _write_batch(spark, in_dir, [(7, "2026-01-01 11:00:00")], "b4")
+    out = _run_available_now(spark, in_dir, chk, out_dir)
+    closed = [
+        (r["n_events"], r["session_start"], r["session_end"])
+        for r in out.filter(F.col("user_id") == 7).collect()
+    ]
+    assert len(closed) == 1, closed
+    n, start, end = closed[0]
+    assert n == 4  # 10:00, 10:03 (late), 10:08, 10:15 — one session
+    # tz-independent: the session spans exactly 10:00 -> 10:15
+    assert end - start == 15 * 60
