@@ -13,6 +13,7 @@ value-hash):
 
 from __future__ import annotations
 
+import math
 import os
 import tempfile
 
@@ -202,31 +203,61 @@ ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
-def q_bm25_topk(spark, sf_dir):
-    """Pure-DataFrame BM25 over the raw corpus (no prebuilt index):
-    the oracle-comparable scoring path."""
-    corpus = _corpus(spark, sf_dir)
-    dt = corpus.doc_terms()
-    dl = corpus.doc_lens()
-    stats = dl.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
-    ).collect()[0]
-    n, avgdl = stats["n"], stats["sum_dl"] / stats["n"]
-    qdt = dt.filter(F.col("term").isin(BM25_TERMS))
-    dfm = qdt.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    score = (
-        idf
-        * F.col("tf")
-        * F.lit(2.2)
-        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
-    )
+def _bm25_per_doc(spark, sf_dir):
+    """(doc_id, dl, m[term -> tf]) — ONE tokenize pass per job. The
+    earlier form derived doc_terms, doc_lens and per-term dfs from
+    separate tokenize passes (3-4 corpus scans per query); everything a
+    corpus-path BM25 needs comes out of a single term_counts pass."""
+    tc = STANDARD_ANALYZER.term_counts_udf()
     return (
-        qdt.join(F.broadcast(dfm), "term")
-        .join(dl, "doc_id")
-        .withColumn("_s", score)
-        .groupBy("doc_id")
-        .agg(F.sum("_s").alias("s"))
+        _docs(spark, sf_dir)
+        .select("doc_id", tc(F.col("text")).alias("_tc"))
+        .select(
+            "doc_id",
+            F.col("_tc.dl").cast("double").alias("dl"),
+            F.map_from_arrays("_tc.terms", "_tc.tfs").alias("m"),
+        )
+    )
+
+
+def _bm25_corpus_stats(per_doc, terms):
+    """(n, avgdl, {term: df}) in ONE aggregation job."""
+    aggs = [F.count("*").alias("n"), F.sum("dl").alias("sum_dl")] + [
+        F.count(F.col("m")[t]).cast("double").alias(f"_df_{i}")
+        for i, t in enumerate(terms)
+    ]
+    row = per_doc.agg(*aggs).collect()[0]
+    n = row["n"]
+    return (
+        n,
+        row["sum_dl"] / n,
+        {t: float(row[f"_df_{i}"]) for i, t in enumerate(terms)},
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Pure-DataFrame BM25 over the raw corpus (no prebuilt index): the
+    oracle-comparable scoring path. Two corpus passes total — one
+    aggregation for (n, avgdl, per-term df), one scan scoring every doc
+    from the per-doc tf map with idfs folded in as literals; no join, no
+    shuffle, top-k is TakeOrderedAndProject."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    score = None
+    for t in BM25_TERMS:
+        idf_w = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        tf = F.col("m")[t].cast("double")
+        s_t = F.when(
+            tf.isNotNull(),
+            F.lit(idf_w)
+            * tf
+            * F.lit(2.2)
+            / (tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))),
+        ).otherwise(F.lit(0.0))
+        score = s_t if score is None else score + s_t
+    return (
+        per_doc.withColumn("s", score)
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(BM25_K)
         .select("doc_id", F.round("s", 6).alias("score"))
@@ -256,33 +287,28 @@ def q_bm25_and_topk(spark, sf_dir):
     """Conjunctive (Lucene BooleanQuery MUST) BM25 top-k: docs must contain
     EVERY query term; scoring is the same BM25 sum (MUST only changes the
     candidate set). Index path: Searcher.search(..., operator='and'),
-    identity-tested in tests/test_boolean.py."""
-    corpus = _corpus(spark, sf_dir)
-    dt = corpus.doc_terms()
-    dl = corpus.doc_lens()
-    stats = dl.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
-    ).collect()[0]
-    n, avgdl = stats["n"], stats["sum_dl"] / stats["n"]
-    qdt = dt.filter(F.col("term").isin(BM25_TERMS))
-    dfm = qdt.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    score = (
-        idf
-        * F.col("tf")
-        * F.lit(2.2)
-        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
-    )
-    return (
-        qdt.join(F.broadcast(dfm), "term")
-        .join(dl, "doc_id")
-        .withColumn("_s", score)
-        .groupBy("doc_id")
-        .agg(
-            F.sum("_s").alias("s"),
-            F.countDistinct("term").alias("_nm"),
+    identity-tested in tests/test_boolean.py. Same two-pass one-tokenize
+    shape as q_bm25_topk; MUST = every per-doc map lookup non-null."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    score = None
+    for t in BM25_TERMS:
+        idf_w = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        tf = F.col("m")[t].cast("double")
+        s_t = (
+            F.lit(idf_w)
+            * tf
+            * F.lit(2.2)
+            / (tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
         )
-        .filter(F.col("_nm") == len(BM25_TERMS))
+        score = s_t if score is None else score + s_t
+    must = [F.col("m")[t].isNotNull() for t in BM25_TERMS]
+    cond = must[0]
+    for c in must[1:]:
+        cond = cond & c
+    return (
+        per_doc.filter(cond)
+        .withColumn("s", score)
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(BM25_K)
         .select("doc_id", F.round("s", 6).alias("score"))
@@ -367,35 +393,30 @@ def q_bm25_not_topk(spark, sf_dir):
     """BooleanQuery with MUST_NOT + BoostQuery over the corpus: score
     SHOULD terms (vector boosted 2x), exclude any doc containing the
     MUST_NOT term. Index path: Searcher.search_boolean / Searcher.query
-    ("join vector^2 -scan"), identity-tested in tests/test_boolean.py."""
-    corpus = _corpus(spark, sf_dir)
-    dt = corpus.doc_terms()
-    dl = corpus.doc_lens()
-    stats = dl.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
-    ).collect()[0]
-    n, avgdl = stats["n"], stats["sum_dl"] / stats["n"]
-    qdt = dt.filter(F.col("term").isin(BOOL_SHOULD))
-    dfm = qdt.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    boost = F.when(
-        F.col("term") == "vector", F.lit(BOOL_BOOST["vector"])
-    ).otherwise(F.lit(1.0))
-    idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    score = (
-        idf
-        * boost
-        * F.col("tf")
-        * F.lit(2.2)
-        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
-    )
-    excl = dt.filter(F.col("term") == BOOL_MUST_NOT).select("doc_id").distinct()
+    ("join vector^2 -scan"), identity-tested in tests/test_boolean.py.
+    Same two-pass one-tokenize shape as q_bm25_topk; MUST_NOT = the
+    per-doc map lookup of the excluded term is null."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BOOL_SHOULD)
+    score = None
+    for t in BOOL_SHOULD:
+        idf_w = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        boost = BOOL_BOOST.get(t, 1.0)
+        tf = F.col("m")[t].cast("double")
+        s_t = F.when(
+            tf.isNotNull(),
+            F.lit(idf_w * boost)
+            * tf
+            * F.lit(2.2)
+            / (tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))),
+        ).otherwise(F.lit(0.0))
+        score = s_t if score is None else score + s_t
     return (
-        qdt.join(F.broadcast(dfm), "term")
-        .join(dl, "doc_id")
-        .withColumn("_s", score)
-        .groupBy("doc_id")
-        .agg(F.sum("_s").alias("s"))
-        .join(excl, "doc_id", "left_anti")
+        per_doc.filter(
+            F.greatest(*[F.col("m")[t] for t in BOOL_SHOULD]).isNotNull()
+        )
+        .filter(F.col("m")[BOOL_MUST_NOT].isNull())
+        .withColumn("s", score)
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(BM25_K)
         .select("doc_id", F.round("s", 6).alias("score"))
