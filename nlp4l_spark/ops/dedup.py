@@ -202,7 +202,10 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    verified._minhash_cache = with_sig  # caller may unpersist after collect
+    # materialize the (near-dup-pair-sized) result, then release the
+    # corpus-sized signature cache — repeated calls leak nothing
+    verified = verified.localCheckpoint(eager=True)
+    with_sig.unpersist()
     return verified
 
 
@@ -232,8 +235,9 @@ def ngram_jaccard_pairs(
         shingles_udf(shingle_n)(F.col(text_col)).alias("_sh"),
     )
     # persist: the shingle explode feeds the df-filter, BOTH sides of the
-    # self-join, and the per-doc counts — without a cache the (interpreted
-    # HOF) shingle expression is evaluated 4x
+    # self-join, and the per-doc counts — without a cache the shingle UDF
+    # would be evaluated 4x. Released after the (near-dup-pair-sized)
+    # result is materialized below — repeated calls leak nothing.
     inv_raw = sh.select("id", F.explode("_sh").alias("shingle")).persist()
     inv = inv_raw
     if max_shingle_df is not None:
@@ -268,7 +272,8 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    out._ngram_cache = inv_raw  # caller may unpersist after materializing
+    out = out.localCheckpoint(eager=True)
+    inv_raw.unpersist()
     return out
 
 
