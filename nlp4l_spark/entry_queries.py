@@ -453,41 +453,52 @@ def q_fuzzy_bm25_topk(spark, sf_dir):
     1 - edits/min(|term|,|query|), sum per doc. Index path:
     Searcher.search_fuzzy (same formulas over term_stats)."""
     corpus = _corpus(spark, sf_dir)
-    dt = corpus.doc_terms()
-    dl = corpus.doc_lens()
-    stats = dl.agg(
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    stats = per_doc.agg(
         F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
     ).collect()[0]
     n, avgdl = stats["n"], stats["sum_dl"] / stats["n"]
-    dfm = dt.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    # dictionary expansion: df per term with the Levenshtein window +
+    # Lucene fuzzy boost; mirror Searcher.search_fuzzy — zero/negative
+    # boosts (possible for 1-2 char terms) are dropped, not zero-scored
     lev = F.levenshtein(F.col("term"), F.lit(FUZZY_TERM))
-    exp = (
-        dfm.filter(lev <= 2)
+    exp_rows = (
+        per_doc.select(F.explode(F.map_keys("m")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+        .filter(lev <= 2)
         .withColumn(
             "boost",
             F.lit(1.0)
             - lev / F.least(F.length("term"), F.lit(len(FUZZY_TERM))),
         )
-        # mirror Searcher.search_fuzzy: zero/negative-boost expansions
-        # (possible for 1-2 char terms) are dropped, not zero-scored
         .filter(F.col("boost") > 0)
+        .collect()
     )
-    idf = F.log(
-        F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    score = (
-        idf
-        * F.col("boost")
-        * F.col("tf")
-        * F.lit(2.2)
-        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
-    )
+    # scoring pass: idf*boost folded into one literal per expanded term,
+    # tf from the per-doc map — no joins, no groupBy
+    score, any_match = None, None
+    for r in exp_rows:
+        w = (
+            math.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5))
+            * float(r["boost"])
+        )
+        tf = F.col("m")[r["term"]].cast("double")
+        s_t = F.when(
+            tf.isNotNull(),
+            F.lit(w)
+            * tf
+            * F.lit(2.2)
+            / (tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))),
+        ).otherwise(F.lit(0.0))
+        score = s_t if score is None else score + s_t
+        m_t = F.col("m")[r["term"]]
+        any_match = m_t if any_match is None else F.greatest(any_match, m_t)
+    if score is None:
+        return spark.createDataFrame([], "doc_id long, score double")
     return (
-        dt.join(F.broadcast(exp), "term")
-        .join(dl, "doc_id")
-        .withColumn("_s", score)
-        .groupBy("doc_id")
-        .agg(F.sum("_s").alias("s"))
+        per_doc.filter(any_match.isNotNull())
+        .withColumn("s", score)
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(BM25_K)
         .select("doc_id", F.round("s", 6).alias("score"))
