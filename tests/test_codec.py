@@ -60,3 +60,62 @@ def test_block_max_values():
     bm = codec.block_max(doc_ids, tfs)
     assert [b["max_tf"] for b in bm] == [3, 9, 1]
     assert [b["last_doc"] for b in bm] == [127, 255, 299]
+
+
+# ---------------- positions codec (hypothesis property tests) ----------- #
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAS_HYPOTHESIS = False
+
+if HAS_HYPOTHESIS:
+
+    @st.composite
+    def _position_runs(draw):
+        """Per-doc ascending position runs (possibly empty), flat array +
+        lens — the exact shape pos_postings stores."""
+        n_docs = draw(st.integers(0, 12))
+        lens, flat = [], []
+        for _ in range(n_docs):
+            run = sorted(
+                draw(
+                    st.sets(st.integers(0, 2**40), min_size=0, max_size=10)
+                )
+            )
+            lens.append(len(run))
+            flat.extend(run)
+        return np.asarray(flat, dtype=np.int64), np.asarray(
+            lens, dtype=np.int64
+        )
+
+    @given(_position_runs())
+    @settings(max_examples=300, deadline=None)
+    def test_positions_roundtrip_property(runs):
+        flat, lens = runs
+        buf = codec.encode_positions(flat, lens)
+        np.testing.assert_array_equal(codec.decode_positions(buf, lens), flat)
+
+    @given(_position_runs(), _position_runs())
+    @settings(max_examples=150, deadline=None)
+    def test_positions_buffers_concat_property(a, b):
+        """Segment rows with disjoint doc ranges concatenate WITHOUT
+        re-encoding — the invariant the merge-free pos_postings layout
+        depends on (per-doc gap reset)."""
+        fa, la = a
+        fb, lb = b
+        buf = codec.encode_positions(fa, la) + codec.encode_positions(fb, lb)
+        lens = np.concatenate([la, lb])
+        flat = np.concatenate([fa, fb])
+        np.testing.assert_array_equal(codec.decode_positions(buf, lens), flat)
+
+    @given(
+        st.lists(st.integers(0, 2**55), min_size=0, max_size=60, unique=True)
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_doc_id_roundtrip_property(ids):
+        d = np.asarray(sorted(ids), dtype=np.int64)
+        np.testing.assert_array_equal(
+            codec.decode_doc_ids(codec.encode_doc_ids(d)), d
+        )
