@@ -125,6 +125,43 @@ def build_ann_index(
         )
 
 
+def append_ann_index(
+    df: DataFrame,
+    index_dir: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append NEW vectors to an existing materialized index without a
+    rebuild: the persisted meta (hyperplanes seed/shape, centroids) fixes
+    the geometry, so new rows are signed/quantized with the SAME
+    functions and land in the SAME partition directories via parquet
+    append — probes see them immediately with unchanged pruning. This is
+    the maintenance path for an append-only embedding store (the batch
+    twin of a writeStream foreachBatch hook)."""
+    meta = _load_meta(index_dir)
+    planes = _hyperplanes(
+        meta["dim"], meta["bits"], meta["tables"], meta["seed"]
+    )
+    cents = [np.asarray(c, dtype=np.float64) for c in meta["centroids"]]
+    lsh = lsh_buckets_arrow(df, planes, vec_col, id_col).select(
+        "id", "v", F.posexplode("buckets").alias("tbl", "bucket")
+    )
+    (
+        lsh.repartition("tbl", "bucket")
+        .write.mode("append")
+        .partitionBy("tbl", "bucket")
+        .parquet(os.path.join(index_dir, "lsh"))
+    )
+    ivf = ivf_cells_arrow(df, cents, vec_col, id_col)
+    (
+        ivf.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "ivf"))
+    )
+
+
 def _load_meta(index_dir: str) -> dict:
     with open(os.path.join(index_dir, META)) as fh:
         return json.load(fh)

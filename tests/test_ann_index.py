@@ -82,6 +82,36 @@ def test_lsh_layout_partitioned_by_table_and_bucket(spark, tmp_path):
     assert meta["bits"] == 2 and meta["tables"] == 2 and meta["dim"] == 64
 
 
+def test_append_extends_index_without_rebuild(spark, tmp_path):
+    """append_ann_index signs/quantizes new vectors with the PERSISTED
+    geometry: after an append, probes over the grown index equal a fresh
+    build over the union."""
+    from pyspark.sql import functions as F
+
+    from nlp4l_spark.ops.ann_index import append_ann_index
+
+    emb = _emb(spark)
+    old = emb.filter(F.col("vec_id") < 300)
+    new = emb.filter(F.col("vec_id") >= 300)
+    cents = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+
+    grown = str(tmp_path / "grown")
+    build_ann_index(old, grown, bits=3, tables=8, centroids=cents)
+    append_ann_index(new, grown)
+
+    fresh = str(tmp_path / "fresh")
+    build_ann_index(emb, fresh, bits=3, tables=8, centroids=cents)
+
+    for fn, kw in [(lsh_topk_indexed, {}), (ivf_topk_indexed, {"nprobe": 3})]:
+        a = [(r["vec_id"], r["cosine"]) for r in fn(spark, grown, qvec, k=10, **kw).collect()]
+        b = [(r["vec_id"], r["cosine"]) for r in fn(spark, fresh, qvec, k=10, **kw).collect()]
+        assert a == b, fn.__name__
+
+
 def test_kmeans_centroid_fit_is_deterministic_and_probeable(spark, tmp_path):
     emb = _emb(spark).limit(200)
     c1 = fit_centroids(emb, n_cells=4, seed=11)
