@@ -646,6 +646,28 @@ def q_index_bm25_topk(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_index_phrase_topk(spark, sf_dir):
+    """The phrase SCALE path, driver-verified: positions ride inside the
+    posting shards (store_positions=True adds only the missing
+    pos_postings stage to the cached index via resume), the adjacency
+    check runs in a per-shard Arrow task — no corpus-sized join
+    (tests/test_plans.py guards the plan). Same oracle as the corpus
+    path: the two are rank- and score-identical."""
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.index.catalog import IndexCatalog
+    from nlp4l_spark.search import Searcher
+
+    idx = _index_cache_dir(sf_dir)
+    cat = IndexCatalog(idx)
+    if not cat.is_committed("pos_postings"):
+        IndexBuilder(sort_cols=("doc_id",), store_positions=True).build(
+            _docs(spark, sf_dir), idx
+        )
+    s = Searcher(spark, idx)
+    res = s.search_phrase(PHRASE_QUERY, k=BM25_K, method="postings")
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 # --------------------------------------------------------------------- #
 # TF-IDF (SURVEY §2.5, TFIDF.scala modes)
 # --------------------------------------------------------------------- #
@@ -2134,6 +2156,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25_topk": (q_bm25_topk, _BM25_ORACLE),
     "index_bm25_topk": (q_index_bm25_topk, _BM25_ORACLE),
     "phrase_bm25_topk": (q_phrase_bm25_topk, O_PHRASE_BM25_TOPK),
+    "index_phrase_topk": (q_index_phrase_topk, O_PHRASE_BM25_TOPK),
     "bm25_and_topk": (q_bm25_and_topk, _BM25_AND_ORACLE),
     "prefix_search": (q_prefix_search, O_PREFIX_SEARCH),
     "wildcard_search": (q_wildcard_search, O_WILDCARD_SEARCH),
@@ -2220,7 +2243,7 @@ _DRIVER_ORDER = [
     "top_terms_by_docfreq", "wordcount_cf", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "embedding_neardup",
-    "index_bm25_topk", "bm25_topk", "embedding_neardup_lsh", "ann_lsh_topk", "ann_ivf_topk",
+    "index_bm25_topk", "index_phrase_topk", "bm25_topk", "embedding_neardup_lsh", "ann_lsh_topk", "ann_ivf_topk",
     # rows-only tail
     "ner_entities", "mdlp_cuts", "acronyms", "ml_classify", "kea_extract",
 ]
