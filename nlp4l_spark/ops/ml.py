@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
@@ -130,8 +132,6 @@ class Featurizer:
         """Arrow-batched fallback for frames without a unique id column:
         one pandas pass emits the dense weight array, the VectorUDT wrap
         stays JVM (array_to_vector). Never row-at-a-time Python."""
-        import pandas as pd
-
         from pyspark.ml.functions import array_to_vector
 
         vocab_index = {w: i for i, w in enumerate(self.vocab)}

@@ -124,6 +124,18 @@ def test_featurize_stage_is_jvm_only(spark):
     assert "ArrowEvalPython" not in plan, "featurize gained a Python stage"
     assert "BroadcastHashJoin" in plan
     assert feat.count() == 20
+    # the id-less fallback is Arrow-batched, never row-Python, and agrees
+    f = ml.fit_featurizer(Corpus(df), min_df=2)
+    arrow_feat = f.transform_arrow(df)
+    aplan = _plan(arrow_feat)
+    assert "BatchEvalPython" not in aplan
+    assert "ArrowEvalPython" in aplan
+    a = {r["doc_id"]: r["features"] for r in arrow_feat.collect()}
+    b = {r["doc_id"]: r["features"] for r in f.transform(df).collect()}
+    for k in a:
+        assert a[k].toArray().tolist() == pytest.approx(
+            b[k].toArray().tolist(), abs=1e-12
+        )
 
 
 def test_stats_joins_are_broadcast_not_shuffle(spark):
