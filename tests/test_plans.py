@@ -23,6 +23,7 @@ def _plan(df) -> str:
 # join/filter side stays JVM.)
 JVM_ONLY = [
     "dict_match",
+    "unicode_wordcount",
     "ann_ivf_topk",
     "ann_cosine_topk",
     "token_count",
