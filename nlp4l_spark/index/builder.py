@@ -301,13 +301,16 @@ class IndexBuilder:
         # pushed-In(term) rows it receives per shard.
         if self.store_positions and not done("pos_postings"):
             with self._clamped_splits(spark, cat, "stored"):
-                src = cat.read(spark, "stored")
-                tvu = self.analyzer.term_vectors_udf()
-                per_doc = src.select(
-                    "doc_id", tvu(F.col(self.text_col)).alias("_tv")
+                src = cat.read(spark, "stored").select(
+                    "doc_id", F.col(self.text_col).alias("_text")
                 )
-                segs_p = per_doc.sortWithinPartitions("doc_id").mapInPandas(
-                    _pos_segment_builder(self.docs_per_shard),
+                # ONE python stage: tokenization happens inside the
+                # segment builder (a tokenize-UDF -> mapInPandas chain
+                # relays Arrow batches between two python workers in one
+                # task pipeline — measured ~2x slower on the main build,
+                # see materialize_forward)
+                segs_p = src.sortWithinPartitions("doc_id").mapInPandas(
+                    _pos_segment_builder(self.docs_per_shard, self.analyzer),
                     POS_POSTINGS_SCHEMA,
                 )
                 cat.write(segs_p, "pos_postings", sort_by=["term"])
@@ -524,57 +527,68 @@ POS_POSTINGS_SCHEMA = T.StructType(
 )
 
 
-def _pos_segment_builder(docs_per_shard: int):
-    """mapInPandas fn: (doc_id, term_vectors struct) partition -> encoded
+def _pos_segment_builder(docs_per_shard: int, analyzer):
+    """mapInPandas fn: (doc_id, _text) partition -> encoded
     position-carrying posting segments, one row per (term, shard) of the
-    partition. Positions are full-token-stream indices (stopword holes
-    preserved, the Lucene StopFilter contract); dl = Σ per-term position
-    counts = the analyzed token count BM25 uses."""
+    partition. Tokenization (token_stream: full-stream positions with
+    stopword holes, the Lucene StopFilter contract) runs INSIDE this one
+    python stage; dl = Σ per-term position counts = the analyzed token
+    count BM25 uses. Accumulation is flat python lists + one NumPy
+    conversion per partition — no per-row array churn."""
 
     def build(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else -1
-        # accumulate one flat (doc, term) table for the whole partition:
-        # rows arrive doc-sorted, so per-run doc ids stay ascending
+        # flat (doc, term) rows for the whole partition; rows arrive
+        # doc-sorted, so per-run doc ids stay ascending
         docs: list[int] = []
         terms: list[str] = []
         plens: list[int] = []
-        pos_parts: list[np.ndarray] = []
+        flat_pos: list[int] = []
+        row_off: list[int] = []  # start offset of each row's positions
         dls: list[int] = []
         for pdf in batches:
-            for doc, tv in zip(pdf["doc_id"], pdf["_tv"]):
-                t_terms = tv["terms"]
-                t_pos = tv["positions"]
-                dl = int(sum(len(p) for p in t_pos))
-                for tm, ps in zip(t_terms, t_pos):
+            for doc, text in zip(pdf["doc_id"], pdf["_text"]):
+                acc: dict[str, list[int]] = {}
+                for term, pos, _s, _e in analyzer.token_stream(text):
+                    acc.setdefault(term, []).append(pos)
+                dl = sum(len(v) for v in acc.values())
+                for tm, ps in acc.items():
                     docs.append(int(doc))
                     terms.append(tm)
                     plens.append(len(ps))
-                    pos_parts.append(np.asarray(ps, dtype=np.int64))
+                    row_off.append(len(flat_pos))
+                    flat_pos.extend(ps)
                     dls.append(dl)
         if not docs:
             return
         d = np.asarray(docs, dtype=np.int64)
         l = np.asarray(dls, dtype=np.int64)
         pl = np.asarray(plens, dtype=np.int64)
+        off = np.asarray(row_off, dtype=np.int64)
+        fp = np.asarray(flat_pos, dtype=np.int64)
         shards = d // docs_per_shard
         codes, uniq_terms = pd.factorize(pd.Index(terms), sort=False)
         order = np.lexsort((d, shards, codes))
-        d, l, pl = d[order], l[order], pl[order]
+        d, l, pl, off = d[order], l[order], pl[order], off[order]
         codes, shards = codes[order], shards[order]
         change = np.flatnonzero((np.diff(codes) != 0) | (np.diff(shards) != 0))
         starts = np.concatenate(([0], change + 1))
         ends = np.concatenate((change + 1, [codes.size]))
+        # gather reordered positions in ONE fancy-index pass: for each
+        # (reordered) row, its pl values starting at off
+        gather = np.repeat(off, pl) + (
+            np.arange(int(pl.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(pl[:-1]))), pl)
+        )
+        fp_sorted = fp[gather]
+        pstarts = np.concatenate(([0], np.cumsum(pl)))
         rows = []
         for s, e in zip(starts.tolist(), ends.tolist()):
             run_d = d[s:e]
             run_pl = pl[s:e]
-            flat = (
-                np.concatenate([pos_parts[order[i]] for i in range(s, e)])
-                if run_pl.sum()
-                else np.empty(0, dtype=np.int64)
-            )
+            flat = fp_sorted[pstarts[s] : pstarts[e]]
             rows.append(
                 {
                     "term": uniq_terms[codes[s]],
