@@ -179,26 +179,21 @@ class Analyzer:
         Grouping happens inside the Arrow pass so the downstream explode is
         narrow — no (doc_id, term) shuffle is ever needed to materialize
         term vectors (reference walks Lucene term vectors per doc:
-        /root/reference/app/org/nlp4l/lucene/TermVector.scala:28-59)."""
-        pattern = re.compile(self.token_pattern)
-        lowercase = self.lowercase
-        stop = self.stopwords
+        /root/reference/app/org/nlp4l/lucene/TermVector.scala:28-59).
+        Delegates to ``self.token_stream`` so analyzer subclasses
+        (UnicodeCJKAnalyzer) inherit the engine with their contract."""
+        analyzer = self
 
         @F.pandas_udf(self.term_vectors_schema())
         def _tv(texts: pd.Series) -> pd.DataFrame:
             terms_o, pos_o, so_o, eo_o = [], [], [], []
             for t in texts:
                 acc: dict[str, list[list[int]]] = {}
-                if t:
-                    src = t.lower() if lowercase else t
-                    for pos, m in enumerate(pattern.finditer(src)):
-                        term = m.group(0)
-                        if stop and term in stop:
-                            continue
-                        e = acc.setdefault(term, [[], [], []])
-                        e[0].append(pos)
-                        e[1].append(m.start())
-                        e[2].append(m.end())
+                for term, pos, start, end in analyzer.token_stream(t):
+                    e = acc.setdefault(term, [[], [], []])
+                    e[0].append(pos)
+                    e[1].append(start)
+                    e[2].append(end)
                 terms_o.append(list(acc.keys()))
                 pos_o.append([v[0] for v in acc.values()])
                 so_o.append([v[1] for v in acc.values()])

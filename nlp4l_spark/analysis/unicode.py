@@ -113,11 +113,42 @@ class UnicodeCJKAnalyzer(Analyzer):
             expr = f"list_filter({expr}, t -> t NOT IN ({stoplist}))"
         return expr
 
-    def token_stream(self, text: str | None):
-        raise NotImplementedError(
-            "position/offset term vectors are ASCII-contract only; the "
-            "unicode mode covers tokenize/wordcount/index-build counts"
-        )
+    # ---- token stream with positions/offsets (term-vector + phrase
+    # positions path) -----------------------------------------------------
+    def token_stream(self, text: str | None) -> list[tuple[str, int, int, int]]:
+        """[(term, position, start_offset, end_offset)]: positions over
+        the FULL token stream (bigrams included) with stopword holes
+        (StopFilter position-increment contract, same as the ASCII
+        analyzer); offsets are character offsets into the original text —
+        a CJK bigram's offsets span its two characters. Token sequence is
+        identical to ``tokenize`` (asserted in tests): instead of the
+        space-wrapping used by the string engines, word runs are
+        sub-split at CJK boundaries in place so offsets stay true."""
+        if not text:
+            return []
+        src = text.lower() if self.lowercase else text
+        out: list[tuple[str, int, int, int]] = []
+        pos = 0
+
+        def emit(term: str, start: int, end: int) -> None:
+            nonlocal pos
+            if not (self.stopwords and term in self.stopwords):
+                out.append((term, pos, start, end))
+            pos += 1
+
+        sub = re.compile(f"[{CJK_CLASS}]+|[^{CJK_CLASS}]+")
+        for m in _WORD_RUN.finditer(src):
+            for sm in sub.finditer(m.group(0)):
+                seg, base = sm.group(0), m.start() + sm.start()
+                if _CJK_ONLY.match(seg):
+                    if len(seg) == 1:
+                        emit(seg, base, base + 1)
+                    else:
+                        for k in range(len(seg) - 1):
+                            emit(seg[k : k + 2], base + k, base + k + 2)
+                else:
+                    emit(seg, base, base + len(seg))
+        return out
 
 
 UNICODE_CJK_ANALYZER = UnicodeCJKAnalyzer(stopwords=LUCENE_ENGLISH_STOPWORDS)

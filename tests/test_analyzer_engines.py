@@ -123,14 +123,23 @@ def test_cjk_index_build_and_bm25_search(spark, tmp_path):
         "doc_id long, text string",
     )
     idx = str(tmp_path / "cjk_idx")
-    IndexBuilder(analyzer=UNICODE_CJK_ANALYZER, sort_cols=("doc_id",)).build(
-        docs, idx
-    )
+    IndexBuilder(
+        analyzer=UNICODE_CJK_ANALYZER,
+        sort_cols=("doc_id",),
+        store_positions=True,
+    ).build(docs, idx)
     s = Searcher(spark, idx, analyzer=UNICODE_CJK_ANALYZER)
     hits = s.search("形態素解析", k=3, method="dataframe").collect()
     assert {r["doc_id"] for r in hits} == {0, 1}
     assert s.search("検索エンジン", k=3, method="dataframe").collect()[0]["doc_id"] == 2
     assert s.search("only ascii", k=3, method="dataframe").collect()[0]["doc_id"] == 3
+    # CJK PHRASE search over position-carrying posting shards: the
+    # bigrams of 形態素解析 must be ADJACENT — doc 0 and 1 contain the
+    # contiguous phrase; exact adjacency distinguishes it from mere
+    # bigram co-occurrence
+    ph = s.search_phrase("形態素解析", k=3, method="postings").collect()
+    assert {r["doc_id"] for r in ph} == {0, 1}, ph
+    assert s.search_phrase("検索エンジン", k=3, method="postings").collect()[0]["doc_id"] == 2
 
 
 def test_term_counts_udf_agrees_with_tokenize(spark):
