@@ -24,8 +24,10 @@ tests/test_analyzer_engines.py over a multilingual fixture.
 
 Documented deviation vs Lucene: bigrams never span a non-CJK character
 (same as Lucene), and mixed-script tokens like "abc漢" split into "abc" +
-"漢" (Lucene's UAX#29 does the same). Position/offset term vectors stay
-on the ASCII contract (token_stream raises here).
+"漢" (Lucene's UAX#29 does the same). ``token_stream`` provides
+positions/offsets under the same contract (bigram offsets span their two
+characters), so term vectors, position-carrying posting shards and CJK
+PHRASE search all work with this analyzer (tests/test_analyzer_engines).
 """
 
 from __future__ import annotations
