@@ -34,6 +34,39 @@ def test_kill_and_resume(spark, tmp_path, kill_after):
     assert fs["uniq_terms"] == oracle.uniq_terms()
 
 
+def test_resume_adds_missing_pos_postings_stage(spark, tmp_path):
+    """A committed index without positions gains ONLY the pos_postings
+    stage on a store_positions resume (no earlier stage re-runs), and
+    phrase search over the new shards matches the corpus oracle path."""
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.search import Searcher, phrase_bm25_topk
+
+    df = transcripts_df(spark)
+    path = str(tmp_path / "idx_pos_resume")
+    build_index(df, path)
+    cat = IndexCatalog(path)
+    assert not cat.is_committed("pos_postings")
+    committed_at = cat.manifest("postings")["committed_at"]
+    IndexBuilder(store_positions=True).build(df, path)
+    cat = IndexCatalog(path)
+    assert cat.is_committed("pos_postings")
+    # earlier stages untouched (same snapshot commit time)
+    assert cat.manifest("postings")["committed_at"] == committed_at
+    s = Searcher(spark, path)
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in s.search_phrase("london bridge", k=5, method="postings").collect()
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(LONDON_BRIDGE_VERSES)), "doc_id long, text string"
+    )
+    want = [
+        (r["doc_id"], r["score"])
+        for r in phrase_bm25_topk(docs, "london bridge", k=5).collect()
+    ]
+    assert got == want
+
+
 def test_lineage_counters(spark, tmp_path):
     df = transcripts_df(spark)
     path = str(tmp_path / "idx_lineage")
