@@ -137,7 +137,7 @@ def fit_mdlp(
     max_splits = max_bins - 1
     n_feat = len(feature_cols)
 
-    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def fit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         feat = int(key[0])
         pdf = pdf.dropna(subset=["value"])
         if pdf.empty:

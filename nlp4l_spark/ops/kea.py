@@ -276,7 +276,12 @@ def fit_kea_model(
     from nlp4l_spark.ops import discretizer
 
     n_docs = df.count()
-    cands = doc_candidates(df, **cand_kwargs)
+    # persist: candidates feed the feature table, the label join, the
+    # MDLP passes (label collect + histogram) and the model df table —
+    # without the cache the shingle/tfidf pipeline re-runs 4-5x. Both
+    # caches are released before returning; the model's df_table is
+    # eagerly materialized first (phrase-level, tiny).
+    cands = doc_candidates(df, **cand_kwargs).persist()
     feats = candidate_features(cands, n_docs)
     labeled = feats.join(
         df.select(
@@ -286,7 +291,7 @@ def fit_kea_model(
         "doc_id",
     ).withColumn(
         "label", F.array_contains("_kp", F.col("phrase")).cast("string")
-    )
+    ).persist()
     cuts_df = discretizer.fit_mdlp(
         labeled, ["tfidf", "first_occ"], "label", max_bins=max_bins
     )
@@ -310,8 +315,12 @@ def fit_kea_model(
         tot[lbl] += r["count"]
     n_yes, n_no = max(tot["true"], 1), max(tot["false"], 1)
     df_table = (
-        cands.groupBy("phrase").agg(F.countDistinct("doc_id").alias("model_df"))
+        cands.groupBy("phrase")
+        .agg(F.countDistinct("doc_id").alias("model_df"))
+        .localCheckpoint(eager=True)
     )
+    labeled.unpersist()
+    cands.unpersist()
     return KeaModel(
         ct,
         cd,
