@@ -140,7 +140,11 @@ def test_featurize_stage_is_jvm_only(spark):
 
 
 def test_stats_joins_are_broadcast_not_shuffle(spark):
-    # bm25_topk joins per-term df/idf onto doc_terms: must be broadcast
+    # bm25_topk's scoring pass is now JOIN-FREE: per-term idf folds into
+    # literals, tf comes from the per-doc map — one scan + TakeOrdered
     plan = _plan(eq.REGISTRY["bm25_topk"][0](spark, SF))
-    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # queries that still join small stats tables must broadcast them
+    plan = _plan(eq.REGISTRY["tfidf_weights"][0](spark, SF))
     assert "SortMergeJoin" not in plan, "stats join regressed to a shuffle join"
