@@ -121,11 +121,15 @@ class UnicodeCJKAnalyzer(Analyzer):
         """[(term, position, start_offset, end_offset)]: positions over
         the FULL token stream (bigrams included) with stopword holes
         (StopFilter position-increment contract, same as the ASCII
-        analyzer); offsets are character offsets into the original text —
-        a CJK bigram's offsets span its two characters. Token sequence is
+        analyzer); offsets are character offsets into the LOWERCASED
+        text — exact offsets into the original wherever lowercasing is
+        length-preserving (true for CJK, Cyrillic, ASCII and standard
+        accented Latin; NOT for e.g. 'İ' U+0130, which lowers to two
+        characters — the same caveat the ASCII contract documents). A CJK
+        bigram's offsets span its two characters. Token sequence is
         identical to ``tokenize`` (asserted in tests): instead of the
         space-wrapping used by the string engines, word runs are
-        sub-split at CJK boundaries in place so offsets stay true."""
+        sub-split at CJK boundaries in place so offsets stay aligned."""
         if not text:
             return []
         src = text.lower() if self.lowercase else text

@@ -452,7 +452,6 @@ def q_fuzzy_bm25_topk(spark, sf_dir):
     within 2 edits, BM25 weighted by the fuzzy boost
     1 - edits/min(|term|,|query|), sum per doc. Index path:
     Searcher.search_fuzzy (same formulas over term_stats)."""
-    corpus = _corpus(spark, sf_dir)
     per_doc = _bm25_per_doc(spark, sf_dir)
     stats = per_doc.agg(
         F.count("*").alias("n"), F.sum("dl").alias("sum_dl")

@@ -106,11 +106,13 @@ class Featurizer:
             "m": F.lit(0.4) + F.lit(0.4) * c / F.col("max_tf"),
             "L": (F.lit(1.0) + F.log(c)) / (F.lit(1.0) + F.log(F.col("ave_tf"))),
         }[mode]
+        # collision-safe internal name: the caller's frame may have 'm'
+        mcol = "__feat_m"
         entries = (
             counts.join(vocab_df, "term")
             .select(id_col, F.struct("idx", (tf * F.col("idf")).alias("w")).alias("e"))
             .groupBy(id_col)
-            .agg(F.map_from_entries(F.collect_list("e")).alias("m"))
+            .agg(F.map_from_entries(F.collect_list("e")).alias(mcol))
         )
         empty_map = F.map_from_arrays(
             F.array().cast("array<int>"), F.array().cast("array<double>")
@@ -119,13 +121,13 @@ class Featurizer:
         dense = F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
             lambda i: F.coalesce(
-                F.coalesce(F.col("m"), empty_map)[i], F.lit(0.0)
+                F.coalesce(F.col(mcol), empty_map)[i], F.lit(0.0)
             ),
         )
         return (
             df.join(entries, id_col, "left")
             .withColumn("features", array_to_vector(dense))
-            .drop("m")
+            .drop(mcol)
         )
 
     def transform_arrow(self, df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -150,11 +152,11 @@ class Featurizer:
                 vocab_counts = {
                     w: c for w, c in counts.items() if w in vocab_index
                 }
-                max_tf = max(vocab_counts.values(), default=1)
+                # m/L doc stats over ALL terms, matching the JVM path
+                # (window before the vocab join) and the reference
+                max_tf = max(counts.values(), default=1)
                 ave_tf = (
-                    sum(vocab_counts.values()) / len(vocab_counts)
-                    if vocab_counts
-                    else 1.0
+                    sum(counts.values()) / len(counts) if counts else 1.0
                 )
                 vec = [0.0] * dim
                 for w, cnt in vocab_counts.items():

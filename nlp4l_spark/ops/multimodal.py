@@ -139,7 +139,9 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
                     p = left + up - ul
                     pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
                     pred = left if pa <= pb and pa <= pc else up if pb <= pc else ul
-                rec[x] = line[x] + pred
+                # mask INSIDE the recursion: an unmasked byte sum > 255
+                # would feed a wrong 'left' into the next predictor
+                rec[x] = (line[x] + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG filter {ftype}")
         out[y] = rec & 0xFF

@@ -751,13 +751,12 @@ class Searcher:
                 dl = np.concatenate(
                     [codec.decode_tfs(r["dls_enc"]) for r in rows]
                 )
-                pl = np.concatenate(
-                    [codec.decode_tfs(r["pos_lens_enc"]) for r in rows]
-                )
+                row_pls = [codec.decode_tfs(r["pos_lens_enc"]) for r in rows]
+                pl = np.concatenate(row_pls)
                 flat = np.concatenate(
                     [
-                        codec.decode_positions(r["pos_enc"], codec.decode_tfs(r["pos_lens_enc"]))
-                        for r in rows
+                        codec.decode_positions(r["pos_enc"], rpl)
+                        for r, rpl in zip(rows, row_pls)
                     ]
                 )
                 pstarts = np.zeros(pl.size + 1, dtype=np.int64)

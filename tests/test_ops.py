@@ -296,6 +296,52 @@ def test_media_codecs_roundtrip():
         multimodal.decode_mp4_duration(multimodal.encode_mp4_skeleton(12_000))
         == 12_000
     )
+    # all five scanline filters, with byte-wrapping values (recon sums >
+    # 255) — regression for the unmasked-left predictor bug
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        body = tag + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    w = h = 5
+    px = ((np.arange(w * h, dtype=np.int64) * 37 + 200) % 256).reshape(
+        h, w
+    ).astype(np.uint8)
+    raws, prev = [], np.zeros(w, np.int64)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        line = px[y].astype(np.int64)
+        enc = line.copy()
+        for x in range(w):
+            left = int(line[x - 1]) if x else 0
+            up = int(prev[x])
+            ul = int(prev[x - 1]) if x else 0
+            pred = {
+                0: 0,
+                1: left,
+                2: up,
+                3: (left + up) // 2,
+            }.get(f)
+            if pred is None:  # paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else up if pb <= pc else ul
+            enc[x] = (line[x] - pred) & 0xFF
+        raws.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = line
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(raws)))
+        + chunk(b"IEND", b"")
+    )
+    w2, h2, out = multimodal.decode_png(png)
+    assert (w2, h2) == (w, h) and np.array_equal(out, px)
     # corrupt payloads are rejected, not misparsed
     with pytest.raises(ValueError):
         multimodal.decode_png(b"not a png at all")

@@ -137,6 +137,19 @@ def test_featurize_stage_is_jvm_only(spark):
         assert a[k].toArray().tolist() == pytest.approx(
             b[k].toArray().tolist(), abs=1e-12
         )
+    # the m mode's doc stats (max_tf over ALL terms, not just vocab) must
+    # agree between the JVM window and the Arrow fallback
+    fm = ml.fit_featurizer(Corpus(df), min_df=2, tf_mode="m")
+    am = {r["doc_id"]: r["features"] for r in fm.transform_arrow(df).collect()}
+    bm = {r["doc_id"]: r["features"] for r in fm.transform(df).collect()}
+    for k in am:
+        assert am[k].toArray().tolist() == pytest.approx(
+            bm[k].toArray().tolist(), abs=1e-12
+        )
+    # and a caller column named 'm' must survive the join untouched
+    dfm2 = df.withColumn("m", df.doc_id * 2)
+    out = ml.fit_featurizer(Corpus(df), min_df=2).transform(dfm2)
+    assert "m" in out.columns and out.filter("m != doc_id * 2").count() == 0
 
 
 def test_stats_joins_are_broadcast_not_shuffle(spark):
