@@ -9,9 +9,12 @@ analogue is the TF-IDF vector surface, TFIDF.scala:37-124):
   embarrassing-parallel scan, no shuffle.
 * pairwise_topk_cosine — per-probe top-k for a batch of probe vectors
   (broadcast probes x corpus scan).
-* lsh_cosine_topk — random-hyperplane LSH bucketing as the scale path:
-  candidates share >= 1 of `tables` signature buckets; exact cosine only
-  on candidates. Recall/cost knob = (bits, tables).
+* lsh_cosine_topk / ivf_cosine_topk — random-hyperplane LSH bucketing /
+  coarse quantization as FULL-SCAN twins for oracle and identity tests;
+  the scale paths (same geometry, partition-pruned probes over a
+  materialized layout) live in ops/ann_index.py.
+* lsh_buckets_arrow / ivf_cells_arrow — the Arrow/NumPy matmul engines
+  behind the index build and near-dup blocking.
 """
 
 from __future__ import annotations
@@ -200,8 +203,10 @@ def lsh_cosine_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate cosine top-k: score only vectors sharing >= 1 LSH bucket
-    with the query. At scale, write the corpus bucketed by (table, bucket)
-    so the candidate fetch is partition-pruned instead of a full scan."""
+    with the query — the FULL-SCAN twin kept for oracle/identity testing.
+    The scale path is the materialized bucket index
+    (ops/ann_index.build_ann_index + lsh_topk_indexed): identical
+    geometry, but the probe reads only its (tbl, bucket) partitions."""
     q = np.asarray(query_vec, dtype=np.float64)
     planes = _hyperplanes(len(q), bits, tables, seed)
     q_buckets = []
@@ -239,10 +244,11 @@ def ivf_cosine_topk(
     cell (ties -> lower centroid index), then score exact cosine only inside
     the ``nprobe`` cells nearest the query. ``centroids`` is a caller-
     supplied list of vectors — deterministic here (so the DuckDB oracle can
-    re-derive the identical partition); at scale they come from a k-means
-    fit (pyspark.ml), and the corpus is WRITTEN partitioned by cell so a
-    probe reads ~nprobe/C of the data via partition pruning instead of
-    scanning: that is the whole point of IVF over brute force.
+    re-derive the identical partition). This is the FULL-SCAN twin kept
+    for oracle/identity testing; the scale path is the materialized cell
+    index (ops/ann_index.build_ann_index + ivf_topk_indexed, centroids
+    from a seeded k-means fit or caller-supplied), where the probe reads
+    ~nprobe/C of the data via directory-level partition pruning.
 
     Everything is JVM expressions: per-centroid cosine is a zip_with/
     aggregate HOF, the argmax is array_max over (cosine, -index) structs."""
