@@ -79,3 +79,53 @@ def test_positions_keep_stopword_holes():
 @pytest.mark.parametrize("text", ["", None])
 def test_token_stream_empty(text):
     assert STANDARD_ANALYZER.token_stream(text) == []
+
+
+def test_pos_postings_table_decodes_to_exact_token_stream(spark, tmp_path):
+    """Whole-table check of the positions shards: decoding EVERY
+    (term, shard) segment must reproduce exactly the per-(doc, term)
+    position lists of the analyzer's token stream — builder grouping,
+    lexsort gather and codec round-trip all at once."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from nlp4l_spark.analysis import STANDARD_ANALYZER
+    from nlp4l_spark.data.transcripts import synth_transcripts
+    from nlp4l_spark.index import IndexBuilder, codec
+    from nlp4l_spark.index.catalog import IndexCatalog
+
+    idx = str(tmp_path / "pp_idx")
+    df = synth_transcripts(spark, 400, num_partitions=4)
+    IndexBuilder(store_positions=True).build(df, idx)
+    cat = IndexCatalog(idx)
+
+    # ground truth from the stored table via token_stream
+    stored = cat.read(spark, "stored").select("doc_id", "text").collect()
+    want: dict[tuple, list[int]] = {}
+    dls: dict[int, int] = {}
+    for r in stored:
+        ts = STANDARD_ANALYZER.token_stream(r["text"])
+        dls[r["doc_id"]] = len(ts)
+        for term, pos, _s, _e in ts:
+            want.setdefault((term, r["doc_id"]), []).append(pos)
+
+    got: dict[tuple, list[int]] = {}
+    got_dl: dict[tuple, int] = {}
+    for row in cat.read(spark, "pos_postings").collect():
+        d = codec.decode_doc_ids(row["doc_ids_enc"])
+        dl = codec.decode_tfs(row["dls_enc"])
+        pl = codec.decode_tfs(row["pos_lens_enc"])
+        flat = codec.decode_positions(row["pos_enc"], pl)
+        off = np.concatenate(([0], np.cumsum(pl)))
+        assert row["df"] == d.size
+        assert row["min_doc"] == d[0] and row["max_doc"] == d[-1]
+        for i, doc in enumerate(d.tolist()):
+            key = (row["term"], doc)
+            assert key not in got, f"duplicate segment entry {key}"
+            got[key] = flat[off[i] : off[i + 1]].tolist()
+            got_dl[key] = int(dl[i])
+
+    assert got == want
+    for (term, doc), v in got_dl.items():
+        assert v == dls[doc], (term, doc)
