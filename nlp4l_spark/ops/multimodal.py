@@ -360,12 +360,29 @@ def media_stats(df: DataFrame) -> DataFrame:
     (decode_media): one Arrow pass over payload batches, typed scalar
     columns out — the oracle-checkable face of the decoders."""
 
+    NULL_STATS = {
+        "width": None,
+        "height": None,
+        "sample_rate": None,
+        "duration_ms": None,
+        "n_units": None,
+        "mean_val": None,
+    }
+
+    def one(m, k, p):
+        # corrupt/truncated payloads degrade to null stats instead of
+        # failing the whole batch — a 100 TB media crawl WILL contain them
+        try:
+            return {"media_id": m, "kind": k, **decode_media(p, k)}
+        except Exception:  # noqa: BLE001 — ValueError/struct/zlib errors
+            return {"media_id": m, "kind": k, **NULL_STATS}
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             rows = [
-                {"media_id": m, "kind": k, **decode_media(p, k)}
+                one(m, k, p)
                 for m, k, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"])
             ]
             yield pd.DataFrame(rows)

@@ -351,6 +351,24 @@ def test_media_codecs_roundtrip():
         multimodal.decode_mp4_duration(b"\x00\x00\x00\x08free")
 
 
+def test_media_stats_corrupt_payload_degrades_to_nulls(spark):
+    from pyspark.sql import Row
+
+    media = spark.createDataFrame(
+        [
+            Row(media_id=0, kind="image", mime="image/png", width=None,
+                height=None, duration_ms=None, payload=b"garbage bytes"),
+            Row(media_id=1, kind="audio", mime="audio/wav", width=None,
+                height=None, duration_ms=None,
+                payload=multimodal.synth_payload(1)[2]),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in multimodal.media_stats(media).collect()}
+    assert rows[0]["width"] is None and rows[0]["mean_val"] is None
+    assert rows[1]["sample_rate"] == 8000  # good rows unaffected
+
+
 def test_frame_sample_plan(spark):
     media = multimodal.synth_media(spark, n=12)
     plan = multimodal.frame_sample_plan(media, every_ms=1000)
