@@ -369,12 +369,17 @@ def media_stats(df: DataFrame) -> DataFrame:
         "mean_val": None,
     }
 
+    import struct
+    import zlib
+
     def one(m, k, p):
         # corrupt/truncated payloads degrade to null stats instead of
-        # failing the whole batch — a 100 TB media crawl WILL contain them
+        # failing the whole batch — a 100 TB media crawl WILL contain
+        # them. Only decode-shaped errors degrade; programming errors
+        # still surface loudly.
         try:
             return {"media_id": m, "kind": k, **decode_media(p, k)}
-        except Exception:  # noqa: BLE001 — ValueError/struct/zlib errors
+        except (ValueError, struct.error, zlib.error, TypeError, IndexError):
             return {"media_id": m, "kind": k, **NULL_STATS}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

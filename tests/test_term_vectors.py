@@ -88,8 +88,6 @@ def test_pos_postings_table_decodes_to_exact_token_stream(spark, tmp_path):
     lexsort gather and codec round-trip all at once."""
     import numpy as np
 
-    from pyspark.sql import functions as F
-
     from nlp4l_spark.analysis import STANDARD_ANALYZER
     from nlp4l_spark.data.transcripts import synth_transcripts
     from nlp4l_spark.index import IndexBuilder, codec
