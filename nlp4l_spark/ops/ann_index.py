@@ -18,6 +18,12 @@ Meta (hyperplane seed/shape, centroids) is persisted to ``meta.json`` in
 the index dir so probes, rebuilds, and the DuckDB oracle all derive the
 identical geometry.
 
+Probes enumerate their exact partition directories (``basePath`` read)
+instead of listing the whole layout — at thousands of (tbl, bucket)
+dirs the root listing, not the data, dominates probe latency. Directory
+existence is checked with ``os.path`` (local/NFS paths); an HDFS/S3
+deployment swaps that one check for the Hadoop FileSystem API.
+
 At cluster scale the same layout holds: `partitionBy` dirs are the unit
 of pruning, one ~1 GB file per (bucket|cell) via the pre-write
 repartition on the partition keys; probes touch `tables` (LSH) or
@@ -179,14 +185,27 @@ def lsh_topk_indexed(
     meta = _load_meta(index_dir)
     planes = _hyperplanes(meta["dim"], meta["bits"], meta["tables"], meta["seed"])
     q = np.asarray(query_vec, dtype=np.float64)
-    cond = F.lit(False)
+    base = os.path.join(index_dir, "lsh")
+    # enumerate EXACTLY the probed partition directories: reading the
+    # table root would file-list all tables x 2^bits directories at plan
+    # time, which dominates probe latency once the layout has thousands
+    # of partitions (measured 5.3s -> sub-second at 8x256 dirs). basePath
+    # keeps the partition columns; missing dirs (empty buckets) are
+    # skipped. The equality filter stays as a correctness guard.
+    paths, cond = [], F.lit(False)
     for t in range(meta["tables"]):
         bucket = 0
         for b in range(meta["bits"]):
             bucket = bucket * 2 + (1 if float(planes[t, b] @ q) > 0 else 0)
         cond = cond | ((F.col("tbl") == t) & (F.col("bucket") == bucket))
+        p = os.path.join(base, f"tbl={t}", f"bucket={bucket}")
+        if os.path.isdir(p):
+            paths.append(p)
+    if not paths:
+        return spark.createDataFrame([], "vec_id long, cosine double")
     cand = (
-        spark.read.parquet(os.path.join(index_dir, "lsh"))
+        spark.read.option("basePath", base)
+        .parquet(*paths)
         .filter(cond)
         .dropDuplicates(["id"])  # a vector collides in >=1 tables
     )
@@ -224,8 +243,17 @@ def ivf_topk_indexed(
         ),
     )
     probe = by_query[:nprobe]
+    base = os.path.join(index_dir, "ivf")
+    paths = [
+        p
+        for c in probe
+        if os.path.isdir(p := os.path.join(base, f"cell={c}"))
+    ]
+    if not paths:
+        return spark.createDataFrame([], "vec_id long, cosine double")
     return (
-        spark.read.parquet(os.path.join(index_dir, "ivf"))
+        spark.read.option("basePath", base)
+        .parquet(*paths)
         .filter(F.col("cell").isin(probe))
         .select(
             F.col("id").alias("vec_id"),
