@@ -24,6 +24,29 @@ def read_csv_records(
     return df.select(*[F.trim(F.col(c)).alias(c) for c in fields])
 
 
+def read_jsonl_records(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    text_field: str = "text",
+) -> DataFrame:
+    """JSONL corpus reader (beyond the reference — the de-facto LLM
+    training-corpus interchange format): one JSON object per line.
+    An explicit ``schema`` string skips the schema-inference scan (which
+    reads the whole input once before the real job — never do that at
+    100 TB); malformed lines land in ``_corrupt`` instead of failing the
+    read (PERMISSIVE mode), so a crawl with broken records still loads."""
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt"
+    )
+    if schema is not None:
+        reader = reader.schema(schema + ", _corrupt string")
+    df = reader.json(path)
+    if text_field in df.columns:
+        df = df.withColumn(text_field, F.trim(F.col(text_field)))
+    return df
+
+
 def inline_csv_records(
     spark: SparkSession, fields: list[str], data: list[str]
 ) -> DataFrame:

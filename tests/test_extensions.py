@@ -41,6 +41,22 @@ def test_text_and_csv_sources(spark, tmp_path):
     ).collect()
     assert sorted((r["a"], r["b"]) for r in inline) == [("p", "q"), ("x", "y")]
 
+    from nlp4l_spark.sources.readers import read_jsonl_records
+
+    j = tmp_path / "docs.jsonl"
+    j.write_text(
+        '{"doc_id": 1, "text": "  alpha "}\n'
+        '{"doc_id": 2, "text": "beta"}\n'
+        "THIS IS NOT JSON\n"
+    )
+    out = read_jsonl_records(
+        spark, str(j), schema="doc_id long, text string"
+    ).collect()
+    good = {r["doc_id"]: r["text"] for r in out if r["_corrupt"] is None}
+    bad = [r for r in out if r["_corrupt"] is not None]
+    assert good == {1: "alpha", 2: "beta"}  # trimmed
+    assert len(bad) == 1 and "NOT JSON" in bad[0]["_corrupt"]
+
 
 def test_http_deployer(tmp_path):
     """HttpFileTransferDeployer parity against an embedded server (the
