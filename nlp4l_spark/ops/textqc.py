@@ -113,6 +113,59 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD'03) —
+    the rolling-hash document fingerprint: hash every character k-gram of
+    the normalized text, slide a window of ``w`` consecutive gram hashes,
+    keep each window's minimum, dedupe. Guarantees any shared substring
+    of length >= k + w - 1 between two documents yields a shared
+    fingerprint — the substring-plagiarism/dup detector exact-hash and
+    simhash both miss.
+
+    All JVM expressions (sequence/transform/slice/array_min HOFs); gram
+    identity = first 60 bits of md5 so the DuckDB oracle reproduces the
+    EXACT fingerprint values (same trick as simhash). Output one row per
+    (doc, fingerprint): (doc_id, fp) — join fp to find substring-sharing
+    candidate pairs."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    empty = F.array().cast("array<long>")
+    n_g = F.length(norm) - (k - 1)  # number of k-grams
+    grams = F.when(
+        n_g >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_g),
+            lambda i: F.conv(
+                F.substring(F.md5(norm.substr(i, F.lit(k))), 1, 15), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(empty)
+    # grams materialized in its own projection: the windowing below
+    # references it twice (size + slice) and Catalyst does not inline
+    # non-cheap multiply-referenced projections, so the md5 pass runs once
+    with_grams = df.select(id_col, grams.alias("_g"))
+    n_w = F.size(F.col("_g")) - (w - 1)  # number of windows
+    mins = F.when(
+        n_w >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_w),
+            lambda j: F.array_min(F.slice(F.col("_g"), j, w)),
+        ),
+    ).otherwise(empty)
+    return (
+        with_grams.select(
+            id_col, F.explode(F.array_distinct(mins)).alias("fp")
+        )
+        .distinct()
+    )
+
+
 # ---- PII redaction ------------------------------------------------------ #
 PII_PATTERNS: dict[str, str] = {
     # order matters: applied in this sequence

@@ -351,6 +351,30 @@ def test_media_codecs_roundtrip():
         multimodal.decode_mp4_duration(b"\x00\x00\x00\x08free")
 
 
+def test_winnowing_guarantee(spark):
+    """Schleimer et al. guarantee: two docs sharing a substring of length
+    >= k + w - 1 (= 11 here) share >= 1 fingerprint; docs with no common
+    8-gram share none."""
+    docs = spark.createDataFrame(
+        [
+            (0, "unique preamble THE SHARED RUN OF TEXT trailing junk"),
+            (1, "other intro THE SHARED RUN OF TEXT different ending"),
+            (2, "zzzz qqqq completely disjoint content wwww"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = textqc.winnow_fingerprints(docs, k=8, w=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared 24-char run must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
+    # short docs (< k chars) produce no fingerprints, not errors
+    tiny = spark.createDataFrame([(9, "short")], "doc_id long, text string")
+    assert textqc.winnow_fingerprints(tiny).count() == 0
+
+
 def test_media_stats_corrupt_payload_degrades_to_nulls(spark):
     from pyspark.sql import Row
 
