@@ -1360,6 +1360,33 @@ FROM documents
 """
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Substring-overlap candidate pairs (copied passages) via shared
+    winnowing fingerprints — equality-join dedup like the others, but at
+    passage granularity."""
+    return textqc.winnow_pairs(_docs(spark, sf_dir), k=8, w=4, min_shared=2)
+
+
+O_WINNOW_PAIRS = r"""
+WITH n AS (SELECT doc_id,
+             regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+           FROM documents),
+g AS (SELECT doc_id,
+        list_transform(range(1, greatest(length(t) - 6, 1)),
+          i -> ('0x' || substr(md5(substr(t, i::int, 8)), 1, 15))::bigint)
+          AS grams
+      FROM n WHERE length(t) >= 8),
+m AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(grams) - 2, 1)),
+          j -> list_aggregate(grams[j:j+3], 'min')) AS mins
+      FROM g WHERE len(grams) >= 4),
+fp AS (SELECT DISTINCT doc_id, unnest(mins) AS fp FROM m)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::bigint AS shared_fps
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """MOSS winnowing (rolling k-gram hash, per-window minima): the
     substring-level dedup fingerprint — any shared run of k+w-1 chars
@@ -2219,6 +2246,7 @@ REGISTRY: dict[str, tuple] = {
     "lang_id": (q_lang_id, O_LANG_ID),
     "fingerprint": (q_fingerprint, O_FINGERPRINT),
     "winnow_fingerprints": (q_winnow_fingerprints, O_WINNOW),
+    "winnow_pairs": (q_winnow_pairs, O_WINNOW_PAIRS),
     "media_features": (q_media_features, O_MEDIA_FEATURES),
     "media_frame_plan": (q_media_frame_plan, O_MEDIA_FRAME_PLAN),
     "term_positions": (q_term_positions, O_TERM_POSITIONS),
@@ -2260,7 +2288,7 @@ _DRIVER_ORDER = [
     "sample_stratified", "length_percentiles", "merge_records", "redact_pii", "acronym_candidates",
     "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words", "click_rate",
     "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
-    "unicode_wordcount", "winnow_fingerprints", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",
+    "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",
     "total_count", "validator_unique", "select_features", "term_range_search", "prefix_search",
     "term_positions", "event_transitions", "kea_features", "count_prefix", "replay",
     "media_features", "sessionize", "ann_cosine_topk", "count_docset", "dict_match",

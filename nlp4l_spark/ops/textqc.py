@@ -166,6 +166,39 @@ def winnow_fingerprints(
     )
 
 
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Substring-overlap candidate pairs via winnowing: docs sharing >=
+    ``min_shared`` fingerprints — i.e. (at least) that many k+w-1-char
+    common runs. The plagiarism/quote/boilerplate detector: catches
+    copied PASSAGES inside otherwise-different documents, which
+    whole-doc hashing and bag-of-shingles Jaccard both dilute away.
+    Inverted-index self-join on the fingerprint (equality keys only,
+    never all-pairs), like every dedup here."""
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    return (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 # ---- PII redaction ------------------------------------------------------ #
 PII_PATTERNS: dict[str, str] = {
     # order matters: applied in this sequence
