@@ -26,7 +26,7 @@ from nlp4l_spark.analysis import (
     STANDARD_ANALYZER,
     WHITESPACE_ANALYZER,
 )
-from nlp4l_spark.ops import dedup, multimodal, processors, similarity, textqc
+from nlp4l_spark.ops import bpe, dedup, multimodal, processors, similarity, textqc
 from nlp4l_spark.stats import Corpus, moments, tfidf, wordcounts
 
 TOK_SQL = STANDARD_ANALYZER.duckdb_tokens_sql("text")
@@ -1412,6 +1412,163 @@ SELECT DISTINCT doc_id, unnest(mins) AS fp FROM m
 """
 
 
+def q_repetition_features(spark, sf_dir):
+    """Gopher-style within-doc repetition signals (top token / top bigram
+    coverage, duplicated-3-gram fraction): the standard quality filters
+    for machine-generated & boilerplate text. One codegen'd scan, array
+    HOFs, zero shuffle."""
+    return textqc.repetition_features(_docs(spark, sf_dir), ngram=3)
+
+
+O_REPETITION = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+           FROM documents),
+u AS (SELECT doc_id, unnest(tk) AS w FROM t),
+uc AS (SELECT doc_id, max(c) AS topw
+       FROM (SELECT doc_id, w, count(*) AS c FROM u GROUP BY 1, 2)
+       GROUP BY doc_id),
+bgu AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+          i -> tk[i] || ' ' || tk[i+1])) AS g
+        FROM t WHERE len(tk) >= 2),
+bgc AS (SELECT doc_id, max(c) AS topbg, sum(c) AS nbg
+        FROM (SELECT doc_id, g, count(*) AS c FROM bgu GROUP BY 1, 2)
+        GROUP BY doc_id),
+ngu AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+        FROM t WHERE len(tk) >= 3),
+ngc AS (SELECT doc_id,
+          coalesce(sum(c) FILTER (c >= 2), 0) AS dup, sum(c) AS tot
+        FROM (SELECT doc_id, g, count(*) AS c FROM ngu GROUP BY 1, 2)
+        GROUP BY doc_id)
+SELECT t.doc_id, len(tk)::bigint AS n_tokens,
+       round(coalesce(topw, 0)::double / greatest(len(tk), 1), 6)
+           AS top_token_frac,
+       round(coalesce(topbg, 0)::double / greatest(coalesce(nbg, 0), 1), 6)
+           AS top_bigram_frac,
+       round(coalesce(dup, 0)::double / greatest(coalesce(tot, 0), 1), 6)
+           AS dup_ngram_frac
+FROM t
+LEFT JOIN uc USING (doc_id)
+LEFT JOIN bgc USING (doc_id)
+LEFT JOIN ngc USING (doc_id)
+"""
+
+
+def q_contamination_pairs(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/Llama recipe): training docs
+    sharing any word 4-gram with a held-out eval set (deterministic
+    doc_id % 97 == 3 slice standing in for the benchmark). Eval n-grams
+    broadcast; corpus side is one scan."""
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 97 == 3)
+    corpus = docs.filter(F.col("doc_id") % 97 != 3)
+    return textqc.contamination_pairs(corpus, ev, n=4)
+
+
+O_CONTAMINATION = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+           FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, len(tk) - 2),
+          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])))
+          AS gram
+      FROM t WHERE len(tk) >= 4),
+ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 97 = 3),
+co AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 != 3)
+SELECT co.doc_id, ev.eval_id, count(*)::bigint AS shared_ngrams
+FROM co JOIN ev USING (gram) GROUP BY 1, 2
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (LLM pre-training layout): each
+    doc's placement in per-shard fixed-length token streams. Hash-bucket
+    shards (engine-reproducible md5), one per-shard prefix-sum window."""
+    return textqc.pack_sequences(_docs(spark, sf_dir), seq_len=256, n_shards=8)
+
+
+O_PACK_SEQUENCES = r"""
+WITH t AS (SELECT doc_id,
+    len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]+'))::bigint
+        AS n_tokens,
+    ('0x' || substr(md5('pack' || doc_id::varchar), 1, 8))::bigint % 8
+        AS shard
+  FROM documents),
+w AS (SELECT doc_id, shard, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS pos_start
+  FROM t)
+SELECT doc_id, shard, n_tokens, pos_start,
+       pos_start // 256 AS seq_first,
+       greatest(pos_start + n_tokens - 1, pos_start) // 256 AS seq_last
+FROM w
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pair graph -> dedup clusters: connected components (min
+    reachable doc_id) over the winnowing passage-overlap pairs, via
+    pointer-jumping min-label propagation (O(log diameter) rounds).
+    Turns pairwise dedup evidence into keep-one-per-cluster decisions."""
+    pairs = textqc.winnow_pairs(_docs(spark, sf_dir), k=8, w=4, min_shared=2)
+    return dedup.dedup_clusters(pairs)
+
+
+O_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE
+n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+      FROM documents),
+g AS (SELECT doc_id,
+        list_transform(range(1, greatest(length(t) - 6, 1)),
+          i -> ('0x' || substr(md5(substr(t, i::int, 8)), 1, 15))::bigint)
+          AS grams
+      FROM n WHERE length(t) >= 8),
+m AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(grams) - 2, 1)),
+          j -> list_aggregate(grams[j:j+3], 'min')) AS mins
+      FROM g WHERE len(grams) >= 4),
+fp AS (SELECT DISTINCT doc_id, unnest(mins) AS fp FROM m),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION SELECT id_b, id_a FROM p),
+r AS (SELECT src AS id, src AS reach FROM e
+      UNION SELECT r.id, e.dst FROM r JOIN e ON e.src = r.reach)
+SELECT id AS doc_id, min(reach) AS cluster_id FROM r GROUP BY id
+"""
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """Corpus-wide adjacent char-pair frequencies over the word-frequency
+    table (the statistic behind BPE merge #1). The only corpus-sized op
+    is the vocab groupBy; pairs are enumerated on |vocab| rows."""
+    return bpe.bpe_pair_counts(_docs(spark, sf_dir), top_k=50)
+
+
+O_BPE_PAIRS = r"""
+WITH u AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents),
+wc AS (SELECT term, count(*)::bigint AS cnt FROM u GROUP BY term),
+p AS (SELECT unnest(list_transform(range(1, length(term)),
+          i -> substr(term, i, 2))) AS pair, cnt
+      FROM wc WHERE length(term) >= 2)
+SELECT pair, sum(cnt)::bigint AS pair_count FROM p GROUP BY pair
+ORDER BY pair_count DESC, pair ASC LIMIT 50
+"""
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Learned BPE merge list (greedy Sennrich loop over the distributed
+    word-frequency table; deterministic tie-break). Iterative trained
+    artifact -> rows-only, like kea_extract/mdlp_cuts."""
+    merges = bpe.learn_bpe_merges(_docs(spark, sf_dir), num_merges=20)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, left string, right string, pair_count bigint",
+    )
+
+
 # --------------------------------------------------------------------- #
 # Multimodal: REAL pure-python codecs (PNG/WAV/MP4), oracle-checked
 # --------------------------------------------------------------------- #
@@ -2247,6 +2404,12 @@ REGISTRY: dict[str, tuple] = {
     "fingerprint": (q_fingerprint, O_FINGERPRINT),
     "winnow_fingerprints": (q_winnow_fingerprints, O_WINNOW),
     "winnow_pairs": (q_winnow_pairs, O_WINNOW_PAIRS),
+    "repetition_features": (q_repetition_features, O_REPETITION),
+    "contamination_pairs": (q_contamination_pairs, O_CONTAMINATION),
+    "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
+    "dedup_clusters": (q_dedup_clusters, O_DEDUP_CLUSTERS),
+    "bpe_pair_counts": (q_bpe_pair_counts, O_BPE_PAIRS),
+    "bpe_merges": (q_bpe_merges, None),
     "media_features": (q_media_features, O_MEDIA_FEATURES),
     "media_frame_plan": (q_media_frame_plan, O_MEDIA_FRAME_PLAN),
     "term_positions": (q_term_positions, O_TERM_POSITIONS),
@@ -2289,6 +2452,7 @@ _DRIVER_ORDER = [
     "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words", "click_rate",
     "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
     "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",
+    "pack_sequences", "repetition_features", "bpe_pair_counts", "contamination_pairs", "dedup_clusters",
     "total_count", "validator_unique", "select_features", "term_range_search", "prefix_search",
     "term_positions", "event_transitions", "kea_features", "count_prefix", "replay",
     "media_features", "sessionize", "ann_cosine_topk", "count_docset", "dict_match",
@@ -2298,7 +2462,7 @@ _DRIVER_ORDER = [
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "embedding_neardup",
     "index_bm25_topk", "index_phrase_topk", "bm25_topk", "embedding_neardup_lsh", "ann_lsh_topk", "ann_ivf_topk",
     # rows-only tail
-    "ner_entities", "mdlp_cuts", "acronyms", "ml_classify", "kea_extract",
+    "ner_entities", "mdlp_cuts", "acronyms", "bpe_merges", "ml_classify", "kea_extract",
 ]
 
 assert sorted(_DRIVER_ORDER) == sorted(REGISTRY), (

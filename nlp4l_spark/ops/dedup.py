@@ -464,3 +464,78 @@ def simhash_pairs(
     out = out.localCheckpoint(eager=True)
     sh.unpersist()
     return out
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a candidate-pair graph: turn pairwise
+    near-dup evidence (minhash/simhash/ngram/winnow pairs) into dedup
+    CLUSTERS, so a pipeline can keep one canonical doc per group —
+    pairwise output alone under-deletes (a~b, b~c but not a~c).
+
+    Output: (doc_id, cluster_id) for every node in the pair graph, where
+    cluster_id = min doc_id reachable (the canonical survivor).
+
+    Algorithm: min-label propagation with POINTER JUMPING — each round
+    updates labels through both the edge set and the current label table
+    (label-of-label), so convergence is O(log diameter) rounds, not
+    O(diameter): the Spark rendering of large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce", SOCC'14).
+    Each round is two equi-joins + one groupBy on the NODE set (<< corpus
+    — only docs that appear in a candidate pair), with a driver-side
+    scalar convergence check. Near-dup components are shallow in
+    practice, so this terminates in a handful of rounds."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        # min neighbor label (via edges) ...
+        via_edges = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+            .withColumnRenamed("src", "id")
+        )
+        # ... then jump: follow my own label's label (label-of-label)
+        cand = (
+            labels.join(via_edges, "id", "left")
+            .select("id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+        )
+        jump = (
+            cand.alias("x")
+            .join(
+                cand.select(
+                    F.col("id").alias("lbl"), F.col("lbl").alias("jlbl")
+                ).alias("y"),
+                "lbl",
+                "left",
+            )
+            .select(
+                F.col("id"), F.least("lbl", F.coalesce("jlbl", "lbl")).alias("lbl")
+            )
+        )
+        new_labels = jump.localCheckpoint(eager=True)
+        # labels only ever decrease, so the fixpoint test is "sum of
+        # labels unchanged" — one tiny agg instead of a join + count
+        s = new_labels.agg(F.sum("lbl")).first()[0]
+        labels = new_labels
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )

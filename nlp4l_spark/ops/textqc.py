@@ -8,6 +8,8 @@ codegen'd scan with zero Python.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 from nlp4l_spark.analysis import LUCENE_ENGLISH_STOPWORDS, Analyzer, WHITESPACE_ANALYZER
@@ -196,6 +198,308 @@ def winnow_pairs(
         )
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    ngram: int = 3,
+    engine: str = "arrow",
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1 — the standard LLM-corpus quality filters for machine-generated
+    / boilerplate text):
+
+    * ``top_token_frac``  — occurrences of the most frequent token / total
+      tokens ("fraction of characters in the most common word" analogue),
+    * ``top_bigram_frac`` — occurrences of the most frequent word 2-gram /
+      total 2-gram positions,
+    * ``dup_ngram_frac``  — fraction of word ``ngram``-gram positions whose
+      n-gram occurs more than once in the document (duplicated-n-gram
+      coverage).
+
+    Both engines are one scan with ZERO shuffles — never the explode ->
+    groupBy(doc, gram) formulation, which would shuffle corpus x ngram
+    rows. ``engine='arrow'`` (default, the hot path) computes the integer
+    numerators/denominators per batch in one Arrow pandas pass (Counter
+    over tokens/n-grams) and leaves the division + round to JVM SQL so
+    the values are bit-identical to the SQL engine and the DuckDB oracle;
+    ``engine='sql'`` is the declarative pure-SQL twin (sorted-array
+    linear-pass HOFs — correct everywhere Spark SQL runs, but Spark
+    evaluates lambda HOFs interpreted, measured ~10x slower than the
+    Arrow pass; identity is pinned by test)."""
+    if engine == "arrow":
+        counts = _repetition_counts_arrow(df, text_col, id_col, ngram)
+    elif engine == "sql":
+        counts = _repetition_counts_sql(df, text_col, id_col, ngram)
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+    safe = lambda c: F.greatest(c, F.lit(1)).cast("double")
+    return counts.select(
+        id_col,
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.round(F.col("_top_tok") / safe(F.col("_n")), 6).alias("top_token_frac"),
+        F.round(F.col("_top_bg") / safe(F.col("_n_bg")), 6).alias("top_bigram_frac"),
+        F.round(F.col("_dup_ng") / safe(F.col("_n_ng")), 6).alias("dup_ngram_frac"),
+    )
+
+
+def _repetition_counts_arrow(
+    df: DataFrame, text_col: str, id_col: str, ngram: int
+) -> DataFrame:
+    """Integer repetition counts per doc in one Arrow-batched pandas pass."""
+    tokenize = WHITESPACE_ANALYZER.tokenize
+
+    @F.pandas_udf(
+        "_n long, _top_tok long, _n_bg long, _top_bg long, _n_ng long, _dup_ng long"
+    )
+    def rep(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        rows = []
+        for t in texts:
+            toks = tokenize(t)
+            n = len(toks)
+            top_tok = max(Counter(toks).values()) if toks else 0
+            bgs = list(zip(toks, toks[1:]))
+            top_bg = max(Counter(bgs).values()) if bgs else 0
+            ngs = list(zip(*[toks[i:] for i in range(ngram)])) if n >= ngram else []
+            cn = Counter(ngs)
+            dup = sum(v for v in cn.values() if v >= 2)
+            rows.append((n, top_tok, len(bgs), top_bg, len(ngs), dup))
+        return pd.DataFrame(
+            rows, columns=["_n", "_top_tok", "_n_bg", "_top_bg", "_n_ng", "_dup_ng"]
+        )
+
+    return df.select(id_col, rep(F.col(text_col)).alias("_r")).select(
+        id_col, "_r.*"
+    )
+
+
+def _repetition_counts_sql(
+    df: DataFrame, text_col: str, id_col: str, ngram: int
+) -> DataFrame:
+    """The declarative twin: per doc the gram arrays are SORTED once
+    (O(L log L)) and every count is a single linear pass over the sorted
+    array (max run length = max multiplicity; a position's gram is
+    duplicated iff it equals a sorted neighbor)."""
+    toks = WHITESPACE_ANALYZER.tokens_expr(text_col)
+    base = df.select(id_col, toks.alias("_tk"))
+    tk = F.col("_tk")
+    n = F.size(tk)
+    empty_s = F.array().cast("array<string>")
+
+    def top_count(arr):
+        # max multiplicity = longest equal-run of the sorted array, one
+        # linear aggregate pass with (prev, run, best) state
+        srt = F.array_sort(arr)
+
+        def step(acc, x):
+            run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run2.alias("run"),
+                F.greatest(acc["best"], run2).alias("best"),
+            )
+
+        return F.aggregate(
+            srt,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            step,
+            lambda acc: acc["best"],
+        )
+
+    def grams(m: int):
+        return F.when(
+            n >= m,
+            F.transform(
+                F.sequence(F.lit(1), n - (m - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tk, i + j) for j in range(m)]
+                ),
+            ),
+        ).otherwise(empty_s)
+
+    def dup_positions(arr):
+        # positions whose gram occurs >1: on the sorted array, exactly the
+        # elements equal to a neighbor (F.get is 0-based and null-safe at
+        # the ends)
+        srt = F.array_sort(arr)
+        return F.when(
+            F.size(srt) > 0,
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(0), F.size(srt) - 1),
+                    lambda j: F.coalesce(
+                        F.get(srt, j) == F.get(srt, j - 1), F.lit(False)
+                    )
+                    | F.coalesce(
+                        F.get(srt, j) == F.get(srt, j + 1), F.lit(False)
+                    ),
+                )
+            ),
+        ).otherwise(F.lit(0))
+
+    bg = grams(2)
+    ng = grams(ngram)
+    return base.select(
+        id_col,
+        n.cast("long").alias("_n"),
+        top_count(tk).cast("long").alias("_top_tok"),
+        F.size(bg).cast("long").alias("_n_bg"),
+        top_count(bg).cast("long").alias("_top_bg"),
+        F.size(ng).cast("long").alias("_n_ng"),
+        dup_positions(ng).cast("long").alias("_dup_ng"),
+    )
+
+
+# ---- decontamination ----------------------------------------------------- #
+def _word_ngram_rows(
+    df: DataFrame, text_col: str, id_col: str, out_id: str, n: int
+) -> DataFrame:
+    """One row per (id, distinct word n-gram hash). Tokens are projected
+    once (`_tk`) so the tokenizer regex runs a single time per row even
+    though the gram expression references the array n+1 times (Catalyst
+    does not inline non-cheap multiply-referenced projections — same
+    pattern as winnow_fingerprints)."""
+    toks = WHITESPACE_ANALYZER.tokens_expr(text_col)
+    base = df.select(F.col(id_col).alias(out_id), toks.alias("_tk"))
+    tk = F.col("_tk")
+    cnt = F.size(tk)
+    grams = F.when(
+        cnt >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), cnt - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tk, i + j) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(out_id, F.explode(grams).alias("_g")).select(
+        out_id, F.xxhash64("_g").alias("_h")
+    )
+
+
+def contamination_pairs(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    *,
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination, the GPT-3/Llama recipe (Brown et al.
+    2020 §C): flag training documents sharing any word ``n``-gram with a
+    held-out evaluation set. Output one row per contaminated
+    (doc, eval doc) pair with the shared-n-gram count.
+
+    Scale shape: the eval set is benchmark-sized (thousands of docs, not
+    corpus-sized), so its exploded n-gram table is BROADCAST — the corpus
+    side is one scan + explode with a broadcast hash join on the hashed
+    gram (xxhash64 int64 keys, not strings), never a shuffle of the
+    corpus. Contamination at 100 TB = one pass."""
+    corpus_g = _word_ngram_rows(df, text_col, id_col, id_col, n)
+    eval_g = _word_ngram_rows(eval_df, text_col, id_col, eval_id_col, n)
+    return (
+        corpus_g.join(F.broadcast(eval_g), "_h")
+        .groupBy(id_col, eval_id_col)
+        .agg(F.count("*").alias("shared_ngrams"))
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 4,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Drop training docs contaminated by the eval set (>= ``min_shared``
+    shared word n-grams): broadcast left-anti join on the flagged ids."""
+    flagged = (
+        contamination_pairs(df, eval_df, text_col, id_col, n=n)
+        .groupBy(id_col)
+        .agg(F.sum("shared_ngrams").alias("_s"))
+        .filter(F.col("_s") >= min_shared)
+        .select(id_col)
+    )
+    return df.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+# ---- sequence packing ---------------------------------------------------- #
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    seq_len: int = 256,
+    n_shards: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM pre-training
+    layout: documents are concatenated in a deterministic order and the
+    token stream is cut into fixed-length training sequences. Emits, per
+    document, its placement: ``shard``, ``pos_start`` (token offset of the
+    doc inside its shard's stream), and the first/last sequence ids it
+    lands in (``seq_first``/``seq_last``; a doc straddling a boundary
+    spans several).
+
+    Scale shape: a single global concatenation order would be one giant
+    window — instead docs are hash-bucketed into ``n_shards`` independent
+    streams (deterministic md5 bucket, engine-reproducible like
+    ``deterministic_sample``) and the running-sum window runs per shard:
+    shuffle by shard once, each shard's prefix sum is independent, shard
+    count scales with the cluster. Token counts use the same BPE-ish
+    proxy as ``token_count_col``."""
+    from pyspark.sql import Window
+
+    ntok = token_count_col(text_col)
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.select(
+        F.col(id_col), shard.alias("shard"), ntok.cast("long").alias("n_tokens")
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("pos_start")
+    out = base.select(id_col, "shard", "n_tokens", start)
+    return out.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "pos_start",
+        F.floor(F.col("pos_start") / seq_len).cast("long").alias("seq_first"),
+        F.floor(
+            F.greatest(
+                F.col("pos_start") + F.col("n_tokens") - 1, F.col("pos_start")
+            )
+            / seq_len
+        )
+        .cast("long")
+        .alias("seq_last"),
     )
 
 

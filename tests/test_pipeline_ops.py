@@ -1,0 +1,197 @@
+"""Tests for the round-2 training-pipeline additions: repetition signals,
+decontamination, sequence packing, dedup clustering, BPE statistics."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nlp4l_spark.ops import bpe, dedup, textqc
+
+
+# ---------------- repetition features -------------------------------------- #
+def _rep(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: r.asDict()
+        for r in textqc.repetition_features(df, **kw).collect()
+    }
+
+
+def test_repetition_known_values(spark):
+    out = _rep(
+        spark,
+        [
+            (0, "spam spam spam spam"),          # all one token
+            (1, "a b c d e f"),                  # no repetition at all
+            (2, "x y x y x y"),                  # "x y" bigram repeated
+        ],
+        ngram=3,
+    )
+    # doc0: 4 tokens, top token 4/4; bigrams: "spam spam" x3 -> 3/3;
+    # 3-grams: "spam spam spam" x2, both positions duplicated -> 2/2
+    assert out[0]["n_tokens"] == 4
+    assert out[0]["top_token_frac"] == 1.0
+    assert out[0]["top_bigram_frac"] == 1.0
+    assert out[0]["dup_ngram_frac"] == 1.0
+    # doc1: unique everything
+    assert out[1]["top_token_frac"] == pytest.approx(1 / 6, abs=1e-6)
+    assert out[1]["dup_ngram_frac"] == 0.0
+    # doc2: tokens x,y 3 each of 6 -> 0.5; bigrams: x y (3), y x (2) -> 3/5;
+    # 3-grams: "x y x" x2, "y x y" x2 -> all 4 positions duplicated -> 1.0
+    assert out[2]["top_token_frac"] == 0.5
+    assert out[2]["top_bigram_frac"] == 0.6
+    assert out[2]["dup_ngram_frac"] == 1.0
+
+
+def test_repetition_edge_docs(spark):
+    out = _rep(spark, [(0, ""), (1, "solo"), (2, "two words")], ngram=3)
+    assert out[0]["n_tokens"] == 0 and out[0]["dup_ngram_frac"] == 0.0
+    assert out[1]["n_tokens"] == 1 and out[1]["top_token_frac"] == 1.0
+    assert out[2]["top_bigram_frac"] == 1.0  # one bigram, occurs once
+    assert out[2]["dup_ngram_frac"] == 0.0  # fewer tokens than ngram
+
+
+def test_repetition_engine_identity(spark, docs_df):
+    a = sorted(
+        tuple(r)
+        for r in textqc.repetition_features(docs_df, engine="arrow").collect()
+    )
+    s = sorted(
+        tuple(r)
+        for r in textqc.repetition_features(docs_df, engine="sql").collect()
+    )
+    assert a == s
+
+
+# ---------------- decontamination ------------------------------------------ #
+def test_contamination_and_decontaminate(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # shares 4-gram w/ eval
+            (2, "one two three four five"),               # clean
+            (3, "alpha beta gamma delta other stuff"),    # shares the same
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "prefix alpha beta gamma delta suffix")], "doc_id long, text string"
+    )
+    pairs = {
+        (r["doc_id"], r["eval_id"]): r["shared_ngrams"]
+        for r in textqc.contamination_pairs(corpus, ev, n=4).collect()
+    }
+    assert pairs == {(1, 100): 1, (3, 100): 1}
+    kept = sorted(
+        r["doc_id"] for r in textqc.decontaminate(corpus, ev, n=4).collect()
+    )
+    assert kept == [2]
+
+
+def test_contamination_counts_distinct_grams(spark):
+    # the same shared 4-gram appearing twice in a doc counts ONCE (distinct)
+    corpus = spark.createDataFrame(
+        [(1, "a b c d zz a b c d")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([(9, "a b c d")], "doc_id long, text string")
+    rows = textqc.contamination_pairs(corpus, ev, n=4).collect()
+    assert len(rows) == 1 and rows[0]["shared_ngrams"] == 1
+
+
+# ---------------- sequence packing ----------------------------------------- #
+def test_pack_sequences_prefix_sums(spark, docs_df):
+    out = textqc.pack_sequences(docs_df, seq_len=256, n_shards=8).collect()
+    assert len(out) == docs_df.count()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(8))
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["pos_start"] == cum  # exact prefix sum, no gaps
+            assert r["seq_first"] == r["pos_start"] // 256
+            end = max(r["pos_start"] + r["n_tokens"] - 1, r["pos_start"])
+            assert r["seq_last"] == end // 256
+            cum += r["n_tokens"]
+
+
+def test_pack_sequences_deterministic_sharding(spark, docs_df):
+    a = {r["doc_id"]: r["shard"]
+         for r in textqc.pack_sequences(docs_df, n_shards=8).collect()}
+    b = {r["doc_id"]: r["shard"]
+         for r in textqc.pack_sequences(docs_df.repartition(13), n_shards=8).collect()}
+    assert a == b  # partitioning-independent placement
+
+
+# ---------------- dedup clusters ------------------------------------------- #
+def test_dedup_clusters_components(spark):
+    # chain 1-2-3 (transitive), island 7-8, and a star 20-{21,22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (20, 21), (20, 22)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_long_chain(spark):
+    # a 40-node path exercises pointer jumping (O(log n) rounds < max_iter)
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = dedup.dedup_clusters(pairs)
+    assert {r["cluster_id"] for r in out.collect()} == {0}
+    assert out.count() == n + 1
+
+
+# ---------------- BPE ------------------------------------------------------- #
+def test_bpe_pair_counts_match_counter(spark):
+    rows = [(0, "low lower lowest"), (1, "new newer low")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expected: Counter = Counter()
+    for _, t in rows:
+        for w in t.split():
+            for i in range(len(w) - 1):
+                expected[w[i : i + 2]] += 1
+    got = {r["pair"]: r["pair_count"]
+           for r in bpe.bpe_pair_counts(df, top_k=100).collect()}
+    assert got == dict(expected)
+
+
+def test_learn_bpe_merges_greedy(spark):
+    df = spark.createDataFrame(
+        [(0, "low low low lower lowest")], "doc_id long, text string"
+    )
+    merges = bpe.learn_bpe_merges(df, num_merges=3)
+    # 'lo'+'w' family: first merge must be the most frequent adjacent pair;
+    # every word contains l-o and o-w (5 occurrences each) -> tie broken
+    # lexicographically: ('l','o') before ('o','w')
+    assert merges[0][:2] == ("l", "o") and merges[0][2] == 5
+    assert merges[1][:2] == ("lo", "w") and merges[1][2] == 5
+    # after 'low' exists, next best pair comes from lower/lowest suffixes
+    assert merges[2][2] <= 2
+
+
+def test_apply_bpe_segments(spark):
+    df = spark.createDataFrame(
+        [(0, "low lower unseen")], "doc_id long, text string"
+    )
+    merges = bpe.learn_bpe_merges(
+        spark.createDataFrame([(0, "low low low low")], "doc_id long, text string"),
+        num_merges=2,
+    )
+    out = bpe.apply_bpe(df, merges).collect()[0]["bpe_tokens"]
+    # 'low' fully merged; 'lower' = low + e + r; 'unseen' untouched chars
+    assert out[:4] == ["low", "low", "e", "r"]
+    assert out[4:] == list("unseen")
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

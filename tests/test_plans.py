@@ -32,7 +32,20 @@ JVM_ONLY = [
     "top_event_types",
     "ner_candidates",
     "acronym_candidates",
+    # round-2 pipeline ops: one JVM scan each (repetition_features is
+    # deliberately Arrow, like dedup_simhash — identity-tested twin)
+    "pack_sequences",
+    "bpe_pair_counts",
+    "contamination_pairs",
 ]
+
+
+def test_contamination_eval_side_is_broadcast(spark):
+    """The eval-set n-gram table must broadcast — the corpus side of a
+    decontamination pass is never shuffled."""
+    plan = _plan(eq.REGISTRY["contamination_pairs"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, "corpus side got shuffled for the join"
 
 
 @pytest.mark.parametrize("name", JVM_ONLY)
