@@ -1558,6 +1558,51 @@ ORDER BY pair_count DESC, pair ASC LIMIT 50
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping context-window chunking (32-token windows, stride 24):
+    the long-document treatment for embedding/retrieval corpora. One JVM
+    scan, tokens projected once, slice+join per window, no shuffle."""
+    return textqc.chunk_documents(_docs(spark, sf_dir), window=32, stride=24)
+
+
+O_CHUNK_DOCUMENTS = r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+           FROM documents),
+s AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 24)) AS i
+      FROM t WHERE len(tk) >= 1)
+SELECT doc_id, ((i - 1) // 24)::bigint AS chunk_idx,
+       array_to_string(tk[i:i+31], ' ') AS chunk_text,
+       least(32, len(tk) - i + 1)::bigint AS n_tokens
+FROM s
+"""
+
+_RESAMPLE_WEIGHTS = {"en": 0.6, "es": 0.25, "fr": 1.5, "de": 1.0, "zh": 2.3}
+
+
+def q_resample_weighted(spark, sf_dir):
+    """Deterministic per-language corpus mixing (DoReMi-style reweighting):
+    floor(w) copies + one more below the hash threshold; identical
+    replicas on any engine/cluster size."""
+    out = textqc.resample_weighted(
+        _docs(spark, sf_dir), _RESAMPLE_WEIGHTS, "lang"
+    )
+    return out.select("doc_id", "lang", "repeat_idx")
+
+
+O_RESAMPLE_WEIGHTED = r"""
+WITH t AS (SELECT doc_id, lang,
+    ('0x' || substr(md5('resample' || doc_id::varchar), 1, 8))::bigint
+        / 4294967295.0 AS u,
+    CASE lang WHEN 'de' THEN 1.0 WHEN 'en' THEN 0.6 WHEN 'es' THEN 0.25
+              WHEN 'fr' THEN 1.5 WHEN 'zh' THEN 2.3 ELSE 1.0 END AS w
+  FROM documents),
+r AS (SELECT doc_id, lang,
+    (floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END)::bigint AS nr
+  FROM t)
+SELECT doc_id, lang, unnest(range(0, nr)) AS repeat_idx FROM r WHERE nr >= 1
+"""
+
+
 def q_bpe_merges(spark, sf_dir):
     """Learned BPE merge list (greedy Sennrich loop over the distributed
     word-frequency table; deterministic tie-break). Iterative trained
@@ -2409,6 +2454,8 @@ REGISTRY: dict[str, tuple] = {
     "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
     "dedup_clusters": (q_dedup_clusters, O_DEDUP_CLUSTERS),
     "bpe_pair_counts": (q_bpe_pair_counts, O_BPE_PAIRS),
+    "chunk_documents": (q_chunk_documents, O_CHUNK_DOCUMENTS),
+    "resample_weighted": (q_resample_weighted, O_RESAMPLE_WEIGHTED),
     "bpe_merges": (q_bpe_merges, None),
     "media_features": (q_media_features, O_MEDIA_FEATURES),
     "media_frame_plan": (q_media_frame_plan, O_MEDIA_FRAME_PLAN),
@@ -2453,6 +2500,7 @@ _DRIVER_ORDER = [
     "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
     "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",
     "pack_sequences", "repetition_features", "bpe_pair_counts", "contamination_pairs", "dedup_clusters",
+    "chunk_documents", "resample_weighted",
     "total_count", "validator_unique", "select_features", "term_range_search", "prefix_search",
     "term_positions", "event_transitions", "kea_features", "count_prefix", "replay",
     "media_features", "sessionize", "ann_cosine_topk", "count_docset", "dict_match",

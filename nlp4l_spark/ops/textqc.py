@@ -503,6 +503,92 @@ def pack_sequences(
     )
 
 
+# ---- context-window chunking --------------------------------------------- #
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into overlapping context windows of ``window``
+    tokens with step ``stride`` (stride < window = overlap, the standard
+    long-document treatment for embedding / retrieval corpora). One chunk
+    per start position 1, 1+stride, ... <= n_tokens; the last chunk may be
+    short. Output (doc_id, chunk_idx, chunk_text, n_tokens).
+
+    One scan, pure JVM array HOFs (tokens projected once, slice +
+    array_join per window) and an explode whose output is chunk rows —
+    no shuffle, no Python; at 100 TB this pipelines straight into the
+    writer."""
+    toks = WHITESPACE_ANALYZER.tokens_expr(text_col)
+    base = df.select(id_col, toks.alias("_tk"))
+    tk = F.col("_tk")
+    n = F.size(tk)
+    chunks = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n, F.lit(stride)),
+            lambda i: F.struct(
+                ((i - 1) / stride).cast("long").alias("chunk_idx"),
+                F.array_join(F.slice(tk, i, window), " ").alias("chunk_text"),
+                F.least(F.lit(window), n - i + 1).cast("long").alias("n_tokens"),
+            ),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<chunk_idx:bigint,chunk_text:string,n_tokens:bigint>>"
+    ))
+    return base.select(id_col, F.explode(chunks).alias("_c")).select(
+        id_col, "_c.*"
+    )
+
+
+# ---- weighted resampling -------------------------------------------------- #
+def resample_weighted(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str,
+    id_col: str = "doc_id",
+    *,
+    default_weight: float = 1.0,
+    salt: str = "resample",
+) -> DataFrame:
+    """Deterministic weighted resampling for corpus mixing (the DoReMi /
+    data-mixture epoch trick): each stratum (domain, language, quality
+    tier) gets a target weight w — every row is emitted floor(w) times
+    plus one more with probability frac(w), decided by the same
+    engine-independent md5 hash as ``deterministic_sample`` so the SAME
+    replicas materialize on any cluster size / engine. w < 1 downsamples,
+    w > 1 upsamples with an extra ``repeat_idx`` column (0-based) so
+    downstream shuffles don't collapse the copies.
+
+    One scan + explode(sequence(...)), weight lookup folds into the
+    expression (no join); zero Python."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(0xFFFFFFFF))
+    )
+    w = F.lit(float(default_weight))
+    for s, r in sorted(weights.items()):
+        w = F.when(F.col(stratum_col) == s, F.lit(float(r))).otherwise(w)
+    n_rep = (F.floor(w) + (u < (w - F.floor(w))).cast("long")).cast("long")
+    return (
+        df.withColumn("_nr", n_rep)
+        .filter(F.col("_nr") >= 1)
+        .withColumn(
+            "repeat_idx", F.explode(F.sequence(F.lit(0), F.col("_nr") - 1))
+        )
+        .drop("_nr")
+    )
+
+
 # ---- PII redaction ------------------------------------------------------ #
 PII_PATTERNS: dict[str, str] = {
     # order matters: applied in this sequence

@@ -128,6 +128,79 @@ def test_pack_sequences_deterministic_sharding(spark, docs_df):
     assert a == b  # partitioning-independent placement
 
 
+# ---------------- context-window chunking ---------------------------------- #
+def test_chunk_documents_windows(spark):
+    df = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(10))), (1, "short"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in textqc.chunk_documents(df, window=4, stride=3).collect()
+    )
+    # doc0 (10 tokens, w=4, s=3): starts 1,4,7,10 -> lengths 4,4,4,1
+    doc0 = [r for r in rows if r[0] == 0]
+    assert [r[3] for r in doc0] == [4, 4, 4, 1]
+    assert doc0[0][2] == "t0 t1 t2 t3"
+    assert doc0[1][2] == "t3 t4 t5 t6"  # overlap of 1 token (w - s)
+    assert doc0[3][2] == "t9"
+    assert [r for r in rows if r[0] == 1] == [(1, 0, "short", 1)]
+    assert not [r for r in rows if r[0] == 2]  # empty doc -> no chunks
+
+
+def test_chunk_documents_covers_all_tokens(spark, docs_df):
+    chunks = textqc.chunk_documents(docs_df, window=32, stride=32)  # disjoint
+    tot = chunks.groupBy("doc_id").agg(F.sum("n_tokens").alias("s"))
+    base = docs_df.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("n"),
+    )
+    joined = base.join(tot, "doc_id", "left").filter(
+        F.col("n") != F.coalesce(F.col("s"), F.lit(0))
+    )
+    assert joined.count() == 0  # disjoint chunking partitions the tokens
+
+
+# ---------------- weighted resampling --------------------------------------- #
+def test_resample_weighted_counts(spark):
+    df = spark.createDataFrame(
+        [(i, "x", ["a", "b"][i % 2]) for i in range(2000)],
+        "doc_id long, text string, lang string",
+    )
+    out = textqc.resample_weighted(df, {"a": 2.5, "b": 0.0}, "lang")
+    by_lang = {
+        r["lang"]: r["cnt"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert "b" not in by_lang  # weight 0 drops the stratum
+    # E[copies] = 2.5 per 'a' doc; 1000 docs -> ~2500, hash-uniform
+    assert 2300 <= by_lang["a"] <= 2700
+    # every 'a' doc contributes at least floor(w)=2 copies
+    mins = (
+        out.filter(F.col("lang") == "a")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("c"))
+        .agg(F.min("c"))
+        .first()[0]
+    )
+    assert mins == 2
+
+
+def test_resample_weighted_deterministic(spark, docs_df):
+    w = {"en": 0.6, "zh": 2.3}
+    a = sorted(
+        (r["doc_id"], r["repeat_idx"])
+        for r in textqc.resample_weighted(docs_df, w, "lang").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["repeat_idx"])
+        for r in textqc.resample_weighted(
+            docs_df.repartition(17), w, "lang"
+        ).collect()
+    )
+    assert a == b
+
+
 # ---------------- dedup clusters ------------------------------------------- #
 def test_dedup_clusters_components(spark):
     # chain 1-2-3 (transitive), island 7-8, and a star 20-{21,22}
