@@ -1576,6 +1576,23 @@ SELECT doc_id, ((i - 1) // 24)::bigint AS chunk_idx,
 FROM s
 """
 
+def q_corpus_profile(spark, sf_dir):
+    """One-pass per-language + whole-corpus data card (rollup grouping
+    sets): doc counts, token totals, exact length percentiles."""
+    return textqc.corpus_profile(_docs(spark, sf_dir), stratum_col="lang")
+
+
+O_CORPUS_PROFILE = r"""
+SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS stratum,
+       count(*)::bigint AS n_docs,
+       sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]+')))::bigint
+           AS total_tokens,
+       round(avg(length(text)), 6) AS mean_chars,
+       round(quantile_cont(length(text), 0.5), 6) AS p50_chars,
+       round(quantile_cont(length(text), 0.95), 6) AS p95_chars
+FROM documents GROUP BY ROLLUP(lang)
+"""
+
 _RESAMPLE_WEIGHTS = {"en": 0.6, "es": 0.25, "fr": 1.5, "de": 1.0, "zh": 2.3}
 
 
@@ -2456,6 +2473,7 @@ REGISTRY: dict[str, tuple] = {
     "bpe_pair_counts": (q_bpe_pair_counts, O_BPE_PAIRS),
     "chunk_documents": (q_chunk_documents, O_CHUNK_DOCUMENTS),
     "resample_weighted": (q_resample_weighted, O_RESAMPLE_WEIGHTED),
+    "corpus_profile": (q_corpus_profile, O_CORPUS_PROFILE),
     "bpe_merges": (q_bpe_merges, None),
     "media_features": (q_media_features, O_MEDIA_FEATURES),
     "media_frame_plan": (q_media_frame_plan, O_MEDIA_FRAME_PLAN),
@@ -2500,7 +2518,7 @@ _DRIVER_ORDER = [
     "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
     "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",
     "pack_sequences", "repetition_features", "bpe_pair_counts", "contamination_pairs", "dedup_clusters",
-    "chunk_documents", "resample_weighted",
+    "chunk_documents", "resample_weighted", "corpus_profile",
     "total_count", "validator_unique", "select_features", "term_range_search", "prefix_search",
     "term_positions", "event_transitions", "kea_features", "count_prefix", "replay",
     "media_features", "sessionize", "ann_cosine_topk", "count_docset", "dict_match",

@@ -615,6 +615,43 @@ def redact_pii(
     return df.withColumn(out_col or text_col, col)
 
 
+# ---- corpus profile (data card) ------------------------------------------ #
+def corpus_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """One-pass corpus "data card": per-stratum AND whole-corpus document
+    counts, token totals, and length statistics via ``rollup`` — the
+    summary table a training-data release ships with. A single
+    aggregation (grouping-sets), no second scan for the ALL row; exact
+    interpolated percentiles (same contract as length_percentiles)."""
+    ntok = token_count_col(text_col)
+    chars = F.length(F.col(text_col))
+    g = df.rollup(stratum_col).agg(
+        F.grouping(stratum_col).alias("_g"),
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).cast("long").alias("total_tokens"),
+        F.round(F.avg(chars), 6).alias("mean_chars"),
+        F.round(F.expr(f"percentile(length({text_col}), 0.5D)"), 6).alias(
+            "p50_chars"
+        ),
+        F.round(F.expr(f"percentile(length({text_col}), 0.95D)"), 6).alias(
+            "p95_chars"
+        ),
+    )
+    return g.select(
+        F.when(F.col("_g") == 1, F.lit("ALL"))
+        .otherwise(F.col(stratum_col))
+        .alias("stratum"),
+        "n_docs",
+        "total_tokens",
+        "mean_chars",
+        "p50_chars",
+        "p95_chars",
+    )
+
+
 # ---- deterministic sampling --------------------------------------------- #
 def deterministic_sample(
     df: DataFrame,

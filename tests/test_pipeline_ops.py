@@ -201,6 +201,20 @@ def test_resample_weighted_deterministic(spark, docs_df):
     assert a == b
 
 
+# ---------------- corpus profile -------------------------------------------- #
+def test_corpus_profile_rollup(spark):
+    df = spark.createDataFrame(
+        [(0, "one two", "en"), (1, "three", "en"), (2, "quatre cinq six", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["stratum"]: r.asDict() for r in textqc.corpus_profile(df).collect()}
+    assert set(out) == {"en", "fr", "ALL"}
+    assert out["en"]["n_docs"] == 2 and out["fr"]["n_docs"] == 1
+    assert out["ALL"]["n_docs"] == 3
+    assert out["ALL"]["total_tokens"] == out["en"]["total_tokens"] + out["fr"]["total_tokens"]
+    assert out["fr"]["p50_chars"] == float(len("quatre cinq six"))
+
+
 # ---------------- dedup clusters ------------------------------------------- #
 def test_dedup_clusters_components(spark):
     # chain 1-2-3 (transitive), island 7-8, and a star 20-{21,22}
