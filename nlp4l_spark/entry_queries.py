@@ -315,6 +315,59 @@ def q_bm25_and_topk(spark, sf_dir):
     )
 
 
+BM25_MSM = 2
+
+_BM25_MSM_ORACLE = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id
+       HAVING count(DISTINCT dt.term) >= {BM25_MSM})
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+def q_bm25_msm_topk(spark, sf_dir):
+    """Lucene BooleanQuery.setMinimumNumberShouldMatch: SHOULD scoring, but
+    a doc must match >= BM25_MSM distinct query terms to be a candidate.
+    Index path: Searcher.search_boolean(min_should_match=...), identity-
+    tested in tests/test_boolean.py. Same one-tokenize two-pass shape as
+    q_bm25_topk; the match count is the number of non-null map lookups."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    score = None
+    for t in BM25_TERMS:
+        idf_w = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        tf = F.col("m")[t].cast("double")
+        s_t = F.when(
+            tf.isNotNull(),
+            F.lit(idf_w)
+            * tf
+            * F.lit(2.2)
+            / (tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))),
+        ).otherwise(F.lit(0.0))
+        score = s_t if score is None else score + s_t
+    n_matched = sum(
+        (F.col("m")[t].isNotNull().cast("int") for t in BM25_TERMS), F.lit(0)
+    )
+    return (
+        per_doc.filter(n_matched >= BM25_MSM)
+        .withColumn("s", score)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
 PREFIX_SEARCH = "sc"
 
 
@@ -561,6 +614,59 @@ SELECT doc_id,
            AS score
 FROM base, n, d WHERE tf > 0
 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+SPAN_A, SPAN_B, SPAN_SLOP = "merge", "join", 2
+
+
+def q_span_near(spark, sf_dir):
+    """Lucene SpanNearQuery (two clauses, in-order, slop=2) over the
+    corpus: docs with a 'merge' position followed by a 'join' position
+    with <= slop intervening tokens; n_spans = qualifying start
+    positions. Index path: Searcher.search_span_near (term_vectors
+    positions), identity-tested in tests/test_boolean.py. Positions are
+    full-token-stream indexes (stopword holes preserved), same contract
+    as the phrase queries."""
+    win = SPAN_SLOP + 1
+    ft = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+
+    def positions(term):
+        return F.filter(
+            F.transform(
+                ft, lambda x, i: F.when(x == term, i).otherwise(F.lit(None))
+            ),
+            lambda v: v.isNotNull(),
+        )
+
+    pa, pb = positions(SPAN_A), positions(SPAN_B)
+    n_spans = F.size(
+        F.filter(
+            pa, lambda p0: F.exists(pb, lambda p1: (p1 > p0) & (p1 - p0 <= win))
+        )
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", n_spans.cast("long").alias("n_spans"))
+        .filter(F.col("n_spans") > 0)
+        .orderBy(F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+O_SPAN_NEAR = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ft
+           FROM documents),
+p AS (SELECT doc_id,
+        list_filter(range(1, len(ft) + 1), i -> ft[i] = '{SPAN_A}') AS pa,
+        list_filter(range(1, len(ft) + 1), i -> ft[i] = '{SPAN_B}') AS pb
+      FROM t),
+s AS (SELECT doc_id,
+        len(list_filter(pa, p0 ->
+          len(list_filter(pb, p1 -> p1 > p0 AND p1 - p0 <= {SPAN_SLOP + 1})) > 0
+        ))::bigint AS n_spans
+      FROM p)
+SELECT doc_id, n_spans FROM s WHERE n_spans > 0 ORDER BY doc_id ASC LIMIT 20
 """
 
 
@@ -1357,6 +1463,79 @@ def q_fingerprint(spark, sf_dir):
 O_FINGERPRINT = r"""
 SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_md5
 FROM documents
+"""
+
+
+# --------------------------------------------------------------------- #
+# C4-style line cleaning (Raffel et al. 2020 §2.2) over a derived
+# multi-line corpus: the single-line fixture docs are re-lined into
+# 8-token chunks whose ending varies by chunk index (i%3: '.', bare,
+# ' {') so every cleaning rule — terminal punctuation, min-words, brace
+# ban — fires. The derivation is the SAME expression in both engines.
+# --------------------------------------------------------------------- #
+def q_clean_lines(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tk = F.split(F.trim(F.col("text")), r"\s+")
+    nc = F.ceil(F.size(tk) / F.lit(8)).cast("int")
+    line = lambda i: F.concat(
+        F.array_join(F.slice(tk, i * 8 + 1, 8), " "),
+        F.when(i % 3 == 0, F.lit("."))
+        .when(i % 3 == 1, F.lit(""))
+        .otherwise(F.lit(" {")),
+    )
+    multi = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), nc - 1), line), "\n"
+        ).alias("text"),
+    )
+    return textqc.clean_lines(multi).select(
+        "doc_id", "n_lines", "n_kept", "clean_text"
+    )
+
+
+O_CLEAN_LINES = r"""
+WITH tk AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS l
+            FROM documents),
+ml AS (SELECT doc_id,
+         list_transform(range(0, ((len(l) + 7) // 8)::int),
+           i -> array_to_string(l[i*8+1 : i*8+8], ' ') ||
+                CASE i % 3 WHEN 0 THEN '.' WHEN 1 THEN '' ELSE ' {' END)
+           AS lines
+       FROM tk),
+cl AS (SELECT doc_id, len(lines)::bigint AS n_lines,
+         list_filter(lines, x ->
+           len(regexp_extract_all(trim(x), '\S+')) >= 3
+           AND regexp_matches(trim(x), '[.!?"”]$')
+           AND NOT contains(lower(trim(x)), 'lorem ipsum')
+           AND NOT contains(lower(trim(x)), 'javascript')
+           AND NOT contains(trim(x), '{')) AS kept
+       FROM ml)
+SELECT doc_id, n_lines, len(kept)::bigint AS n_kept,
+       array_to_string(kept, chr(10)) AS clean_text
+FROM cl WHERE len(kept) >= 1
+"""
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """Corpus-trained add-0.5-smoothed unigram LM; per-doc mean negative
+    log likelihood (nats/token). See textqc.lm_score."""
+    return textqc.lm_score(_docs(spark, sf_dir))
+
+
+O_LM_PERPLEXITY = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT term, sum(tf) AS cf FROM dt GROUP BY 1),
+st AS (SELECT sum(cf) AS n, count(*) AS v FROM vocab),
+model AS (SELECT term, -ln((cf + 0.5) / (n + 0.5 * v)) AS nlp
+          FROM vocab CROSS JOIN st),
+sc AS (SELECT doc_id, sum(tf)::bigint AS n_tokens,
+              sum(tf * nlp) / sum(tf) AS nll
+       FROM dt JOIN model USING (term) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(sc.n_tokens, 0)::bigint AS n_tokens,
+       round(sc.nll, 6) AS nll
+FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
@@ -2426,8 +2605,10 @@ REGISTRY: dict[str, tuple] = {
     "bm25_topk": (q_bm25_topk, _BM25_ORACLE),
     "index_bm25_topk": (q_index_bm25_topk, _BM25_ORACLE),
     "phrase_bm25_topk": (q_phrase_bm25_topk, O_PHRASE_BM25_TOPK),
+    "span_near_search": (q_span_near, O_SPAN_NEAR),
     "index_phrase_topk": (q_index_phrase_topk, O_PHRASE_BM25_TOPK),
     "bm25_and_topk": (q_bm25_and_topk, _BM25_AND_ORACLE),
+    "bm25_msm_topk": (q_bm25_msm_topk, _BM25_MSM_ORACLE),
     "prefix_search": (q_prefix_search, O_PREFIX_SEARCH),
     "wildcard_search": (q_wildcard_search, O_WILDCARD_SEARCH),
     "term_range_search": (q_term_range_search, O_TERM_RANGE_SEARCH),
@@ -2464,6 +2645,8 @@ REGISTRY: dict[str, tuple] = {
     "quality_score": (q_quality, O_QUALITY),
     "lang_id": (q_lang_id, O_LANG_ID),
     "fingerprint": (q_fingerprint, O_FINGERPRINT),
+    "clean_lines": (q_clean_lines, O_CLEAN_LINES),
+    "lm_perplexity": (q_lm_perplexity, O_LM_PERPLEXITY),
     "winnow_fingerprints": (q_winnow_fingerprints, O_WINNOW),
     "winnow_pairs": (q_winnow_pairs, O_WINNOW_PAIRS),
     "repetition_features": (q_repetition_features, O_REPETITION),
@@ -2514,17 +2697,20 @@ _DRIVER_ORDER = [
     "sort_paging", "fingerprint", "label_map", "lang_id", "rate_to_label",
     "stop_filter", "props_parse", "stats_moments", "token_count", "quality_score",
     "sample_stratified", "length_percentiles", "merge_records", "redact_pii", "acronym_candidates",
+    "clean_lines",
     "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words", "click_rate",
     "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
     "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",
+    "span_near_search",
     "pack_sequences", "repetition_features", "bpe_pair_counts", "contamination_pairs", "dedup_clusters",
     "chunk_documents", "resample_weighted", "corpus_profile",
     "total_count", "validator_unique", "select_features", "term_range_search", "prefix_search",
     "term_positions", "event_transitions", "kea_features", "count_prefix", "replay",
     "media_features", "sessionize", "ann_cosine_topk", "count_docset", "dict_match",
     "wordcount_df", "tf_vectors", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
-    "top_terms_by_docfreq", "wordcount_cf", "chi2_terms", "dedup_simhash", "kea_bigrams",
+    "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
+    "bm25_msm_topk",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "embedding_neardup",
     "index_bm25_topk", "index_phrase_topk", "bm25_topk", "embedding_neardup_lsh", "ann_lsh_topk", "ann_ivf_topk",
     # rows-only tail

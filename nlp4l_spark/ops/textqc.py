@@ -694,3 +694,113 @@ def stratified_sample(
     for s, r in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == s, F.lit(float(r))).otherwise(rate)
     return df.filter(u < rate)
+
+
+# ---- C4-style line-level cleaning --------------------------------------- #
+def clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    ban_substrings: tuple[str, ...] = ("lorem ipsum", "javascript"),
+    ban_curly_brace: bool = True,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 heuristics):
+    split the document on newlines and keep a line only if it (a) ends in
+    terminal punctuation (. ! ? or closing quote), (b) has at least
+    ``min_words`` whitespace words, (c) contains none of the banned
+    substrings (case-insensitive) and no ``{`` (code/markup tell). Docs
+    with fewer than ``min_kept_lines`` surviving lines are dropped.
+
+    Adds ``clean_text`` (kept lines re-joined with newlines), ``n_lines``
+    and ``n_kept``. One codegen'd scan — split + one array filter, zero
+    Python, no shuffle; at 100 TB this is a pure map stage that pipelines
+    into the writer."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep_pred(line):
+        t = F.trim(line)
+        cond = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != "")) >= min_words
+        if require_terminal_punct:
+            cond = cond & t.rlike('[.!?"”]$')
+        low = F.lower(t)
+        for s in ban_substrings:
+            cond = cond & ~low.contains(s.lower())
+        if ban_curly_brace:
+            cond = cond & ~t.contains("{")
+        return cond
+
+    kept = F.filter(lines, keep_pred)
+    return (
+        df.withColumns(
+            {
+                "n_lines": F.size(lines).cast("long"),
+                "n_kept": F.size(kept).cast("long"),
+                "clean_text": F.array_join(kept, "\n"),
+            }
+        )
+        .filter(F.col("n_kept") >= min_kept_lines)
+    )
+
+
+# ---- corpus-trained unigram LM scoring ----------------------------------- #
+def lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    analyzer: Analyzer | None = None,
+    alpha: float = 0.5,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Corpus-trained unigram language-model quality score (the CCNet /
+    Wenzek et al. LM-filtering idea, made deterministic and SQL-oracle
+    reproducible): train add-``alpha``-smoothed unigram probabilities on
+    the corpus itself, then score every document by its mean negative log
+    likelihood ``nll`` (nats/token; low = head-like fluent text, high =
+    rare-token soup). Output (id_col, n_tokens, nll); empty docs get a
+    null nll.
+
+    Plan shape: ONE tokenize pass feeds both sides — a vocab-sized
+    aggregate (term, cf) that becomes the model, and per-doc (term, tf)
+    rows that join back against it. The model table is vocabulary-sized
+    (≪ corpus; Heaps' law), broadcast by default so the scoring join is
+    shuffle-free; set ``broadcast_vocab=False`` at 10⁹-term vocabularies
+    to fall back to a term-keyed shuffle join."""
+    from nlp4l_spark.analysis import STANDARD_ANALYZER
+
+    az = analyzer or STANDARD_ANALYZER
+    toks = az.tokens_expr(text_col)
+    dt = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    vocab = dt.groupBy("term").agg(F.sum("tf").alias("cf"))
+    n_total, v_size = vocab.agg(
+        F.sum("cf").alias("n"), F.count("*").alias("v")
+    ).collect()[0]
+    denom = float(n_total) + alpha * float(v_size)
+    model = vocab.select(
+        "term",
+        (-F.log((F.col("cf") + F.lit(alpha)) / F.lit(denom))).alias("nlp"),
+    )
+    if broadcast_vocab:
+        model = F.broadcast(model)
+    scored = (
+        dt.join(model, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (F.sum(F.col("tf") * F.col("nlp")) / F.sum("tf")).alias("nll"),
+        )
+    )
+    # left-join back so token-less docs surface with null nll
+    base = df.select(id_col)
+    return base.join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.round("nll", 6).alias("nll"),
+    )

@@ -187,12 +187,15 @@ class Searcher:
         must_not: list[str] | None = None,
         boosts: dict[str, float] | None = None,
         k: int = 10,
+        min_should_match: int = 0,
     ) -> DataFrame:
         """Full Lucene BooleanQuery clause surface: SHOULD (scores, optional
         if a MUST exists), MUST (restricts candidates AND scores), MUST_NOT
         (pure exclusion, never scores). Per-term ``boosts`` multiply that
-        term's score contribution (BoostQuery). All clause terms are single
-        analyzed terms."""
+        term's score contribution (BoostQuery). ``min_should_match``
+        replicates BooleanQuery.setMinimumNumberShouldMatch: a doc must
+        match at least that many distinct SHOULD terms (on top of every
+        MUST). All clause terms are single analyzed terms."""
         should = [t for s in (should or []) for t in self.analyzer.tokenize(s)]
         must = [t for s in (must or []) for t in self.analyzer.tokenize(s)]
         must_not = [
@@ -231,14 +234,26 @@ class Searcher:
         n_must = F.sum(
             F.when(F.col("term").isin(must_present), 1).otherwise(0)
         )
+        should_present = sorted(set(should) & set(dfs))
+        if min_should_match > 0 and len(should_present) < min_should_match:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        n_should = F.sum(
+            F.when(F.col("term").isin(should_present), 1).otherwise(0)
+        )
         scored = (
             decoded.join(qterms, "term")
             .withColumn("_s", score_expr)
             .groupBy("doc_id")
-            .agg(F.sum("_s").alias("score"), n_must.alias("_nm"))
+            .agg(
+                F.sum("_s").alias("score"),
+                n_must.alias("_nm"),
+                n_should.alias("_nsm"),
+            )
         )
         if must_present:
             scored = scored.filter(F.col("_nm") >= len(must_present))
+        if min_should_match > 0:
+            scored = scored.filter(F.col("_nsm") >= min_should_match)
         if must_not:
             excl = (
                 self._decoded(self._matching_postings(sorted(set(must_not))))
@@ -579,6 +594,60 @@ class Searcher:
         return (
             self.cat.read(self.spark, "stored")
             .select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_span_near(
+        self,
+        term_a: str,
+        term_b: str,
+        slop: int = 0,
+        in_order: bool = True,
+        k: int = 10,
+    ) -> DataFrame:
+        """Lucene SpanNearQuery for the two-clause case: docs where a
+        position of ``term_a`` and a position of ``term_b`` lie within
+        ``slop`` intervening token positions (``in_order``: b strictly
+        after a, gap = p_b - p_a - 1 <= slop; unordered: either order,
+        |p_b - p_a| - 1 <= slop). Constant-score candidate retrieval
+        (docID asc) with ``n_spans`` = number of a-positions that have a
+        qualifying partner — the span match count Lucene's SpanScorer
+        iterates. Positions are full-token-stream positions (StopFilter
+        holes preserved), from the opt-in term_vectors table; the join is
+        a per-doc pairing of two df-sized position lists, never
+        corpus-sized."""
+        a = self.analyzer.tokenize(term_a)
+        b = self.analyzer.tokenize(term_b)
+        if len(a) != 1 or len(b) != 1:
+            raise ValueError("span_near clauses must analyze to one term each")
+        if not self.cat.is_committed("term_vectors"):
+            raise ValueError(
+                "span_near needs term_vectors "
+                "(IndexBuilder(store_term_vectors=True))"
+            )
+        tv = self.cat.read(self.spark, "term_vectors")
+        pa = tv.filter(F.col("term") == a[0]).select(
+            "doc_id", F.col("positions").alias("_pa")
+        )
+        pb = tv.filter(F.col("term") == b[0]).select(
+            "doc_id", F.col("positions").alias("_pb")
+        )
+        win = int(slop) + 1
+        if in_order:
+            pair_ok = lambda p0: F.exists(
+                F.col("_pb"), lambda p1: (p1 > p0) & (p1 - p0 <= win)
+            )
+        else:
+            pair_ok = lambda p0: F.exists(
+                F.col("_pb"),
+                lambda p1: (p1 != p0) & (F.abs(p1 - p0) <= win),
+            )
+        n_spans = F.size(F.filter(F.col("_pa"), pair_ok))
+        return (
+            pa.join(pb, "doc_id")
+            .select("doc_id", n_spans.cast("long").alias("n_spans"))
+            .filter(F.col("n_spans") > 0)
             .orderBy(F.asc("doc_id"))
             .limit(k)
         )

@@ -263,3 +263,61 @@ def test_search_corrected(spark, idx):
     # in-dictionary queries pass through untouched
     _, none_needed = s.search_corrected("join", k=5)
     assert none_needed == {}
+
+
+def test_min_should_match(spark, idx):
+    s = Searcher(spark, idx)
+    should = ["join", "merge", "vector"]
+    # msm=3: only docs containing all three distinct terms (0, 4)
+    got3 = {r["doc_id"] for r in s.search_boolean(should=should, min_should_match=3).collect()}
+    assert got3 == {0, 4}
+    # msm=2: docs matching >= 2 distinct should terms
+    got2 = {r["doc_id"] for r in s.search_boolean(should=should, min_should_match=2).collect()}
+    assert got2 == {0, 1, 2, 3, 4}
+    # msm scores = plain SHOULD scores for the surviving docs
+    base = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in s.search_boolean(should=should, k=10).collect()
+    }
+    for r in s.search_boolean(should=should, min_should_match=3).collect():
+        assert round(r["score"], 9) == base[r["doc_id"]]
+    # msm above the number of index-present should terms -> empty
+    assert s.search_boolean(should=["join", "zzznothere"], min_should_match=2).count() == 0
+
+
+def test_span_near(spark, tmp_path):
+    docs = [
+        (0, "merge the big join"),       # gap 2, in order
+        (1, "merge join"),               # adjacent
+        (2, "join merge"),               # reversed order
+        (3, "merge scan scan scan join"),  # gap 3 > slop
+        (4, "nothing here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("u").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    d = str(tmp_path / "spanidx")
+    IndexBuilder(
+        sort_cols=("conv_id", "turn_idx"), store_term_vectors=True
+    ).build(df, d)
+    s = Searcher(spark, d)
+    ordered = {
+        r["doc_id"]: r["n_spans"]
+        for r in s.search_span_near("merge", "join", slop=2).collect()
+    }
+    assert ordered == {0: 1, 1: 1}
+    unordered = {
+        r["doc_id"]: r["n_spans"]
+        for r in s.search_span_near(
+            "merge", "join", slop=2, in_order=False
+        ).collect()
+    }
+    assert unordered == {0: 1, 1: 1, 2: 1}
+    # slop=3 admits the gap-3 doc
+    wide = {r["doc_id"] for r in s.search_span_near("merge", "join", slop=3).collect()}
+    assert wide == {0, 1, 3}

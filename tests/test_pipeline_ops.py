@@ -282,3 +282,54 @@ def test_apply_bpe_segments(spark):
 @pytest.fixture(scope="module")
 def docs_df(spark):
     return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+# ---------------- C4-style line cleaning ----------------------------------- #
+def test_clean_lines_rules(spark):
+    rows = [
+        (0, "This line is fine.\nno punct here\nshort.\nvar x = { y }.\n"
+            "Uses javascript sadly.\nLorem Ipsum dolor sit amet.\nAlso good enough!"),
+        (1, "tiny.\n{"),          # nothing survives -> doc dropped
+        (2, 'He said "stop".\nHe said (quote) ”stop”'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in textqc.clean_lines(df).collect()}
+    # doc 0: keeps the terminal-punct >=3-word lines without bans
+    assert out[0]["n_kept"] == 2
+    assert out[0]["clean_text"] == "This line is fine.\nAlso good enough!"
+    assert out[0]["n_lines"] == 7
+    # doc 1 dropped entirely
+    assert 1 not in out
+    # doc 2: closing-quote counts as terminal punctuation
+    assert out[2]["n_kept"] == 2
+
+
+def test_clean_lines_thresholds(spark):
+    df = spark.createDataFrame(
+        [(0, "one two.\none two three.")], "doc_id long, text string"
+    )
+    strict = textqc.clean_lines(df, min_words=3).collect()[0]
+    assert strict["n_kept"] == 1
+    loose = textqc.clean_lines(df, min_words=2).collect()[0]
+    assert loose["n_kept"] == 2
+    assert textqc.clean_lines(df, min_kept_lines=3).count() == 0
+
+
+# ---------------- unigram LM scoring --------------------------------------- #
+def test_lm_score_known_values(spark):
+    import math
+
+    rows = [(0, "xx xx yy"), (1, "xx yy"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in textqc.lm_score(df).collect()}
+    # corpus: cf(xx)=3, cf(yy)=2, N=5, V=2, alpha=0.5 -> denom 6
+    pa, pb = 3.5 / 6.0, 2.5 / 6.0
+    nll0 = -(2 * math.log(pa) + math.log(pb)) / 3
+    nll1 = -(math.log(pa) + math.log(pb)) / 2
+    assert out[0]["nll"] == round(nll0, 6)
+    assert out[1]["nll"] == round(nll1, 6)
+    assert out[0]["n_tokens"] == 3
+    # empty doc surfaces with null nll, zero tokens
+    assert out[2]["nll"] is None and out[2]["n_tokens"] == 0
+    # rare-token soup scores worse (higher nll) than head-token text
+    assert out[1]["nll"] > out[0]["nll"]

@@ -37,7 +37,20 @@ JVM_ONLY = [
     "pack_sequences",
     "bpe_pair_counts",
     "contamination_pairs",
+    # round-2 additions: C4 line cleaning + span-near are single HOF
+    # scans; the unigram-LM scorer is tokenize + two JVM aggs + one join
+    "clean_lines",
+    "span_near_search",
+    "lm_perplexity",
 ]
+
+
+def test_lm_vocab_join_is_broadcast(spark):
+    """The unigram model table is vocabulary-sized — the doc-side scoring
+    join must broadcast it, never shuffle the corpus."""
+    plan = _plan(eq.REGISTRY["lm_perplexity"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, "corpus side got shuffled for the join"
 
 
 def test_contamination_eval_side_is_broadcast(spark):
