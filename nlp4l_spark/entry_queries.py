@@ -368,6 +368,62 @@ def q_bm25_msm_topk(spark, sf_dir):
     )
 
 
+BM25F_BOOSTS = {"body": 1.0, "title": 2.0}
+
+_T_TITLE = STANDARD_ANALYZER.duckdb_tokens_sql("title")
+_T_BODY = STANDARD_ANALYZER.duckdb_tokens_sql("body")
+
+_BM25F_FIELD_SCORE = """
+t{f} AS (SELECT doc_id, unnest({toks}) AS term FROM d2),
+dt{f} AS (SELECT doc_id, term, count(*)::double AS tf FROM t{f} GROUP BY 1, 2),
+dl{f} AS (SELECT d2.doc_id, coalesce(c.dl, 0)::double AS dl
+          FROM d2 LEFT JOIN (SELECT doc_id, count(*)::double AS dl
+                             FROM t{f} GROUP BY 1) c USING (doc_id)),
+st{f} AS (SELECT count(*)::double AS n, sum(dl) / count(*) AS avgdl FROM dl{f}),
+dfm{f} AS (SELECT term, count(*)::double AS df FROM dt{f} JOIN qt USING (term)
+           GROUP BY 1),
+sc{f} AS (SELECT dt{f}.doc_id,
+            sum({boost} * ln(1 + (n - df + 0.5) / (df + 0.5))
+                * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+          FROM dt{f} JOIN dfm{f} USING (term) JOIN dl{f} USING (doc_id)
+          CROSS JOIN st{f}
+          GROUP BY dt{f}.doc_id)"""
+
+_BM25F_ORACLE = f"""
+WITH d2 AS (SELECT doc_id,
+              array_to_string((regexp_extract_all(trim(text), '\\S+'))[1:6], ' ')
+                AS title,
+              text AS body
+            FROM documents),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+{_BM25F_FIELD_SCORE.format(f="b", toks=_T_BODY, boost=BM25F_BOOSTS["body"])},
+{_BM25F_FIELD_SCORE.format(f="t", toks=_T_TITLE, boost=BM25F_BOOSTS["title"])},
+cand AS (SELECT doc_id FROM scb UNION SELECT doc_id FROM sct)
+SELECT cand.doc_id,
+       round(coalesce(scb.s, 0) + coalesce(sct.s, 0), 6) AS score
+FROM cand LEFT JOIN scb USING (doc_id) LEFT JOIN sct USING (doc_id)
+ORDER BY coalesce(scb.s, 0) + coalesce(sct.s, 0) DESC, cand.doc_id ASC
+LIMIT {BM25_K}
+"""
+
+
+def q_bm25f_topk(spark, sf_dir):
+    """Multi-field BM25 (search.bm25f_topk): title = the doc's first 6
+    whitespace tokens (derived deterministically in both engines), body =
+    full text; per-field df/dl/avgdl statistics, field boosts
+    {title: 2.0, body: 1.0} — Lucene MultiFieldQueryParser semantics."""
+    from nlp4l_spark.search import bm25f_topk
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 6), " "
+        ).alias("title"),
+        F.col("text").alias("body"),
+    )
+    return bm25f_topk(docs, BM25_QUERY, fields=BM25F_BOOSTS, k=BM25_K)
+
+
 PREFIX_SEARCH = "sc"
 
 
@@ -2609,6 +2665,7 @@ REGISTRY: dict[str, tuple] = {
     "index_phrase_topk": (q_index_phrase_topk, O_PHRASE_BM25_TOPK),
     "bm25_and_topk": (q_bm25_and_topk, _BM25_AND_ORACLE),
     "bm25_msm_topk": (q_bm25_msm_topk, _BM25_MSM_ORACLE),
+    "bm25f_topk": (q_bm25f_topk, _BM25F_ORACLE),
     "prefix_search": (q_prefix_search, O_PREFIX_SEARCH),
     "wildcard_search": (q_wildcard_search, O_WILDCARD_SEARCH),
     "term_range_search": (q_term_range_search, O_TERM_RANGE_SEARCH),
@@ -2710,7 +2767,7 @@ _DRIVER_ORDER = [
     "wordcount_df", "tf_vectors", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
     "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
-    "bm25_msm_topk",
+    "bm25_msm_topk", "bm25f_topk",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "embedding_neardup",
     "index_bm25_topk", "index_phrase_topk", "bm25_topk", "embedding_neardup_lsh", "ann_lsh_topk", "ann_ivf_topk",
     # rows-only tail

@@ -3,6 +3,7 @@ from nlp4l_spark.search.engine import (
     idf,
     parse_query,
     phrase_bm25_topk,
+    bm25f_topk,
 )
 
-__all__ = ["Searcher", "idf", "parse_query", "phrase_bm25_topk"]
+__all__ = ["Searcher", "idf", "parse_query", "phrase_bm25_topk", "bm25f_topk"]

@@ -1071,6 +1071,88 @@ def phrase_bm25_topk(
     )
 
 
+def bm25f_topk(
+    docs_df: DataFrame,
+    query: str,
+    fields: dict[str, float] | None = None,
+    k: int = 10,
+    id_col: str = "doc_id",
+    analyzer: Analyzer | None = None,
+) -> DataFrame:
+    """Multi-field BM25 top-k ("BM25F-lite": the per-field BM25 sums are
+    weighted by field boosts and added — Lucene MultiFieldQueryParser /
+    per-field-query semantics, not Robertson's tf-pooling BM25F).
+    ``fields`` maps text column -> boost. Each field gets its OWN
+    df/dl/avgdl statistics, exactly as Lucene scores one query per field.
+
+    Plan shape mirrors the join-free corpus BM25 path: ONE scan computes
+    a per-doc (dl, tf-map) for every field via the Arrow term-counts
+    pass; ONE aggregation job returns n + per-field (sum_dl, per-term
+    df); the scoring pass folds boost·idf in as literals. No joins, no
+    groupBy — top-k is TakeOrderedAndProject."""
+    analyzer = analyzer or STANDARD_ANALYZER
+    fields = fields or {"text": 1.0}
+    fkeys = sorted(fields)
+    terms = sorted(set(analyzer.tokenize(query)))
+    empty = docs_df.sparkSession.createDataFrame(
+        [], "doc_id long, score double"
+    )
+    if not terms:
+        return empty
+    tc = analyzer.term_counts_udf()
+    per_doc = docs_df.select(
+        F.col(id_col).alias("doc_id"),
+        *[tc(F.col(fname)).alias(f"_tc{i}") for i, fname in enumerate(fkeys)],
+    ).select(
+        "doc_id",
+        *[F.col(f"_tc{i}.dl").cast("double").alias(f"_dl{i}")
+          for i in range(len(fkeys))],
+        *[F.map_from_arrays(f"_tc{i}.terms", f"_tc{i}.tfs").alias(f"_m{i}")
+          for i in range(len(fkeys))],
+    )
+    aggs = [F.count("*").alias("n")]
+    for i in range(len(fkeys)):
+        aggs.append(F.sum(f"_dl{i}").alias(f"_sdl{i}"))
+        for j, t in enumerate(terms):
+            aggs.append(
+                F.count(F.col(f"_m{i}")[t]).cast("double").alias(f"_df{i}_{j}")
+            )
+    row = per_doc.agg(*aggs).collect()[0]
+    n = row["n"]
+    score, any_match = None, None
+    for i, fname in enumerate(fkeys):
+        avgdl = ((row[f"_sdl{i}"] or 0.0) / n) or 1.0
+        boost = float(fields[fname])
+        f_score = None
+        for j, t in enumerate(terms):
+            dfv = row[f"_df{i}_{j}"]
+            if not dfv:
+                continue
+            w = boost * idf(n, dfv)
+            tf = F.col(f"_m{i}")[t].cast("double")
+            s_t = F.when(
+                tf.isNotNull(),
+                F.lit(w) * tf * F.lit(K1 + 1.0)
+                / (tf + F.lit(K1)
+                   * (F.lit(1.0 - B)
+                      + F.lit(B) * F.col(f"_dl{i}") / F.lit(avgdl))),
+            ).otherwise(F.lit(0.0))
+            f_score = s_t if f_score is None else f_score + s_t
+            m_t = F.col(f"_m{i}")[t]
+            any_match = m_t if any_match is None else F.coalesce(any_match, m_t)
+        if f_score is not None:
+            score = f_score if score is None else score + f_score
+    if score is None:
+        return empty
+    return (
+        per_doc.filter(any_match.isNotNull())
+        .withColumn("s", score)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
 # --------------------------------------------------------------------- #
 # Minimal query-string parser (Lucene classic-syntax subset)
 # --------------------------------------------------------------------- #

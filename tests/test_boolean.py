@@ -321,3 +321,47 @@ def test_span_near(spark, tmp_path):
     # slop=3 admits the gap-3 doc
     wide = {r["doc_id"] for r in s.search_span_near("merge", "join", slop=3).collect()}
     assert wide == {0, 1, 3}
+
+
+def test_bm25f_single_field_matches_oracle(spark):
+    from nlp4l_spark.oracle import OracleIndex
+    from nlp4l_spark.search import bm25f_topk
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in bm25f_topk(df, "join merge vector", fields={"text": 1.0}, k=10).collect()
+    ]
+    exp = [
+        (d, round(s, 6))
+        for d, s in OracleIndex.build(DOCS).search("join merge vector", 10)
+    ]
+    assert got == exp
+
+
+def test_bm25f_boosts_scale_and_rerank(spark):
+    from nlp4l_spark.search import bm25f_topk
+
+    rows = [
+        (0, "vector stuff", "join join join merge merge scan scan scan scan"),
+        (1, "join merge", "vector vector vector vector scan scan scan scan"),
+        (2, "scan scan", "scan scan scan scan scan scan"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, title string, body string")
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bm25f_topk(df, "join merge", fields={"title": 1.0, "body": 1.0}).collect()
+    }
+    doubled = {
+        r["doc_id"]: r["score"]
+        for r in bm25f_topk(df, "join merge", fields={"title": 2.0, "body": 2.0}).collect()
+    }
+    assert set(base) == {0, 1}  # doc 2 matches no query term
+    for d in base:
+        assert doubled[d] == pytest.approx(2 * base[d], abs=2e-6)
+    # a big title boost must outrank body-only matches
+    titled = [
+        r["doc_id"]
+        for r in bm25f_topk(df, "join merge", fields={"title": 10.0, "body": 1.0}).collect()
+    ]
+    assert titled[0] == 1  # title hit dominates
