@@ -368,6 +368,180 @@ def q_bm25_msm_topk(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------- #
+# Hybrid retrieval: RRF fusion of the BM25 ranking with the phrase
+# ranking (Cormack et al. 2009; k=60) — the standard lexical+second-
+# signal merge, rank-based so the incomparable score scales never mix.
+# --------------------------------------------------------------------- #
+def q_hybrid_rrf(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from nlp4l_spark.search.fusion import rrf_fuse
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    a = q_bm25_topk(spark, sf_dir).withColumn("rank", F.row_number().over(w))
+    b = q_phrase_bm25_topk(spark, sf_dir).withColumn(
+        "rank", F.row_number().over(w)
+    )
+    return rrf_fuse([a, b], k=60, topk=BM25_K)
+
+
+O_HYBRID_RRF = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sca AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+        FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+        GROUP BY dt.doc_id),
+ra AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rnk
+       FROM sca ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}),
+t2 AS (SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS ft,
+         {TOK_SQL} AS at FROM documents),
+base2 AS (SELECT doc_id,
+            CASE WHEN len(ft) >= 2 THEN len(list_filter(range(1, len(ft)),
+                 i -> ft[i] = 'merge' AND ft[i+1] = 'join')) ELSE 0 END AS tf,
+            len(at) AS dl
+          FROM t2),
+n2 AS (SELECT count(*)::double AS n,
+              sum(dl)::double / count(*) AS avgdl FROM base2),
+d2m AS (SELECT
+        (SELECT count(*) FROM t2 WHERE list_contains(at, 'merge')) AS dfm,
+        (SELECT count(*) FROM t2 WHERE list_contains(at, 'join')) AS dfj),
+scb AS (SELECT doc_id,
+          (ln(1 + (n2.n - d2m.dfm + 0.5) / (d2m.dfm + 0.5))
+           + ln(1 + (n2.n - d2m.dfj + 0.5) / (d2m.dfj + 0.5)))
+          * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / n2.avgdl)) AS s
+        FROM base2, n2, d2m WHERE tf > 0),
+rb AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rnk
+       FROM scb ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}),
+u AS (SELECT doc_id, 1.0 / (60 + rnk) AS c FROM ra
+      UNION ALL SELECT doc_id, 1.0 / (60 + rnk) FROM rb),
+fz AS (SELECT doc_id, sum(c) AS s FROM u GROUP BY doc_id
+       ORDER BY s DESC, doc_id ASC LIMIT {BM25_K})
+SELECT doc_id, round(s, 6) AS rrf_score,
+       row_number() OVER (ORDER BY s DESC, doc_id ASC)::int AS rank
+FROM fz ORDER BY s DESC, doc_id ASC
+"""
+
+
+# --------------------------------------------------------------------- #
+# IR evaluation: nDCG@k / MRR / P@k / AP@k of the BM25 ranking against
+# graded synthetic qrels (rel = matched-distinct-terms - 1, so results
+# contain both relevant and non-relevant docs).
+# --------------------------------------------------------------------- #
+RANKEVAL_QUERIES: dict[int, list[str]] = {
+    0: BM25_TERMS,
+    1: ["hash", "scan"],
+}
+
+
+def q_rank_eval(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from nlp4l_spark.ops.ltr import rank_metrics
+
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    res_parts, qrel_parts = [], []
+    for qid, terms in sorted(RANKEVAL_QUERIES.items()):
+        n, avgdl, dfs = _bm25_corpus_stats(per_doc, terms)
+        score = None
+        for t in terms:
+            idf_w = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            tf = F.col("m")[t].cast("double")
+            s_t = F.when(
+                tf.isNotNull(),
+                F.lit(idf_w) * tf * F.lit(2.2)
+                / (tf + F.lit(1.2)
+                   * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))),
+            ).otherwise(F.lit(0.0))
+            score = s_t if score is None else score + s_t
+        nm = sum(
+            (F.col("m")[t].isNotNull().cast("int") for t in terms), F.lit(0)
+        )
+        scored = per_doc.withColumn("s", score).withColumn("_nm", nm)
+        w = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+        res_parts.append(
+            scored.filter(F.col("_nm") >= 1)
+            .orderBy(F.desc("s"), F.asc("doc_id"))
+            .limit(BM25_K)
+            .withColumn("rank", F.row_number().over(w))
+            .select(F.lit(qid).alias("qid"), "doc_id", "rank")
+        )
+        qrel_parts.append(
+            scored.filter(F.col("_nm") >= 2).select(
+                F.lit(qid).alias("qid"),
+                "doc_id",
+                (F.col("_nm") - 1).cast("int").alias("rel"),
+            )
+        )
+    results = res_parts[0]
+    qrels = qrel_parts[0]
+    for r in res_parts[1:]:
+        results = results.unionByName(r)
+    for r in qrel_parts[1:]:
+        qrels = qrels.unionByName(r)
+    return (
+        rank_metrics(results, qrels, k=BM25_K)
+        .orderBy("qid")
+        .select("qid", "ndcg", "mrr", "p_at_k", "ap")
+    )
+
+
+def _rankeval_block(q: int, terms: list[str], k: int) -> str:
+    return f"""
+qt{q} AS (SELECT unnest({terms!r}) AS term),
+dfm{q} AS (SELECT term, count(*)::double AS df FROM dt JOIN qt{q} USING (term)
+           GROUP BY 1),
+sc{q} AS (SELECT dt.doc_id,
+            sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s,
+            count(DISTINCT dt.term)::int AS nm
+          FROM dt JOIN dfm{q} USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+          GROUP BY dt.doc_id),
+res{q} AS (SELECT doc_id, greatest(nm - 1, 0)::double AS rel,
+             row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rnk
+           FROM sc{q} ORDER BY s DESC, doc_id ASC LIMIT {k}),
+qr{q} AS (SELECT doc_id, (nm - 1)::double AS rel FROM sc{q} WHERE nm >= 2),
+ideal{q} AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id ASC)
+               AS irnk FROM qr{q}),
+met{q} AS (SELECT {q}::bigint AS qid,
+  round(coalesce(
+    (SELECT sum((pow(2.0, rel) - 1) / log2(rnk + 1.0)) FROM res{q}) /
+    nullif((SELECT sum((pow(2.0, rel) - 1) / log2(irnk + 1.0))
+            FROM ideal{q} WHERE irnk <= {k}), 0), 0), 6) AS ndcg,
+  round(coalesce(1.0 / (SELECT min(rnk) FROM res{q} WHERE rel > 0), 0), 6)
+    AS mrr,
+  round((SELECT count(*) FROM res{q} WHERE rel > 0)::double / {k}, 6)
+    AS p_at_k,
+  round(coalesce(
+    (SELECT sum((SELECT count(*) FROM res{q} r2
+                 WHERE r2.rnk <= r.rnk AND r2.rel > 0)::double / r.rnk)
+     FROM res{q} r WHERE r.rel > 0) /
+    nullif(least((SELECT count(*) FROM qr{q}), {k}), 0), 0), 6) AS ap)"""
+
+
+O_RANK_EVAL = (
+    f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),"""
+    + ",".join(
+        _rankeval_block(q, terms, BM25_K)
+        for q, terms in sorted(RANKEVAL_QUERIES.items())
+    )
+    + "\nSELECT * FROM met0 UNION ALL SELECT * FROM met1 ORDER BY qid"
+)
+
+
 BM25F_BOOSTS = {"body": 1.0, "title": 2.0}
 
 _T_TITLE = STANDARD_ANALYZER.duckdb_tokens_sql("title")
@@ -2666,6 +2840,8 @@ REGISTRY: dict[str, tuple] = {
     "bm25_and_topk": (q_bm25_and_topk, _BM25_AND_ORACLE),
     "bm25_msm_topk": (q_bm25_msm_topk, _BM25_MSM_ORACLE),
     "bm25f_topk": (q_bm25f_topk, _BM25F_ORACLE),
+    "hybrid_rrf_topk": (q_hybrid_rrf, O_HYBRID_RRF),
+    "rank_eval": (q_rank_eval, O_RANK_EVAL),
     "prefix_search": (q_prefix_search, O_PREFIX_SEARCH),
     "wildcard_search": (q_wildcard_search, O_WILDCARD_SEARCH),
     "term_range_search": (q_term_range_search, O_TERM_RANGE_SEARCH),
@@ -2767,7 +2943,7 @@ _DRIVER_ORDER = [
     "wordcount_df", "tf_vectors", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
     "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
-    "bm25_msm_topk", "bm25f_topk",
+    "bm25_msm_topk", "bm25f_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "embedding_neardup",
     "index_bm25_topk", "index_phrase_topk", "bm25_topk", "embedding_neardup_lsh", "ann_lsh_topk", "ann_ivf_topk",
     # rows-only tail

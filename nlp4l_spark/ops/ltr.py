@@ -164,3 +164,105 @@ def ranking_svm_pairwise(
         F.lit(1).alias("label"),
         *diff_cols,
     )
+
+
+def rank_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    qid_col: str = "qid",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Standard IR evaluation over ranked results vs graded judgments:
+    per query nDCG@k (exponential gain, log2 discount), MRR, P@k
+    (binary rel > 0), and AP@k — the metrics the reference's LTR loop
+    optimizes for (SURVEY §2.11; trec_eval definitions).
+
+    ``results``: (qid, doc_id, rank) with 1-based ranks.
+    ``qrels``: (qid, doc_id, rel) graded relevance; missing pairs = 0.
+
+    IDCG uses the ideal ordering of ALL judged docs for the query,
+    truncated at k. Output: one row per qid with round-6 doubles.
+
+    Scale shape: results/qrels are query-set-sized (≪ corpus). One join
+    on (qid, doc), one window per qid for the ideal ordering, one
+    aggregation — no corpus scans.
+    """
+    from pyspark.sql import Window
+
+    res = (
+        results.filter(F.col(rank_col) <= k)
+        .select(qid_col, doc_col, rank_col)
+        .join(qrels.select(qid_col, doc_col, rel_col), [qid_col, doc_col], "left")
+        .withColumn("_rel", F.coalesce(F.col(rel_col), F.lit(0)).cast("double"))
+    )
+    gain = (F.pow(F.lit(2.0), F.col("_rel")) - 1.0) / F.log2(
+        F.col(rank_col).cast("double") + 1.0
+    )
+    hit = (F.col("_rel") > 0).cast("double")
+    w_ap = (
+        Window.partitionBy(qid_col)
+        .orderBy(rank_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prec_at_i = F.sum(hit).over(w_ap) / F.col(rank_col).cast("double")
+    per_hit = res.withColumn("_g", gain).withColumn(
+        "_ap_term", prec_at_i * hit
+    )
+    got = per_hit.groupBy(qid_col).agg(
+        F.sum("_g").alias("_dcg"),
+        F.sum(hit).alias("_nrel_ret"),
+        F.min(F.when(F.col("_rel") > 0, F.col(rank_col))).alias("_first_rel"),
+        F.sum("_ap_term").alias("_ap_sum"),
+    )
+    # ideal DCG from the judged set (top-k by rel desc, doc asc tiebreak)
+    w_ideal = Window.partitionBy(qid_col).orderBy(
+        F.desc(rel_col), F.asc(doc_col)
+    )
+    ideal = (
+        qrels.filter(F.col(rel_col) > 0)
+        .withColumn("_irank", F.row_number().over(w_ideal))
+        .filter(F.col("_irank") <= k)
+        .groupBy(qid_col)
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - 1.0)
+                / F.log2(F.col("_irank").cast("double") + 1.0)
+            ).alias("_idcg"),
+            F.count("*").alias("_nrel_k"),
+        )
+    )
+    nrel_total = (
+        qrels.filter(F.col(rel_col) > 0)
+        .groupBy(qid_col)
+        .agg(F.count("*").alias("_nrel"))
+    )
+    out = (
+        got.join(ideal, qid_col, "left")
+        .join(nrel_total, qid_col, "left")
+        .select(
+            qid_col,
+            F.round(
+                F.when(
+                    F.col("_idcg").isNotNull() & (F.col("_idcg") > 0),
+                    F.col("_dcg") / F.col("_idcg"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ndcg"),
+            F.round(
+                F.coalesce(1.0 / F.col("_first_rel"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(F.col("_nrel_ret") / F.lit(float(k)), 6).alias("p_at_k"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("_nrel"), F.lit(0)) > 0,
+                    F.col("_ap_sum")
+                    / F.least(F.col("_nrel"), F.lit(k)).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("ap"),
+        )
+    )
+    return out

@@ -170,3 +170,63 @@ def test_ner_tagger_pure():
     got = {(s, e, t) for s, e, t in spans}
     assert (2, 3, "person") in got  # Jones after 'Mr'
     assert (4, 5, "location") in got  # Tokyo gazetteer
+
+
+# ---------------- IR rank metrics ------------------------------------------ #
+def test_rank_metrics_known_values(spark):
+    from nlp4l_spark.ops.ltr import rank_metrics
+
+    results = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (0, 13, 4)],
+        "qid int, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 10, 3), (0, 12, 1), (0, 14, 2)],  # doc 14 judged but unretrieved
+        "qid int, doc_id long, rel int",
+    )
+    row = rank_metrics(results, qrels, k=4).collect()[0]
+    dcg = 7.0 / math.log2(2) + 1.0 / math.log2(4)
+    idcg = 7.0 / math.log2(2) + 3.0 / math.log2(3) + 1.0 / math.log2(4)
+    assert row["ndcg"] == round(dcg / idcg, 6)
+    assert row["mrr"] == 1.0          # first result is relevant
+    assert row["p_at_k"] == 0.5       # 2 of 4 retrieved are relevant
+    # AP@4 = (1/1 + 2/3) / min(3 judged-relevant, 4)
+    assert row["ap"] == round((1.0 + 2.0 / 3.0) / 3.0, 6)
+
+
+def test_rank_metrics_no_relevant(spark):
+    from nlp4l_spark.ops.ltr import rank_metrics
+
+    results = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2)], "qid int, doc_id long, rank int"
+    )
+    qrels = spark.createDataFrame([], "qid int, doc_id long, rel int")
+    row = rank_metrics(results, qrels, k=2).collect()[0]
+    assert (row["ndcg"], row["mrr"], row["p_at_k"], row["ap"]) == (0.0, 0.0, 0.0, 0.0)
+
+
+# ---------------- reciprocal rank fusion ----------------------------------- #
+def test_rrf_fuse_known_values(spark):
+    from nlp4l_spark.search.fusion import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(3, 1), (1, 2), (4, 3)], "doc_id long, rank int"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_score"], r["rank"])
+        for r in rrf_fuse([a, b], k=60, topk=4).collect()
+    }
+    exp = {
+        1: 1 / 61 + 1 / 62,
+        3: 1 / 63 + 1 / 61,
+        2: 1 / 62,
+        4: 1 / 63,
+    }
+    assert set(got) == set(exp)
+    for d, s in exp.items():
+        assert got[d][0] == round(s, 6)
+    # doc 1 and 3 tie-break: 1/61+1/62 > 1/61+1/63 -> doc 1 first
+    assert got[1][1] == 1 and got[3][1] == 2
