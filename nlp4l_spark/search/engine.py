@@ -119,6 +119,48 @@ class Searcher:
             .select("term", "tf", "positions", "start_offsets", "end_offsets")
         )
 
+    def explain(self, query: str, doc_id: int) -> dict:
+        """Lucene IndexSearcher.explain parity: the per-term BM25 score
+        breakdown for one (query, doc) pair. Returns ``{"doc_id", "score",
+        "details": [{term, tf, dl, df, idf, tf_norm, score}, ...]}`` with
+        ``score == Σ details[i].score`` — the exact quantities
+        ``search()`` sums, so the explanation reconciles with the ranked
+        result (tested). Per-displayed-result driver-side op, like
+        ``highlight``: one pushed-In(term) postings lookup, no corpus
+        work."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        dfs = self._term_stats(terms)
+        present = [t for t in terms if t in dfs]
+        out = {"doc_id": int(doc_id), "score": 0.0, "details": []}
+        if not present:
+            return out
+        rows = (
+            self._decoded(self._matching_postings(present))
+            .filter(F.col("doc_id") == int(doc_id))
+            .collect()
+        )
+        avgdl = self.avgdl or 1.0
+        for r in sorted(rows, key=lambda r: r["term"]):
+            w = idf(self.num_docs, dfs[r["term"]])
+            tf, dl = float(r["tf"]), float(r["dl"])
+            tf_norm = (
+                tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            )
+            s = w * tf_norm
+            out["details"].append(
+                {
+                    "term": r["term"],
+                    "tf": tf,
+                    "dl": dl,
+                    "df": dfs[r["term"]],
+                    "idf": w,
+                    "tf_norm": tf_norm,
+                    "score": s,
+                }
+            )
+            out["score"] += s
+        return out
+
     # ------------------------------------------------------------------ #
     def search(
         self,

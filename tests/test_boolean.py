@@ -365,3 +365,17 @@ def test_bm25f_boosts_scale_and_rerank(spark):
         for r in bm25f_topk(df, "join merge", fields={"title": 10.0, "body": 1.0}).collect()
     ]
     assert titled[0] == 1  # title hit dominates
+
+
+def test_explain_reconciles_with_search(spark, idx):
+    s = Searcher(spark, idx)
+    q = "join merge vector"
+    top = s.search(q, k=3, method="dataframe").collect()
+    for r in top:
+        ex = s.explain(q, r["doc_id"])
+        assert ex["score"] == pytest.approx(r["score"], abs=1e-9)
+        assert sum(d["score"] for d in ex["details"]) == pytest.approx(ex["score"])
+        for d in ex["details"]:
+            assert d["tf"] >= 1 and d["df"] >= 1 and d["idf"] > 0
+    # unknown term explains to zero
+    assert s.explain("zzznothere", top[0]["doc_id"])["score"] == 0.0
