@@ -640,6 +640,45 @@ class Searcher:
             .limit(k)
         )
 
+    def search_filtered(
+        self,
+        query: str,
+        where: dict[str, object],
+        k: int = 10,
+    ) -> DataFrame:
+        """Lucene BooleanQuery FILTER clause: metadata equality predicates
+        on stored fields (role, tool, conv_id, ...) restrict the candidate
+        set; BM25 scoring and idf stay corpus-global — FILTER clauses
+        never score, exactly Lucene's semantics. Uses full DataFrame
+        scoring (not WAND): top-k pruning before the filter would wrongly
+        discard filtered-in docs. The allowed-docs side is a pushed-down
+        equality scan of the ``stored`` table semi-joined to the scored
+        candidates — work ∝ query postings + filter selectivity."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        dfs = self._term_stats(terms)
+        rows = [(0, t, idf(self.num_docs, dfs[t])) for t in terms if t in dfs]
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, rank int"
+            )
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "qid int, term string, idf double")
+        )
+        scored = self._score_dataframe(
+            self._matching_postings([r[1] for r in rows]), qterms
+        )
+        allowed = self.cat.read(self.spark, "stored")
+        for c, v in sorted(where.items()):
+            allowed = allowed.filter(F.col(c) == F.lit(v))
+        out = (
+            scored.join(allowed.select("doc_id"), "doc_id", "left_semi")
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.withColumn("rank", F.row_number().over(w))
+
     def search_span_near(
         self,
         term_a: str,

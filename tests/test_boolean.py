@@ -379,3 +379,43 @@ def test_explain_reconciles_with_search(spark, idx):
             assert d["tf"] >= 1 and d["df"] >= 1 and d["idf"] > 0
     # unknown term explains to zero
     assert s.explain("zzznothere", top[0]["doc_id"])["score"] == 0.0
+
+
+def test_search_filtered(spark, tmp_path):
+    docs = [
+        (0, "join merge vector", "user", "grep"),
+        (1, "join merge", "assistant", None),
+        (2, "vector join", "user", None),
+        (3, "merge vector scan", "assistant", "grep"),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, role string, tool string"
+    ).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        "role",
+        "text",
+        "tool",
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    d = str(tmp_path / "fidx")
+    IndexBuilder(sort_cols=("conv_id", "turn_idx")).build(df, d)
+    s = Searcher(spark, d)
+    full = {
+        r["doc_id"]: r["score"]
+        for r in s.search("join merge vector", k=10, method="dataframe").collect()
+    }
+    # role filter restricts candidates; surviving scores are UNCHANGED
+    got = {
+        r["doc_id"]: r["score"]
+        for r in s.search_filtered("join merge vector", {"role": "assistant"}).collect()
+    }
+    assert set(got) == {1, 3}
+    for d_id, sc in got.items():
+        assert sc == pytest.approx(full[d_id], abs=1e-12)
+    # conjunction of predicates
+    both = {r["doc_id"] for r in s.search_filtered(
+        "join merge vector", {"role": "user", "tool": "grep"}).collect()}
+    assert both == {0}
+    # filter matching nothing
+    assert s.search_filtered("join", {"role": "nobody"}).count() == 0
