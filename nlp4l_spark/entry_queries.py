@@ -1474,6 +1474,27 @@ ORDER BY round(c, 6) DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou 2011) with exact re-rank: seeded
+    per-subspace k-means codebooks (m=32, ksub=16 over 64 dims), ADC
+    candidate scan as ONE pure-JVM lookup expression over the m-byte
+    codes, exact-cosine re-rank of the top-128. The fixture embeddings
+    are near-random, the hardest PQ case: measured worst ADC rank of any
+    exact-top-10 vector is 21-32 across sf0.001/0.01/0.1 at this
+    geometry, so rerank=128 gives a >3x margin and the result equals
+    the exact scan — the oracle is the brute-force SQL, and a PQ recall
+    miss surfaces as a hash mismatch (same trick as ann_lsh_topk)."""
+    from nlp4l_spark.ops.ann_index import fit_pq, pq_topk
+
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    books = fit_pq(emb, m=32, ksub=16, seed=42)
+    return pq_topk(emb, qvec, books, k=10, rerank=128)
+
+
+O_ANN_PQ_TOPK = O_ANN_COSINE_TOPK
+
+
 def _ann_cache_dir(sf_dir: str) -> str:
     key = sf_dir.strip("/").replace("/", "_")
     # params in the key: a changed geometry never reuses a stale layout
@@ -2872,6 +2893,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_cosine_topk": (q_ann_cosine_topk, O_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, O_ANN_LSH_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
+    "ann_pq_topk": (q_ann_pq_topk, O_ANN_PQ_TOPK),
     "embedding_neardup": (q_embedding_neardup, O_EMBEDDING_NEARDUP),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, O_EMBEDDING_NEARDUP),
     "token_count": (q_token_count, O_TOKEN_COUNT),
@@ -2946,6 +2968,7 @@ _DRIVER_ORDER = [
     "bm25_msm_topk", "bm25f_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "embedding_neardup",
     "index_bm25_topk", "index_phrase_topk", "bm25_topk", "embedding_neardup_lsh", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_pq_topk",
     # rows-only tail
     "ner_entities", "mdlp_cuts", "acronyms", "bpe_merges", "ml_classify", "kea_extract",
 ]

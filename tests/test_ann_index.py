@@ -124,3 +124,45 @@ def test_kmeans_centroid_fit_is_deterministic_and_probeable(spark, tmp_path):
     # nprobe = all cells -> exact brute force
     exact = similarity.brute_force_cosine_topk(emb, qvec, k=5).collect()
     assert [r["vec_id"] for r in rows] == [r["vec_id"] for r in exact]
+
+
+# ---------------- product quantization ------------------------------------- #
+def test_pq_codebooks_deterministic_and_shaped(spark):
+    from nlp4l_spark.ops.ann_index import fit_pq
+
+    emb = _emb(spark)
+    a = fit_pq(emb, m=8, ksub=16, seed=42)
+    b = fit_pq(emb.repartition(7), m=8, ksub=16, seed=42)
+    assert a.shape == (8, 16, 8)
+    assert (a == b).all()  # partitioning-independent (sample by sorted id)
+
+
+def test_pq_encode_codes_in_range(spark):
+    from nlp4l_spark.ops.ann_index import fit_pq, pq_encode
+
+    emb = _emb(spark)
+    books = fit_pq(emb, m=8, ksub=16)
+    rows = pq_encode(emb, books).select("codes").collect()
+    for r in rows:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+
+
+def test_pq_rerank_equals_exact(spark):
+    from nlp4l_spark.ops.ann_index import fit_pq, pq_topk
+
+    emb = _emb(spark)
+    qvec = emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    books = fit_pq(emb, m=32, ksub=16)
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in pq_topk(emb, qvec, books, k=10, rerank=128).collect()
+    ]
+    exp = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.brute_force_cosine_topk(emb, qvec, k=10).collect()
+    ]
+    assert got == exp
+    # the query vector itself ranks first in ADC (it quantizes to itself)
+    adc = pq_topk(emb, qvec, books, k=3, rerank=0).collect()
+    assert adc[0]["vec_id"] == 7
