@@ -81,18 +81,27 @@ def build_ann_index(
     seed: int = 42,
     centroids=None,
     n_cells: int = 8,
+    pq: bool = False,
+    pq_m: int = 8,
+    pq_ksub: int = 16,
 ) -> None:
     """Write both ANN layouts + meta under ``index_dir``.
 
     ``centroids=None`` fits a seeded k-means (see fit_centroids);
     passing explicit centroids keeps the quantizer SQL-rederivable
     (the registry query does this so its DuckDB oracle stays exact).
+
+    ``pq=True`` additionally stores PQ codes (fit_pq codebooks, persisted
+    in meta) inside the IVF rows, enabling the IVF-PQ probe
+    (ivfpq_topk_indexed): partition-pruned cells + compressed-domain ADC
+    scan + exact re-rank.
     """
     dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, bits, tables, seed)
     if centroids is None:
         centroids = fit_centroids(df, n_cells, vec_col, seed)
     cents = [np.asarray(c, dtype=np.float64) for c in centroids]
+    books = fit_pq(df, vec_col, id_col, m=pq_m, ksub=pq_ksub, seed=seed) if pq else None
 
     # LSH layout: one row per (table, vector); repartition on the
     # partition keys -> one file per (tbl, bucket) dir, no small-file
@@ -110,8 +119,10 @@ def build_ann_index(
     )
 
     # IVF layout: quantize once at build (Arrow matmul argmax), partition
-    # by cell
+    # by cell; with pq the m-byte ADC codes ride alongside each row
     ivf = ivf_cells_arrow(df, cents, vec_col, id_col)
+    if books is not None:
+        ivf = ivf.withColumn("codes", _pq_enc_udf(books)(F.col("v")))
     (
         ivf.repartition("cell")
         .write.mode("overwrite")
@@ -119,17 +130,17 @@ def build_ann_index(
         .parquet(os.path.join(index_dir, "ivf"))
     )
 
+    meta = {
+        "dim": dim,
+        "bits": bits,
+        "tables": tables,
+        "seed": seed,
+        "centroids": [[float(x) for x in c] for c in centroids],
+    }
+    if books is not None:
+        meta["pq_codebooks"] = books.tolist()
     with open(os.path.join(index_dir, META), "w") as fh:
-        json.dump(
-            {
-                "dim": dim,
-                "bits": bits,
-                "tables": tables,
-                "seed": seed,
-                "centroids": [[float(x) for x in c] for c in centroids],
-            },
-            fh,
-        )
+        json.dump(meta, fh)
 
 
 def append_ann_index(
@@ -161,6 +172,9 @@ def append_ann_index(
         .parquet(os.path.join(index_dir, "lsh"))
     )
     ivf = ivf_cells_arrow(df, cents, vec_col, id_col)
+    if "pq_codebooks" in meta:
+        books = np.asarray(meta["pq_codebooks"], dtype=np.float64)
+        ivf = ivf.withColumn("codes", _pq_enc_udf(books)(F.col("v")))
     (
         ivf.repartition("cell")
         .write.mode("append")
@@ -314,16 +328,8 @@ def fit_pq(
     return books
 
 
-def pq_encode(
-    df: DataFrame,
-    codebooks: np.ndarray,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """One Arrow pass: (id, codes array<int>, original vector kept for
-    re-ranking). Codes are m small ints (ksub<=256 -> m bytes on disk vs
-    4·dim float bytes: the 100 TB win is the scan, which touches only the
-    code column)."""
+def _pq_enc_udf(codebooks: np.ndarray):
+    """Arrow encode pass: vector column -> array<int> of m subspace codes."""
     m, ksub, dsub = codebooks.shape
     books = codebooks.copy()
 
@@ -338,7 +344,94 @@ def pq_encode(
             out[:, s] = d2.argmin(axis=1)
         return pd.Series(list(out))
 
-    return df.select(id_col, vec_col, enc(F.col(vec_col)).alias("codes"))
+    return enc
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One Arrow pass: (id, codes array<int>, original vector kept for
+    re-ranking). Codes are m small ints (ksub<=256 -> m bytes on disk vs
+    4·dim float bytes: the 100 TB win is the scan, which touches only the
+    code column)."""
+    return df.select(
+        id_col, vec_col, _pq_enc_udf(codebooks)(F.col(vec_col)).alias("codes")
+    )
+
+
+def _adc_expr(codebooks: np.ndarray, q: np.ndarray, codes_col: str = "codes"):
+    """The ADC score as ONE pure-JVM expression: per-subspace inner-product
+    lookup tables folded in as array literals, summed over the code column."""
+    m, ksub, dsub = codebooks.shape
+    approx = None
+    for s in range(m):
+        tab = codebooks[s] @ q[s * dsub : (s + 1) * dsub]
+        lut = F.array(*[F.lit(float(v)) for v in tab])
+        term = F.element_at(lut, F.element_at(F.col(codes_col), s + 1) + 1)
+        approx = term if approx is None else approx + term
+    return approx
+
+
+def ivfpq_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 128,
+) -> DataFrame:
+    """IVF-PQ probe over the materialized layout (build_ann_index(pq=True)):
+    nprobe cells are directory-pruned exactly like ivf_topk_indexed, but
+    candidate scoring inside the probed cells is the compressed-domain ADC
+    lookup over the m-byte ``codes`` column (pure JVM, reads ~m bytes per
+    vector), with only the top-``rerank`` candidates re-scored by exact
+    cosine on the full vector. Same output contract as the other probes:
+    (vec_id, cosine) top-k, ties id-asc."""
+    meta = _load_meta(index_dir)
+    if "pq_codebooks" not in meta:
+        raise ValueError("index was not built with pq=True")
+    books = np.asarray(meta["pq_codebooks"], dtype=np.float64)
+    cents = [np.asarray(c, dtype=np.float64) for c in meta["centroids"]]
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q)) or 1.0
+    by_query = sorted(
+        range(len(cents)),
+        key=lambda i: (
+            -float(cents[i] @ q)
+            / ((float(np.linalg.norm(cents[i])) or 1.0) * qn),
+            i,
+        ),
+    )
+    probe = by_query[:nprobe]
+    base = os.path.join(index_dir, "ivf")
+    paths = [
+        p
+        for c in probe
+        if os.path.isdir(p := os.path.join(base, f"cell={c}"))
+    ]
+    if not paths:
+        return spark.createDataFrame([], "vec_id long, cosine double")
+    cells = (
+        spark.read.option("basePath", base)
+        .parquet(*paths)
+        .filter(F.col("cell").isin(probe))
+    )
+    cand = (
+        cells.select("id", "v", _adc_expr(books, q / qn).alias("_adc"))
+        .orderBy(F.desc("_adc"), F.asc("id"))
+        .limit(max(rerank, k))
+    )
+    return (
+        cand.select(
+            F.col("id").alias("vec_id"),
+            F.round(cosine_col(F.col("v"), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
 
 
 def pq_topk(
@@ -362,18 +455,11 @@ def pq_topk(
     ADC ordering."""
     from nlp4l_spark.ops.similarity import brute_force_cosine_topk
 
-    m, ksub, dsub = codebooks.shape
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
     enc = encoded if encoded is not None else pq_encode(df, codebooks, vec_col, id_col)
-    approx = None
-    for s in range(m):
-        tab = codebooks[s] @ q[s * dsub : (s + 1) * dsub]  # (ksub,)
-        lut = F.array(*[F.lit(float(v)) for v in tab])
-        term = F.element_at(lut, F.element_at(F.col("codes"), s + 1) + 1)
-        approx = term if approx is None else approx + term
     cand = (
-        enc.select(id_col, vec_col, approx.alias("_adc"))
+        enc.select(id_col, vec_col, _adc_expr(codebooks, q).alias("_adc"))
         .orderBy(F.desc("_adc"), F.asc(id_col))
         .limit(max(rerank, k))
     )

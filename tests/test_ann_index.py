@@ -166,3 +166,54 @@ def test_pq_rerank_equals_exact(spark):
     # the query vector itself ranks first in ADC (it quantizes to itself)
     adc = pq_topk(emb, qvec, books, k=3, rerank=0).collect()
     assert adc[0]["vec_id"] == 7
+
+
+def test_ivfpq_probe_matches_ivf_probe(spark, tmp_path):
+    from nlp4l_spark.ops.ann_index import build_ann_index, ivfpq_topk_indexed
+
+    emb = _emb(spark)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cents = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    d = str(tmp_path / "annpq")
+    build_ann_index(emb, d, bits=4, tables=8, centroids=cents, pq=True, pq_m=32)
+    # rerank >> k: IVF-PQ must reproduce the exact-scoring IVF probe
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in ivfpq_topk_indexed(spark, d, qvec, k=10, nprobe=2, rerank=256).collect()
+    ]
+    exp = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk_indexed(spark, d, qvec, k=10, nprobe=2).collect()
+    ]
+    assert got == exp
+    # codes persisted in the layout + codebooks in meta
+    import json as _json
+    meta = _json.load(open(os.path.join(d, "meta.json")))
+    assert len(meta["pq_codebooks"]) == 32
+    rows = spark.read.parquet(os.path.join(d, "ivf")).select("codes").head(3)
+    assert all(len(r["codes"]) == 32 for r in rows)
+    # append path encodes codes too (meta fixes the codebooks)
+    from nlp4l_spark.ops.ann_index import append_ann_index
+
+    extra = emb.filter(F.col("vec_id") < 2).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    append_ann_index(extra, d)
+    appended = spark.read.parquet(os.path.join(d, "ivf")).filter(
+        F.col("id") >= 100000
+    )
+    assert appended.count() == 2
+    assert all(len(r["codes"]) == 32 for r in appended.select("codes").collect())
+    # the appended clone of vec 0 (identical vector) now ranks with it
+    got2 = [r["vec_id"] for r in ivfpq_topk_indexed(spark, d, qvec, k=3, nprobe=2, rerank=256).collect()]
+    assert 100000 in got2
+
+    # probe without pq metadata raises
+    d2 = str(tmp_path / "annplain")
+    build_ann_index(emb, d2, bits=4, tables=8, centroids=cents)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ivfpq_topk_indexed(spark, d2, qvec)
