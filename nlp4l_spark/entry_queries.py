@@ -1678,6 +1678,25 @@ SELECT doc_id,
 FROM feat
 """
 
+def q_filter_percentile(spark, sf_dir):
+    """Per-stratum percentile-threshold filtering: keep docs at or above
+    their language's exact interpolated 0.6-quantile of n_chars (the
+    'drop the bottom X% by score, per language' quality pass)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return textqc.filter_by_percentile(docs, "n_chars", 0.6, "lang").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+O_FILTER_PERCENTILE = """
+WITH thr AS (SELECT lang, quantile_cont(n_chars, 0.6) AS t
+             FROM documents GROUP BY lang)
+SELECT doc_id, lang, n_chars
+FROM documents JOIN thr USING (lang)
+WHERE n_chars >= t
+"""
+
+
 _MARKER_SQL = {
     lang: ", ".join(f"'{m}'" for m in markers)
     for lang, markers in textqc._LANG_MARKERS.items()
@@ -2901,6 +2920,7 @@ REGISTRY: dict[str, tuple] = {
     "lang_id": (q_lang_id, O_LANG_ID),
     "fingerprint": (q_fingerprint, O_FINGERPRINT),
     "clean_lines": (q_clean_lines, O_CLEAN_LINES),
+    "filter_percentile": (q_filter_percentile, O_FILTER_PERCENTILE),
     "lm_perplexity": (q_lm_perplexity, O_LM_PERPLEXITY),
     "winnow_fingerprints": (q_winnow_fingerprints, O_WINNOW),
     "winnow_pairs": (q_winnow_pairs, O_WINNOW_PAIRS),
@@ -2952,7 +2972,7 @@ _DRIVER_ORDER = [
     "sort_paging", "fingerprint", "label_map", "lang_id", "rate_to_label",
     "stop_filter", "props_parse", "stats_moments", "token_count", "quality_score",
     "sample_stratified", "length_percentiles", "merge_records", "redact_pii", "acronym_candidates",
-    "clean_lines",
+    "clean_lines", "filter_percentile",
     "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words", "click_rate",
     "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
     "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",

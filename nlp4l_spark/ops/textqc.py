@@ -696,6 +696,50 @@ def stratified_sample(
     return df.filter(u < rate)
 
 
+# ---- percentile-threshold filtering ------------------------------------- #
+def filter_by_percentile(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    stratum_col: str | None = None,
+    *,
+    keep: str = "above",
+) -> DataFrame:
+    """Keep rows whose ``score_col`` clears the per-stratum exact
+    ``q``-quantile (the standard "drop the bottom X% by quality score /
+    keep the top X% by LM score" pass). ``keep='above'`` keeps
+    score >= quantile, ``'below'`` keeps score <= quantile. With a
+    ``stratum_col`` the threshold is computed per stratum (per language,
+    per source) so one dominant domain can't starve the others.
+
+    Plan shape: one exact ``percentile`` aggregation (stratum-sized
+    output, broadcast back) + one filtered scan — the corpus is never
+    shuffled. Exact interpolated percentile matches DuckDB's
+    ``quantile_cont`` for the oracle."""
+    if keep not in ("above", "below"):
+        raise ValueError("keep must be 'above' or 'below'")
+    if stratum_col is None:
+        thr = df.agg(
+            F.expr(f"percentile({score_col}, {q})").alias("_thr")
+        ).collect()[0]["_thr"]
+        cond = (
+            F.col(score_col) >= thr if keep == "above" else F.col(score_col) <= thr
+        )
+        return df.filter(cond)
+    thrs = F.broadcast(
+        df.groupBy(stratum_col).agg(
+            F.expr(f"percentile({score_col}, {q})").alias("_thr")
+        )
+    )
+    out = df.join(thrs, stratum_col)
+    cond = (
+        F.col(score_col) >= F.col("_thr")
+        if keep == "above"
+        else F.col(score_col) <= F.col("_thr")
+    )
+    return out.filter(cond).drop("_thr")
+
+
 # ---- C4-style line-level cleaning --------------------------------------- #
 def clean_lines(
     df: DataFrame,

@@ -333,3 +333,27 @@ def test_lm_score_known_values(spark):
     assert out[2]["nll"] is None and out[2]["n_tokens"] == 0
     # rare-token soup scores worse (higher nll) than head-token text
     assert out[1]["nll"] > out[0]["nll"]
+
+
+# ---------------- percentile-threshold filtering ---------------------------- #
+def test_filter_by_percentile(spark):
+    rows = [(i, "a" if i < 10 else "b", float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    # global median of 0..19 = 9.5 -> keeps 10..19
+    kept = sorted(
+        r["doc_id"] for r in textqc.filter_by_percentile(df, "score", 0.5).collect()
+    )
+    assert kept == list(range(10, 20))
+    # per-stratum: median of each lang's own range
+    strat = sorted(
+        r["doc_id"]
+        for r in textqc.filter_by_percentile(df, "score", 0.5, "lang").collect()
+    )
+    assert strat == [5, 6, 7, 8, 9, 15, 16, 17, 18, 19]
+    below = sorted(
+        r["doc_id"]
+        for r in textqc.filter_by_percentile(df, "score", 0.5, "lang", keep="below").collect()
+    )
+    assert below == [0, 1, 2, 3, 4, 10, 11, 12, 13, 14]
+    with pytest.raises(ValueError):
+        textqc.filter_by_percentile(df, "score", 0.5, keep="middle")
