@@ -1634,6 +1634,40 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: coarse cells from the
+    deterministic quantizer (centroids = first 8 vectors, same as the IVF
+    oracle), within-cell cosine >= 0.3 (top ~1% of within-cell pairs on
+    the near-orthogonal fixtures, so the drop path is exercised at every
+    SF), keep-lowest-id. Deterministic end-to-end, so the DuckDB oracle
+    recomputes the exact per-vector keep flags."""
+    emb = _embeddings(spark, sf_dir)
+    cents = [
+        r[0]
+        for r in emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return similarity.semantic_dedup(emb, cents, threshold=0.3).orderBy("vec_id")
+
+
+O_SEMANTIC_DEDUP = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+a AS (SELECT e.vec_id, e.embedding,
+        (SELECT c.cid FROM c
+         ORDER BY {_cos_sql("e.embedding", "c.cv")} DESC, c.cid ASC
+         LIMIT 1) AS cell
+      FROM embeddings e),
+d AS (SELECT DISTINCT b.vec_id
+      FROM a x JOIN a b ON x.cell = b.cell AND x.vec_id < b.vec_id
+      WHERE {_cos_sql("x.embedding", "b.embedding")} >= 0.3)
+SELECT a.vec_id, a.cell::int AS cell,
+       (a.vec_id NOT IN (SELECT vec_id FROM d)) AS keep
+FROM a ORDER BY a.vec_id
+"""
+
+
 # --------------------------------------------------------------------- #
 # Text QC
 # --------------------------------------------------------------------- #
@@ -2915,6 +2949,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_pq_topk": (q_ann_pq_topk, O_ANN_PQ_TOPK),
     "embedding_neardup": (q_embedding_neardup, O_EMBEDDING_NEARDUP),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, O_EMBEDDING_NEARDUP),
+    "semantic_dedup": (q_semantic_dedup, O_SEMANTIC_DEDUP),
     "token_count": (q_token_count, O_TOKEN_COUNT),
     "quality_score": (q_quality, O_QUALITY),
     "lang_id": (q_lang_id, O_LANG_ID),
@@ -2987,6 +3022,7 @@ _DRIVER_ORDER = [
     "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
     "bm25_msm_topk", "bm25f_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "embedding_neardup",
+    "semantic_dedup",
     "index_bm25_topk", "index_phrase_topk", "bm25_topk", "embedding_neardup_lsh", "ann_lsh_topk", "ann_ivf_topk",
     "ann_pq_topk",
     # rows-only tail

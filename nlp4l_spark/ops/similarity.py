@@ -389,3 +389,71 @@ def embedding_neardup_pairs(
     out = out.localCheckpoint(eager=True)  # near-dup pairs << corpus
     sh.unpersist()
     return out
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids,
+    threshold: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embeddings, compare cosine only
+    WITHIN each cluster, and flag for removal every vector that has a
+    lower-id near-duplicate (cosine >= ``threshold``) in its cluster —
+    the deterministic keep-lowest-id variant of the paper's keep rule, so
+    a SQL oracle can recompute the exact keep set.
+
+    ``centroids`` is a caller-supplied list of vectors (seeded k-means
+    from ops/ann_index.fit_centroids, or any deterministic choice).
+    Returns (vec_id, cell, keep) for every input vector.
+
+    Scale shape: one Arrow matmul pass assigns cells (no shuffle), the
+    pairwise compare is a self-join ON the cell key — candidate pairs are
+    bounded per cluster, never corpus-quadratic. With C clusters over n
+    docs the compare is ~n^2/C cosines spread across C independent join
+    partitions; skew only appears if one cluster dominates, which the
+    k-means fit (balanced seeding) keeps in check. The assignment output
+    is persisted because both sides of the self-join read it, and
+    released once the (small) dropped-id set is materialized."""
+    cells = ivf_cells_arrow(df, centroids, vec_col, id_col).persist()
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+    def norm(side):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(F.col(side), lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+
+    dropped = (
+        cells.alias("a")
+        .join(
+            cells.alias("b"),
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(dot / (norm("a.v") * norm("b.v")) >= threshold)
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)  # dropped ids << corpus
+    )
+    out = (
+        cells.join(dropped.withColumn("_drop", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("cell"),
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cells.unpersist()
+    return out

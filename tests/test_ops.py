@@ -221,6 +221,26 @@ def test_exact_neardup_matches_lsh_on_planted(emb_df):
     assert set(exact) <= lsh
 
 
+def test_semantic_dedup(emb_df):
+    cents = [
+        r["embedding"]
+        for r in emb_df.filter("vec_id < 4").orderBy("vec_id").collect()
+    ]
+    out = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in similarity.semantic_dedup(emb_df, cents, threshold=0.99).collect()
+    }
+    # every input vector gets a row
+    assert set(out) == {r["vec_id"] for r in emb_df.collect()}
+    # vec 7 is the scaled clone of vec 0: same cell, and the higher id is
+    # the one dropped (keep-lowest-id rule)
+    assert out[7][0] == out[0][0]
+    assert out[0][1] is True and out[7][1] is False
+    # at an unreachable threshold nothing is dropped
+    all_keep = similarity.semantic_dedup(emb_df, cents, threshold=1.01)
+    assert all(r["keep"] for r in all_keep.collect())
+
+
 # ---------------- textqc ------------------------------------------------- #
 def test_lang_id(spark):
     df = spark.createDataFrame(
