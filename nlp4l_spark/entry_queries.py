@@ -1821,6 +1821,56 @@ FROM cl WHERE len(kept) >= 1
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide line-level exact dedup (textqc.dedup_lines) over the
+    same derived multi-line corpus as clean_lines: each distinct line
+    survives only at its first (doc_id, pos) occurrence across the WHOLE
+    corpus. The small shared vocabulary makes 8-token lines repeat
+    across docs (~5% of line occurrences at sf0.01 are repeats), so the
+    drop path is exercised; the keep-first rule is deterministic, so the
+    DuckDB oracle recomputes the exact surviving text per doc."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    tk = F.split(F.trim(F.col("text")), r"\s+")
+    nc = F.ceil(F.size(tk) / F.lit(8)).cast("int")
+    line = lambda i: F.concat(
+        F.array_join(F.slice(tk, i * 8 + 1, 8), " "),
+        F.when(i % 3 == 0, F.lit("."))
+        .when(i % 3 == 1, F.lit(""))
+        .otherwise(F.lit(" {")),
+    )
+    multi = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), nc - 1), line), "\n"
+        ).alias("text"),
+    )
+    return textqc.dedup_lines(multi)
+
+
+O_LINE_DEDUP = r"""
+WITH tk AS (SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS l
+            FROM documents),
+ml AS (SELECT doc_id,
+         list_transform(range(0, ((len(l) + 7) // 8)::int),
+           i -> array_to_string(l[i*8+1 : i*8+8], ' ') ||
+                CASE i % 3 WHEN 0 THEN '.' WHEN 1 THEN '' ELSE ' {' END)
+           AS lines
+       FROM tk),
+ln AS (SELECT doc_id, unnest(range(1, len(lines) + 1)) AS pos,
+              unnest(lines) AS line
+       FROM ml),
+rk AS (SELECT doc_id, pos, line,
+              row_number() OVER (PARTITION BY line ORDER BY doc_id, pos)
+                  AS rn
+       FROM ln)
+SELECT doc_id, count(*)::bigint AS n_lines,
+       (count(*) FILTER (WHERE rn = 1))::bigint AS n_kept,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE rn = 1), '') AS clean_text
+FROM rk GROUP BY doc_id
+"""
+
+
 def q_lm_perplexity(spark, sf_dir):
     """Corpus-trained add-0.5-smoothed unigram LM; per-doc mean negative
     log likelihood (nats/token). See textqc.lm_score."""
@@ -2955,6 +3005,7 @@ REGISTRY: dict[str, tuple] = {
     "lang_id": (q_lang_id, O_LANG_ID),
     "fingerprint": (q_fingerprint, O_FINGERPRINT),
     "clean_lines": (q_clean_lines, O_CLEAN_LINES),
+    "line_dedup": (q_line_dedup, O_LINE_DEDUP),
     "filter_percentile": (q_filter_percentile, O_FILTER_PERCENTILE),
     "lm_perplexity": (q_lm_perplexity, O_LM_PERPLEXITY),
     "winnow_fingerprints": (q_winnow_fingerprints, O_WINNOW),
@@ -3007,7 +3058,7 @@ _DRIVER_ORDER = [
     "sort_paging", "fingerprint", "label_map", "lang_id", "rate_to_label",
     "stop_filter", "props_parse", "stats_moments", "token_count", "quality_score",
     "sample_stratified", "length_percentiles", "merge_records", "redact_pii", "acronym_candidates",
-    "clean_lines", "filter_percentile",
+    "clean_lines", "filter_percentile", "line_dedup",
     "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words", "click_rate",
     "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
     "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",

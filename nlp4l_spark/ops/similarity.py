@@ -397,6 +397,8 @@ def semantic_dedup(
     threshold: float = 0.5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    *,
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the embeddings, compare cosine only
@@ -416,8 +418,13 @@ def semantic_dedup(
     partitions; skew only appears if one cluster dominates, which the
     k-means fit (balanced seeding) keeps in check. The assignment output
     is persisted because both sides of the self-join read it, and
-    released once the (small) dropped-id set is materialized."""
-    cells = ivf_cells_arrow(df, centroids, vec_col, id_col).persist()
+    released once the (small) dropped-id set is materialized.
+    ``materialize=False`` skips the persist/checkpoint steps and returns
+    the fully lazy plan (used by the plan-shape regression tests; the
+    Arrow assignment then runs once per downstream action)."""
+    cells = ivf_cells_arrow(df, centroids, vec_col, id_col)
+    if materialize:
+        cells = cells.persist()
     dot = F.aggregate(
         F.zip_with(
             F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")
@@ -444,16 +451,15 @@ def semantic_dedup(
         .filter(dot / (norm("a.v") * norm("b.v")) >= threshold)
         .select(F.col("b.id").alias("id"))
         .distinct()
-        .localCheckpoint(eager=True)  # dropped ids << corpus
     )
-    out = (
-        cells.join(dropped.withColumn("_drop", F.lit(True)), "id", "left")
-        .select(
-            F.col("id").alias("vec_id"),
-            F.col("cell"),
-            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
-        )
-        .localCheckpoint(eager=True)
+    if materialize:
+        dropped = dropped.localCheckpoint(eager=True)  # dropped ids << corpus
+    out = cells.join(dropped.withColumn("_drop", F.lit(True)), "id", "left").select(
+        F.col("id").alias("vec_id"),
+        F.col("cell"),
+        F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
     )
-    cells.unpersist()
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        cells.unpersist()
     return out

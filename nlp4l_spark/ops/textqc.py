@@ -789,6 +789,55 @@ def clean_lines(
     )
 
 
+# ---- corpus-wide line-level exact dedup ---------------------------------- #
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide line-level exact deduplication (the line-dedup step of
+    C4 / MassiveText; Lee et al. 2022 'Deduplicating Training Data Makes
+    Language Models Better' applies the same idea at sequence level):
+    split every document on ``sep`` and keep only the FIRST occurrence of
+    each distinct line across the whole corpus — first = lowest
+    (doc_id, line_no), so the result is engine- and parallelism-
+    independent. Within-doc repeats of a line are deduped by the same
+    rule. Returns one row per input doc: (id_col, n_lines, n_kept,
+    clean_text) with surviving lines re-joined in original order; docs
+    whose every line was seen earlier get clean_text = ''.
+
+    Plan shape: explode -> ONE shuffle on the line key (window
+    row_number picks the global first occurrence) -> one shuffle back on
+    doc_id to reassemble. Both are plain hash shuffles Spark handles at
+    any scale; boilerplate head lines (the classic skew risk: a line
+    repeated 10^8 times) cost one window partition each — AQE skew-join
+    splitting does not apply to windows, so at extreme skew swap the
+    window for a groupBy(line).agg(min(struct(doc_id, pos))) join, which
+    partial-aggregates map-side. Fixture scale never hits that."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy(id_col, "pos")
+    flagged = lines.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("pos"), F.col("line"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+
+
 # ---- corpus-trained unigram LM scoring ----------------------------------- #
 def lm_score(
     df: DataFrame,

@@ -242,6 +242,28 @@ def test_semantic_dedup(emb_df):
 
 
 # ---------------- textqc ------------------------------------------------- #
+def test_dedup_lines(spark):
+    from nlp4l_spark.ops import textqc
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta\nshared line\ngamma"),
+            (1, "shared line\ndelta\nshared line"),  # cross-doc + in-doc dup
+            (2, "shared line"),  # fully deduplicated away
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textqc.dedup_lines(df).collect()}
+    assert out[0]["clean_text"] == "alpha beta\nshared line\ngamma"
+    assert (out[0]["n_lines"], out[0]["n_kept"]) == (3, 3)
+    # doc 1 keeps only its first-seen-anywhere lines, original order
+    assert out[1]["clean_text"] == "delta"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 1)
+    # every line of doc 2 was seen earlier -> empty, but the row survives
+    assert out[2]["clean_text"] == ""
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (1, 0)
+
+
 def test_lang_id(spark):
     df = spark.createDataFrame(
         [

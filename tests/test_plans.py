@@ -42,7 +42,28 @@ JVM_ONLY = [
     "clean_lines",
     "span_near_search",
     "lm_perplexity",
+    # corpus-wide line dedup: explode + window + re-agg, all JVM
+    "line_dedup",
 ]
+
+
+def test_semantic_dedup_join_is_equi_join(spark):
+    """SemDeDup's within-cluster compare must be an equi-join on the cell
+    key (hash-partitionable at any scale) — never a cartesian/nested-loop
+    all-pairs product. materialize=False exposes the lazy plan (the
+    registry query eagerly checkpoints, which would hide the joins)."""
+    from nlp4l_spark.ops import similarity
+
+    emb = spark.read.parquet(SF + "/embeddings.parquet")
+    cents = [
+        r[0] for r in emb.filter("vec_id < 8").orderBy("vec_id").select("embedding").collect()
+    ]
+    plan = _plan(
+        similarity.semantic_dedup(emb, cents, threshold=0.3, materialize=False)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan  # the cell-key equi-join is actually in the plan
 
 
 def test_lm_vocab_join_is_broadcast(spark):
