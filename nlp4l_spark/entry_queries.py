@@ -1871,6 +1871,53 @@ FROM rk GROUP BY doc_id
 """
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Full Gopher rule set (Rae et al. 2021 §A.1.1) with the published
+    thresholds, except min_stop_words=1 (fixture-scaled: the synthetic
+    vocabulary contains only 'the' from the 8-word stop list, so the
+    published 2 would make the rule a constant). 277/500 docs pass the
+    word-count rule and 382/500 the stop-word rule at sf0.01, so keep
+    genuinely varies."""
+    return textqc.gopher_filter(_docs(spark, sf_dir), min_stop_words=1)
+
+
+O_GOPHER_FILTER = r"""
+WITH w AS (SELECT doc_id, text,
+             regexp_extract_all(trim(text), '\S+') AS tk,
+             split(text, chr(10)) AS lns
+           FROM documents),
+f AS (SELECT doc_id,
+        len(tk) AS n_words,
+        list_aggregate(list_transform(tk, x -> len(x)), 'sum')::double
+            / len(tk) AS mwl,
+        ((len(text) - len(replace(text, '#', '')))
+         + (len(text) - len(replace(text, '...', ''))) / 3
+         + (len(text) - len(replace(text, '…', ''))))::double
+            / len(tk) AS sym,
+        len(list_filter(lns, l -> regexp_matches(trim(l), '^[•\-\*]')))::double
+            / len(lns) AS bullet,
+        len(list_filter(lns, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))::double
+            / len(lns) AS ell,
+        len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]')))::double
+            / len(tk) AS alpha,
+        len(list_filter(['the','be','to','of','and','that','have','with'],
+              s -> list_contains(list_transform(tk, x -> lower(x)), s)))
+            AS n_stop
+      FROM w)
+SELECT doc_id, n_words::bigint AS n_words,
+       round(mwl, 6) AS mean_word_len,
+       round(sym, 6) AS symbol_ratio,
+       round(bullet, 6) AS bullet_frac,
+       round(ell, 6) AS ellipsis_frac,
+       round(alpha, 6) AS alpha_frac,
+       n_stop::bigint AS n_stop,
+       (n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        AND sym <= 0.1 AND bullet <= 0.9 AND ell <= 0.3
+        AND alpha >= 0.8 AND n_stop >= 1) AS keep
+FROM f
+"""
+
+
 def q_lm_perplexity(spark, sf_dir):
     """Corpus-trained add-0.5-smoothed unigram LM; per-doc mean negative
     log likelihood (nats/token). See textqc.lm_score."""
@@ -3006,6 +3053,7 @@ REGISTRY: dict[str, tuple] = {
     "fingerprint": (q_fingerprint, O_FINGERPRINT),
     "clean_lines": (q_clean_lines, O_CLEAN_LINES),
     "line_dedup": (q_line_dedup, O_LINE_DEDUP),
+    "gopher_filter": (q_gopher_filter, O_GOPHER_FILTER),
     "filter_percentile": (q_filter_percentile, O_FILTER_PERCENTILE),
     "lm_perplexity": (q_lm_perplexity, O_LM_PERPLEXITY),
     "winnow_fingerprints": (q_winnow_fingerprints, O_WINNOW),
@@ -3058,7 +3106,7 @@ _DRIVER_ORDER = [
     "sort_paging", "fingerprint", "label_map", "lang_id", "rate_to_label",
     "stop_filter", "props_parse", "stats_moments", "token_count", "quality_score",
     "sample_stratified", "length_percentiles", "merge_records", "redact_pii", "acronym_candidates",
-    "clean_lines", "filter_percentile", "line_dedup",
+    "clean_lines", "filter_percentile", "line_dedup", "gopher_filter",
     "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words", "click_rate",
     "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
     "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",

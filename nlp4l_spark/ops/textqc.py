@@ -838,6 +838,103 @@ def dedup_lines(
     )
 
 
+# ---- Gopher quality rules ------------------------------------------------ #
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_words: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rule set (Rae et al. 2021, MassiveText
+    §A.1.1), with the published default thresholds: word count in
+    [50, 100k], mean word length in [3, 10], symbol-to-word ratio (# and
+    ellipsis) <= 0.1, <= 90% of lines bullet-started, <= 30% of lines
+    ellipsis-ended, >= 80% of words containing an alphabetic character,
+    and >= ``min_stop_words`` distinct members of the 8-word stop list
+    {the, be, to, of, and, that, have, with} present. One deviation,
+    documented: the symbol rule combines # and ellipsis counts into one
+    ratio instead of testing each separately.
+
+    Returns (id_col, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_frac, n_stop, keep) — per-rule signals kept so a
+    pipeline can re-threshold without a second scan. All pure JVM
+    expressions over one scan: no Python, no shuffle; at 100 TB this is a
+    map stage that pipelines into whatever consumes the keep flag."""
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    tk = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+    n_words = F.size(tk)
+    total_len = F.aggregate(tk, F.lit(0), lambda a, w: a + F.length(w))
+    mean_wl = total_len.cast("double") / n_words
+    txt = F.col(text_col)
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / F.lit(3) + (
+        F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit("")))
+    )
+    symbol_ratio = (n_hash + n_ell).cast("double") / n_words
+    lines = F.split(txt, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.trim(ln).rlike(r"^[•\-\*]"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ltk = F.transform(tk, F.lower)
+    alpha_frac = (
+        F.size(F.filter(tk, lambda w: w.rlike("[a-zA-Z]"))).cast("double")
+        / n_words
+    )
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in stops]),
+            lambda s: F.array_contains(ltk, s),
+        )
+    )
+    keep = (
+        n_words.between(min_words, max_words)
+        & mean_wl.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (n_stop >= min_stop_words)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.cast("long").alias("n_stop"),
+        keep.alias("keep"),
+    )
+
+
 # ---- corpus-trained unigram LM scoring ----------------------------------- #
 def lm_score(
     df: DataFrame,

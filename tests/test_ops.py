@@ -264,6 +264,34 @@ def test_dedup_lines(spark):
     assert (out[2]["n_lines"], out[2]["n_kept"]) == (1, 0)
 
 
+def test_gopher_filter(spark):
+    from nlp4l_spark.ops import textqc
+
+    good = "the cat sat and then " * 12  # 60 words, stopwords present
+    docs = [
+        (0, good),
+        (1, "too short to pass the word count rule honestly"),
+        (2, ("the word " + "#### " * 20) * 6),  # symbol ratio blown
+        (3, "\n".join("• bullet item here for sure" for _ in range(10))),
+        (4, good.replace("cat", "12345")),  # still >=80% alphabetic -> keep
+        (5, " ".join("9876" for _ in range(60))),  # no alpha, no stopwords
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in textqc.gopher_filter(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            min_stop_words=2,
+        ).collect()
+    }
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False and out[1]["n_words"] < 50
+    assert out[2]["keep"] is False and out[2]["symbol_ratio"] > 0.1
+    assert out[3]["keep"] is False and out[3]["bullet_frac"] == 1.0
+    assert out[4]["keep"] is True and out[4]["alpha_frac"] == pytest.approx(0.8)
+    assert out[5]["keep"] is False and out[5]["alpha_frac"] == 0.0
+    assert out[5]["n_stop"] == 0 and out[0]["n_stop"] >= 2
+
+
 def test_lang_id(spark):
     df = spark.createDataFrame(
         [

@@ -44,6 +44,8 @@ JVM_ONLY = [
     "lm_perplexity",
     # corpus-wide line dedup: explode + window + re-agg, all JVM
     "line_dedup",
+    # Gopher rules: one HOF scan, zero shuffle
+    "gopher_filter",
 ]
 
 
