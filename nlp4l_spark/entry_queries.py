@@ -368,6 +368,68 @@ def q_bm25_msm_topk(spark, sf_dir):
     )
 
 
+DISMAX_TIE = 0.3
+
+_DISMAX_ORACLE = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              max(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+              + {DISMAX_TIE} *
+              (sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                   * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+               - max(ln(1 + (n - df + 0.5) / (df + 0.5))
+                     * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))
+                  AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+def q_dismax_topk(spark, sf_dir):
+    """Lucene DisjunctionMaxQuery over the standard 3-term query:
+    score = best single-term BM25 + tie_breaker * (the rest) — dismax
+    suppresses the OR-sum's double counting so a doc strong on ONE term
+    beats a doc weak on all three. Index path: Searcher.search_dismax
+    (identity-tested in tests/test_boolean.py). Same one-tokenize
+    per-doc-map shape as q_bm25_topk — no scoring joins."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    parts = []
+    for t in BM25_TERMS:
+        idf_w = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        tf = F.col("m")[t].cast("double")
+        parts.append(
+            F.when(
+                tf.isNotNull(),
+                F.lit(idf_w)
+                * tf
+                * F.lit(2.2)
+                / (tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))),
+            ).otherwise(F.lit(0.0))
+        )
+    smax = F.greatest(*parts)
+    ssum = sum(parts[1:], parts[0])
+    n_matched = sum(
+        (F.col("m")[t].isNotNull().cast("int") for t in BM25_TERMS), F.lit(0)
+    )
+    return (
+        per_doc.filter(n_matched >= 1)
+        .withColumn("s", smax + F.lit(DISMAX_TIE) * (ssum - smax))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
 # --------------------------------------------------------------------- #
 # Hybrid retrieval: RRF fusion of the BM25 ranking with the phrase
 # ranking (Cormack et al. 2009; k=60) — the standard lexical+second-
@@ -3010,6 +3072,7 @@ REGISTRY: dict[str, tuple] = {
     "index_phrase_topk": (q_index_phrase_topk, O_PHRASE_BM25_TOPK),
     "bm25_and_topk": (q_bm25_and_topk, _BM25_AND_ORACLE),
     "bm25_msm_topk": (q_bm25_msm_topk, _BM25_MSM_ORACLE),
+    "dismax_topk": (q_dismax_topk, _DISMAX_ORACLE),
     "bm25f_topk": (q_bm25f_topk, _BM25F_ORACLE),
     "hybrid_rrf_topk": (q_hybrid_rrf, O_HYBRID_RRF),
     "rank_eval": (q_rank_eval, O_RANK_EVAL),
@@ -3119,7 +3182,7 @@ _DRIVER_ORDER = [
     "wordcount_df", "tf_vectors", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
     "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
-    "bm25_msm_topk", "bm25f_topk", "hybrid_rrf_topk", "rank_eval",
+    "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "embedding_neardup",
     "semantic_dedup",
     "index_bm25_topk", "index_phrase_topk", "bm25_topk", "embedding_neardup_lsh", "ann_lsh_topk", "ann_ivf_topk",

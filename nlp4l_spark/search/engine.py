@@ -309,6 +309,62 @@ class Searcher:
             .limit(k)
         )
 
+    def search_dismax(
+        self,
+        query: str,
+        tie_breaker: float = 0.0,
+        k: int = 10,
+        boosts: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """Lucene DisjunctionMaxQuery over the query's terms as disjuncts:
+        a doc scores max(disjunct scores) + tie_breaker * (sum of the
+        other disjunct scores) — at tie_breaker=0 pure dismax (the best
+        single clause wins, the classic fix for term double-counting in
+        OR queries), at 1.0 identical to the SHOULD sum. Candidates =
+        docs matching >= 1 disjunct, Lucene's DisjunctionMaxScorer
+        behavior. Same pruned-postings plan as search_boolean: broadcast
+        query terms, In(term) pushdown, one groupBy(doc_id)."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        boosts = boosts or {}
+        dfs = self._term_stats(terms)
+        rows = [
+            (t, idf(self.num_docs, dfs[t]) * float(boosts.get(t, 1.0)))
+            for t in terms
+            if t in dfs
+        ]
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "term string, idf double")
+        )
+        decoded = self._decoded(self._matching_postings([r[0] for r in rows]))
+        score_expr = (
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (
+                    F.lit(1.0 - B)
+                    + F.lit(B) * F.col("dl") / F.lit(self.avgdl or 1.0)
+                )
+            )
+        )
+        return (
+            decoded.join(qterms, "term")
+            .withColumn("_s", score_expr)
+            .groupBy("doc_id")
+            .agg(
+                (
+                    F.max("_s")
+                    + F.lit(float(tie_breaker)) * (F.sum("_s") - F.max("_s"))
+                ).alias("score")
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_conversations(
         self, query: str, k: int = 10, agg: str = "max"
     ) -> DataFrame:

@@ -53,6 +53,42 @@ def test_conjunction_candidate_set(spark, idx):
         assert round(r["score"], 9) == or_scores[r["doc_id"]]
 
 
+def test_dismax(spark, idx):
+    s = Searcher(spark, idx)
+    q = "join merge vector"
+    # tie_breaker=1.0 is exactly the SHOULD sum
+    or_scores = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in s.search(q, k=10, method="dataframe").collect()
+    }
+    dm1 = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in s.search_dismax(q, tie_breaker=1.0, k=10).collect()
+    }
+    assert dm1 == or_scores
+    # tie_breaker=0 is the per-doc MAX over single-term scores
+    singles = [
+        {r["doc_id"]: r["score"] for r in s.search(t, k=10, method="dataframe").collect()}
+        for t in ("join", "merge", "vector")
+    ]
+    expect = {}
+    for d in {k for m in singles for k in m}:
+        expect[d] = round(max(m.get(d, 0.0) for m in singles), 9)
+    dm0 = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in s.search_dismax(q, tie_breaker=0.0, k=10).collect()
+    }
+    assert dm0 == expect
+    # candidate set is the OR set; 0 < tie < 1 sits strictly between
+    dmh = {
+        r["doc_id"]: r["score"]
+        for r in s.search_dismax(q, tie_breaker=0.5, k=10).collect()
+    }
+    assert set(dmh) == set(or_scores)
+    for d, v in dmh.items():
+        assert dm0[d] - 1e-9 <= v <= dm1[d] + 1e-9
+
+
 def test_conjunction_missing_term_empty(spark, idx):
     s = Searcher(spark, idx)
     assert s.search("join zzznothere", operator="and").count() == 0
