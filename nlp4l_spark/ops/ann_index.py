@@ -471,3 +471,117 @@ def pq_topk(
         cand.select(id_col, vec_col), query_vec, k=k,
         vec_col=vec_col, id_col=id_col,
     )
+
+
+# ---- int8 scalar quantization (FAISS SQ8 shape) -------------------------- #
+def fit_sq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fit per-dimension int8 scalar quantization over the L2-normalized
+    corpus: returns (mins, scales) with scales = max - min per dimension.
+    Exact min/max aggregates, so the fit is deterministic and independent
+    of engine, partitioning, and visit order (unlike k-means this needs
+    no seed). One posexplode + a d-row groupBy — the collected state is
+    2·d floats, never corpus-proportional."""
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    nv = F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)
+    rows = (
+        df.select(F.posexplode(nv).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("i")
+        .collect()
+    )
+    mins = np.asarray([r["mn"] for r in rows])
+    scales = np.asarray([r["mx"] - r["mn"] for r in rows])
+    return mins, scales
+
+
+def sq_encode(
+    df: DataFrame,
+    mins: np.ndarray,
+    scales: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each (normalized) vector to d uint8 codes:
+    code_i = floor((x_i - min_i) / scale_i * 255 + 0.5) clamped to
+    [0, 255] — floor(v + 0.5) instead of round() so both engines share
+    one rounding rule. Pure JVM HOFs (two zip_with + one transform), no
+    Python stage; the stored codes are d bytes vs 4·d float bytes."""
+    inv = np.where(scales > 0, 255.0 / scales, 0.0)
+    mins_lit = F.array(*[F.lit(float(v)) for v in mins])
+    inv_lit = F.array(*[F.lit(float(v)) for v in inv])
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    nv = F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)
+    scaled = F.zip_with(
+        F.zip_with(nv, mins_lit, lambda x, mn: x - mn),
+        inv_lit,
+        lambda v, iv: v * iv,
+    )
+    codes = F.transform(
+        scaled,
+        lambda v: F.greatest(
+            F.lit(0), F.least(F.lit(255), F.floor(v + F.lit(0.5)).cast("int"))
+        ),
+    )
+    return df.select(id_col, vec_col, codes.alias("codes"))
+
+
+def sq_topk(
+    df: DataFrame,
+    query_vec,
+    mins: np.ndarray,
+    scales: np.ndarray,
+    k: int = 10,
+    rerank: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """Scalar-quantized top-k with exact re-rank: the approximate inner
+    product against the normalized query folds into ONE pure-JVM
+    expression — sum_i (min_i + code_i·scale_i/255)·q_i =
+    const + dot(codes, w) with w_i = scale_i·q_i/255 an array literal —
+    so the candidate scan reads d bytes per vector with no Python and no
+    join; the top-``rerank`` candidates are then re-scored with exact
+    cosine (same contract as pq_topk). SQ8 reconstruction error on unit
+    vectors is ~scale/510 per dim, far tighter than PQ at m=32, so the
+    rerank margin needed for exactness is small (measured in the
+    registry query's docstring)."""
+    from nlp4l_spark.ops.similarity import brute_force_cosine_topk
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    w = scales * q / 255.0
+    const = float(mins @ q)
+    w_lit = F.array(*[F.lit(float(v)) for v in w])
+    enc = encoded if encoded is not None else sq_encode(df, mins, scales, vec_col, id_col)
+    approx = F.lit(const) + F.aggregate(
+        F.zip_with(F.col("codes"), w_lit, lambda c, wv: c.cast("double") * wv),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cand = (
+        enc.withColumn("_approx", approx)
+        .orderBy(F.desc("_approx"), F.asc(id_col))
+        .limit(max(rerank, k))
+    )
+    return brute_force_cosine_topk(
+        cand.select(id_col, vec_col), query_vec, k=k,
+        vec_col=vec_col, id_col=id_col,
+    )

@@ -168,6 +168,49 @@ def test_pq_rerank_equals_exact(spark):
     assert adc[0]["vec_id"] == 7
 
 
+def test_sq_encode_codes_in_range_and_python_free(spark):
+    from nlp4l_spark.ops.ann_index import fit_sq, sq_encode
+
+    emb = _emb(spark)
+    mins, scales = fit_sq(emb)
+    assert len(mins) == len(scales) == 64
+    enc = sq_encode(emb, mins, scales)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # pure JVM encode
+    for r in enc.select("codes").collect():
+        assert len(r["codes"]) == 64
+        assert all(0 <= c <= 255 for c in r["codes"])
+
+
+def test_sq_rerank_equals_exact(spark):
+    from nlp4l_spark.ops.ann_index import fit_sq, sq_topk
+
+    emb = _emb(spark)
+    qvec = emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    mins, scales = fit_sq(emb)
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in sq_topk(emb, qvec, mins, scales, k=10, rerank=64).collect()
+    ]
+    exp = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.brute_force_cosine_topk(emb, qvec, k=10).collect()
+    ]
+    assert got == exp
+    # a constant dimension (scale 0) must not break encode or scoring
+    import numpy as np
+
+    emb2 = emb.withColumn(
+        "embedding",
+        F.concat(F.col("embedding"), F.array(F.lit(0.0).cast("float"))),
+    )
+    q2 = list(qvec) + [0.0]
+    mins2, scales2 = fit_sq(emb2)
+    assert scales2[-1] == 0.0
+    top = sq_topk(emb2, q2, mins2, scales2, k=3, rerank=16).collect()
+    assert top[0]["vec_id"] == 7  # self still first
+
+
 def test_ivfpq_probe_matches_ivf_probe(spark, tmp_path):
     from nlp4l_spark.ops.ann_index import build_ann_index, ivfpq_topk_indexed
 
