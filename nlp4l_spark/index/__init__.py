@@ -4,6 +4,12 @@ from nlp4l_spark.index.builder import (
     build_index_from_schema,
 )
 from nlp4l_spark.index.catalog import IndexCatalog
+from nlp4l_spark.index.deletes import (
+    delete_by_term,
+    delete_docs,
+    deleted_count,
+    expunge_deletes,
+)
 from nlp4l_spark.index.docids import assign_doc_ids
 
 __all__ = [
@@ -12,4 +18,8 @@ __all__ = [
     "build_index_from_schema",
     "IndexCatalog",
     "assign_doc_ids",
+    "delete_docs",
+    "delete_by_term",
+    "deleted_count",
+    "expunge_deletes",
 ]

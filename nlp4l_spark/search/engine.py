@@ -76,6 +76,43 @@ class Searcher:
         row = self.cat.read(spark, "field_stats").collect()[0]
         self.num_docs = int(row["num_docs"])
         self.avgdl = float(row["avgdl"])
+        self._deleted_cache: frozenset[int] | None = None
+
+    # ---- live docs (Lucene deletes model) ----------------------------- #
+    @property
+    def deleted_ids(self) -> frozenset[int]:
+        """Tombstoned doc ids (index/deletes.py). Lucene's live-docs
+        analogue: deletions are a small in-memory set consulted at
+        candidate time; collection stats (num_docs, df, avgdl) stay
+        FROZEN until expunge_deletes rewrites the index — exactly
+        IndexWriter.deleteDocuments + forceMergeDeletes behavior. The
+        set is bounded by deletes-since-last-expunge (Lucene holds the
+        same information as per-segment bitsets)."""
+        if self._deleted_cache is None:
+            if self.cat.is_committed("tombstones"):
+                rows = (
+                    self.cat.read(self.spark, "tombstones")
+                    .select("doc_id")
+                    .collect()
+                )
+                self._deleted_cache = frozenset(int(r[0]) for r in rows)
+            else:
+                self._deleted_cache = frozenset()
+        return self._deleted_cache
+
+    def _not_deleted(self, df: DataFrame, col: str = "doc_id") -> DataFrame:
+        """Drop tombstoned docs. No-op (identical plan) when there are no
+        deletes; small delete sets stay a JVM NOT-In filter, large ones
+        fall back to an anti-join against the tombstones table."""
+        dels = self.deleted_ids
+        if not dels:
+            return df
+        if len(dels) <= 10_000:
+            return df.filter(~F.col(col).isin(list(dels)))
+        tomb = self.cat.read(self.spark, "tombstones").select(
+            F.col("doc_id").alias(col)
+        )
+        return df.join(tomb, col, "left_anti")
 
     # ------------------------------------------------------------------ #
     def _term_stats(self, terms: list[str]) -> dict[str, int]:
@@ -690,7 +727,7 @@ class Searcher:
         """MatchAllDocsQuery (the reference ISearcher's default query,
         ISearcher.scala:42): every doc, constant score 1.0, docID asc."""
         return (
-            self.cat.read(self.spark, "stored")
+            self._not_deleted(self.cat.read(self.spark, "stored"))
             .select("doc_id", F.lit(1.0).alias("score"))
             .orderBy(F.asc("doc_id"))
             .limit(k)
@@ -895,8 +932,10 @@ class Searcher:
             first = F.array_intersect(
                 first, F.transform(F.col(f"_p{i}"), _shift(i))
             )
-        cand = joined.select("doc_id", F.size(first).alias("tf")).filter(
-            F.col("tf") > 0
+        cand = self._not_deleted(
+            joined.select("doc_id", F.size(first).alias("tf")).filter(
+                F.col("tf") > 0
+            )
         )
         dfs = self._term_stats(terms)
         idf_sum = sum(idf(self.num_docs, dfs.get(t, 0)) for t in terms)
@@ -937,6 +976,11 @@ class Searcher:
         pp = self.cat.read(self.spark, "pos_postings").filter(
             F.col("term").isin(list(set(terms)))
         )
+        dels = (
+            np.fromiter(self.deleted_ids, dtype=np.int64)
+            if self.deleted_ids
+            else None
+        )
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             # stack segments per term (disjoint doc ranges, min_doc order)
@@ -974,6 +1018,8 @@ class Searcher:
                 cand = decoded[t][0] if cand is None else np.intersect1d(
                     cand, decoded[t][0], assume_unique=True
                 )
+            if dels is not None and cand.size:
+                cand = cand[~np.isin(cand, dels)]  # live-docs mask
             out_doc, out_tf, out_dl = [], [], []
             for doc in cand.tolist():
                 plist = []
@@ -1020,10 +1066,12 @@ class Searcher:
 
     # ------------------------------------------------------------------ #
     def _decoded(self, postings: DataFrame) -> DataFrame:
-        """(term, doc_id, tf, dl) rows decoded from posting shards."""
-        return postings.select(
+        """(term, doc_id, tf, dl) rows decoded from posting shards,
+        tombstoned docs dropped (no-op without deletes)."""
+        out = postings.select(
             "term", "doc_ids_enc", "tfs_enc", "dls_enc"
         ).mapInPandas(_decode_postings, _DECODED_SCHEMA)
+        return self._not_deleted(out)
 
     def _score_dataframe(self, postings: DataFrame, qterms: DataFrame) -> DataFrame:
         decoded = self._decoded(postings)
@@ -1050,21 +1098,37 @@ class Searcher:
     ) -> DataFrame:
         avgdl = self.avgdl
         max_k = max(ks.values()) if ks else 10
+        # live-docs mask for the WAND task: deleted docs are dropped from
+        # the decoded arrays before scoring; block-max metadata is then
+        # stale-aligned, so it is dropped (upper-bound pruning degrades,
+        # correctness does not — same trade Lucene makes consulting
+        # liveDocs inside its scorers). No deletes -> untouched hot path.
+        dels = (
+            np.fromiter(self.deleted_ids, dtype=np.int64)
+            if self.deleted_ids
+            else None
+        )
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             out_qid, out_doc, out_score = [], [], []
             for qid, g in pdf.groupby("qid", sort=False):
                 tps = []
                 for _, row in g.iterrows():
-                    tps.append(
-                        (
-                            float(row["idf"]),
-                            codec.decode_doc_ids(row["doc_ids_enc"]),
-                            codec.decode_tfs(row["tfs_enc"]),
-                            codec.decode_tfs(row["dls_enc"]),
-                            list(row["block_max"]) if row["block_max"] is not None else [],
-                        )
+                    d = codec.decode_doc_ids(row["doc_ids_enc"])
+                    tf = codec.decode_tfs(row["tfs_enc"])
+                    dl = codec.decode_tfs(row["dls_enc"])
+                    bm = (
+                        list(row["block_max"])
+                        if row["block_max"] is not None
+                        else []
                     )
+                    if dels is not None:
+                        live = ~np.isin(d, dels)
+                        if not live.all():
+                            d, tf, dl, bm = d[live], tf[live], dl[live], []
+                        if d.size == 0:
+                            continue
+                    tps.append((float(row["idf"]), d, tf, dl, bm))
                 for doc, sc in wand_mod.wand_topk(tps, max_k, avgdl):
                     out_qid.append(int(qid))
                     out_doc.append(doc)
