@@ -2023,6 +2023,30 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity buckets per language (exact
+    per-lang nll terciles over the corpus-trained unigram LM). See
+    textqc.ccnet_buckets."""
+    return textqc.ccnet_buckets(_docs(spark, sf_dir))
+
+
+O_CCNET_BUCKETS = f"""
+WITH lm AS ({O_LM_PERPLEXITY}),
+j AS (SELECT lm.doc_id, d.lang, lm.n_tokens, lm.nll
+      FROM lm JOIN documents d USING (doc_id)),
+thr AS (SELECT lang,
+               quantile_cont(nll, {1.0 / 3.0!r}) AS p1,
+               quantile_cont(nll, {2.0 / 3.0!r}) AS p2
+        FROM j WHERE nll IS NOT NULL GROUP BY lang)
+SELECT j.doc_id, j.lang, j.n_tokens, j.nll,
+       CASE WHEN j.nll IS NULL THEN 'tail'
+            WHEN j.nll <= thr.p1 THEN 'head'
+            WHEN j.nll <= thr.p2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM j LEFT JOIN thr USING (lang)
+"""
+
+
 def q_winnow_pairs(spark, sf_dir):
     """Substring-overlap candidate pairs (copied passages) via shared
     winnowing fingerprints — equality-join dedup like the others, but at
@@ -3141,6 +3165,7 @@ REGISTRY: dict[str, tuple] = {
     "gopher_filter": (q_gopher_filter, O_GOPHER_FILTER),
     "filter_percentile": (q_filter_percentile, O_FILTER_PERCENTILE),
     "lm_perplexity": (q_lm_perplexity, O_LM_PERPLEXITY),
+    "ccnet_buckets": (q_ccnet_buckets, O_CCNET_BUCKETS),
     "winnow_fingerprints": (q_winnow_fingerprints, O_WINNOW),
     "winnow_pairs": (q_winnow_pairs, O_WINNOW_PAIRS),
     "repetition_features": (q_repetition_features, O_REPETITION),
@@ -3202,7 +3227,7 @@ _DRIVER_ORDER = [
     "term_positions", "event_transitions", "kea_features", "count_prefix", "replay",
     "media_features", "sessionize", "ann_cosine_topk", "count_docset", "dict_match",
     "wordcount_df", "tf_vectors", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
-    "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "chi2_terms", "dedup_simhash", "kea_bigrams",
+    "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "embedding_neardup",

@@ -944,6 +944,7 @@ def lm_score(
     analyzer: Analyzer | None = None,
     alpha: float = 0.5,
     broadcast_vocab: bool = True,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Corpus-trained unigram language-model quality score (the CCNet /
     Wenzek et al. LM-filtering idea, made deterministic and SQL-oracle
@@ -987,10 +988,61 @@ def lm_score(
             (F.sum(F.col("tf") * F.col("nlp")) / F.sum("tf")).alias("nll"),
         )
     )
-    # left-join back so token-less docs surface with null nll
-    base = df.select(id_col)
+    # left-join back so token-less docs surface with null nll;
+    # carry_cols ride along for free on the same join
+    base = df.select(id_col, *carry_cols)
     return base.join(scored, id_col, "left").select(
         id_col,
+        *carry_cols,
         F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         F.round("nll", 6).alias("nll"),
+    )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    *,
+    analyzer: Analyzer | None = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): score
+    every doc with the corpus-trained unigram LM (lm_score), then split
+    each language stratum into head / middle / tail at the per-language
+    exact 1/3 and 2/3 nll quantiles — head = most fluent third, the slice
+    CCNet keeps for LM pre-training. Token-less docs (null nll) land in
+    'tail'. Returns (id_col, lang_col, n_tokens, nll, bucket).
+
+    Plan shape: the lm_score pass plus ONE language-sized percentile
+    aggregate broadcast back onto the scored rows — the corpus itself is
+    never shuffled for the bucketing. Exact interpolated ``percentile``
+    matches DuckDB's ``quantile_cont`` for the oracle."""
+    scored = lm_score(
+        df,
+        text_col,
+        id_col,
+        analyzer=analyzer,
+        alpha=alpha,
+        carry_cols=(lang_col,),
+    )
+    third, two_thirds = 1.0 / 3.0, 2.0 / 3.0
+    thr = F.broadcast(
+        scored.filter(F.col("nll").isNotNull())
+        .groupBy(lang_col)
+        .agg(
+            F.expr(f"percentile(nll, {third!r})").alias("_p1"),
+            F.expr(f"percentile(nll, {two_thirds!r})").alias("_p2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("nll").isNull(), F.lit("tail"))
+        .when(F.col("nll") <= F.col("_p1"), F.lit("head"))
+        .when(F.col("nll") <= F.col("_p2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(thr, lang_col, "left")
+        .select(id_col, lang_col, "n_tokens", "nll", bucket.alias("bucket"))
     )

@@ -335,6 +335,26 @@ def test_lm_score_known_values(spark):
     assert out[1]["nll"] > out[0]["nll"]
 
 
+def test_ccnet_buckets(spark):
+    # 9 scoreable docs per lang with strictly increasing rarity (nll), so
+    # the per-lang terciles split them 3/3/3; plus one empty doc -> tail
+    rows = []
+    common = "aa " * 30
+    for li, lang in enumerate(("en", "es")):
+        for i in range(9):
+            # i rare tokens (each unique) raises nll monotonically
+            rare = " ".join(f"r{lang}{i}x{j}" for j in range(i))
+            rows.append((li * 100 + i, lang, (common + rare).strip()))
+    rows.append((999, "en", ""))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r for r in textqc.ccnet_buckets(df).collect()}
+    assert len(out) == 19
+    for li, lang in enumerate(("en", "es")):
+        got = [out[li * 100 + i]["bucket"] for i in range(9)]
+        assert got == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3, (lang, got)
+    assert out[999]["bucket"] == "tail" and out[999]["nll"] is None
+
+
 # ---------------- percentile-threshold filtering ---------------------------- #
 def test_filter_by_percentile(spark):
     rows = [(i, "a" if i < 10 else "b", float(i)) for i in range(20)]
