@@ -2023,6 +2023,37 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode normalization over a derived dirty corpus: every 'e'
+    decomposed to e+U+0301 (NFC must recompose to é), wrapped in
+    guillemets/curly quotes/em-dash/NBSP/tab/BEL — so all four steps
+    (NFC, punctuation unification, control strip, whitespace collapse)
+    fire on every row. The derivation is the same expression in both
+    engines; DuckDB's utf8proc nfc_normalize matches Python's
+    unicodedata NFC on canonical compositions."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dirty = F.concat(
+        F.lit("«"),
+        F.replace(F.col("text"), F.lit("e"), F.lit("é")),
+        F.lit("»\t— “done”\x07"),
+    )
+    return textqc.normalize_text(docs.withColumn("text", dirty)).select(
+        "doc_id", "norm_text"
+    )
+
+
+O_NORMALIZE_TEXT = f"""
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(translate(nfc_normalize(
+      '«' || replace(text, 'e', 'e{chr(0x301)}')
+      || '»' || chr(9) || '—' || ' '
+      || '“done”' || chr(7)),
+    '{textqc._PUNCT_FROM}', '{textqc._PUNCT_TO.replace("'", "''")}'),
+    '{textqc._CONTROL_RE}', '', 'g'), '\\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail perplexity buckets per language (exact
     per-lang nll terciles over the corpus-trained unigram LM). See
@@ -3163,6 +3194,7 @@ REGISTRY: dict[str, tuple] = {
     "clean_lines": (q_clean_lines, O_CLEAN_LINES),
     "line_dedup": (q_line_dedup, O_LINE_DEDUP),
     "gopher_filter": (q_gopher_filter, O_GOPHER_FILTER),
+    "normalize_text": (q_normalize_text, O_NORMALIZE_TEXT),
     "filter_percentile": (q_filter_percentile, O_FILTER_PERCENTILE),
     "lm_perplexity": (q_lm_perplexity, O_LM_PERPLEXITY),
     "ccnet_buckets": (q_ccnet_buckets, O_CCNET_BUCKETS),
@@ -3216,7 +3248,7 @@ _DRIVER_ORDER = [
     "sort_paging", "fingerprint", "label_map", "lang_id", "rate_to_label",
     "stop_filter", "props_parse", "stats_moments", "token_count", "quality_score",
     "sample_stratified", "length_percentiles", "merge_records", "redact_pii", "acronym_candidates",
-    "clean_lines", "filter_percentile", "line_dedup", "gopher_filter",
+    "clean_lines", "filter_percentile", "line_dedup", "gopher_filter", "normalize_text",
     "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words", "click_rate",
     "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
     "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",

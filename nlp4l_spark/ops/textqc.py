@@ -838,6 +838,60 @@ def dedup_lines(
     )
 
 
+# ---- Unicode text normalization ------------------------------------------ #
+# typographic chars -> ASCII: curly quotes, dashes, exotic spaces
+_PUNCT_FROM = "“”„‘’‚–—―«»   "
+_PUNCT_TO = '"""\'\'\'---""   '
+assert len(_PUNCT_FROM) == len(_PUNCT_TO)  # translate() maps 1:1
+_CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    nfc: bool = True,
+    unify_punct: bool = True,
+    strip_controls: bool = True,
+    collapse_ws: bool = True,
+) -> DataFrame:
+    """Unicode text normalization for ingest pipelines: (1) NFC canonical
+    composition (combining marks recomposed — e + U+0301 becomes é),
+    (2) typographic punctuation unified to ASCII (curly quotes, en/em
+    dashes, guillemets, NBSP/thin spaces), (3) C0/C1 control chars
+    stripped, (4) whitespace collapsed + trimmed. Adds ``norm_text``.
+
+    Steps 2-4 are pure JVM (translate / regexp_replace inside codegen).
+    NFC is the one step Spark has no built-in for — it runs as an
+    Arrow-batched pandas UDF (unicodedata.normalize, byte-identical to
+    DuckDB's utf8proc nfc_normalize on canonical compositions, which the
+    oracle relies on); pass ``nfc=False`` for a fully JVM plan on
+    already-composed corpora. One scan, zero shuffle either way."""
+    col = F.col(text_col)
+    if nfc:
+        import pandas as pd  # noqa: F401  (pandas_udf runtime dep)
+
+        @F.pandas_udf("string")
+        def _nfc(s):
+            import unicodedata
+
+            return s.map(
+                lambda t: unicodedata.normalize("NFC", t)
+                if t is not None
+                else None
+            )
+
+        col = _nfc(col)
+    if unify_punct:
+        col = F.translate(col, _PUNCT_FROM, _PUNCT_TO)
+    if strip_controls:
+        col = F.regexp_replace(col, F.lit(_CONTROL_RE), F.lit(""))
+    if collapse_ws:
+        col = F.trim(F.regexp_replace(col, F.lit(r"\s+"), F.lit(" ")))
+    return df.withColumn("norm_text", col)
+
+
 # ---- Gopher quality rules ------------------------------------------------ #
 def gopher_filter(
     df: DataFrame,

@@ -264,6 +264,33 @@ def test_dedup_lines(spark):
     assert (out[2]["n_lines"], out[2]["n_kept"]) == (1, 0)
 
 
+def test_normalize_text(spark):
+    from nlp4l_spark.ops import textqc
+
+    df = spark.createDataFrame(
+        [
+            (0, "café «x» “y” – z\x07\t end"),
+            (1, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["norm_text"] for r in textqc.normalize_text(df).collect()}
+    # NFC recomposes, punctuation unified, BEL stripped, whitespace collapsed
+    assert out[0] == 'café "x" "y" - z end'
+    assert out[1] is None
+    # nfc=False path is fully JVM (no Python eval nodes)
+    plan = (
+        textqc.normalize_text(df, nfc=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    # and still applies the JVM steps
+    got = textqc.normalize_text(df, nfc=False).collect()[0]["norm_text"]
+    assert '"x" "y" - z end' in got
+
+
 def test_gopher_filter(spark):
     from nlp4l_spark.ops import textqc
 
