@@ -1248,6 +1248,42 @@ ORDER BY cnt DESC, event_type ASC LIMIT 3
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join over the events log: each purchase picks up the user's
+    most recent click at-or-before it (ops/asof.asof_join — union +
+    ordered window, ONE shuffle on user_id, no range-join row
+    amplification). DuckDB's native ASOF LEFT JOIN is the oracle, so the
+    tie/no-match semantics are pinned to the industry definition."""
+    from nlp4l_spark.ops.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(purchases, clicks, on="ts", by=("user_id",), right_cols=("value",))
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_sec"),
+        F.col("ts_r").cast("timestamp").cast("long").alias("click_ts_sec"),
+        F.round("value_r", 6).alias("click_value"),
+    )
+
+
+O_ASOF_JOIN = """
+SELECT p.event_id, p.user_id, floor(epoch(p.ts))::BIGINT AS ts_sec,
+       floor(epoch(c.ts))::BIGINT AS click_ts_sec,
+       round(c.value, 6) AS click_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization of the events stream (30-min gap): the
     transcripts/agent-log workload's session segmentation, as one window
@@ -3167,6 +3203,7 @@ REGISTRY: dict[str, tuple] = {
     "top_event_types": (q_top_event_types, O_TOP_EVENT_TYPES),
     "dcm_truncate": (q_dcm_truncate, O_DCM_TRUNCATE),
     "sessionize": (q_sessionize, O_SESSIONIZE),
+    "asof_join": (q_asof_join, O_ASOF_JOIN),
     "event_transitions": (q_event_transitions, O_EVENT_TRANSITIONS),
     "redact_pii": (q_redact_pii, O_REDACT_PII),
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
@@ -3257,7 +3294,7 @@ _DRIVER_ORDER = [
     "chunk_documents", "resample_weighted", "corpus_profile",
     "total_count", "validator_unique", "select_features", "term_range_search", "prefix_search",
     "term_positions", "event_transitions", "kea_features", "count_prefix", "replay",
-    "media_features", "sessionize", "ann_cosine_topk", "count_docset", "dict_match",
+    "media_features", "sessionize", "asof_join", "ann_cosine_topk", "count_docset", "dict_match",
     "wordcount_df", "tf_vectors", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
     "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",

@@ -1,0 +1,89 @@
+"""Distributed as-of join: match each left row to the most recent right
+row at-or-before its timestamp, per key (pandas ``merge_asof`` / kdb+
+``aj`` / DuckDB ``ASOF JOIN`` semantics, direction='backward').
+
+The reference has no such operator (its joins are key-equality,
+MergeProcessor etc.); the task brief names as-of joins as the canonical
+"operator Spark lacks" to compose from DataFrame primitives.
+
+Plan shape — the part that matters at 100 TB: a naive implementation is a
+range join (``l.ts >= r.ts``) which Spark executes as a per-key cross
+product; at web scale that explodes. This one is the union + ordered
+window formulation instead: tag the two sides, union them, and take
+``last(right_payload, ignorenulls=True)`` over a window partitioned by
+the key and ordered by (ts, side). That is ONE shuffle on the key and a
+sort — the same sort-merge shape Spark gives any window — with zero row
+amplification. Ties (left.ts == right.ts) match, like merge_asof's
+default inclusive backward direction; right rows sort before left rows
+at equal ts to make that inclusive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "ts",
+    by: tuple[str, ...] | list[str] = (),
+    right_cols: tuple[str, ...] | list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For every left row, attach the ``right_cols`` of the latest right
+    row with ``right.on <= left.on`` within the same ``by`` group (null
+    when no prior right row exists). Returns all left columns plus
+    ``<on><suffix>`` (the matched right timestamp) and
+    ``<col><suffix>`` per requested right column.
+
+    Both inputs must share the ``on`` and ``by`` column names; other
+    columns may differ freely."""
+    by = list(by)
+    if right_cols is None:
+        right_cols = [
+            c for c in right.columns if c != on and c not in by
+        ]
+    right_cols = list(right_cols)
+    payload = F.struct(
+        F.col(on).alias(on), *[F.col(c).alias(c) for c in right_cols]
+    )
+    left_cols = left.columns
+    l_tagged = left.select(
+        *by,
+        F.col(on),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("_l"),
+        F.lit(None).cast(
+            right.select(payload.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
+    )
+    r_tagged = right.select(
+        *by,
+        F.col(on),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left_cols]).alias("_l"))
+            .schema["_l"]
+            .dataType
+        ).alias("_l"),
+        payload.alias("_r"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("_r", ignorenulls=True).over(w)
+    out = (
+        u.withColumn("_m", matched)
+        .filter(F.col("_side") == 1)
+        .select(
+            *[F.col("_l")[c].alias(c) for c in left_cols],
+            F.col("_m")[on].alias(f"{on}{suffix}"),
+            *[F.col("_m")[c].alias(f"{c}{suffix}") for c in right_cols],
+        )
+    )
+    return out

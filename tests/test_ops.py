@@ -264,6 +264,36 @@ def test_dedup_lines(spark):
     assert (out[2]["n_lines"], out[2]["n_kept"]) == (1, 0)
 
 
+def test_asof_join(spark):
+    from nlp4l_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10, 1), ("a", 20, 2), ("a", 5, 3), ("b", 10, 4), ("c", 10, 5)],
+        "k string, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 15, 2.0), ("b", 11, 3.0)],
+        "k string, ts long, v double",
+    )
+    out = {
+        r["lid"]: (r["ts_r"], r["v_r"])
+        for r in asof_join(left, right, on="ts", by=("k",), right_cols=("v",)).collect()
+    }
+    assert out[1] == (10, 1.0)  # tie matches (inclusive backward)
+    assert out[2] == (15, 2.0)  # latest at-or-before 20
+    assert out[3] == (None, None)  # no prior right row
+    assert out[4] == (None, None)  # right exists but only later (11 > 10)
+    assert out[5] == (None, None)  # key absent from right
+    # the whole point: NO join operator — union + one keyed window
+    plan = (
+        asof_join(left, right, on="ts", by=("k",), right_cols=("v",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
 def test_normalize_text(spark):
     from nlp4l_spark.ops import textqc
 
