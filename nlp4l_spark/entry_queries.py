@@ -1248,6 +1248,29 @@ ORDER BY cnt DESC, event_type ASC LIMIT 3
 """
 
 
+def q_rolling_stats(spark, sf_dir):
+    """Trailing 30-min per-user aggregates over the event stream (count /
+    sum / mean of value), one RANGE-frame window pass — see
+    processors.rolling_stats."""
+    ev = _events(spark, sf_dir)
+    return processors.rolling_stats(ev, "user_id", "ts", "value", 1800).select(
+        "event_id", "user_id", "ts_sec", "n_win", "sum_win", "avg_win"
+    )
+
+
+O_ROLLING_STATS = """
+WITH e AS (SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ts_sec, value
+           FROM events)
+SELECT event_id, user_id, ts_sec,
+       count(value) OVER w::BIGINT AS n_win,
+       round(sum(value) OVER w, 6) AS sum_win,
+       round(avg(value) OVER w, 6) AS avg_win
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join over the events log: each purchase picks up the user's
     most recent click at-or-before it (ops/asof.asof_join — union +
@@ -3204,6 +3227,7 @@ REGISTRY: dict[str, tuple] = {
     "dcm_truncate": (q_dcm_truncate, O_DCM_TRUNCATE),
     "sessionize": (q_sessionize, O_SESSIONIZE),
     "asof_join": (q_asof_join, O_ASOF_JOIN),
+    "rolling_stats": (q_rolling_stats, O_ROLLING_STATS),
     "event_transitions": (q_event_transitions, O_EVENT_TRANSITIONS),
     "redact_pii": (q_redact_pii, O_REDACT_PII),
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
@@ -3294,7 +3318,7 @@ _DRIVER_ORDER = [
     "chunk_documents", "resample_weighted", "corpus_profile",
     "total_count", "validator_unique", "select_features", "term_range_search", "prefix_search",
     "term_positions", "event_transitions", "kea_features", "count_prefix", "replay",
-    "media_features", "sessionize", "asof_join", "ann_cosine_topk", "count_docset", "dict_match",
+    "media_features", "sessionize", "asof_join", "rolling_stats", "ann_cosine_topk", "count_docset", "dict_match",
     "wordcount_df", "tf_vectors", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
     "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",

@@ -202,3 +202,37 @@ def sessionize(
         "session_id",
         (F.sum(new_sess).over(w) - F.lit(1)).cast("int"),
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int = 1800,
+) -> DataFrame:
+    """Per-event trailing time-window aggregates: for every event, the
+    count / sum / mean of ``value_col`` over the same key's events in
+    [ts - window_seconds, ts] (inclusive both ends — RANGE frame
+    semantics, so simultaneous events are peers). The event-log
+    monitoring primitive (rate in the last N minutes, trailing spend).
+
+    One keyed window pass over epoch seconds — a RANGE BETWEEN frame,
+    not a self-join: ONE shuffle on the key at any scale, zero row
+    amplification. Adds ts_sec, n_win, sum_win, avg_win."""
+    from pyspark.sql import Window
+
+    secs = F.col(ts_col).cast("timestamp").cast("long")
+    out = df.withColumn("ts_sec", secs)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("ts_sec").asc())
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    return out.withColumns(
+        {
+            "n_win": F.count(value_col).over(w).cast("long"),
+            "sum_win": F.round(F.sum(value_col).over(w), 6),
+            "avg_win": F.round(F.avg(value_col).over(w), 6),
+        }
+    )

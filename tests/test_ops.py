@@ -264,6 +264,31 @@ def test_dedup_lines(spark):
     assert (out[2]["n_lines"], out[2]["n_kept"]) == (1, 0)
 
 
+def test_rolling_stats(spark):
+    import datetime as dt
+
+    from nlp4l_spark.ops import processors
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, "u", t0, 10.0),
+        (2, "u", t0 + dt.timedelta(seconds=100), 20.0),
+        (3, "u", t0 + dt.timedelta(seconds=1900), 30.0),  # 1 falls out
+        (4, "v", t0 + dt.timedelta(seconds=50), 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, value double"
+    )
+    out = {
+        r["event_id"]: (r["n_win"], r["sum_win"], r["avg_win"])
+        for r in processors.rolling_stats(df, "user_id", "ts", "value", 1800).collect()
+    }
+    assert out[1] == (1, 10.0, 10.0)
+    assert out[2] == (2, 30.0, 15.0)  # both within 1800s
+    assert out[3] == (2, 50.0, 25.0)  # event 1 aged out (1900s), 2 in (1800s, inclusive)
+    assert out[4] == (1, 5.0, 5.0)  # keys independent
+
+
 def test_asof_join(spark):
     from nlp4l_spark.ops.asof import asof_join
 
