@@ -2113,6 +2113,64 @@ FROM documents
 """
 
 
+_CJK_SFX = "".join(chr(c) for c in (0x6F22, 0x5B57, 0x304B, 0x306A))
+_CYR_SFX = "".join(chr(c) for c in (0x043F, 0x0440, 0x0438, 0x0432))
+
+
+def q_script_profile(spark, sf_dir):
+    """Per-script character fractions + dominant script over a derived
+    mixed-script corpus: docs get a CJK / Cyrillic / no suffix by
+    doc_id % 3, so the cjk/cyrillic fraction columns genuinely vary
+    (dominance stays latin on these short suffixes — the dominance and
+    tie rules are unit-tested on crafted docs instead,
+    tests/test_ops.py::test_script_profile). Same derivation expression
+    in both engines (codepoints spelled explicitly)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sfx = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" " + _CJK_SFX))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" " + _CYR_SFX))
+        .otherwise(F.lit(""))
+    )
+    mixed = docs.withColumn("text", F.concat(F.col("text"), sfx))
+    return textqc.script_profile(mixed)
+
+
+def _o_script_counts() -> str:
+    cls = textqc._SCRIPT_CLASSES
+    parts = [
+        f"len(base) - len(regexp_replace(base, '{pat}', '', 'g')) AS c_{name}"
+        for name, pat in cls.items()
+    ]
+    return ", ".join(parts)
+
+
+O_SCRIPT_PROFILE = f"""
+WITH mixed AS (SELECT doc_id,
+        text || CASE doc_id % 3
+            WHEN 0 THEN ' ' || {" || ".join(f"chr({ord(c)})" for c in _CJK_SFX)}
+            WHEN 1 THEN ' ' || {" || ".join(f"chr({ord(c)})" for c in _CYR_SFX)}
+            ELSE '' END AS text
+      FROM documents),
+b AS (SELECT doc_id, regexp_replace(text, '\\s', '', 'g') AS base FROM mixed),
+c AS (SELECT doc_id, len(base) AS n, {_o_script_counts()} FROM b),
+m AS (SELECT *, greatest(c_latin, c_cjk, c_cyrillic, c_arabic, c_digit) AS mx
+      FROM c)
+SELECT doc_id, n::BIGINT AS n_chars,
+       round(c_latin / greatest(n, 1)::double, 6) AS latin_frac,
+       round(c_cjk / greatest(n, 1)::double, 6) AS cjk_frac,
+       round(c_cyrillic / greatest(n, 1)::double, 6) AS cyrillic_frac,
+       round(c_arabic / greatest(n, 1)::double, 6) AS arabic_frac,
+       round(c_digit / greatest(n, 1)::double, 6) AS digit_frac,
+       CASE WHEN mx = 0 THEN 'other'
+            WHEN c_latin = mx THEN 'latin'
+            WHEN c_cjk = mx THEN 'cjk'
+            WHEN c_cyrillic = mx THEN 'cyrillic'
+            WHEN c_arabic = mx THEN 'arabic'
+            ELSE 'digit' END AS script
+FROM m
+"""
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail perplexity buckets per language (exact
     per-lang nll terciles over the corpus-trained unigram LM). See
@@ -3256,6 +3314,7 @@ REGISTRY: dict[str, tuple] = {
     "line_dedup": (q_line_dedup, O_LINE_DEDUP),
     "gopher_filter": (q_gopher_filter, O_GOPHER_FILTER),
     "normalize_text": (q_normalize_text, O_NORMALIZE_TEXT),
+    "script_profile": (q_script_profile, O_SCRIPT_PROFILE),
     "filter_percentile": (q_filter_percentile, O_FILTER_PERCENTILE),
     "lm_perplexity": (q_lm_perplexity, O_LM_PERPLEXITY),
     "ccnet_buckets": (q_ccnet_buckets, O_CCNET_BUCKETS),
@@ -3309,7 +3368,7 @@ _DRIVER_ORDER = [
     "sort_paging", "fingerprint", "label_map", "lang_id", "rate_to_label",
     "stop_filter", "props_parse", "stats_moments", "token_count", "quality_score",
     "sample_stratified", "length_percentiles", "merge_records", "redact_pii", "acronym_candidates",
-    "clean_lines", "filter_percentile", "line_dedup", "gopher_filter", "normalize_text",
+    "clean_lines", "filter_percentile", "line_dedup", "gopher_filter", "normalize_text", "script_profile",
     "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words", "click_rate",
     "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
     "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",

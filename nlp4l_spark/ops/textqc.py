@@ -838,6 +838,63 @@ def dedup_lines(
     )
 
 
+# ---- script / writing-system profiling ----------------------------------- #
+# char-class regexes built from codepoints so Java regex (Spark) and RE2
+# (DuckDB) read the identical pattern text
+_SCRIPT_CLASSES: dict[str, str] = {
+    "latin": "[A-Za-z{0}-{1}]".format(chr(0x00C0), chr(0x024F)),
+    "cjk": "[{0}-{1}{2}-{3}]".format(
+        chr(0x4E00), chr(0x9FFF), chr(0x3040), chr(0x30FF)
+    ),
+    "cyrillic": "[{0}-{1}]".format(chr(0x0400), chr(0x04FF)),
+    "arabic": "[{0}-{1}]".format(chr(0x0600), chr(0x06FF)),
+    "digit": "[0-9]",
+}
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Writing-system profile per document: the fraction of non-space
+    characters in each major script class (Latin incl. extended, CJK
+    ideographs + kana, Cyrillic, Arabic, ASCII digits) plus the dominant
+    script ('other' when nothing matches, ties broken by class-name
+    order). The multilingual-corpus QC complement to the marker-word
+    ``lang_id``: script fractions catch mixed-script spam, mislabeled
+    languages and mojibake that word lists miss.
+
+    Counting is length-difference after regexp_replace per class — all
+    JVM, one codegen'd scan, zero Python/shuffle."""
+    base = F.regexp_replace(F.col(text_col), F.lit(r"\s"), F.lit(""))
+    n = F.length(base)
+    safe_n = F.greatest(n, F.lit(1)).cast("double")
+    counts = {
+        name: n - F.length(F.regexp_replace(base, F.lit(pat), F.lit("")))
+        for name, pat in _SCRIPT_CLASSES.items()
+    }
+    structs = F.array(
+        *[
+            F.struct(
+                counts[name].alias("c"),
+                F.lit(-i).alias("ni"),
+                F.lit(name).alias("name"),
+            )
+            for i, name in enumerate(_SCRIPT_CLASSES)
+        ]
+    )
+    best = F.array_max(structs)
+    dominant = F.when(best["c"] > 0, best["name"]).otherwise(F.lit("other"))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        *[
+            F.round(counts[name] / safe_n, 6).alias(f"{name}_frac")
+            for name in _SCRIPT_CLASSES
+        ],
+        dominant.alias("script"),
+    )
+
+
 # ---- Unicode text normalization ------------------------------------------ #
 # typographic chars -> ASCII: curly quotes, dashes, exotic spaces
 _PUNCT_FROM = "“”„‘’‚–—―«»   "

@@ -264,6 +264,29 @@ def test_dedup_lines(spark):
     assert (out[2]["n_lines"], out[2]["n_kept"]) == (1, 0)
 
 
+def test_script_profile(spark):
+    from nlp4l_spark.ops import textqc
+
+    cjk = "".join(chr(c) for c in (0x6F22, 0x5B57, 0x304B))
+    cyr = "".join(chr(c) for c in (0x043F, 0x0440, 0x0438))
+    df = spark.createDataFrame(
+        [
+            (0, "hello world"),
+            (1, cjk + " ab"),
+            (2, cyr * 2 + " xy"),
+            (3, "!!! ???"),  # nothing matches -> other
+            (4, "123 abc"),  # tie at 3 chars each -> latin (class order)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textqc.script_profile(df).collect()}
+    assert out[0]["script"] == "latin" and out[0]["latin_frac"] == 1.0
+    assert out[1]["script"] == "cjk" and out[1]["cjk_frac"] == 0.6
+    assert out[2]["script"] == "cyrillic"
+    assert out[3]["script"] == "other" and out[3]["latin_frac"] == 0.0
+    assert out[4]["script"] == "latin" and out[4]["digit_frac"] == 0.5
+
+
 def test_rolling_stats(spark):
     import datetime as dt
 
