@@ -402,6 +402,84 @@ class Searcher:
             .limit(k)
         )
 
+    def search_rm3(
+        self,
+        query: str,
+        k: int = 10,
+        fb_docs: int = 10,
+        fb_terms: int = 10,
+        alpha: float = 0.5,
+    ) -> DataFrame:
+        """Pseudo-relevance feedback: BM25 + RM3 (Lavrenko & Croft 2001;
+        the standard Anserini recipe). Run the plain BM25 top-``fb_docs``,
+        estimate the relevance model RM1(w) = Σ_d P(w|d)·P(d|q) from
+        those docs (P(w|d) = tf/dl MLE, P(d|q) = normalized BM25 score),
+        keep the top ``fb_terms`` expansion terms, interpolate with the
+        uniform original-query model at ``alpha``, and re-run a weighted
+        OR search with the mixed weights as per-term boosts. alpha=0
+        reproduces the original ranking (uniform down-weight only);
+        alpha→1 leans fully on the feedback model.
+
+        Cost shape: the feedback pass touches ``fb_docs`` rows of the
+        doc_id-sorted forward index (pushed In(doc_id) point lookups,
+        driver receives fb_docs arrays — never corpus data), then one
+        normal weighted search over |query| + fb_terms terms."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        initial = self.search(query, k=fb_docs, method="dataframe").collect()
+        if not initial:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        total = sum(r["score"] for r in initial) or 1.0
+        p_dq = {r["doc_id"]: r["score"] / total for r in initial}
+        if self.cat.is_committed("doc_terms_fwd"):
+            fwd = (
+                self.cat.read(self.spark, "doc_terms_fwd")
+                .filter(F.col("doc_id").isin(list(p_dq)))
+                .select("doc_id", "terms", "tfs", "dl")
+                .collect()
+            )
+            doc_terms = [
+                (r["doc_id"], zip(r["terms"], r["tfs"]), r["dl"]) for r in fwd
+            ]
+        elif self.cat.is_committed("term_vectors"):
+            tv = (
+                self.cat.read(self.spark, "term_vectors")
+                .filter(F.col("doc_id").isin(list(p_dq)))
+                .select("doc_id", "term", "tf")
+                .collect()
+            )
+            by_doc: dict[int, list] = {}
+            for r in tv:
+                by_doc.setdefault(r["doc_id"], []).append((r["term"], r["tf"]))
+            doc_terms = [
+                (d, pairs, sum(tf for _, tf in pairs))
+                for d, pairs in by_doc.items()
+            ]
+        else:
+            raise ValueError(
+                "RM3 needs a forward index: build with materialize_forward"
+                "=True (default) or store_term_vectors=True"
+            )
+        rm1: dict[str, float] = {}
+        for doc, pairs, dl in doc_terms:
+            w_d = p_dq.get(doc, 0.0)
+            if not dl or not w_d:
+                continue
+            for t, tf in pairs:
+                rm1[t] = rm1.get(t, 0.0) + w_d * (tf / dl)
+        top = sorted(rm1.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
+        weights = {t: alpha * w for t, w in top}
+        for t in terms:
+            weights[t] = weights.get(t, 0.0) + (1.0 - alpha) / len(terms)
+        # zero-weight terms (alpha=0 expansion, alpha=1 originals absent
+        # from RM1) must not widen the candidate set — same boost>0 rule
+        # as search_fuzzy
+        weights = {t: w for t, w in weights.items() if w > 0.0}
+        return self.search_boolean(
+            should=sorted(weights), boosts=weights, k=k
+        )
+
     def search_conversations(
         self, query: str, k: int = 10, agg: str = "max"
     ) -> DataFrame:

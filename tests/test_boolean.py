@@ -89,6 +89,32 @@ def test_dismax(spark, idx):
         assert dm0[d] - 1e-9 <= v <= dm1[d] + 1e-9
 
 
+def test_rm3_feedback(spark, idx):
+    s = Searcher(spark, idx)
+    # alpha=0: only the uniform original-query model -> same ranking as
+    # plain OR, scores scaled by 1/|q|
+    plain = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.search("join merge", k=10, method="dataframe").collect()
+    ]
+    rm0 = [
+        (r["doc_id"], round(r["score"] * 2, 9))  # |q| = 2
+        for r in s.search_rm3("join merge", k=10, alpha=0.0).collect()
+    ]
+    assert rm0 == plain
+    # alpha>0: feedback docs for 'spark' (only doc 0) co-contain
+    # join/merge/vector/window -> expansion must surface docs that never
+    # contain 'spark' (e.g. doc 5 'scan scan scan' stays absent, doc 1
+    # join/merge appears)
+    got = {r["doc_id"] for r in s.search_rm3("spark", k=10, alpha=0.5).collect()}
+    assert 0 in got and 1 in got and 4 in got
+    assert 5 not in got
+    # expansion terms carry weight: doc ordering still deterministic
+    r1 = [r["doc_id"] for r in s.search_rm3("spark", k=10, alpha=0.5).collect()]
+    r2 = [r["doc_id"] for r in s.search_rm3("spark", k=10, alpha=0.5).collect()]
+    assert r1 == r2
+
+
 def test_conjunction_missing_term_empty(spark, idx):
     s = Searcher(spark, idx)
     assert s.search("join zzznothere", operator="and").count() == 0
