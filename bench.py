@@ -76,6 +76,21 @@ BENCH_QUERIES = [
     "media_features",
 ]
 
+# New round-2 ops timed SEPARATELY (queries_extra) so the headline
+# `queries`/`value` numbers stay round-over-round comparable.
+EXTRA_QUERIES = [
+    "gopher_filter",
+    "normalize_text",
+    "script_profile",
+    "line_dedup",
+    "semantic_dedup",
+    "asof_join",
+    "rolling_stats",
+    "ccnet_buckets",
+    "ann_sq_topk",
+    "dismax_topk",
+]
+
 
 def make_session(cores: int):
     from pyspark.sql import SparkSession
@@ -312,9 +327,19 @@ def main():
         file=sys.stderr,
     )
     queries, noise_control = run_queries(spark)
+    from nlp4l_spark import entry_queries as eq
+
+    extras: dict[str, float] = {}
+    for name in EXTRA_QUERIES:
+        fn = eq.REGISTRY[name][0]
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        extras[name] = round(time.time() - t0, 3)
+        print(f"  extra {name}: {extras[name]}s ({n} rows)", file=sys.stderr)
     spark.stop()
 
     result["queries"] = queries
+    result["queries_extra"] = extras
     result["noise_control"] = noise_control
     result["value"] = round(sum(queries.values()) + build_secs, 3)
     result["build"] = {
