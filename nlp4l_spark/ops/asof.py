@@ -39,7 +39,9 @@ def asof_join(
     ``<col><suffix>`` per requested right column.
 
     Both inputs must share the ``on`` and ``by`` column names; other
-    columns may differ freely."""
+    columns may differ freely. If the right side has duplicate
+    (by, on) rows the one with the largest payload struct wins —
+    deterministic at any parallelism (see the window comment)."""
     by = list(by)
     if right_cols is None:
         right_cols = [
@@ -71,9 +73,15 @@ def asof_join(
         payload.alias("_r"),
     )
     u = l_tagged.unionByName(r_tagged)
+    # `_r` as the final sort key makes the result deterministic when the
+    # right side has duplicate (by, on) rows: the largest payload struct
+    # wins (a meaningful distributed contract — pandas merge_asof's
+    # "last in input order" has no analogue once rows are shuffled).
+    # Left rows sort as null-first within their (on, _side) slot, which
+    # never reorders them relative to right rows.
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(F.col(on).asc(), F.col("_side").asc(), F.col("_r").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last("_r", ignorenulls=True).over(w)

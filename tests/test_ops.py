@@ -342,6 +342,53 @@ def test_asof_join(spark):
     assert "Join" not in plan and "CartesianProduct" not in plan
 
 
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized cross-check: asof_join == pandas.merge_asof (backward,
+    inclusive) on seeded random event sets with unique (key, ts) pairs;
+    plus determinism under repartition with duplicate right timestamps."""
+    import numpy as np
+    import pandas as pd
+
+    from nlp4l_spark.ops.asof import asof_join
+
+    rng = np.random.RandomState(7)
+    for trial in range(4):
+        keys = rng.randint(0, 4, size=60)
+        ts = rng.choice(10_000, size=60, replace=False)  # unique ts
+        side = rng.rand(60) < 0.5
+        lpd = pd.DataFrame(
+            {"k": keys[side], "ts": ts[side], "lid": np.arange(side.sum())}
+        ).sort_values("ts")
+        rpd = pd.DataFrame(
+            {"k": keys[~side], "ts": ts[~side], "v": rng.rand((~side).sum()).round(3)}
+        ).sort_values("ts")
+        want = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="backward")
+        ldf = spark.createDataFrame(lpd, "k long, ts long, lid long")
+        rdf = spark.createDataFrame(rpd, "k long, ts long, v double")
+        got = {
+            r["lid"]: r["v_r"]
+            for r in asof_join(ldf, rdf, on="ts", by=("k",), right_cols=("v",)).collect()
+        }
+        for _, row in want.iterrows():
+            g = got[row["lid"]]
+            if pd.isna(row["v"]):
+                assert g is None, (trial, row["lid"])
+            else:
+                assert g == row["v"], (trial, row["lid"])
+    # duplicate right (k, ts): largest payload struct wins, at any layout
+    ldf = spark.createDataFrame([(1, 10, 0)], "k long, ts long, lid long")
+    rdf = spark.createDataFrame(
+        [(1, 5, 1.0), (1, 5, 9.0), (1, 5, 4.0)], "k long, ts long, v double"
+    )
+    outs = set()
+    for nparts in (1, 3, 7):
+        r = asof_join(
+            ldf, rdf.repartition(nparts), on="ts", by=("k",), right_cols=("v",)
+        ).collect()[0]
+        outs.add((r["ts_r"], r["v_r"]))
+    assert outs == {(5, 9.0)}
+
+
 def test_normalize_text(spark):
     from nlp4l_spark.ops import textqc
 
@@ -367,6 +414,35 @@ def test_normalize_text(spark):
     # and still applies the JVM steps
     got = textqc.normalize_text(df, nfc=False).collect()[0]["norm_text"]
     assert '"x" "y" - z end' in got
+
+
+def test_dedup_lines_random_vs_reference(spark):
+    """Randomized cross-check against a sequential pure-Python reference:
+    line-level first-occurrence dedup is order-deterministic, so the
+    distributed result must equal the single-threaded one exactly —
+    including under repartition."""
+    import numpy as np
+
+    from nlp4l_spark.ops import textqc
+
+    rng = np.random.RandomState(11)
+    vocab = [f"l{j}" for j in range(12)]  # small pool -> many collisions
+    docs = []
+    for d in range(40):
+        n = rng.randint(1, 6)
+        docs.append((d, "\n".join(rng.choice(vocab, size=n))))
+    seen: set[str] = set()
+    want = {}
+    for d, text in docs:  # reference: global first-occurrence by (doc, pos)
+        kept = []
+        for line in text.split("\n"):
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        want[d] = "\n".join(kept)
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(5)
+    got = {r["doc_id"]: r["clean_text"] for r in textqc.dedup_lines(df).collect()}
+    assert got == want
 
 
 def test_gopher_filter(spark):
