@@ -1248,6 +1248,32 @@ ORDER BY cnt DESC, event_type ASC LIMIT 3
 """
 
 
+FUNNEL = ["view", "click", "purchase"]
+
+
+def q_funnel_steps(spark, sf_dir):
+    """Ordered view→click→purchase funnel per user (subsequence
+    semantics, greedy earliest match — processors.funnel_steps)."""
+    ev = _events(spark, sf_dir)
+    return processors.funnel_steps(ev, "user_id", "ts", "event_type", FUNNEL)
+
+
+O_FUNNEL_STEPS = """
+WITH e AS (SELECT user_id, floor(epoch(ts))::BIGINT AS sec, event_type
+           FROM events),
+s1 AS (SELECT user_id, min(sec) AS t_1 FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(sec) AS t_2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND sec > t_1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(sec) AS t_3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND sec > t_2 GROUP BY e.user_id)
+SELECT s1.user_id,
+       (1 + (t_2 IS NOT NULL)::int + (t_3 IS NOT NULL)::int) AS reached,
+       t_1, t_2, t_3
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
 def q_rolling_stats(spark, sf_dir):
     """Trailing 30-min per-user aggregates over the event stream (count /
     sum / mean of value), one RANGE-frame window pass — see
@@ -3286,6 +3312,7 @@ REGISTRY: dict[str, tuple] = {
     "sessionize": (q_sessionize, O_SESSIONIZE),
     "asof_join": (q_asof_join, O_ASOF_JOIN),
     "rolling_stats": (q_rolling_stats, O_ROLLING_STATS),
+    "funnel_steps": (q_funnel_steps, O_FUNNEL_STEPS),
     "event_transitions": (q_event_transitions, O_EVENT_TRANSITIONS),
     "redact_pii": (q_redact_pii, O_REDACT_PII),
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
@@ -3377,7 +3404,7 @@ _DRIVER_ORDER = [
     "chunk_documents", "resample_weighted", "corpus_profile",
     "total_count", "validator_unique", "select_features", "term_range_search", "prefix_search",
     "term_positions", "event_transitions", "kea_features", "count_prefix", "replay",
-    "media_features", "sessionize", "asof_join", "rolling_stats", "ann_cosine_topk", "count_docset", "dict_match",
+    "media_features", "sessionize", "asof_join", "rolling_stats", "funnel_steps", "ann_cosine_topk", "count_docset", "dict_match",
     "wordcount_df", "tf_vectors", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
     "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",

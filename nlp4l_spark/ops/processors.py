@@ -204,6 +204,51 @@ def sessionize(
     )
 
 
+def funnel_steps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str] | tuple[str, ...],
+) -> DataFrame:
+    """Ordered-funnel analysis: for each key (user/session), how far
+    through the ordered ``steps`` sequence its event history gets, where
+    step k counts only if it occurs strictly AFTER the matched step k-1
+    (subsequence semantics — the product-analytics funnel). Greedy
+    earliest-match is exact for subsequence existence, so the
+    implementation is per-step: t1 = min ts of step 1, t2 = min ts of
+    step 2 with ts > t1, ... Returns one row per key that ENTERED the
+    funnel (matched step 1): (key_col, reached, t_1..t_n epoch seconds,
+    nulls from the step where the funnel breaks).
+
+    Plan shape: one filtered min-aggregate per step (n_steps small,
+    fixed) joined on the key — every join is key-equality on
+    already-aggregated (one row per key) sides; the raw event table is
+    scanned once per step with the step filter pushed down, never
+    self-joined at event granularity."""
+    secs = F.col(ts_col).cast("timestamp").cast("long")
+    ev = df.select(F.col(key_col), secs.alias("_sec"), F.col(type_col))
+    out = None
+    prev_t = None
+    for i, step in enumerate(steps, start=1):
+        side = ev.filter(F.col(type_col) == step)
+        if out is None:
+            agg = side.groupBy(key_col).agg(F.min("_sec").alias(f"t_{i}"))
+            out = agg
+        else:
+            joined = side.join(
+                out.select(key_col, F.col(f"t_{prev_t}")), key_col
+            ).filter(F.col("_sec") > F.col(f"t_{prev_t}"))
+            agg = joined.groupBy(key_col).agg(F.min("_sec").alias(f"t_{i}"))
+            out = out.join(agg, key_col, "left")
+        prev_t = i
+    reached = sum(
+        (F.col(f"t_{i}").isNotNull().cast("int") for i in range(1, len(steps) + 1)),
+        F.lit(0),
+    )
+    return out.select(key_col, reached.alias("reached"), *[f"t_{i}" for i in range(1, len(steps) + 1)])
+
+
 def rolling_stats(
     df: DataFrame,
     key_col: str,

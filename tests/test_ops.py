@@ -287,6 +287,38 @@ def test_script_profile(spark):
     assert out[4]["script"] == "latin" and out[4]["digit_frac"] == 0.5
 
 
+def test_funnel_steps(spark):
+    import datetime as dt
+
+    from nlp4l_spark.ops import processors
+
+    t = lambda s: dt.datetime(2026, 1, 1) + dt.timedelta(seconds=s)
+    rows = [
+        # u1: full funnel in order
+        ("u1", t(1), "view"), ("u1", t(2), "click"), ("u1", t(3), "buy"),
+        # u2: click BEFORE view -> funnel stalls at view
+        ("u2", t(1), "click"), ("u2", t(2), "view"),
+        # u3: view then buy, no click -> reached 1
+        ("u3", t(1), "view"), ("u3", t(5), "buy"),
+        # u4: never views -> absent from output
+        ("u4", t(1), "click"), ("u4", t(2), "buy"),
+        # u5: view & click SIMULTANEOUS -> strict > excludes the click
+        ("u5", t(1), "view"), ("u5", t(1), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+    out = {
+        r["user_id"]: r
+        for r in processors.funnel_steps(
+            df, "user_id", "ts", "event_type", ["view", "click", "buy"]
+        ).collect()
+    }
+    assert set(out) == {"u1", "u2", "u3", "u5"}
+    assert out["u1"]["reached"] == 3 and out["u1"]["t_3"] is not None
+    assert out["u2"]["reached"] == 1 and out["u2"]["t_2"] is None
+    assert out["u3"]["reached"] == 1
+    assert out["u5"]["reached"] == 1  # strict ordering, ties don't count
+
+
 def test_rolling_stats(spark):
     import datetime as dt
 
