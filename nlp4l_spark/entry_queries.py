@@ -2057,17 +2057,17 @@ WITH w AS (SELECT doc_id, text,
 f AS (SELECT doc_id,
         len(tk) AS n_words,
         list_aggregate(list_transform(tk, x -> len(x)), 'sum')::double
-            / len(tk) AS mwl,
+            / greatest(len(tk), 1) AS mwl,
         ((len(text) - len(replace(text, '#', '')))
          + (len(text) - len(replace(text, '...', ''))) / 3
          + (len(text) - len(replace(text, '…', ''))))::double
-            / len(tk) AS sym,
+            / greatest(len(tk), 1) AS sym,
         len(list_filter(lns, l -> regexp_matches(trim(l), '^[•\-\*]')))::double
             / len(lns) AS bullet,
         len(list_filter(lns, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))::double
             / len(lns) AS ell,
         len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]')))::double
-            / len(tk) AS alpha,
+            / greatest(len(tk), 1) AS alpha,
         len(list_filter(['the','be','to','of','and','that','have','with'],
               s -> list_contains(list_transform(tk, x -> lower(x)), s)))
             AS n_stop

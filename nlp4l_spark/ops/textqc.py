@@ -983,8 +983,11 @@ def gopher_filter(
     stops = ("the", "be", "to", "of", "and", "that", "have", "with")
     tk = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
     n_words = F.size(tk)
+    # empty docs: guard every /n_words division (ANSI mode raises on /0);
+    # the word-count rule already fails them, so keep is false either way
+    safe_w = F.greatest(n_words, F.lit(1)).cast("double")
     total_len = F.aggregate(tk, F.lit(0), lambda a, w: a + F.length(w))
-    mean_wl = total_len.cast("double") / n_words
+    mean_wl = total_len.cast("double") / safe_w
     txt = F.col(text_col)
     n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
     n_ell = (
@@ -992,7 +995,7 @@ def gopher_filter(
     ) / F.lit(3) + (
         F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit("")))
     )
-    symbol_ratio = (n_hash + n_ell).cast("double") / n_words
+    symbol_ratio = (n_hash + n_ell).cast("double") / safe_w
     lines = F.split(txt, "\n")
     n_lines = F.size(lines)
     bullet_frac = (
@@ -1016,7 +1019,7 @@ def gopher_filter(
     ltk = F.transform(tk, F.lower)
     alpha_frac = (
         F.size(F.filter(tk, lambda w: w.rlike("[a-zA-Z]"))).cast("double")
-        / n_words
+        / safe_w
     )
     n_stop = F.size(
         F.filter(

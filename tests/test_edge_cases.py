@@ -93,3 +93,32 @@ def test_unicode_text_survives_roundtrip(spark, tmp_path):
     # ASCII subtokens of the unicode doc are still indexed
     s = Searcher(spark, str(tmp_path / "uni"))
     assert {h["doc_id"] for h in s.search("mixed", k=5).collect()} == {0}
+
+
+def test_new_ops_degenerate_inputs(spark):
+    """Empty / whitespace / null text and empty sides must not crash any
+    of the session's new ops (ANSI mode turns silent /0 into task
+    failures — gopher_filter had exactly that bug)."""
+    from nlp4l_spark.ops import textqc
+    from nlp4l_spark.ops.asof import asof_join
+
+    deg = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, None), (3, "one real doc here")],
+        "doc_id long, text string",
+    )
+    g = {r["doc_id"]: r for r in textqc.gopher_filter(deg).collect()}
+    assert g[0]["n_words"] == 0 and g[0]["keep"] is False
+    assert g[1]["n_words"] == 0 and g[1]["keep"] is False
+    assert g[3]["n_words"] == 4
+    s = {r["doc_id"]: r["script"] for r in textqc.script_profile(deg).collect()}
+    assert s[0] == "other" and s[2] == "other"
+    n = {r["doc_id"]: r["norm_text"] for r in textqc.normalize_text(deg).collect()}
+    assert n[0] == "" and n[1] == "" and n[2] is None
+    ld = {r["doc_id"]: r for r in textqc.dedup_lines(deg.fillna({"text": ""})).collect()}
+    assert ld[3]["n_kept"] == 1  # '' line deduped after doc 0 claims it
+    assert ld[1]["clean_text"] == "   "  # whitespace line is a distinct line
+    # asof with an empty right side: all left rows survive unmatched
+    left = spark.createDataFrame([(1, 10, 0)], "k long, ts long, lid long")
+    right = spark.createDataFrame([], "k long, ts long, v double")
+    out = asof_join(left, right, on="ts", by=("k",), right_cols=("v",)).collect()
+    assert len(out) == 1 and out[0]["v_r"] is None
