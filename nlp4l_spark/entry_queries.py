@@ -2197,6 +2197,28 @@ FROM m
 """
 
 
+def q_top_per_lang(spark, sf_dir):
+    """Top-5 docs per language by quality score (deterministic tie-break
+    by doc_id) — the 'best N per stratum for the training mix' pass;
+    textqc.top_k_per_group."""
+    scored = textqc.quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "quality"
+    )
+    return textqc.top_k_per_group(scored, "lang", "quality", 5)
+
+
+O_TOP_PER_LANG = f"""
+WITH qx AS ({O_QUALITY}),
+q AS (SELECT d.doc_id, d.lang, qx.quality
+      FROM qx JOIN documents d USING (doc_id)),
+r AS (SELECT doc_id, lang, quality,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY quality DESC, doc_id ASC) AS rank
+      FROM q)
+SELECT doc_id, lang, quality, rank::int AS rank FROM r WHERE rank <= 5
+"""
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet head/middle/tail perplexity buckets per language (exact
     per-lang nll terciles over the corpus-trained unigram LM). See
@@ -3342,6 +3364,7 @@ REGISTRY: dict[str, tuple] = {
     "gopher_filter": (q_gopher_filter, O_GOPHER_FILTER),
     "normalize_text": (q_normalize_text, O_NORMALIZE_TEXT),
     "script_profile": (q_script_profile, O_SCRIPT_PROFILE),
+    "top_per_lang": (q_top_per_lang, O_TOP_PER_LANG),
     "filter_percentile": (q_filter_percentile, O_FILTER_PERCENTILE),
     "lm_perplexity": (q_lm_perplexity, O_LM_PERPLEXITY),
     "ccnet_buckets": (q_ccnet_buckets, O_CCNET_BUCKETS),
@@ -3395,7 +3418,7 @@ _DRIVER_ORDER = [
     "sort_paging", "fingerprint", "label_map", "lang_id", "rate_to_label",
     "stop_filter", "props_parse", "stats_moments", "token_count", "quality_score",
     "sample_stratified", "length_percentiles", "merge_records", "redact_pii", "acronym_candidates",
-    "clean_lines", "filter_percentile", "line_dedup", "gopher_filter", "normalize_text", "script_profile",
+    "clean_lines", "filter_percentile", "line_dedup", "gopher_filter", "normalize_text", "script_profile", "top_per_lang",
     "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words", "click_rate",
     "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
     "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",

@@ -838,6 +838,39 @@ def dedup_lines(
     )
 
 
+# ---- per-group top-k selection -------------------------------------------- #
+def top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    *,
+    ascending: bool = False,
+) -> DataFrame:
+    """Keep the top-``k`` rows per group by score (ties broken by
+    ``id_col`` ascending, so the selection is deterministic at any
+    parallelism) — the 'best N docs per language/source for the training
+    mix' pass. Adds ``rank`` (1-based within group).
+
+    One window over the group key: Spark inserts a rank-limit
+    (WindowGroupLimit) before the full sort when a row_number filter is
+    detected, so per-group work is O(k) retained rows, not a full
+    per-group sort of the corpus."""
+    from pyspark.sql import Window
+
+    order = (
+        [F.col(score_col).asc(), F.col(id_col).asc()]
+        if ascending
+        else [F.col(score_col).desc(), F.col(id_col).asc()]
+    )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # ---- script / writing-system profiling ----------------------------------- #
 # char-class regexes built from codepoints so Java regex (Spark) and RE2
 # (DuckDB) read the identical pattern text

@@ -264,6 +264,24 @@ def test_dedup_lines(spark):
     assert (out[2]["n_lines"], out[2]["n_kept"]) == (1, 0)
 
 
+def test_top_k_per_group(spark):
+    from nlp4l_spark.ops import textqc
+
+    rows = [(i, "g" + str(i % 2), float(i % 7)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    out = textqc.top_k_per_group(df, "lang", "score", 3, id_col="doc_id")
+    got = {(r["lang"], r["rank"]): (r["doc_id"], r["score"]) for r in out.collect()}
+    assert len(got) == 6
+    # g0 scores: max 6.0 at doc 6 and 20... ties by lowest doc_id first
+    assert got[("g0", 1)] == (6, 6.0)
+    assert got[("g0", 2)] == (20, 6.0)
+    # the rank filter compiles to a group-limit before the full sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    asc = textqc.top_k_per_group(df, "lang", "score", 1, ascending=True)
+    assert {r["score"] for r in asc.collect()} == {0.0}
+
+
 def test_script_profile(spark):
     from nlp4l_spark.ops import textqc
 
