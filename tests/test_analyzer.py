@@ -81,3 +81,64 @@ def test_term_counts_udf(spark):
         got = dict(zip(row["tc"]["terms"], row["tc"]["tfs"]))
         assert got == dict(expected)
         assert row["tc"]["dl"] == sum(expected.values())
+
+
+# ---------------- Porter stemming ---------------------------------------- #
+def test_porter_stem_canonical_outputs():
+    from nlp4l_spark.analysis.stem import porter_stem
+
+    # full-pipeline outputs from Porter's published voc/output list
+    golden = {
+        "caresses": "caress", "flies": "fli", "dies": "di", "mules": "mule",
+        "denied": "deni", "died": "di", "agreed": "agre", "owned": "own",
+        "humbled": "humbl", "sized": "size", "meetings": "meet",
+        "stating": "state", "siezing": "siez", "itemization": "item",
+        "sensational": "sensat", "traditional": "tradit",
+        "reference": "refer", "colonizer": "colon", "plotted": "plot",
+        "conditional": "condit", "rational": "ration",
+        "electrical": "electr", "hopefulness": "hope",
+        "relational": "relat", "operator": "oper", "feudalism": "feudal",
+        "happy": "happi", "sky": "sky", "cats": "cat", "roll": "roll",
+        "controlling": "control", "generalization": "gener",
+        "oscillators": "oscil",
+    }
+    for w, want in golden.items():
+        assert porter_stem(w) == want, w
+    # short words untouched
+    assert porter_stem("is") == "is" and porter_stem("by") == "by"
+
+
+def test_porter_analyzer_index_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nlp4l_spark.analysis.stem import PorterAnalyzer
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.search import Searcher
+
+    az = PorterAnalyzer(stopwords=frozenset({"the"}))
+    docs = [
+        (0, "the runner was running races"),
+        (1, "he runs a race"),
+        (2, "nothing related here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("u").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    d = str(tmp_path / "stemidx")
+    IndexBuilder(analyzer=az, sort_cols=("conv_id", "turn_idx")).build(df, d)
+    s = Searcher(spark, d, analyzer=az)
+    # 'running' and 'runs' both stem to 'run' -> cross-form recall
+    got = {r["doc_id"] for r in s.search("running", k=10).collect()}
+    assert got == {0, 1}
+    got2 = {r["doc_id"] for r in s.search("races", k=10).collect()}
+    assert got2 == {0, 1}  # races/race -> race
+    # the SQL engine is deliberately absent
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        az.tokens_expr("text")
