@@ -1996,9 +1996,12 @@ def q_line_dedup(spark, sf_dir):
     corpus. The small shared vocabulary makes 8-token lines repeat
     across docs (~5% of line occurrences at sf0.01 are repeats), so the
     drop path is exercised; the keep-first rule is deterministic, so the
-    DuckDB oracle recomputes the exact surviving text per doc."""
+    DuckDB oracle recomputes the exact surviving text per doc. Empty/
+    whitespace-only docs derive ZERO lines (token filter + nc guard),
+    matching the oracle's regexp_extract_all-based derivation, and are
+    excluded up front — in both engines they'd contribute no rows."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    tk = F.split(F.trim(F.col("text")), r"\s+")
+    tk = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
     nc = F.ceil(F.size(tk) / F.lit(8)).cast("int")
     line = lambda i: F.concat(
         F.array_join(F.slice(tk, i * 8 + 1, 8), " "),
@@ -2006,7 +2009,7 @@ def q_line_dedup(spark, sf_dir):
         .when(i % 3 == 1, F.lit(""))
         .otherwise(F.lit(" {")),
     )
-    multi = docs.select(
+    multi = docs.filter(nc >= 1).select(
         "doc_id",
         F.array_join(
             F.transform(F.sequence(F.lit(0), nc - 1), line), "\n"

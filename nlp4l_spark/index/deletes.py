@@ -84,13 +84,24 @@ def delete_by_term(
     return delete_docs(spark, index_dir, docs)
 
 
-def expunge_deletes(spark: SparkSession, index_dir: str) -> int:
+def expunge_deletes(
+    spark: SparkSession, index_dir: str, builder=None
+) -> int:
     """Lucene ``forceMergeDeletes``: rewrite the index without the
     tombstoned docs. Stats (num_docs, df, avgdl) are recomputed and doc
     ids renumbered (dense 0..n-1 under the original sort order — Lucene
     merges renumber docids identically). Builds into a sibling temp dir
-    via the normal resumable build, then atomically swaps directories.
-    Returns the number of surviving docs."""
+    via the normal resumable build, then swaps directories (old dir is
+    renamed aside first, so a crash mid-swap leaves either the old or
+    the new index recoverable on disk — never neither).
+
+    ``builder``: the IndexBuilder the index was ORIGINALLY built with —
+    required whenever the build used a non-default analyzer, text_col or
+    sort_cols (a default rebuild would silently re-tokenize with the
+    standard analyzer and break, e.g., stemmed-analyzer searches). When
+    omitted, a default builder is used with the term_vectors/positions
+    flags recovered from the existing tables. Returns the number of
+    surviving docs."""
     from nlp4l_spark.index.builder import IndexBuilder
 
     cat = IndexCatalog(index_dir)
@@ -99,18 +110,22 @@ def expunge_deletes(spark: SparkSession, index_dir: str) -> int:
     stored = cat.read(spark, "stored")
     tomb = cat.read(spark, "tombstones").select("doc_id")
     survivors = stored.join(tomb, "doc_id", "left_anti").drop("doc_id")
-    builder = IndexBuilder(
-        store_term_vectors=cat.is_committed("term_vectors"),
-        store_positions=cat.is_committed("pos_postings"),
-    )
+    if builder is None:
+        builder = IndexBuilder(
+            store_term_vectors=cat.is_committed("term_vectors"),
+            store_positions=cat.is_committed("pos_postings"),
+        )
     tmp = index_dir.rstrip("/") + ".expunge"
+    old = index_dir.rstrip("/") + ".expunged-old"
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     # the old directory is only read by the build's FIRST stage (the new
     # 'stored' snapshot); every later stage reads tmp's own tables, and
     # the swap happens only after the whole build commits — no
     # corpus-sized driver materialization needed
     new_cat = builder.build(survivors, tmp)
     n = int(new_cat.manifest("doc_lens")["counters"]["num_docs"])
-    shutil.rmtree(index_dir)
+    os.rename(index_dir, old)  # keep the old index until the new is live
     os.rename(tmp, index_dir)
+    shutil.rmtree(old)
     return n

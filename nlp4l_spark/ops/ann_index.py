@@ -474,6 +474,21 @@ def pq_topk(
 
 
 # ---- int8 scalar quantization (FAISS SQ8 shape) -------------------------- #
+def _sq_normalized(vec_col: str):
+    """L2-normalized vector expression; a zero vector stays all-zero
+    (norm guarded to 1.0 — the same nrm==0 -> 1.0 rule the NumPy paths
+    use) instead of poisoning the fit with NaN per dimension."""
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    safe = F.when(nrm == 0.0, F.lit(1.0)).otherwise(nrm)
+    return F.transform(F.col(vec_col), lambda x: x.cast("double") / safe)
+
+
 def fit_sq(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -485,14 +500,7 @@ def fit_sq(
     of engine, partitioning, and visit order (unlike k-means this needs
     no seed). One posexplode + a d-row groupBy — the collected state is
     2·d floats, never corpus-proportional."""
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    )
-    nv = F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)
+    nv = _sq_normalized(vec_col)
     rows = (
         df.select(F.posexplode(nv).alias("i", "x"))
         .groupBy("i")
@@ -517,17 +525,13 @@ def sq_encode(
     [0, 255] — floor(v + 0.5) instead of round() so both engines share
     one rounding rule. Pure JVM HOFs (two zip_with + one transform), no
     Python stage; the stored codes are d bytes vs 4·d float bytes."""
-    inv = np.where(scales > 0, 255.0 / scales, 0.0)
+    scales = np.asarray(scales, dtype=np.float64)
+    inv = np.divide(
+        255.0, scales, out=np.zeros_like(scales), where=scales > 0
+    )
     mins_lit = F.array(*[F.lit(float(v)) for v in mins])
     inv_lit = F.array(*[F.lit(float(v)) for v in inv])
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-    )
-    nv = F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)
+    nv = _sq_normalized(vec_col)
     scaled = F.zip_with(
         F.zip_with(nv, mins_lit, lambda x, mn: x - mn),
         inv_lit,

@@ -48,6 +48,17 @@ def asof_join(
             c for c in right.columns if c != on and c not in by
         ]
     right_cols = list(right_cols)
+    reserved = {"_side", "_l", "_r", "_m"}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(f"left columns collide with internals: {sorted(clash)}")
+    out_names = {f"{on}{suffix}", *(f"{c}{suffix}" for c in right_cols)}
+    clash = out_names & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"left columns collide with output names {sorted(clash)}; "
+            "pass a different suffix"
+        )
     payload = F.struct(
         F.col(on).alias(on), *[F.col(c).alias(c) for c in right_cols]
     )

@@ -805,7 +805,10 @@ def dedup_lines(
     independent. Within-doc repeats of a line are deduped by the same
     rule. Returns one row per input doc: (id_col, n_lines, n_kept,
     clean_text) with surviving lines re-joined in original order; docs
-    whose every line was seen earlier get clean_text = ''.
+    whose every line was seen earlier get clean_text = ''. ``sep`` is a
+    LITERAL separator (quoted for the split regex, used verbatim for the
+    re-join); null text is treated as the empty string (one empty line),
+    so the row survives.
 
     Plan shape: explode -> ONE shuffle on the line key (window
     row_number picks the global first occurrence) -> one shuffle back on
@@ -819,7 +822,12 @@ def dedup_lines(
 
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")),
+                "\\Q" + sep + "\\E",  # literal split, matching the re-join
+            )
+        ).alias("pos", "line"),
     )
     w = Window.partitionBy("line").orderBy(id_col, "pos")
     flagged = lines.withColumn("rn", F.row_number().over(w))
@@ -1154,6 +1162,7 @@ def ccnet_buckets(
     *,
     analyzer: Analyzer | None = None,
     alpha: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): score
     every doc with the corpus-trained unigram LM (lm_score), then split
@@ -1165,7 +1174,14 @@ def ccnet_buckets(
     Plan shape: the lm_score pass plus ONE language-sized percentile
     aggregate broadcast back onto the scored rows — the corpus itself is
     never shuffled for the bucketing. Exact interpolated ``percentile``
-    matches DuckDB's ``quantile_cont`` for the oracle."""
+    matches DuckDB's ``quantile_cont`` for the oracle.
+
+    Both the threshold aggregate and the output read the scored rows, so
+    by default the narrow (id, lang, n_tokens, nll) table is eagerly
+    materialized once (the LM pass would otherwise run twice — once per
+    branch). At extreme scale write lm_score's output to a table and
+    pass ``materialize=False`` (the checkpoint holds per-doc scores,
+    which is the artifact you persist anyway)."""
     scored = lm_score(
         df,
         text_col,
@@ -1174,6 +1190,8 @@ def ccnet_buckets(
         alpha=alpha,
         carry_cols=(lang_col,),
     )
+    if materialize:
+        scored = scored.localCheckpoint(eager=True)
     third, two_thirds = 1.0 / 3.0, 2.0 / 3.0
     thr = F.broadcast(
         scored.filter(F.col("nll").isNotNull())

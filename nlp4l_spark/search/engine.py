@@ -897,7 +897,7 @@ class Searcher:
             )
         n_spans = F.size(F.filter(F.col("_pa"), pair_ok))
         return (
-            pa.join(pb, "doc_id")
+            self._not_deleted(pa.join(pb, "doc_id"))
             .select("doc_id", n_spans.cast("long").alias("n_spans"))
             .filter(F.col("n_spans") > 0)
             .orderBy(F.asc("doc_id"))

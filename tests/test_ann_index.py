@@ -209,6 +209,18 @@ def test_sq_rerank_equals_exact(spark):
     assert scales2[-1] == 0.0
     top = sq_topk(emb2, q2, mins2, scales2, k=3, rerank=16).collect()
     assert top[0]["vec_id"] == 7  # self still first
+    # an all-zero vector in the corpus must not poison the per-dim fit
+    # with NaN (norm guarded to 1.0, like the NumPy paths)
+    import numpy as np
+
+    zero_row = emb.sparkSession.createDataFrame(
+        [(99999, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    emb3 = emb.select("vec_id", "embedding").unionByName(zero_row)
+    mins3, scales3 = fit_sq(emb3)
+    assert not np.isnan(mins3).any() and not np.isnan(scales3).any()
+    top3 = sq_topk(emb3, qvec, mins3, scales3, k=3, rerank=16).collect()
+    assert top3[0]["vec_id"] == 7
 
 
 def test_ivfpq_probe_matches_ivf_probe(spark, tmp_path):

@@ -129,6 +129,40 @@ def test_expunge_rewrites_stats_and_clears_tombstones(spark, idx):
     )
 
 
+def test_span_near_honors_deletes(spark, idx):
+    s0 = Searcher(spark, idx)
+    before = {r["doc_id"] for r in s0.search_span_near("join", "merge", slop=0).collect()}
+    assert 0 in before
+    delete_docs(spark, idx, [0])
+    s = Searcher(spark, idx)
+    after = {r["doc_id"] for r in s.search_span_near("join", "merge", slop=0).collect()}
+    assert after == before - {0}
+
+
+def test_expunge_preserves_custom_analyzer(spark, tmp_path):
+    from nlp4l_spark.analysis.stem import PorterAnalyzer
+
+    az = PorterAnalyzer(stopwords=frozenset({"the"}))
+    d = str(tmp_path / "stemidx")
+    docs = [(0, "running races"), (1, "he runs"), (2, "unrelated words")]
+    df = spark.createDataFrame(docs, "doc_id long, text string").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("u").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    builder = IndexBuilder(analyzer=az, sort_cols=("conv_id", "turn_idx"))
+    builder.build(df, d)
+    delete_docs(spark, d, [2])
+    # the ORIGINAL builder must be passed, else the rebuild re-tokenizes
+    # with the standard analyzer and stemmed queries go dark
+    expunge_deletes(spark, d, builder=builder)
+    s = Searcher(spark, d, analyzer=az)
+    assert {r["doc_id"] for r in s.search("running", k=10).collect()} == {0, 1}
+
+
 def test_no_tombstones_is_a_noop(spark, idx):
     s = Searcher(spark, idx)
     assert s.deleted_ids == frozenset()

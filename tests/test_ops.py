@@ -262,6 +262,19 @@ def test_dedup_lines(spark):
     # every line of doc 2 was seen earlier -> empty, but the row survives
     assert out[2]["clean_text"] == ""
     assert (out[2]["n_lines"], out[2]["n_kept"]) == (1, 0)
+    # sep is LITERAL: '.' must not behave as regex-any
+    df2 = spark.createDataFrame(
+        [(0, "a.b"), (1, "b.c")], "doc_id long, text string"
+    )
+    out2 = {
+        r["doc_id"]: r["clean_text"]
+        for r in textqc.dedup_lines(df2, sep=".").collect()
+    }
+    assert out2 == {0: "a.b", 1: "c"}
+    # null text behaves as empty string, row survives
+    df3 = spark.createDataFrame([(0, None)], "doc_id long, text string")
+    r3 = textqc.dedup_lines(df3).collect()[0]
+    assert (r3["n_lines"], r3["clean_text"]) == (1, "")
 
 
 def test_top_k_per_group(spark):
@@ -390,6 +403,13 @@ def test_asof_join(spark):
         .toString()
     )
     assert "Join" not in plan and "CartesianProduct" not in plan
+    # reserved / output-name collisions are rejected up front
+    bad = left.withColumn("_side", F.lit(1))
+    with pytest.raises(ValueError):
+        asof_join(bad, right, on="ts", by=("k",), right_cols=("v",))
+    bad2 = left.withColumn("v_r", F.lit(1.0))
+    with pytest.raises(ValueError):
+        asof_join(bad2, right, on="ts", by=("k",), right_cols=("v",))
 
 
 def test_asof_join_matches_pandas_merge_asof(spark):
