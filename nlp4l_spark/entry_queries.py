@@ -2246,6 +2246,42 @@ FROM j LEFT JOIN thr USING (lang)
 """
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed uni+bigram
+    bag distributions fit on the English split (target) vs the rest
+    (source); every doc scored with its log importance weight. The
+    oracle re-derives the exact md5-bucket ids, add-1-smoothed
+    log-ratio model, and per-doc sums. See textqc.dsir_weights."""
+    docs = _docs(spark, sf_dir).withColumn("_tgt", F.col("lang") == "en")
+    return textqc.dsir_weights(docs, "_tgt")
+
+
+O_DSIR_WEIGHTS = f"""
+WITH fl AS (SELECT doc_id, lang = 'en' AS tgt, {TOK_SQL} AS l FROM documents),
+tk AS (SELECT doc_id, tgt, unnest(l) AS g, generate_subscripts(l, 1) AS ord
+       FROM fl),
+grams AS (SELECT doc_id, tgt, g FROM tk
+          UNION ALL
+          SELECT a.doc_id, a.tgt, a.g || ' ' || b.g
+          FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+dgt AS (SELECT doc_id, tgt, ('0x' || substr(md5(g), 1, 3))::bigint AS b,
+               count(*)::double AS tf
+        FROM grams GROUP BY 1, 2, 3),
+cnt AS (SELECT b, sum(CASE WHEN tgt THEN tf ELSE 0 END) AS ct,
+               sum(CASE WHEN NOT tgt THEN tf ELSE 0 END) AS cs
+        FROM dgt GROUP BY b),
+tot AS (SELECT sum(ct) AS t_tot, sum(cs) AS s_tot FROM cnt),
+model AS (SELECT b, ln((ct + 1.0) / (t_tot + 4096.0))
+                   - ln((cs + 1.0) / (s_tot + 4096.0)) AS lr
+          FROM cnt CROSS JOIN tot),
+sc AS (SELECT doc_id, sum(tf)::bigint AS n_grams,
+              round(sum(tf * lr), 6) AS logw
+       FROM dgt JOIN model USING (b) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(sc.n_grams, 0)::bigint AS n_grams, sc.logw
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 def q_winnow_pairs(spark, sf_dir):
     """Substring-overlap candidate pairs (copied passages) via shared
     winnowing fingerprints — equality-join dedup like the others, but at
@@ -3371,6 +3407,7 @@ REGISTRY: dict[str, tuple] = {
     "filter_percentile": (q_filter_percentile, O_FILTER_PERCENTILE),
     "lm_perplexity": (q_lm_perplexity, O_LM_PERPLEXITY),
     "ccnet_buckets": (q_ccnet_buckets, O_CCNET_BUCKETS),
+    "dsir_weights": (q_dsir_weights, O_DSIR_WEIGHTS),
     "winnow_fingerprints": (q_winnow_fingerprints, O_WINNOW),
     "winnow_pairs": (q_winnow_pairs, O_WINNOW_PAIRS),
     "repetition_features": (q_repetition_features, O_REPETITION),
@@ -3432,7 +3469,7 @@ _DRIVER_ORDER = [
     "term_positions", "event_transitions", "kea_features", "count_prefix", "replay",
     "media_features", "sessionize", "asof_join", "rolling_stats", "funnel_steps", "ann_cosine_topk", "count_docset", "dict_match",
     "wordcount_df", "tf_vectors", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
-    "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "chi2_terms", "dedup_simhash", "kea_bigrams",
+    "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "embedding_neardup",

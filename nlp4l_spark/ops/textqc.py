@@ -1211,3 +1211,101 @@ def ccnet_buckets(
         scored.join(thr, lang_col, "left")
         .select(id_col, lang_col, "n_tokens", "nll", bucket.alias("bucket"))
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    analyzer: Analyzer | None = None,
+    hash_hex: int = 3,
+) -> DataFrame:
+    """DSIR hashed n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169): fit add-1-smoothed bag-of-hashed-ngram
+    distributions p (docs where ``target_col`` is true) and q (the
+    rest), then score EVERY doc with its log importance weight
+    ``logw = sum over gram occurrences of ln p[b] - ln q[b]`` — high
+    logw = looks like the target distribution. Resampling is then a
+    top-k / Gumbel pass over logw, which callers own.
+
+    Grams are word unigrams + bigrams, hashed into B = 16**hash_hex
+    buckets via the first ``hash_hex`` hex chars of md5 (the same
+    cross-engine hashing trick as winnowing/simhash, so a DuckDB oracle
+    reproduces exact bucket ids). Output (id_col, n_grams, logw): one
+    row per input doc, gram-less docs get n_grams = 0 and null logw;
+    logw rounded to 6 decimals (sum-order tolerance, the lm_score
+    convention).
+
+    Plan shape: one tokenize+hash pass -> per-(doc, bucket) tf
+    aggregate -> a bucket-sized (<= B rows) count table whose log-ratio
+    model is BROADCAST back onto the doc-bucket rows -> per-doc sum.
+    The corpus shuffles once on (doc, bucket); the model fit is
+    map-side-combined into <= B rows per side, never corpus-sized, and
+    the only collect is the two scalar totals."""
+    from nlp4l_spark.analysis import STANDARD_ANALYZER
+
+    az = analyzer or STANDARD_ANALYZER
+    B = float(16**hash_hex)
+    tk = az.tokens_expr(text_col)
+    n = F.size(F.col("_tk"))
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("_tk"), i),
+                F.lit(" "),
+                F.element_at(F.col("_tk"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(F.col("_tk"), bigrams)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("_g")), 1, hash_hex), 16, 10
+    ).cast("long")
+    dgt = (
+        df.select(
+            F.col(id_col),
+            F.col(target_col).alias("_t"),
+            tk.alias("_tk"),
+        )
+        .select(id_col, "_t", F.explode(grams).alias("_g"))
+        .select(id_col, "_t", bucket.alias("_b"))
+        .groupBy(id_col, "_t", "_b")
+        .agg(F.count("*").cast("double").alias("_tf"))
+    )
+    cnt = dgt.groupBy("_b").agg(
+        F.sum(F.when(F.col("_t"), F.col("_tf")).otherwise(0.0)).alias("_ct"),
+        F.sum(F.when(~F.col("_t"), F.col("_tf")).otherwise(0.0)).alias("_cs"),
+    )
+    tot = cnt.agg(F.sum("_ct"), F.sum("_cs")).collect()[0]
+    t_total, s_total = float(tot[0] or 0.0), float(tot[1] or 0.0)
+    model = F.broadcast(
+        cnt.select(
+            "_b",
+            (
+                F.log((F.col("_ct") + 1.0) / F.lit(t_total + B))
+                - F.log((F.col("_cs") + 1.0) / F.lit(s_total + B))
+            ).alias("_lr"),
+        )
+    )
+    scored = (
+        dgt.join(model, "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_tf").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("_tf") * F.col("_lr")), 6).alias("logw"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            "logw",
+        )
+    )

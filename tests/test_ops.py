@@ -719,3 +719,53 @@ def test_frame_sample_plan(spark):
     plan = multimodal.frame_sample_plan(media, every_ms=1000)
     rows = plan.groupBy("media_id").count().collect()
     assert all(r["count"] >= 1 for r in rows)
+
+
+def test_dsir_weights(spark):
+    # target (tgt=True) docs are all about "spark sql", source docs about
+    # "cooking pasta"; a held-out doc matching the target vocabulary must
+    # out-weigh one matching the source vocabulary
+    rows = [
+        (0, "spark sql engine", True),
+        (1, "spark sql plans", True),
+        (2, "cooking pasta sauce", False),
+        (3, "cooking pasta dough", False),
+        (4, "spark sql wins", False),   # target-like, in the raw pool
+        (5, "cooking pasta again", False),
+        (6, "", False),                 # gram-less
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, _tgt boolean")
+    out = {r["doc_id"]: r for r in textqc.dsir_weights(df, "_tgt").collect()}
+    assert len(out) == 7
+    # n_grams = n_tokens + (n_tokens - 1) bigrams
+    assert out[0]["n_grams"] == 5
+    assert out[6]["n_grams"] == 0 and out[6]["logw"] is None
+    assert out[4]["logw"] > out[5]["logw"]
+    # pure-target docs score higher than pure-source docs
+    assert min(out[0]["logw"], out[1]["logw"]) > max(
+        out[2]["logw"], out[3]["logw"]
+    )
+    # first-principles check of one doc's weight: recompute in Python
+    # with the same md5 buckets and add-1 smoothing
+    import hashlib
+    import math
+    from collections import Counter
+
+    def grams(text):
+        toks = [t for t in text.lower().split() if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:3], 16)
+
+    ct, cs = Counter(), Counter()
+    for _, text, tgt in [(r[0], r[1], r[2]) for r in rows]:
+        for g in grams(text):
+            (ct if tgt else cs)[bucket(g)] += 1
+    t_tot, s_tot = sum(ct.values()), sum(cs.values())
+    expect = sum(
+        math.log((ct[b] + 1.0) / (t_tot + 4096.0))
+        - math.log((cs[b] + 1.0) / (s_tot + 4096.0))
+        for b in map(bucket, grams("spark sql wins"))
+    )
+    assert abs(out[4]["logw"] - round(expect, 6)) < 1e-9
