@@ -89,6 +89,7 @@ EXTRA_QUERIES = [
     "ccnet_buckets",
     "ann_sq_topk",
     "dismax_topk",
+    "dsir_weights",
 ]
 
 

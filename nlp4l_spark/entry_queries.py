@@ -2282,6 +2282,40 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+def q_bigram_lm_score(spark, sf_dir):
+    """Stupid-Backoff bigram LM scoring (Brants 2007): bigram/unigram
+    counts trained on the English split, every doc scored by mean
+    transition nll with unigram backoff for unseen bigrams — non-en
+    docs exercise the backoff path. See textqc.bigram_lm_score."""
+    docs = _docs(spark, sf_dir).withColumn("_tr", F.col("lang") == "en")
+    return textqc.bigram_lm_score(docs, "_tr")
+
+
+O_BIGRAM_LM_SCORE = f"""
+WITH fl AS (SELECT doc_id, lang = 'en' AS tr, {TOK_SQL} AS l FROM documents),
+tk AS (SELECT doc_id, tr, unnest(l) AS w, generate_subscripts(l, 1) AS ord
+       FROM fl),
+dp AS (SELECT a.doc_id, a.tr, a.w AS w1, b.w AS w2, count(*)::double AS tf
+       FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+       GROUP BY 1, 2, 3, 4),
+c12 AS (SELECT w1, w2, sum(tf) AS c12 FROM dp WHERE tr GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+bi AS (SELECT w1, w2, ln(c12 / c1) AS lnbi FROM c12 JOIN c1 USING (w1)),
+uni AS (SELECT w, count(*)::double AS cf FROM tk WHERE tr GROUP BY 1),
+tot AS (SELECT sum(cf) AS n, count(*)::double AS v FROM uni),
+sc AS (SELECT dp.doc_id, sum(tf)::bigint AS n_bigrams,
+              round(-sum(tf * coalesce(lnbi,
+                    ln(0.4 * ((coalesce(cf, 0) + 0.5) / (n + 0.5 * v)))))
+                    / sum(tf), 6) AS nll
+       FROM dp LEFT JOIN bi USING (w1, w2)
+               LEFT JOIN uni ON dp.w2 = uni.w
+               CROSS JOIN tot
+       GROUP BY dp.doc_id)
+SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::bigint AS n_bigrams, sc.nll
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 def q_winnow_pairs(spark, sf_dir):
     """Substring-overlap candidate pairs (copied passages) via shared
     winnowing fingerprints — equality-join dedup like the others, but at
@@ -3408,6 +3442,7 @@ REGISTRY: dict[str, tuple] = {
     "lm_perplexity": (q_lm_perplexity, O_LM_PERPLEXITY),
     "ccnet_buckets": (q_ccnet_buckets, O_CCNET_BUCKETS),
     "dsir_weights": (q_dsir_weights, O_DSIR_WEIGHTS),
+    "bigram_lm_score": (q_bigram_lm_score, O_BIGRAM_LM_SCORE),
     "winnow_fingerprints": (q_winnow_fingerprints, O_WINNOW),
     "winnow_pairs": (q_winnow_pairs, O_WINNOW_PAIRS),
     "repetition_features": (q_repetition_features, O_REPETITION),
@@ -3469,7 +3504,7 @@ _DRIVER_ORDER = [
     "term_positions", "event_transitions", "kea_features", "count_prefix", "replay",
     "media_features", "sessionize", "asof_join", "rolling_stats", "funnel_steps", "ann_cosine_topk", "count_docset", "dict_match",
     "wordcount_df", "tf_vectors", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
-    "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "chi2_terms", "dedup_simhash", "kea_bigrams",
+    "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "bigram_lm_score", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "embedding_neardup",

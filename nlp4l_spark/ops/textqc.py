@@ -1309,3 +1309,106 @@ def dsir_weights(
             "logw",
         )
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    train_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    analyzer: Analyzer | None = None,
+    backoff: float = 0.4,
+    alpha: float = 0.5,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Bigram language-model scoring with Stupid Backoff (Brants et al.
+    2007, "Large Language Models in Machine Translation" §4): train
+    bigram/unigram counts on the docs where ``train_col`` is true, then
+    score EVERY doc's bigram transitions with
+    ``S(w2|w1) = c(w1 w2)/c(w1 ·)`` when the bigram was seen in
+    training, else ``backoff * (cf(w2)+alpha)/(N+alpha·V)`` (the
+    add-alpha unigram, lm_score's smoothing). This is the CCNet
+    train-on-clean / score-the-crawl shape — docs far from the training
+    distribution hit the backoff path and score high nll.
+
+    Output (id_col, n_bigrams, nll): nll = -mean ln S per transition
+    (nats/bigram, rounded to 6 — the lm_score sum-order convention);
+    docs with < 2 tokens have n_bigrams = 0 and null nll.
+
+    Plan shape: ONE tokenize pass -> per-(doc, w1, w2) tf aggregate
+    (the corpus's only shuffle) -> bigram-vocab-sized model with its
+    continuation totals, broadcast by default onto the doc-bigram rows
+    (set ``broadcast_model=False`` at 10^9-bigram vocabularies to fall
+    back to a (w1, w2)-keyed shuffle join) -> per-doc sum. Only the
+    N/V scalars are collected."""
+    from nlp4l_spark.analysis import STANDARD_ANALYZER
+
+    az = analyzer or STANDARD_ANALYZER
+    n = F.size(F.col("_tk"))
+    pair = lambda i: F.struct(
+        F.element_at(F.col("_tk"), i).alias("_w1"),
+        F.element_at(F.col("_tk"), i + 1).alias("_w2"),
+    )
+    pairs_arr = F.when(
+        n >= 2, F.transform(F.sequence(F.lit(1), n - 1), pair)
+    ).otherwise(F.array().cast("array<struct<_w1:string,_w2:string>>"))
+    base = df.select(
+        F.col(id_col),
+        F.col(train_col).alias("_train"),
+        az.tokens_expr(text_col).alias("_tk"),
+    )
+    dp = (
+        base.select(id_col, "_train", F.explode(pairs_arr).alias("_p"))
+        .select(id_col, "_train", F.col("_p._w1").alias("_w1"), F.col("_p._w2").alias("_w2"))
+        .groupBy(id_col, "_train", "_w1", "_w2")
+        .agg(F.count("*").cast("double").alias("_tf"))
+    )
+    train_pairs = dp.filter(F.col("_train"))
+    c12 = train_pairs.groupBy("_w1", "_w2").agg(F.sum("_tf").alias("_c12"))
+    c1 = c12.groupBy("_w1").agg(F.sum("_c12").alias("_c1"))
+    bi_model = c12.join(c1, "_w1").select(
+        "_w1", "_w2", F.log(F.col("_c12") / F.col("_c1")).alias("_lnbi")
+    )
+    # unigram counts over ALL train token occurrences (not just bigram
+    # participants), matching lm_score's model definition
+    uni = (
+        base.filter(F.col("_train"))
+        .select(F.explode(F.col("_tk")).alias("_w2"))
+        .groupBy("_w2")
+        .agg(F.count("*").cast("double").alias("_cf"))
+    )
+    tot = uni.agg(F.sum("_cf"), F.count("*")).collect()[0]
+    n_total, v_size = float(tot[0] or 0.0), float(tot[1] or 0)
+    if n_total == 0.0:
+        raise ValueError("bigram_lm_score: the training split is empty")
+    denom = n_total + alpha * v_size
+    if broadcast_model:
+        bi_model, uni = F.broadcast(bi_model), F.broadcast(uni)
+    lnp = F.coalesce(
+        F.col("_lnbi"),
+        F.log(
+            F.lit(backoff)
+            * ((F.coalesce(F.col("_cf"), F.lit(0.0)) + F.lit(alpha)) / F.lit(denom))
+        ),
+    )
+    scored = (
+        dp.join(bi_model, ["_w1", "_w2"], "left")
+        .join(uni, "_w2", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_tf").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("_tf") * lnp) / F.sum("_tf"), 6
+            ).alias("nll"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            "nll",
+        )
+    )

@@ -769,3 +769,58 @@ def test_dsir_weights(spark):
         for b in map(bucket, grams("spark sql wins"))
     )
     assert abs(out[4]["logw"] - round(expect, 6)) < 1e-9
+
+
+def test_bigram_lm_score(spark):
+    rows = [
+        (0, "spark sql engine runs spark sql", True),
+        (1, "spark sql plans", True),
+        (2, "cooking pasta sauce", False),  # all-backoff, unseen unigrams
+        (3, "spark sql engine", False),     # all seen bigrams
+        (4, "spark", False),                # < 2 tokens
+        (5, "", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, _tr boolean")
+    out = {
+        r["doc_id"]: r for r in textqc.bigram_lm_score(df, "_tr").collect()
+    }
+    assert len(out) == 6
+    assert out[4]["n_bigrams"] == 0 and out[4]["nll"] is None
+    assert out[5]["n_bigrams"] == 0 and out[5]["nll"] is None
+    # unseen-everything doc must score worse than an in-distribution doc
+    assert out[2]["nll"] > out[3]["nll"]
+
+    # first-principles recompute with the same analyzer
+    import math
+    from collections import Counter
+
+    from nlp4l_spark.analysis import STANDARD_ANALYZER as az
+
+    c12, cf = Counter(), Counter()
+    for _, text, tr in rows:
+        toks = az.tokenize(text)
+        if tr:
+            cf.update(toks)
+            c12.update(zip(toks, toks[1:]))
+    c1 = Counter()
+    for (w1, _), c in c12.items():
+        c1[w1] += c
+    n_tot, v = sum(cf.values()), len(cf)
+    denom = n_tot + 0.5 * v
+
+    def score(text):
+        toks = az.tokenize(text)
+        lps = [
+            math.log(c12[(a, b)] / c1[a])
+            if c12[(a, b)] > 0
+            else math.log(0.4 * ((cf[b] + 0.5) / denom))
+            for a, b in zip(toks, toks[1:])
+        ]
+        return round(-sum(lps) / len(lps), 6)
+
+    for d in (0, 1, 2, 3):
+        assert abs(out[d]["nll"] - score(rows[d][1])) < 1e-9, d
+    # training split empty -> explicit error
+    df_none = df.withColumn("_tr", F.lit(False))
+    with pytest.raises(ValueError):
+        textqc.bigram_lm_score(df_none, "_tr")

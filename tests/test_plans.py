@@ -46,6 +46,10 @@ JVM_ONLY = [
     "line_dedup",
     # Gopher rules: one HOF scan, zero shuffle
     "gopher_filter",
+    # DSIR: tokenize+md5 hash + two JVM aggs + one broadcast model join
+    "dsir_weights",
+    # Stupid-Backoff bigram LM: tokenize + vocab-sized aggs + broadcast joins
+    "bigram_lm_score",
 ]
 
 
@@ -72,6 +76,24 @@ def test_lm_vocab_join_is_broadcast(spark):
     """The unigram model table is vocabulary-sized — the doc-side scoring
     join must broadcast it, never shuffle the corpus."""
     plan = _plan(eq.REGISTRY["lm_perplexity"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, "corpus side got shuffled for the join"
+
+
+def test_dsir_model_join_is_broadcast(spark):
+    """The DSIR log-ratio model is bucket-sized (<= 4096 rows) — the
+    doc-bucket scoring join must broadcast it, never shuffle the corpus
+    a second time."""
+    plan = _plan(eq.REGISTRY["dsir_weights"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, "corpus side got shuffled for the join"
+
+
+def test_bigram_lm_model_joins_are_broadcast(spark):
+    """Both LM model tables (bigram log-probs, unigram counts) are
+    vocabulary-sized — the doc-bigram scoring joins must broadcast them,
+    never shuffle the corpus side."""
+    plan = _plan(eq.REGISTRY["bigram_lm_score"][0](spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, "corpus side got shuffled for the join"
 
