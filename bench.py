@@ -90,6 +90,8 @@ EXTRA_QUERIES = [
     "ann_sq_topk",
     "dismax_topk",
     "dsir_weights",
+    "bigram_lm_score",
+    "significant_terms",
 ]
 
 

@@ -27,7 +27,7 @@ from nlp4l_spark.analysis import (
     WHITESPACE_ANALYZER,
 )
 from nlp4l_spark.ops import bpe, dedup, multimodal, processors, similarity, textqc
-from nlp4l_spark.stats import Corpus, moments, tfidf, wordcounts
+from nlp4l_spark.stats import Corpus, keyness, moments, tfidf, wordcounts
 
 TOK_SQL = STANDARD_ANALYZER.duckdb_tokens_sql("text")
 WS_SQL = WHITESPACE_ANALYZER.duckdb_tokens_sql("text")
@@ -2316,6 +2316,40 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+def q_significant_terms(spark, sf_dir):
+    """Per-language significant terms by Dunning G² keyness (the
+    Elasticsearch significant_terms / corpus-comparison surface over the
+    reference's WordCounts+chiSquare stack). Top 10 overrepresented
+    terms per lang, ties broken on rounded G² then term."""
+    return keyness.significant_terms(_docs(spark, sf_dir), "lang", k=10)
+
+
+O_SIGNIFICANT_TERMS = f"""
+WITH fl AS (SELECT lang AS g, {TOK_SQL} AS l FROM documents),
+tk AS (SELECT g, unnest(l) AS term FROM fl),
+gt AS (SELECT g, term, count(*)::double AS a FROM tk GROUP BY 1, 2),
+ct AS (SELECT term, sum(a) AS rowt FROM gt GROUP BY 1),
+grp AS (SELECT g, sum(a) AS colt FROM gt GROUP BY 1),
+tot AS (SELECT sum(a) AS n FROM gt),
+sc AS (SELECT g, term, a, rowt - a AS b, rowt, colt, n
+       FROM gt JOIN ct USING (term) JOIN grp USING (g) CROSS JOIN tot),
+g2t AS (SELECT g, term, a::bigint AS fg_count, b::bigint AS bg_count,
+          round(2 * (
+            (CASE WHEN a > 0 THEN a * ln(a / ((rowt * colt) / n)) ELSE 0 END) +
+            (CASE WHEN b > 0 THEN b * ln(b / ((rowt * (n - colt)) / n)) ELSE 0 END) +
+            (CASE WHEN colt - a > 0 THEN (colt - a)
+                  * ln((colt - a) / (((n - rowt) * colt) / n)) ELSE 0 END) +
+            (CASE WHEN n - rowt - colt + a > 0 THEN (n - rowt - colt + a)
+                  * ln((n - rowt - colt + a)
+                       / (((n - rowt) * (n - colt)) / n)) ELSE 0 END)
+          ), 6) AS g2
+        FROM sc WHERE a >= 1 AND a * (n - colt) > b * colt),
+rk AS (SELECT *, row_number() OVER
+         (PARTITION BY g ORDER BY g2 DESC, term ASC) AS rn FROM g2t)
+SELECT g AS lang, term, fg_count, bg_count, g2 FROM rk WHERE rn <= 10
+"""
+
+
 def q_winnow_pairs(spark, sf_dir):
     """Substring-overlap candidate pairs (copied passages) via shared
     winnowing fingerprints — equality-join dedup like the others, but at
@@ -3443,6 +3477,7 @@ REGISTRY: dict[str, tuple] = {
     "ccnet_buckets": (q_ccnet_buckets, O_CCNET_BUCKETS),
     "dsir_weights": (q_dsir_weights, O_DSIR_WEIGHTS),
     "bigram_lm_score": (q_bigram_lm_score, O_BIGRAM_LM_SCORE),
+    "significant_terms": (q_significant_terms, O_SIGNIFICANT_TERMS),
     "winnow_fingerprints": (q_winnow_fingerprints, O_WINNOW),
     "winnow_pairs": (q_winnow_pairs, O_WINNOW_PAIRS),
     "repetition_features": (q_repetition_features, O_REPETITION),
@@ -3504,7 +3539,7 @@ _DRIVER_ORDER = [
     "term_positions", "event_transitions", "kea_features", "count_prefix", "replay",
     "media_features", "sessionize", "asof_join", "rolling_stats", "funnel_steps", "ann_cosine_topk", "count_docset", "dict_match",
     "wordcount_df", "tf_vectors", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
-    "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "bigram_lm_score", "chi2_terms", "dedup_simhash", "kea_bigrams",
+    "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "bigram_lm_score", "significant_terms", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "embedding_neardup",

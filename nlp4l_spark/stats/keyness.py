@@ -1,0 +1,109 @@
+"""Corpus keyness: per-stratum significant terms via Dunning's G².
+
+The log-likelihood-ratio keyword statistic (Dunning 1993, "Accurate
+Methods for the Statistics of Surprise and Coincidence") over a
+foreground stratum vs the rest of the corpus — the corpus-comparison
+analysis the reference's term-stats stack (WordCounts + Stats.chiSquare,
+/root/reference/app/org/nlp4l/lucene/stats/Stats.scala:81-106) serves,
+and the Elasticsearch ``significant_terms`` aggregation surface. G² is
+the standard keyness score in corpus linguistics (Rayson & Garside 2000)
+and is better-behaved than χ² at the low expected counts a long-tail
+vocabulary produces.
+
+Scale shape: ONE corpus shuffle (tokenize → groupBy(group, term)); every
+derived table is vocabulary- or group-sized; the term-total and
+group-total joins broadcast back onto the (group, term) rows; a single
+per-group window compiles to WindowGroupLimit so only k rows per group
+survive the final sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from nlp4l_spark.analysis import Analyzer
+
+
+def significant_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    *,
+    analyzer: Analyzer | None = None,
+    k: int = 10,
+    min_count: int = 1,
+    broadcast_totals: bool = True,
+) -> DataFrame:
+    """Top-k overrepresented terms per group by Dunning G².
+
+    For each (group g, term t) build the 2×2 contingency table
+    ``a`` = occurrences of t in g, ``b`` = occurrences of t elsewhere,
+    ``c`` = other tokens in g, ``d`` = other tokens elsewhere, and score
+    ``G² = 2·Σ k·ln(k/E)`` over the four cells (zero cells contribute 0;
+    ``E`` is the independence expectation row·col/N). Only terms
+    *over*-represented in the group (foreground rate > background rate,
+    the significant_terms contract) are ranked; ties break on rounded G²
+    then term ascending, so the top-k set is engine-independent.
+
+    Output: (group_col, term, fg_count, bg_count, g2) — g2 in rounded
+    to 6 decimals, ≤ k rows per group.
+
+    Set ``broadcast_totals=False`` at 10⁹-term vocabularies to fall back
+    to a term-keyed shuffle join for the term totals. Only the corpus
+    token total N is collected (one scalar).
+    """
+    from nlp4l_spark.analysis import STANDARD_ANALYZER
+
+    az = analyzer or STANDARD_ANALYZER
+    gt = (
+        df.select(F.col(group_col).alias("_g"), az.tokens_expr(text_col).alias("_tk"))
+        .select("_g", F.explode("_tk").alias("term"))
+        .groupBy("_g", "term")
+        .agg(F.count("*").cast("double").alias("_a"))
+    )
+    term_tot = gt.groupBy("term").agg(F.sum("_a").alias("_rowt"))
+    grp_tot = gt.groupBy("_g").agg(F.sum("_a").alias("_colt"))
+    n = float(gt.agg(F.sum("_a")).collect()[0][0] or 0.0)
+    if n == 0.0:
+        raise ValueError("significant_terms: the corpus tokenized to nothing")
+    if broadcast_totals:
+        term_tot = F.broadcast(term_tot)
+    grp_tot = F.broadcast(grp_tot)
+
+    a = F.col("_a")
+    rowt, colt = F.col("_rowt"), F.col("_colt")
+    b = rowt - a
+    c = colt - a
+    d = F.lit(n) - rowt - colt + a
+
+    def ll(kcol, e):
+        return F.when(kcol > 0, kcol * F.log(kcol / e)).otherwise(F.lit(0.0))
+
+    g2 = F.round(
+        2.0
+        * (
+            ll(a, (rowt * colt) / F.lit(n))
+            + ll(b, (rowt * (F.lit(n) - colt)) / F.lit(n))
+            + ll(c, ((F.lit(n) - rowt) * colt) / F.lit(n))
+            + ll(d, ((F.lit(n) - rowt) * (F.lit(n) - colt)) / F.lit(n))
+        ),
+        6,
+    )
+    scored = (
+        gt.join(term_tot, "term")
+        .join(grp_tot, "_g")
+        .filter((a >= float(min_count)) & (a * (F.lit(n) - colt) > b * colt))
+        .select(
+            "_g",
+            "term",
+            a.cast("long").alias("fg_count"),
+            b.cast("long").alias("bg_count"),
+            g2.alias("g2"),
+        )
+    )
+    w = Window.partitionBy("_g").orderBy(F.desc("g2"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(F.col("_g").alias(group_col), "term", "fg_count", "bg_count", "g2")
+    )

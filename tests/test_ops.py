@@ -824,3 +824,65 @@ def test_bigram_lm_score(spark):
     df_none = df.withColumn("_tr", F.lit(False))
     with pytest.raises(ValueError):
         textqc.bigram_lm_score(df_none, "_tr")
+
+
+def test_significant_terms(spark):
+    from nlp4l_spark.stats import keyness
+
+    rows = [
+        (0, "en", "spark spark spark join the"),
+        (1, "en", "spark join window the"),
+        (2, "de", "fenster fenster join the"),
+        (3, "de", "fenster join scan the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = keyness.significant_terms(df, "lang", k=3)
+    got = {(r["lang"], r["term"]): r for r in out.collect()}
+    # per-group cap respected, only overrepresented terms surface
+    assert all(
+        sum(1 for (g, _) in got if g == lang) <= 3 for lang in ("en", "de")
+    )
+    assert ("en", "spark") in got and ("de", "fenster") in got
+    assert ("en", "fenster") not in got and ("de", "spark") not in got
+    # stopwords never reach the table; near-neutral 'join' scores far
+    # below the group's keyword
+    assert all(t != "the" for (_, t) in got)
+    if ("de", "join") in got:
+        assert got[("de", "join")]["g2"] < got[("de", "fenster")]["g2"]
+
+    # first-principles G2 recompute for (en, spark)
+    import math
+    from collections import Counter
+
+    from nlp4l_spark.analysis import STANDARD_ANALYZER as az
+
+    cnt = Counter()
+    for _, lang, text in rows:
+        for t in az.tokenize(text):
+            cnt[(lang, t)] += 1
+    n = sum(cnt.values())
+    a = cnt[("en", "spark")]
+    rowt = sum(v for (g, t), v in cnt.items() if t == "spark")
+    colt = sum(v for (g, t), v in cnt.items() if g == "en")
+    b, c, d = rowt - a, colt - a, n - rowt - colt + a
+
+    def ll(k, e):
+        return k * math.log(k / e) if k > 0 else 0.0
+
+    g2 = round(
+        2
+        * (
+            ll(a, rowt * colt / n)
+            + ll(b, rowt * (n - colt) / n)
+            + ll(c, (n - rowt) * colt / n)
+            + ll(d, (n - rowt) * (n - colt) / n)
+        ),
+        6,
+    )
+    assert abs(got[("en", "spark")]["g2"] - g2) < 1e-9
+    assert got[("en", "spark")]["fg_count"] == a
+    assert got[("en", "spark")]["bg_count"] == b
+    # empty corpus -> explicit error
+    empty = spark.createDataFrame([], "doc_id long, lang string, text string")
+    with pytest.raises(ValueError):
+        keyness.significant_terms(empty, "lang")

@@ -232,3 +232,15 @@ def test_stats_joins_are_broadcast_not_shuffle(spark):
     # queries that still join small stats tables must broadcast them
     plan = _plan(eq.REGISTRY["tfidf_weights"][0](spark, SF))
     assert "SortMergeJoin" not in plan, "stats join regressed to a shuffle join"
+
+
+def test_significant_terms_plan(spark):
+    """Keyness: the term-total and group-total joins are vocab-/group-
+    sized and must broadcast (never reshuffle the (group, term) rows);
+    the per-group top-k window must compile to WindowGroupLimit so only
+    k rows per group survive; no Python stages."""
+    plan = _plan(eq.REGISTRY["significant_terms"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, "corpus side got shuffled for the join"
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
