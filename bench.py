@@ -92,6 +92,7 @@ EXTRA_QUERIES = [
     "dsir_weights",
     "bigram_lm_score",
     "significant_terms",
+    "dedup_spans",
 ]
 
 

@@ -2350,6 +2350,37 @@ SELECT g AS lang, term, fg_count, bg_count, g2 FROM rk WHERE rn <= 10
 """
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Maximal duplicated token spans (Lee et al. 2022 exact-substring
+    dedup, arXiv:2107.06499): every shared token run >= 8 between doc
+    pairs, found by 6-gram anchors merged along alignment diagonals —
+    exact span boundaries, unlike winnow_pairs' sampled candidates."""
+    return dedup.duplicate_spans(
+        _docs(spark, sf_dir), seed_n=6, min_len=8, max_gram_df=1000
+    )
+
+
+O_DEDUP_SPANS = f"""
+WITH t AS (SELECT doc_id, {WS_SQL} AS tk FROM documents),
+g AS (SELECT doc_id, list_transform(range(1, greatest(len(tk) - 4, 1)),
+        i -> array_to_string(tk[i:i+5], ' ')) AS gr
+      FROM t WHERE len(tk) >= 6),
+s0 AS (SELECT doc_id, unnest(gr) AS g,
+              (generate_subscripts(gr, 1) - 1)::int AS pos FROM g),
+rare AS (SELECT g FROM s0 GROUP BY g HAVING count(*) <= 1000),
+s AS (SELECT s0.doc_id, s0.g, s0.pos FROM s0 JOIN rare USING (g)),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+             a.pos - b.pos AS diag
+      FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id),
+i AS (SELECT *, pa - row_number() OVER
+        (PARTITION BY id_a, id_b, diag ORDER BY pa) AS isl FROM p)
+SELECT id_a, id_b, min(pa)::int AS start_a, (min(pa) - diag)::int AS start_b,
+       (count(*) + 5)::bigint AS span_len
+FROM i GROUP BY id_a, id_b, diag, isl
+HAVING count(*) + 5 >= 8
+"""
+
+
 def q_winnow_pairs(spark, sf_dir):
     """Substring-overlap candidate pairs (copied passages) via shared
     winnowing fingerprints — equality-join dedup like the others, but at
@@ -3478,6 +3509,7 @@ REGISTRY: dict[str, tuple] = {
     "dsir_weights": (q_dsir_weights, O_DSIR_WEIGHTS),
     "bigram_lm_score": (q_bigram_lm_score, O_BIGRAM_LM_SCORE),
     "significant_terms": (q_significant_terms, O_SIGNIFICANT_TERMS),
+    "dedup_spans": (q_dedup_spans, O_DEDUP_SPANS),
     "winnow_fingerprints": (q_winnow_fingerprints, O_WINNOW),
     "winnow_pairs": (q_winnow_pairs, O_WINNOW_PAIRS),
     "repetition_features": (q_repetition_features, O_REPETITION),
@@ -3542,7 +3574,7 @@ _DRIVER_ORDER = [
     "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "bigram_lm_score", "significant_terms", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
-    "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "embedding_neardup",
+    "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "dedup_spans", "embedding_neardup",
     "semantic_dedup",
     "index_bm25_topk", "index_phrase_topk", "bm25_topk", "embedding_neardup_lsh", "ann_lsh_topk", "ann_ivf_topk",
     "ann_pq_topk", "ann_sq_topk",

@@ -17,6 +17,9 @@ dedup algorithms, each expressed so the heavy lifting stays JVM-side:
                 (Charikar/Manku-style 4-piece blocking, complete for d<=3).
 * ngram_jaccard — direct shingle-set Jaccard on candidate pairs that share
                 a shingle (exact, for small/medium corpora or as verifier).
+* duplicate_spans — exact maximal shared token runs (Lee et al. 2022
+                suffix-array dedup semantics) via n-gram anchors merged
+                along alignment diagonals; all joins equality-keyed.
 """
 
 from __future__ import annotations
@@ -539,3 +542,108 @@ def dedup_clusters(
     return labels.select(
         F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    seed_n: int = 6,
+    min_len: int = 8,
+    analyzer: Analyzer | None = None,
+    max_gram_df: int | None = 1000,
+    materialize: bool = True,
+) -> DataFrame:
+    """Maximal duplicated token spans between document pairs — the
+    exact-substring dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499), which builds
+    a suffix array to find every duplicated substring >= 50 tokens.
+    A monolithic suffix array doesn't distribute; this is the
+    shuffle-friendly equivalent: anchor on ``seed_n``-gram equality and
+    merge anchors into maximal spans.
+
+    Exactness: any shared token run of length L >= seed_n between two
+    docs yields seed matches at every offset, all on the same alignment
+    diagonal (pos_a - pos_b) with consecutive pos_a — so the run-merge
+    (the classic ``pos - row_number()`` island trick) recovers exactly
+    the maximal shared span of length L. Every output row is a real
+    shared span and every shared span >= min_len is output (subject to
+    ``max_gram_df``, below).
+
+    Output: (id_a, id_b, start_a, start_b, span_len) — 0-based token
+    offsets of the maximal shared run in each doc, id_a < id_b, one row
+    per alignment (a span repeated k times in doc B yields k rows, one
+    per diagonal — each is a real duplicated passage).
+
+    Scale shape: ONE tokenize pass -> (doc, pos, gram-hash) rows (the
+    corpus's only wide data); candidate pairs come from an equality
+    self-join on the 8-byte gram hash — never all-pairs; the island
+    merge shuffles only candidate rows, keyed (id_a, id_b, diag).
+    ``max_gram_df`` drops seed grams occurring more than that many times
+    corpus-wide (boilerplate n-grams would alone contribute O(df^2) join
+    rows while any span they anchor is found by its rarer neighbors
+    unless the whole span is boilerplate); set None for the exact
+    contract. Gram identity is xxhash64 (collisions ~n^2/2^65, same
+    convention as ngram_jaccard_pairs).
+
+    ``materialize=False`` skips the persist/eager-checkpoint pair (which
+    caps the gram pass at one evaluation and releases the cache
+    deterministically) and returns the lazy plan — for plan inspection.
+    """
+    az = analyzer or WHITESPACE_ANALYZER
+    tk = az.tokens_expr(text_col)
+    grams = F.when(
+        F.size(tk) >= seed_n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (seed_n - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i, seed_n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    pos_grams = df.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "g")
+    )  # posexplode is 0-based -> pos is already the token offset
+    if materialize:
+        # both sides of the self-join (and the df cap) read the gram rows
+        pos_grams = pos_grams.persist()
+    seeds = pos_grams
+    if max_gram_df is not None:
+        rare = (
+            pos_grams.groupBy("g")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_gram_df)
+            .select("g")
+        )
+        seeds = pos_grams.join(rare, "g")
+    pairs = (
+        seeds.alias("a")
+        .join(
+            seeds.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.pos").alias("pa"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    spans = (
+        pairs.withColumn("isl", F.col("pa") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "isl")
+        .agg(F.min("pa").alias("start_a"), F.count("*").alias("_run"))
+        .filter(F.col("_run") + (seed_n - 1) >= min_len)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("start_a").cast("int").alias("start_a"),
+            (F.col("start_a") - F.col("diag")).cast("int").alias("start_b"),
+            (F.col("_run") + (seed_n - 1)).cast("bigint").alias("span_len"),
+        )
+    )
+    if not materialize:
+        return spans
+    out = spans.localCheckpoint(eager=True)
+    pos_grams.unpersist()
+    return out

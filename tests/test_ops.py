@@ -886,3 +886,48 @@ def test_significant_terms(spark):
     empty = spark.createDataFrame([], "doc_id long, lang string, text string")
     with pytest.raises(ValueError):
         keyness.significant_terms(empty, "lang")
+
+
+def test_duplicate_spans(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),
+            (2, "x y a b c d e f g h i j z"),      # 10-token shared run
+            (3, "p q r a b c d e q q q q q q q"),  # 5-token run: below min_len
+            (4, "a b c d e f m m a b c d e f"),    # doc1 span twice -> 2 diagonals
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.duplicate_spans(df, seed_n=4, min_len=6)
+    rows = sorted(
+        (r.id_a, r.id_b, r.start_a, r.start_b, r.span_len) for r in out.collect()
+    )
+    assert (1, 2, 0, 2, 10) in rows
+    # repeated passage: one row per alignment diagonal
+    assert (1, 4, 0, 0, 6) in rows and (1, 4, 0, 8, 6) in rows
+    # doc 3's overlaps are all 5 tokens long, below min_len=6
+    assert not any(3 in (a, b) for a, b, *_ in rows)
+    # docs 2 and 4 share "a b c d e f"? doc2 has ...a b c d e f g...
+    assert (2, 4, 2, 0, 6) in rows and (2, 4, 2, 8, 6) in rows
+    assert len(rows) == 5
+
+    # min_len == seed_n keeps the short overlap, exact boundaries
+    rows2 = sorted(
+        (r.id_a, r.id_b, r.start_a, r.start_b, r.span_len)
+        for r in dedup.duplicate_spans(df, seed_n=4, min_len=4).collect()
+    )
+    assert (1, 3, 0, 3, 5) in rows2
+
+    # boilerplate cap: a gram occurring > max_gram_df times anchors nothing
+    boiler = spark.createDataFrame(
+        [(i, "t1 t2 t3 t4 t5 t6") for i in range(5)],
+        "doc_id long, text string",
+    )
+    assert (
+        dedup.duplicate_spans(boiler, seed_n=4, min_len=4, max_gram_df=2).count()
+        == 0
+    )
+    assert (
+        dedup.duplicate_spans(boiler, seed_n=4, min_len=4, max_gram_df=None).count()
+        == 10  # all C(5,2) pairs share the full 6-token doc
+    )

@@ -244,3 +244,20 @@ def test_significant_terms_plan(spark):
     assert "SortMergeJoin" not in plan, "corpus side got shuffled for the join"
     assert "WindowGroupLimit" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_spans_plan(spark):
+    """Duplicate-span dedup: the gram pass is pure JVM (tokenize HOFs +
+    xxhash64 — no Python stages), candidates come from an equality hash
+    join (never a cartesian/NL join), and the island merge is one keyed
+    window over candidate rows."""
+    from nlp4l_spark.ops import dedup as dd
+
+    df = eq._docs(spark, SF)
+    plan = _plan(
+        dd.duplicate_spans(df, seed_n=6, min_len=8, materialize=False)
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan
