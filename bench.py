@@ -93,6 +93,7 @@ EXTRA_QUERIES = [
     "bigram_lm_score",
     "significant_terms",
     "dedup_spans",
+    "dedup_span_excise",
 ]
 
 

@@ -2381,6 +2381,51 @@ HAVING count(*) + 5 >= 8
 """
 
 
+def q_dedup_span_excise(spark, sf_dir):
+    """ExactSubstr dedup, removal half (Lee et al. 2022): every doc
+    re-emitted with duplicated passages cut from the later copy (id_b
+    side), earliest occurrence kept as canonical."""
+    docs = _docs(spark, sf_dir)
+    spans = dedup.duplicate_spans(docs, seed_n=6, min_len=8, max_gram_df=1000)
+    return dedup.excise_spans(docs, spans)
+
+
+O_DEDUP_SPAN_EXCISE = f"""
+WITH t AS (SELECT doc_id, {WS_SQL} AS tk FROM documents),
+g AS (SELECT doc_id, list_transform(range(1, greatest(len(tk) - 4, 1)),
+        i -> array_to_string(tk[i:i+5], ' ')) AS gr
+      FROM t WHERE len(tk) >= 6),
+s0 AS (SELECT doc_id, unnest(gr) AS g,
+              (generate_subscripts(gr, 1) - 1)::int AS pos FROM g),
+rare AS (SELECT g FROM s0 GROUP BY g HAVING count(*) <= 1000),
+s AS (SELECT s0.doc_id, s0.g, s0.pos FROM s0 JOIN rare USING (g)),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+             a.pos - b.pos AS diag
+      FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id),
+i AS (SELECT *, pa - row_number() OVER
+        (PARTITION BY id_a, id_b, diag ORDER BY pa) AS isl FROM p),
+sp AS (SELECT id_b, (min(pa) - diag)::int AS start_b,
+              (count(*) + 5)::bigint AS span_len
+       FROM i GROUP BY id_a, id_b, diag, isl
+       HAVING count(*) + 5 >= 8),
+iv AS (SELECT id_b AS doc_id,
+              list(struct_pack(s := start_b,
+                               e := (start_b + span_len - 1)::int)) AS iv
+       FROM sp GROUP BY id_b),
+cut AS (SELECT t.doc_id, t.tk,
+          CASE WHEN iv.iv IS NULL THEN t.tk
+               ELSE list_filter(t.tk, (x, i) ->
+                 len(list_filter(iv.iv,
+                     v -> i - 1 >= v.s AND i - 1 <= v.e)) = 0)
+          END AS kept
+        FROM t LEFT JOIN iv USING (doc_id))
+SELECT doc_id, len(tk)::bigint AS n_tokens,
+       (len(tk) - len(kept))::bigint AS n_removed,
+       coalesce(array_to_string(kept, ' '), '') AS text
+FROM cut
+"""
+
+
 def q_winnow_pairs(spark, sf_dir):
     """Substring-overlap candidate pairs (copied passages) via shared
     winnowing fingerprints — equality-join dedup like the others, but at
@@ -3510,6 +3555,7 @@ REGISTRY: dict[str, tuple] = {
     "bigram_lm_score": (q_bigram_lm_score, O_BIGRAM_LM_SCORE),
     "significant_terms": (q_significant_terms, O_SIGNIFICANT_TERMS),
     "dedup_spans": (q_dedup_spans, O_DEDUP_SPANS),
+    "dedup_span_excise": (q_dedup_span_excise, O_DEDUP_SPAN_EXCISE),
     "winnow_fingerprints": (q_winnow_fingerprints, O_WINNOW),
     "winnow_pairs": (q_winnow_pairs, O_WINNOW_PAIRS),
     "repetition_features": (q_repetition_features, O_REPETITION),
@@ -3574,7 +3620,7 @@ _DRIVER_ORDER = [
     "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "bigram_lm_score", "significant_terms", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
-    "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "dedup_spans", "embedding_neardup",
+    "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "dedup_spans", "dedup_span_excise", "embedding_neardup",
     "semantic_dedup",
     "index_bm25_topk", "index_phrase_topk", "bm25_topk", "embedding_neardup_lsh", "ann_lsh_topk", "ann_ivf_topk",
     "ann_pq_topk", "ann_sq_topk",

@@ -647,3 +647,61 @@ def duplicate_spans(
     out = spans.localCheckpoint(eager=True)
     pos_grams.unpersist()
     return out
+
+
+def excise_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    analyzer: Analyzer | None = None,
+    broadcast_spans: bool = True,
+) -> DataFrame:
+    """Remove duplicated passages, keeping the earliest copy — the
+    second half of Lee et al. 2022's ExactSubstr dedup (find duplicated
+    spans, then cut every copy but one). ``spans`` is duplicate_spans
+    output (id_a < id_b): each span is excised from the LATER doc
+    (id_b side), so the id_a occurrence survives as the canonical copy.
+
+    Output (id_col, n_tokens, n_removed, text): every doc re-emitted
+    with its token stream rebuilt minus the cut positions (text is
+    whitespace-normalized — the token-level contract of the paper;
+    overlapping spans union naturally). Docs with no spans pass through
+    with n_removed = 0.
+
+    Scale shape: the span table aggregates to per-doc interval lists
+    (≤ one row per doc with duplicates, ≪ corpus) and broadcasts onto
+    the corpus (set ``broadcast_spans=False`` if most of the corpus is
+    duplicated); the cut itself is a nested JVM array HOF inside the
+    scan — no Python, no extra shuffle."""
+    az = analyzer or WHITESPACE_ANALYZER
+    iv = (
+        spans.select(
+            F.col("id_b").alias(id_col),
+            F.struct(
+                F.col("start_b").cast("int").alias("s"),
+                (F.col("start_b") + F.col("span_len") - 1).cast("int").alias("e"),
+            ).alias("_v"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("_v").alias("_iv"))
+    )
+    if broadcast_spans:
+        iv = F.broadcast(iv)
+    tk = az.tokens_expr(text_col)
+    base = df.select(id_col, tk.alias("_tk")).join(iv, id_col, "left")
+    kept = F.when(F.col("_iv").isNull(), F.col("_tk")).otherwise(
+        F.filter(
+            "_tk",
+            lambda x, i: ~F.exists(
+                F.col("_iv"), lambda v: (i >= v["s"]) & (i <= v["e"])
+            ),
+        )
+    )
+    return base.select(
+        id_col,
+        F.size("_tk").cast("bigint").alias("n_tokens"),
+        (F.size("_tk") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("text"),
+    )

@@ -931,3 +931,39 @@ def test_duplicate_spans(spark):
         dedup.duplicate_spans(boiler, seed_n=4, min_len=4, max_gram_df=None).count()
         == 10  # all C(5,2) pairs share the full 6-token doc
     )
+
+
+def test_excise_spans(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x a b c d e f y"),        # contains doc1's run -> cut
+            (3, "a b c d e f g h q r"),    # id_b of doc1 AND id_a of later
+            (4, "z z a b c d e f g h z"),  # cut from here too
+            (5, "untouched words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = dedup.duplicate_spans(df, seed_n=3, min_len=4)
+    out = {r["doc_id"]: r for r in dedup.excise_spans(df, spans).collect()}
+    assert len(out) == 5
+    # doc 1 is always id_a (lowest id): never cut
+    assert out[1]["n_removed"] == 0 and out[1]["text"] == "a b c d e f g h"
+    # doc 2 loses the 6-token shared run, keeps the flanks
+    assert out[2]["n_removed"] == 6 and out[2]["text"] == "x y"
+    # doc 3 loses its copy of doc 1's run even though it is id_a vs doc 4
+    assert out[3]["n_removed"] == 8 and out[3]["text"] == "q r"
+    assert out[4]["n_removed"] == 8 and out[4]["text"] == "z z z"
+    assert out[5]["n_removed"] == 0
+    # n_tokens is the pre-cut token count
+    assert out[4]["n_tokens"] == 11
+
+    # overlapping spans union: feed handcrafted overlapping intervals
+    spans2 = spark.createDataFrame(
+        [(0, 1, 0, 1, 3), (0, 1, 0, 3, 3)],
+        "id_a long, id_b long, start_a int, start_b int, span_len long",
+    )
+    one = spark.createDataFrame([(1, "t0 t1 t2 t3 t4 t5 t6")], "doc_id long, text string")
+    got = dedup.excise_spans(one, spans2).collect()[0]
+    # intervals [1,3] and [3,5] union to [1,5] -> 5 tokens removed
+    assert got["n_removed"] == 5 and got["text"] == "t0 t6"

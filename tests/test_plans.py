@@ -261,3 +261,17 @@ def test_dedup_spans_plan(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_excise_spans_plan(spark):
+    """Span excision: the per-doc interval table is duplicate-sized and
+    must broadcast onto the corpus (no corpus reshuffle); the cut is a
+    nested JVM HOF — no Python stages."""
+    from nlp4l_spark.ops import dedup as dd
+
+    docs = eq._docs(spark, SF)
+    spans = dd.duplicate_spans(docs, seed_n=6, min_len=8)
+    plan = _plan(dd.excise_spans(docs, spans))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, "corpus got shuffled for the span join"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
