@@ -94,6 +94,7 @@ EXTRA_QUERIES = [
     "significant_terms",
     "dedup_spans",
     "dedup_span_excise",
+    "collocations",
 ]
 
 

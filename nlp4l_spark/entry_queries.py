@@ -2381,6 +2381,58 @@ HAVING count(*) + 5 >= 8
 """
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency OLS fit over the corpus vocabulary (one-row
+    corpus diagnostic; slope ~ -1 for natural text)."""
+    return wordcounts.zipf_fit(_corpus(spark, sf_dir), top_n=1000)
+
+
+O_ZIPF_FIT = f"""
+WITH {TOKS_CTE},
+cf AS (SELECT term, count(*)::double AS cf FROM toks GROUP BY term),
+top AS (SELECT term, cf FROM cf ORDER BY cf DESC, term ASC LIMIT 1000),
+xy AS (SELECT ln((row_number() OVER (ORDER BY cf DESC, term ASC))::double) AS x,
+              ln(cf) AS y FROM top),
+s AS (SELECT count(*)::double AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sx2, sum(y * y) AS sy2
+      FROM xy)
+SELECT n::bigint AS n_terms,
+       round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 6) AS r2
+FROM s
+"""
+
+
+def q_collocations(spark, sf_dir):
+    """Top-20 PMI collocations (Church & Hanks 1990) over the corpus;
+    min pair count 5 guards PMI's low-count pathology."""
+    return keyness.collocations(_docs(spark, sf_dir), k=20, min_count=5)
+
+
+O_COLLOCATIONS = f"""
+WITH fl AS (SELECT doc_id, {TOK_SQL} AS l FROM documents),
+tk AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS ord
+       FROM fl),
+dp AS (SELECT a.w AS w1, b.w AS w2
+       FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+c12 AS (SELECT w1, w2, count(*)::double AS c12 FROM dp
+        GROUP BY 1, 2 HAVING count(*) >= 5),
+uni AS (SELECT w, count(*)::double AS c FROM tk GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM tk)::double AS n1,
+               (SELECT count(*) FROM dp)::double AS n2)
+SELECT w1, w2, c12::bigint AS pair_count,
+       round(ln((c12 / n2) / ((u1.c / n1) * (u2.c / n1))), 6) AS pmi
+FROM c12
+JOIN uni u1 ON u1.w = c12.w1
+JOIN uni u2 ON u2.w = c12.w2
+CROSS JOIN tot
+ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
+"""
+
+
 def q_dedup_span_excise(spark, sf_dir):
     """ExactSubstr dedup, removal half (Lee et al. 2022): every doc
     re-emitted with duplicated passages cut from the later copy (id_b
@@ -3554,6 +3606,8 @@ REGISTRY: dict[str, tuple] = {
     "dsir_weights": (q_dsir_weights, O_DSIR_WEIGHTS),
     "bigram_lm_score": (q_bigram_lm_score, O_BIGRAM_LM_SCORE),
     "significant_terms": (q_significant_terms, O_SIGNIFICANT_TERMS),
+    "collocations": (q_collocations, O_COLLOCATIONS),
+    "zipf_fit": (q_zipf_fit, O_ZIPF_FIT),
     "dedup_spans": (q_dedup_spans, O_DEDUP_SPANS),
     "dedup_span_excise": (q_dedup_span_excise, O_DEDUP_SPAN_EXCISE),
     "winnow_fingerprints": (q_winnow_fingerprints, O_WINNOW),
@@ -3616,8 +3670,8 @@ _DRIVER_ORDER = [
     "total_count", "validator_unique", "select_features", "term_range_search", "prefix_search",
     "term_positions", "event_transitions", "kea_features", "count_prefix", "replay",
     "media_features", "sessionize", "asof_join", "rolling_stats", "funnel_steps", "ann_cosine_topk", "count_docset", "dict_match",
-    "wordcount_df", "tf_vectors", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
-    "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "bigram_lm_score", "significant_terms", "chi2_terms", "dedup_simhash", "kea_bigrams",
+    "wordcount_df", "tf_vectors", "zipf_fit", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
+    "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "bigram_lm_score", "significant_terms", "collocations", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "dedup_spans", "dedup_span_excise", "embedding_neardup",

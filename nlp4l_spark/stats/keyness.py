@@ -107,3 +107,84 @@ def significant_terms(
         .filter(F.col("_rn") <= k)
         .select(F.col("_g").alias(group_col), "term", "fg_count", "bg_count", "g2")
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    analyzer: Analyzer | None = None,
+    k: int = 20,
+    min_count: int = 5,
+    broadcast_unigrams: bool = True,
+) -> DataFrame:
+    """Top-k collocations (adjacent word pairs) by pointwise mutual
+    information — the classic corpus-linguistics association measure
+    (Church & Hanks 1990) behind the reference domain's loanword/term
+    extraction, and the statistics KEA's bigram candidates feed on.
+
+    PMI = ln( p(w1,w2) / (p(w1)·p(w2)) ) with the joint estimated over
+    the corpus's bigram total and the marginals over the token total;
+    pairs rarer than ``min_count`` are dropped first (PMI's low-count
+    pathology). Ties break on rounded PMI desc then (w1, w2) asc, so
+    the top-k set is engine-independent.
+
+    Output: (w1, w2, pair_count, pmi), ≤ k rows.
+
+    Scale shape: one tokenize pass feeds two aggregations — bigram
+    counts (the corpus's only wide shuffle, keyed (w1, w2)) and unigram
+    counts (vocab-sized, broadcast back onto the surviving ≥ min_count
+    pairs — a bigram-vocab-sized table); the final top-k is a
+    TakeOrderedAndProject, never a full sort."""
+    from nlp4l_spark.analysis import STANDARD_ANALYZER
+
+    az = analyzer or STANDARD_ANALYZER
+    n = F.size(F.col("_tk"))
+    pair = lambda i: F.struct(
+        F.element_at(F.col("_tk"), i).alias("w1"),
+        F.element_at(F.col("_tk"), i + 1).alias("w2"),
+    )
+    pairs_arr = F.when(
+        n >= 2, F.transform(F.sequence(F.lit(1), n - 1), pair)
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    base = df.select(az.tokens_expr(text_col).alias("_tk"))
+    c12 = (
+        base.select(F.explode(pairs_arr).alias("_p"))
+        .select("_p.w1", "_p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("double").alias("_c12"))
+        .filter(F.col("_c12") >= float(min_count))
+    )
+    uni = (
+        base.select(F.explode("_tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    totals = base.agg(
+        F.sum(F.size("_tk")).alias("_n1"),
+        F.sum(F.greatest(F.size("_tk") - 1, F.lit(0))).alias("_n2"),
+    ).collect()[0]
+    n1, n2 = float(totals["_n1"] or 0.0), float(totals["_n2"] or 0.0)
+    if n2 == 0.0:
+        raise ValueError("collocations: no bigrams in the corpus")
+    if broadcast_unigrams:
+        uni = F.broadcast(uni)
+    pmi = F.round(
+        F.log(
+            (F.col("_c12") / F.lit(n2))
+            / ((F.col("_c1") / F.lit(n1)) * (F.col("_c2") / F.lit(n1)))
+        ),
+        6,
+    )
+    return (
+        c12.join(uni.select(F.col("w").alias("w1"), F.col("_c").alias("_c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("_c").alias("_c2")), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("_c12").cast("long").alias("pair_count"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )

@@ -97,3 +97,50 @@ def count_words(spark, text: str, analyzer=None) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def zipf_fit(corpus: Corpus, top_n: int = 1000) -> DataFrame:
+    """Zipf's-law fit over the term rank-frequency curve: OLS of
+    ln(cf) on ln(rank) for the ``top_n`` most frequent terms — the
+    one-row corpus diagnostic (slope ≈ -1 for natural language; a flat
+    slope flags synthetic/templated text, a cliff flags boilerplate).
+    Rank ties break on term asc so the fit is engine-independent.
+
+    Output (one row): n_terms, slope, intercept, r2 — rounded to 6.
+
+    Scale shape: one map-side-combinable cf aggregation (the corpus's
+    only shuffle) -> TakeOrdered top_n -> the ranking window and the
+    moment sums run on ≤ top_n rows (vocab-capped by construction, so
+    the single-partition window is bounded, not corpus-sized)."""
+    from pyspark.sql import Window
+
+    cf = (
+        corpus.doc_terms()
+        .groupBy("term")
+        .agg(F.sum("tf").cast("double").alias("cf"))
+    )
+    order = [F.desc("cf"), F.asc("term")]
+    top = cf.orderBy(*order).limit(top_n)
+    xy = top.select(
+        F.log(F.row_number().over(Window.orderBy(*order)).cast("double")).alias("x"),
+        F.log("cf").alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sx2, sy2 = F.col("sxy"), F.col("sx2"), F.col("sy2")
+    num = n * sxy - sx * sy
+    denx = n * sx2 - sx * sx
+    deny = n * sy2 - sy * sy
+    return s.select(
+        n.cast("long").alias("n_terms"),
+        F.round(num / denx, 6).alias("slope"),
+        F.round((sy - (num / denx) * sx) / n, 6).alias("intercept"),
+        F.round((num * num) / (denx * deny), 6).alias("r2"),
+    )

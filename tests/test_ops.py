@@ -967,3 +967,63 @@ def test_excise_spans(spark):
     got = dedup.excise_spans(one, spans2).collect()[0]
     # intervals [1,3] and [3,5] union to [1,5] -> 5 tokens removed
     assert got["n_removed"] == 5 and got["text"] == "t0 t6"
+
+
+def test_collocations(spark):
+    from nlp4l_spark.stats import keyness
+
+    # "data lake" always adjacent; filler words frequent but independent
+    rows = [(i, "data lake " + ("filler words mixed up " * 3)) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = keyness.collocations(df, k=5, min_count=5)
+    got = {(r["w1"], r["w2"]): r for r in out.collect()}
+    assert ("data", "lake") in got
+    assert got[("data", "lake")]["pair_count"] == 5
+    # perfectly-bound pair outranks the independent fillers
+    top = out.collect()[0]
+    assert (top["w1"], top["w2"]) == ("data", "lake")
+
+    # first-principles PMI recompute
+    import math
+    from collections import Counter
+
+    from nlp4l_spark.analysis import STANDARD_ANALYZER as az
+
+    uni, bi, n1, n2 = Counter(), Counter(), 0, 0
+    for _, text in rows:
+        toks = az.tokenize(text)
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+        n1 += len(toks)
+        n2 += max(len(toks) - 1, 0)
+    p = ("data", "lake")
+    expect = round(
+        math.log((bi[p] / n2) / ((uni["data"] / n1) * (uni["lake"] / n1))), 6
+    )
+    assert abs(got[p]["pmi"] - expect) < 1e-9
+    # min_count prunes singletons
+    assert all(r["pair_count"] >= 5 for r in got.values())
+    with pytest.raises(ValueError):
+        keyness.collocations(
+            spark.createDataFrame([(0, "one")], "doc_id long, text string")
+        )
+
+
+def test_zipf_fit(spark, tmp_path):
+    from nlp4l_spark.stats import wordcounts as wc
+    from nlp4l_spark.stats import Corpus
+
+    # exact power law cf = 12/rank -> slope -1, r2 1
+    text = " ".join(["alpha"] * 12 + ["beta"] * 6 + ["gamma"] * 4 + ["delta"] * 3)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = wc.zipf_fit(Corpus(df)).collect()[0]
+    assert row["n_terms"] == 4
+    assert abs(row["slope"] - (-1.0)) < 1e-6
+    assert abs(row["r2"] - 1.0) < 1e-6
+    # intercept = ln(12)
+    import math
+
+    assert abs(row["intercept"] - round(math.log(12.0), 6)) < 1e-6
+    # top_n caps the fit set
+    row2 = wc.zipf_fit(Corpus(df), top_n=2).collect()[0]
+    assert row2["n_terms"] == 2

@@ -275,3 +275,24 @@ def test_excise_spans_plan(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, "corpus got shuffled for the span join"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_collocations_plan(spark):
+    """PMI collocations: unigram model joins broadcast (the corpus's
+    bigram rows are never reshuffled for them), top-k compiles to
+    TakeOrderedAndProject, no Python stages."""
+    plan = _plan(eq.REGISTRY["collocations"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zipf_fit_plan(spark):
+    """Zipf fit: one cf aggregation + TakeOrdered top-n; the ranking
+    window runs on the vocab-capped top-n rows only. (The corpus
+    tokenize is the analyzer's single Arrow pass by design — assert
+    only that no row-at-a-time Python appears.)"""
+    plan = _plan(eq.REGISTRY["zipf_fit"][0](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan
