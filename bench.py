@@ -95,6 +95,7 @@ EXTRA_QUERIES = [
     "dedup_spans",
     "dedup_span_excise",
     "collocations",
+    "term_dispersion",
 ]
 
 

@@ -27,7 +27,7 @@ from nlp4l_spark.analysis import (
     WHITESPACE_ANALYZER,
 )
 from nlp4l_spark.ops import bpe, dedup, multimodal, processors, similarity, textqc
-from nlp4l_spark.stats import Corpus, keyness, moments, tfidf, wordcounts
+from nlp4l_spark.stats import Corpus, concordance, keyness, moments, tfidf, wordcounts
 
 TOK_SQL = STANDARD_ANALYZER.duckdb_tokens_sql("text")
 WS_SQL = WHITESPACE_ANALYZER.duckdb_tokens_sql("text")
@@ -2381,6 +2381,55 @@ HAVING count(*) + 5 >= 8
 """
 
 
+KWIC_TERM = "merge"
+
+
+def q_kwic(spark, sf_dir):
+    """Keyword-in-context concordance for one term: every occurrence
+    with 3 tokens of left/right context, (doc_id, pos) order, first 100
+    rows — the classic corpus-browser query over the positions model."""
+    return concordance.kwic(
+        _docs(spark, sf_dir), KWIC_TERM, width=3, k=100
+    )
+
+
+O_KWIC = f"""
+WITH fl AS (SELECT doc_id, {WS_SQL} AS tk FROM documents),
+m AS (SELECT doc_id, tk,
+        unnest(list_filter(range(1, len(tk) + 1),
+                           i -> tk[i] = '{KWIC_TERM}')) AS i
+      FROM fl)
+SELECT doc_id, (i - 1)::int AS pos,
+       coalesce(array_to_string(
+         list_slice(tk, greatest(i - 3, 1), i - 1), ' '), '') AS left_ctx,
+       coalesce(array_to_string(
+         list_slice(tk, i + 1, least(i + 3, len(tk))), ' '), '') AS right_ctx
+FROM m ORDER BY doc_id ASC, pos ASC LIMIT 100
+"""
+
+
+def q_term_dispersion(spark, sf_dir):
+    """Gries DP dispersion of the 20 most frequent terms — burstiness
+    QC: high-cf terms concentrated in few docs flag boilerplate."""
+    return concordance.term_dispersion(_corpus(spark, sf_dir), top_n=20)
+
+
+O_TERM_DISPERSION = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM dt GROUP BY 1),
+cf AS (SELECT term, sum(tf) AS cf FROM dt GROUP BY 1),
+tot AS (SELECT sum(tf) AS n FROM dt),
+j AS (SELECT dt.term, dt.tf, dl.dl, cf.cf, tot.n
+      FROM dt JOIN dl USING (doc_id) JOIN cf USING (term) CROSS JOIN tot),
+pt AS (SELECT term, max(cf)::bigint AS cf,
+              round(0.5 * (sum(abs(tf / cf - dl / n))
+                           + (1 - sum(dl / n))), 6) AS dp
+       FROM j GROUP BY term)
+SELECT term, cf, dp FROM pt ORDER BY cf DESC, term ASC LIMIT 20
+"""
+
+
 def q_zipf_fit(spark, sf_dir):
     """Zipf rank-frequency OLS fit over the corpus vocabulary (one-row
     corpus diagnostic; slope ~ -1 for natural text)."""
@@ -3608,6 +3657,8 @@ REGISTRY: dict[str, tuple] = {
     "significant_terms": (q_significant_terms, O_SIGNIFICANT_TERMS),
     "collocations": (q_collocations, O_COLLOCATIONS),
     "zipf_fit": (q_zipf_fit, O_ZIPF_FIT),
+    "kwic": (q_kwic, O_KWIC),
+    "term_dispersion": (q_term_dispersion, O_TERM_DISPERSION),
     "dedup_spans": (q_dedup_spans, O_DEDUP_SPANS),
     "dedup_span_excise": (q_dedup_span_excise, O_DEDUP_SPAN_EXCISE),
     "winnow_fingerprints": (q_winnow_fingerprints, O_WINNOW),
@@ -3668,9 +3719,9 @@ _DRIVER_ORDER = [
     "pack_sequences", "repetition_features", "bpe_pair_counts", "contamination_pairs", "dedup_clusters",
     "chunk_documents", "resample_weighted", "corpus_profile",
     "total_count", "validator_unique", "select_features", "term_range_search", "prefix_search",
-    "term_positions", "event_transitions", "kea_features", "count_prefix", "replay",
+    "term_positions", "kwic", "event_transitions", "kea_features", "count_prefix", "replay",
     "media_features", "sessionize", "asof_join", "rolling_stats", "funnel_steps", "ann_cosine_topk", "count_docset", "dict_match",
-    "wordcount_df", "tf_vectors", "zipf_fit", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
+    "wordcount_df", "tf_vectors", "zipf_fit", "term_dispersion", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
     "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "bigram_lm_score", "significant_terms", "collocations", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",

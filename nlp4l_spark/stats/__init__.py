@@ -1,4 +1,4 @@
 from nlp4l_spark.stats.corpus import Corpus
-from nlp4l_spark.stats import keyness, wordcounts, tfidf, moments
+from nlp4l_spark.stats import concordance, keyness, wordcounts, tfidf, moments
 
-__all__ = ["Corpus", "keyness", "wordcounts", "tfidf", "moments"]
+__all__ = ["Corpus", "concordance", "keyness", "wordcounts", "tfidf", "moments"]

@@ -1027,3 +1027,48 @@ def test_zipf_fit(spark, tmp_path):
     # top_n caps the fit set
     row2 = wc.zipf_fit(Corpus(df), top_n=2).collect()[0]
     assert row2["n_terms"] == 2
+
+
+def test_kwic(spark):
+    from nlp4l_spark.stats import concordance
+
+    df = spark.createDataFrame(
+        [
+            (1, "merge a b merge c"),
+            (2, "x y z merge"),
+            (3, "no hits here"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = [
+        (r["doc_id"], r["pos"], r["left_ctx"], r["right_ctx"])
+        for r in concordance.kwic(df, "merge", width=2).collect()
+    ]
+    assert rows == [
+        (1, 0, "", "a b"),          # doc edge -> empty left
+        (1, 3, "a b", "c"),         # short right
+        (2, 3, "y z", ""),          # doc edge -> empty right
+    ]
+    # k caps output in (doc_id, pos) order
+    one = concordance.kwic(df, "merge", width=2, k=1).collect()
+    assert (one[0]["doc_id"], one[0]["pos"]) == (1, 0)
+
+
+def test_term_dispersion(spark):
+    from nlp4l_spark.stats import Corpus, concordance
+
+    # 'even' spreads with doc sizes (dp ~ 0); 'burst' sits in one doc
+    df = spark.createDataFrame(
+        [
+            (1, "even even burst burst burst burst"),
+            (2, "even even filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in concordance.term_dispersion(Corpus(df)).collect()}
+    assert out["even"]["cf"] == 4 and out["burst"]["cf"] == 4
+    # both docs have 6 tokens -> s_i = 0.5 each; 'even' has v_i = 0.5
+    assert out["even"]["dp"] == 0.0
+    # 'burst': v = (1, 0), s = (.5, .5) -> dp = .5*(|1-.5| + (1-.5)) = 0.5
+    assert out["burst"]["dp"] == 0.5

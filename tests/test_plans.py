@@ -296,3 +296,21 @@ def test_zipf_fit_plan(spark):
     plan = _plan(eq.REGISTRY["zipf_fit"][0](spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_kwic_plan(spark):
+    """KWIC: match positions and context slices are array HOFs inside
+    ONE corpus scan — no join, no Python, top-k = TakeOrdered."""
+    plan = _plan(eq.REGISTRY["kwic"][0](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_term_dispersion_plan(spark):
+    """Dispersion: the vocab-sized cf table broadcasts; no sort-merge
+    join of corpus-sized sides; top-n = TakeOrdered."""
+    plan = _plan(eq.REGISTRY["term_dispersion"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
