@@ -2706,6 +2706,49 @@ SELECT id AS doc_id, min(reach) AS cluster_id FROM r GROUP BY id
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Keep-best-copy dedup (FineWeb-style): winnowing pair graph ->
+    connected components -> keep the highest-quality member per cluster
+    (ties: lowest doc_id); singletons always kept."""
+    docs = _docs(spark, sf_dir)
+    pairs = textqc.winnow_pairs(docs, k=8, w=4, min_shared=2)
+    clusters = dedup.dedup_clusters(pairs)
+    scored = textqc.quality_score(docs).select("doc_id", "quality")
+    return dedup.keep_best(scored, clusters, "quality")
+
+
+O_DEDUP_KEEP_BEST = rf"""
+WITH RECURSIVE
+n AS (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+      FROM documents),
+g AS (SELECT doc_id,
+        list_transform(range(1, greatest(length(t) - 6, 1)),
+          i -> ('0x' || substr(md5(substr(t, i::int, 8)), 1, 15))::bigint)
+          AS grams
+      FROM n WHERE length(t) >= 8),
+m AS (SELECT doc_id,
+        list_transform(range(1, greatest(len(grams) - 2, 1)),
+          j -> list_aggregate(grams[j:j+3], 'min')) AS mins
+      FROM g WHERE len(grams) >= 4),
+fp AS (SELECT DISTINCT doc_id, unnest(mins) AS fp FROM m),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION SELECT id_b, id_a FROM p),
+r AS (SELECT src AS id, src AS reach FROM e
+      UNION SELECT r.id, e.dst FROM r JOIN e ON e.src = r.reach),
+cl AS (SELECT id AS doc_id, min(reach) AS cluster_id FROM r GROUP BY id),
+qx AS ({O_QUALITY}),
+j AS (SELECT qx.doc_id, coalesce(cl.cluster_id, qx.doc_id) AS cluster_id,
+             qx.quality
+      FROM qx LEFT JOIN cl USING (doc_id)),
+rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+           ORDER BY quality DESC, doc_id ASC) AS rn FROM j)
+SELECT doc_id, cluster_id, quality, (rn = 1) AS keep FROM rk
+"""
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """Corpus-wide adjacent char-pair frequencies over the word-frequency
     table (the statistic behind BPE merge #1). The only corpus-sized op
@@ -3661,6 +3704,7 @@ REGISTRY: dict[str, tuple] = {
     "term_dispersion": (q_term_dispersion, O_TERM_DISPERSION),
     "dedup_spans": (q_dedup_spans, O_DEDUP_SPANS),
     "dedup_span_excise": (q_dedup_span_excise, O_DEDUP_SPAN_EXCISE),
+    "dedup_keep_best": (q_dedup_keep_best, O_DEDUP_KEEP_BEST),
     "winnow_fingerprints": (q_winnow_fingerprints, O_WINNOW),
     "winnow_pairs": (q_winnow_pairs, O_WINNOW_PAIRS),
     "repetition_features": (q_repetition_features, O_REPETITION),
@@ -3725,7 +3769,7 @@ _DRIVER_ORDER = [
     "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "bigram_lm_score", "significant_terms", "collocations", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
-    "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "dedup_spans", "dedup_span_excise", "embedding_neardup",
+    "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "dedup_spans", "dedup_span_excise", "dedup_keep_best", "embedding_neardup",
     "semantic_dedup",
     "index_bm25_topk", "index_phrase_topk", "bm25_topk", "embedding_neardup_lsh", "ann_lsh_topk", "ann_ivf_topk",
     "ann_pq_topk", "ann_sq_topk",

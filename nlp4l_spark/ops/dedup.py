@@ -705,3 +705,50 @@ def excise_spans(
         (F.size("_tk") - F.size(kept)).cast("bigint").alias("n_removed"),
         F.concat_ws(" ", kept).alias("text"),
     )
+
+
+def keep_best(
+    scored: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    *,
+    broadcast_clusters: bool = True,
+) -> DataFrame:
+    """Canonical-survivor selection: given per-doc scores and dedup
+    clusters (dedup_clusters output), keep the highest-scoring member
+    of each cluster — the FineWeb/RefinedWeb refinement of
+    keep-lowest-id dedup (drop duplicates, but keep the *best* copy,
+    e.g. by quality score). Ties break on lowest id.
+
+    Output: (id_col, cluster_id, score_col, keep) for EVERY input doc —
+    docs outside any cluster are their own cluster and always kept, so
+    ``filter(keep)`` is the deduplicated corpus.
+
+    Scale shape: the cluster table covers only docs with near-dup
+    evidence (≪ corpus) and broadcasts for both the membership join and
+    the anti-join, so the corpus is NEVER shuffled; the pick-best window
+    runs on clustered rows only and compiles to WindowGroupLimit-style
+    O(1)-per-cluster state. Set ``broadcast_clusters=False`` if most of
+    the corpus is duplicated."""
+    cl = clusters.select(
+        F.col(id_col), F.col("cluster_id")
+    )
+    if broadcast_clusters:
+        cl = F.broadcast(cl)
+    base = scored.select(id_col, score_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    in_cl = (
+        base.join(cl, id_col)
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select(id_col, "cluster_id", score_col, "keep")
+    )
+    rest = base.join(cl.select(id_col), id_col, "left_anti").select(
+        id_col,
+        F.col(id_col).alias("cluster_id"),
+        score_col,
+        F.lit(True).alias("keep"),
+    )
+    return in_cl.unionByName(rest)

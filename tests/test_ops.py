@@ -1072,3 +1072,26 @@ def test_term_dispersion(spark):
     assert out["even"]["dp"] == 0.0
     # 'burst': v = (1, 0), s = (.5, .5) -> dp = .5*(|1-.5| + (1-.5)) = 0.5
     assert out["burst"]["dp"] == 0.5
+
+
+def test_keep_best(spark):
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (9, 0.1)],
+        "doc_id long, quality double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)],  # {1,2,3} together, {4} trivial
+        "doc_id long, cluster_id long",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.keep_best(scored, clusters, "quality").collect()
+    }
+    assert len(out) == 5
+    # best quality wins; 0.9 tie between 2 and 3 -> lowest id (2)
+    assert out[2]["keep"] and not out[3]["keep"] and not out[1]["keep"]
+    # single-member cluster and unclustered doc always kept
+    assert out[4]["keep"] and out[9]["keep"]
+    # unclustered doc is its own cluster
+    assert out[9]["cluster_id"] == 9
+    assert sum(1 for r in out.values() if r["keep"]) == 3

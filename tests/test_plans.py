@@ -314,3 +314,19 @@ def test_term_dispersion_plan(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_keep_best_plan(spark):
+    """Keep-best dedup: the cluster table broadcasts for BOTH the
+    membership join and the anti-join — the corpus is never shuffled for
+    them; the pick-best window runs on clustered rows only."""
+    from nlp4l_spark.ops import dedup as dd
+
+    scored = eq._docs(spark, SF).selectExpr("doc_id", "n_chars AS q")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    )
+    plan = _plan(dd.keep_best(scored, clusters, "q"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
