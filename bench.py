@@ -96,6 +96,7 @@ EXTRA_QUERIES = [
     "dedup_span_excise",
     "collocations",
     "term_dispersion",
+    "textrank",
 ]
 
 

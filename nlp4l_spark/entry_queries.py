@@ -2381,6 +2381,42 @@ HAVING count(*) + 5 >= 8
 """
 
 
+def q_textrank(spark, sf_dir):
+    """Corpus TextRank keywords: 10 fixed power iterations over the
+    adjacent-term co-occurrence graph; deterministic, oracle = the same
+    iterations unrolled in SQL."""
+    return keyness.textrank_terms(_docs(spark, sf_dir), k=20)
+
+
+_TR_D, _TR_BASE = repr(0.85), repr(1.0 - 0.85)
+_TR_STEPS = "\n".join(
+    f"s{i + 1} AS (SELECT en.dst AS term, "
+    f"{_TR_BASE} + {_TR_D} * sum(en.nw * s{i}.score) AS score "
+    f"FROM en JOIN s{i} ON en.src = s{i}.term GROUP BY en.dst),"
+    for i in range(10)
+)
+
+O_TEXTRANK = f"""
+WITH fl AS (SELECT doc_id, {TOK_SQL} AS l FROM documents),
+tk AS (SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS ord
+       FROM fl),
+dp AS (SELECT a.w AS w1, b.w AS w2
+       FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+       WHERE a.w <> b.w),
+cnt AS (SELECT w1, w2, count(*)::double AS c FROM dp GROUP BY 1, 2),
+e AS (SELECT src, dst, sum(c) AS w FROM (
+        SELECT w1 AS src, w2 AS dst, c FROM cnt
+        UNION ALL SELECT w2, w1, c FROM cnt)
+      GROUP BY 1, 2),
+deg AS (SELECT src, sum(w) AS wd FROM e GROUP BY 1),
+en AS (SELECT e.src, e.dst, e.w / deg.wd AS nw FROM e JOIN deg USING (src)),
+s0 AS (SELECT src AS term, 1.0::double AS score FROM deg),
+{_TR_STEPS}
+r AS (SELECT term, round(score, 6) AS score FROM s10)
+SELECT term, score FROM r ORDER BY score DESC, term ASC LIMIT 20
+"""
+
+
 KWIC_TERM = "merge"
 
 
@@ -3702,6 +3738,7 @@ REGISTRY: dict[str, tuple] = {
     "zipf_fit": (q_zipf_fit, O_ZIPF_FIT),
     "kwic": (q_kwic, O_KWIC),
     "term_dispersion": (q_term_dispersion, O_TERM_DISPERSION),
+    "textrank": (q_textrank, O_TEXTRANK),
     "dedup_spans": (q_dedup_spans, O_DEDUP_SPANS),
     "dedup_span_excise": (q_dedup_span_excise, O_DEDUP_SPAN_EXCISE),
     "dedup_keep_best": (q_dedup_keep_best, O_DEDUP_KEEP_BEST),
@@ -3767,7 +3804,7 @@ _DRIVER_ORDER = [
     "media_features", "sessionize", "asof_join", "rolling_stats", "funnel_steps", "ann_cosine_topk", "count_docset", "dict_match",
     "wordcount_df", "tf_vectors", "zipf_fit", "term_dispersion", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
     "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "bigram_lm_score", "significant_terms", "collocations", "chi2_terms", "dedup_simhash", "kea_bigrams",
-    "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
+    "dedup_minhash", "textrank", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "dedup_spans", "dedup_span_excise", "dedup_keep_best", "embedding_neardup",
     "semantic_dedup",

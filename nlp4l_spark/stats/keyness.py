@@ -188,3 +188,91 @@ def collocations(
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(k)
     )
+
+
+def textrank_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    analyzer: Analyzer | None = None,
+    k: int = 20,
+    damping: float = 0.85,
+    iterations: int = 10,
+    broadcast_scores: bool = True,
+    materialize: bool = True,
+) -> DataFrame:
+    """Corpus-level TextRank keywords (Mihalcea & Tarau 2004): PageRank
+    over the term co-occurrence graph (adjacent-token edges, undirected,
+    count-weighted, no self-loops), a FIXED number of power iterations
+    from uniform scores — deterministic, so the result is exactly
+    reproducible (and SQL-oracle-checkable by unrolling the iterations):
+
+        s_{i+1}(v) = (1-d) + d * Σ_u  (w_uv / wdeg(u)) · s_i(u)
+
+    Output: (term, score) — top-k by rounded score desc, term asc.
+
+    Scale shape: the corpus is touched ONCE (tokenize → bigram counts);
+    the graph is edge-vocabulary-sized, its normalized form persisted;
+    each of the ``iterations`` rounds is one broadcast join + one
+    vocab-sized aggregation (set ``broadcast_scores=False`` at 10⁹-term
+    vocabularies for a shuffle join). Nothing corpus-sized is ever
+    iterated. ``materialize=False`` skips the persist/eager-checkpoint
+    pair and returns the lazy plan (for plan inspection)."""
+    from nlp4l_spark.analysis import STANDARD_ANALYZER
+
+    az = analyzer or STANDARD_ANALYZER
+    n = F.size(F.col("_tk"))
+    pair = lambda i: F.struct(
+        F.element_at(F.col("_tk"), i).alias("w1"),
+        F.element_at(F.col("_tk"), i + 1).alias("w2"),
+    )
+    pairs_arr = F.when(
+        n >= 2, F.transform(F.sequence(F.lit(1), n - 1), pair)
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    cnt = (
+        df.select(az.tokens_expr(text_col).alias("_tk"))
+        .select(F.explode(pairs_arr).alias("_p"))
+        .select("_p.w1", "_p.w2")
+        .filter(F.col("w1") != F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    edges = (
+        cnt.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), "_c")
+        .unionByName(
+            cnt.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "_c")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("_c").alias("_w"))
+    )
+    deg = edges.groupBy("src").agg(F.sum("_w").alias("_wd"))
+    en = edges.join(deg, "src").select(
+        "src", "dst", (F.col("_w") / F.col("_wd")).alias("_nw")
+    )
+    if materialize:
+        en = en.persist()
+        en.count()  # materialize once; every iteration reads the cache
+    base = F.lit(1.0 - damping)
+    scores = deg.select(F.col("src").alias("term"), F.lit(1.0).alias("score"))
+    for _ in range(iterations):
+        s = F.broadcast(scores) if broadcast_scores else scores
+        scores = (
+            en.join(s, en["src"] == s["term"])
+            .groupBy(F.col("dst").alias("term2"))
+            .agg(
+                (base + F.lit(damping) * F.sum(F.col("_nw") * F.col("score"))).alias(
+                    "score2"
+                )
+            )
+            .select(F.col("term2").alias("term"), F.col("score2").alias("score"))
+        )
+    out = (
+        scores.select("term", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(k)
+    )
+    if not materialize:
+        return out
+    out = out.localCheckpoint(eager=True)
+    en.unpersist()
+    return out

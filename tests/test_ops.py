@@ -1095,3 +1095,44 @@ def test_keep_best(spark):
     # unclustered doc is its own cluster
     assert out[9]["cluster_id"] == 9
     assert sum(1 for r in out.values() if r["keep"]) == 3
+
+
+def test_textrank(spark):
+    from nlp4l_spark.stats import keyness
+
+    rows = [
+        (0, "hub alpha hub beta hub gamma"),
+        (1, "alpha beta gamma hub"),
+        (2, "solo pair solo pair"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["term"]: r["score"] for r in keyness.textrank_terms(df, k=20).collect()}
+    # the hub term dominates its component
+    assert out["hub"] == max(out[t] for t in ("hub", "alpha", "beta", "gamma"))
+
+    # first-principles power iteration with the same graph + constants
+    from collections import Counter, defaultdict
+
+    from nlp4l_spark.analysis import STANDARD_ANALYZER as az
+
+    cnt = Counter()
+    for _, text in rows:
+        toks = az.tokenize(text)
+        for x, y in zip(toks, toks[1:]):
+            if x != y:
+                cnt[(x, y)] += 1.0
+    edges = defaultdict(float)
+    for (x, y), c in cnt.items():
+        edges[(x, y)] += c
+        edges[(y, x)] += c
+    wdeg = defaultdict(float)
+    for (s, d), w in edges.items():
+        wdeg[s] += w
+    score = {t: 1.0 for t in wdeg}
+    for _ in range(10):
+        nxt = defaultdict(float)
+        for (s, d), w in edges.items():
+            nxt[d] += (w / wdeg[s]) * score[s]
+        score = {t: (1.0 - 0.85) + 0.85 * v for t, v in nxt.items()}
+    for t, v in score.items():
+        assert abs(out[t] - round(v, 6)) < 1e-9, t

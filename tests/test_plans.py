@@ -330,3 +330,20 @@ def test_keep_best_plan(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_textrank_plan(spark):
+    """TextRank: every power iteration joins the vocab-sized score table
+    via broadcast — no SortMergeJoin anywhere in the 2-iteration lazy
+    plan, no Python stages, top-k = TakeOrdered (materialize=False
+    exposes the pre-checkpoint plan)."""
+    from nlp4l_spark.stats import keyness
+
+    df = eq._docs(spark, SF)
+    plan = _plan(
+        keyness.textrank_terms(df, k=20, iterations=2, materialize=False)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
