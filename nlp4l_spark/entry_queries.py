@@ -203,6 +203,68 @@ ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+def q_filtered_bm25_topk(spark, sf_dir):
+    """Metadata-filtered BM25 top-k with Solr fq semantics: the filter
+    (lang = 'en') restricts the CANDIDATES but not the collection
+    statistics — idf/avgdl stay whole-corpus, exactly like a Lucene
+    filtered query / Solr fq. Index path: semi-join the candidate docID
+    set against the stored-metadata predicate (the searchDocIdSet
+    surface, ISearcher.scala:45-49) before the top-k merge. Same
+    one-tokenize-pass shape as bm25_topk plus a pushable lang predicate."""
+    tc = STANDARD_ANALYZER.term_counts_udf()
+    per_doc = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", tc(F.col("text")).alias("_tc"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("_tc.dl").cast("double").alias("dl"),
+            F.map_from_arrays("_tc.terms", "_tc.tfs").alias("m"),
+        )
+    )
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    score = None
+    for t in BM25_TERMS:
+        idf_w = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        tf = F.col("m")[t].cast("double")
+        s_t = F.when(
+            tf.isNotNull(),
+            F.lit(idf_w)
+            * tf
+            * F.lit(2.2)
+            / (tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))),
+        ).otherwise(F.lit(0.0))
+        score = s_t if score is None else score + s_t
+    return (
+        per_doc.filter(F.col("lang") == "en")
+        .withColumn("s", score)
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_FILTERED_BM25 = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT sc.doc_id, round(s, 6) AS score
+FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+WHERE d.lang = 'en'
+ORDER BY s DESC, sc.doc_id ASC LIMIT {BM25_K}
+"""
+
+
 def _bm25_per_doc(spark, sf_dir):
     """(doc_id, dl, m[term -> tf]) — ONE tokenize pass per job. The
     earlier form derived doc_terms, doc_lens and per-term dfs from
@@ -3670,6 +3732,7 @@ REGISTRY: dict[str, tuple] = {
     "field_stats": (q_field_stats, O_FIELD_STATS),
     "count_docset": (q_count_docset, O_COUNT_DOCSET),
     "bm25_topk": (q_bm25_topk, _BM25_ORACLE),
+    "filtered_bm25_topk": (q_filtered_bm25_topk, O_FILTERED_BM25),
     "index_bm25_topk": (q_index_bm25_topk, _BM25_ORACLE),
     "phrase_bm25_topk": (q_phrase_bm25_topk, O_PHRASE_BM25_TOPK),
     "span_near_search": (q_span_near, O_SPAN_NEAR),
@@ -3808,7 +3871,7 @@ _DRIVER_ORDER = [
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "dedup_spans", "dedup_span_excise", "dedup_keep_best", "embedding_neardup",
     "semantic_dedup",
-    "index_bm25_topk", "index_phrase_topk", "bm25_topk", "embedding_neardup_lsh", "ann_lsh_topk", "ann_ivf_topk",
+    "index_bm25_topk", "index_phrase_topk", "bm25_topk", "filtered_bm25_topk", "embedding_neardup_lsh", "ann_lsh_topk", "ann_ivf_topk",
     "ann_pq_topk", "ann_sq_topk",
     # rows-only tail
     "ner_entities", "mdlp_cuts", "acronyms", "bpe_merges", "ml_classify", "kea_extract",
