@@ -265,6 +265,99 @@ ORDER BY s DESC, sc.doc_id ASC LIMIT {BM25_K}
 """
 
 
+MLT_DOC, MLT_TERMS = 7, 10
+
+
+def q_more_like_this(spark, sf_dir):
+    """MoreLikeThis, corpus path (Lucene MoreLikeThisQuery shape, index
+    twin Searcher.more_like_this): the source doc's top-10 terms by
+    tf·idf (rounded rank key, term-asc ties) become an OR BM25 query;
+    the source doc is excluded. Term selection is driver-side (one doc,
+    bounded distinct terms); scoring is the one-pass corpus BM25."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    row = per_doc.filter(F.col("doc_id") == MLT_DOC).select("m").collect()
+    tfs = {t: int(v) for t, v in dict(row[0]["m"]).items()}
+    terms = sorted(tfs)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, terms)
+    ranked = sorted(
+        (
+            -round(tfs[t] * math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)), 6),
+            t,
+        )
+        for t in terms
+    )[:MLT_TERMS]
+    qterms = [t for _, t in ranked]
+    score = None
+    for t in qterms:
+        idf_w = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        tf = F.col("m")[t].cast("double")
+        s_t = F.when(
+            tf.isNotNull(),
+            F.lit(idf_w)
+            * tf
+            * F.lit(2.2)
+            / (tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))),
+        ).otherwise(F.lit(0.0))
+        score = s_t if score is None else score + s_t
+    return (
+        per_doc.filter(F.col("doc_id") != MLT_DOC)
+        .withColumn("s", score)
+        .filter(F.greatest(*[F.col("m")[t] for t in qterms]).isNotNull())
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_MORE_LIKE_THIS = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+dfall AS (SELECT term, count(*)::double AS df FROM dt GROUP BY 1),
+ranked AS (SELECT s.term
+           FROM dt s JOIN dfall USING (term) CROSS JOIN st
+           WHERE s.doc_id = {MLT_DOC}
+           ORDER BY round(s.tf * ln(1 + (n - df + 0.5) / (df + 0.5)), 6)
+                    DESC, s.term ASC
+           LIMIT {MLT_TERMS}),
+dfm AS (SELECT term, df FROM dfall JOIN ranked USING (term)),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc WHERE doc_id <> {MLT_DOC}
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+def q_facet_counts(spark, sf_dir):
+    """Facet counts over a query's matching docs (the Solr facet.field
+    surface; index twin Searcher.facets): docs containing >= 1 query
+    term, grouped by the stored lang column, count desc / lang asc."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    qarr = F.array(*[F.lit(t) for t in BM25_TERMS])
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.arrays_overlap(toks, qarr))
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("lang"))
+    )
+
+
+O_FACET_COUNTS = f"""
+WITH {TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM toks
+      WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)}))
+SELECT d.lang, count(*)::bigint AS cnt
+FROM documents d JOIN m USING (doc_id)
+GROUP BY 1 ORDER BY cnt DESC, d.lang ASC
+"""
+
+
 def _bm25_per_doc(spark, sf_dir):
     """(doc_id, dl, m[term -> tf]) — ONE tokenize pass per job. The
     earlier form derived doc_terms, doc_lens and per-term dfs from
@@ -3733,6 +3826,8 @@ REGISTRY: dict[str, tuple] = {
     "count_docset": (q_count_docset, O_COUNT_DOCSET),
     "bm25_topk": (q_bm25_topk, _BM25_ORACLE),
     "filtered_bm25_topk": (q_filtered_bm25_topk, O_FILTERED_BM25),
+    "more_like_this": (q_more_like_this, O_MORE_LIKE_THIS),
+    "facet_counts": (q_facet_counts, O_FACET_COUNTS),
     "index_bm25_topk": (q_index_bm25_topk, _BM25_ORACLE),
     "phrase_bm25_topk": (q_phrase_bm25_topk, O_PHRASE_BM25_TOPK),
     "span_near_search": (q_span_near, O_SPAN_NEAR),
@@ -3871,7 +3966,7 @@ _DRIVER_ORDER = [
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "dedup_spans", "dedup_span_excise", "dedup_keep_best", "embedding_neardup",
     "semantic_dedup",
-    "index_bm25_topk", "index_phrase_topk", "bm25_topk", "filtered_bm25_topk", "embedding_neardup_lsh", "ann_lsh_topk", "ann_ivf_topk",
+    "index_bm25_topk", "index_phrase_topk", "bm25_topk", "filtered_bm25_topk", "more_like_this", "facet_counts", "embedding_neardup_lsh", "ann_lsh_topk", "ann_ivf_topk",
     "ann_pq_topk", "ann_sq_topk",
     # rows-only tail
     "ner_entities", "mdlp_cuts", "acronyms", "bpe_merges", "ml_classify", "kea_extract",
