@@ -223,21 +223,9 @@ def q_filtered_bm25_topk(spark, sf_dir):
         )
     )
     n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
-    score = None
-    for t in BM25_TERMS:
-        idf_w = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
-        tf = F.col("m")[t].cast("double")
-        s_t = F.when(
-            tf.isNotNull(),
-            F.lit(idf_w)
-            * tf
-            * F.lit(2.2)
-            / (tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))),
-        ).otherwise(F.lit(0.0))
-        score = s_t if score is None else score + s_t
     return (
         per_doc.filter(F.col("lang") == "en")
-        .withColumn("s", score)
+        .withColumn("s", _bm25_score_col(BM25_TERMS, n, avgdl, dfs))
         .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(BM25_K)
@@ -287,21 +275,9 @@ def q_more_like_this(spark, sf_dir):
         for t in terms
     )[:MLT_TERMS]
     qterms = [t for _, t in ranked]
-    score = None
-    for t in qterms:
-        idf_w = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
-        tf = F.col("m")[t].cast("double")
-        s_t = F.when(
-            tf.isNotNull(),
-            F.lit(idf_w)
-            * tf
-            * F.lit(2.2)
-            / (tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))),
-        ).otherwise(F.lit(0.0))
-        score = s_t if score is None else score + s_t
     return (
         per_doc.filter(F.col("doc_id") != MLT_DOC)
-        .withColumn("s", score)
+        .withColumn("s", _bm25_score_col(qterms, n, avgdl, dfs))
         .filter(F.greatest(*[F.col("m")[t] for t in qterms]).isNotNull())
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(BM25_K)
@@ -329,6 +305,113 @@ sc AS (SELECT dt.doc_id,
        FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
        GROUP BY dt.doc_id)
 SELECT doc_id, round(s, 6) AS score FROM sc WHERE doc_id <> {MLT_DOC}
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+RM3_FB_DOCS, RM3_FB_TERMS, RM3_ALPHA = 10, 10, 0.5
+
+
+def _bm25_score_col(terms, n, avgdl, dfs, weights=None):
+    """Weighted-OR BM25 score column over the per-doc tf map (shared by
+    the plain/filtered/MLT/RM3 corpus queries)."""
+    score = None
+    for t in terms:
+        idf_w = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        if weights is not None:
+            idf_w = weights[t] * idf_w
+        tf = F.col("m")[t].cast("double")
+        s_t = F.when(
+            tf.isNotNull(),
+            F.lit(idf_w)
+            * tf
+            * F.lit(2.2)
+            / (tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))),
+        ).otherwise(F.lit(0.0))
+        score = s_t if score is None else score + s_t
+    return score
+
+
+def q_rm3_topk(spark, sf_dir):
+    """BM25 + RM3 pseudo-relevance feedback, corpus path (index twin
+    Searcher.search_rm3, Lavrenko & Croft 2001 / Anserini recipe):
+    initial BM25 top-10 (rounded-score selection so both engines pick
+    the same feedback set), RM1(w) = Σ_d P(d|q)·tf/dl over those docs,
+    top-10 expansion terms (rounded rank key, term-asc ties), weights =
+    α·RM1 + (1-α)/|q| on originals, zero weights dropped, weighted OR
+    BM25 re-search. Feedback math is driver-side over 10 collected doc
+    maps — never corpus data."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    initial = (
+        per_doc.withColumn("s", F.round(_bm25_score_col(BM25_TERMS, n, avgdl, dfs), 6))
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(RM3_FB_DOCS)
+        .select("doc_id", "s", "m", "dl")
+        .collect()
+    )
+    total = sum(r["s"] for r in initial) or 1.0
+    rm1: dict[str, float] = {}
+    for r in initial:
+        w_d = r["s"] / total
+        dl = float(r["dl"])
+        if not dl or not w_d:
+            continue
+        for t, tf in dict(r["m"]).items():
+            rm1[t] = rm1.get(t, 0.0) + w_d * (float(tf) / dl)
+    top = sorted(rm1.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:RM3_FB_TERMS]
+    weights = {t: RM3_ALPHA * w for t, w in top}
+    for t in BM25_TERMS:
+        weights[t] = weights.get(t, 0.0) + (1.0 - RM3_ALPHA) / len(BM25_TERMS)
+    weights = {t: w for t, w in sorted(weights.items()) if w > 0.0}
+    qterms = list(weights)
+    n2, avgdl2, dfs2 = _bm25_corpus_stats(per_doc, qterms)
+    score = _bm25_score_col(qterms, n2, avgdl2, dfs2, weights)
+    return (
+        per_doc.withColumn("s", score)
+        .filter(F.greatest(*[F.col("m")[t] for t in qterms]).isNotNull())
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_RM3_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id),
+init AS (SELECT doc_id, round(s, 6) AS s FROM sc
+         ORDER BY round(s, 6) DESC, doc_id ASC LIMIT {RM3_FB_DOCS}),
+tot AS (SELECT sum(s) AS ts FROM init),
+rm1 AS (SELECT dt.term, sum((init.s / ts) * dt.tf / dl.dl) AS r
+        FROM dt JOIN init USING (doc_id) JOIN dl USING (doc_id) CROSS JOIN tot
+        GROUP BY 1),
+fb AS (SELECT term, r FROM rm1
+       ORDER BY round(r, 6) DESC, term ASC LIMIT {RM3_FB_TERMS}),
+wts AS (SELECT term, sum(w) AS w FROM (
+          SELECT term, {RM3_ALPHA!r} * r AS w FROM fb
+          UNION ALL
+          SELECT term, (1 - {RM3_ALPHA!r}) / {len(BM25_TERMS)} AS w FROM qt)
+        GROUP BY term HAVING sum(w) > 0),
+dfm2 AS (SELECT dt.term, count(*)::double AS df
+         FROM dt JOIN wts USING (term) GROUP BY 1),
+sc2 AS (SELECT dt.doc_id,
+               sum(wts.w * ln(1 + (n - df + 0.5) / (df + 0.5))
+                   * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+        FROM dt JOIN wts USING (term) JOIN dfm2 USING (term)
+                JOIN dl USING (doc_id) CROSS JOIN st
+        GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc2
 ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
 """
 
@@ -398,20 +481,8 @@ def q_bm25_topk(spark, sf_dir):
     shuffle, top-k is TakeOrderedAndProject."""
     per_doc = _bm25_per_doc(spark, sf_dir)
     n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
-    score = None
-    for t in BM25_TERMS:
-        idf_w = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
-        tf = F.col("m")[t].cast("double")
-        s_t = F.when(
-            tf.isNotNull(),
-            F.lit(idf_w)
-            * tf
-            * F.lit(2.2)
-            / (tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))),
-        ).otherwise(F.lit(0.0))
-        score = s_t if score is None else score + s_t
     return (
-        per_doc.withColumn("s", score)
+        per_doc.withColumn("s", _bm25_score_col(BM25_TERMS, n, avgdl, dfs))
         .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
         .orderBy(F.desc("s"), F.asc("doc_id"))
         .limit(BM25_K)
@@ -3828,6 +3899,7 @@ REGISTRY: dict[str, tuple] = {
     "filtered_bm25_topk": (q_filtered_bm25_topk, O_FILTERED_BM25),
     "more_like_this": (q_more_like_this, O_MORE_LIKE_THIS),
     "facet_counts": (q_facet_counts, O_FACET_COUNTS),
+    "rm3_topk": (q_rm3_topk, O_RM3_TOPK),
     "index_bm25_topk": (q_index_bm25_topk, _BM25_ORACLE),
     "phrase_bm25_topk": (q_phrase_bm25_topk, O_PHRASE_BM25_TOPK),
     "span_near_search": (q_span_near, O_SPAN_NEAR),
@@ -3966,7 +4038,7 @@ _DRIVER_ORDER = [
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "dedup_spans", "dedup_span_excise", "dedup_keep_best", "embedding_neardup",
     "semantic_dedup",
-    "index_bm25_topk", "index_phrase_topk", "bm25_topk", "filtered_bm25_topk", "more_like_this", "facet_counts", "embedding_neardup_lsh", "ann_lsh_topk", "ann_ivf_topk",
+    "index_bm25_topk", "index_phrase_topk", "bm25_topk", "filtered_bm25_topk", "more_like_this", "facet_counts", "rm3_topk", "embedding_neardup_lsh", "ann_lsh_topk", "ann_ivf_topk",
     "ann_pq_topk", "ann_sq_topk",
     # rows-only tail
     "ner_entities", "mdlp_cuts", "acronyms", "bpe_merges", "ml_classify", "kea_extract",
