@@ -691,18 +691,48 @@ class Searcher:
         )
         return docs.select("doc_id", F.lit(1.0).alias("score"))
 
-    def search_wildcard(self, pattern: str, k: int = 10) -> DataFrame:
+    def search_wildcard(
+        self, pattern: str, k: int = 10, max_expansions: int = 1024
+    ) -> DataFrame:
         """Lucene WildcardQuery (* = any run, ? = one char), rewritten like
         Lucene to a constant-score disjunction over the matching dictionary
-        terms; docID ascending."""
+        terms; docID ascending.
+
+        Scale shape (Lucene's automaton-vs-FST walk, rendered for parquet):
+        the pattern is expanded against the VOCAB-sized term dictionary —
+        never the postings table — with any literal prefix pushed as a
+        startswith range the term-sorted term_stats parquet min/max-prunes;
+        the expanded term set then reaches the postings reader as a pushed
+        ``In(term)`` filter (same plan as a normal multi-term query).
+        Expansions beyond ``max_expansions`` raise, mirroring Lucene's
+        TooManyClauses guard (a leading-* pattern over a 10⁹-term
+        dictionary would otherwise collect the vocabulary; Lucene's
+        ReversedWildcardFilter — a second, reversed-term dictionary — is
+        the index-side fix if leading-* must be fast at that scale)."""
         import re as _re
 
+        p = pattern.lower()
         rx = "".join(
-            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
-            for c in pattern.lower()
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c) for c in p
         )
+        lit_prefix = p.split("*", 1)[0].split("?", 1)[0]
+        stats = self.cat.read(self.spark, "term_stats")
+        cond = F.col("term").rlike(f"^{rx}$")
+        if lit_prefix:
+            # pushed range prune on the term-sorted dictionary
+            cond = F.col("term").startswith(lit_prefix) & cond
+        expanded = stats.filter(cond).select("term").limit(max_expansions + 1)
+        terms = [r["term"] for r in expanded.collect()]
+        if len(terms) > max_expansions:
+            raise ValueError(
+                f"wildcard '{pattern}' expands to > {max_expansions} terms "
+                "(Lucene TooManyClauses); narrow the pattern or raise "
+                "max_expansions"
+            )
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
         matching = self.cat.read(self.spark, "postings").filter(
-            F.col("term").rlike(f"^{rx}$")
+            F.col("term").isin(terms)
         )
         docs = (
             self._decoded(matching)

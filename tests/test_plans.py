@@ -347,3 +347,40 @@ def test_textrank_plan(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_wildcard_expands_via_dictionary(spark, tmp_path):
+    """WildcardQuery must rewrite against the vocab-sized term dictionary
+    (literal prefix pushed as a startswith range on term_stats) and reach
+    the postings reader as a pushed In(term) — never an rlike scan of the
+    postings table."""
+    from nlp4l_spark.data.transcripts import synth_transcripts
+    from nlp4l_spark.index import build_index
+    from nlp4l_spark.search import Searcher
+
+    idx = str(tmp_path / "idx")
+    build_index(synth_transcripts(spark, 800, num_partitions=4), idx)
+    s = Searcher(spark, idx)
+    plan = _plan(s.search_wildcard("w004?4", k=5))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("In(term" in ln for ln in pushed), pushed
+    assert "RLike" not in plan, "postings scanned with a regex"
+    # identity vs the brute-force postings rlike
+    import pyspark.sql.functions as F
+
+    brute = sorted(
+        r["doc_id"]
+        for r in s._decoded(
+            s.cat.read(spark, "postings").filter(F.col("term").rlike("^w004.4$"))
+        )
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )[:5]
+    got = sorted(r["doc_id"] for r in s.search_wildcard("w004?4", k=5).collect())
+    assert got == brute, (got, brute)
+    # leading-* still answers (dictionary scan, no prefix prune) and the
+    # TooManyClauses guard trips on an explode-everything pattern
+    assert s.search_wildcard("*0454", k=3).count() == 3
+    with pytest.raises(ValueError):
+        s.search_wildcard("*", k=3, max_expansions=10)
