@@ -97,6 +97,15 @@ EXTRA_QUERIES = [
     "collocations",
     "term_dispersion",
     "textrank",
+    # session-4 similarity / suggest / pipeline surface
+    "synonym_topk",
+    "lmd_topk",
+    "lmjm_topk",
+    "classic_topk",
+    "multi_phrase_topk",
+    "passage_topk",
+    "suggest_next",
+    "lang_mixture",
 ]
 
 

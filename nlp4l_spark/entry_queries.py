@@ -1189,6 +1189,567 @@ SELECT doc_id, n_spans FROM s WHERE n_spans > 0 ORDER BY doc_id ASC LIMIT 20
 
 
 # --------------------------------------------------------------------- #
+# Extended similarity / query-type surface (Lucene SynonymQuery,
+# LM Dirichlet / Jelinek-Mercer, ClassicSimilarity, MultiPhraseQuery,
+# suggesters, passage retrieval) — corpus twins of the Searcher methods
+# in search/engine.py, identity-tested in tests/test_similarities.py.
+# --------------------------------------------------------------------- #
+SYN_GROUPS = [["join", "merge"], ["vector"]]
+LMD_MU = 2000.0
+LMJM_LAMBDA = 0.7
+MPHRASE_SLOTS = [["hash", "merge"], ["join"]]
+SUGGEST_PREFIX = "s"
+SUGGEST_CONTEXT = "merge"
+PASSAGE_TERMS = BM25_TERMS
+PASSAGE_W = 15
+LANG_ALPHA = 0.3
+
+
+def q_synonym_topk(spark, sf_dir):
+    """Lucene SynonymQuery top-k, corpus path (index twin
+    Searcher.search_synonym): each group of synonyms scores as ONE
+    pseudo-term — tf = Σ member tfs, df = MAX member dfs (SynonymQuery's
+    blended TermStatistics: docFreq = max, totalTermFreq = sum) — and
+    groups combine as SHOULD. Same two-pass one-tokenize shape as
+    q_bm25_topk; the blend is per-doc map arithmetic, no extra scan."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    all_terms = sorted({t for g in SYN_GROUPS for t in g})
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, all_terms)
+    score, any_match = None, None
+    for g in SYN_GROUPS:
+        idf_w = math.log(
+            1.0 + (n - max(dfs[t] for t in g) + 0.5) / (max(dfs[t] for t in g) + 0.5)
+        )
+        tf_g = None
+        for t in g:
+            tf_t = F.coalesce(F.col("m")[t].cast("double"), F.lit(0.0))
+            tf_g = tf_t if tf_g is None else tf_g + tf_t
+        s_g = F.when(
+            tf_g > 0,
+            F.lit(idf_w)
+            * tf_g
+            * F.lit(2.2)
+            / (tf_g + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))),
+        ).otherwise(F.lit(0.0))
+        score = s_g if score is None else score + s_g
+        for t in g:
+            m_t = F.col("m")[t]
+            any_match = m_t if any_match is None else F.greatest(any_match, m_t)
+    return (
+        per_doc.filter(any_match.isNotNull())
+        .withColumn("s", score)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+_SYN_VALUES = ", ".join(
+    f"({gid}, '{t}')" for gid, g in enumerate(SYN_GROUPS) for t in g
+)
+
+O_SYNONYM_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+gt AS (SELECT * FROM (VALUES {_SYN_VALUES}) AS v(gid, term)),
+dfm AS (SELECT term, count(*)::double AS df FROM dt
+        WHERE term IN (SELECT term FROM gt) GROUP BY 1),
+gstat AS (SELECT gid, max(df) AS df FROM gt JOIN dfm USING (term) GROUP BY 1),
+gtf AS (SELECT doc_id, gid, sum(tf) AS tf
+        FROM dt JOIN gt USING (term) GROUP BY 1, 2),
+sc AS (SELECT doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+       FROM gtf JOIN gstat USING (gid) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+def _lm_corpus_stats(per_doc, terms):
+    """(n, total_tokens, {term: cf}) in ONE aggregation job — the
+    collection language model the LM similarities need."""
+    aggs = [F.count("*").alias("n"), F.sum("dl").alias("sum_dl")] + [
+        F.sum(F.col("m")[t]).cast("double").alias(f"_cf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    row = per_doc.agg(*aggs).collect()[0]
+    return (
+        row["n"],
+        float(row["sum_dl"]),
+        {t: float(row[f"_cf_{i}"] or 0.0) for i, t in enumerate(terms)},
+    )
+
+
+def q_lmd_topk(spark, sf_dir):
+    """LM Dirichlet top-k, corpus path (index twin
+    Searcher.search_lm(similarity='dirichlet'); Lucene
+    LMDirichletSimilarity, Zhai & Lafferty 2001, mu=2000): per present
+    term max(0, ln(1 + tf/(mu*p)) + ln(mu/(dl+mu))) with
+    p(t|C) = (cf+1)/(total+1). Cross-engine determinism: the per-term
+    value is rounded to 6 dp BEFORE Lucene's clamp-to-0 so clamp
+    membership can never differ by an ulp between engines (the index
+    path keeps the pure formula)."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, total, cfs = _lm_corpus_stats(per_doc, BM25_TERMS)
+    score, any_match = None, None
+    for t in BM25_TERMS:
+        p = (cfs[t] + 1.0) / (total + 1.0)
+        tf = F.col("m")[t].cast("double")
+        raw = F.log(F.lit(1.0) + tf / F.lit(LMD_MU * p)) + F.log(
+            F.lit(LMD_MU) / (F.col("dl") + F.lit(LMD_MU))
+        )
+        s_t = F.when(
+            tf.isNotNull(), F.greatest(F.lit(0.0), F.round(raw, 6))
+        ).otherwise(F.lit(0.0))
+        score = s_t if score is None else score + s_t
+        m_t = F.col("m")[t]
+        any_match = m_t if any_match is None else F.greatest(any_match, m_t)
+    return (
+        per_doc.filter(any_match.isNotNull())
+        .withColumn("s", score)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+def _o_lm_topk(similarity: str) -> str:
+    qt = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    if similarity == "dirichlet":
+        term_s = (
+            f"greatest(0, round(ln(1 + tf / ({LMD_MU!r} * ((cf + 1) / (total + 1))))"
+            f" + ln({LMD_MU!r} / (dl + {LMD_MU!r})), 6))"
+        )
+    else:
+        term_s = (
+            f"ln(1 + ({1.0 - LMJM_LAMBDA!r} * tf / dl)"
+            f" / ({LMJM_LAMBDA!r} * ((cf + 1) / (total + 1))))"
+        )
+    return f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+tot AS (SELECT count(*)::double AS total FROM toks),
+cfm AS (SELECT term, sum(tf) AS cf FROM dt WHERE term IN ({qt}) GROUP BY 1),
+sc AS (SELECT dt.doc_id, sum({term_s}) AS s
+       FROM dt JOIN cfm USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+       GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+O_LMD_TOPK = _o_lm_topk("dirichlet")
+O_LMJM_TOPK = _o_lm_topk("jm")
+
+
+def q_lmjm_topk(spark, sf_dir):
+    """LM Jelinek-Mercer top-k, corpus path (index twin
+    Searcher.search_lm(similarity='jm'); Lucene
+    LMJelinekMercerSimilarity, lambda=0.7): per present term
+    ln(1 + ((1-lambda)*tf/dl) / (lambda*p)) — always >= 0, so no clamp
+    (and no rounding trick) is needed."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, total, cfs = _lm_corpus_stats(per_doc, BM25_TERMS)
+    score, any_match = None, None
+    for t in BM25_TERMS:
+        p = (cfs[t] + 1.0) / (total + 1.0)
+        tf = F.col("m")[t].cast("double")
+        s_t = F.when(
+            tf.isNotNull(),
+            F.log(
+                F.lit(1.0)
+                + (F.lit(1.0 - LMJM_LAMBDA) * tf / F.col("dl"))
+                / F.lit(LMJM_LAMBDA * p)
+            ),
+        ).otherwise(F.lit(0.0))
+        score = s_t if score is None else score + s_t
+        m_t = F.col("m")[t]
+        any_match = m_t if any_match is None else F.greatest(any_match, m_t)
+    return (
+        per_doc.filter(any_match.isNotNull())
+        .withColumn("s", score)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+def q_classic_topk(spark, sf_dir):
+    """Lucene ClassicSimilarity top-k, corpus path (index twin
+    Searcher.search_classic; the pre-6.x TFIDFSimilarity default):
+    per present term sqrt(tf) * idf^2 / sqrt(dl),
+    idf = 1 + ln(n / (df + 1)) — idf squared because it enters both the
+    query and the term weight (queryNorm/coord are gone since Lucene 7);
+    exact 1/sqrt(dl) instead of Lucene's lossy byte-encoded norm,
+    documented."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, _avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    score, any_match = None, None
+    for t in BM25_TERMS:
+        idf2 = (1.0 + math.log(n / (dfs[t] + 1.0))) ** 2
+        tf = F.col("m")[t].cast("double")
+        s_t = F.when(
+            tf.isNotNull(), F.sqrt(tf) * F.lit(idf2) / F.sqrt(F.col("dl"))
+        ).otherwise(F.lit(0.0))
+        score = s_t if score is None else score + s_t
+        m_t = F.col("m")[t]
+        any_match = m_t if any_match is None else F.greatest(any_match, m_t)
+    return (
+        per_doc.filter(any_match.isNotNull())
+        .withColumn("s", score)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_CLASSIC_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum(sqrt(tf) * pow(1 + ln(n / (df + 1)), 2) / sqrt(dl)) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+def q_suggest_complete(spark, sf_dir):
+    """Autocomplete suggester, corpus path (index twin
+    Searcher.suggest_complete — a pure term-dictionary range scan):
+    top-10 analyzed-term completions of the prefix ranked by collection
+    frequency desc / term asc, the Lucene suggest AnalyzingSuggester
+    weight-sort shape with cf as the weight."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(toks).alias("term"))
+        .filter(F.col("term").startswith(SUGGEST_PREFIX))
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(10)
+    )
+
+
+O_SUGGEST_COMPLETE = f"""
+WITH {TOKS_CTE}
+SELECT term, count(*)::bigint AS cf FROM toks
+WHERE term LIKE '{SUGGEST_PREFIX}%'
+GROUP BY term ORDER BY cf DESC, term ASC LIMIT 10
+"""
+
+
+def q_suggest_next(spark, sf_dir):
+    """Next-word suggester (the Lucene FreeTextSuggester shape at
+    bigram order, weight = bigram count): rank the tokens that follow
+    the context word in the FULL token stream (stopwords kept —
+    completions like 'the' are what a real suggester must rank).
+    Adjacency is a zip-with-tail over the token array — one scan, no
+    positional join."""
+    ft = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    tail = F.slice(ft, 2, F.greatest(F.size(ft) - 1, F.lit(0)))
+    nxt = F.filter(
+        F.zip_with(
+            ft, tail, lambda a, b: F.when(a == SUGGEST_CONTEXT, b)
+        ),
+        lambda v: v.isNotNull(),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(nxt).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(10)
+    )
+
+
+O_SUGGEST_NEXT = f"""
+WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ft
+           FROM documents),
+nx AS (SELECT unnest(list_transform(
+         list_filter(range(1, len(ft)), i -> ft[i] = '{SUGGEST_CONTEXT}'),
+         i -> ft[i + 1])) AS term FROM t)
+SELECT term, count(*)::bigint AS cnt FROM nx
+GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 10
+"""
+
+
+def q_multi_phrase_topk(spark, sf_dir):
+    """Lucene MultiPhraseQuery top-k, corpus path (index twin
+    Searcher.search_multi_phrase): slot 0 matches any of
+    {MPHRASE_SLOTS[0]} and slot 1 any of {MPHRASE_SLOTS[1]} at the next
+    position — tf = number of qualifying anchor positions in the FULL
+    token stream (same stopword-hole contract as phrase_bm25_topk),
+    idf = Σ idf over ALL member terms (MultiPhraseQuery feeds every
+    term's stats to the Similarity), BM25 on the phrase tf. One
+    tokenize pass; adjacency is array HOFs, df/dl stats ride the same
+    single aggregation."""
+    ft = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    at = STANDARD_ANALYZER.tokens_expr("text")
+    all_terms = sorted({t for g in MPHRASE_SLOTS for t in g})
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        ft.alias("ft"),
+        F.size(at).cast("double").alias("dl"),
+        *[
+            F.array_contains(at, t).cast("long").alias(f"_has_{i}")
+            for i, t in enumerate(all_terms)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum(f"_has_{i}").alias(f"_df_{i}") for i in range(len(all_terms))],
+    ).collect()[0]
+    n = float(stats["n"])
+    avgdl = float(stats["sum_dl"]) / n
+    dfs = {t: float(stats[f"_df_{i}"]) for i, t in enumerate(all_terms)}
+    idf_total = sum(
+        math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in all_terms
+    )
+
+    def positions(terms):
+        tset = F.array(*[F.lit(t) for t in terms])
+        return F.filter(
+            F.transform(
+                F.col("ft"),
+                lambda x, i: F.when(F.array_contains(tset, x), i),
+            ),
+            lambda v: v.isNotNull(),
+        )
+
+    p0, p1 = positions(MPHRASE_SLOTS[0]), positions(MPHRASE_SLOTS[1])
+    tf = F.size(
+        F.filter(p0, lambda a: F.exists(p1, lambda b: b == a + 1))
+    ).cast("double")
+    score = (
+        F.lit(idf_total)
+        * F.col("tf")
+        * F.lit(2.2)
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        base.withColumn("tf", tf)
+        .filter(F.col("tf") > 0)
+        .withColumn("s", score)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+def _o_multi_phrase() -> str:
+    slot0 = ", ".join(f"'{t}'" for t in MPHRASE_SLOTS[0])
+    slot1 = ", ".join(f"'{t}'" for t in MPHRASE_SLOTS[1])
+    all_terms = sorted({t for g in MPHRASE_SLOTS for t in g})
+    df_cols = ", ".join(
+        f"(SELECT count(*) FROM t WHERE list_contains(at, '{t}')) AS df{i}"
+        for i, t in enumerate(all_terms)
+    )
+    idf_sum = " + ".join(
+        f"ln(1 + (n.n - d.df{i} + 0.5) / (d.df{i} + 0.5))"
+        for i in range(len(all_terms))
+    )
+    return f"""
+WITH t AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS ft,
+             {TOK_SQL} AS at FROM documents),
+base AS (SELECT doc_id,
+           len(list_filter(
+             list_filter(range(1, len(ft)), i -> ft[i] IN ({slot0})),
+             i -> ft[i + 1] IN ({slot1})))::double AS tf,
+           len(at)::double AS dl
+         FROM t),
+n AS (SELECT count(*)::double AS n, sum(dl) / count(*) AS avgdl FROM base),
+d AS (SELECT {df_cols})
+SELECT doc_id,
+       round(({idf_sum})
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / n.avgdl)), 6)
+           AS score
+FROM base, n, d WHERE tf > 0
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+O_MULTI_PHRASE_TOPK = _o_multi_phrase()
+
+
+def q_passage_topk(spark, sf_dir):
+    """Best-passage retrieval (the UnifiedHighlighter passage-scoring
+    shape): candidate passages are windows of {PASSAGE_W} tokens
+    anchored at each query-term occurrence in the FULL token stream;
+    a passage scores Σ idf(t) over the query-term occurrences inside
+    it; a doc's best passage is the max-scoring window, earliest start
+    on ties. Top-10 docs by best-passage score. Determinism: the
+    anchor scores are identical FP expressions in both engines (idfs
+    are repr'd literals, counts are ints, summed in fixed term order),
+    so argmax/tie selection matches. Starts are 0-based token
+    positions."""
+    ft = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    at = STANDARD_ANALYZER.tokens_expr("text")
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        ft.alias("ft"),
+        *[
+            F.array_contains(at, t).cast("long").alias(f"_has_{i}")
+            for i, t in enumerate(PASSAGE_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"_has_{i}").alias(f"_df_{i}") for i in range(len(PASSAGE_TERMS))],
+    ).collect()[0]
+    n = float(stats["n"])
+    idfs = {
+        t: math.log(
+            1.0
+            + (n - float(stats[f"_df_{i}"]) + 0.5)
+            / (float(stats[f"_df_{i}"]) + 0.5)
+        )
+        for i, t in enumerate(PASSAGE_TERMS)
+    }
+
+    def positions(term):
+        return F.filter(
+            F.transform(
+                F.col("ft"), lambda x, i: F.when(x == term, i)
+            ),
+            lambda v: v.isNotNull(),
+        )
+
+    pos_cols = {t: positions(t).alias(f"_pos_{i}") for i, t in enumerate(PASSAGE_TERMS)}
+    wdoc = base.select("doc_id", *pos_cols.values())
+    anchors = F.array_sort(
+        F.concat(*[F.col(f"_pos_{i}") for i in range(len(PASSAGE_TERMS))])
+    )
+
+    def window_score(a):
+        s = None
+        for i, t in enumerate(PASSAGE_TERMS):
+            cnt = F.size(
+                F.filter(
+                    F.col(f"_pos_{i}"),
+                    lambda p: (p >= a) & (p < a + PASSAGE_W),
+                )
+            ).cast("double")
+            s_t = F.lit(idfs[t]) * cnt
+            s = s_t if s is None else s + s_t
+        return s
+
+    # anchors ascend, so the FIRST index of the max score is the earliest
+    # best window — argmax via array_position, no score recompute
+    scored = (
+        wdoc.withColumn("_anchors", anchors)
+        .filter(F.size("_anchors") > 0)
+        .withColumn("_scores", F.transform(F.col("_anchors"), window_score))
+        .withColumn("_best", F.array_max("_scores"))
+        .withColumn(
+            "_start",
+            F.element_at(
+                F.col("_anchors"),
+                F.array_position(F.col("_scores"), F.col("_best")).cast("int"),
+            ),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.col("_start").cast("long").alias("p_start"),
+            F.round("_best", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
+    )
+
+
+def _o_passage_topk() -> str:
+    pos_cols = ", ".join(
+        f"list_filter(range(1, len(ft) + 1), i -> ft[i] = '{t}') AS pos{i}"
+        for i, t in enumerate(PASSAGE_TERMS)
+    )
+    df_cols = ", ".join(
+        f"(SELECT count(*) FROM t WHERE list_contains(at, '{t}')) AS df{i}"
+        for i, t in enumerate(PASSAGE_TERMS)
+    )
+    score_terms = " + ".join(
+        f"ln(1 + (n.n - d.df{i} + 0.5) / (d.df{i} + 0.5))"
+        f" * len(list_filter(pos{i}, p -> p >= a AND p < a + {PASSAGE_W}))"
+        for i in range(len(PASSAGE_TERMS))
+    )
+    anchor_cat = " || ".join(f"pos{i}" for i in range(len(PASSAGE_TERMS)))
+    pos_names = ", ".join(f"pos{i}" for i in range(len(PASSAGE_TERMS)))
+    return f"""
+WITH t AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS ft,
+             {TOK_SQL} AS at FROM documents),
+n AS (SELECT count(*)::double AS n FROM t),
+d AS (SELECT {df_cols}),
+p AS (SELECT doc_id, {pos_cols} FROM t),
+w AS (SELECT doc_id, list_sort({anchor_cat}) AS anchors, {pos_names} FROM p),
+s AS (SELECT doc_id, anchors,
+        list_transform(anchors, a -> {score_terms}) AS scores
+      FROM w, n, d WHERE len(anchors) > 0),
+b AS (SELECT doc_id, list_max(scores) AS best,
+        anchors[list_position(scores, list_max(scores))] AS start1
+      FROM s)
+SELECT doc_id, (start1 - 1)::bigint AS p_start, round(best, 6) AS score
+FROM b ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+O_PASSAGE_TOPK = _o_passage_topk()
+
+
+def q_lang_mixture(spark, sf_dir):
+    """Temperature-based language mixture reweighting (the mT5/XLM-R
+    alpha-sampling recipe, alpha=0.3): per language, p = corpus share,
+    q ∝ p^alpha the target sampling share, doc_weight = q/p the
+    per-document sampling weight that realizes q. One groupBy over the
+    corpus; the normalizers are broadcast cross-joined scalar aggregates
+    over the languages-sized frame (no single-partition window)."""
+    c = _docs(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n"))
+    c = c.crossJoin(F.broadcast(c.agg(F.sum("n").alias("_N"))))
+    c = c.withColumn("p", F.col("n") / F.col("_N")).withColumn(
+        "pa", F.pow("p", LANG_ALPHA)
+    )
+    c = c.crossJoin(F.broadcast(c.agg(F.sum("pa").alias("_spa"))))
+    q = F.col("pa") / F.col("_spa")
+    return c.select(
+        "lang",
+        "n",
+        F.round("p", 6).alias("p"),
+        F.round(q, 6).alias("q"),
+        F.round(q / F.col("p"), 6).alias("doc_weight"),
+    ).orderBy("lang")
+
+
+O_LANG_MIXTURE = f"""
+WITH c AS (SELECT lang, count(*)::bigint AS n FROM documents GROUP BY 1),
+x AS (SELECT lang, n,
+        n / sum(n) OVER () AS p,
+        pow(n / sum(n) OVER (), {LANG_ALPHA!r}) AS pa
+      FROM c),
+y AS (SELECT lang, n, p, pa / sum(pa) OVER () AS q FROM x)
+SELECT lang, n, round(p, 6) AS p, round(q, 6) AS q,
+       round(q / p, 6) AS doc_weight
+FROM y ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------- #
 # Unicode / CJK analysis (stand-in for JaUserDictionaryProcessor,
 # FeaturedProcessors.scala:302-342 — dictionary-free CJK bigrams)
 # --------------------------------------------------------------------- #
@@ -4009,6 +4570,15 @@ REGISTRY: dict[str, tuple] = {
     "unicode_wordcount": (q_unicode_wordcount, O_UNICODE_WORDCOUNT),
     "ltr_pairwise": (q_ltr_pairwise, O_LTR_PAIRWISE),
     "dict_match": (q_dict_match, O_DICT_MATCH),
+    "synonym_topk": (q_synonym_topk, O_SYNONYM_TOPK),
+    "lmd_topk": (q_lmd_topk, O_LMD_TOPK),
+    "lmjm_topk": (q_lmjm_topk, O_LMJM_TOPK),
+    "classic_topk": (q_classic_topk, O_CLASSIC_TOPK),
+    "suggest_complete": (q_suggest_complete, O_SUGGEST_COMPLETE),
+    "suggest_next": (q_suggest_next, O_SUGGEST_NEXT),
+    "multi_phrase_topk": (q_multi_phrase_topk, O_MULTI_PHRASE_TOPK),
+    "passage_topk": (q_passage_topk, O_PASSAGE_TOPK),
+    "lang_mixture": (q_lang_mixture, O_LANG_MIXTURE),
 }
 
 
@@ -4023,6 +4593,7 @@ _DRIVER_ORDER = [
     "stop_filter", "props_parse", "stats_moments", "token_count", "quality_score",
     "sample_stratified", "length_percentiles", "merge_records", "redact_pii", "acronym_candidates",
     "clean_lines", "filter_percentile", "line_dedup", "gopher_filter", "normalize_text", "script_profile", "top_per_lang",
+    "lang_mixture", "suggest_complete", "suggest_next",
     "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words", "click_rate",
     "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
     "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",
@@ -4035,6 +4606,7 @@ _DRIVER_ORDER = [
     "wordcount_df", "tf_vectors", "zipf_fit", "term_dispersion", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
     "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "bigram_lm_score", "significant_terms", "collocations", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "textrank", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
+    "synonym_topk", "lmd_topk", "lmjm_topk", "classic_topk", "multi_phrase_topk", "passage_topk",
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "dedup_spans", "dedup_span_excise", "dedup_keep_best", "embedding_neardup",
     "semantic_dedup",

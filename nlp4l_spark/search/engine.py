@@ -76,6 +76,7 @@ class Searcher:
         row = self.cat.read(spark, "field_stats").collect()[0]
         self.num_docs = int(row["num_docs"])
         self.avgdl = float(row["avgdl"])
+        self.sum_dl = int(row["sum_dl"])
         self._deleted_cache: frozenset[int] | None = None
 
     # ---- live docs (Lucene deletes model) ----------------------------- #
@@ -130,6 +131,19 @@ class Searcher:
         return self.cat.read(self.spark, "postings").filter(
             F.col("term").isin(terms)
         )
+
+    def _term_stats_full(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """(df, cf) per term — same pushed-In(term) dictionary point lookup
+        as _term_stats, for similarities that need collection term
+        frequency (LM Dirichlet / Jelinek-Mercer)."""
+        if not terms:
+            return {}
+        rows = (
+            self.cat.read(self.spark, "term_stats")
+            .filter(F.col("term").isin(terms))
+            .collect()
+        )
+        return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
 
     # ------------------------------------------------------------------ #
     def positions(self, term: str) -> DataFrame:
@@ -931,6 +945,262 @@ class Searcher:
             .select("doc_id", n_spans.cast("long").alias("n_spans"))
             .filter(F.col("n_spans") > 0)
             .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_synonym(
+        self, groups: list[list[str]], k: int = 10
+    ) -> DataFrame:
+        """Lucene SynonymQuery per group, groups combined as SHOULD: the
+        terms of one group score as ONE pseudo-term — tf is the per-doc
+        SUM of the member tfs (blended freq) and df is the MAX of the
+        member dfs, exactly SynonymQuery.createWeight's blended
+        TermStatistics (docFreq = max, totalTermFreq = sum). Plan: one
+        pushed-In(term) postings scan over all member terms, a broadcast
+        (term -> group, group idf) join, a (doc, group) partial-agg sum
+        blending tfs, BM25 on the blended tf, then the SHOULD sum per doc
+        — all JVM, top-k is TakeOrderedAndProject."""
+        norm_groups = [
+            sorted({t for g in [grp] for t in self.analyzer.tokenize(" ".join(g))})
+            for grp in groups
+        ]
+        all_terms = sorted({t for g in norm_groups for t in g})
+        dfs = self._term_stats(all_terms)
+        rows = []
+        for gid, g in enumerate(norm_groups):
+            present = [t for t in g if t in dfs]
+            if not present:
+                continue
+            g_idf = idf(self.num_docs, max(dfs[t] for t in present))
+            rows.extend((gid, t, g_idf) for t in present)
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "gid int, term string, idf double")
+        )
+        decoded = self._decoded(self._matching_postings([r[1] for r in rows]))
+        avgdl = self.avgdl or 1.0
+        blended = (
+            decoded.join(qterms, "term")
+            .groupBy("doc_id", "gid")
+            .agg(
+                F.sum("tf").cast("double").alias("tf"),
+                F.first("dl").alias("dl"),
+                F.first("idf").alias("idf"),
+            )
+        )
+        score_expr = (
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+            )
+        )
+        return (
+            blended.withColumn("_s", score_expr)
+            .groupBy("doc_id")
+            .agg(F.sum("_s").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_lm(
+        self,
+        query: str,
+        k: int = 10,
+        similarity: str = "dirichlet",
+        mu: float = 2000.0,
+        lam: float = 0.7,
+    ) -> DataFrame:
+        """Language-model similarities over the postings (Lucene
+        LMDirichletSimilarity / LMJelinekMercerSimilarity; Zhai & Lafferty
+        2001). Per present query term, with collection model
+        p(t|C) = (cf + 1) / (total_tokens + 1) (Lucene
+        LMSimilarity.computeProbability's +1 smoothing):
+
+        * dirichlet: max(0, ln(1 + tf/(mu*p)) + ln(mu/(dl + mu))) — the
+          per-term clamp-to-0 is Lucene's.
+        * jm: ln(1 + ((1-lam) * tf/dl) / (lam * p)) — always >= 0.
+
+        Candidates are docs containing >= 1 query term (Lucene's
+        disjunction iterator); same broadcast-join + partial-agg plan as
+        BM25 dataframe scoring, only the score expression changes. WAND
+        block-max metadata is BM25-specific, so LM queries use full
+        DataFrame scoring — work is still ∝ query postings, never the
+        corpus."""
+        if similarity not in ("dirichlet", "jm"):
+            raise ValueError(f"unknown LM similarity: {similarity}")
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        stats = self._term_stats_full(terms)
+        total = float(self.sum_dl)
+        rows = [
+            (t, (stats[t][1] + 1.0) / (total + 1.0))
+            for t in terms
+            if t in stats
+        ]
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "term string, p double")
+        )
+        decoded = self._decoded(self._matching_postings([r[0] for r in rows]))
+        tf = F.col("tf").cast("double")
+        dl = F.col("dl").cast("double")
+        if similarity == "dirichlet":
+            s = F.greatest(
+                F.lit(0.0),
+                F.log(F.lit(1.0) + tf / (F.lit(mu) * F.col("p")))
+                + F.log(F.lit(mu) / (dl + F.lit(mu))),
+            )
+        else:
+            s = F.log(
+                F.lit(1.0)
+                + (F.lit(1.0 - lam) * tf / dl) / (F.lit(lam) * F.col("p"))
+            )
+        return (
+            decoded.join(qterms, "term")
+            .withColumn("_s", s)
+            .groupBy("doc_id")
+            .agg(F.sum("_s").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_classic(self, query: str, k: int = 10) -> DataFrame:
+        """Lucene ClassicSimilarity (the pre-6.x TFIDFSimilarity default):
+        per present term sqrt(tf) * idf^2 / sqrt(dl) with
+        idf = 1 + ln(num_docs / (df + 1)); idf appears squared because it
+        enters both the query weight and the term weight (queryNorm and
+        coord were removed in Lucene 7, so this IS the full formula).
+        Deviation, documented: Lucene's norm is the lossy byte-encoded
+        1/sqrt(dl) — this keeps the exact value instead of quantizing.
+        Same broadcast-join scoring plan as BM25."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        dfs = self._term_stats(terms)
+        rows = [
+            (t, (1.0 + math.log(self.num_docs / (dfs[t] + 1.0))) ** 2)
+            for t in terms
+            if t in dfs
+        ]
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "term string, idf2 double")
+        )
+        decoded = self._decoded(self._matching_postings([r[0] for r in rows]))
+        s = (
+            F.sqrt(F.col("tf").cast("double"))
+            * F.col("idf2")
+            / F.sqrt(F.col("dl").cast("double"))
+        )
+        return (
+            decoded.join(qterms, "term")
+            .withColumn("_s", s)
+            .groupBy("doc_id")
+            .agg(F.sum("_s").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def suggest_complete(self, prefix: str, k: int = 10) -> DataFrame:
+        """Autocomplete over the term dictionary (Lucene suggest's
+        AnalyzingSuggester weight-sort shape, with cf as the weight):
+        top-k completions of ``prefix`` ranked cf desc / term asc. A pure
+        dictionary range scan — the term-sorted term_stats parquet
+        min/max-prunes on the startswith bound; postings are never
+        touched."""
+        return (
+            self.cat.read(self.spark, "term_stats")
+            .filter(F.col("term").startswith(prefix.lower()))
+            .select("term", "cf")
+            .orderBy(F.desc("cf"), F.asc("term"))
+            .limit(k)
+        )
+
+    def search_multi_phrase(
+        self, slots: list[list[str]], k: int = 10
+    ) -> DataFrame:
+        """Lucene MultiPhraseQuery: slot j of the phrase matches ANY of its
+        alternative terms (e.g. [[hash, merge], [join]] = "hash join" OR
+        "merge join" at adjacent positions). tf = number of positions p
+        where every slot j has a member term at p + j; idf = Σ idf(t) over
+        ALL member terms of all slots (MultiPhraseQuery feeds every term's
+        TermStatistics to the Similarity); BM25 on the phrase tf — the
+        same scoring contract as search_phrase, which is the 1-alternative
+        special case. Positions come from the opt-in term_vectors table;
+        the per-slot position union and the adjacency check are array HOFs
+        over df-sized position lists, never corpus-sized."""
+        norm = [
+            sorted({t for alt in grp for t in self.analyzer.tokenize(alt)})
+            for grp in slots
+        ]
+        if not norm or any(not g for g in norm):
+            raise ValueError("every multi-phrase slot needs >= 1 term")
+        if not self.cat.is_committed("term_vectors"):
+            raise ValueError(
+                "multi_phrase needs term_vectors "
+                "(IndexBuilder(store_term_vectors=True))"
+            )
+        all_terms = sorted({t for g in norm for t in g})
+        dfs = self._term_stats(all_terms)
+        idf_total = sum(
+            idf(self.num_docs, dfs[t]) for t in all_terms if t in dfs
+        )
+        tv = self.cat.read(self.spark, "term_vectors").filter(
+            F.col("term").isin(all_terms)
+        )
+        # per-slot merged position lists: (doc_id, _p0, _p1, ...)
+        merged = None
+        for j, g in enumerate(norm):
+            pj = (
+                tv.filter(F.col("term").isin(g))
+                .groupBy("doc_id")
+                .agg(
+                    F.array_sort(
+                        F.flatten(F.collect_list("positions"))
+                    ).alias(f"_p{j}")
+                )
+            )
+            merged = pj if merged is None else merged.join(pj, "doc_id")
+        # anchor at each slot-0 position; nested exists per later slot
+        # (inner HOF lambdas may capture the outer lambda's variable;
+        # PySpark reads default-arg params as HOF arity, so bind j via a
+        # factory instead of a lambda default)
+        def _slot_exists(a, j):
+            return F.exists(F.col(f"_p{j}"), lambda p: p == a + j)
+
+        def slot_match(a):
+            m = None
+            for j in range(1, len(norm)):
+                c = _slot_exists(a, j)
+                m = c if m is None else m & c
+            return m if m is not None else F.lit(True)
+
+        tf_col = F.size(F.filter(F.col("_p0"), slot_match)).cast("double")
+        dl_tbl = self.cat.read(self.spark, "doc_lens").select("doc_id", "dl")
+        avgdl = self.avgdl or 1.0
+        scored = (
+            self._not_deleted(merged)
+            .withColumn("tf", tf_col)
+            .filter(F.col("tf") > 0)
+            .join(dl_tbl, "doc_id")
+        )
+        score_expr = (
+            F.lit(idf_total)
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+            )
+        )
+        return (
+            scored.select("doc_id", score_expr.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
 

@@ -1,0 +1,182 @@
+"""Extended similarity / query-type surface over the index: Lucene
+SynonymQuery, LM Dirichlet / Jelinek-Mercer, ClassicSimilarity,
+MultiPhraseQuery, and the dictionary autocomplete suggester. Index
+results must equal first-principles Python computations of the published
+formulas on a hand-checked corpus, and reduce to existing query types in
+their degenerate cases (singleton synonym group == TermQuery, one
+alternative per slot == PhraseQuery)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nlp4l_spark.index import IndexBuilder
+from nlp4l_spark.search import Searcher
+
+DOCS = [
+    (0, "spark join merge vector window"),
+    (1, "join merge nothing else"),
+    (2, "vector vector join"),
+    (3, "merge vector scan"),
+    (4, "join merge vector join"),
+    (5, "scan scan scan hash join"),
+]
+TOKS = {d: t.split() for d, t in DOCS}
+N = len(DOCS)
+TOTAL = sum(len(t) for t in TOKS.values())
+AVGDL = TOTAL / N
+
+
+def _df(term):
+    return sum(1 for t in TOKS.values() if term in t)
+
+
+def _cf(term):
+    return sum(t.count(term) for t in TOKS.values())
+
+
+def _idf(df):
+    return math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+
+
+def _bm25_norm(tf, dl):
+    return tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / AVGDL))
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("simidx") / "idx")
+    df = spark.createDataFrame(DOCS, "doc_id long, text string").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("u").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    IndexBuilder(
+        sort_cols=("conv_id", "turn_idx"), store_term_vectors=True
+    ).build(df, d)
+    return d
+
+
+def _got(df):
+    return {r["doc_id"]: round(r["score"], 9) for r in df.collect()}
+
+
+def test_synonym_blend(spark, idx):
+    s = Searcher(spark, idx)
+    groups = [["join", "merge"], ["vector"]]
+    expect = {}
+    for d, toks in TOKS.items():
+        dl, score = len(toks), 0.0
+        for g in groups:
+            tf = sum(toks.count(t) for t in g)
+            if tf:
+                score += _idf(max(_df(t) for t in g)) * _bm25_norm(tf, dl)
+        if score:
+            expect[d] = round(score, 9)
+    assert _got(s.search_synonym(groups, k=10)) == expect
+
+
+def test_synonym_singleton_equals_term_query(spark, idx):
+    s = Searcher(spark, idx)
+    syn = _got(s.search_synonym([["vector"]], k=10))
+    plain = _got(s.search("vector", k=10, method="dataframe"))
+    assert syn == plain
+
+
+def test_lm_dirichlet(spark, idx):
+    s = Searcher(spark, idx)
+    mu = 2000.0
+    terms = ["join", "merge", "vector"]
+    expect = {}
+    for d, toks in TOKS.items():
+        dl, score, match = len(toks), 0.0, False
+        for t in terms:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            match = True
+            p = (_cf(t) + 1.0) / (TOTAL + 1.0)
+            score += max(
+                0.0, math.log(1 + tf / (mu * p)) + math.log(mu / (dl + mu))
+            )
+        if match:
+            expect[d] = round(score, 9)
+    assert _got(s.search_lm("join merge vector", similarity="dirichlet")) == expect
+    # the clamp is real on this corpus: some matching docs score exactly 0
+    assert 0.0 in expect.values()
+
+
+def test_lm_jelinek_mercer(spark, idx):
+    s = Searcher(spark, idx)
+    lam = 0.7
+    terms = ["join", "merge", "vector"]
+    expect = {}
+    for d, toks in TOKS.items():
+        dl, score = len(toks), 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            p = (_cf(t) + 1.0) / (TOTAL + 1.0)
+            score += math.log(1 + ((1 - lam) * tf / dl) / (lam * p))
+        if score:
+            expect[d] = round(score, 9)
+    assert _got(s.search_lm("join merge vector", similarity="jm")) == expect
+    # JM scores are strictly positive for every matching doc
+    assert all(v > 0 for v in expect.values())
+
+
+def test_classic_similarity(spark, idx):
+    s = Searcher(spark, idx)
+    terms = ["join", "merge", "vector"]
+    expect = {}
+    for d, toks in TOKS.items():
+        dl, score = len(toks), 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf:
+                idf_c = 1.0 + math.log(N / (_df(t) + 1.0))
+                score += math.sqrt(tf) * idf_c * idf_c / math.sqrt(dl)
+        if score:
+            expect[d] = round(score, 9)
+    assert _got(s.search_classic("join merge vector")) == expect
+
+
+def test_suggest_complete(spark, idx):
+    s = Searcher(spark, idx)
+    got = [(r["term"], r["cf"]) for r in s.suggest_complete("s", 10).collect()]
+    # cf desc, term asc over the dictionary entries with the prefix
+    assert got == [("scan", 4), ("spark", 1)]
+    assert s.suggest_complete("zzz", 5).count() == 0
+
+
+def test_multi_phrase(spark, idx):
+    s = Searcher(spark, idx)
+    slots = [["hash", "merge"], ["join"]]
+    members = ["hash", "join", "merge"]
+    idf_total = sum(_idf(_df(t)) for t in members)
+    expect = {}
+    for d, toks in TOKS.items():
+        tf = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] in slots[0] and toks[i + 1] in slots[1]
+        )
+        if tf:
+            expect[d] = round(idf_total * _bm25_norm(tf, len(toks)), 9)
+    assert expect  # doc 5 has "hash join"
+    assert _got(s.search_multi_phrase(slots, k=10)) == expect
+
+
+def test_multi_phrase_single_alternative_equals_phrase(spark, idx):
+    s = Searcher(spark, idx)
+    mp = _got(s.search_multi_phrase([["join"], ["merge"]], k=10))
+    ph = _got(s.search_phrase("join merge", k=10))
+    assert mp == ph
