@@ -932,6 +932,33 @@ SELECT DISTINCT doc_id FROM toks WHERE regexp_matches(term, '^s.a.*$')
 ORDER BY doc_id ASC LIMIT 20
 """
 
+REGEXP_PATTERN = "(jo|sp).*[nk]"
+
+
+def q_regexp_search(spark, sf_dir):
+    """Lucene RegexpQuery over the corpus: docs containing a term the
+    regex matches IN FULL (Lucene's implicit whole-term anchoring);
+    constant-score rewrite -> docID set. Index path:
+    Searcher.search_regexp (dictionary expansion with literal-prefix
+    range prune + pushed In(term), TooManyClauses guard)."""
+    corpus = _corpus(spark, sf_dir)
+    return (
+        corpus.doc_terms()
+        .filter(F.col("term").rlike(f"^(?:{REGEXP_PATTERN})$"))
+        .select("doc_id")
+        .distinct()
+        .orderBy(F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+O_REGEXP_SEARCH = f"""
+WITH {TOKS_CTE}
+SELECT DISTINCT doc_id FROM toks
+WHERE regexp_matches(term, '^(?:{REGEXP_PATTERN})$')
+ORDER BY doc_id ASC LIMIT 20
+"""
+
 
 def q_term_range_search(spark, sf_dir):
     """Lucene TermRangeQuery over the corpus: docs containing >=1 term in
@@ -1418,6 +1445,147 @@ qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
 dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
 sc AS (SELECT dt.doc_id,
               sum(sqrt(tf) * pow(1 + ln(n / (df + 1)), 2) / sqrt(dl)) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+def q_dfr_topk(spark, sf_dir):
+    """DFR InL2 top-k, corpus path (index twin Searcher.search_dfr;
+    Lucene DFRSimilarity(BasicModelIN, AfterEffectL, NormalizationH2),
+    Amati & van Rijsbergen 2002): per present term, with
+    tfn = tf * log2(1 + c*avgdl/dl) (c=1),
+    contribution = tfn * log2((n+1)/(df+0.5)) / (tfn+1). Same
+    single-tokenize two-pass corpus shape as bm25_topk — only the score
+    expression changes."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    score, any_match = None, None
+    for t in BM25_TERMS:
+        log2in = math.log2((n + 1.0) / (dfs[t] + 0.5))
+        tf = F.col("m")[t].cast("double")
+        tfn = tf * F.log2(F.lit(1.0) + F.lit(avgdl) / F.col("dl"))
+        s_t = F.when(
+            tf.isNotNull(), tfn * F.lit(log2in) / (tfn + F.lit(1.0))
+        ).otherwise(F.lit(0.0))
+        score = s_t if score is None else score + s_t
+        m_t = F.col("m")[t]
+        any_match = m_t if any_match is None else F.greatest(any_match, m_t)
+    return (
+        per_doc.filter(any_match.isNotNull())
+        .withColumn("s", score)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_DFR_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum(tf * log2(1 + avgdl / dl) * log2((n + 1) / (df + 0.5))
+                  / (tf * log2(1 + avgdl / dl) + 1)) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+def q_f2exp_topk(spark, sf_dir):
+    """Axiomatic F2EXP top-k, corpus path (index twin
+    Searcher.search_axiomatic; Fang & Zhai SIGIR 2005, Lucene
+    AxiomaticF2EXP defaults s=0.5, k=0.35): per present term
+    ((n+1)/df)^0.35 * tf / (tf + 0.5 + 0.5 * dl / avgdl) — Lucene's
+    (n+1)/df idf base, documented vs the paper's n/df."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    score, any_match = None, None
+    for t in BM25_TERMS:
+        idfk = ((n + 1.0) / dfs[t]) ** 0.35
+        tf = F.col("m")[t].cast("double")
+        s_t = F.when(
+            tf.isNotNull(),
+            F.lit(idfk)
+            * tf
+            / (tf + F.lit(0.5) + F.lit(0.5) * F.col("dl") / F.lit(avgdl)),
+        ).otherwise(F.lit(0.0))
+        score = s_t if score is None else score + s_t
+        m_t = F.col("m")[t]
+        any_match = m_t if any_match is None else F.greatest(any_match, m_t)
+    return (
+        per_doc.filter(any_match.isNotNull())
+        .withColumn("s", score)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_F2EXP_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum(pow((n + 1) / df, 0.35) * tf
+                  / (tf + 0.5 + 0.5 * dl / avgdl)) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+FS_HALF_LIFE = 180.0
+FS_RATE = math.log(2.0) / FS_HALF_LIFE
+
+
+def q_function_score_topk(spark, sf_dir):
+    """FunctionScoreQuery in multiply mode, corpus path (index twin
+    Searcher.search_function_score; the ES function_score exp-decay
+    recipe): BM25 OR-score × exp(-ln2/half_life * age_days). The
+    documents table has no timestamp, so age_days is the deterministic
+    doc_id % 365 stand-in — the index twin uses the real stored ts. The
+    decay must fold in BEFORE top-k (it reorders candidates); one extra
+    projection on the same single-tokenize two-pass plan as bm25_topk."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    decay = F.exp(-F.lit(FS_RATE) * (F.col("doc_id") % 365).cast("double"))
+    return (
+        per_doc.withColumn(
+            "s", _bm25_score_col(BM25_TERMS, n, avgdl, dfs) * decay
+        )
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_FUNCTION_SCORE_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+              * exp(-{FS_RATE!r} * (dt.doc_id % 365)) AS s
        FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
        GROUP BY dt.doc_id)
 SELECT doc_id, round(s, 6) AS score FROM sc
@@ -4473,6 +4641,7 @@ REGISTRY: dict[str, tuple] = {
     "rank_eval": (q_rank_eval, O_RANK_EVAL),
     "prefix_search": (q_prefix_search, O_PREFIX_SEARCH),
     "wildcard_search": (q_wildcard_search, O_WILDCARD_SEARCH),
+    "regexp_search": (q_regexp_search, O_REGEXP_SEARCH),
     "term_range_search": (q_term_range_search, O_TERM_RANGE_SEARCH),
     "fuzzy_bm25_topk": (q_fuzzy_bm25_topk, O_FUZZY_BM25_TOPK),
     "bm25_not_topk": (q_bm25_not_topk, O_BM25_NOT_TOPK),
@@ -4574,6 +4743,9 @@ REGISTRY: dict[str, tuple] = {
     "lmd_topk": (q_lmd_topk, O_LMD_TOPK),
     "lmjm_topk": (q_lmjm_topk, O_LMJM_TOPK),
     "classic_topk": (q_classic_topk, O_CLASSIC_TOPK),
+    "dfr_topk": (q_dfr_topk, O_DFR_TOPK),
+    "f2exp_topk": (q_f2exp_topk, O_F2EXP_TOPK),
+    "function_score_topk": (q_function_score_topk, O_FUNCTION_SCORE_TOPK),
     "suggest_complete": (q_suggest_complete, O_SUGGEST_COMPLETE),
     "suggest_next": (q_suggest_next, O_SUGGEST_NEXT),
     "multi_phrase_topk": (q_multi_phrase_topk, O_MULTI_PHRASE_TOPK),
@@ -4597,6 +4769,7 @@ _DRIVER_ORDER = [
     "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words", "click_rate",
     "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
     "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",
+    "regexp_search",
     "span_near_search",
     "pack_sequences", "repetition_features", "bpe_pair_counts", "contamination_pairs", "dedup_clusters",
     "chunk_documents", "resample_weighted", "corpus_profile",
@@ -4606,7 +4779,7 @@ _DRIVER_ORDER = [
     "wordcount_df", "tf_vectors", "zipf_fit", "term_dispersion", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
     "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "bigram_lm_score", "significant_terms", "collocations", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "textrank", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
-    "synonym_topk", "lmd_topk", "lmjm_topk", "classic_topk", "multi_phrase_topk", "passage_topk",
+    "synonym_topk", "lmd_topk", "lmjm_topk", "classic_topk", "dfr_topk", "f2exp_topk", "function_score_topk", "multi_phrase_topk", "passage_topk",
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "dedup_spans", "dedup_span_excise", "dedup_keep_best", "embedding_neardup",
     "semantic_dedup",

@@ -757,6 +757,57 @@ class Searcher:
         )
         return docs.select("doc_id", F.lit(1.0).alias("score"))
 
+    def search_regexp(
+        self, pattern: str, k: int = 10, max_expansions: int = 1024
+    ) -> DataFrame:
+        """Lucene RegexpQuery: the regex must match the WHOLE term
+        (Lucene's implicit anchoring), rewritten — like WildcardQuery —
+        to a constant-score disjunction over the matching dictionary
+        terms; docID ascending.
+
+        Scale shape: identical to search_wildcard — the regex runs
+        against the VOCAB-sized term dictionary only, any literal prefix
+        of the pattern (the leading run of non-meta chars, excluding a
+        char owned by a following quantifier) is pushed as a startswith
+        range the term-sorted term_stats parquet min/max-prunes, and the
+        expanded term set reaches the postings reader as a pushed
+        ``In(term)``. TooManyClauses guard as in search_wildcard."""
+        p = pattern.lower()
+        meta = set(".^$*+?{}[]()|\\")
+        lit = []
+        for i, ch in enumerate(p):
+            if ch in meta:
+                break
+            if i + 1 < len(p) and p[i + 1] in "*+?{":
+                break  # ch is quantified by the next char, not literal
+            lit.append(ch)
+        lit_prefix = "".join(lit)
+        stats = self.cat.read(self.spark, "term_stats")
+        cond = F.col("term").rlike(f"^(?:{p})$")
+        if lit_prefix:
+            cond = F.col("term").startswith(lit_prefix) & cond
+        expanded = stats.filter(cond).select("term").limit(max_expansions + 1)
+        terms = [r["term"] for r in expanded.collect()]
+        if len(terms) > max_expansions:
+            raise ValueError(
+                f"regexp '{pattern}' expands to > {max_expansions} terms "
+                "(Lucene TooManyClauses); narrow the pattern or raise "
+                "max_expansions"
+            )
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        matching = self.cat.read(self.spark, "postings").filter(
+            F.col("term").isin(terms)
+        )
+        docs = (
+            self._decoded(matching)
+            .select("doc_id")
+            .distinct()
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+        return docs.select("doc_id", F.lit(1.0).alias("score"))
+
     def search_term_range(
         self,
         lower: str | None,
@@ -1101,6 +1152,151 @@ class Searcher:
             .withColumn("_s", s)
             .groupBy("doc_id")
             .agg(F.sum("_s").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_dfr(self, query: str, k: int = 10, c: float = 1.0) -> DataFrame:
+        """Divergence-from-randomness ranking, the Lucene
+        DFRSimilarity(BasicModelIN, AfterEffectL, NormalizationH2)
+        composition (Amati & van Rijsbergen 2002) — "InL2" in Terrier
+        naming. Per present query term:
+
+        * H2 length normalization: tfn = tf * log2(1 + c * avgdl / dl)
+        * I(n) basic model: inf = tfn * log2((N + 1) / (df + 0.5))
+        * L after-effect: 1 / (tfn + 1)
+        * score contribution = inf / (tfn + 1)
+
+        Same broadcast-join + partial-agg plan as the other DataFrame
+        similarities — only the score expression changes; work is ∝ query
+        postings. (WAND block-max metadata is BM25-specific, so DFR uses
+        full DataFrame scoring.)"""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        dfs = self._term_stats(terms)
+        rows = [
+            (t, math.log2((self.num_docs + 1.0) / (dfs[t] + 0.5)))
+            for t in terms
+            if t in dfs
+        ]
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "term string, log2in double")
+        )
+        decoded = self._decoded(self._matching_postings([r[0] for r in rows]))
+        tfn = F.col("tf").cast("double") * F.log2(
+            F.lit(1.0) + F.lit(c * (self.avgdl or 1.0)) / F.col("dl").cast("double")
+        )
+        s = tfn * F.col("log2in") / (tfn + F.lit(1.0))
+        return (
+            decoded.join(qterms, "term")
+            .withColumn("_s", s)
+            .groupBy("doc_id")
+            .agg(F.sum("_s").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_axiomatic(
+        self, query: str, k: int = 10, s: float = 0.5, kidf: float = 0.35
+    ) -> DataFrame:
+        """Axiomatic retrieval F2EXP (Fang & Zhai, SIGIR 2005; Lucene
+        AxiomaticF2EXP with its defaults s=0.5, k=0.35). Per present query
+        term (query tf = 1 after dedup, matching the other search paths):
+
+        score contribution = ((N + 1) / df)^k * tf / (tf + s + s * dl / avgdl)
+
+        The (N+1)/df idf base is Lucene's AxiomaticF2EXP variant of the
+        paper's N/df. Same broadcast-join + partial-agg plan as the other
+        DataFrame similarities."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        dfs = self._term_stats(terms)
+        rows = [
+            (t, ((self.num_docs + 1.0) / dfs[t]) ** kidf)
+            for t in terms
+            if t in dfs
+        ]
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "term string, idfk double")
+        )
+        decoded = self._decoded(self._matching_postings([r[0] for r in rows]))
+        tf = F.col("tf").cast("double")
+        expr = (
+            F.col("idfk")
+            * tf
+            / (tf + F.lit(s) + F.lit(s) * F.col("dl").cast("double") / F.lit(self.avgdl or 1.0))
+        )
+        return (
+            decoded.join(qterms, "term")
+            .withColumn("_s", expr)
+            .groupBy("doc_id")
+            .agg(F.sum("_s").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_function_score(
+        self,
+        query: str,
+        k: int = 10,
+        origin=None,
+        half_life_days: float = 180.0,
+        ts_col: str = "ts",
+    ) -> DataFrame:
+        """FunctionScoreQuery in multiply mode (Lucene FunctionScoreQuery /
+        the ES function_score exp-decay recipe): BM25 disjunctive score ×
+        exp(-ln2/half_life * age), age = max(0, origin - ts) from the
+        stored ``ts_col``. ``origin=None`` uses the corpus max timestamp
+        (one min/max agg over the column-pruned stored scan).
+
+        Scale shape: BM25 candidates are postings-sized (broadcast qterms
+        + pushed In(term), same as the dataframe scorer); the boost join
+        reads ONLY (doc_id, ts) from stored (column-pruned) and joins on
+        doc_id BEFORE top-k — the decay must reorder candidates, so it
+        cannot be applied after the limit."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        dfs = self._term_stats(terms)
+        rows = [(t, idf(self.num_docs, dfs[t])) for t in terms if t in dfs]
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "term string, idf double")
+        )
+        decoded = self._decoded(self._matching_postings([r[0] for r in rows]))
+        bm25 = (
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (
+                    F.lit(1.0 - B)
+                    + F.lit(B) * F.col("dl") / F.lit(self.avgdl or 1.0)
+                )
+            )
+        )
+        cand = (
+            decoded.join(qterms, "term")
+            .withColumn("_s", bm25)
+            .groupBy("doc_id")
+            .agg(F.sum("_s").alias("_bm25"))
+        )
+        stored = self.cat.read(self.spark, "stored").select("doc_id", ts_col)
+        if origin is None:
+            origin = stored.agg(F.max(ts_col)).collect()[0][0]
+        rate = math.log(2.0) / (half_life_days * 86400.0)
+        age = F.greatest(
+            F.lit(0.0),
+            F.lit(origin).cast("timestamp").cast("double")
+            - F.col(ts_col).cast("double"),
+        )
+        return (
+            cand.join(stored, "doc_id")
+            .withColumn("score", F.col("_bm25") * F.exp(-F.lit(rate) * age))
+            .select("doc_id", "score")
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )

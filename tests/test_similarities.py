@@ -149,6 +149,132 @@ def test_classic_similarity(spark, idx):
     assert _got(s.search_classic("join merge vector")) == expect
 
 
+def test_dfr_inl2(spark, idx):
+    s = Searcher(spark, idx)
+    terms = ["join", "merge", "vector"]
+    expect = {}
+    for d, toks in TOKS.items():
+        dl, score = len(toks), 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            tfn = tf * math.log2(1 + AVGDL / dl)
+            score += tfn * math.log2((N + 1) / (_df(t) + 0.5)) / (tfn + 1)
+        if score:
+            expect[d] = round(score, 9)
+    assert _got(s.search_dfr("join merge vector")) == expect
+
+
+def test_axiomatic_f2exp(spark, idx):
+    s = Searcher(spark, idx)
+    terms = ["join", "merge", "vector"]
+    expect = {}
+    for d, toks in TOKS.items():
+        dl, score = len(toks), 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            score += ((N + 1) / _df(t)) ** 0.35 * tf / (
+                tf + 0.5 + 0.5 * dl / AVGDL
+            )
+        if score:
+            expect[d] = round(score, 9)
+    assert _got(s.search_axiomatic("join merge vector")) == expect
+
+
+def test_regexp_query(spark, idx):
+    s = Searcher(spark, idx)
+    got = sorted(r["doc_id"] for r in s.search_regexp("(jo|sp).*[nk]").collect())
+    expect = sorted(
+        d
+        for d, toks in TOKS.items()
+        if any(t == "join" or t == "spark" for t in toks)
+    )
+    assert got == expect
+    # whole-term anchoring: 'oi' alone matches nothing (substring would)
+    assert s.search_regexp("oi").count() == 0
+    # equals the equivalent wildcard rewrite
+    wc = sorted(r["doc_id"] for r in s.search_wildcard("s?a*").collect())
+    rx = sorted(r["doc_id"] for r in s.search_regexp("s.a.*").collect())
+    assert rx == wc
+    with pytest.raises(ValueError):
+        s.search_regexp(".*", max_expansions=2)
+
+
+def test_function_score(spark, tmp_path):
+    """BM25 × exp recency decay: hand-computed on a 3-doc corpus with
+    explicit timestamps; origin=None resolves to the corpus max ts, and
+    an infinite half-life degenerates to plain BM25 ordering."""
+    import datetime as dt
+
+    from nlp4l_spark.index import IndexBuilder
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        (0, "join merge", base),
+        (1, "join merge", base - dt.timedelta(days=180)),
+        (2, "join scan", base - dt.timedelta(days=360)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("u").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        "ts",
+    )
+    d = str(tmp_path / "fsidx")
+    IndexBuilder(sort_cols=("conv_id", "turn_idx")).build(df, d)
+    s = Searcher(spark, d)
+
+    toks = {r[0]: r[1].split() for r in rows}
+    n, total = len(rows), sum(len(t) for t in toks.values())
+    avgdl = total / n
+
+    def bm25(doc, terms):
+        out, dl = 0.0, len(toks[doc])
+        for t in terms:
+            tf = toks[doc].count(t)
+            if tf:
+                df_ = sum(1 for v in toks.values() if t in v)
+                idf = math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+                out += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        return out
+
+    got = {
+        r["doc_id"]: r["score"]
+        for r in s.search_function_score("join merge", half_life_days=180.0).collect()
+    }
+    rate = math.log(2.0) / (180.0 * 86400.0)
+    ages = {0: 0.0, 1: 180 * 86400.0, 2: 360 * 86400.0}
+    expect = {
+        doc: bm25(doc, ["join", "merge"]) * math.exp(-rate * ages[doc])
+        for doc in toks
+    }
+    assert set(got) == set(expect)
+    for doc in expect:
+        assert got[doc] == pytest.approx(expect[doc], rel=1e-9)
+    # docs 0 and 1 tie on BM25; the decay must break the tie toward recent
+    order = [
+        r["doc_id"]
+        for r in s.search_function_score("join merge", half_life_days=180.0).collect()
+    ]
+    assert order[0] == 0 and 1 in order[1:]
+    # huge half-life -> plain BM25 ordering (scores converge to search())
+    plain = {
+        r["doc_id"]: r["score"]
+        for r in s.search("join merge", k=10, method="dataframe").collect()
+    }
+    loose = {
+        r["doc_id"]: r["score"]
+        for r in s.search_function_score("join merge", half_life_days=1e12).collect()
+    }
+    for doc in plain:
+        assert loose[doc] == pytest.approx(plain[doc], rel=1e-6)
+
+
 def test_suggest_complete(spark, idx):
     s = Searcher(spark, idx)
     got = [(r["term"], r["cf"]) for r in s.suggest_complete("s", 10).collect()]
