@@ -106,6 +106,10 @@ EXTRA_QUERIES = [
     "passage_topk",
     "suggest_next",
     "lang_mixture",
+    "dfr_topk",
+    "f2exp_topk",
+    "function_score_topk",
+    "chat_validate",
 ]
 
 

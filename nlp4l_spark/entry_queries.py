@@ -1918,6 +1918,120 @@ FROM y ORDER BY lang
 
 
 # --------------------------------------------------------------------- #
+# Conversation-format QC (ops/chatqc.py) over a deterministic transcript
+# view of the documents table: conv_id = doc_id // 4, turn_idx =
+# doc_id % 4, roles alternate user/assistant with a deterministic
+# corruption (doc_id % 37 == 3 flips the expected role), tool calls on
+# doc_id % 11 in {5: search, 7: code}. The derivation is mirrored
+# verbatim in CHAT_CTE so both engines see the identical transcript.
+# --------------------------------------------------------------------- #
+CHAT_CTE = """chat AS (
+  SELECT doc_id // 4 AS conv_id,
+         (doc_id % 4)::int AS turn_idx,
+         CASE WHEN ((doc_id % 4) % 2
+                    + CASE WHEN doc_id % 37 = 3 THEN 1 ELSE 0 END) % 2 = 0
+              THEN 'user' ELSE 'assistant' END AS role,
+         text,
+         CASE WHEN doc_id % 11 = 5 THEN 'search'
+              WHEN doc_id % 11 = 7 THEN 'code' END AS tool
+  FROM documents)"""
+
+
+def _chat_turns(spark, sf_dir):
+    d = F.col("doc_id")
+    base = (d % 4) % 2
+    flip = F.when(d % 37 == 3, F.lit(1)).otherwise(F.lit(0))
+    role = F.when((base + flip) % 2 == 0, F.lit("user")).otherwise(
+        F.lit("assistant")
+    )
+    tool = (
+        F.when(d % 11 == 5, F.lit("search"))
+        .when(d % 11 == 7, F.lit("code"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return _docs(spark, sf_dir).select(
+        F.floor(d / 4).alias("conv_id"),
+        (d % 4).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        "text",
+        tool.alias("tool"),
+    )
+
+
+def q_chat_validate(spark, sf_dir):
+    """Chat-SFT format validation (ops/chatqc.py::validate_conversations):
+    per conversation, starts-with-user / ends-with-assistant /
+    roles-alternate / empty-turn flags and the combined valid bit. One
+    lag window pass + one groupBy(conv_id) — a single shuffle on the
+    conversation key, no per-conv turn lists materialized."""
+    from nlp4l_spark.ops.chatqc import validate_conversations
+
+    return validate_conversations(_chat_turns(spark, sf_dir)).orderBy(
+        "conv_id"
+    )
+
+
+O_CHAT_VALIDATE = f"""
+WITH {CHAT_CTE},
+t AS (SELECT *, lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS prev FROM chat),
+agg AS (SELECT conv_id,
+               count(*) AS n_turns,
+               min_by(role, turn_idx) = 'user' AS starts_with_user,
+               max_by(role, turn_idx) = 'assistant' AS ends_with_assistant,
+               count(*) FILTER (role = prev) = 0 AS roles_alternate,
+               count(*) FILTER (trim(text) = '') > 0 AS has_empty_turn
+        FROM t GROUP BY conv_id)
+SELECT *, starts_with_user AND ends_with_assistant AND roles_alternate
+          AND NOT has_empty_turn AS valid
+FROM agg ORDER BY conv_id
+"""
+
+
+def q_tool_usage(spark, sf_dir):
+    """Agent-transcript tool stats (ops/chatqc.py::tool_usage): per tool,
+    call count, distinct conversations, share of all tool calls. One
+    filter + one groupBy; the normalizer is a broadcast scalar."""
+    from nlp4l_spark.ops.chatqc import tool_usage
+
+    return tool_usage(_chat_turns(spark, sf_dir)).orderBy(
+        F.desc("n_calls"), F.asc("tool")
+    )
+
+
+O_TOOL_USAGE = f"""
+WITH {CHAT_CTE},
+calls AS (SELECT tool, conv_id FROM chat WHERE tool IS NOT NULL),
+agg AS (SELECT tool, count(*) AS n_calls,
+               count(DISTINCT conv_id) AS n_convs
+        FROM calls GROUP BY tool)
+SELECT tool, n_calls, n_convs,
+       round(n_calls::double / (SELECT sum(n_calls) FROM agg), 6) AS share
+FROM agg ORDER BY n_calls DESC, tool ASC
+"""
+
+
+def q_role_profile(spark, sf_dir):
+    """Per-role turn profile (ops/chatqc.py::role_profile): turn count,
+    mean turn chars, share of all turns — the user/assistant balance
+    check before SFT packing. One groupBy."""
+    from nlp4l_spark.ops.chatqc import role_profile
+
+    return role_profile(_chat_turns(spark, sf_dir)).orderBy("role")
+
+
+O_ROLE_PROFILE = f"""
+WITH {CHAT_CTE},
+agg AS (SELECT role, count(*) AS n_turns,
+               round(avg(length(text)), 6) AS avg_chars
+        FROM chat GROUP BY role)
+SELECT role, n_turns, avg_chars,
+       round(n_turns::double / (SELECT sum(n_turns) FROM agg), 6) AS share
+FROM agg ORDER BY role
+"""
+
+
+# --------------------------------------------------------------------- #
 # Unicode / CJK analysis (stand-in for JaUserDictionaryProcessor,
 # FeaturedProcessors.scala:302-342 — dictionary-free CJK bigrams)
 # --------------------------------------------------------------------- #
@@ -4642,6 +4756,9 @@ REGISTRY: dict[str, tuple] = {
     "prefix_search": (q_prefix_search, O_PREFIX_SEARCH),
     "wildcard_search": (q_wildcard_search, O_WILDCARD_SEARCH),
     "regexp_search": (q_regexp_search, O_REGEXP_SEARCH),
+    "chat_validate": (q_chat_validate, O_CHAT_VALIDATE),
+    "tool_usage": (q_tool_usage, O_TOOL_USAGE),
+    "role_profile": (q_role_profile, O_ROLE_PROFILE),
     "term_range_search": (q_term_range_search, O_TERM_RANGE_SEARCH),
     "fuzzy_bm25_topk": (q_fuzzy_bm25_topk, O_FUZZY_BM25_TOPK),
     "bm25_not_topk": (q_bm25_not_topk, O_BM25_NOT_TOPK),
@@ -4766,6 +4883,7 @@ _DRIVER_ORDER = [
     "sample_stratified", "length_percentiles", "merge_records", "redact_pii", "acronym_candidates",
     "clean_lines", "filter_percentile", "line_dedup", "gopher_filter", "normalize_text", "script_profile", "top_per_lang",
     "lang_mixture", "suggest_complete", "suggest_next",
+    "chat_validate", "tool_usage", "role_profile",
     "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words", "click_rate",
     "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
     "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",

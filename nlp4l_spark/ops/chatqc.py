@@ -1,0 +1,129 @@
+"""Conversation-format QC for multi-turn chat / agent transcripts — the
+SFT-data validation pass a training pipeline runs before packing: role
+alternation, first/last-speaker checks, empty-turn detection, per-tool
+usage stats, and per-role profiling.
+
+Extension ops over the target transcript shape (conv_id, turn_idx, role,
+text, tool, ts) from the task's input hint; the reference has no chat
+concept (its records are flat Lucene docs), so these are beyond-reference
+operators in the same spirit as its Validator SPI
+(/root/reference/app/org/nlp4l/framework/processors/Processor.scala —
+per-record validation chained in a pipeline).
+
+Scale shape: everything is ONE window pass (lag over conv_id/turn_idx)
+plus ONE groupBy(conv_id) — a single shuffle on the conversation key,
+pure JVM expressions, no arrays collected per conversation (a 10^12-turn
+corpus would blow per-conv collect_list on head conversations; lag +
+count_if never materializes a turn list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def validate_conversations(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    user_role: str = "user",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Per-conversation format flags for chat-SFT data:
+
+    * ``starts_with_user`` — the lowest-``turn_idx`` turn has the user role
+    * ``ends_with_assistant`` — the highest-``turn_idx`` turn is assistant
+    * ``roles_alternate`` — no two consecutive turns share a role
+    * ``has_empty_turn`` — any turn whose text trims to ''
+    * ``valid`` — all of the above in their passing direction
+
+    Turn order is the ``turn_idx`` column, not arrival order. One window
+    pass + one aggregation; boolean flags are plain count_if/min_by
+    aggregates, so the plan is a single shuffle on ``conv_col``.
+    """
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    prev = F.lag(F.col(role_col)).over(w)
+    turns = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        (F.trim(F.col(text_col)) == "").alias("_empty"),
+    ).withColumn("_same_as_prev", F.col("role") == prev)
+    return (
+        turns.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            (F.min_by("role", "turn_idx") == user_role).alias(
+                "starts_with_user"
+            ),
+            (F.max_by("role", "turn_idx") == assistant_role).alias(
+                "ends_with_assistant"
+            ),
+            (F.count_if(F.col("_same_as_prev")) == 0).alias(
+                "roles_alternate"
+            ),
+            (F.count_if(F.col("_empty")) > 0).alias("has_empty_turn"),
+        )
+        .withColumn(
+            "valid",
+            F.col("starts_with_user")
+            & F.col("ends_with_assistant")
+            & F.col("roles_alternate")
+            & ~F.col("has_empty_turn"),
+        )
+    )
+
+
+def tool_usage(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Per-tool usage stats over agent transcripts: call count, number of
+    distinct conversations that used the tool, and the tool's share of
+    all tool calls (round 6). NULL ``tool`` means no call on that turn.
+    One filter + one groupBy; the share normalizer is a broadcast-style
+    scalar fold (window over the tools-sized aggregate, not the corpus).
+    """
+    calls = df.filter(F.col(tool_col).isNotNull()).select(
+        F.col(tool_col).alias("tool"), F.col(conv_col).alias("conv_id")
+    )
+    agg = calls.groupBy("tool").agg(
+        F.count("*").alias("n_calls"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+    total = agg.agg(F.sum("n_calls").alias("_total"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "tool",
+        "n_calls",
+        "n_convs",
+        F.round(F.col("n_calls").cast("double") / F.col("_total"), 6).alias(
+            "share"
+        ),
+    )
+
+
+def role_profile(
+    df: DataFrame,
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-role turn profile: turn count, mean turn length in chars
+    (round 6), and the role's share of all turns (round 6) — the
+    user/assistant balance check run before SFT packing. One groupBy.
+    """
+    agg = df.groupBy(F.col(role_col).alias("role")).agg(
+        F.count("*").alias("n_turns"),
+        F.round(F.avg(F.length(F.col(text_col))), 6).alias("avg_chars"),
+    )
+    total = agg.agg(F.sum("n_turns").alias("_total"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "role",
+        "n_turns",
+        "avg_chars",
+        F.round(F.col("n_turns").cast("double") / F.col("_total"), 6).alias(
+            "share"
+        ),
+    )

@@ -1,0 +1,94 @@
+"""Conversation-format QC (ops/chatqc.py): crafted conversations covering
+every flag direction, out-of-order turn_idx delivery, empty turns, and
+tool-usage shares."""
+
+from __future__ import annotations
+
+import pytest
+
+from nlp4l_spark.ops.chatqc import (
+    role_profile,
+    tool_usage,
+    validate_conversations,
+)
+
+TURNS = [
+    # conv 0: perfectly valid 4-turn chat
+    (0, 0, "user", "hi", None),
+    (0, 1, "assistant", "hello", "search"),
+    (0, 2, "user", "thanks", None),
+    (0, 3, "assistant", "welcome", None),
+    # conv 1: starts with assistant, ends with user
+    (1, 0, "assistant", "proactive", None),
+    (1, 1, "user", "ok", None),
+    # conv 2: two consecutive user turns (alternation break)
+    (2, 0, "user", "first", None),
+    (2, 1, "user", "second", "code"),
+    (2, 2, "assistant", "reply", "code"),
+    # conv 3: whitespace-only turn
+    (3, 0, "user", "   ", None),
+    (3, 1, "assistant", "non-empty", "search"),
+    # conv 4: rows arrive out of turn_idx order — order is the column
+    (4, 1, "assistant", "second", None),
+    (4, 0, "user", "first", None),
+]
+SCHEMA = "conv_id long, turn_idx int, role string, text string, tool string"
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    return spark.createDataFrame(TURNS, SCHEMA)
+
+
+def test_validate_flags(spark, turns):
+    got = {
+        r["conv_id"]: r.asDict()
+        for r in validate_conversations(turns).collect()
+    }
+    assert got[0] == {
+        "conv_id": 0,
+        "n_turns": 4,
+        "starts_with_user": True,
+        "ends_with_assistant": True,
+        "roles_alternate": True,
+        "has_empty_turn": False,
+        "valid": True,
+    }
+    assert not got[1]["starts_with_user"]
+    assert not got[1]["ends_with_assistant"]
+    assert got[1]["roles_alternate"] and not got[1]["valid"]
+    assert not got[2]["roles_alternate"] and not got[2]["valid"]
+    assert got[3]["has_empty_turn"] and not got[3]["valid"]
+    # out-of-order delivery must not corrupt order-derived flags
+    assert got[4]["starts_with_user"] and got[4]["ends_with_assistant"]
+    assert got[4]["roles_alternate"] and got[4]["valid"]
+
+
+def test_tool_usage(spark, turns):
+    got = {r["tool"]: r.asDict() for r in tool_usage(turns).collect()}
+    assert set(got) == {"search", "code"}
+    assert got["search"]["n_calls"] == 2 and got["search"]["n_convs"] == 2
+    assert got["code"]["n_calls"] == 2 and got["code"]["n_convs"] == 1
+    assert got["search"]["share"] == pytest.approx(0.5)
+    assert got["code"]["share"] == pytest.approx(0.5)
+
+
+def test_role_profile(spark, turns):
+    got = {r["role"]: r.asDict() for r in role_profile(turns).collect()}
+    n_user = sum(1 for t in TURNS if t[2] == "user")
+    n_asst = sum(1 for t in TURNS if t[2] == "assistant")
+    assert got["user"]["n_turns"] == n_user
+    assert got["assistant"]["n_turns"] == n_asst
+    assert got["user"]["share"] == pytest.approx(n_user / len(TURNS), abs=1e-6)
+    chars = [len(t[3]) for t in TURNS if t[2] == "assistant"]
+    assert got["assistant"]["avg_chars"] == pytest.approx(
+        sum(chars) / len(chars), abs=1e-6
+    )
+
+
+def test_single_turn_conversation(spark):
+    df = spark.createDataFrame([(9, 0, "user", "solo", None)], SCHEMA)
+    r = validate_conversations(df).collect()[0]
+    # one turn: trivially alternating, starts user but can't end assistant
+    assert r["roles_alternate"] and r["starts_with_user"]
+    assert not r["ends_with_assistant"] and not r["valid"]
