@@ -384,3 +384,60 @@ def test_wildcard_expands_via_dictionary(spark, tmp_path):
     assert s.search_wildcard("*0454", k=3).count() == 3
     with pytest.raises(ValueError):
         s.search_wildcard("*", k=3, max_expansions=10)
+
+
+def test_regexp_expands_via_dictionary(spark, tmp_path):
+    """RegexpQuery must rewrite against the vocab-sized term dictionary
+    (literal prefix pushed as a startswith range) and reach the postings
+    reader as a pushed In(term) — never an rlike scan of the postings."""
+    from nlp4l_spark.data.transcripts import synth_transcripts
+    from nlp4l_spark.index import build_index
+    from nlp4l_spark.search import Searcher
+
+    idx = str(tmp_path / "idx")
+    build_index(synth_transcripts(spark, 800, num_partitions=4), idx)
+    s = Searcher(spark, idx)
+    plan = _plan(s.search_regexp("w004.4", k=5))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("In(term" in ln for ln in pushed), pushed
+    assert "RLike" not in plan, "postings scanned with a regex"
+    # identity with the wildcard rewrite of the same pattern
+    wc = sorted(r["doc_id"] for r in s.search_wildcard("w004?4", k=5).collect())
+    rx = sorted(r["doc_id"] for r in s.search_regexp("w004.4", k=5).collect())
+    assert rx == wc
+
+
+def test_function_score_plan(spark, tmp_path):
+    """FunctionScoreQuery: query terms must reach the postings reader as
+    a pushed In(term); the stored-table boost scan must be column-pruned
+    to (doc_id, ts) — never the full stored row."""
+    from nlp4l_spark.data.transcripts import synth_transcripts
+    from nlp4l_spark.index import build_index
+    from nlp4l_spark.search import Searcher
+
+    idx = str(tmp_path / "idx")
+    build_index(synth_transcripts(spark, 800, num_partitions=4), idx)
+    s = Searcher(spark, idx)
+    plan = _plan(s.search_function_score("w00001 w00454", k=5))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("In(term" in ln for ln in pushed), pushed
+    stored_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln and "ts:timestamp" in ln
+    ]
+    assert stored_scans, "no stored scan found"
+    assert all(
+        "text" not in ln and "role" not in ln for ln in stored_scans
+    ), stored_scans
+
+
+def test_chat_validate_single_hash_shuffle(spark):
+    """The conversation-QC pass must shuffle ONCE on the conversation key
+    (window and groupBy share the partitioning); the only other exchange
+    is the presentation-order range sort. No Python eval nodes."""
+    plan = _plan(eq.q_chat_validate(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan
+    # flags are streaming aggregates, never a per-conv turn-list collect
+    assert "collect_list" not in plan
