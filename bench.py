@@ -110,6 +110,7 @@ EXTRA_QUERIES = [
     "f2exp_topk",
     "function_score_topk",
     "chat_validate",
+    "loop_detect",
 ]
 
 

@@ -2011,6 +2011,44 @@ FROM agg ORDER BY n_calls DESC, tool ASC
 """
 
 
+def q_loop_detect(spark, sf_dir):
+    """Agent-loop detection (ops/chatqc.py::detect_turn_loops): longest
+    run of consecutive turns sharing a loop key per conversation — the
+    stuck-agent retry check. The key here is the turn's first token
+    (demo granularity so the fixture exhibits real runs; production use
+    passes the default normalized-full-text key or a fingerprint). Runs
+    via the run-id island trick: two conv-keyed window passes + one
+    groupBy, a single shuffle, no per-conv turn lists."""
+    from nlp4l_spark.ops.chatqc import detect_turn_loops
+
+    key = F.split(F.lower(F.trim(F.col("text"))), r"\s+")[0]
+    return detect_turn_loops(
+        _chat_turns(spark, sf_dir), min_repeats=2, key=key
+    ).orderBy("conv_id")
+
+
+O_LOOP_DETECT = f"""
+WITH {CHAT_CTE},
+t AS (SELECT conv_id, turn_idx,
+             (string_split_regex(lower(trim(text)), '\\s+'))[1] AS key
+      FROM chat),
+c AS (SELECT *, CASE WHEN lag(key) OVER w IS NULL
+                       OR key != lag(key) OVER w THEN 1 ELSE 0 END AS chg
+      FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+r AS (SELECT *, sum(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS UNBOUNDED PRECEDING) AS run FROM c),
+g AS (SELECT conv_id, run, count(*) AS run_len, min(key) AS key,
+             min(turn_idx) AS start FROM r GROUP BY 1, 2),
+b AS (SELECT conv_id, run_len AS max_run, key AS loop_key,
+             run_len >= 2 AS has_loop,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY run_len DESC, start ASC) AS rn
+      FROM g)
+SELECT conv_id, max_run, loop_key, has_loop FROM b WHERE rn = 1
+ORDER BY conv_id
+"""
+
+
 def q_role_profile(spark, sf_dir):
     """Per-role turn profile (ops/chatqc.py::role_profile): turn count,
     mean turn chars, share of all turns — the user/assistant balance
@@ -4759,6 +4797,7 @@ REGISTRY: dict[str, tuple] = {
     "chat_validate": (q_chat_validate, O_CHAT_VALIDATE),
     "tool_usage": (q_tool_usage, O_TOOL_USAGE),
     "role_profile": (q_role_profile, O_ROLE_PROFILE),
+    "loop_detect": (q_loop_detect, O_LOOP_DETECT),
     "term_range_search": (q_term_range_search, O_TERM_RANGE_SEARCH),
     "fuzzy_bm25_topk": (q_fuzzy_bm25_topk, O_FUZZY_BM25_TOPK),
     "bm25_not_topk": (q_bm25_not_topk, O_BM25_NOT_TOPK),
@@ -4883,7 +4922,7 @@ _DRIVER_ORDER = [
     "sample_stratified", "length_percentiles", "merge_records", "redact_pii", "acronym_candidates",
     "clean_lines", "filter_percentile", "line_dedup", "gopher_filter", "normalize_text", "script_profile", "top_per_lang",
     "lang_mixture", "suggest_complete", "suggest_next",
-    "chat_validate", "tool_usage", "role_profile",
+    "chat_validate", "tool_usage", "role_profile", "loop_detect",
     "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words", "click_rate",
     "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
     "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",

@@ -76,6 +76,80 @@ def validate_conversations(
     )
 
 
+def detect_turn_loops(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+    min_repeats: int = 3,
+    key=None,
+) -> DataFrame:
+    """Agent-loop detection: the longest run of CONSECUTIVE turns in a
+    conversation whose loop key repeats (an agent stuck retrying emits
+    near-identical turns back-to-back). ``key`` defaults to the
+    whitespace-normalized lowercased turn text; pass a coarser Column
+    (e.g. a fingerprint or the leading tokens) for near-duplicate loops.
+
+    Returns (conv_id, max_run, loop_key, has_loop): the longest run
+    length, the key of that run (earliest run wins ties), and whether it
+    reaches ``min_repeats``.
+
+    One shuffle: both window passes and the aggregations partition on the
+    conversation key; runs are found with the run-id island trick
+    (sum of change-flags over the turn order), never by materializing a
+    per-conversation turn list.
+    """
+    if key is None:
+        key = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    turns = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).alias("turn_idx"),
+        key.alias("_key"),
+    )
+    change = F.when(
+        F.lag("_key").over(
+            Window.partitionBy("conv_id").orderBy("turn_idx")
+        ).isNull()
+        | (
+            F.col("_key")
+            != F.lag("_key").over(
+                Window.partitionBy("conv_id").orderBy("turn_idx")
+            )
+        ),
+        1,
+    ).otherwise(0)
+    runs = (
+        turns.withColumn(
+            "_run",
+            F.sum(change).over(
+                Window.partitionBy("conv_id")
+                .orderBy("turn_idx")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("conv_id", "_run")
+        .agg(
+            F.count("*").alias("run_len"),
+            F.first("_key").alias("_key"),
+            F.min("turn_idx").alias("_start"),
+        )
+    )
+    pick = Window.partitionBy("conv_id").orderBy(
+        F.desc("run_len"), F.asc("_start")
+    )
+    return (
+        runs.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "conv_id",
+            F.col("run_len").alias("max_run"),
+            F.col("_key").alias("loop_key"),
+            (F.col("run_len") >= min_repeats).alias("has_loop"),
+        )
+    )
+
+
 def tool_usage(
     df: DataFrame,
     conv_col: str = "conv_id",

@@ -92,3 +92,45 @@ def test_single_turn_conversation(spark):
     # one turn: trivially alternating, starts user but can't end assistant
     assert r["roles_alternate"] and r["starts_with_user"]
     assert not r["ends_with_assistant"] and not r["valid"]
+
+
+def test_detect_turn_loops(spark):
+    from nlp4l_spark.ops.chatqc import detect_turn_loops
+
+    rows = [
+        # conv 0: agent stuck — same normalized text 3x in a row
+        (0, 0, "u", "do the thing", None),
+        (0, 1, "a", "Retrying   tool call", None),
+        (0, 2, "a", "retrying tool call", None),
+        (0, 3, "a", " RETRYING TOOL CALL ", None),
+        (0, 4, "u", "stop", None),
+        # conv 1: repeats but never consecutively
+        (1, 0, "u", "ping", None),
+        (1, 1, "a", "pong", None),
+        (1, 2, "u", "ping", None),
+        # conv 2: two runs of 2 — earliest run must win the tie
+        (2, 0, "a", "bb", None),
+        (2, 1, "a", "bb", None),
+        (2, 2, "a", "cc", None),
+        (2, 3, "a", "cc", None),
+        # conv 3: out-of-order delivery of a run
+        (3, 2, "a", "zz", None),
+        (3, 0, "a", "zz", None),
+        (3, 1, "a", "zz", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, text string, tool string"
+    )
+    got = {r["conv_id"]: r.asDict() for r in detect_turn_loops(df).collect()}
+    assert got[0]["max_run"] == 3 and got[0]["has_loop"]
+    assert got[0]["loop_key"] == "retrying tool call"
+    assert got[1]["max_run"] == 1 and not got[1]["has_loop"]
+    assert got[2]["max_run"] == 2 and got[2]["loop_key"] == "bb"
+    assert not got[2]["has_loop"]  # min_repeats defaults to 3
+    assert got[3]["max_run"] == 3 and got[3]["has_loop"]
+    # min_repeats boundary
+    got2 = {
+        r["conv_id"]: r["has_loop"]
+        for r in detect_turn_loops(df, min_repeats=2).collect()
+    }
+    assert got2 == {0: True, 1: False, 2: True, 3: True}
