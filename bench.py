@@ -111,6 +111,7 @@ EXTRA_QUERIES = [
     "function_score_topk",
     "chat_validate",
     "loop_detect",
+    "mmr_rerank",
 ]
 
 

@@ -2728,6 +2728,79 @@ ORDER BY round(c, 6) DESC, vec_id ASC LIMIT 10
 """
 
 
+MMR_LAMBDA = 0.7
+MMR_C = 20
+MMR_K = 10
+
+
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-ranking (ops/similarity.py::mmr_rerank; Carbonell
+    & Goldstein 1998): exact-cosine top-20 candidates for the vec_id=0
+    query, then greedy top-10 maximizing lam*rel - (1-lam)*max-sim-to-
+    selected (lam=0.7). All greedy comparisons use 6-dp rounded keys so
+    both engines pick the identical sequence; the oracle unrolls the 10
+    greedy steps as chained CTEs (the textrank fixed-iteration trick)."""
+    from nlp4l_spark.ops import similarity
+
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.mmr_rerank(
+        emb, qvec, k=MMR_K, c=MMR_C, lam=MMR_LAMBDA
+    ).orderBy("rank")
+
+
+def _o_mmr_rerank() -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, len({a}) + 1),"
+            f" k -> {a}[k]::double * {b}[k]::double), 'sum')"
+            f" / (sqrt(list_aggregate(list_transform({a},"
+            f" x -> x::double * x::double), 'sum'))"
+            f" * sqrt(list_aggregate(list_transform({b},"
+            f" x -> x::double * x::double), 'sum')))"
+        )
+
+    lam, one_m = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    parts = [
+        f"""q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cand AS MATERIALIZED (SELECT vec_id, embedding, round({cos('embedding', 'qe')}, 6) AS rel
+         FROM embeddings CROSS JOIN q
+         ORDER BY rel DESC, vec_id ASC LIMIT {MMR_C}),
+sim AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j,
+               round({cos('a.embedding', 'b.embedding')}, 6) AS s
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+sel1 AS MATERIALIZED (SELECT vec_id, 1 AS rank FROM cand
+         ORDER BY round({lam!r} * rel, 6) DESC, vec_id ASC LIMIT 1)"""
+    ]
+    for i in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{j}" for j in range(1, i)
+        )
+        parts.append(
+            f"""sel{i} AS MATERIALIZED (
+  SELECT c.vec_id, {i} AS rank
+  FROM cand c JOIN sim s ON s.i = c.vec_id AND s.j IN ({prev})
+  WHERE c.vec_id NOT IN ({prev})
+  GROUP BY c.vec_id, c.rel
+  ORDER BY round({lam!r} * c.rel - {one_m!r} * max(s.s), 6) DESC,
+           c.vec_id ASC LIMIT 1)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT rank, vec_id FROM sel{j}" for j in range(1, MMR_K + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+picks AS ({union})
+SELECT p.rank, p.vec_id, c.rel FROM picks p JOIN cand c USING (vec_id)
+ORDER BY p.rank"""
+    )
+
+
+O_MMR_RERANK = _o_mmr_rerank()
+
+
 def q_ann_pq_topk(spark, sf_dir):
     """Product-quantization ANN (Jégou 2011) with exact re-rank: seeded
     per-subspace k-means codebooks (m=32, ksub=16 over 64 dims), ADC
@@ -4827,6 +4900,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_minhash": (q_dedup_minhash, O_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
     "ann_cosine_topk": (q_ann_cosine_topk, O_ANN_COSINE_TOPK),
+    "mmr_rerank": (q_mmr_rerank, O_MMR_RERANK),
     "ann_lsh_topk": (q_ann_lsh_topk, O_ANN_LSH_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
     "ann_pq_topk": (q_ann_pq_topk, O_ANN_PQ_TOPK),
@@ -4932,7 +5006,7 @@ _DRIVER_ORDER = [
     "chunk_documents", "resample_weighted", "corpus_profile",
     "total_count", "validator_unique", "select_features", "term_range_search", "prefix_search",
     "term_positions", "kwic", "event_transitions", "kea_features", "count_prefix", "replay",
-    "media_features", "sessionize", "asof_join", "rolling_stats", "funnel_steps", "ann_cosine_topk", "count_docset", "dict_match",
+    "media_features", "sessionize", "asof_join", "rolling_stats", "funnel_steps", "ann_cosine_topk", "mmr_rerank", "count_docset", "dict_match",
     "wordcount_df", "tf_vectors", "zipf_fit", "term_dispersion", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
     "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "bigram_lm_score", "significant_terms", "collocations", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "textrank", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",

@@ -66,6 +66,78 @@ def brute_force_cosine_topk(
     )
 
 
+def mmr_rerank(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    c: int = 20,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the RAG/search result-diversification pass: take the
+    exact-cosine top-``c`` candidates, then greedily select ``k`` of them
+    maximizing ``lam * rel(d) - (1 - lam) * max_{s in selected}
+    sim(d, s)``; the first pick is pure relevance. Ties (on the 6-dp
+    rounded objective) break to the lower id; both rel and pairwise sims
+    are rounded to 6 dp BEFORE comparison so the greedy choices are
+    cross-engine deterministic (the RM3/MLT rounded-selection-key trick).
+
+    Returns (rank, vec_id, rel): the MMR order plus each pick's
+    engine-rounded relevance.
+
+    Scale shape: the relevance pass is the distributed brute-force cosine
+    scan (one codegen pass + TakeOrderedAndProject); only the ``c``
+    candidate rows (ids + vectors) are collected, so the greedy loop is
+    O(c^2 * dim) driver work bounded by the requested result size, never
+    corpus-proportional. Pairwise sims use sequential-sum cosine to match
+    the SQL oracle's fold order exactly.
+    """
+    cand = (
+        df.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_col(F.col(vec_col), query_vec), 6).alias("rel"),
+            F.col(vec_col).alias("_v"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(c)
+        .collect()
+    )
+    rel = {r["vec_id"]: float(r["rel"]) for r in cand}
+    vec = {r["vec_id"]: [float(x) for x in r["_v"]] for r in cand}
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        import math
+
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    selected: list[int] = []
+    remaining = set(rel)
+    out = []
+    while remaining and len(selected) < k:
+        best_id, best_m = None, None
+        for vid in sorted(remaining):
+            pen = (
+                max(round(_cos(vec[vid], vec[s]), 6) for s in selected)
+                if selected
+                else 0.0
+            )
+            m = round(lam * rel[vid] - (1.0 - lam) * pen, 6)
+            if best_m is None or m > best_m:
+                best_id, best_m = vid, m
+        selected.append(best_id)
+        remaining.discard(best_id)
+        out.append((len(selected), best_id, rel[best_id]))
+    spark = df.sparkSession
+    return spark.createDataFrame(out, "rank int, vec_id long, rel double")
+
+
 def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((tables, bits, dim))

@@ -306,3 +306,40 @@ def test_multi_phrase_single_alternative_equals_phrase(spark, idx):
     mp = _got(s.search_multi_phrase([["join"], ["merge"]], k=10))
     ph = _got(s.search_phrase("join merge", k=10))
     assert mp == ph
+
+
+def test_mmr_rerank(spark):
+    """MMR must demote a redundant near-duplicate of an already-selected
+    result in favor of a diverse one, and degenerate to pure relevance
+    order at lam=1."""
+    from nlp4l_spark.ops.similarity import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # the query
+        (1, [0.99, 0.14, 0.0]),      # most relevant
+        (2, [0.98, 0.199, 0.0]),     # near-duplicate of 1, 2nd by rel
+        (3, [0.7, 0.0, 0.71]),       # diverse, 3rd by rel
+        (4, [0.6, 0.0, 0.8]),        # diverse-ish, least relevant
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qvec = rows[0][1]
+    cand = emb.filter("vec_id != 0")
+    got = [
+        (r["rank"], r["vec_id"])
+        for r in mmr_rerank(cand, qvec, k=3, c=4, lam=0.5).collect()
+    ]
+    # pick 1 first (pure rel), then 3 (2 is too close to 1); 2 returns
+    # third because 4 is nearly parallel to the already-picked 3
+    assert got == [(1, 1), (2, 3), (3, 2)]
+    # lam=1 -> pure relevance order
+    got_rel = [
+        r["vec_id"] for r in mmr_rerank(cand, qvec, k=4, c=4, lam=1.0).collect()
+    ]
+    assert got_rel == [1, 2, 3, 4]
+    # k larger than candidate pool: returns the whole pool, ranks contiguous
+    got_all = [
+        (r["rank"], r["vec_id"])
+        for r in mmr_rerank(cand, qvec, k=10, c=4, lam=0.5).collect()
+    ]
+    assert [r for r, _ in got_all] == [1, 2, 3, 4]
+    assert sorted(v for _, v in got_all) == [1, 2, 3, 4]
