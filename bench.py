@@ -112,6 +112,8 @@ EXTRA_QUERIES = [
     "chat_validate",
     "loop_detect",
     "mmr_rerank",
+    "collapse_topk",
+    "facet_ranges",
 ]
 
 

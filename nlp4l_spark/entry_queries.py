@@ -19,7 +19,7 @@ import tempfile
 
 import numpy as np
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from nlp4l_spark.analysis import (
     LUCENE_ENGLISH_STOPWORDS,
@@ -438,6 +438,35 @@ m AS (SELECT DISTINCT doc_id FROM toks
 SELECT d.lang, count(*)::bigint AS cnt
 FROM documents d JOIN m USING (doc_id)
 GROUP BY 1 ORDER BY cnt DESC, d.lang ASC
+"""
+
+
+def q_facet_ranges(spark, sf_dir):
+    """Numeric range faceting over a query's matching docs (Lucene facet
+    module's LongRangeFacetCounts with uniform buckets; index twin
+    Searcher.facet_ranges): docs containing >= 1 query term, histogram
+    over n_chars with width-200 buckets. One scan + one bucket-keyed
+    groupBy."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    qarr = F.array(*[F.lit(t) for t in BM25_TERMS])
+    bucket = (F.floor(F.col("n_chars") / 200) * 200).cast("long")
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.arrays_overlap(toks, qarr))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.asc("bucket"))
+    )
+
+
+O_FACET_RANGES = f"""
+WITH {TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM toks
+      WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)}))
+SELECT (d.n_chars // 200) * 200 AS bucket, count(*)::bigint AS cnt
+FROM documents d JOIN m USING (doc_id)
+GROUP BY 1 ORDER BY bucket ASC
 """
 
 
@@ -1544,6 +1573,54 @@ sc AS (SELECT dt.doc_id,
        FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
        GROUP BY dt.doc_id)
 SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+def q_collapse_topk(spark, sf_dir):
+    """Field-collapsed BM25 top-k (Solr collapse / Lucene grouping's
+    CollapsingTopDocsCollector; index twin Searcher.search_collapse): at
+    most one result per conversation group (doc_id // 4, the chat
+    derivation), the group head being the best-scoring doc. Scores are
+    rounded to 6 dp BEFORE the group-head window so head choice is
+    cross-engine deterministic."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    head = Window.partitionBy("conv_id").orderBy(
+        F.desc("s"), F.asc("doc_id")
+    )
+    return (
+        per_doc.withColumn(
+            "s", F.round(_bm25_score_col(BM25_TERMS, n, avgdl, dfs), 6)
+        )
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
+        .withColumn("conv_id", F.floor(F.col("doc_id") / 4))
+        .withColumn("_rn", F.row_number().over(head))
+        .filter(F.col("_rn") == 1)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", "conv_id", F.col("s").alias("score"))
+    )
+
+
+O_COLLAPSE_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id),
+g AS (SELECT doc_id, doc_id // 4 AS conv_id, s,
+             row_number() OVER (PARTITION BY doc_id // 4
+                                ORDER BY s DESC, doc_id ASC) AS rn
+      FROM sc)
+SELECT doc_id, conv_id, s AS score FROM g WHERE rn = 1
 ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
 """
 
@@ -4976,6 +5053,8 @@ REGISTRY: dict[str, tuple] = {
     "dfr_topk": (q_dfr_topk, O_DFR_TOPK),
     "f2exp_topk": (q_f2exp_topk, O_F2EXP_TOPK),
     "function_score_topk": (q_function_score_topk, O_FUNCTION_SCORE_TOPK),
+    "collapse_topk": (q_collapse_topk, O_COLLAPSE_TOPK),
+    "facet_ranges": (q_facet_ranges, O_FACET_RANGES),
     "suggest_complete": (q_suggest_complete, O_SUGGEST_COMPLETE),
     "suggest_next": (q_suggest_next, O_SUGGEST_NEXT),
     "multi_phrase_topk": (q_multi_phrase_topk, O_MULTI_PHRASE_TOPK),
@@ -5010,7 +5089,7 @@ _DRIVER_ORDER = [
     "wordcount_df", "tf_vectors", "zipf_fit", "term_dispersion", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
     "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "bigram_lm_score", "significant_terms", "collocations", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "textrank", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
-    "synonym_topk", "lmd_topk", "lmjm_topk", "classic_topk", "dfr_topk", "f2exp_topk", "function_score_topk", "multi_phrase_topk", "passage_topk",
+    "synonym_topk", "lmd_topk", "lmjm_topk", "classic_topk", "dfr_topk", "f2exp_topk", "function_score_topk", "collapse_topk", "facet_ranges", "multi_phrase_topk", "passage_topk",
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "dedup_spans", "dedup_span_excise", "dedup_keep_best", "embedding_neardup",
     "semantic_dedup",

@@ -1301,6 +1301,104 @@ class Searcher:
             .limit(k)
         )
 
+    def search_collapse(
+        self, query: str, k: int = 10, collapse_col: str = "conv_id"
+    ) -> DataFrame:
+        """Field collapsing (Solr collapse / Lucene grouping's
+        CollapsingTopDocsCollector): BM25 top-k with AT MOST ONE result
+        per ``collapse_col`` group — the best-scoring turn represents its
+        conversation, keeping turn identity (unlike search_conversations,
+        which aggregates to the conversation level).
+
+        Scale shape: candidates are postings-sized (broadcast qterms +
+        pushed In(term)); the group key joins in from stored column-pruned
+        to (doc_id, collapse_col); the per-group head is a window over the
+        candidate set partitioned by the group key, then global top-k —
+        never a corpus-wide window."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        dfs = self._term_stats(terms)
+        rows = [(t, idf(self.num_docs, dfs[t])) for t in terms if t in dfs]
+        if not rows:
+            return self.spark.createDataFrame(
+                [], f"doc_id long, {collapse_col} string, score double"
+            )
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "term string, idf double")
+        )
+        decoded = self._decoded(self._matching_postings([r[0] for r in rows]))
+        bm25 = (
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (
+                    F.lit(1.0 - B)
+                    + F.lit(B) * F.col("dl") / F.lit(self.avgdl or 1.0)
+                )
+            )
+        )
+        cand = (
+            decoded.join(qterms, "term")
+            .withColumn("_s", bm25)
+            .groupBy("doc_id")
+            .agg(F.sum("_s").alias("score"))
+        )
+        stored = self.cat.read(self.spark, "stored").select(
+            "doc_id", collapse_col
+        )
+        head = Window.partitionBy(collapse_col).orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            cand.join(stored, "doc_id")
+            .withColumn("_rn", F.row_number().over(head))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", collapse_col, "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def facet_ranges(
+        self,
+        query: str,
+        facet_col: str,
+        width: float,
+        k: int = 20,
+    ) -> DataFrame:
+        """Numeric range faceting (Lucene facet module's
+        LongRangeFacetCounts with uniform buckets): histogram of the
+        query's matching docs over a stored numeric column, bucket =
+        floor(col / width) * width. Matching-doc set work ∝ query
+        postings; the stored join is column-pruned to (doc_id,
+        facet_col). Returns (bucket, cnt) ordered by bucket."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        stats = self._term_stats(terms)
+        present = [t for t in terms if t in stats]
+        if not present:
+            return self.spark.createDataFrame([], "bucket double, cnt long")
+        matching = (
+            self._decoded(self._matching_postings(present))
+            .select("doc_id")
+            .distinct()
+        )
+        stored = self.cat.read(self.spark, "stored").select(
+            "doc_id", facet_col
+        )
+        bucket = (
+            F.floor(F.col(facet_col).cast("double") / F.lit(float(width)))
+            * F.lit(float(width))
+        ).alias("bucket")
+        return (
+            matching.join(stored, "doc_id")
+            .select(bucket)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.asc("bucket"))
+            .limit(k)
+        )
+
     def suggest_complete(self, prefix: str, k: int = 10) -> DataFrame:
         """Autocomplete over the term dictionary (Lucene suggest's
         AnalyzingSuggester weight-sort shape, with cf as the weight):

@@ -441,3 +441,28 @@ def test_chat_validate_single_hash_shuffle(spark):
     assert "EvalPython" not in plan
     # flags are streaming aggregates, never a per-conv turn-list collect
     assert "collect_list" not in plan
+
+
+def test_collapse_plan(spark, tmp_path):
+    """Field collapse: query terms pushed as In(term) to the postings
+    reader; the stored group-key scan pruned to (doc_id, conv_id); the
+    group-head window partitions by the group key (no global window)."""
+    from nlp4l_spark.data.transcripts import synth_transcripts
+    from nlp4l_spark.index import build_index
+    from nlp4l_spark.search import Searcher
+
+    idx = str(tmp_path / "idx")
+    build_index(synth_transcripts(spark, 800, num_partitions=4), idx)
+    s = Searcher(spark, idx)
+    plan = _plan(s.search_collapse("w00001 w00454", k=5))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("In(term" in ln for ln in pushed), pushed
+    stored_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln and "conv_id" in ln
+    ]
+    assert stored_scans and all(
+        "text" not in ln and "ts" not in ln for ln in stored_scans
+    ), stored_scans
+    assert plan.count("Window") >= 1

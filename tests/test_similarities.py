@@ -343,3 +343,71 @@ def test_mmr_rerank(spark):
     ]
     assert [r for r, _ in got_all] == [1, 2, 3, 4]
     assert sorted(v for _, v in got_all) == [1, 2, 3, 4]
+
+
+@pytest.fixture(scope="module")
+def grouped_idx(spark, tmp_path_factory):
+    """Same 6 docs but two turns per conversation (conv = doc_id // 2)."""
+    d = str(tmp_path_factory.mktemp("collapseidx") / "idx")
+    df = spark.createDataFrame(DOCS, "doc_id long, text string").select(
+        (F.col("doc_id") / 2).cast("long").cast("string").alias("conv_id"),
+        (F.col("doc_id") % 2).cast("int").alias("turn_idx"),
+        F.lit("u").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    IndexBuilder(sort_cols=("conv_id", "turn_idx")).build(df, d)
+    return d
+
+
+def test_search_collapse(spark, grouped_idx):
+    s = Searcher(spark, grouped_idx)
+    terms = ["join", "merge", "vector"]
+    scores = {}
+    for d, toks in TOKS.items():
+        sc = sum(
+            _idf(_df(t)) * _bm25_norm(toks.count(t), len(toks))
+            for t in terms
+            if t in toks
+        )
+        if sc:
+            scores[d] = sc
+    # expected: best doc per conv group, then global order
+    best = {}
+    for d, sc in scores.items():
+        g = d // 2
+        if g not in best or (-sc, d) < (-best[g][1], best[g][0]):
+            best[g] = (d, sc)
+    expect = sorted(
+        ((d, g, round(sc, 9)) for g, (d, sc) in best.items()),
+        key=lambda x: (-x[2], x[0]),
+    )
+    got = [
+        (r["doc_id"], int(r["conv_id"]), round(r["score"], 9))
+        for r in s.search_collapse("join merge vector", k=10).collect()
+    ]
+    assert got == expect
+    # every conversation appears at most once
+    assert len({g for _, g, _ in got}) == len(got)
+    # collapse never outranks plain search's best doc
+    plain_top = s.search("join merge vector", k=1, method="dataframe").collect()
+    assert got[0][0] == plain_top[0]["doc_id"]
+
+
+def test_facet_ranges(spark, grouped_idx):
+    s = Searcher(spark, grouped_idx)
+    # every doc with "scan" (docs 3, 5); bucket turn_idx by width 1
+    got = {
+        r["bucket"]: r["cnt"]
+        for r in s.facet_ranges("scan", "turn_idx", 1.0).collect()
+    }
+    # doc 3 -> turn_idx 1, doc 5 -> turn_idx 1
+    assert got == {1.0: 2}
+    got2 = {
+        r["bucket"]: r["cnt"]
+        for r in s.facet_ranges("join", "turn_idx", 2.0).collect()
+    }
+    # all 5 join docs land in the single [0, 2) bucket
+    assert got2 == {0.0: 5}
+    assert s.facet_ranges("zzznope", "turn_idx", 1.0).count() == 0
