@@ -114,6 +114,7 @@ EXTRA_QUERIES = [
     "mmr_rerank",
     "collapse_topk",
     "facet_ranges",
+    "sloppy_phrase_topk",
 ]
 
 

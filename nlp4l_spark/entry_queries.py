@@ -1191,6 +1191,110 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+SLOPPY_SLOP = 2
+
+
+def q_sloppy_phrase_topk(spark, sf_dir):
+    """Two-term sloppy PhraseQuery top-k, corpus path (index twin
+    Searcher.search_sloppy_phrase): fractional phrase tf = Σ over
+    ordered position pairs within slop of 1/(pb - pa) — the
+    1/(1+matchLength) decay of Lucene's SloppyPhraseMatcher — scored as
+    (idf_merge + idf_join) * BM25 norm. Deviations documented on the
+    engine method (ordered-only, all qualifying pairs). Positions are
+    full-token-stream indexes (stopword holes preserved), dl/df from the
+    analyzed stream — same contract as phrase_bm25_topk."""
+    win = SLOPPY_SLOP + 1
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias(
+            "ft"
+        ),
+        STANDARD_ANALYZER.tokens_expr("text").alias("at"),
+    )
+
+    def _positions(term):
+        return F.filter(
+            F.transform(
+                F.col("ft"),
+                lambda x, i: F.when(x == term, i).otherwise(F.lit(-1)),
+            ),
+            lambda v: v >= 0,
+        )
+
+    pa, pb = _positions("merge"), _positions("join")
+    tfw = F.aggregate(
+        pa,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.aggregate(
+            F.filter(pb, lambda j: (j > i) & (j - i <= win)),
+            F.lit(0.0),
+            lambda a2, j: a2 + F.lit(1.0) / (j - i),
+        ),
+    )
+    stats = t.agg(
+        F.count("*").alias("n"),
+        F.sum(F.size("at")).alias("sdl"),
+        F.count_if(F.array_contains("at", "merge")).alias("dfm"),
+        F.count_if(F.array_contains("at", "join")).alias("dfj"),
+    ).collect()[0]
+    n = float(stats["n"])
+    avgdl = float(stats["sdl"]) / n
+    idf_total = math.log(
+        1.0 + (n - stats["dfm"] + 0.5) / (stats["dfm"] + 0.5)
+    ) + math.log(1.0 + (n - stats["dfj"] + 0.5) / (stats["dfj"] + 0.5))
+    return (
+        t.select(
+            "doc_id", tfw.alias("tf"), F.size("at").cast("double").alias("dl")
+        )
+        .filter(F.col("tf") > 0)
+        .withColumn(
+            "s",
+            F.lit(idf_total)
+            * F.col("tf")
+            * F.lit(2.2)
+            / (
+                F.col("tf")
+                + F.lit(1.2)
+                * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_SLOPPY_PHRASE_TOPK = f"""
+WITH t AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS ft,
+             {TOK_SQL} AS at FROM documents),
+pos AS (SELECT doc_id,
+          list_filter(range(1, len(ft) + 1), i -> ft[i] = 'merge') AS pa,
+          list_filter(range(1, len(ft) + 1), j -> ft[j] = 'join') AS pb,
+          len(at)::double AS dl
+        FROM t),
+base AS (SELECT doc_id, dl,
+           coalesce(list_aggregate(list_transform(pa, i ->
+             coalesce(list_aggregate(list_transform(
+               list_filter(pb, j -> j > i AND j - i <= {SLOPPY_SLOP + 1}),
+               j -> 1.0::double / (j - i)), 'sum'), 0)), 'sum'), 0) AS tf
+         FROM pos),
+n AS (SELECT count(*)::double AS n,
+             sum(dl) / count(*) AS avgdl FROM base),
+d AS (SELECT
+        (SELECT count(*) FROM t WHERE list_contains(at, 'merge')) AS dfm,
+        (SELECT count(*) FROM t WHERE list_contains(at, 'join')) AS dfj)
+SELECT doc_id,
+       round((ln(1 + (n.n - d.dfm + 0.5) / (d.dfm + 0.5))
+              + ln(1 + (n.n - d.dfj + 0.5) / (d.dfj + 0.5)))
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / n.avgdl)), 6)
+           AS score
+FROM base, n, d WHERE tf > 0
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 SPAN_A, SPAN_B, SPAN_SLOP = "merge", "join", 2
 
 
@@ -4933,6 +5037,7 @@ REGISTRY: dict[str, tuple] = {
     "rm3_topk": (q_rm3_topk, O_RM3_TOPK),
     "index_bm25_topk": (q_index_bm25_topk, _BM25_ORACLE),
     "phrase_bm25_topk": (q_phrase_bm25_topk, O_PHRASE_BM25_TOPK),
+    "sloppy_phrase_topk": (q_sloppy_phrase_topk, O_SLOPPY_PHRASE_TOPK),
     "span_near_search": (q_span_near, O_SPAN_NEAR),
     "index_phrase_topk": (q_index_phrase_topk, O_PHRASE_BM25_TOPK),
     "bm25_and_topk": (q_bm25_and_topk, _BM25_AND_ORACLE),
@@ -5088,7 +5193,7 @@ _DRIVER_ORDER = [
     "media_features", "sessionize", "asof_join", "rolling_stats", "funnel_steps", "ann_cosine_topk", "mmr_rerank", "count_docset", "dict_match",
     "wordcount_df", "tf_vectors", "zipf_fit", "term_dispersion", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
     "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "bigram_lm_score", "significant_terms", "collocations", "chi2_terms", "dedup_simhash", "kea_bigrams",
-    "dedup_minhash", "textrank", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk",
+    "dedup_minhash", "textrank", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "sloppy_phrase_topk", "bm25_and_topk",
     "synonym_topk", "lmd_topk", "lmjm_topk", "classic_topk", "dfr_topk", "f2exp_topk", "function_score_topk", "collapse_topk", "facet_ranges", "multi_phrase_topk", "passage_topk",
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "dedup_spans", "dedup_span_excise", "dedup_keep_best", "embedding_neardup",

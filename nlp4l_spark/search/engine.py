@@ -1301,6 +1301,83 @@ class Searcher:
             .limit(k)
         )
 
+    def search_sloppy_phrase(
+        self, term_a: str, term_b: str, slop: int = 2, k: int = 10
+    ) -> DataFrame:
+        """Two-term sloppy PhraseQuery: fractional phrase frequency
+        tf = Σ over ordered position pairs (pa, pb) with pb > pa and gap
+        pb - pa - 1 <= slop of 1 / (pb - pa) — weight 1 for adjacency,
+        decaying with the gap (the 1/(1 + matchLength) shape of Lucene's
+        SloppyPhraseMatcher). Score = (idf_a + idf_b) * BM25 norm with
+        the fractional tf, Lucene's sloppy-phrase scoring recipe.
+        Documented deviations vs Lucene: ordered matches only, and ALL
+        qualifying pairs count (Lucene greedily consumes each position at
+        most once).
+
+        Scale shape: positions come from the term_vectors rows of THE TWO
+        QUERY TERMS only (df-sized); the pairing is an array HOF per doc;
+        dl joins from doc_lens on the candidate doc set."""
+        a = self.analyzer.tokenize(term_a)
+        b = self.analyzer.tokenize(term_b)
+        if len(a) != 1 or len(b) != 1:
+            raise ValueError(
+                "sloppy_phrase clauses must analyze to one term each"
+            )
+        if not self.cat.is_committed("term_vectors"):
+            raise ValueError(
+                "sloppy_phrase needs term_vectors "
+                "(IndexBuilder(store_term_vectors=True))"
+            )
+        dfs = self._term_stats([a[0], b[0]])
+        if a[0] not in dfs or b[0] not in dfs:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        idf_total = idf(self.num_docs, dfs[a[0]]) + idf(
+            self.num_docs, dfs[b[0]]
+        )
+        tv = self.cat.read(self.spark, "term_vectors")
+        pa = tv.filter(F.col("term") == a[0]).select(
+            "doc_id", F.col("positions").alias("_pa")
+        )
+        pb = tv.filter(F.col("term") == b[0]).select(
+            "doc_id", F.col("positions").alias("_pb")
+        )
+        win = int(slop) + 1
+        tf_col = F.aggregate(
+            F.col("_pa"),
+            F.lit(0.0),
+            lambda acc, p0: acc
+            + F.aggregate(
+                F.filter(
+                    F.col("_pb"), lambda p1: (p1 > p0) & (p1 - p0 <= win)
+                ),
+                F.lit(0.0),
+                lambda a2, p1: a2 + F.lit(1.0) / (p1 - p0),
+            ),
+        )
+        dl_tbl = self.cat.read(self.spark, "doc_lens").select("doc_id", "dl")
+        avgdl = self.avgdl or 1.0
+        scored = (
+            self._not_deleted(pa.join(pb, "doc_id"))
+            .withColumn("tf", tf_col)
+            .filter(F.col("tf") > 0)
+            .join(dl_tbl, "doc_id")
+        )
+        score_expr = (
+            F.lit(idf_total)
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+            )
+        )
+        return (
+            scored.select("doc_id", score_expr.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_collapse(
         self, query: str, k: int = 10, collapse_col: str = "conv_id"
     ) -> DataFrame:

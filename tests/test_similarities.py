@@ -411,3 +411,28 @@ def test_facet_ranges(spark, grouped_idx):
     # all 5 join docs land in the single [0, 2) bucket
     assert got2 == {0.0: 5}
     assert s.facet_ranges("zzznope", "turn_idx", 1.0).count() == 0
+
+
+def test_sloppy_phrase(spark, idx):
+    s = Searcher(spark, idx)
+    slop, win = 2, 3
+    dfj, dfm = _df("join"), _df("merge")
+    idf_total = _idf(dfj) + _idf(dfm)
+    expect = {}
+    for d, toks in TOKS.items():
+        pa = [i for i, t in enumerate(toks) if t == "join"]
+        pb = [i for i, t in enumerate(toks) if t == "merge"]
+        tf = sum(
+            1.0 / (j - i) for i in pa for j in pb if j > i and j - i <= win
+        )
+        if tf:
+            expect[d] = round(idf_total * _bm25_norm(tf, len(toks)), 9)
+    assert expect
+    got = _got(s.search_sloppy_phrase("join", "merge", slop=slop, k=10))
+    assert got == expect
+    # slop=0 degenerates to the exact PhraseQuery scores
+    sp0 = _got(s.search_sloppy_phrase("join", "merge", slop=0, k=10))
+    ph = _got(s.search_phrase("join merge", k=10))
+    assert sp0 == ph
+    # unknown term -> empty
+    assert s.search_sloppy_phrase("join", "zzz", slop=2).count() == 0
