@@ -131,6 +131,8 @@ def detect_turn_loops(
         .groupBy("conv_id", "_run")
         .agg(
             F.count("*").alias("run_len"),
+            # every row in a run shares the key by construction, so
+            # first() is deterministic here
             F.first("_key").alias("_key"),
             F.min("turn_idx").alias("_start"),
         )
@@ -158,8 +160,8 @@ def tool_usage(
     """Per-tool usage stats over agent transcripts: call count, number of
     distinct conversations that used the tool, and the tool's share of
     all tool calls (round 6). NULL ``tool`` means no call on that turn.
-    One filter + one groupBy; the share normalizer is a broadcast-style
-    scalar fold (window over the tools-sized aggregate, not the corpus).
+    One filter + one groupBy; the share normalizer is a broadcast scalar
+    cross-join over the tools-sized aggregate, not a corpus window.
     """
     calls = df.filter(F.col(tool_col).isNotNull()).select(
         F.col(tool_col).alias("tool"), F.col(conv_col).alias("conv_id")

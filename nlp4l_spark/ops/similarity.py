@@ -107,14 +107,14 @@ def mmr_rerank(
     rel = {r["vec_id"]: float(r["rel"]) for r in cand}
     vec = {r["vec_id"]: [float(x) for x in r["_v"]] for r in cand}
 
+    import math
+
     def _cos(a: list[float], b: list[float]) -> float:
         dot = na = nb = 0.0
         for x, y in zip(a, b):
             dot += x * y
             na += x * x
             nb += y * y
-        import math
-
         return dot / (math.sqrt(na) * math.sqrt(nb))
 
     selected: list[int] = []
