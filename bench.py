@@ -115,6 +115,7 @@ EXTRA_QUERIES = [
     "collapse_topk",
     "facet_ranges",
     "sloppy_phrase_topk",
+    "percolate",
 ]
 
 

@@ -2250,6 +2250,43 @@ FROM agg ORDER BY role
 """
 
 
+PERC_QUERIES = [
+    (1, ["join"]),
+    (2, ["merge", "join"]),
+    (3, ["vector", "scan", "hash"]),
+    (4, ["nosuchterm"]),
+    (5, ["spark", "window"]),
+]
+
+
+def q_percolate(spark, sf_dir):
+    """Percolation / reverse search (ops/percolate.py::percolate; the ES
+    percolator shape): match every doc against 5 stored conjunctive
+    queries, emit (doc_id, query_id) hits. Queries broadcast; docs
+    stream through one tokenize scan with an arrays_overlap prune before
+    the exact subset check — zero corpus shuffle."""
+    from nlp4l_spark.ops.percolate import percolate
+
+    q = spark.createDataFrame(
+        PERC_QUERIES, "query_id int, must_terms array<string>"
+    )
+    return percolate(_docs(spark, sf_dir), q).orderBy("doc_id", "query_id")
+
+
+def _o_percolate() -> str:
+    # Python list repr == DuckDB array literal for plain ascii terms
+    values = ", ".join(f"({qid}, {terms!r})" for qid, terms in PERC_QUERIES)
+    return f"""
+WITH d AS (SELECT doc_id, list_distinct({TOK_SQL}) AS toks FROM documents),
+q AS (SELECT * FROM (VALUES {values}) AS t(query_id, must))
+SELECT doc_id, query_id FROM d JOIN q ON list_has_all(toks, must)
+ORDER BY doc_id, query_id
+"""
+
+
+O_PERCOLATE = _o_percolate()
+
+
 # --------------------------------------------------------------------- #
 # Unicode / CJK analysis (stand-in for JaUserDictionaryProcessor,
 # FeaturedProcessors.scala:302-342 — dictionary-free CJK bigrams)
@@ -5053,6 +5090,7 @@ REGISTRY: dict[str, tuple] = {
     "tool_usage": (q_tool_usage, O_TOOL_USAGE),
     "role_profile": (q_role_profile, O_ROLE_PROFILE),
     "loop_detect": (q_loop_detect, O_LOOP_DETECT),
+    "percolate": (q_percolate, O_PERCOLATE),
     "term_range_search": (q_term_range_search, O_TERM_RANGE_SEARCH),
     "fuzzy_bm25_topk": (q_fuzzy_bm25_topk, O_FUZZY_BM25_TOPK),
     "bm25_not_topk": (q_bm25_not_topk, O_BM25_NOT_TOPK),
@@ -5180,7 +5218,7 @@ _DRIVER_ORDER = [
     "sample_stratified", "length_percentiles", "merge_records", "redact_pii", "acronym_candidates",
     "clean_lines", "filter_percentile", "line_dedup", "gopher_filter", "normalize_text", "script_profile", "top_per_lang",
     "lang_mixture", "suggest_complete", "suggest_next",
-    "chat_validate", "tool_usage", "role_profile", "loop_detect",
+    "chat_validate", "tool_usage", "role_profile", "loop_detect", "percolate",
     "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words", "click_rate",
     "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
     "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",

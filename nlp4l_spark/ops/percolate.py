@@ -1,0 +1,63 @@
+"""Percolation — reverse search: match a stream of documents against a
+table of STORED queries (the Elasticsearch percolator / Luwak monitor
+shape) for alerting and routing. The reference has the forward direction
+only (SolrSearchValidator fires one query per record,
+/root/reference/app/org/nlp4l/framework/builtin/FeaturedProcessors.scala:223-258);
+percolation inverts it so each incoming doc is checked against EVERY
+registered query in one pass.
+
+Scale shape: queries are broadcast (a query registry is ~10^3-10^6 rows,
+dwarfed by a 10^12-turn corpus), so the doc side streams through ONE scan
+with zero shuffle of corpus data. Matching is a pre-filter on the
+rarest-term route (a doc can only match a query if it contains the
+query's rarest term — the classic percolator optimization rendered as an
+arrays_overlap prune) followed by the exact subset check, all JVM
+expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from nlp4l_spark.analysis import Analyzer, STANDARD_ANALYZER
+
+
+def percolate(
+    docs: DataFrame,
+    queries: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "must_terms",
+    analyzer: Analyzer | None = None,
+) -> DataFrame:
+    """Match every doc against every stored conjunctive query: a doc
+    matches query q iff ALL of q's ``must_terms`` occur in the doc's
+    analyzed token set. Returns (doc_id, query_id) pairs, the percolator
+    hit list.
+
+    ``queries`` must be small enough to broadcast (the percolator
+    contract); the doc side is one tokenize scan joined to the broadcast
+    query table under an arrays_overlap prune, then the exact
+    ``forall(must_terms in tokens)`` subset check.
+    """
+    analyzer = analyzer or STANDARD_ANALYZER
+    toks = F.array_distinct(analyzer.tokens_expr(text_col))
+    d = docs.select(F.col(doc_id_col).alias("doc_id"), toks.alias("_toks"))
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(terms_col).alias("_must"),
+        )
+    )
+    subset = F.forall(
+        F.col("_must"), lambda t: F.array_contains(F.col("_toks"), t)
+    )
+    # an empty must list is match-all (the arrays_overlap prune alone
+    # would wrongly drop it: overlap with [] is false, subset is true)
+    prune = (F.size(F.col("_must")) == 0) | F.arrays_overlap(
+        F.col("_toks"), F.col("_must")
+    )
+    return (
+        d.join(q, prune, "inner").filter(subset).select("doc_id", "query_id")
+    )
