@@ -116,6 +116,7 @@ EXTRA_QUERIES = [
     "facet_ranges",
     "sloppy_phrase_topk",
     "percolate",
+    "ascii_fold_wordcount",
 ]
 
 

@@ -1,5 +1,6 @@
 from nlp4l_spark.analysis.analyzer import (
     Analyzer,
+    FOLDING_ANALYZER,
     STANDARD_ANALYZER,
     WHITESPACE_ANALYZER,
     LUCENE_ENGLISH_STOPWORDS,
@@ -14,6 +15,7 @@ from nlp4l_spark.analysis.schema import (
 
 __all__ = [
     "Analyzer",
+    "FOLDING_ANALYZER",
     "STANDARD_ANALYZER",
     "WHITESPACE_ANALYZER",
     "LUCENE_ENGLISH_STOPWORDS",

@@ -45,6 +45,33 @@ LUCENE_ENGLISH_STOPWORDS: frozenset[str] = frozenset(
 TOKEN_PATTERN = r"[a-z0-9]+"
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 
+# ASCII folding (Lucene ASCIIFoldingFilter, the Latin-1 Supplement /
+# Latin Extended-A subset): single-char foldings go through translate(),
+# the three multi-char foldings (ae/oe/ss) through replace(); both exist
+# verbatim in Spark SQL, DuckDB SQL, and Python, so the folded contract
+# stays engine-identical. Applied AFTER lowercasing, so only lowercase
+# source chars are listed.
+_FOLD_PAIRS = [
+    ("àáâãäåāăą", "a"),
+    ("çćč", "c"),
+    ("èéêëēėę", "e"),
+    ("ìíîïīį", "i"),
+    ("ñń", "n"),
+    ("òóôõöōø", "o"),
+    ("ùúûüū", "u"),
+    ("ýÿ", "y"),
+    ("šś", "s"),
+    ("žźż", "z"),
+    ("ł", "l"),
+    ("đ", "d"),
+    ("ğ", "g"),
+    ("ţ", "t"),
+]
+FOLD_MULTI = (("æ", "ae"), ("œ", "oe"), ("ß", "ss"))
+FOLD_FROM = "".join(src for src, _ in _FOLD_PAIRS)
+FOLD_TO = "".join(dst * len(src) for src, dst in _FOLD_PAIRS)
+_FOLD_TABLE = str.maketrans(FOLD_FROM, FOLD_TO)
+
 
 def load_stopwords(path: str, comment_char: str = "#") -> frozenset[str]:
     """Stopword file loader: one word per line, ``#`` comments, blank lines
@@ -69,14 +96,26 @@ class Analyzer:
     lowercase: bool = True
     token_pattern: str = TOKEN_PATTERN
     stopwords: frozenset[str] = field(default_factory=frozenset)
+    # Lucene ASCIIFoldingFilter (diacritics -> ASCII before tokenizing);
+    # offsets in token_stream then refer to the folded text (its length
+    # shifts only at the ae/oe/ss multi-char foldings)
+    ascii_fold: bool = False
+
+    def _normalize(self, text: str) -> str:
+        if self.lowercase:
+            text = text.lower()
+        if self.ascii_fold:
+            for src, dst in FOLD_MULTI:
+                text = text.replace(src, dst)
+            text = text.translate(_FOLD_TABLE)
+        return text
 
     # ---- driver-side / oracle path (plain Python; used for query strings
     # and the single-node oracle, never on the distributed hot path) ----
     def tokenize(self, text: str | None) -> list[str]:
         if not text:
             return []
-        if self.lowercase:
-            text = text.lower()
+        text = self._normalize(text)
         toks = re.findall(self.token_pattern, text)
         if self.stopwords:
             toks = [t for t in toks if t not in self.stopwords]
@@ -91,9 +130,20 @@ class Analyzer:
             raise TypeError("tokens_col takes a column NAME (SQL identifier)")
         return self.tokens_expr(name)
 
+    def _normalize_sql(self, col_sql: str) -> str:
+        """The ``_normalize`` chain as a SQL expression — the SAME string
+        is valid Spark SQL and DuckDB SQL (lower/replace/translate exist
+        identically in both)."""
+        src = f"lower({col_sql})" if self.lowercase else col_sql
+        if self.ascii_fold:
+            for s, d in FOLD_MULTI:
+                src = f"replace({src}, '{s}', '{d}')"
+            src = f"translate({src}, '{FOLD_FROM}', '{FOLD_TO}')"
+        return src
+
     def tokens_expr(self, col_sql: str) -> Column:
         """Analyzed tokens from a SQL expression via regexp_extract_all."""
-        src = f"lower({col_sql})" if self.lowercase else col_sql
+        src = self._normalize_sql(col_sql)
         toks = F.expr(f"regexp_extract_all({src}, '{self.token_pattern}', 0)")
         return self._strip_stopwords(toks)
 
@@ -106,7 +156,7 @@ class Analyzer:
     def duckdb_tokens_sql(self, col_sql: str) -> str:
         """The IDENTICAL tokenizer as a DuckDB SQL expression — used by the
         driver's oracle comparisons (list<varchar> of analyzed tokens)."""
-        src = f"lower({col_sql})" if self.lowercase else col_sql
+        src = self._normalize_sql(col_sql)
         expr = f"regexp_extract_all({src}, '{self.token_pattern}')"
         if self.stopwords:
             stoplist = ", ".join(f"'{w}'" for w in sorted(self.stopwords))
@@ -141,7 +191,7 @@ class Analyzer:
         alphabet)."""
         if not text:
             return []
-        src = text.lower() if self.lowercase else text
+        src = self._normalize(text)
         pattern = (
             _TOKEN_RE
             if self.token_pattern == TOKEN_PATTERN
@@ -253,3 +303,6 @@ class Analyzer:
 
 STANDARD_ANALYZER = Analyzer(stopwords=LUCENE_ENGLISH_STOPWORDS)
 WHITESPACE_ANALYZER = Analyzer(stopwords=frozenset())
+FOLDING_ANALYZER = Analyzer(
+    stopwords=LUCENE_ENGLISH_STOPWORDS, ascii_fold=True
+)

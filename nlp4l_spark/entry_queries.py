@@ -2250,6 +2250,66 @@ FROM agg ORDER BY role
 """
 
 
+FOLD_SNIPPETS = [
+    "café crème brûlée",
+    "münchen straße gröön",
+    "naïve façade déjà vu",
+    "señor piñata jalapeño æther œuvre",
+]
+FOLD_TERMS = [
+    "aether", "brulee", "cafe", "creme", "deja", "facade", "groon",
+    "jalapeno", "munchen", "naive", "oeuvre", "pinata", "senor",
+    "strasse", "vu",
+]
+
+
+def q_ascii_fold_wordcount(spark, sf_dir):
+    """Wordcount through the ASCII-folding analyzer (Lucene
+    ASCIIFoldingFilter; analysis/analyzer.py FOLDING_ANALYZER): the
+    corpus deterministically augmented with accented-Latin snippets
+    keyed by doc_id, folded (diacritics -> ASCII, æ/œ/ß -> ae/oe/ss),
+    counts of the folded forms. The plain analyzer would split every
+    accented word at the diacritic ('café' -> 'caf'), so this query is
+    green ONLY if the folding chain matches across engines."""
+    from nlp4l_spark.analysis import FOLDING_ANALYZER
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    snip = F.element_at(
+        F.array(*[F.lit(s) for s in FOLD_SNIPPETS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    aug = docs.withColumn("text", F.concat_ws(" ", F.col("text"), snip))
+    toks = FOLDING_ANALYZER.tokens_expr("text")
+    return (
+        aug.select(F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(FOLD_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"))
+        .orderBy(F.asc("term"))
+    )
+
+
+def _o_ascii_fold_wordcount() -> str:
+    from nlp4l_spark.analysis import FOLDING_ANALYZER
+
+    whens = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(FOLD_SNIPPETS)
+    )
+    aug = f"(text || ' ' || CASE doc_id % 4 {whens} END)"
+    tok = FOLDING_ANALYZER.duckdb_tokens_sql("text")
+    inlist = ", ".join(f"'{t}'" for t in FOLD_TERMS)
+    return f"""
+WITH aug AS (SELECT doc_id, {aug} AS text FROM documents),
+toks AS (SELECT unnest({tok}) AS term FROM aug)
+SELECT term, count(*)::bigint AS cf FROM toks
+WHERE term IN ({inlist})
+GROUP BY term ORDER BY term ASC
+"""
+
+
+O_ASCII_FOLD_WORDCOUNT = _o_ascii_fold_wordcount()
+
+
 PERC_QUERIES = [
     (1, ["join"]),
     (2, ["merge", "join"]),
@@ -5091,6 +5151,7 @@ REGISTRY: dict[str, tuple] = {
     "role_profile": (q_role_profile, O_ROLE_PROFILE),
     "loop_detect": (q_loop_detect, O_LOOP_DETECT),
     "percolate": (q_percolate, O_PERCOLATE),
+    "ascii_fold_wordcount": (q_ascii_fold_wordcount, O_ASCII_FOLD_WORDCOUNT),
     "term_range_search": (q_term_range_search, O_TERM_RANGE_SEARCH),
     "fuzzy_bm25_topk": (q_fuzzy_bm25_topk, O_FUZZY_BM25_TOPK),
     "bm25_not_topk": (q_bm25_not_topk, O_BM25_NOT_TOPK),
@@ -5218,7 +5279,7 @@ _DRIVER_ORDER = [
     "sample_stratified", "length_percentiles", "merge_records", "redact_pii", "acronym_candidates",
     "clean_lines", "filter_percentile", "line_dedup", "gopher_filter", "normalize_text", "script_profile", "top_per_lang",
     "lang_mixture", "suggest_complete", "suggest_next",
-    "chat_validate", "tool_usage", "role_profile", "loop_detect", "percolate",
+    "chat_validate", "tool_usage", "role_profile", "loop_detect", "percolate", "ascii_fold_wordcount",
     "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words", "click_rate",
     "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
     "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",

@@ -157,3 +157,37 @@ def test_term_counts_udf_agrees_with_tokenize(spark):
         got = dict(zip(r["c"]["terms"], r["c"]["tfs"]))
         assert got == counts
         assert r["c"]["dl"] == len(toks)
+
+
+FOLD_ALPHABET = list(
+    "abcdefXYZ0123  \t.,;!?()-_"
+    "àáâãäåāăąçćčèéêëēėęìíîïīįñńòóôõöōøùúûüūýÿšśžźżłđğţ"
+    "æœßÀÉÜÑŠ"
+)
+
+
+def _random_fold_texts(n: int, seed: int) -> list[str]:
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        length = int(rng.randint(0, 60))
+        out.append("".join(rng.choice(FOLD_ALPHABET, size=length)))
+    out += ["", "café crème brûlée", "München STRASSE straße", "œuvre æther"]
+    return out
+
+
+def test_four_engines_agree_ascii_folding(spark):
+    """The ASCII-folding contract (Lucene ASCIIFoldingFilter subset) holds
+    across all four engines, including uppercase accents (lower() runs
+    first) and the multi-char ae/oe/ss foldings."""
+    from nlp4l_spark.analysis import FOLDING_ANALYZER, STANDARD_ANALYZER
+
+    texts = _random_fold_texts(300, seed=9291)
+    _assert_four_engines(spark, FOLDING_ANALYZER, texts)
+    assert FOLDING_ANALYZER.tokenize("Café straße Œuvre") == [
+        "cafe",
+        "strasse",
+        "oeuvre",
+    ]
+    # the unfolded analyzer splits at every diacritic — the gap folding fixes
+    assert STANDARD_ANALYZER.tokenize("café straße") == ["caf", "stra", "e"]
