@@ -57,3 +57,36 @@ def test_empty_query_matches_every_doc(spark, hits):
 
 def test_empty_doc_matches_only_match_all(spark, hits):
     assert {q for d, q in hits if d == 3} == {14}
+
+
+def test_streaming_percolation(spark, tmp_path):
+    """Percolation over a Structured Streaming doc source — the alerting
+    deployment shape: file-stream docs matched against the broadcast
+    query registry, hits landing in a sink, end state identical to the
+    batch run on the same rows."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(
+        QUERIES, "query_id int, must_terms array<string>"
+    )
+    landing = str(tmp_path / "docs_landing")
+    docs.write.parquet(landing)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        landing
+    )
+    alerts = percolate(stream, qs)
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("percolate_alerts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in spark.sql("SELECT * FROM percolate_alerts").collect()
+    }
+    batch = {
+        (r["doc_id"], r["query_id"]) for r in percolate(docs, qs).collect()
+    }
+    assert got == batch and got
