@@ -117,6 +117,8 @@ EXTRA_QUERIES = [
     "sloppy_phrase_topk",
     "percolate",
     "ascii_fold_wordcount",
+    "search_after_page2",
+    "sorted_by_field",
 ]
 
 

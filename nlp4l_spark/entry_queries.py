@@ -1729,6 +1729,79 @@ ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+def q_search_after_page2(spark, sf_dir):
+    """Cursor pagination, page 2 (Lucene IndexSearcher.searchAfter; index
+    twin Searcher.search_after): results 11-20 of the BM25 ranking via
+    the strictly-after-(score, doc_id) cursor taken from result 10 —
+    NEVER an OFFSET rescan. The oracle states the same page as
+    OFFSET 10, equivalent because the rounded (score desc, doc_id asc)
+    order is total."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    scored = (
+        per_doc.withColumn(
+            "s", F.round(_bm25_score_col(BM25_TERMS, n, avgdl, dfs), 6)
+        )
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
+        .select("doc_id", "s")
+    )
+    page1 = scored.orderBy(F.desc("s"), F.asc("doc_id")).limit(BM25_K).collect()
+    cur_s, cur_d = float(page1[-1]["s"]), int(page1[-1]["doc_id"])
+    cursor = (F.col("s") < F.lit(cur_s)) | (
+        (F.col("s") == F.lit(cur_s)) & (F.col("doc_id") > F.lit(cur_d))
+    )
+    return (
+        scored.filter(cursor)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.col("s").alias("score"))
+    )
+
+
+O_SEARCH_AFTER_PAGE2 = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT doc_id, s AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K} OFFSET {BM25_K}
+"""
+
+
+def q_sorted_by_field(spark, sf_dir):
+    """Sort-by-field retrieval (Lucene Sort/SortField; index twin
+    Searcher.search_sorted): docs matching >= 1 query term ordered by
+    the stored n_chars column desc instead of relevance. One matching
+    scan + TakeOrderedAndProject."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    qarr = F.array(*[F.lit(t) for t in BM25_TERMS])
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.arrays_overlap(toks, qarr))
+        .select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(BM25_K)
+    )
+
+
+O_SORTED_BY_FIELD = f"""
+WITH {TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM toks
+      WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)}))
+SELECT d.doc_id, d.n_chars
+FROM documents d JOIN m USING (doc_id)
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT {BM25_K}
+"""
+
+
 FS_HALF_LIFE = 180.0
 FS_RATE = math.log(2.0) / FS_HALF_LIFE
 
@@ -5259,6 +5332,8 @@ REGISTRY: dict[str, tuple] = {
     "function_score_topk": (q_function_score_topk, O_FUNCTION_SCORE_TOPK),
     "collapse_topk": (q_collapse_topk, O_COLLAPSE_TOPK),
     "facet_ranges": (q_facet_ranges, O_FACET_RANGES),
+    "search_after_page2": (q_search_after_page2, O_SEARCH_AFTER_PAGE2),
+    "sorted_by_field": (q_sorted_by_field, O_SORTED_BY_FIELD),
     "suggest_complete": (q_suggest_complete, O_SUGGEST_COMPLETE),
     "suggest_next": (q_suggest_next, O_SUGGEST_NEXT),
     "multi_phrase_topk": (q_multi_phrase_topk, O_MULTI_PHRASE_TOPK),
@@ -5293,7 +5368,7 @@ _DRIVER_ORDER = [
     "wordcount_df", "tf_vectors", "zipf_fit", "term_dispersion", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
     "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "bigram_lm_score", "significant_terms", "collocations", "chi2_terms", "dedup_simhash", "kea_bigrams",
     "dedup_minhash", "textrank", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "sloppy_phrase_topk", "bm25_and_topk",
-    "synonym_topk", "lmd_topk", "lmjm_topk", "classic_topk", "dfr_topk", "f2exp_topk", "function_score_topk", "collapse_topk", "facet_ranges", "multi_phrase_topk", "passage_topk",
+    "synonym_topk", "lmd_topk", "lmjm_topk", "classic_topk", "dfr_topk", "f2exp_topk", "function_score_topk", "collapse_topk", "facet_ranges", "search_after_page2", "sorted_by_field", "multi_phrase_topk", "passage_topk",
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "dedup_spans", "dedup_span_excise", "dedup_keep_best", "embedding_neardup",
     "semantic_dedup",

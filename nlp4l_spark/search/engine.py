@@ -1301,6 +1301,90 @@ class Searcher:
             .limit(k)
         )
 
+    def search_after(
+        self,
+        query: str,
+        after_score: float,
+        after_doc_id: int,
+        k: int = 10,
+    ) -> DataFrame:
+        """Cursor pagination (Lucene IndexSearcher.searchAfter): the next
+        ``k`` results strictly after the (score, doc_id) cursor in the
+        (score desc, doc_id asc) total order. Deep paging without the
+        OFFSET anti-pattern — page N never recomputes or transfers pages
+        1..N-1; the cursor predicate is one comparison folded into the
+        same scored scan, so every page costs the same as page one."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        dfs = self._term_stats(terms)
+        rows = [(t, idf(self.num_docs, dfs[t])) for t in terms if t in dfs]
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "term string, idf double")
+        )
+        decoded = self._decoded(self._matching_postings([r[0] for r in rows]))
+        bm25 = (
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (
+                    F.lit(1.0 - B)
+                    + F.lit(B) * F.col("dl") / F.lit(self.avgdl or 1.0)
+                )
+            )
+        )
+        cursor = (F.col("score") < F.lit(after_score)) | (
+            (F.col("score") == F.lit(after_score))
+            & (F.col("doc_id") > F.lit(after_doc_id))
+        )
+        return (
+            decoded.join(qterms, "term")
+            .withColumn("_s", bm25)
+            .groupBy("doc_id")
+            .agg(F.sum("_s").alias("score"))
+            .filter(cursor)  # prunes BEFORE the ordered top-k heap
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_sorted(
+        self,
+        query: str,
+        sort_col: str,
+        k: int = 10,
+        ascending: bool = False,
+    ) -> DataFrame:
+        """Sort-by-field retrieval (Lucene Sort/SortField, e.g. newest
+        first): docs matching >= 1 query term ordered by a stored column
+        instead of relevance, doc_id tiebreak. Matching-doc set work ∝
+        query postings; the stored sort-key join is column-pruned to
+        (doc_id, sort_col); top-k compiles to TakeOrderedAndProject, no
+        global sort of the corpus."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        stats = self._term_stats(terms)
+        present = [t for t in terms if t in stats]
+        if not present:
+            return self.spark.createDataFrame(
+                [], f"doc_id long, {sort_col} string"
+            )
+        matching = (
+            self._decoded(self._matching_postings(present))
+            .select("doc_id")
+            .distinct()
+        )
+        stored = self.cat.read(self.spark, "stored").select(
+            "doc_id", sort_col
+        )
+        key = F.asc(sort_col) if ascending else F.desc(sort_col)
+        return (
+            matching.join(stored, "doc_id")
+            .orderBy(key, F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_sloppy_phrase(
         self, term_a: str, term_b: str, slop: int = 2, k: int = 10
     ) -> DataFrame:

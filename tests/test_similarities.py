@@ -436,3 +436,41 @@ def test_sloppy_phrase(spark, idx):
     assert sp0 == ph
     # unknown term -> empty
     assert s.search_sloppy_phrase("join", "zzz", slop=2).count() == 0
+
+
+def test_search_after_pages_tile_the_ranking(spark, idx):
+    s = Searcher(spark, idx)
+    q = "join merge vector"
+    full = [
+        (r["doc_id"], r["score"])
+        for r in s.search(q, k=10, method="dataframe").collect()
+    ]
+    assert len(full) >= 4
+    page1 = full[:2]
+    after = s.search_after(q, page1[-1][1], page1[-1][0], k=2).collect()
+    page2 = [(r["doc_id"], r["score"]) for r in after]
+    assert page1 + page2 == full[:4]
+    # cursor past the end -> empty
+    last = full[-1]
+    assert s.search_after(q, last[1], last[0], k=5).count() == 0
+    # unknown-terms query -> empty
+    assert s.search_after("zzznope", 1.0, 0, k=5).count() == 0
+
+
+def test_search_sorted_by_field(spark, grouped_idx):
+    s = Searcher(spark, grouped_idx)
+    # docs matching "join", newest-first by turn_idx desc
+    match = sorted(d for d, toks in TOKS.items() if "join" in toks)
+    got = [
+        (r["doc_id"], r["turn_idx"])
+        for r in s.search_sorted("join", "turn_idx", k=10).collect()
+    ]
+    expect = sorted(
+        ((d, d % 2) for d in match), key=lambda x: (-x[1], x[0])
+    )
+    assert got == expect
+    asc = [
+        r["doc_id"]
+        for r in s.search_sorted("join", "turn_idx", k=10, ascending=True).collect()
+    ]
+    assert asc == [d for d, _ in sorted(((d, d % 2) for d in match), key=lambda x: (x[1], x[0]))]
