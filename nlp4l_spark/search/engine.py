@@ -1301,6 +1301,22 @@ class Searcher:
             .limit(k)
         )
 
+    def count(self, query: str) -> int:
+        """Lucene IndexSearcher.count: how many docs match >= 1 query term
+        — no scoring, no ranking, just the pushed-In(term) postings scan
+        and a distinct count."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        stats = self._term_stats(terms)
+        present = [t for t in terms if t in stats]
+        if not present:
+            return 0
+        return (
+            self._decoded(self._matching_postings(present))
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+
     def search_after(
         self,
         query: str,

@@ -474,3 +474,14 @@ def test_search_sorted_by_field(spark, grouped_idx):
         for r in s.search_sorted("join", "turn_idx", k=10, ascending=True).collect()
     ]
     assert asc == [d for d, _ in sorted(((d, d % 2) for d in match), key=lambda x: (x[1], x[0]))]
+
+
+def test_count(spark, idx):
+    s = Searcher(spark, idx)
+    assert s.count("join") == sum(1 for t in TOKS.values() if "join" in t)
+    assert s.count("join vector") == sum(
+        1 for t in TOKS.values() if "join" in t or "vector" in t
+    )
+    assert s.count("zzznope") == 0
+    # single-term count equals the dictionary df
+    assert s.count("scan") == _df("scan")
