@@ -1284,9 +1284,18 @@ class Searcher:
             .groupBy("doc_id")
             .agg(F.sum("_s").alias("_bm25"))
         )
+        if not half_life_days > 0:
+            raise ValueError(
+                f"half_life_days must be > 0, got {half_life_days}"
+            )
         stored = self.cat.read(self.spark, "stored").select("doc_id", ts_col)
         if origin is None:
             origin = stored.agg(F.max(ts_col)).collect()[0][0]
+            if origin is None:
+                raise ValueError(
+                    f"stored column '{ts_col}' is all-NULL; pass an "
+                    "explicit origin or use plain search()"
+                )
         rate = math.log(2.0) / (half_life_days * 86400.0)
         age = F.greatest(
             F.lit(0.0),
@@ -1417,6 +1426,8 @@ class Searcher:
         Scale shape: positions come from the term_vectors rows of THE TWO
         QUERY TERMS only (df-sized); the pairing is an array HOF per doc;
         dl joins from doc_lens on the candidate doc set."""
+        if slop < 0:
+            raise ValueError(f"slop must be >= 0, got {slop}")
         a = self.analyzer.tokenize(term_a)
         b = self.analyzer.tokenize(term_b)
         if len(a) != 1 or len(b) != 1:
@@ -1550,6 +1561,8 @@ class Searcher:
         floor(col / width) * width. Matching-doc set work ∝ query
         postings; the stored join is column-pruned to (doc_id,
         facet_col). Returns (bucket, cnt) ordered by bucket."""
+        if not width > 0:
+            raise ValueError(f"facet width must be > 0, got {width}")
         terms = sorted(set(self.analyzer.tokenize(query)))
         stats = self._term_stats(terms)
         present = [t for t in terms if t in stats]

@@ -485,3 +485,17 @@ def test_count(spark, idx):
     assert s.count("zzznope") == 0
     # single-term count equals the dictionary df
     assert s.count("scan") == _df("scan")
+
+
+def test_new_query_guards(spark, idx):
+    s = Searcher(spark, idx)
+    with pytest.raises(ValueError):
+        s.facet_ranges("join", "turn_idx", 0)
+    with pytest.raises(ValueError):
+        s.search_function_score("join", half_life_days=0)
+    with pytest.raises(ValueError):
+        s.search_sloppy_phrase("join", "merge", slop=-1)
+    # the idx fixture stores NULL ts everywhere: origin inference must
+    # fail loudly instead of silently nulling every score
+    with pytest.raises(ValueError, match="all-NULL"):
+        s.search_function_score("join")
