@@ -4397,15 +4397,64 @@ SELECT doc_id, lang, unnest(range(0, nr)) AS repeat_idx FROM r WHERE nr >= 1
 """
 
 
+BPE_NUM_MERGES = 20
+
+
 def q_bpe_merges(spark, sf_dir):
     """Learned BPE merge list (greedy Sennrich loop over the distributed
-    word-frequency table; deterministic tie-break). Iterative trained
-    artifact -> rows-only, like kea_extract/mdlp_cuts."""
-    merges = bpe.learn_bpe_merges(_docs(spark, sf_dir), num_merges=20)
+    word-frequency table; deterministic (-count, left, right) tie-break).
+    ORACLED despite being iterative: the oracle unrolls all 20 greedy
+    steps as chained materialized CTEs (the textrank trick) — the merge
+    application is a list_reduce string fold whose greedy left-to-right
+    non-overlap matches the Python loop exactly (a merged token can
+    never string-equal `left`, so the fold never double-merges)."""
+    merges = bpe.learn_bpe_merges(
+        _docs(spark, sf_dir), num_merges=BPE_NUM_MERGES
+    )
     return spark.createDataFrame(
         [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "rank int, left string, right string, pair_count bigint",
     )
+
+
+def _o_bpe_merges() -> str:
+    parts = [
+        f"""toks AS (SELECT unnest({TOK_SQL}) AS term FROM documents),
+wc AS (SELECT term, count(*)::bigint AS cnt FROM toks GROUP BY 1
+       ORDER BY cnt DESC, term LIMIT 100000),
+w0 AS MATERIALIZED (
+  SELECT array_to_string(list_transform(range(1, len(term) + 1),
+                                        i -> term[i]), ' ') AS s, cnt
+  FROM wc)"""
+    ]
+    for i in range(BPE_NUM_MERGES):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT z[1] AS l, z[2] AS r, sum(cnt)::bigint AS c
+  FROM (SELECT unnest(list_zip(syms, syms[2:])) AS z, cnt
+        FROM (SELECT string_split(s, ' ') AS syms, cnt FROM w{i}))
+  WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+b{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1)"""
+        )
+        if i < BPE_NUM_MERGES - 1:
+            parts.append(
+                f"""w{i + 1} AS MATERIALIZED (
+  SELECT s, sum(cnt)::bigint AS cnt FROM (
+    SELECT list_reduce(string_split(s, ' '), (acc, x) ->
+      CASE WHEN regexp_extract(acc, '([^ ]+)$', 1) = b{i}.l AND x = b{i}.r
+           THEN acc || b{i}.r ELSE acc || ' ' || x END) AS s, cnt
+    FROM w{i} CROSS JOIN b{i})
+  GROUP BY s)"""
+            )
+    union = " UNION ALL ".join(
+        f'SELECT {i} AS rank, l AS "left", r AS "right", c AS pair_count'
+        f" FROM b{i}"
+        for i in range(BPE_NUM_MERGES)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{union} ORDER BY rank"
+
+
+O_BPE_MERGES = _o_bpe_merges()
 
 
 # --------------------------------------------------------------------- #
@@ -5296,7 +5345,7 @@ REGISTRY: dict[str, tuple] = {
     "chunk_documents": (q_chunk_documents, O_CHUNK_DOCUMENTS),
     "resample_weighted": (q_resample_weighted, O_RESAMPLE_WEIGHTED),
     "corpus_profile": (q_corpus_profile, O_CORPUS_PROFILE),
-    "bpe_merges": (q_bpe_merges, None),
+    "bpe_merges": (q_bpe_merges, O_BPE_MERGES),
     "media_features": (q_media_features, O_MEDIA_FEATURES),
     "media_frame_plan": (q_media_frame_plan, O_MEDIA_FRAME_PLAN),
     "term_positions": (q_term_positions, O_TERM_POSITIONS),
@@ -5360,7 +5409,7 @@ _DRIVER_ORDER = [
     "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",
     "regexp_search",
     "span_near_search",
-    "pack_sequences", "repetition_features", "bpe_pair_counts", "contamination_pairs", "dedup_clusters",
+    "pack_sequences", "repetition_features", "bpe_pair_counts", "bpe_merges", "contamination_pairs", "dedup_clusters",
     "chunk_documents", "resample_weighted", "corpus_profile",
     "total_count", "validator_unique", "select_features", "term_range_search", "prefix_search",
     "term_positions", "kwic", "event_transitions", "kea_features", "count_prefix", "replay",
@@ -5375,7 +5424,7 @@ _DRIVER_ORDER = [
     "index_bm25_topk", "index_phrase_topk", "bm25_topk", "filtered_bm25_topk", "more_like_this", "facet_counts", "rm3_topk", "embedding_neardup_lsh", "ann_lsh_topk", "ann_ivf_topk",
     "ann_pq_topk", "ann_sq_topk",
     # rows-only tail
-    "ner_entities", "mdlp_cuts", "acronyms", "bpe_merges", "ml_classify", "kea_extract",
+    "ner_entities", "mdlp_cuts", "acronyms", "ml_classify", "kea_extract",
 ]
 
 assert sorted(_DRIVER_ORDER) == sorted(REGISTRY), (
