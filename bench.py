@@ -119,6 +119,7 @@ EXTRA_QUERIES = [
     "ascii_fold_wordcount",
     "search_after_page2",
     "sorted_by_field",
+    "rescore_topk",
 ]
 
 

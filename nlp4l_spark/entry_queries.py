@@ -1191,6 +1191,117 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+RESCORE_WINDOW = 50
+RESCORE_WEIGHT = 2.0
+
+
+def q_rescore_topk(spark, sf_dir):
+    """Two-phase rescoring (Lucene QueryRescorer / ES rescore; index twin
+    Searcher.search_rescore): cheap BM25 first pass picks the rounded
+    top-50 window, then the exact-phrase 'merge join' BM25 rescores
+    WITHIN the window only — final order bm25 + 2.0 * phrase_bm25. The
+    window cut uses the rounded (s1 desc, doc_id asc) total order so
+    both engines pick the identical candidate set."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    window = (
+        per_doc.withColumn(
+            "s1", F.round(_bm25_score_col(BM25_TERMS, n, avgdl, dfs), 6)
+        )
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
+        .orderBy(F.desc("s1"), F.asc("doc_id"))
+        .limit(RESCORE_WINDOW)
+        .select("doc_id", "s1")
+    )
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias(
+            "ft"
+        ),
+        STANDARD_ANALYZER.tokens_expr("text").alias("at"),
+    )
+    stats = t.agg(
+        F.count("*").alias("n"),
+        F.sum(F.size("at")).alias("sdl"),
+        F.count_if(F.array_contains("at", "merge")).alias("dfm"),
+        F.count_if(F.array_contains("at", "join")).alias("dfj"),
+    ).collect()[0]
+    np_, avgdl_p = float(stats["n"]), float(stats["sdl"]) / float(stats["n"])
+    idf_total = math.log(
+        1.0 + (np_ - stats["dfm"] + 0.5) / (stats["dfm"] + 0.5)
+    ) + math.log(1.0 + (np_ - stats["dfj"] + 0.5) / (stats["dfj"] + 0.5))
+    tf = F.expr(
+        "CASE WHEN size(ft) >= 2 THEN size(filter(sequence(0, size(ft) - 2),"
+        " i -> ft[i] = 'merge' AND ft[i + 1] = 'join')) ELSE 0 END"
+    ).cast("double")
+    ph = (
+        t.select("doc_id", tf.alias("tf"), F.size("at").cast("double").alias("dl"))
+        .filter(F.col("tf") > 0)
+        .select(
+            "doc_id",
+            (
+                F.lit(idf_total)
+                * F.col("tf")
+                * F.lit(2.2)
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl_p))
+                )
+            ).alias("s2"),
+        )
+    )
+    return (
+        window.join(ph, "doc_id", "left")
+        .withColumn(
+            "s",
+            F.col("s1")
+            + F.lit(RESCORE_WEIGHT) * F.coalesce(F.col("s2"), F.lit(0.0)),
+        )
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_RESCORE_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+w AS (SELECT dt.doc_id,
+             round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS s1
+      FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      GROUP BY dt.doc_id
+      ORDER BY s1 DESC, dt.doc_id ASC LIMIT {RESCORE_WINDOW}),
+t AS (SELECT doc_id,
+        regexp_extract_all(lower(text), '[a-z0-9]+') AS ft,
+        {TOK_SQL} AS at FROM documents),
+pb AS (SELECT doc_id,
+         CASE WHEN len(ft) >= 2 THEN len(list_filter(range(1, len(ft)),
+              i -> ft[i] = 'merge' AND ft[i+1] = 'join')) ELSE 0 END::double AS tf,
+         len(at)::double AS pdl
+       FROM t),
+pn AS (SELECT count(*)::double AS n, sum(pdl) / count(*) AS avgdl FROM pb),
+pd AS (SELECT
+         (SELECT count(*) FROM t WHERE list_contains(at, 'merge')) AS dfm,
+         (SELECT count(*) FROM t WHERE list_contains(at, 'join')) AS dfj),
+ph AS (SELECT doc_id,
+         (ln(1 + (pn.n - pd.dfm + 0.5) / (pd.dfm + 0.5))
+          + ln(1 + (pn.n - pd.dfj + 0.5) / (pd.dfj + 0.5)))
+         * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * pdl / pn.avgdl)) AS s2
+       FROM pb, pn, pd WHERE tf > 0)
+SELECT w.doc_id,
+       round(w.s1 + {RESCORE_WEIGHT!r} * coalesce(ph.s2, 0), 6) AS score
+FROM w LEFT JOIN ph USING (doc_id)
+ORDER BY score DESC, w.doc_id ASC LIMIT {BM25_K}
+"""
+
+
 SLOPPY_SLOP = 2
 
 
@@ -5257,6 +5368,7 @@ REGISTRY: dict[str, tuple] = {
     "index_bm25_topk": (q_index_bm25_topk, _BM25_ORACLE),
     "phrase_bm25_topk": (q_phrase_bm25_topk, O_PHRASE_BM25_TOPK),
     "sloppy_phrase_topk": (q_sloppy_phrase_topk, O_SLOPPY_PHRASE_TOPK),
+    "rescore_topk": (q_rescore_topk, O_RESCORE_TOPK),
     "span_near_search": (q_span_near, O_SPAN_NEAR),
     "index_phrase_topk": (q_index_phrase_topk, O_PHRASE_BM25_TOPK),
     "bm25_and_topk": (q_bm25_and_topk, _BM25_AND_ORACLE),
@@ -5416,7 +5528,7 @@ _DRIVER_ORDER = [
     "media_features", "sessionize", "asof_join", "rolling_stats", "funnel_steps", "ann_cosine_topk", "mmr_rerank", "count_docset", "dict_match",
     "wordcount_df", "tf_vectors", "zipf_fit", "term_dispersion", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
     "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "bigram_lm_score", "significant_terms", "collocations", "chi2_terms", "dedup_simhash", "kea_bigrams",
-    "dedup_minhash", "textrank", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "sloppy_phrase_topk", "bm25_and_topk",
+    "dedup_minhash", "textrank", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "sloppy_phrase_topk", "rescore_topk", "bm25_and_topk",
     "synonym_topk", "lmd_topk", "lmjm_topk", "classic_topk", "dfr_topk", "f2exp_topk", "function_score_topk", "collapse_topk", "facet_ranges", "search_after_page2", "sorted_by_field", "multi_phrase_topk", "passage_topk",
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "dedup_spans", "dedup_span_excise", "dedup_keep_best", "embedding_neardup",

@@ -1310,6 +1310,106 @@ class Searcher:
             .limit(k)
         )
 
+    def search_rescore(
+        self,
+        query: str,
+        phrase: str,
+        k: int = 10,
+        window: int = 50,
+        weight: float = 2.0,
+    ) -> DataFrame:
+        """Two-phase ranking (Lucene QueryRescorer / the ES rescore API):
+        a cheap BM25 first pass selects the top-``window`` candidates,
+        then the expensive phrase scorer runs ON THOSE ONLY and the final
+        order is ``bm25 + weight * phrase_bm25`` within the window.
+
+        Scale shape: phase 1 is the normal postings-pruned BM25 top-k
+        (window-sized TakeOrdered); phase 2's positions work — the
+        expensive part — reads ONLY the window docs' term_vectors rows
+        (pushed In(doc_id) on the window-sized candidate list), never
+        the full phrase-match set. First-pass scores are rounded to 6 dp
+        before the window cut so the candidate set is deterministic.
+        The two-term ``phrase`` is scored with exact-adjacency PhraseQuery
+        BM25 (tf = phrase freq, idf = Σ per-term idf)."""
+        terms = self.analyzer.tokenize(phrase)
+        if len(terms) != 2:
+            raise ValueError("rescore phrase must analyze to two terms")
+        if not self.cat.is_committed("term_vectors"):
+            raise ValueError(
+                "rescore needs term_vectors "
+                "(IndexBuilder(store_term_vectors=True))"
+            )
+        first = self.search(query, k=window, method="dataframe").select(
+            "doc_id", F.round("score", 6).alias("_s1")
+        )
+        cand = [r["doc_id"] for r in first.collect()]  # window-bounded
+        if not cand:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        dfs = self._term_stats(terms)
+        ph = None
+        if terms[0] in dfs and terms[1] in dfs:
+            idf_total = idf(self.num_docs, dfs[terms[0]]) + idf(
+                self.num_docs, dfs[terms[1]]
+            )
+            tv = self.cat.read(self.spark, "term_vectors").filter(
+                F.col("doc_id").isin(cand)  # pushed In(doc_id), window-sized
+            )
+            pa = tv.filter(F.col("term") == terms[0]).select(
+                "doc_id", F.col("positions").alias("_pa")
+            )
+            pb = tv.filter(F.col("term") == terms[1]).select(
+                "doc_id", F.col("positions").alias("_pb")
+            )
+            tf_col = F.size(
+                F.filter(
+                    F.col("_pa"),
+                    lambda p0: F.exists(F.col("_pb"), lambda p1: p1 == p0 + 1),
+                )
+            ).cast("double")
+            dl_tbl = self.cat.read(self.spark, "doc_lens").select(
+                "doc_id", "dl"
+            )
+            ph = (
+                pa.join(pb, "doc_id")
+                .withColumn("tf", tf_col)
+                .filter(F.col("tf") > 0)
+                .join(dl_tbl, "doc_id")
+                .select(
+                    "doc_id",
+                    (
+                        F.lit(idf_total)
+                        * F.col("tf")
+                        * F.lit(K1 + 1.0)
+                        / (
+                            F.col("tf")
+                            + F.lit(K1)
+                            * (
+                                F.lit(1.0 - B)
+                                + F.lit(B)
+                                * F.col("dl")
+                                / F.lit(self.avgdl or 1.0)
+                            )
+                        )
+                    ).alias("_s2"),
+                )
+            )
+        out = first
+        if ph is not None:
+            out = first.join(ph, "doc_id", "left")
+        else:
+            out = first.withColumn("_s2", F.lit(None).cast("double"))
+        return (
+            out.select(
+                "doc_id",
+                (
+                    F.col("_s1")
+                    + F.lit(weight) * F.coalesce(F.col("_s2"), F.lit(0.0))
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def count(self, query: str) -> int:
         """Lucene IndexSearcher.count: how many docs match >= 1 query term
         — no scoring, no ranking, just the pushed-In(term) postings scan

@@ -499,3 +499,51 @@ def test_new_query_guards(spark, idx):
     # fail loudly instead of silently nulling every score
     with pytest.raises(ValueError, match="all-NULL"):
         s.search_function_score("join")
+
+
+def test_search_rescore(spark, idx):
+    s = Searcher(spark, idx)
+    q, phrase, w = "join merge vector", "join merge", 2.0
+    terms = ["join", "merge", "vector"]
+    first = {}
+    for d, toks in TOKS.items():
+        sc = sum(
+            _idf(_df(t)) * _bm25_norm(toks.count(t), len(toks))
+            for t in terms
+            if t in toks
+        )
+        if sc:
+            first[d] = round(sc, 6)
+    idf_ph = _idf(_df("join")) + _idf(_df("merge"))
+    expect = {}
+    for d, s1 in first.items():
+        toks = TOKS[d]
+        tf = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == "join" and toks[i + 1] == "merge"
+        )
+        s2 = idf_ph * _bm25_norm(tf, len(toks)) if tf else 0.0
+        expect[d] = round(s1 + w * s2, 9)
+    got = _got(s.search_rescore(q, phrase, k=10, window=50, weight=w))
+    assert got == expect
+    # the phrase boost actually reorders: docs with adjacent "join merge"
+    # must outrank an otherwise-higher BM25 doc without the phrase
+    order = [
+        r["doc_id"]
+        for r in s.search_rescore(q, phrase, k=10, window=50, weight=100.0).collect()
+    ]
+    phrase_docs = {
+        d
+        for d, toks in TOKS.items()
+        if any(
+            toks[i] == "join" and toks[i + 1] == "merge"
+            for i in range(len(toks) - 1)
+        )
+    }
+    assert set(order[: len(phrase_docs)]) == phrase_docs
+    # weight 0 == plain first pass (rounded)
+    w0 = _got(s.search_rescore(q, phrase, k=10, window=50, weight=0.0))
+    assert w0 == {d: round(v, 9) for d, v in first.items()}
+    with pytest.raises(ValueError):
+        s.search_rescore(q, "three word phrase")
