@@ -120,6 +120,7 @@ EXTRA_QUERIES = [
     "search_after_page2",
     "sorted_by_field",
     "rescore_topk",
+    "token_fertility",
 ]
 
 

@@ -2434,6 +2434,58 @@ FROM agg ORDER BY role
 """
 
 
+def q_token_fertility(spark, sf_dir):
+    """Tokenizer fertility audit per language (the tokens-per-word /
+    bytes-per-token sanity check run before choosing a tokenizer for a
+    multilingual corpus): words = whitespace tokens, tokens = the BPE-ish
+    alnum/punct-run proxy, fertility = tokens/words, bytes_per_token.
+    One scan + one groupBy(lang); everything JVM expressions."""
+    words = F.size(F.expr(r"regexp_extract_all(trim(text), '\\S+', 0)"))
+    toks = F.size(
+        F.expr(
+            "regexp_extract_all(lower(text),"
+            " '[a-z0-9]+|[^a-z0-9\\\\s]+', 0)"
+        )
+    )
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        words.alias("w"),
+        toks.alias("t"),
+        F.octet_length("text").alias("b"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum("w").alias("words"),
+            F.sum("t").alias("tokens"),
+            F.sum("b").alias("bytes"),
+        )
+        .select(
+            "lang",
+            "words",
+            "tokens",
+            F.round(F.col("tokens") / F.col("words"), 6).alias("fertility"),
+            F.round(F.col("bytes") / F.col("tokens"), 6).alias(
+                "bytes_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+O_TOKEN_FERTILITY = r"""
+WITH d AS (SELECT lang,
+             len(regexp_extract_all(trim(text), '\S+')) AS w,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]+')) AS t,
+             strlen(text) AS b
+           FROM documents)
+SELECT lang, sum(w)::bigint AS words, sum(t)::bigint AS tokens,
+       round(sum(t)::double / sum(w), 6) AS fertility,
+       round(sum(b)::double / sum(t), 6) AS bytes_per_token
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
 FOLD_SNIPPETS = [
     "café crème brûlée",
     "münchen straße gröön",
@@ -5386,6 +5438,7 @@ REGISTRY: dict[str, tuple] = {
     "loop_detect": (q_loop_detect, O_LOOP_DETECT),
     "percolate": (q_percolate, O_PERCOLATE),
     "ascii_fold_wordcount": (q_ascii_fold_wordcount, O_ASCII_FOLD_WORDCOUNT),
+    "token_fertility": (q_token_fertility, O_TOKEN_FERTILITY),
     "term_range_search": (q_term_range_search, O_TERM_RANGE_SEARCH),
     "fuzzy_bm25_topk": (q_fuzzy_bm25_topk, O_FUZZY_BM25_TOPK),
     "bm25_not_topk": (q_bm25_not_topk, O_BM25_NOT_TOPK),
@@ -5515,7 +5568,7 @@ _DRIVER_ORDER = [
     "sample_stratified", "length_percentiles", "merge_records", "redact_pii", "acronym_candidates",
     "clean_lines", "filter_percentile", "line_dedup", "gopher_filter", "normalize_text", "script_profile", "top_per_lang",
     "lang_mixture", "suggest_complete", "suggest_next",
-    "chat_validate", "tool_usage", "role_profile", "loop_detect", "percolate", "ascii_fold_wordcount",
+    "chat_validate", "tool_usage", "role_profile", "loop_detect", "percolate", "ascii_fold_wordcount", "token_fertility",
     "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words", "click_rate",
     "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
     "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",

@@ -466,3 +466,21 @@ def test_collapse_plan(spark, tmp_path):
         "text" not in ln and "ts" not in ln for ln in stored_scans
     ), stored_scans
     assert plan.count("Window") >= 1
+
+
+def test_rescore_window_is_docid_pruned(spark, tmp_path):
+    """Two-phase rescore: the phase-2 term_vectors scan must carry a
+    pushed In(doc_id) for the window-sized candidate list — the expensive
+    positions work never touches the full corpus."""
+    from nlp4l_spark.data.transcripts import synth_transcripts
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.search import Searcher
+
+    idx = str(tmp_path / "idx")
+    IndexBuilder(store_term_vectors=True).build(
+        synth_transcripts(spark, 800, num_partitions=4), idx
+    )
+    s = Searcher(spark, idx)
+    plan = _plan(s.search_rescore("w00001 w00454", "w00001 w00454", k=5, window=20))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("In(doc_id" in ln for ln in pushed), pushed
