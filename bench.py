@@ -121,6 +121,7 @@ EXTRA_QUERIES = [
     "sorted_by_field",
     "rescore_topk",
     "token_fertility",
+    "boolean_tree_topk",
 ]
 
 

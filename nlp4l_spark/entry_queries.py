@@ -1191,6 +1191,51 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+def q_boolean_tree_topk(spark, sf_dir):
+    """Nested BooleanQuery top-k, corpus path (index twin
+    Searcher.search_tree): (join AND (merge OR vector)) NOT scan — the
+    flat clause parser cannot express the inner disjunction. Score =
+    Σ BM25 of the matching scoring terms (join always; merge/vector when
+    present); scan is pure exclusion and never scores."""
+    scoring = ["join", "merge", "vector"]
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, scoring)
+    has = lambda t: F.col("m")[t].isNotNull()
+    return (
+        per_doc.filter(
+            has("join")
+            & (has("merge") | has("vector"))
+            & F.col("m")["scan"].isNull()
+        )
+        .withColumn("s", _bm25_score_col(scoring, n, avgdl, dfs))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_BOOLEAN_TREE_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest(['join', 'merge', 'vector']) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s,
+              count(*) FILTER (term = 'join') AS has_j,
+              count(*) FILTER (term IN ('merge', 'vector')) AS has_mv
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+WHERE has_j > 0 AND has_mv > 0
+  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term = 'scan')
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 RESCORE_WINDOW = 50
 RESCORE_WEIGHT = 2.0
 
@@ -5421,6 +5466,7 @@ REGISTRY: dict[str, tuple] = {
     "phrase_bm25_topk": (q_phrase_bm25_topk, O_PHRASE_BM25_TOPK),
     "sloppy_phrase_topk": (q_sloppy_phrase_topk, O_SLOPPY_PHRASE_TOPK),
     "rescore_topk": (q_rescore_topk, O_RESCORE_TOPK),
+    "boolean_tree_topk": (q_boolean_tree_topk, O_BOOLEAN_TREE_TOPK),
     "span_near_search": (q_span_near, O_SPAN_NEAR),
     "index_phrase_topk": (q_index_phrase_topk, O_PHRASE_BM25_TOPK),
     "bm25_and_topk": (q_bm25_and_topk, _BM25_AND_ORACLE),
@@ -5581,7 +5627,7 @@ _DRIVER_ORDER = [
     "media_features", "sessionize", "asof_join", "rolling_stats", "funnel_steps", "ann_cosine_topk", "mmr_rerank", "count_docset", "dict_match",
     "wordcount_df", "tf_vectors", "zipf_fit", "term_dispersion", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
     "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "bigram_lm_score", "significant_terms", "collocations", "chi2_terms", "dedup_simhash", "kea_bigrams",
-    "dedup_minhash", "textrank", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "sloppy_phrase_topk", "rescore_topk", "bm25_and_topk",
+    "dedup_minhash", "textrank", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "sloppy_phrase_topk", "rescore_topk", "boolean_tree_topk", "bm25_and_topk",
     "synonym_topk", "lmd_topk", "lmjm_topk", "classic_topk", "dfr_topk", "f2exp_topk", "function_score_topk", "collapse_topk", "facet_ranges", "search_after_page2", "sorted_by_field", "multi_phrase_topk", "passage_topk",
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "dedup_spans", "dedup_span_excise", "dedup_keep_best", "embedding_neardup",

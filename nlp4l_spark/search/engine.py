@@ -1310,6 +1310,110 @@ class Searcher:
             .limit(k)
         )
 
+    def search_tree(self, node: dict, k: int = 10) -> DataFrame:
+        """Arbitrarily NESTED BooleanQuery trees (Lucene BooleanQuery as a
+        clause of another BooleanQuery — the parser's flat subset can't
+        express ``a AND (b OR c)``; this can). Node forms:
+
+        * ``{"term": t, "boost": b}`` — BM25-scored term leaf
+        * ``{"and": [nodes]}`` — every child matches; score = Σ children
+        * ``{"or": [nodes]}`` — >= 1 child matches; score = Σ MATCHING
+          children (Lucene's disjunction sum)
+        * ``{"not": {"base": node, "exclude": node}}`` — base minus docs
+          matching exclude; exclude never scores (pure MUST_NOT)
+
+        Scale shape: each term leaf is a pushed-``In(term)`` postings
+        read scored in place; AND is an inner join, OR a union +
+        groupBy-sum, NOT an anti join — all on doc_id over postings-sized
+        frames, so the tree compiles to a join dag of pruned scans, never
+        a corpus pass."""
+        terms = sorted(set(self._tree_terms(node)))
+        dfs = self._term_stats(terms)
+        frame = self._tree_frame(node, dfs)
+        if frame is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return (
+            frame.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def _tree_terms(self, node: dict) -> list[str]:
+        if "term" in node:
+            return self.analyzer.tokenize(node["term"])
+        if "and" in node:
+            return [t for c in node["and"] for t in self._tree_terms(c)]
+        if "or" in node:
+            return [t for c in node["or"] for t in self._tree_terms(c)]
+        if "not" in node:
+            return self._tree_terms(node["not"]["base"]) + self._tree_terms(
+                node["not"]["exclude"]
+            )
+        raise ValueError(f"unknown query-tree node: {sorted(node)}")
+
+    def _tree_frame(self, node: dict, dfs: dict) -> DataFrame | None:
+        """(doc_id, score) frame for a subtree, or None for no matches."""
+        if "term" in node:
+            toks = self.analyzer.tokenize(node["term"])
+            if len(toks) != 1:
+                raise ValueError(
+                    f"tree term leaf must analyze to one term: {node['term']!r}"
+                )
+            t = toks[0]
+            if t not in dfs:
+                return None
+            w = idf(self.num_docs, dfs[t]) * float(node.get("boost", 1.0))
+            decoded = self._decoded(self._matching_postings([t]))
+            score = (
+                F.lit(w)
+                * F.col("tf")
+                * F.lit(K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(K1)
+                    * (
+                        F.lit(1.0 - B)
+                        + F.lit(B) * F.col("dl") / F.lit(self.avgdl or 1.0)
+                    )
+                )
+            )
+            return decoded.select("doc_id", score.alias("score"))
+        if "and" in node:
+            out = None
+            for c in node["and"]:
+                f = self._tree_frame(c, dfs)
+                if f is None:
+                    return None
+                if out is None:
+                    out = f
+                else:
+                    out = (
+                        out.withColumnRenamed("score", "_sl")
+                        .join(f.withColumnRenamed("score", "_sr"), "doc_id")
+                        .select(
+                            "doc_id",
+                            (F.col("_sl") + F.col("_sr")).alias("score"),
+                        )
+                    )
+            return out
+        if "or" in node:
+            frames = [self._tree_frame(c, dfs) for c in node["or"]]
+            frames = [f for f in frames if f is not None]
+            if not frames:
+                return None
+            out = frames[0]
+            for f in frames[1:]:
+                out = out.unionByName(f)
+            return out.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        if "not" in node:
+            base = self._tree_frame(node["not"]["base"], dfs)
+            if base is None:
+                return None
+            excl = self._tree_frame(node["not"]["exclude"], dfs)
+            if excl is None:
+                return base
+            return base.join(excl.select("doc_id"), "doc_id", "left_anti")
+        raise ValueError(f"unknown query-tree node: {sorted(node)}")
+
     def search_rescore(
         self,
         query: str,

@@ -547,3 +547,57 @@ def test_search_rescore(spark, idx):
     assert w0 == {d: round(v, 9) for d, v in first.items()}
     with pytest.raises(ValueError):
         s.search_rescore(q, "three word phrase")
+
+
+def test_search_tree(spark, idx):
+    s = Searcher(spark, idx)
+    tree = {
+        "not": {
+            "base": {
+                "and": [
+                    {"term": "join"},
+                    {"or": [{"term": "merge"}, {"term": "vector"}]},
+                ]
+            },
+            "exclude": {"term": "scan"},
+        }
+    }
+    expect = {}
+    for d, toks in TOKS.items():
+        if "join" not in toks or not ({"merge", "vector"} & set(toks)):
+            continue
+        if "scan" in toks:
+            continue
+        sc = sum(
+            _idf(_df(t)) * _bm25_norm(toks.count(t), len(toks))
+            for t in ("join", "merge", "vector")
+            if t in toks
+        )
+        expect[d] = round(sc, 9)
+    assert expect
+    assert _got(s.search_tree(tree, k=10)) == expect
+    # degenerate identities vs the flat boolean surface
+    flat_and = _got(
+        s.search_tree({"and": [{"term": "join"}, {"term": "merge"}]})
+    )
+    # AND restricts candidates; compare against search_boolean must
+    ref_must = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in s.search_boolean(must=["join", "merge"], k=10).collect()
+    }
+    assert flat_and == ref_must
+    flat_or = _got(
+        s.search_tree({"or": [{"term": "join"}, {"term": "merge"}]})
+    )
+    ref_or = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in s.search_boolean(should=["join", "merge"], k=10).collect()
+    }
+    assert flat_or == ref_or
+    # boost on a leaf
+    b = _got(s.search_tree({"or": [{"term": "vector", "boost": 3.0}]}))
+    plain = _got(s.search_tree({"or": [{"term": "vector"}]}))
+    assert all(b[d] == pytest.approx(3 * plain[d], abs=5e-9) for d in plain)
+    # unknown term in AND -> empty; in OR -> ignored
+    assert s.search_tree({"and": [{"term": "join"}, {"term": "zzz"}]}).count() == 0
+    assert _got(s.search_tree({"or": [{"term": "join"}, {"term": "zzz"}]}))
