@@ -1265,16 +1265,13 @@ def q_rescore_topk(spark, sf_dir):
         ),
         STANDARD_ANALYZER.tokens_expr("text").alias("at"),
     )
-    stats = t.agg(
-        F.count("*").alias("n"),
-        F.sum(F.size("at")).alias("sdl"),
-        F.count_if(F.array_contains("at", "merge")).alias("dfm"),
-        F.count_if(F.array_contains("at", "join")).alias("dfj"),
-    ).collect()[0]
-    np_, avgdl_p = float(stats["n"]), float(stats["sdl"]) / float(stats["n"])
+    # phrase stats reuse the FIRST pass's aggregates — same analyzer, so
+    # n/avgdl are identical and 'merge'/'join' dfs are already in dfs;
+    # no second stats job
     idf_total = math.log(
-        1.0 + (np_ - stats["dfm"] + 0.5) / (stats["dfm"] + 0.5)
-    ) + math.log(1.0 + (np_ - stats["dfj"] + 0.5) / (stats["dfj"] + 0.5))
+        1.0 + (n - dfs["merge"] + 0.5) / (dfs["merge"] + 0.5)
+    ) + math.log(1.0 + (n - dfs["join"] + 0.5) / (dfs["join"] + 0.5))
+    avgdl_p = avgdl
     tf = F.expr(
         "CASE WHEN size(ft) >= 2 THEN size(filter(sequence(0, size(ft) - 2),"
         " i -> ft[i] = 'merge' AND ft[i + 1] = 'join')) ELSE 0 END"
