@@ -484,3 +484,25 @@ def test_rescore_window_is_docid_pruned(spark, tmp_path):
     plan = _plan(s.search_rescore("w00001 w00454", "w00001 w00454", k=5, window=20))
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("In(doc_id" in ln for ln in pushed), pushed
+
+
+def test_tree_leaves_are_term_pruned(spark, tmp_path):
+    """Nested boolean trees: every term leaf must reach the postings
+    reader as a pushed In(term) scan; the combination operators are
+    joins over those pruned frames — no unfiltered postings scan."""
+    from nlp4l_spark.data.transcripts import synth_transcripts
+    from nlp4l_spark.index import build_index
+    from nlp4l_spark.search import Searcher
+
+    idx = str(tmp_path / "idx")
+    build_index(synth_transcripts(spark, 800, num_partitions=4), idx)
+    s = Searcher(spark, idx)
+    plan = _plan(
+        s.search_tree(
+            {"and": [{"term": "w00001"}, {"or": [{"term": "w00454"}, {"term": "w00100"}]}]},
+            k=5,
+        )
+    )
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    terms_pushed = [ln for ln in pushed if "In(term" in ln or "EqualTo(term" in ln]
+    assert len(terms_pushed) >= 3, pushed  # one pruned scan per leaf
