@@ -122,6 +122,7 @@ EXTRA_QUERIES = [
     "rescore_topk",
     "token_fertility",
     "boolean_tree_topk",
+    "lexical_diversity",
 ]
 
 

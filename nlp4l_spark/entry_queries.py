@@ -2528,6 +2528,54 @@ FROM d GROUP BY lang ORDER BY lang
 """
 
 
+def q_lexical_diversity(spark, sf_dir):
+    """Lexical diversity per language (corpus-QC: low type-token ratio /
+    hapax rate flags templated or looping text): types = distinct terms,
+    tokens = total analyzed tokens, ttr = types/tokens, hapax_frac =
+    share of types occurring once. One tokenize pass + a (lang, term)
+    agg + a lang agg — two shuffles, both key-pruned."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    per_term = (
+        _docs(spark, sf_dir)
+        .select("lang", F.explode(toks).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("cf"))
+    )
+    return (
+        per_term.groupBy("lang")
+        .agg(
+            F.count("*").alias("types"),
+            F.sum("cf").alias("tokens"),
+            F.count_if(F.col("cf") == 1).alias("hapax"),
+        )
+        .select(
+            "lang",
+            "types",
+            "tokens",
+            F.round(F.col("types").cast("double") / F.col("tokens"), 6).alias(
+                "ttr"
+            ),
+            F.round(F.col("hapax").cast("double") / F.col("types"), 6).alias(
+                "hapax_frac"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+O_LEXICAL_DIVERSITY = f"""
+WITH t AS (SELECT lang, unnest({TOK_SQL}) AS term FROM documents),
+pt AS (SELECT lang, term, count(*)::bigint AS cf FROM t GROUP BY 1, 2),
+ag AS (SELECT lang, count(*)::bigint AS types, sum(cf)::bigint AS tokens,
+              count(*) FILTER (cf = 1)::bigint AS hapax
+       FROM pt GROUP BY lang)
+SELECT lang, types, tokens,
+       round(types::double / tokens, 6) AS ttr,
+       round(hapax::double / types, 6) AS hapax_frac
+FROM ag ORDER BY lang
+"""
+
+
 FOLD_SNIPPETS = [
     "café crème brûlée",
     "münchen straße gröön",
@@ -5482,6 +5530,7 @@ REGISTRY: dict[str, tuple] = {
     "percolate": (q_percolate, O_PERCOLATE),
     "ascii_fold_wordcount": (q_ascii_fold_wordcount, O_ASCII_FOLD_WORDCOUNT),
     "token_fertility": (q_token_fertility, O_TOKEN_FERTILITY),
+    "lexical_diversity": (q_lexical_diversity, O_LEXICAL_DIVERSITY),
     "term_range_search": (q_term_range_search, O_TERM_RANGE_SEARCH),
     "fuzzy_bm25_topk": (q_fuzzy_bm25_topk, O_FUZZY_BM25_TOPK),
     "bm25_not_topk": (q_bm25_not_topk, O_BM25_NOT_TOPK),
@@ -5611,7 +5660,7 @@ _DRIVER_ORDER = [
     "sample_stratified", "length_percentiles", "merge_records", "redact_pii", "acronym_candidates",
     "clean_lines", "filter_percentile", "line_dedup", "gopher_filter", "normalize_text", "script_profile", "top_per_lang",
     "lang_mixture", "suggest_complete", "suggest_next",
-    "chat_validate", "tool_usage", "role_profile", "loop_detect", "percolate", "ascii_fold_wordcount", "token_fertility",
+    "chat_validate", "tool_usage", "role_profile", "loop_detect", "percolate", "ascii_fold_wordcount", "token_fertility", "lexical_diversity",
     "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words", "click_rate",
     "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
     "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",
