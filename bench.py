@@ -123,6 +123,8 @@ EXTRA_QUERIES = [
     "token_fertility",
     "boolean_tree_topk",
     "lexical_diversity",
+    "lang_confusion",
+    "combsum_topk",
 ]
 
 

@@ -1738,6 +1738,103 @@ ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+COMBSUM_POOL = 20
+
+
+def q_combsum_topk(spark, sf_dir):
+    """CombSUM score fusion (Fox & Shaw 1994; the other classic rank
+    fusion next to hybrid_rrf_topk's RRF): min-max-normalize the BM25
+    and ClassicSimilarity top-20 score lists to [0,1] and sum. All
+    normalization inputs are 6-dp rounded so pool membership and the
+    normalized values are cross-engine deterministic; normalizers are
+    broadcast scalars over the pool-sized frames."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    classic = None
+    for t in BM25_TERMS:
+        idf2 = (1.0 + math.log(n / (dfs[t] + 1.0))) ** 2
+        tf = F.col("m")[t].cast("double")
+        s_t = F.when(
+            tf.isNotNull(), F.sqrt(tf) * F.lit(idf2) / F.sqrt(F.col("dl"))
+        ).otherwise(F.lit(0.0))
+        classic = s_t if classic is None else classic + s_t
+    scored = (
+        per_doc.filter(
+            F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull()
+        )
+        .withColumn(
+            "s1", F.round(_bm25_score_col(BM25_TERMS, n, avgdl, dfs), 6)
+        )
+        .withColumn("s2", F.round(classic, 6))
+        .select("doc_id", "s1", "s2")
+    )
+
+    def _norm(col):
+        pool = (
+            scored.orderBy(F.desc(col), F.asc("doc_id"))
+            .limit(COMBSUM_POOL)
+            .select("doc_id", col)
+        )
+        mm = pool.agg(
+            F.min(col).alias("_mn"), F.max(col).alias("_mx")
+        )
+        return pool.crossJoin(F.broadcast(mm)).select(
+            "doc_id",
+            F.when(
+                F.col("_mx") > F.col("_mn"),
+                F.round(
+                    (F.col(col) - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"n_{col}"),
+        )
+    na, nb = _norm("s1"), _norm("s2")
+    return (
+        na.join(nb, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("n_s1"), F.lit(0.0))
+                + F.coalesce(F.col("n_s2"), F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
+    )
+
+
+O_COMBSUM_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS s1,
+              round(sum(sqrt(tf) * pow(1 + ln(n / (df + 1)), 2) / sqrt(dl)), 6) AS s2
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id),
+a AS (SELECT doc_id, s1 FROM sc ORDER BY s1 DESC, doc_id LIMIT {COMBSUM_POOL}),
+b AS (SELECT doc_id, s2 FROM sc ORDER BY s2 DESC, doc_id LIMIT {COMBSUM_POOL}),
+na AS (SELECT doc_id, CASE WHEN max(s1) OVER () > min(s1) OVER ()
+         THEN round((s1 - min(s1) OVER ()) / (max(s1) OVER () - min(s1) OVER ()), 6)
+         ELSE 0 END AS n1 FROM a),
+nb AS (SELECT doc_id, CASE WHEN max(s2) OVER () > min(s2) OVER ()
+         THEN round((s2 - min(s2) OVER ()) / (max(s2) OVER () - min(s2) OVER ()), 6)
+         ELSE 0 END AS n2 FROM b)
+SELECT doc_id,
+       round(coalesce(n1, 0) + coalesce(n2, 0), 6) AS score
+FROM na FULL JOIN nb USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 def q_dfr_topk(spark, sf_dir):
     """DFR InL2 top-k, corpus path (index twin Searcher.search_dfr;
     Lucene DFRSimilarity(BasicModelIN, AfterEffectL, NormalizationH2),
@@ -3712,6 +3809,42 @@ FROM m
 """
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix (classifier QC: labeled lang column
+    vs the n-gram-heuristic prediction): (lang, lang_pred, cnt) cells,
+    composing the oracled lang_id expression with one groupBy. The miss
+    cells expose exactly where the marker vocabulary is blind."""
+    pred = textqc.lang_id(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "lang_pred"
+    )
+    return (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+O_LANG_CONFUSION = f"""
+WITH t AS (SELECT doc_id, lang, {_WS_TOKS} AS tk FROM documents),
+h AS (SELECT doc_id, lang,
+        len(list_filter(tk, x -> x IN ({_MARKER_SQL['en']}))) AS h_en,
+        len(list_filter(tk, x -> x IN ({_MARKER_SQL['es']}))) AS h_es,
+        len(list_filter(tk, x -> x IN ({_MARKER_SQL['fr']}))) AS h_fr,
+        len(list_filter(tk, x -> x IN ({_MARKER_SQL['de']}))) AS h_de
+      FROM t),
+m AS (SELECT *, greatest(h_en, h_es, h_fr, h_de) AS hm FROM h),
+p AS (SELECT lang,
+        CASE WHEN hm = 0 THEN 'und'
+             WHEN h_fr = hm THEN 'fr'
+             WHEN h_es = hm THEN 'es'
+             WHEN h_en = hm THEN 'en'
+             ELSE 'de' END AS lang_pred
+      FROM m)
+SELECT lang, lang_pred, count(*)::bigint AS cnt FROM p
+GROUP BY 1, 2 ORDER BY lang, lang_pred
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     return textqc.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp_md5")
 
@@ -5531,6 +5664,8 @@ REGISTRY: dict[str, tuple] = {
     "ascii_fold_wordcount": (q_ascii_fold_wordcount, O_ASCII_FOLD_WORDCOUNT),
     "token_fertility": (q_token_fertility, O_TOKEN_FERTILITY),
     "lexical_diversity": (q_lexical_diversity, O_LEXICAL_DIVERSITY),
+    "lang_confusion": (q_lang_confusion, O_LANG_CONFUSION),
+    "combsum_topk": (q_combsum_topk, O_COMBSUM_TOPK),
     "term_range_search": (q_term_range_search, O_TERM_RANGE_SEARCH),
     "fuzzy_bm25_topk": (q_fuzzy_bm25_topk, O_FUZZY_BM25_TOPK),
     "bm25_not_topk": (q_bm25_not_topk, O_BM25_NOT_TOPK),
@@ -5660,7 +5795,7 @@ _DRIVER_ORDER = [
     "sample_stratified", "length_percentiles", "merge_records", "redact_pii", "acronym_candidates",
     "clean_lines", "filter_percentile", "line_dedup", "gopher_filter", "normalize_text", "script_profile", "top_per_lang",
     "lang_mixture", "suggest_complete", "suggest_next",
-    "chat_validate", "tool_usage", "role_profile", "loop_detect", "percolate", "ascii_fold_wordcount", "token_fertility", "lexical_diversity",
+    "chat_validate", "tool_usage", "role_profile", "loop_detect", "percolate", "ascii_fold_wordcount", "token_fertility", "lexical_diversity", "lang_confusion",
     "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words", "click_rate",
     "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
     "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan", "wildcard_search",
@@ -5673,7 +5808,7 @@ _DRIVER_ORDER = [
     "media_features", "sessionize", "asof_join", "rolling_stats", "funnel_steps", "ann_cosine_topk", "mmr_rerank", "count_docset", "dict_match",
     "wordcount_df", "tf_vectors", "zipf_fit", "term_dispersion", "top_terms_by_totaltermfreq", "field_stats", "tfidf_weights",
     "top_terms_by_docfreq", "wordcount_cf", "lm_perplexity", "ccnet_buckets", "dsir_weights", "bigram_lm_score", "significant_terms", "collocations", "chi2_terms", "dedup_simhash", "kea_bigrams",
-    "dedup_minhash", "textrank", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "sloppy_phrase_topk", "rescore_topk", "boolean_tree_topk", "bm25_and_topk",
+    "dedup_minhash", "textrank", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "sloppy_phrase_topk", "rescore_topk", "boolean_tree_topk", "combsum_topk", "bm25_and_topk",
     "synonym_topk", "lmd_topk", "lmjm_topk", "classic_topk", "dfr_topk", "f2exp_topk", "function_score_topk", "collapse_topk", "facet_ranges", "search_after_page2", "sorted_by_field", "multi_phrase_topk", "passage_topk",
     "bm25_msm_topk", "bm25f_topk", "dismax_topk", "hybrid_rrf_topk", "rank_eval",
     "ltr_pairwise", "ltr_features", "kea_top_keyphrases", "dedup_ngram_pairs", "dedup_spans", "dedup_span_excise", "dedup_keep_best", "embedding_neardup",
