@@ -101,6 +101,7 @@ EXTRA_QUERIES = [
     "rolling_stats",
     "ccnet_buckets",
     "ann_sq_topk",
+    "ann_ivfsq_topk",
     "dismax_topk",
     "dsir_weights",
     "bigram_lm_score",

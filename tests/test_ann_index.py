@@ -272,3 +272,72 @@ def test_ivfpq_probe_matches_ivf_probe(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ivfpq_topk_indexed(spark, d2, qvec)
+
+
+def test_sq_in_layout_probe_matches_per_call_sq_and_appends(spark, tmp_path):
+    """build_ann_index(sq=True) persists mins/scales in meta and d-byte
+    codes in the cell rows; sq_topk_indexed must equal the per-call
+    fit+encode path (flat) and the IVF probe (nprobe), and an append must
+    encode new rows with the PERSISTED fit so a grown index probes
+    identically to a fresh build."""
+    from nlp4l_spark.ops.ann_index import (
+        append_ann_index,
+        fit_sq,
+        sq_topk,
+        sq_topk_indexed,
+    )
+
+    emb = _emb(spark)
+    cents = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+
+    idx = str(tmp_path / "sqidx")
+    build_ann_index(emb, idx, bits=3, tables=8, centroids=cents, sq=True)
+    meta = json.load(open(os.path.join(idx, "meta.json")))
+    assert len(meta["sq_mins"]) == meta["dim"]
+
+    # flat probe == the per-call fit+encode path (same fit: exact min/max)
+    mins, scales = fit_sq(emb)
+    a = [
+        (r["vec_id"], r["cosine"])
+        for r in sq_topk_indexed(spark, idx, qvec, k=10, rerank=64).collect()
+    ]
+    b = [
+        (r["vec_id"], r["cosine"])
+        for r in sq_topk(emb, qvec, mins, scales, k=10, rerank=64).collect()
+    ]
+    assert a == b
+
+    # nprobe probe == the plain IVF probe (exact re-rank inside same cells)
+    c = [
+        (r["vec_id"], r["cosine"])
+        for r in sq_topk_indexed(spark, idx, qvec, k=10, rerank=64, nprobe=3).collect()
+    ]
+    d = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk_indexed(spark, idx, qvec, k=10, nprobe=3).collect()
+    ]
+    assert c == d
+
+    # append encodes with the persisted fit (NOT a refit over the union —
+    # mins/scales stay frozen, like LSH planes/centroids)
+    grown = str(tmp_path / "sqgrown")
+    build_ann_index(
+        emb.filter(F.col("vec_id") < 300), grown,
+        bits=3, tables=8, centroids=cents, sq=True,
+    )
+    append_ann_index(emb.filter(F.col("vec_id") >= 300), grown)
+    g = [
+        (r["vec_id"], r["cosine"])
+        for r in sq_topk_indexed(spark, grown, qvec, k=10, rerank=64).collect()
+    ]
+    meta_g = json.load(open(os.path.join(grown, "meta.json")))
+    # probed result must still be the exact top-k over the full corpus
+    # (rerank margin absorbs the subset-fit quantization difference)
+    assert g == a
+    # and the frozen fit is the subset's, not the union's
+    sub_mins, _ = fit_sq(emb.filter(F.col("vec_id") < 300))
+    assert meta_g["sq_mins"] == [float(x) for x in sub_mins]

@@ -151,12 +151,57 @@ def test_ann_probes_are_partition_pruned(spark):
     PartitionFilters (directory-level pruning), never a full-corpus read."""
     import re
 
-    for name, keys in [("ann_ivf_topk", ["cell"]), ("ann_lsh_topk", ["tbl", "bucket"])]:
+    for name, keys in [
+        ("ann_ivf_topk", ["cell"]),
+        ("ann_lsh_topk", ["tbl", "bucket"]),
+        # IVF-SQ: the exact-cosine re-rank read is still cell-pruned
+        ("ann_ivfsq_topk", ["cell"]),
+    ]:
         plan = _plan(eq.REGISTRY[name][0](spark, SF))
         m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
         assert m, f"{name}: no PartitionFilters — probe scans the whole corpus"
         for key in keys:
             assert key in m.group(1), (name, key, m.group(1))
+
+
+def test_sq_indexed_probe_prunes_columns_and_pushes_rerank_ids(spark):
+    """The materialized-SQ probe's two reads must each touch only what
+    they need: the candidate scan reads (id, sq_codes) — d bytes/vector,
+    NEVER the 4·d-byte vector column — and the exact re-rank read carries
+    a pushed In(id) over the bounded candidate set, never a full scan."""
+    import json
+    import os
+
+    import numpy as np
+
+    from nlp4l_spark.ops import ann_index as ai
+    from nlp4l_spark.entry_queries import _ann_index, _embeddings
+
+    d = _ann_index(spark, SF)
+    meta = json.load(open(os.path.join(d, "meta.json")))
+    assert "sq_mins" in meta and "sq_scales" in meta
+    qvec = (
+        _embeddings(spark, SF).filter("vec_id = 0").select("embedding").first()[0]
+    )
+    q = np.asarray(qvec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    base = os.path.join(d, "ivf")
+    cells = spark.read.option("basePath", base).parquet(base)
+    cand = ai.sq_candidates(
+        cells, np.asarray(meta["sq_mins"]), np.asarray(meta["sq_scales"]), q, 64
+    )
+    plan = _plan(cand)
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("sq_codes" in ln for ln in reads), reads
+    assert all('"v"' not in ln and "v:" not in ln for ln in reads), reads
+    # the full probe: its returned (re-rank) plan pushes In(id)
+    probe = ai.sq_topk_indexed(spark, d, qvec, k=10, rerank=64)
+    rplan = _plan(probe)
+    pushed = [ln for ln in rplan.splitlines() if "PushedFilters" in ln]
+    assert any("In(id" in ln for ln in pushed), pushed
+    assert "sq_codes" not in "".join(
+        ln for ln in rplan.splitlines() if "ReadSchema" in ln
+    )
 
 
 def test_fuzzy_length_window_pushed_to_term_dictionary(spark, tmp_path):
