@@ -131,6 +131,7 @@ EXTRA_QUERIES = [
     "sloppy_phrase_topk",
     "percolate",
     "ascii_fold_wordcount",
+    "uax29_wordcount",
     "search_after_page2",
     "sorted_by_field",
     "rescore_topk",

@@ -2,6 +2,7 @@ from nlp4l_spark.analysis.analyzer import (
     Analyzer,
     FOLDING_ANALYZER,
     STANDARD_ANALYZER,
+    UAX29_ANALYZER,
     WHITESPACE_ANALYZER,
     LUCENE_ENGLISH_STOPWORDS,
     load_stopwords,
@@ -17,6 +18,7 @@ __all__ = [
     "Analyzer",
     "FOLDING_ANALYZER",
     "STANDARD_ANALYZER",
+    "UAX29_ANALYZER",
     "WHITESPACE_ANALYZER",
     "LUCENE_ENGLISH_STOPWORDS",
     "load_stopwords",

@@ -45,6 +45,30 @@ LUCENE_ENGLISH_STOPWORDS: frozenset[str] = frozenset(
 TOKEN_PATTERN = r"[a-z0-9]+"
 _TOKEN_RE = re.compile(TOKEN_PATTERN)
 
+# ---- UAX#29 word-break mode (round 3) ------------------------------------
+# A closer match to Lucene's StandardTokenizer (UAX#29 default rules) on
+# the Latin contract alphabet, as ONE regex valid in Python re, Java
+# regex (Spark), and RE2 (DuckDB) — so it must avoid lookarounds (RE2 has
+# none). The trick: encode the word-break automaton as typed runs, where
+# a mid-token joiner is only consumable when the run on BOTH sides has
+# the right type:
+#   WB6/WB7   letter  × ['’.] × letter   (MidLetter/MidNumLet/Single_Quote:
+#             don't, u.s.a, o’brien stay single tokens)
+#   WB11/WB12 numeric × [.,'’] × numeric (MidNum/MidNumLet/Single_Quote:
+#             3.14, 1,000, 1'000 stay single tokens)
+#   WB9/WB10  letter × digit mixes freely (b2b, x86)
+#   Extend    combining marks U+0300-U+036F attach to the preceding char
+#             (cafe + U+0301 is one token, mark kept)
+# A joiner with mismatched sides ("x.5", "a,b") or at an edge ("foo.",
+# "'bar") breaks, exactly as UAX#29 prescribes. Hyphens are NOT joiners
+# (UAX#29 breaks "state-of-the-art" into four words — so does Lucene).
+_UAX_L = "[a-z][\u0300-\u036f]*"
+_UAX_D = "[0-9][\u0300-\u036f]*"
+UAX29_TOKEN_PATTERN = (
+    f"(?:{_UAX_L}(?:['’.]{_UAX_L}|{_UAX_L})*"
+    f"|{_UAX_D}(?:[.,'’]{_UAX_D}|{_UAX_D})*)+"
+)
+
 # ASCII folding (Lucene ASCIIFoldingFilter, the Latin-1 Supplement /
 # Latin Extended-A subset): single-char foldings go through translate(),
 # the three multi-char foldings (ae/oe/ss) through replace(); both exist
@@ -142,9 +166,12 @@ class Analyzer:
         return src
 
     def tokens_expr(self, col_sql: str) -> Column:
-        """Analyzed tokens from a SQL expression via regexp_extract_all."""
+        """Analyzed tokens from a SQL expression via regexp_extract_all
+        (still JVM codegen — the pattern rides as a Column literal, so
+        quote-bearing patterns like UAX29_TOKEN_PATTERN need no SQL
+        string escaping)."""
         src = self._normalize_sql(col_sql)
-        toks = F.expr(f"regexp_extract_all({src}, '{self.token_pattern}', 0)")
+        toks = F.regexp_extract_all(F.expr(src), F.lit(self.token_pattern), F.lit(0))
         return self._strip_stopwords(toks)
 
     def _strip_stopwords(self, toks: Column) -> Column:
@@ -157,7 +184,8 @@ class Analyzer:
         """The IDENTICAL tokenizer as a DuckDB SQL expression — used by the
         driver's oracle comparisons (list<varchar> of analyzed tokens)."""
         src = self._normalize_sql(col_sql)
-        expr = f"regexp_extract_all({src}, '{self.token_pattern}')"
+        pat = self.token_pattern.replace("'", "''")  # SQL string escaping
+        expr = f"regexp_extract_all({src}, '{pat}')"
         if self.stopwords:
             stoplist = ", ".join(f"'{w}'" for w in sorted(self.stopwords))
             expr = (
@@ -305,4 +333,11 @@ STANDARD_ANALYZER = Analyzer(stopwords=LUCENE_ENGLISH_STOPWORDS)
 WHITESPACE_ANALYZER = Analyzer(stopwords=frozenset())
 FOLDING_ANALYZER = Analyzer(
     stopwords=LUCENE_ENGLISH_STOPWORDS, ascii_fold=True
+)
+# UAX#29 word-break mode (see UAX29_TOKEN_PATTERN above): word-internal
+# apostrophes / dotted acronyms / numeric grouping / combining marks, as
+# Lucene's StandardTokenizer does. The [a-z0-9]+ contract stays the
+# engine default (149 oracles encode it); this is the opt-in closer match.
+UAX29_ANALYZER = Analyzer(
+    token_pattern=UAX29_TOKEN_PATTERN, stopwords=LUCENE_ENGLISH_STOPWORDS
 )

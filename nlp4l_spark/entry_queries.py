@@ -2733,6 +2733,77 @@ GROUP BY term ORDER BY term ASC
 O_ASCII_FOLD_WORDCOUNT = _o_ascii_fold_wordcount()
 
 
+# UAX#29 fixture: word-internal apostrophes (both ' and U+2019), dotted
+# acronyms, numeric grouping/decimals, combining marks (U+0301/U+0308),
+# hyphen breaks — the word-break decisions the [a-z0-9]+ contract can't
+# make (analysis/analyzer.py::UAX29_TOKEN_PATTERN).
+UAX_SNIPPETS = [
+    "don't stop believin' it's o\u2019brien's",
+    "u.s.a. vs u.s.s.r. e.g. ph.d",
+    "pi 3.14 total 1,000,000 swiss 1'000 v2.0",
+    "cafe\u0301 nai\u0308ve zu\u0308rich state-of-the-art",
+]
+UAX_TERMS = [
+    "don't", "believin", "it's", "o\u2019brien's",
+    "u.s.a", "u.s.s.r", "e.g", "ph.d",
+    "3.14", "1,000,000", "1'000", "v2.0",
+    "cafe\u0301", "nai\u0308ve", "zu\u0308rich", "state", "art",
+]
+
+
+def q_uax29_wordcount(spark, sf_dir):
+    """Wordcount through the UAX#29 word-break analyzer
+    (analysis/analyzer.py UAX29_ANALYZER; Lucene StandardTokenizer's
+    UAX#29 default rules on the Latin alphabet): the corpus
+    deterministically augmented with joiner/mark-bearing snippets keyed
+    by doc_id, counts of the UAX#29 word forms. The default [a-z0-9]+
+    contract would split every one of these tokens ('don't' -> don, t;
+    '3.14' -> 3, 14), so this query is green ONLY if the typed-run
+    automaton regex behaves identically in Spark (Java regex) and the
+    DuckDB oracle (RE2 — no lookarounds, which is why the pattern
+    encodes types positionally)."""
+    from nlp4l_spark.analysis import UAX29_ANALYZER
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    snip = F.element_at(
+        F.array(*[F.lit(s) for s in UAX_SNIPPETS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    aug = docs.withColumn("text", F.concat_ws(" ", F.col("text"), snip))
+    toks = UAX29_ANALYZER.tokens_expr("text")
+    return (
+        aug.select(F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(UAX_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"))
+        .orderBy(F.asc("term"))
+    )
+
+
+def _o_uax29_wordcount() -> str:
+    from nlp4l_spark.analysis import UAX29_ANALYZER
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    whens = " ".join(
+        f"WHEN {i} THEN '{q(s)}'" for i, s in enumerate(UAX_SNIPPETS)
+    )
+    aug = f"(text || ' ' || CASE doc_id % 4 {whens} END)"
+    tok = UAX29_ANALYZER.duckdb_tokens_sql("text")
+    inlist = ", ".join(f"'{q(t)}'" for t in UAX_TERMS)
+    return f"""
+WITH aug AS (SELECT doc_id, {aug} AS text FROM documents),
+toks AS (SELECT unnest({tok}) AS term FROM aug)
+SELECT term, count(*)::bigint AS cf FROM toks
+WHERE term IN ({inlist})
+GROUP BY term ORDER BY term ASC
+"""
+
+
+O_UAX29_WORDCOUNT = _o_uax29_wordcount()
+
+
 PERC_QUERIES = [
     (1, ["join"]),
     (2, ["merge", "join"]),
@@ -5682,6 +5753,7 @@ REGISTRY: dict[str, tuple] = {
     "loop_detect": (q_loop_detect, O_LOOP_DETECT),
     "percolate": (q_percolate, O_PERCOLATE),
     "ascii_fold_wordcount": (q_ascii_fold_wordcount, O_ASCII_FOLD_WORDCOUNT),
+    "uax29_wordcount": (q_uax29_wordcount, O_UAX29_WORDCOUNT),
     "token_fertility": (q_token_fertility, O_TOKEN_FERTILITY),
     "lexical_diversity": (q_lexical_diversity, O_LEXICAL_DIVERSITY),
     "lang_confusion": (q_lang_confusion, O_LANG_CONFUSION),
@@ -5826,7 +5898,7 @@ _DRIVER_ORDER = [
     "hybrid_rrf_topk", "semantic_dedup", "ann_pq_topk", "rank_eval", "term_dispersion", "more_like_this",
     "dismax_topk", "kea_top_keyphrases", "span_near_search", "rm3_topk", "significant_terms", "search_after_page2",
     "dsir_weights", "ccnet_buckets", "combsum_topk", "rescore_topk", "dedup_span_excise", "ann_sq_topk",
-    "ann_ivfsq_topk",
+    "ann_ivfsq_topk", "uax29_wordcount",
     "dedup_keep_best", "dedup_clusters", "dedup_spans", "textrank",
     # --- green external CORRECTNESS row in round 1 or 2 ---
     "sort_paging", "fingerprint",

