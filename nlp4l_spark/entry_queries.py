@@ -1084,23 +1084,30 @@ def q_fuzzy_bm25_topk(spark, sf_dir):
         F.count("*").alias("n"), F.sum("dl").alias("sum_dl")
     ).collect()[0]
     n, avgdl = stats["n"], stats["sum_dl"] / stats["n"]
-    # dictionary expansion: df per term with the Levenshtein window +
-    # Lucene fuzzy boost; mirror Searcher.search_fuzzy — zero/negative
-    # boosts (possible for 1-2 char terms) are dropped, not zero-scored
+    # dictionary expansion: df per term within 2 DAMERAU-Levenshtein edits
+    # (transposition = 1, matching Lucene's transpositions=true and the
+    # oracle's duckdb damerau_levenshtein) + Lucene fuzzy boost; mirror
+    # Searcher.search_fuzzy — the JVM lev <= 2*max_edits prefilter bounds
+    # the collect (Lev <= 2*DL), DL runs driver-side on that handful;
+    # zero/negative boosts (possible for 1-2 char terms) are dropped
+    from nlp4l_spark.search.engine import damerau_levenshtein
+
     lev = F.levenshtein(F.col("term"), F.lit(FUZZY_TERM))
-    exp_rows = (
+    cand_rows = (
         per_doc.select(F.explode(F.map_keys("m")).alias("term"))
         .groupBy("term")
         .agg(F.count("*").cast("double").alias("df"))
-        .filter(lev <= 2)
-        .withColumn(
-            "boost",
-            F.lit(1.0)
-            - lev / F.least(F.length("term"), F.lit(len(FUZZY_TERM))),
-        )
-        .filter(F.col("boost") > 0)
+        .filter(lev <= 4)
         .collect()
     )
+    exp_rows = []
+    for r in cand_rows:
+        edits = damerau_levenshtein(r["term"], FUZZY_TERM)
+        if edits > 2:
+            continue
+        boost = 1.0 - edits / min(len(r["term"]), len(FUZZY_TERM))
+        if boost > 0:
+            exp_rows.append({"term": r["term"], "df": r["df"], "boost": boost})
     # scoring pass: idf*boost folded into one literal per expanded term,
     # tf from the per-doc map — no joins, no groupBy
     score, any_match = None, None
@@ -1139,10 +1146,10 @@ st AS (SELECT count(*)::double AS n,
               (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
 dfm AS (SELECT term, count(*)::double AS df FROM dt GROUP BY 1),
 exp AS (SELECT term, df,
-               1.0 - levenshtein(term, '{FUZZY_TERM}')::double
+               1.0 - damerau_levenshtein(term, '{FUZZY_TERM}')::double
                      / least(length(term), {len(FUZZY_TERM)}) AS boost
-        FROM dfm WHERE levenshtein(term, '{FUZZY_TERM}') <= 2
-          AND 1.0 - levenshtein(term, '{FUZZY_TERM}')::double
+        FROM dfm WHERE damerau_levenshtein(term, '{FUZZY_TERM}') <= 2
+          AND 1.0 - damerau_levenshtein(term, '{FUZZY_TERM}')::double
                     / least(length(term), {len(FUZZY_TERM)}) > 0),
 sc AS (SELECT dt.doc_id,
               sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * boost

@@ -57,6 +57,56 @@ _TOPK_SCHEMA = T.StructType(
 )
 
 
+def damerau_levenshtein(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein distance (Lowrance-Wagner 1975):
+    insert / delete / substitute / adjacent-transposition, transposition
+    cost 1 even with later edits between the pair. This is EXACTLY the
+    variant DuckDB's damerau_levenshtein implements (probed: 'ca'→'abc'
+    is 2, not OSA's 3), so the fuzzy oracle and the engine share one
+    distance. Lucene's FuzzyQuery automaton is the OSA restriction —
+    deviation documented at Searcher.search_fuzzy."""
+    la, lb = len(a), len(b)
+    if not la or not lb:
+        return la or lb
+    inf = la + lb
+    da: dict[str, int] = {}
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def _damerau_udf(q: str):
+    """Arrow pass: term column -> Damerau-Levenshtein edits to ``q``.
+    Runs only on the tlen-window + Lev-prefiltered candidate rows (a
+    handful per query), never the full dictionary."""
+
+    @F.pandas_udf("int")
+    def _dl(terms: pd.Series) -> pd.Series:
+        return terms.map(lambda t: damerau_levenshtein(t, q))
+
+    return _dl
+
+
 def idf(num_docs: int, df: int) -> float:
     return math.log(1.0 + (num_docs - df + 0.5) / (df + 0.5))
 
@@ -843,23 +893,29 @@ class Searcher:
         self, term: str, k: int = 10, max_edits: int = 2
     ) -> DataFrame:
         """Lucene FuzzyQuery shape: expand the query term to all dictionary
-        terms within ``max_edits`` Levenshtein edits, score BM25 per
-        expanded term weighted by Lucene's fuzzy boost
-        ``1 - edits / min(|term|, |query|)``, sum per doc. (Deviations vs
-        Lucene, documented: no TopTermsBlendedFreq rewrite — Lucene blends
-        df across the expanded set and keeps only the top 50 terms — and
-        plain Levenshtein rather than Lucene's default Damerau distance,
-        so a transposition costs 2 edits here, not 1. Expanded terms with
-        boost <= 0 — possible for 1-2 char terms at max_edits=2 — are
-        dropped rather than contributing zero/negative score.)
+        terms within ``max_edits`` Damerau-Levenshtein edits (adjacent
+        transposition costs 1, matching Lucene's FuzzyQuery default
+        transpositions=true), score BM25 per expanded term weighted by
+        Lucene's fuzzy boost ``1 - edits / min(|term|, |query|)``, sum per
+        doc. (Deviations vs Lucene, documented: no TopTermsBlendedFreq
+        rewrite — Lucene blends df across the expanded set and keeps only
+        the top 50 terms — and UNRESTRICTED Damerau-Levenshtein rather
+        than Lucene's OSA automaton variant, because DuckDB's
+        damerau_levenshtein — the oracle's distance — is the unrestricted
+        form; the two differ only on pairs where an edit lands between the
+        transposed characters, e.g. 'ca'→'abc' is 2 here, 3 under OSA.
+        Expanded terms with boost <= 0 — possible for 1-2 char terms at
+        max_edits=2 — are dropped rather than contributing zero/negative
+        score.)
 
-        Scale path: the dictionary scan is pre-pruned by the exact
-        Levenshtein length bound ``|tlen - |q|| <= max_edits`` on the
-        materialized ``tlen`` column — a range predicate pushed to the
-        parquet reader (PushedFilters) so a 10^9-term dictionary reads
-        only the row groups in the length window, instead of running
-        levenshtein() over every term. Falls back to computed length on
-        pre-``tlen`` indexes."""
+        Scale path: the dictionary scan is pre-pruned by the exact length
+        bound ``|tlen - |q|| <= max_edits`` on the materialized ``tlen``
+        column (every DL edit changes length by at most 1) — a range
+        predicate pushed to the parquet reader (PushedFilters) so a
+        10^9-term dictionary reads only the row groups in the length
+        window — then a JVM ``levenshtein() <= 2*max_edits`` prefilter
+        (DL >= Lev/2 always) bounds the rows the Arrow DL pass sees.
+        Falls back to computed length on pre-``tlen`` indexes."""
         q = term.lower()
         expanded = self._fuzzy_expansion(q, max_edits).collect()
         if not expanded:
@@ -883,15 +939,23 @@ class Searcher:
     def _fuzzy_expansion(self, q: str, max_edits: int) -> DataFrame:
         """Dictionary expansion for search_fuzzy: a tlen range filter
         (pushed to the parquet reader — plan-guarded in tests/test_plans.py)
-        prunes the scan to the exact Levenshtein length window before the
-        levenshtein() pass runs."""
+        prunes the scan to the exact length window, a JVM
+        levenshtein() <= 2*max_edits prefilter bounds the candidates
+        (Lev <= 2*DL, so no DL neighbor is lost), then the Arrow
+        Damerau-Levenshtein pass computes the true edit count the boost
+        uses."""
         stats = self.cat.read(self.spark, "term_stats")
         tlen = F.col("tlen") if "tlen" in stats.columns else F.length("term")
         lev = F.levenshtein(F.col("term"), F.lit(q))
-        boost = F.lit(1.0) - lev / F.least(F.length("term"), F.lit(len(q)))
+        dl_edits = _damerau_udf(q)(F.col("term"))
+        boost = F.lit(1.0) - F.col("edits") / F.least(
+            F.length("term"), F.lit(len(q))
+        )
         return (
             stats.filter(tlen.between(len(q) - max_edits, len(q) + max_edits))
-            .filter(lev <= max_edits)
+            .filter(lev <= 2 * max_edits)
+            .withColumn("edits", dl_edits.cast("double"))
+            .filter(F.col("edits") <= max_edits)
             .select("term", "df", (F.lit(0) + boost).alias("boost"))
             .filter(F.col("boost") > 0)
         )

@@ -481,3 +481,48 @@ def test_search_filtered(spark, tmp_path):
     assert both == {0}
     # filter matching nothing
     assert s.search_filtered("join", {"role": "nobody"}).count() == 0
+
+
+def test_fuzzy_transposition_costs_one(spark, idx):
+    """Damerau upgrade (VERDICT r2 #5): an adjacent transposition is ONE
+    edit (Lucene transpositions=true), so 'jion' reaches 'join' with
+    boost 1 - 1/4, not plain-Levenshtein's 1 - 2/4."""
+    s = Searcher(spark, idx)
+    exp = {r["term"]: r["boost"] for r in s._fuzzy_expansion("jion", 2).collect()}
+    assert "join" in exp
+    assert exp["join"] == pytest.approx(1 - 1 / 4)
+    got = {r["doc_id"] for r in s.search_fuzzy("jion", k=10).collect()}
+    assert got == {0, 1, 2, 4}
+
+
+def test_damerau_levenshtein_matches_duckdb_and_hand_neighbors():
+    """The engine's DL function IS the oracle's distance: cross-checked
+    against duckdb damerau_levenshtein on random pairs, plus hand-computed
+    neighbor sets (including the unrestricted-vs-OSA distinguishing pair)."""
+    import duckdb
+    import numpy as np
+
+    from nlp4l_spark.search.engine import damerau_levenshtein as dl
+
+    # hand-computed
+    assert dl("spark", "sprak") == 1          # transposition
+    assert dl("spark", "spark") == 0
+    assert dl("ab", "ba") == 1
+    assert dl("ca", "abc") == 2               # unrestricted DL (OSA = 3)
+    assert dl("kitten", "sitting") == 3       # classic Lev case, no swaps
+    assert dl("", "abc") == 3 and dl("abc", "") == 3
+    # 1-edit neighborhood of "join" by construction
+    for t in ["jon", "joinx", "jorn", "ojin", "jion"]:
+        assert dl("join", t) == 1, t
+    assert dl("join", "nioj") > 1
+
+    con = duckdb.connect()
+    rng = np.random.RandomState(7)
+    alpha = list("abcde")
+    for _ in range(300):
+        a = "".join(rng.choice(alpha, size=rng.randint(0, 7)))
+        b = "".join(rng.choice(alpha, size=rng.randint(0, 7)))
+        want = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert dl(a, b) == want, (a, b, dl(a, b), want)
