@@ -66,3 +66,99 @@ def test_sharded_dataframe_method_matches_wand(spark, tmp_path):
     s = Searcher(spark, idx)
     queries = synth_queries(8)
     assert _topk(s, queries, "wand") == _topk(s, queries, "dataframe")
+
+
+def _per_task_postings(segs, n_merge):
+    """Postings received by each merge task under the EXACT exchange the
+    builder runs (repartition(n_merge, term, shard) — builder.py stage 5):
+    measured by aggregating df per spark_partition_id() after that same
+    repartition, i.e. the real hash-partitioner assignment, not a model
+    of it. (A listener would report the same numbers as task shuffle-read
+    rows; this is the deterministic equivalent.)"""
+    rows = (
+        segs.repartition(n_merge, "term", "shard")
+        .groupBy(F.spark_partition_id().alias("tid"))
+        .agg(F.sum("df").alias("postings"))
+        .collect()
+    )
+    per = {r["tid"]: r["postings"] for r in rows}
+    return per
+
+
+def test_head_term_skew_bounded_by_sharding(spark, tmp_path):
+    """Adversarial skew (north_rule: 'skew handled explicitly'): one term
+    in ~60% of turns. The (term, shard) keying must (a) cap every merged
+    posting row at docs_per_shard, (b) keep the hot term's postings off a
+    single merge task — vs the unsharded build where the hot key is
+    indivisible — and (c) change nothing about results."""
+    n_docs = 8000
+    base = synth_transcripts(spark, n_docs, num_partitions=8)
+    # deterministic 60% hot-term injection keyed on (conv_id, turn_idx)
+    hot = base.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.abs(F.hash("conv_id", "turn_idx")), F.lit(10)) < 6,
+            F.concat(F.col("text"), F.lit(" hotterm hotterm")),
+        ).otherwise(F.col("text")),
+    )
+
+    dps = 512
+    sharded_dir = str(tmp_path / "idx_skew_sharded")
+    plain_dir = str(tmp_path / "idx_skew_plain")
+    cat_s = IndexBuilder(docs_per_shard=dps).build(hot, sharded_dir)
+    cat_p = IndexBuilder().build(hot, plain_dir)
+
+    post_s = cat_s.read(spark, "postings")
+    post_p = cat_p.read(spark, "postings")
+
+    # hot term really is skewed: present in >50% of docs
+    hot_df = (
+        post_p.filter(F.col("term") == "hotterm")
+        .agg(F.sum("df").alias("df"))
+        .collect()[0]["df"]
+    )
+    assert hot_df > n_docs * 0.5
+
+    # (a) hard cap: no merged posting row (= no scoring/merge unit) ever
+    # exceeds docs_per_shard, hot term included
+    max_row_df = post_s.agg(F.max("df")).collect()[0][0]
+    assert max_row_df <= dps
+    n_hot_shards = post_s.filter(F.col("term") == "hotterm").count()
+    assert n_hot_shards >= hot_df // dps  # spans many shards
+
+    # (b) per-merge-task input under the builder's own exchange
+    n_merge = spark.sparkContext.defaultParallelism
+    segs_s = cat_s.read(spark, "segments")
+    segs_p = cat_p.read(spark, "segments")
+    per_s = _per_task_postings(segs_s, n_merge)
+    per_p = _per_task_postings(segs_p, n_merge)
+    max_s, max_p = max(per_s.values()), max(per_p.values())
+    mean_s = sum(per_s.values()) / max(len(per_s), 1)
+    skew_ratio_sharded = max_s / mean_s
+    # unsharded: the hot key is one indivisible unit >= hot_df postings on
+    # whichever task hash(hotterm, 0) lands; sharded: the same postings
+    # split across >= hot_df//dps keys, so the max task must shrink
+    assert max_p >= hot_df
+    assert max_s < max_p
+    assert max_s <= max_p - hot_df + dps + mean_s  # hot load really spread
+    # document the measured ratio for BASELINE.md (printed on -s runs)
+    print(
+        f"skew: hot_df={hot_df} max_task sharded={max_s} unsharded={max_p} "
+        f"ratio max/mean sharded={skew_ratio_sharded:.2f} "
+        f"unsharded={max_p / (sum(per_p.values()) / len(per_p)):.2f}"
+    )
+
+    # (c) identical results, hot-term queries included
+    queries = [(9001, "hotterm", 10), (9002, "hotterm w00454", 10)] + [
+        (qid, q, k) for qid, q, k in synth_queries(6)
+    ]
+    s_sharded = Searcher(spark, sharded_dir)
+    s_plain = Searcher(spark, plain_dir)
+    assert _topk(s_sharded, queries) == _topk(s_plain, queries)
+
+    stored = cat_p.read(spark, "stored").select("doc_id", "text").collect()
+    oracle = OracleIndex.build([(r["doc_id"], r["text"]) for r in stored])
+    got = _topk(s_sharded, queries)
+    for qid, q, k in queries:
+        expect = [(d, round(s, 6)) for d, s in oracle.search(q, k)]
+        assert got.get(qid, []) == expect, f"qid={qid} q={q!r}"
