@@ -172,6 +172,57 @@ def test_ner_tagger_pure():
     assert (4, 5, "location") in got  # Tokyo gazetteer
 
 
+def test_ner_trie_tagger_model_file(spark, tmp_path):
+    """VERDICT r2 #8: the model-file -> spans path. A frozen-trie model
+    file changes extract_entities output vs the heuristic tagger, with
+    leftmost-longest non-overlapping matches."""
+    model = tmp_path / "ner.dict"
+    model.write_text(
+        "# tiny deterministic model\n"
+        "org\tacme corp\n"
+        "org\tAcme\n"                      # shorter prefix of the same trie path
+        "product\twidget press nine\n"
+        "person\tjones\n",
+        encoding="utf-8",
+    )
+    tagger = ner.TrieTagger.load(str(model))
+    assert tagger.num_entries == 4
+
+    # pure contract: leftmost-longest wins over the shorter prefix,
+    # matching is case/punctuation-insensitive
+    toks = "Acme Corp. shipped the widget press nine to Jones".split()
+    assert tagger(toks) == [(0, 2, "org"), (4, 7, "product"), (8, 9, "person")]
+    # prefix-only falls back to the shorter entry
+    assert tagger("Acme shipped widget press".split()) == [(0, 1, "org")]
+
+    df = spark.createDataFrame(
+        [(0, "Acme Corp hired Jones. The widget press nine arrived.")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["entity"], r["entity_type"], r["sentence_idx"])
+        for r in ner.extract_entities(df, tagger=tagger).collect()
+    }
+    assert got == {
+        ("Acme Corp", "org", 0),
+        ("Jones.", "person", 0),
+        ("widget press nine", "product", 1),
+    }
+    # and it really differs from the heuristic tagger on the same input
+    heur = {
+        (r["entity"], r["entity_type"])
+        for r in ner.extract_entities(df).collect()
+    }
+    assert ("widget press nine", "product") not in heur
+
+
+def test_ner_trie_tagger_bad_model_file(tmp_path):
+    bad = tmp_path / "bad.dict"
+    bad.write_text("org acme without a tab\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="entity_type<TAB>surface form"):
+        ner.TrieTagger.load(str(bad))
+
+
 # ---------------- IR rank metrics ------------------------------------------ #
 def test_rank_metrics_known_values(spark):
     from nlp4l_spark.ops.ltr import rank_metrics
