@@ -18,6 +18,7 @@ import os
 import tempfile
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -4993,6 +4994,46 @@ ORDER BY media_id
 """
 
 
+def q_media_jpeg_sof(spark, sf_dir):
+    """JPEG SOF scan (third non-trivial container, VERDICT r2 #9): one
+    Arrow pass walks each payload's real marker structure — an i-varying
+    COM segment shifts the SOF offset per row, so a parser that assumes
+    a fixed layout breaks — and emits the frame-header metadata. The
+    fixture dims/components are closed-form in media_id, so the oracle
+    recomputes them analytically; a single misparsed marker length
+    breaks the hash."""
+    media = multimodal.synth_jpeg_media(spark, n=48)
+
+    @F.pandas_udf(
+        "struct<width:int,height:int,n_components:int,precision:int>"
+    )
+    def _sof(p: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([multimodal.decode_jpeg_sof(b) for b in p])
+
+    return (
+        media.select("media_id", _sof("payload").alias("s"))
+        .select(
+            "media_id",
+            F.col("s.width").alias("width"),
+            F.col("s.height").alias("height"),
+            F.col("s.n_components").alias("n_components"),
+            F.col("s.precision").alias("precision"),
+        )
+        .orderBy("media_id")
+    )
+
+
+O_MEDIA_JPEG_SOF = """
+SELECT i AS media_id,
+       (16 + (i * 3) % 240)::int AS width,
+       (16 + (i * 5) % 200)::int AS height,
+       (CASE WHEN i % 2 = 0 THEN 3 ELSE 1 END)::int AS n_components,
+       8::int AS precision
+FROM generate_series(0, 47) s(i)
+ORDER BY media_id
+"""
+
+
 def q_media_frame_plan(spark, sf_dir):
     """Video frame-sampling plan: metadata-only explode (payload column
     pruned from the scan), one row per sampled frame timestamp."""
@@ -5839,6 +5880,7 @@ REGISTRY: dict[str, tuple] = {
     "corpus_profile": (q_corpus_profile, O_CORPUS_PROFILE),
     "bpe_merges": (q_bpe_merges, O_BPE_MERGES),
     "media_features": (q_media_features, O_MEDIA_FEATURES),
+    "media_jpeg_sof": (q_media_jpeg_sof, O_MEDIA_JPEG_SOF),
     "media_frame_plan": (q_media_frame_plan, O_MEDIA_FRAME_PLAN),
     "term_positions": (q_term_positions, O_TERM_POSITIONS),
     "replay": (q_replay, O_REPLAY),
@@ -5894,7 +5936,7 @@ REGISTRY: dict[str, tuple] = {
 # iterative algorithms / Python alignment) sit at the tail.
 _DRIVER_ORDER = [
     # --- never externally verified (err or unreached), cheapest-first ---
-    "ann_lsh_topk", "media_features", "rolling_stats", "sorted_by_field", "repetition_features", "corpus_profile",
+    "ann_lsh_topk", "media_features", "media_jpeg_sof", "rolling_stats", "sorted_by_field", "repetition_features", "corpus_profile",
     "facet_counts", "chunk_documents", "resample_weighted", "pack_sequences", "funnel_steps", "term_positions",
     "asof_join", "facet_ranges", "kwic", "lm_perplexity", "kea_features", "select_features",
     "tf_vectors", "zipf_fit", "mmr_rerank", "dict_match", "bpe_pair_counts", "replay",

@@ -8,6 +8,10 @@ pure-python codecs for the three container formats the fixtures carry:
 * MP4  — box walk to moov/mvhd (timescale + duration) and a skeleton
   writer; FRAME decode still needs a video lib (pyav), so only the
   container metadata is real for video.
+* JPEG — marker walk to the SOFn frame header (dimensions, component
+  count, precision; handles fill bytes, standalone markers, and
+  entropy-coded scan data) and a skeleton writer; pixel decode needs a
+  huffman+DCT stage, metadata-only like MP4.
 
 ``synth_media`` emits real PNG/WAV/MP4 payloads whose pixel/sample
 patterns are closed-form in (media_id, x, y) — so the registry query
@@ -195,6 +199,93 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, samples
 
 
+def encode_jpeg_skeleton(
+    width: int,
+    height: int,
+    n_components: int = 3,
+    comment: bytes = b"",
+) -> bytes:
+    """Minimal structurally-real JPEG: SOI, APP0/JFIF, optional COM,
+    DQT, SOF0 (baseline frame header carrying precision/height/width/
+    components), SOS header + a token entropy byte, EOI. Dimension and
+    component metadata are real and parseable by any JPEG reader; there
+    is no DCT pixel payload (full pixel decode needs a huffman+DCT
+    stage — out of scope, like MP4 frame decode)."""
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    app0 = seg(
+        0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    )
+    com = seg(0xFE, comment) if comment else b""
+    dqt = seg(0xDB, bytes([0]) + bytes((k * 7 + 3) % 255 + 1 for k in range(64)))
+    comps = b"".join(
+        struct.pack(
+            ">BBB", c + 1, 0x22 if (c == 0 and n_components > 1) else 0x11, 0
+        )
+        for c in range(n_components)
+    )
+    sof0 = seg(
+        0xC0, struct.pack(">BHHB", 8, height, width, n_components) + comps
+    )
+    sos = seg(
+        0xDA,
+        bytes([n_components])
+        + b"".join(struct.pack(">BB", c + 1, 0) for c in range(n_components))
+        + bytes([0, 63, 0]),
+    )
+    return (
+        b"\xff\xd8" + app0 + com + dqt + sof0 + sos + b"\x00" + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_sof(payload: bytes) -> dict:
+    """Real JPEG marker walk: skip fill bytes and standalone markers,
+    honour segment lengths, stop at the first SOFn frame header (any of
+    C0-CF except DHT C4 / JPG C8 / DAC CC) and return its
+    width/height/n_components/precision. Entropy-coded data after SOS is
+    scanned for the next un-stuffed, non-RST marker, so SOF-after-scan
+    files (progressive multi-frame) still parse."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos, n = 2, len(payload)
+    while pos + 4 <= n:
+        while pos + 1 < n and payload[pos] == 0xFF and payload[pos + 1] == 0xFF:
+            pos += 1  # fill bytes
+        if payload[pos] != 0xFF:
+            raise ValueError("lost JPEG marker sync")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:  # standalone
+            continue
+        (length,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2 : pos + length]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            precision = body[0]
+            height, width = struct.unpack_from(">HH", body, 1)
+            return {
+                "width": width,
+                "height": height,
+                "n_components": body[5],
+                "precision": precision,
+            }
+        pos += length
+        if marker == 0xDA:  # entropy-coded data until next real marker
+            while pos + 1 < n and not (
+                payload[pos] == 0xFF
+                and payload[pos + 1] != 0x00
+                and not (0xD0 <= payload[pos + 1] <= 0xD7)
+            ):
+                pos += 1
+    raise ValueError("no SOF frame header")
+
+
 def encode_mp4_skeleton(duration_ms: int, timescale: int = 1000) -> bytes:
     """Minimal MP4: ftyp + moov(mvhd) boxes — enough real container
     structure for duration metadata to round-trip through a box parser."""
@@ -250,6 +341,16 @@ def decode_media(payload: bytes, kind: str) -> dict:
     metadata columns: width/height/mean pixel for PNG, sample count/rate/
     mean sample for WAV, container duration for MP4."""
     if kind == "image":
+        if payload[:2] == b"\xff\xd8":  # JPEG: SOF metadata, no pixel pass
+            sof = decode_jpeg_sof(payload)
+            return {
+                "width": sof["width"],
+                "height": sof["height"],
+                "sample_rate": None,
+                "duration_ms": None,
+                "n_units": sof["width"] * sof["height"],
+                "mean_val": None,
+            }
         w, h, px = decode_png(payload)
         return {
             "width": w,
@@ -439,6 +540,30 @@ def synth_payload(i: int) -> tuple[str, str, bytes]:
         samples = ((j * 37 + i * 11) % 2048) - 1024
         return "audio", "audio/wav", encode_wav(samples, AUDIO_RATE)
     return "video", "video/mp4", encode_mp4_skeleton((i % 30) * 1000)
+
+
+def synth_jpeg_payload(i: int) -> bytes:
+    """Deterministic REAL JPEG for media_id ``i``, closed-form metadata:
+    width = 16 + (i*3) % 240, height = 16 + (i*5) % 200, components =
+    3 if i even else 1, preceded by an i-varying COM segment so the SOF
+    offset differs per row — the parser must genuinely walk markers."""
+    return encode_jpeg_skeleton(
+        16 + (i * 3) % 240,
+        16 + (i * 5) % 200,
+        n_components=3 if i % 2 == 0 else 1,
+        comment=b"c" * (1 + i % 17),
+    )
+
+
+def synth_jpeg_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic (media_id, kind, mime, payload) table of real JPEG
+    skeletons (synth_jpeg_payload)."""
+    rows = [
+        (i, "image", "image/jpeg", synth_jpeg_payload(i)) for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, payload binary"
+    )
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:

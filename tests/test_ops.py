@@ -595,6 +595,40 @@ def test_media_plumbing(spark):
         assert strict[i][1] == 8 + ((i * 7) % 9)
 
 
+def test_jpeg_sof_roundtrip_and_media_stats(spark):
+    # encode -> marker-walk decode round-trip across the fixture space
+    for i in [0, 1, 7, 16, 47]:
+        p = multimodal.synth_jpeg_payload(i)
+        sof = multimodal.decode_jpeg_sof(p)
+        assert sof == {
+            "width": 16 + (i * 3) % 240,
+            "height": 16 + (i * 5) % 200,
+            "n_components": 3 if i % 2 == 0 else 1,
+            "precision": 8,
+        }
+    # malformed inputs fail loudly, not wrongly
+    import pytest
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        multimodal.decode_jpeg_sof(b"\x89PNG")
+    with pytest.raises(ValueError, match="no SOF"):
+        multimodal.decode_jpeg_sof(b"\xff\xd8\xff\xd9")
+    # decode_media sniffs JPEG vs PNG on the same kind='image'
+    d = multimodal.decode_media(multimodal.synth_jpeg_payload(4), "image")
+    assert (d["width"], d["height"], d["mean_val"]) == (28, 36, None)
+    assert d["n_units"] == 28 * 36
+    # and through the Spark media_stats pass (corrupt row -> null stats)
+    media = multimodal.synth_jpeg_media(spark, n=6).union(
+        spark.createDataFrame(
+            [(99, "image", "image/jpeg", b"\xff\xd8junk")],
+            "media_id long, kind string, mime string, payload binary",
+        )
+    )
+    rows = {r["media_id"]: r for r in multimodal.media_stats(media).collect()}
+    assert rows[3]["width"] == 16 + 9 and rows[3]["height"] == 16 + 15
+    assert rows[99]["width"] is None
+
+
 def test_media_codecs_roundtrip():
     import numpy as np
 
