@@ -140,6 +140,13 @@ EXTRA_QUERIES = [
     "lexical_diversity",
     "lang_confusion",
     "combsum_topk",
+    # round-3 additions
+    "media_jpeg_sof",
+    "readability",
+    "token_entropy",
+    "burstiness",
+    "span_first_search",
+    "jaccard_topk",
 ]
 
 

@@ -2681,6 +2681,256 @@ FROM ag ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------- #
+# Text-statistics extensions (round 3): readability, per-doc token
+# entropy, term burstiness, SpanFirstQuery parity, Jaccard top-k
+# --------------------------------------------------------------------- #
+SPANF_TERM, SPANF_END = "merge", 8
+JACCARD_DOC, JACCARD_K = 7, 10
+BURST_TOPN = 20
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading ease per document (pipeline QC: very low scores
+    flag boilerplate/code, very high flag trivial text). words =
+    [a-z]+ runs of the lowered text, sentences = [.!?]+ runs (min 1),
+    syllables = vowel-group count per word (min 1 — the standard
+    heuristic). One codegen scan, no shuffle at all."""
+    words = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    n_words = F.size(words)
+    n_sents = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    n_syll = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0))),
+                F.lit(1),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents)
+        - F.lit(84.6) * (n_syll.cast("double") / n_words)
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            n_sents.cast("long").alias("n_sents"),
+            n_words.cast("long").alias("n_words"),
+            n_syll.cast("long").alias("n_syll"),
+            F.round(flesch, 6).alias("flesch"),
+        )
+        .filter(F.col("n_words") > 0)
+    )
+
+
+O_READABILITY = """
+WITH w AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[a-z]+') AS words,
+                  greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents
+           FROM documents),
+s AS (SELECT doc_id, n_sents, len(words) AS n_words,
+             list_sum(list_transform(words,
+               x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))) AS n_syll
+      FROM w WHERE len(words) > 0)
+SELECT doc_id, n_sents::bigint AS n_sents, n_words::bigint AS n_words,
+       n_syll::bigint AS n_syll,
+       round(206.835 - 1.015 * (n_words::double / n_sents)
+                     - 84.6 * (n_syll::double / n_words), 6) AS flesch
+FROM s
+"""
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-document unigram entropy over analyzed tokens (templated /
+    looping text scores low): H = ln(dl) - (Σ tf·ln tf)/dl, normalized
+    by ln(dl). One tokenize pass + one (doc, term) agg + one doc agg."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    tf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("dl"),
+        F.sum(F.col("tf").cast("double") * F.log(F.col("tf"))).alias("s"),
+    )
+    dl = F.col("dl").cast("double")
+    entropy = F.log(dl) - F.col("s") / dl
+    return (
+        agg.filter(F.col("dl") >= 2)
+        .select(
+            "doc_id",
+            F.col("dl").cast("long").alias("dl"),
+            F.round(entropy, 6).alias("entropy"),
+            F.round(entropy / F.log(dl), 6).alias("norm_entropy"),
+        )
+    )
+
+
+O_TOKEN_ENTROPY = f"""
+WITH {TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
+ag AS (SELECT doc_id, sum(tf)::bigint AS dl,
+              sum(tf::double * ln(tf)) AS s
+       FROM tf GROUP BY doc_id)
+SELECT doc_id, dl,
+       round(ln(dl::double) - s / dl::double, 6) AS entropy,
+       round((ln(dl::double) - s / dl::double) / ln(dl::double), 6)
+         AS norm_entropy
+FROM ag WHERE dl >= 2
+"""
+
+
+def q_burstiness(spark, sf_dir):
+    """Church-Gale burstiness for the top-{BURST_TOPN} corpus terms:
+    variance-to-mean ratio of tf over the docs CONTAINING the term
+    (content words are bursty, function words Poisson-like). Plan: one
+    (doc, term) partial agg then a term agg — two map-side-combined
+    shuffles; top-k is TakeOrdered."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    tf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    per_term = tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+        F.sum(F.col("tf") * F.col("tf")).alias("s2"),
+    )
+    dfd = F.col("df").cast("double")
+    mean = F.col("cf").cast("double") / dfd
+    vmr = (F.col("s2").cast("double") / dfd - mean * mean) / mean
+    return (
+        per_term.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+            F.round(mean, 6).alias("mean_tf"),
+            F.round(vmr, 6).alias("vmr"),
+        )
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(BURST_TOPN)
+    )
+
+
+O_BURSTINESS = f"""
+WITH {TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
+pt AS (SELECT term, count(*)::bigint AS df, sum(tf)::bigint AS cf,
+              sum(tf * tf)::bigint AS s2
+       FROM tf GROUP BY term)
+SELECT term, df, cf,
+       round(cf::double / df::double, 6) AS mean_tf,
+       round((s2::double / df::double
+              - (cf::double / df::double) * (cf::double / df::double))
+             / (cf::double / df::double), 6) AS vmr
+FROM pt ORDER BY cf DESC, term ASC LIMIT {BURST_TOPN}
+"""
+
+
+def q_span_first(spark, sf_dir):
+    """Lucene SpanFirstQuery: docs where '{SPANF_TERM}' occurs within the
+    first {SPANF_END} full-stream token positions (stopword holes
+    preserved — the span_near contract). Index path:
+    Searcher.search_span_first (term_vectors positions), identity-tested
+    in tests/test_boolean.py."""
+    ft = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    pos = F.filter(
+        F.transform(
+            ft, lambda x, i: F.when(x == SPANF_TERM, i).otherwise(F.lit(None))
+        ),
+        lambda v: v.isNotNull(),
+    )
+    in_win = F.filter(pos, lambda p: p < F.lit(SPANF_END))
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(in_win).cast("long").alias("n_first"),
+            F.array_min(in_win).cast("long").alias("first_pos"),
+        )
+        .filter(F.col("n_first") > 0)
+        .orderBy(F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+O_SPAN_FIRST = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ft
+           FROM documents),
+p AS (SELECT doc_id,
+             list_filter(range(1, len(ft) + 1),
+                         i -> ft[i] = '{SPANF_TERM}' AND i <= {SPANF_END}) AS pw
+      FROM t)
+SELECT doc_id, len(pw)::bigint AS n_first,
+       (list_min(pw) - 1)::bigint AS first_pos
+FROM p WHERE len(pw) > 0 ORDER BY doc_id ASC LIMIT 20
+"""
+
+
+def q_jaccard_topk(spark, sf_dir):
+    """Top-{JACCARD_K} documents by token-SET Jaccard similarity to doc
+    {JACCARD_DOC} (near-dup triage / related-docs). Plan: the query
+    doc's term set is a broadcast semi-join side (one doc's vocabulary,
+    bounded); the corpus side is one distinct + two key-pruned aggs —
+    never an all-pairs join. Rank key = 6dp-rounded jaccard, doc_id asc."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    dt = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(toks).alias("term"))
+        .distinct()
+    )
+    qterms = dt.filter(F.col("doc_id") == JACCARD_DOC).select("term")
+    qn = qterms.count()  # one doc's vocabulary — bounded scalar
+    types = dt.groupBy("doc_id").agg(F.count("*").alias("types"))
+    inter = (
+        dt.filter(F.col("doc_id") != JACCARD_DOC)
+        .join(F.broadcast(qterms), "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("types") + F.lit(qn) - F.col("inter")
+    )
+    return (
+        inter.join(types, "doc_id")
+        .select(
+            "doc_id",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("types").cast("long").alias("types"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("doc_id"))
+        .limit(JACCARD_K)
+    )
+
+
+O_JACCARD_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+q AS (SELECT term FROM dt WHERE doc_id = {JACCARD_DOC}),
+qn AS (SELECT count(*)::bigint AS qn FROM q),
+ty AS (SELECT doc_id, count(*)::bigint AS types FROM dt GROUP BY doc_id),
+it AS (SELECT doc_id, count(*)::bigint AS inter
+       FROM dt JOIN q USING (term)
+       WHERE doc_id != {JACCARD_DOC} GROUP BY doc_id)
+SELECT doc_id, inter, types,
+       round(inter::double / (types + qn - inter), 6) AS jaccard
+FROM it JOIN ty USING (doc_id), qn
+ORDER BY jaccard DESC, doc_id ASC LIMIT {JACCARD_K}
+"""
+
+
 FOLD_SNIPPETS = [
     "café crème brûlée",
     "münchen straße gröön",
@@ -5881,6 +6131,11 @@ REGISTRY: dict[str, tuple] = {
     "bpe_merges": (q_bpe_merges, O_BPE_MERGES),
     "media_features": (q_media_features, O_MEDIA_FEATURES),
     "media_jpeg_sof": (q_media_jpeg_sof, O_MEDIA_JPEG_SOF),
+    "readability": (q_readability, O_READABILITY),
+    "token_entropy": (q_token_entropy, O_TOKEN_ENTROPY),
+    "burstiness": (q_burstiness, O_BURSTINESS),
+    "span_first_search": (q_span_first, O_SPAN_FIRST),
+    "jaccard_topk": (q_jaccard_topk, O_JACCARD_TOPK),
     "media_frame_plan": (q_media_frame_plan, O_MEDIA_FRAME_PLAN),
     "term_positions": (q_term_positions, O_TERM_POSITIONS),
     "replay": (q_replay, O_REPLAY),
@@ -5936,7 +6191,8 @@ REGISTRY: dict[str, tuple] = {
 # iterative algorithms / Python alignment) sit at the tail.
 _DRIVER_ORDER = [
     # --- never externally verified (err or unreached), cheapest-first ---
-    "ann_lsh_topk", "media_features", "media_jpeg_sof", "rolling_stats", "sorted_by_field", "repetition_features", "corpus_profile",
+    "ann_lsh_topk", "media_features", "media_jpeg_sof", "readability", "token_entropy", "burstiness",
+    "span_first_search", "jaccard_topk", "rolling_stats", "sorted_by_field", "repetition_features", "corpus_profile",
     "facet_counts", "chunk_documents", "resample_weighted", "pack_sequences", "funnel_steps", "term_positions",
     "asof_join", "facet_ranges", "kwic", "lm_perplexity", "kea_features", "select_features",
     "tf_vectors", "zipf_fit", "mmr_rerank", "dict_match", "bpe_pair_counts", "replay",

@@ -1063,6 +1063,38 @@ class Searcher:
             .limit(k)
         )
 
+    def search_span_first(
+        self, term: str, end: int, k: int = 10
+    ) -> DataFrame:
+        """Lucene SpanFirstQuery: docs where ``term`` occurs at a
+        position < ``end`` (full-token-stream positions, StopFilter holes
+        preserved — the same contract as search_span_near). Constant-score
+        candidate retrieval (docID asc) with ``first_pos`` = the earliest
+        match and ``n_first`` = matches inside the window. Plan: one
+        pushed-equality term_vectors scan, per-doc list filter — never
+        corpus-sized."""
+        toks = self.analyzer.tokenize(term)
+        if len(toks) != 1:
+            raise ValueError("span_first clause must analyze to one term")
+        if not self.cat.is_committed("term_vectors"):
+            raise ValueError(
+                "span_first needs term_vectors "
+                "(IndexBuilder(store_term_vectors=True))"
+            )
+        tv = self.cat.read(self.spark, "term_vectors")
+        in_win = F.filter(F.col("positions"), lambda p: p < F.lit(int(end)))
+        return (
+            self._not_deleted(tv.filter(F.col("term") == toks[0]))
+            .select(
+                "doc_id",
+                F.size(in_win).cast("long").alias("n_first"),
+                F.array_min(in_win).cast("long").alias("first_pos"),
+            )
+            .filter(F.col("n_first") > 0)
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_synonym(
         self, groups: list[list[str]], k: int = 10
     ) -> DataFrame:

@@ -384,6 +384,23 @@ def test_span_near(spark, tmp_path):
     wide = {r["doc_id"] for r in s.search_span_near("merge", "join", slop=3).collect()}
     assert wide == {0, 1, 3}
 
+    # SpanFirstQuery on the same index: 'join' within the first 2
+    # positions — doc 1 (pos 1) qualifies, doc 2 (pos 0) qualifies,
+    # doc 0 (pos 3) and doc 3 (pos 4) do not
+    first = {
+        r["doc_id"]: (r["first_pos"], r["n_first"])
+        for r in s.search_span_first("join", end=2).collect()
+    }
+    assert first == {1: (1, 1), 2: (0, 1)}
+    # window wide enough for everything
+    allw = {
+        r["doc_id"]: r["first_pos"]
+        for r in s.search_span_first("join", end=100).collect()
+    }
+    assert allw == {0: 3, 1: 1, 2: 0, 3: 4}
+    # positions are FULL-stream ('the' is a stopword hole, still counted)
+    assert allw[0] == 3
+
 
 def test_bm25f_single_field_matches_oracle(spark):
     from nlp4l_spark.oracle import OracleIndex

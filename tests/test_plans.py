@@ -50,7 +50,23 @@ JVM_ONLY = [
     "dsir_weights",
     # Stupid-Backoff bigram LM: tokenize + vocab-sized aggs + broadcast joins
     "bigram_lm_score",
+    # round-3 text stats: readability/span_first are single HOF scans
+    # (zero shuffle); token_entropy/burstiness are tokenize + two
+    # map-side-combined aggs
+    "readability",
+    "token_entropy",
+    "burstiness",
+    "span_first_search",
 ]
+
+
+def test_jaccard_query_side_is_broadcast(spark):
+    """jaccard_topk: the query doc's term set must broadcast — the
+    corpus side is never shuffled for the semi-join (its only wide
+    exchanges are the distinct and the per-doc aggs)."""
+    plan = _plan(eq.REGISTRY["jaccard_topk"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_semantic_dedup_join_is_equi_join(spark):
