@@ -147,6 +147,8 @@ EXTRA_QUERIES = [
     "burstiness",
     "span_first_search",
     "jaccard_topk",
+    "dedup_rate_by_source",
+    "label_centroids",
 ]
 
 

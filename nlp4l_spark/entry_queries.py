@@ -2931,6 +2931,123 @@ ORDER BY jaccard DESC, doc_id ASC LIMIT {JACCARD_K}
 """
 
 
+def q_dedup_rate_by_source(spark, sf_dir):
+    """Per-source exact-duplication report (the corpus-triage table a
+    dedup run starts from: which sources are worth deduping): docs,
+    distinct texts, duplicate fraction. One hash-agg shuffle."""
+    d = _docs(spark, sf_dir)
+    agg = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_uniq"),
+    )
+    dup = F.lit(1.0) - F.col("n_uniq").cast("double") / F.col("n_docs")
+    return (
+        agg.select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_uniq").cast("long").alias("n_uniq"),
+            F.round(dup, 6).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+O_DEDUP_RATE_BY_SOURCE = """
+SELECT source, count(*)::bigint AS n_docs,
+       count(DISTINCT text)::bigint AS n_uniq,
+       round(1.0 - count(DISTINCT text)::double / count(*), 6) AS dup_frac
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding-cluster quality report (the audit before
+    trusting labels for semantic dedup / stratified sampling): centroid
+    norm and mean cosine of members to their centroid. Centroid
+    components are 6dp-rounded BEFORE the cosine on both engines (the
+    rounded-selection-key convention) so downstream arithmetic is
+    order-independent. Plan: one posexplode agg (label×dim rows) +
+    a broadcast centroid join — the corpus of vectors is scanned twice,
+    never shuffled by vector."""
+    emb = _embeddings(spark, sf_dir)
+    comp = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "centroid", lambda a, b: a.cast("double") * b
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda a: a.cast("double") * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            F.transform("centroid", lambda c: c * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    per_vec = emb.join(F.broadcast(cent), "label").select(
+        "label", (dot / (nv * nc)).alias("cos"), nc.alias("cnorm")
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("cos"), 6).alias("mean_cos"),
+            F.round(F.max("cnorm"), 6).alias("centroid_norm"),
+        )
+        .select(
+            "label",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            "mean_cos",
+            "centroid_norm",
+        )
+        .orderBy("label")
+    )
+
+
+O_LABEL_CENTROIDS = """
+WITH u AS (SELECT label,
+                  unnest(list_zip(range(1, len(embedding) + 1),
+                                  embedding)) AS z
+           FROM embeddings),
+uu AS (SELECT label, z[1] AS i, z[2]::double AS v FROM u),
+c AS (SELECT label, i, round(avg(v), 6) AS c FROM uu GROUP BY 1, 2),
+cent AS (SELECT label, list(c ORDER BY i) AS centroid FROM c GROUP BY label),
+pv AS (SELECT e.label,
+              list_aggregate(list_transform(range(1, len(embedding) + 1),
+                  i -> embedding[i]::double * centroid[i]), 'sum')
+              / (sqrt(list_aggregate(list_transform(embedding,
+                     x -> x::double * x::double), 'sum'))
+                 * sqrt(list_aggregate(list_transform(centroid,
+                     x -> x * x), 'sum'))) AS cos,
+              sqrt(list_aggregate(list_transform(centroid,
+                  x -> x * x), 'sum')) AS cnorm
+       FROM embeddings e JOIN cent USING (label))
+SELECT label, count(*)::bigint AS n_vecs,
+       round(avg(cos), 6) AS mean_cos,
+       round(max(cnorm), 6) AS centroid_norm
+FROM pv GROUP BY label ORDER BY label
+"""
+
+
 FOLD_SNIPPETS = [
     "café crème brûlée",
     "münchen straße gröön",
@@ -6136,6 +6253,8 @@ REGISTRY: dict[str, tuple] = {
     "burstiness": (q_burstiness, O_BURSTINESS),
     "span_first_search": (q_span_first, O_SPAN_FIRST),
     "jaccard_topk": (q_jaccard_topk, O_JACCARD_TOPK),
+    "dedup_rate_by_source": (q_dedup_rate_by_source, O_DEDUP_RATE_BY_SOURCE),
+    "label_centroids": (q_label_centroids, O_LABEL_CENTROIDS),
     "media_frame_plan": (q_media_frame_plan, O_MEDIA_FRAME_PLAN),
     "term_positions": (q_term_positions, O_TERM_POSITIONS),
     "replay": (q_replay, O_REPLAY),
@@ -6192,7 +6311,8 @@ REGISTRY: dict[str, tuple] = {
 _DRIVER_ORDER = [
     # --- never externally verified (err or unreached), cheapest-first ---
     "ann_lsh_topk", "media_features", "media_jpeg_sof", "readability", "token_entropy", "burstiness",
-    "span_first_search", "jaccard_topk", "rolling_stats", "sorted_by_field", "repetition_features", "corpus_profile",
+    "span_first_search", "jaccard_topk", "dedup_rate_by_source", "label_centroids",
+    "rolling_stats", "sorted_by_field", "repetition_features", "corpus_profile",
     "facet_counts", "chunk_documents", "resample_weighted", "pack_sequences", "funnel_steps", "term_positions",
     "asof_join", "facet_ranges", "kwic", "lm_perplexity", "kea_features", "select_features",
     "tf_vectors", "zipf_fit", "mmr_rerank", "dict_match", "bpe_pair_counts", "replay",
