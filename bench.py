@@ -149,6 +149,7 @@ EXTRA_QUERIES = [
     "jaccard_topk",
     "dedup_rate_by_source",
     "label_centroids",
+    "highlight",
 ]
 
 

@@ -2931,6 +2931,84 @@ ORDER BY jaccard DESC, doc_id ASC LIMIT {JACCARD_K}
 """
 
 
+HL_W = 10  # highlight window width (tokens)
+
+
+def q_highlight(spark, sf_dir):
+    """Lucene UnifiedHighlighter shape: per matching doc, the best
+    {HL_W}-token window (max distinct query-term hits, earliest on tie)
+    rendered as a snippet with matched terms UPPERCASED (a deterministic
+    ASCII-safe stand-in for <em> tags). One codegen HOF scan, zero
+    shuffle — the argmax over window starts runs inside the row."""
+    ft = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+
+    def win_score(s):
+        w = F.slice(F.col("_ft"), s + 1, HL_W)
+        sc = F.lit(0)
+        for q in BM25_TERMS:
+            sc = sc + F.array_contains(w, q).cast("int")
+        return sc
+
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("_ft") - HL_W, F.lit(0))
+    )
+    best = F.aggregate(
+        starts,
+        F.struct(
+            F.lit(-1).alias("score"), F.lit(0).alias("s")
+        ),
+        lambda acc, s: F.when(
+            win_score(s) > acc["score"],
+            F.struct(win_score(s).alias("score"), s.alias("s")),
+        ).otherwise(acc),
+    )
+    qarr = F.array(*[F.lit(t) for t in BM25_TERMS])
+    snippet = F.concat_ws(
+        " ",
+        F.transform(
+            F.slice(F.col("_ft"), F.col("_best.s") + 1, HL_W),
+            lambda x: F.when(
+                F.array_contains(qarr, x), F.upper(x)
+            ).otherwise(x),
+        ),
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", ft.alias("_ft"))
+        .withColumn("_best", best)
+        .filter(F.col("_best.score") > 0)
+        .select(
+            "doc_id",
+            F.col("_best.score").cast("long").alias("n_terms"),
+            F.col("_best.s").cast("long").alias("start"),
+            snippet.alias("snippet"),
+        )
+        .orderBy("doc_id")
+        .limit(20)
+    )
+
+
+O_HIGHLIGHT = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ft
+           FROM documents),
+st AS (SELECT doc_id, ft,
+              unnest(range(0, greatest(len(ft) - {HL_W}, 0) + 1)) AS s
+       FROM t),
+sc AS (SELECT doc_id, ft, s,
+              ({" + ".join(f"list_contains(ft[s+1:s+{HL_W}], '{t}')::int" for t in BM25_TERMS)}) AS score
+       FROM st),
+best AS (SELECT doc_id, ft, s, score,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, s ASC) AS rn
+         FROM sc)
+SELECT doc_id, score::bigint AS n_terms, s::bigint AS start,
+       list_aggregate(list_transform(ft[s+1:s+{HL_W}],
+         x -> CASE WHEN x IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+                   THEN upper(x) ELSE x END), 'string_agg', ' ') AS snippet
+FROM best WHERE rn = 1 AND score > 0 ORDER BY doc_id LIMIT 20
+"""
+
+
 def q_dedup_rate_by_source(spark, sf_dir):
     """Per-source exact-duplication report (the corpus-triage table a
     dedup run starts from: which sources are worth deduping): docs,
@@ -6255,6 +6333,7 @@ REGISTRY: dict[str, tuple] = {
     "jaccard_topk": (q_jaccard_topk, O_JACCARD_TOPK),
     "dedup_rate_by_source": (q_dedup_rate_by_source, O_DEDUP_RATE_BY_SOURCE),
     "label_centroids": (q_label_centroids, O_LABEL_CENTROIDS),
+    "highlight": (q_highlight, O_HIGHLIGHT),
     "media_frame_plan": (q_media_frame_plan, O_MEDIA_FRAME_PLAN),
     "term_positions": (q_term_positions, O_TERM_POSITIONS),
     "replay": (q_replay, O_REPLAY),
@@ -6311,7 +6390,7 @@ REGISTRY: dict[str, tuple] = {
 _DRIVER_ORDER = [
     # --- never externally verified (err or unreached), cheapest-first ---
     "ann_lsh_topk", "media_features", "media_jpeg_sof", "readability", "token_entropy", "burstiness",
-    "span_first_search", "jaccard_topk", "dedup_rate_by_source", "label_centroids",
+    "span_first_search", "jaccard_topk", "dedup_rate_by_source", "label_centroids", "highlight",
     "rolling_stats", "sorted_by_field", "repetition_features", "corpus_profile",
     "facet_counts", "chunk_documents", "resample_weighted", "pack_sequences", "funnel_steps", "term_positions",
     "asof_join", "facet_ranges", "kwic", "lm_perplexity", "kea_features", "select_features",

@@ -57,6 +57,8 @@ JVM_ONLY = [
     "token_entropy",
     "burstiness",
     "span_first_search",
+    # highlighting: the per-row window argmax is one HOF scan
+    "highlight",
 ]
 
 
