@@ -150,6 +150,9 @@ EXTRA_QUERIES = [
     "dedup_rate_by_source",
     "label_centroids",
     "highlight",
+    "span_not_search",
+    "top_tfidf_terms",
+    "oov_rate",
 ]
 
 

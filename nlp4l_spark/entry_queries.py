@@ -2931,6 +2931,157 @@ ORDER BY jaccard DESC, doc_id ASC LIMIT {JACCARD_K}
 """
 
 
+def q_span_not(spark, sf_dir):
+    """Lucene SpanNotQuery: '{SPAN_A}' positions with NO '{SPAN_B}'
+    within {SPAN_SLOP} intervening tokens either side; docs with at
+    least one surviving position, n_clean = survivor count. Index path:
+    Searcher.search_span_not (term_vectors), identity-tested in
+    tests/test_boolean.py. Full-stream position contract as span_near."""
+    win = SPAN_SLOP + 1
+    ft = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+
+    def positions(term):
+        return F.filter(
+            F.transform(
+                ft, lambda x, i: F.when(x == term, i).otherwise(F.lit(None))
+            ),
+            lambda v: v.isNotNull(),
+        )
+
+    pa, pb = positions(SPAN_A), positions(SPAN_B)
+    n_clean = F.size(
+        F.filter(
+            pa, lambda p0: ~F.exists(pb, lambda p1: F.abs(p1 - p0) <= win)
+        )
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", n_clean.cast("long").alias("n_clean"))
+        .filter(F.col("n_clean") > 0)
+        .orderBy(F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+O_SPAN_NOT = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ft
+           FROM documents),
+p AS (SELECT doc_id,
+        list_filter(range(1, len(ft) + 1), i -> ft[i] = '{SPAN_A}') AS pa,
+        list_filter(range(1, len(ft) + 1), i -> ft[i] = '{SPAN_B}') AS pb
+      FROM t),
+s AS (SELECT doc_id,
+        len(list_filter(pa, p0 ->
+          len(list_filter(pb, p1 -> abs(p1 - p0) <= {SPAN_SLOP + 1})) = 0
+        ))::bigint AS n_clean
+      FROM p)
+SELECT doc_id, n_clean FROM s WHERE n_clean > 0 ORDER BY doc_id ASC LIMIT 20
+"""
+
+
+TOP_TFIDF_K = 3
+
+
+def q_top_tfidf_terms(spark, sf_dir):
+    """Per-doc top-{TOP_TFIDF_K} terms by tf·idf (keyword-extraction
+    lite; idf = ln(N/df)): rank key = 6dp-rounded weight then term asc.
+    Plan: (doc,term) agg + term df agg + broadcast scalar N + a
+    per-doc window that compiles to WindowGroupLimit (rank pushed
+    below the sort)."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = F.round(
+        F.col("tf").cast("double") * F.log(F.lit(float(n)) / F.col("df")), 6
+    )
+    ranked = (
+        tf.join(df_, "term")
+        .select("doc_id", "term", w.alias("weight"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.desc("weight"), F.asc("term")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= TOP_TFIDF_K)
+    )
+    return ranked.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"), "term", "weight"
+    )
+
+
+O_TOP_TFIDF_TERMS = f"""
+WITH {TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
+dfm AS (SELECT term, count(*)::bigint AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::double AS n FROM documents),
+w AS (SELECT doc_id, term,
+             round(tf::double * ln(n / df), 6) AS weight,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY round(tf::double * ln(n / df), 6) DESC,
+                                         term ASC) AS rank
+      FROM tf JOIN dfm USING (term), n)
+SELECT doc_id, rank::bigint AS rank, term, weight
+FROM w WHERE rank <= {TOP_TFIDF_K}
+"""
+
+
+OOV_VOCAB = 1000
+
+
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per doc against the top-{OOV_VOCAB}
+    corpus terms by cf (the vocab-coverage audit run before fixing a
+    tokenizer vocab): oov_frac = tokens outside the vocab / dl. Plan:
+    the vocab is a broadcast LEFT-join side (bounded top-k); the corpus
+    tokenizes once."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    t = _docs(spark, sf_dir).select("doc_id", F.explode(toks).alias("term"))
+    vocab = (
+        t.groupBy("term")
+        .agg(F.count("*").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(OOV_VOCAB)
+        .select("term", F.lit(1).alias("_inv"))
+    )
+    agg = (
+        t.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dl"),
+            F.count_if(F.col("_inv").isNull()).alias("oov"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        F.col("dl").cast("long").alias("dl"),
+        F.col("oov").cast("long").alias("oov"),
+        F.round(F.col("oov").cast("double") / F.col("dl"), 6).alias(
+            "oov_frac"
+        ),
+    )
+
+
+O_OOV_RATE = f"""
+WITH {TOKS_CTE},
+cf AS (SELECT term, count(*)::bigint AS cf FROM toks GROUP BY term),
+v AS (SELECT term FROM cf ORDER BY cf DESC, term ASC LIMIT {OOV_VOCAB}),
+j AS (SELECT t.doc_id, (v.term IS NULL)::int AS is_oov
+      FROM toks t LEFT JOIN v ON t.term = v.term)
+SELECT doc_id, count(*)::bigint AS dl, sum(is_oov)::bigint AS oov,
+       round(sum(is_oov)::double / count(*), 6) AS oov_frac
+FROM j GROUP BY doc_id
+"""
+
+
 HL_W = 10  # highlight window width (tokens)
 
 
@@ -6334,6 +6485,9 @@ REGISTRY: dict[str, tuple] = {
     "dedup_rate_by_source": (q_dedup_rate_by_source, O_DEDUP_RATE_BY_SOURCE),
     "label_centroids": (q_label_centroids, O_LABEL_CENTROIDS),
     "highlight": (q_highlight, O_HIGHLIGHT),
+    "span_not_search": (q_span_not, O_SPAN_NOT),
+    "top_tfidf_terms": (q_top_tfidf_terms, O_TOP_TFIDF_TERMS),
+    "oov_rate": (q_oov_rate, O_OOV_RATE),
     "media_frame_plan": (q_media_frame_plan, O_MEDIA_FRAME_PLAN),
     "term_positions": (q_term_positions, O_TERM_POSITIONS),
     "replay": (q_replay, O_REPLAY),
@@ -6391,6 +6545,7 @@ _DRIVER_ORDER = [
     # --- never externally verified (err or unreached), cheapest-first ---
     "ann_lsh_topk", "media_features", "media_jpeg_sof", "readability", "token_entropy", "burstiness",
     "span_first_search", "jaccard_topk", "dedup_rate_by_source", "label_centroids", "highlight",
+    "span_not_search", "top_tfidf_terms", "oov_rate",
     "rolling_stats", "sorted_by_field", "repetition_features", "corpus_profile",
     "facet_counts", "chunk_documents", "resample_weighted", "pack_sequences", "funnel_steps", "term_positions",
     "asof_join", "facet_ranges", "kwic", "lm_perplexity", "kea_features", "select_features",

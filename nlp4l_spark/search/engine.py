@@ -1095,6 +1095,46 @@ class Searcher:
             .limit(k)
         )
 
+    def search_span_not(
+        self, include: str, exclude: str, slop: int = 0, k: int = 10
+    ) -> DataFrame:
+        """Lucene SpanNotQuery (two term spans): positions of ``include``
+        with NO ``exclude`` position within ``slop`` intervening tokens
+        (either side — Lucene's pre/post default of 0 widened
+        symmetrically by slop). Docs with no ``exclude`` at all keep
+        every include position. Constant-score candidate retrieval
+        (docID asc) with ``n_clean`` = surviving include positions.
+        Plan: two pushed-equality term_vectors reads, LEFT join (df-sized
+        frames), per-doc list filter."""
+        a = self.analyzer.tokenize(include)
+        b = self.analyzer.tokenize(exclude)
+        if len(a) != 1 or len(b) != 1:
+            raise ValueError("span_not clauses must analyze to one term each")
+        if not self.cat.is_committed("term_vectors"):
+            raise ValueError(
+                "span_not needs term_vectors "
+                "(IndexBuilder(store_term_vectors=True))"
+            )
+        tv = self.cat.read(self.spark, "term_vectors")
+        pa = tv.filter(F.col("term") == a[0]).select(
+            "doc_id", F.col("positions").alias("_pa")
+        )
+        pb = tv.filter(F.col("term") == b[0]).select(
+            "doc_id", F.col("positions").alias("_pb")
+        )
+        win = int(slop) + 1
+        clean = lambda p0: F.col("_pb").isNull() | ~F.exists(
+            F.col("_pb"), lambda p1: F.abs(p1 - p0) <= win
+        )
+        n_clean = F.size(F.filter(F.col("_pa"), clean))
+        return (
+            self._not_deleted(pa.join(pb, "doc_id", "left"))
+            .select("doc_id", n_clean.cast("long").alias("n_clean"))
+            .filter(F.col("n_clean") > 0)
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_synonym(
         self, groups: list[list[str]], k: int = 10
     ) -> DataFrame:

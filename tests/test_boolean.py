@@ -401,6 +401,28 @@ def test_span_near(spark, tmp_path):
     # positions are FULL-stream ('the' is a stopword hole, still counted)
     assert allw[0] == 3
 
+    # SpanNotQuery: 'merge' positions with no 'join' within slop 0
+    # (adjacent kills). doc 0: merge@0, join@3 -> |3-0|=3 > 1, clean.
+    # doc 1: merge@0, join@1 adjacent -> excluded. doc 2: join@0 merge@1
+    # adjacent -> excluded. doc 3: merge@0, join@4 -> clean.
+    notq = {
+        r["doc_id"]: r["n_clean"]
+        for r in s.search_span_not("merge", "join", slop=0).collect()
+    }
+    assert notq == {0: 1, 3: 1}
+    # slop=2 excludes doc 0 too (|3-0| <= 3) but not doc 3 (|4-0| > 3)
+    wide_not = {
+        r["doc_id"]: r["n_clean"]
+        for r in s.search_span_not("merge", "join", slop=2).collect()
+    }
+    assert wide_not == {3: 1}
+    # docs with no exclude term at all keep every include position
+    none = {
+        r["doc_id"]: r["n_clean"]
+        for r in s.search_span_not("merge", "zzznothere", slop=0).collect()
+    }
+    assert none == {0: 1, 1: 1, 2: 1, 3: 1}
+
 
 def test_bm25f_single_field_matches_oracle(spark):
     from nlp4l_spark.oracle import OracleIndex

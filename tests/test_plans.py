@@ -59,7 +59,27 @@ JVM_ONLY = [
     "span_first_search",
     # highlighting: the per-row window argmax is one HOF scan
     "highlight",
+    # span-not: one HOF scan (corpus twin)
+    "span_not_search",
 ]
+
+
+def test_top_tfidf_terms_plan(spark):
+    """Per-doc top-k tfidf: the per-doc rank window must compile to
+    WindowGroupLimit (k rows per doc survive the shuffle, not the full
+    (doc, term) matrix); no Python stages."""
+    plan = _plan(eq.REGISTRY["top_tfidf_terms"][0](spark, SF))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_oov_vocab_side_is_broadcast(spark):
+    """OOV rate: the top-k vocab is the broadcast side; the tokenized
+    corpus is never shuffled for the membership join."""
+    plan = _plan(eq.REGISTRY["oov_rate"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, "corpus side got shuffled for the join"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_jaccard_query_side_is_broadcast(spark):
