@@ -3103,15 +3103,17 @@ def q_highlight(spark, sf_dir):
     starts = F.sequence(
         F.lit(0), F.greatest(F.size("_ft") - HL_W, F.lit(0))
     )
-    best = F.aggregate(
-        starts,
-        F.struct(
-            F.lit(-1).alias("score"), F.lit(0).alias("s")
-        ),
-        lambda acc, s: F.when(
-            win_score(s) > acc["score"],
-            F.struct(win_score(s).alias("score"), s.alias("s")),
-        ).otherwise(acc),
+    # single evaluation per window: score each start once, then one
+    # struct array_max — (score asc, -s asc) ordering == max score,
+    # earliest start on ties
+    best_ns = F.array_max(
+        F.transform(
+            starts,
+            lambda s: F.struct(win_score(s).alias("score"), (-s).alias("ns")),
+        )
+    )
+    best = F.struct(
+        best_ns["score"].alias("score"), (-best_ns["ns"]).alias("s")
     )
     qarr = F.array(*[F.lit(t) for t in BM25_TERMS])
     snippet = F.concat_ws(
@@ -6534,31 +6536,46 @@ REGISTRY: dict[str, tuple] = {
 
 # Driver-facing order: the external correctness gate walks the registry
 # front-to-back under a ~50-query budget per round. Round-3 rotation
-# (VERDICT.md r2 #1): the 70 queries with NO green external CORRECTNESS
+# (VERDICT.md r2 #1): the 87 queries with NO green external CORRECTNESS
 # row yet come FIRST — led by ann_lsh_topk and media_features (the only
 # two whose last driver record was `err: no_oracle`, round 1; both have
-# real oracles since round 2) — cheapest-first (measured sf0.01 /
-# BENCH_r02). The 79 already-green queries follow (round-1/2 order kept
-# within the block), and the 5 rows-only entries (trained models /
-# iterative algorithms / Python alignment) sit at the tail.
+# real oracles since round 2), then the surfaces the round-2 judge named
+# (similarity family, rescore, boolean-tree, KEA, LTR, dedup-spans, ANN
+# PQ/SQ, more_like_this, rm3, facets), then the new round-3 queries —
+# see the in-list priority note. The 79 already-green queries follow
+# (round-1/2 order kept within the block), and the 5 rows-only entries
+# (trained models / iterative algorithms / Python alignment) sit at the
+# tail.
 _DRIVER_ORDER = [
-    # --- never externally verified (err or unreached), cheapest-first ---
-    "ann_lsh_topk", "media_features", "media_jpeg_sof", "readability", "token_entropy", "burstiness",
-    "span_first_search", "jaccard_topk", "dedup_rate_by_source", "label_centroids", "highlight",
-    "span_not_search", "top_tfidf_terms", "oov_rate",
+    # --- never externally verified (err or unreached), 87 entries ---
+    # Priority within the block (the external gate's budget is ~50
+    # queries/round, so position IS the verification decision):
+    # 1) the two round-1 err-record queries; 2) the surfaces VERDICT r2
+    # called out by name (similarity family, rescore, boolean-tree, KEA,
+    # LTR, dedup-spans, ANN PQ/SQ, more_like_this, rm3, facets);
+    # 3) the new round-3 queries (cheap); 4) the remaining unreached,
+    # cheapest-first; expensive closure/iteration queries last.
+    "ann_lsh_topk", "media_features",
+    "synonym_topk", "lmd_topk", "lmjm_topk", "classic_topk", "dfr_topk", "f2exp_topk",
+    "dismax_topk", "bm25f_topk", "bm25_msm_topk", "boolean_tree_topk", "multi_phrase_topk", "sloppy_phrase_topk",
+    "passage_topk", "index_phrase_topk", "span_near_search", "rescore_topk", "search_after_page2", "more_like_this",
+    "rm3_topk", "facet_counts", "facet_ranges", "collapse_topk", "function_score_topk", "regexp_search",
+    "filtered_bm25_topk", "hybrid_rrf_topk", "combsum_topk", "mmr_rerank",
+    "kea_features", "kea_bigrams", "kea_top_keyphrases",
+    "ltr_features", "ltr_pairwise", "rank_eval",
+    "ann_pq_topk", "ann_sq_topk", "ann_ivfsq_topk",
+    "dedup_spans", "dedup_span_excise", "semantic_dedup",
+    "media_jpeg_sof", "readability", "token_entropy", "burstiness", "span_first_search", "jaccard_topk",
+    "dedup_rate_by_source", "highlight",
+    # --- position > 50: next round's front ---
+    "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount",
     "rolling_stats", "sorted_by_field", "repetition_features", "corpus_profile",
-    "facet_counts", "chunk_documents", "resample_weighted", "pack_sequences", "funnel_steps", "term_positions",
-    "asof_join", "facet_ranges", "kwic", "lm_perplexity", "kea_features", "select_features",
-    "tf_vectors", "zipf_fit", "mmr_rerank", "dict_match", "bpe_pair_counts", "replay",
-    "filtered_bm25_topk", "bigram_lm_score", "index_phrase_topk", "kea_bigrams", "passage_topk", "sloppy_phrase_topk",
-    "contamination_pairs", "dfr_topk", "classic_topk", "bm25f_topk", "f2exp_topk", "boolean_tree_topk",
-    "function_score_topk", "ltr_features", "lmjm_topk", "bm25_msm_topk", "multi_phrase_topk", "lmd_topk",
-    "synonym_topk", "regexp_search", "collapse_topk", "ltr_pairwise", "bpe_merges", "collocations",
-    "hybrid_rrf_topk", "semantic_dedup", "ann_pq_topk", "rank_eval", "term_dispersion", "more_like_this",
-    "dismax_topk", "kea_top_keyphrases", "span_near_search", "rm3_topk", "significant_terms", "search_after_page2",
-    "dsir_weights", "ccnet_buckets", "combsum_topk", "rescore_topk", "dedup_span_excise", "ann_sq_topk",
-    "ann_ivfsq_topk", "uax29_wordcount",
-    "dedup_keep_best", "dedup_clusters", "dedup_spans", "textrank",
+    "chunk_documents", "resample_weighted", "pack_sequences", "funnel_steps", "term_positions",
+    "asof_join", "kwic", "lm_perplexity", "select_features",
+    "tf_vectors", "zipf_fit", "dict_match", "bpe_pair_counts", "replay",
+    "bigram_lm_score", "contamination_pairs", "bpe_merges", "collocations",
+    "term_dispersion", "significant_terms", "dsir_weights", "ccnet_buckets",
+    "dedup_keep_best", "dedup_clusters", "textrank",
     # --- green external CORRECTNESS row in round 1 or 2 ---
     "sort_paging", "fingerprint",
     "label_map", "lang_id", "rate_to_label", "stop_filter", "props_parse", "stats_moments",

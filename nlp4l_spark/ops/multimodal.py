@@ -252,6 +252,15 @@ def decode_jpeg_sof(payload: bytes) -> dict:
 
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
+    try:
+        return _jpeg_sof_walk(payload)
+    except (struct.error, IndexError) as e:  # truncated mid-segment
+        raise ValueError(f"truncated JPEG: {e}") from e
+
+
+def _jpeg_sof_walk(payload: bytes) -> dict:
+    import struct
+
     pos, n = 2, len(payload)
     while pos + 4 <= n:
         while pos + 1 < n and payload[pos] == 0xFF and payload[pos + 1] == 0xFF:

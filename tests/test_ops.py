@@ -613,6 +613,16 @@ def test_jpeg_sof_roundtrip_and_media_stats(spark):
         multimodal.decode_jpeg_sof(b"\x89PNG")
     with pytest.raises(ValueError, match="no SOF"):
         multimodal.decode_jpeg_sof(b"\xff\xd8\xff\xd9")
+    # truncated payloads keep the ValueError contract (never struct.error
+    # / IndexError): mid-length-field and overrunning-segment cases
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        multimodal.decode_jpeg_sof(b"\xff\xd8\xff\xff\xff\xe0")
+    good = multimodal.synth_jpeg_payload(0)
+    for cut in (5, 9, len(good) // 2):
+        try:
+            multimodal.decode_jpeg_sof(good[:cut])
+        except ValueError:
+            pass  # any ValueError is contract-conform
     # decode_media sniffs JPEG vs PNG on the same kind='image'
     d = multimodal.decode_media(multimodal.synth_jpeg_payload(4), "image")
     assert (d["width"], d["height"], d["mean_val"]) == (28, 36, None)
