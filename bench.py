@@ -153,6 +153,7 @@ EXTRA_QUERIES = [
     "span_not_search",
     "top_tfidf_terms",
     "oov_rate",
+    "retention_cohorts",
 ]
 
 

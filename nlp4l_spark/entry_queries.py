@@ -2931,6 +2931,51 @@ ORDER BY jaccard DESC, doc_id ASC LIMIT {JACCARD_K}
 """
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts over the events table (the engagement
+    report every analytics stack ships): cohort = user's first active
+    epoch-week, n_users retained per (cohort_week, week_offset). Plan:
+    one user agg + one user join + one distinct agg — three keyed
+    shuffles, no window. Week = floor(epoch_seconds / 604800) on both
+    engines (the floor(epoch(ts)) parity convention)."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.floor(sec / 604800).cast("long").alias("week"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+O_RETENTION_COHORTS = """
+WITH e AS (SELECT user_id,
+                  floor(floor(epoch(ts))::bigint / 604800)::bigint AS week
+           FROM events),
+f AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+d AS (SELECT DISTINCT cohort_week, week - cohort_week AS week_offset,
+                      user_id
+      FROM e JOIN f USING (user_id))
+SELECT cohort_week, week_offset, count(*)::bigint AS n_users
+FROM d GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_span_not(spark, sf_dir):
     """Lucene SpanNotQuery: '{SPAN_A}' positions with NO '{SPAN_B}'
     within {SPAN_SLOP} intervening tokens either side; docs with at
@@ -6490,6 +6535,7 @@ REGISTRY: dict[str, tuple] = {
     "span_not_search": (q_span_not, O_SPAN_NOT),
     "top_tfidf_terms": (q_top_tfidf_terms, O_TOP_TFIDF_TERMS),
     "oov_rate": (q_oov_rate, O_OOV_RATE),
+    "retention_cohorts": (q_retention_cohorts, O_RETENTION_COHORTS),
     "media_frame_plan": (q_media_frame_plan, O_MEDIA_FRAME_PLAN),
     "term_positions": (q_term_positions, O_TERM_POSITIONS),
     "replay": (q_replay, O_REPLAY),
@@ -6547,7 +6593,7 @@ REGISTRY: dict[str, tuple] = {
 # (trained models / iterative algorithms / Python alignment) sit at the
 # tail.
 _DRIVER_ORDER = [
-    # --- never externally verified (err or unreached), 87 entries ---
+    # --- never externally verified (err or unreached), 88 entries ---
     # Priority within the block (the external gate's budget is ~50
     # queries/round, so position IS the verification decision):
     # 1) the two round-1 err-record queries; 2) the surfaces VERDICT r2
@@ -6568,7 +6614,7 @@ _DRIVER_ORDER = [
     "media_jpeg_sof", "readability", "token_entropy", "burstiness", "span_first_search", "jaccard_topk",
     "dedup_rate_by_source", "highlight",
     # --- position > 50: next round's front ---
-    "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount",
+    "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "rolling_stats", "sorted_by_field", "repetition_features", "corpus_profile",
     "chunk_documents", "resample_weighted", "pack_sequences", "funnel_steps", "term_positions",
     "asof_join", "kwic", "lm_perplexity", "select_features",
