@@ -154,6 +154,7 @@ EXTRA_QUERIES = [
     "top_tfidf_terms",
     "oov_rate",
     "retention_cohorts",
+    "conversation_stats",
 ]
 
 

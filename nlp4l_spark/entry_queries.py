@@ -2931,6 +2931,66 @@ ORDER BY jaccard DESC, doc_id ASC LIMIT {JACCARD_K}
 """
 
 
+def q_conversation_stats(spark, sf_dir):
+    """Per-conversation profile of the transcripts payload (the triage
+    table an SFT pipeline reads before filtering): turn count, user-turn
+    count, role-alternation rate over adjacent pairs, mean tokens per
+    turn. One lag window + one conv agg — a single keyed shuffle."""
+    ft = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("role").over(w)
+    t = (
+        _chat_turns(spark, sf_dir)
+        .select("conv_id", "turn_idx", "role", F.size(ft).alias("toks"))
+        .withColumn(
+            "chg",
+            F.when(prev.isNull(), F.lit(None)).otherwise(
+                (F.col("role") != prev).cast("int")
+            ),
+        )
+    )
+    agg = t.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.count_if(F.col("role") == "user").alias("n_user"),
+        F.sum("chg").alias("alt"),
+        F.sum("toks").alias("total_toks"),
+    )
+    return (
+        agg.filter(F.col("n_turns") > 1)
+        .select(
+            F.col("conv_id").cast("long").alias("conv_id"),
+            F.col("n_turns").cast("long").alias("n_turns"),
+            F.col("n_user").cast("long").alias("n_user"),
+            F.round(
+                F.col("alt").cast("double") / (F.col("n_turns") - 1), 6
+            ).alias("alternation_rate"),
+            F.round(
+                F.col("total_toks").cast("double") / F.col("n_turns"), 6
+            ).alias("mean_turn_tokens"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+O_CONVERSATION_STATS = f"""
+WITH {CHAT_CTE},
+t AS (SELECT conv_id, turn_idx, role,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks,
+             lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+      FROM chat),
+a AS (SELECT conv_id, count(*)::bigint AS n_turns,
+             count(*) FILTER (role = 'user')::bigint AS n_user,
+             sum(CASE WHEN prev IS NULL THEN NULL
+                      WHEN role != prev THEN 1 ELSE 0 END) AS alt,
+             sum(toks)::bigint AS total_toks
+      FROM t GROUP BY conv_id)
+SELECT conv_id::bigint AS conv_id, n_turns, n_user,
+       round(alt::double / (n_turns - 1), 6) AS alternation_rate,
+       round(total_toks::double / n_turns, 6) AS mean_turn_tokens
+FROM a WHERE n_turns > 1 ORDER BY conv_id
+"""
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Weekly retention cohorts over the events table (the engagement
     report every analytics stack ships): cohort = user's first active
@@ -6536,6 +6596,7 @@ REGISTRY: dict[str, tuple] = {
     "top_tfidf_terms": (q_top_tfidf_terms, O_TOP_TFIDF_TERMS),
     "oov_rate": (q_oov_rate, O_OOV_RATE),
     "retention_cohorts": (q_retention_cohorts, O_RETENTION_COHORTS),
+    "conversation_stats": (q_conversation_stats, O_CONVERSATION_STATS),
     "media_frame_plan": (q_media_frame_plan, O_MEDIA_FRAME_PLAN),
     "term_positions": (q_term_positions, O_TERM_POSITIONS),
     "replay": (q_replay, O_REPLAY),
@@ -6593,7 +6654,7 @@ REGISTRY: dict[str, tuple] = {
 # (trained models / iterative algorithms / Python alignment) sit at the
 # tail.
 _DRIVER_ORDER = [
-    # --- never externally verified (err or unreached), 88 entries ---
+    # --- never externally verified (err or unreached), 89 entries ---
     # Priority within the block (the external gate's budget is ~50
     # queries/round, so position IS the verification decision):
     # 1) the two round-1 err-record queries; 2) the surfaces VERDICT r2
@@ -6615,6 +6676,7 @@ _DRIVER_ORDER = [
     "dedup_rate_by_source", "highlight",
     # --- position > 50: next round's front ---
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
+    "conversation_stats",
     "rolling_stats", "sorted_by_field", "repetition_features", "corpus_profile",
     "chunk_documents", "resample_weighted", "pack_sequences", "funnel_steps", "term_positions",
     "asof_join", "kwic", "lm_perplexity", "select_features",
