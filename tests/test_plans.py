@@ -61,6 +61,9 @@ JVM_ONLY = [
     "highlight",
     # span-not: one HOF scan (corpus twin)
     "span_not_search",
+    # events/chat reports: keyed window + agg, no Python
+    "retention_cohorts",
+    "conversation_stats",
 ]
 
 
