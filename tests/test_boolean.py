@@ -424,6 +424,71 @@ def test_span_near(spark, tmp_path):
     assert none == {0: 1, 1: 1, 2: 1, 3: 1}
 
 
+def test_span_queries_index_vs_corpus_identity(spark, tmp_path):
+    """The three span INDEX paths (term_vectors positions) must agree
+    with the corpus-twin expressions (raw full-stream regex positions)
+    on the real documents table — the identity the registry oracles
+    rely on (entry_queries cites it)."""
+    from nlp4l_spark import entry_queries as eq
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    df = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("u").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    d = str(tmp_path / "span_idx_docs")
+    IndexBuilder(
+        sort_cols=("conv_id", "turn_idx"), store_term_vectors=True
+    ).build(df, d)
+    s = Searcher(spark, d)
+    # doc_id in the index == position in conv_id order == original doc_id
+    # (conv_id is the stringified doc_id, zero-padded? no — string sort!)
+    # Map index doc_id -> original via stored conv_id instead.
+    stored = s.cat.read(spark, "stored").select("doc_id", "conv_id").collect()
+    to_orig = {r["doc_id"]: int(r["conv_id"]) for r in stored}
+
+    # span_near
+    want = {
+        r["doc_id"]: r["n_spans"]
+        for r in eq.REGISTRY["span_near_search"][0](spark, sf).collect()
+    }
+    got_rows = s.search_span_near(
+        eq.SPAN_A, eq.SPAN_B, slop=eq.SPAN_SLOP, k=10**6
+    ).collect()
+    got = {to_orig[r["doc_id"]]: r["n_spans"] for r in got_rows}
+    got = dict(sorted(got.items())[: len(want)])
+    assert got == want
+    # span_first
+    want = {
+        r["doc_id"]: (r["n_first"], r["first_pos"])
+        for r in eq.REGISTRY["span_first_search"][0](spark, sf).collect()
+    }
+    got_rows = s.search_span_first(
+        eq.SPANF_TERM, end=eq.SPANF_END, k=10**6
+    ).collect()
+    got = {
+        to_orig[r["doc_id"]]: (r["n_first"], r["first_pos"]) for r in got_rows
+    }
+    got = dict(sorted(got.items())[: len(want)])
+    assert got == want
+    # span_not
+    want = {
+        r["doc_id"]: r["n_clean"]
+        for r in eq.REGISTRY["span_not_search"][0](spark, sf).collect()
+    }
+    got_rows = s.search_span_not(
+        eq.SPAN_A, eq.SPAN_B, slop=eq.SPAN_SLOP, k=10**6
+    ).collect()
+    got = {to_orig[r["doc_id"]]: r["n_clean"] for r in got_rows}
+    got = dict(sorted(got.items())[: len(want)])
+    assert got == want
+
+
 def test_bm25f_single_field_matches_oracle(spark):
     from nlp4l_spark.oracle import OracleIndex
     from nlp4l_spark.search import bm25f_topk
