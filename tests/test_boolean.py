@@ -424,6 +424,47 @@ def test_span_near(spark, tmp_path):
     assert none == {0: 1, 1: 1, 2: 1, 3: 1}
 
 
+def test_fuzzy_index_vs_corpus_identity(spark, tmp_path):
+    """search_fuzzy (Damerau expansion over term_stats, this round's
+    riskiest change) must agree with the corpus-twin registry query on
+    the same corpus: same top-k docs, same 6dp scores."""
+    from nlp4l_spark import entry_queries as eq
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    df = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("u").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    d = str(tmp_path / "fuzzy_idx_docs")
+    IndexBuilder(sort_cols=("conv_id", "turn_idx")).build(df, d)
+    s = Searcher(spark, d)
+    stored = s.cat.read(spark, "stored").select("doc_id", "conv_id").collect()
+    to_orig = {r["doc_id"]: int(r["conv_id"]) for r in stored}
+
+    want = [
+        (r[0], round(r[1], 6))
+        for r in eq.REGISTRY["fuzzy_bm25_topk"][0](spark, sf).collect()
+    ]
+    got = [
+        (to_orig[r["doc_id"]], round(r["score"], 6))
+        for r in s.search_fuzzy(eq.FUZZY_TERM, k=len(want)).collect()
+    ]
+    # both rank by score desc; tie order may differ across id spaces, so
+    # compare as score-sorted multisets with per-score id sets
+    def by_score(rows):
+        m = {}
+        for i, sc in rows:
+            m.setdefault(sc, set()).add(i)
+        return m
+
+    assert by_score(got) == by_score(want), (got, want)
+
+
 def test_span_queries_index_vs_corpus_identity(spark, tmp_path):
     """The three span INDEX paths (term_vectors positions) must agree
     with the corpus-twin expressions (raw full-stream regex positions)
