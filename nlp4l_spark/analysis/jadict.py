@@ -1,0 +1,324 @@
+"""Dictionary-based Japanese analysis: JaUserDictionaryProcessor semantics.
+
+Reference (what, not how): ``JaUserDictionaryProcessor``
+(/root/reference/app/org/nlp4l/framework/builtin/FeaturedProcessors.scala:302-342)
+runs Lucene's ``JapaneseAnalyzer`` with a Kuromoji **user dictionary**
+(``UserDictionary.open``): user entries give a surface form, its custom
+segmentation, per-segment readings, and a POS tag; Kuromoji injects them
+into the lattice at low cost so they dominate segmentation wherever the
+surface occurs. The processor then emits, per input surface, the record
+``(surface, terms, readings, pos)`` with terms/readings space-joined and
+``NOREADING`` for tokens the dictionary has no reading for
+(FeaturedProcessors.scala:324-341, NOREADING at :263).
+
+This sandbox cannot host Kuromoji/IPADIC, so round 2 stood the operator
+in with dictionary-free CJK bigrams (``analysis/unicode.py``). This
+module upgrades the stand-in to REAL user-dictionary segmentation — the
+part of the reference operator that is user-observable — while keeping
+bigrams only as the fallback for text the dictionary does not cover
+(exactly Kuromoji's role split: user dict wins, built-in lattice covers
+the rest; our "rest" is the standard dictionary-free CJK-bigram scheme).
+
+Contract (identical across all four engines, in order):
+
+1.  lowercase
+2.  any literal U+241E in the input is replaced by a space (it is the
+    internal match marker; a symbol, never a word char, so this cannot
+    change word-run boundaries)
+3.  maximal CJK runs are space-isolated (as in UnicodeCJKAnalyzer)
+4.  ONE global regex pass replaces dictionary surfaces with the marked
+    form `` ␞surface ``. The pattern is the alternation of all
+    surfaces sorted longest-first; Python re, Java regex and RE2 all
+    scan leftmost and try alternatives in written order, so the pass is
+    leftmost-longest over dictionary entries in every engine, and a
+    consumed match is never re-matched (single pass — unlike a chain of
+    per-surface replaces, segments may freely contain other surfaces)
+5.  word runs are extracted as maximal ``[␞\p{L}\p{N}]+`` runs
+6.  per token: a marker-prefixed token is a dictionary hit and expands
+    to its dictionary segments; an unmarked CJK run of length n>=2
+    emits its n-1 bigrams; everything else passes through
+7.  stopword filter (the reference builds JapaneseAnalyzer with
+    ``CharArraySet.EMPTY_SET`` — no stopwords — so the module-level
+    instances default to none)
+
+Deviations vs Kuromoji (documented): outside user entries segmentation
+is bigram-based, not lattice/IPADIC (no dictionary data in-sandbox);
+overlapping user entries resolve leftmost-then-longest rather than by
+Viterbi cost (identical whenever entries don't overlap, the common
+case). ``token_stream`` gives exact character offsets: Lucene's
+UserDictionary requires the segmentation to concatenate to the surface,
+which we validate at construction, so segment offsets are cumulative
+slices of the match span.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, functions as F
+
+from nlp4l_spark.analysis.unicode import (
+    CJK_CLASS,
+    _CJK_ONLY,
+    _WORD_RUN,
+    UnicodeCJKAnalyzer,
+)
+
+#: Kuromoji UserDictionary's default POS for user entries, and the
+#: reference processor's `pos` default (FeaturedProcessors.scala:298).
+DEFAULT_POS = "カスタム名詞"
+#: FeaturedProcessors.scala:263
+NOREADING = "NOREADING"
+
+# U+241E SYMBOL FOR RECORD SEPARATOR: not a letter/number in any of the
+# three regex engines, so it can only enter a word run where WE put it.
+MARK = "␞"
+
+
+@dataclass(frozen=True)
+class JaUserDictEntry:
+    """One user-dictionary line: ``surface,seg1 seg2 …,read1 read2 …``
+    (the Kuromoji userdict CSV shape, e.g.
+    ``関西国際空港,関西 国際 空港,カンサイ コクサイ クウコウ,カスタム名詞``)."""
+
+    surface: str
+    segments: tuple[str, ...]
+    readings: tuple[str, ...] = ()
+
+    @staticmethod
+    def parse(line: str) -> "JaUserDictEntry":
+        """Parse one Kuromoji userdict CSV line (surface, space-joined
+        segmentation, space-joined readings, pos — pos ignored here, it
+        rides on the processor)."""
+        parts = [p.strip() for p in line.split(",")]
+        if len(parts) < 2:
+            raise ValueError(f"userdict line needs surface,segments: {line!r}")
+        surface = parts[0]
+        segments = tuple(parts[1].split())
+        readings = tuple(parts[2].split()) if len(parts) > 2 and parts[2] else ()
+        return JaUserDictEntry(surface, segments, readings)
+
+
+@dataclass(frozen=True)
+class JaUserDictAnalyzer(UnicodeCJKAnalyzer):
+    """UnicodeCJKAnalyzer + user-dictionary segmentation (see module doc).
+
+    ``entries`` is a tuple of JaUserDictEntry. Validated here (mirrors
+    Lucene UserDictionary.open's checks):
+
+    * surfaces are unique, non-empty, and CJK-only (the marker scheme
+      and the run-splitting step both rely on this)
+    * the segmentation concatenates exactly to the surface (Lucene
+      requires this too — it is what makes offsets well-defined)
+    * readings, when given, are one per segment
+    """
+
+    entries: tuple[JaUserDictEntry, ...] = field(default_factory=tuple)
+
+    def __post_init__(self) -> None:
+        seen: set[str] = set()
+        for e in self.entries:
+            if not e.surface or not _CJK_ONLY.match(e.surface):
+                raise ValueError(
+                    f"userdict surface must be non-empty CJK: {e.surface!r}"
+                )
+            if e.surface in seen:
+                raise ValueError(f"duplicate userdict surface: {e.surface!r}")
+            seen.add(e.surface)
+            if not e.segments or "".join(e.segments) != e.surface:
+                raise ValueError(
+                    f"segmentation must concatenate to the surface "
+                    f"(Lucene UserDictionary contract): {e.surface!r} "
+                    f"vs {e.segments!r}"
+                )
+            if e.readings and len(e.readings) != len(e.segments):
+                raise ValueError(
+                    f"{e.surface!r}: {len(e.readings)} readings for "
+                    f"{len(e.segments)} segments"
+                )
+
+    # ---- shared pieces -------------------------------------------------
+    def _surfaces_longest_first(self) -> list[str]:
+        return sorted((e.surface for e in self.entries), key=lambda s: (-len(s), s))
+
+    def _dict_pattern(self) -> str:
+        """Alternation of surfaces, longest-first (leftmost-longest under
+        first-preference alternation — identical in re/Java/RE2).
+        Surfaces are CJK-only, so no regex metacharacters to escape."""
+        return "(" + "|".join(self._surfaces_longest_first()) + ")"
+
+    def _segment_map(self) -> dict[str, tuple[str, ...]]:
+        return {e.surface: e.segments for e in self.entries}
+
+    def reading_map(self) -> dict[str, str]:
+        """segment term -> reading, for the processor's readings column.
+        A segment text carrying two different readings in two entries is
+        ambiguous at term level — rejected (keep the fixture dict clean)."""
+        out: dict[str, str] = {}
+        for e in self.entries:
+            reads = e.readings or tuple(NOREADING for _ in e.segments)
+            for seg, r in zip(e.segments, reads):
+                if out.setdefault(seg, r) != r:
+                    raise ValueError(
+                        f"segment {seg!r} has conflicting readings "
+                        f"{out[seg]!r} vs {r!r}"
+                    )
+        return out
+
+    # ---- Python engine -------------------------------------------------
+    def tokenize(self, text: str | None) -> list[str]:
+        if not text:
+            return []
+        if not self.entries:  # degenerate: plain CJK-bigram contract
+            return super().tokenize(text)
+        if self.lowercase:
+            text = text.lower()
+        text = text.replace(MARK, " ")
+        text = re.sub(f"([{CJK_CLASS}]+)", r" \1 ", text)
+        text = re.sub(self._dict_pattern(), f" {MARK}\\1 ", text)
+        segmap = self._segment_map()
+        out: list[str] = []
+        for tok in re.findall(f"(?:{MARK}|[^\\W_])+", text):
+            if tok.startswith(MARK):
+                out.extend(segmap[tok[1:]])
+            elif len(tok) > 1 and _CJK_ONLY.match(tok):
+                out.extend(tok[i : i + 2] for i in range(len(tok) - 1))
+            else:
+                out.append(tok)
+        if self.stopwords:
+            out = [t for t in out if t not in self.stopwords]
+        return out
+
+    # ---- Spark SQL engine (JVM; no Python on the scan) ------------------
+    def tokens_expr(self, col_sql: str) -> Column:
+        if not self.entries:
+            return super().tokens_expr(col_sql)
+        src = F.expr(f"lower({col_sql})") if self.lowercase else F.expr(col_sql)
+        src = F.replace(src, F.lit(MARK), F.lit(" "))
+        src = F.regexp_replace(src, F.lit(f"([{CJK_CLASS}]+)"), F.lit(" $1 "))
+        src = F.regexp_replace(src, F.lit(self._dict_pattern()), F.lit(f" {MARK}$1 "))
+        runs = F.regexp_extract_all(
+            src, F.lit(f"[{MARK}\\p{{L}}\\p{{N}}]+"), F.lit(0)
+        )
+        segmap = self._segment_map()
+        map_args: list[Column] = []
+        for s in self._surfaces_longest_first():
+            map_args.append(F.lit(s))
+            map_args.append(F.array(*[F.lit(g) for g in segmap[s]]))
+        seg_lookup = F.create_map(*map_args)
+        cjk = f"^[{CJK_CLASS}]+$"
+        bigrams = lambda t: F.transform(  # noqa: E731
+            F.sequence(F.lit(1), F.length(t) - 1),
+            lambda i: t.substr(i, F.lit(2)),
+        )
+        toks = F.flatten(
+            F.transform(
+                runs,
+                lambda t: F.when(
+                    F.startswith(t, F.lit(MARK)),
+                    F.element_at(seg_lookup, t.substr(F.lit(2), F.length(t))),
+                )
+                .when(t.rlike(cjk) & (F.length(t) > 1), bigrams(t))
+                .otherwise(F.array(t)),
+            )
+        )
+        return self._strip_stopwords(toks)
+
+    # ---- DuckDB oracle engine -------------------------------------------
+    def duckdb_tokens_sql(self, col_sql: str) -> str:
+        if not self.entries:
+            return super().duckdb_tokens_sql(col_sql)
+        src = f"lower({col_sql})" if self.lowercase else col_sql
+        src = f"replace({src}, '{MARK}', ' ')"
+        src = f"regexp_replace({src}, '([{CJK_CLASS}]+)', ' \\1 ', 'g')"
+        src = f"regexp_replace({src}, '{self._dict_pattern()}', ' {MARK}\\1 ', 'g')"
+        runs = f"regexp_extract_all({src}, '[{MARK}\\p{{L}}\\p{{N}}]+')"
+        segmap = self._segment_map()
+        whens = " ".join(
+            f"WHEN t = '{MARK}{s}' THEN "
+            + "["
+            + ", ".join(f"'{g}'" for g in segmap[s])
+            + "]"
+            for s in self._surfaces_longest_first()
+        )
+        expr = (
+            f"flatten(list_transform({runs}, t -> "
+            f"CASE {whens} "
+            f"WHEN regexp_matches(t, '^[{CJK_CLASS}]+$') AND len(t) > 1 "
+            f"THEN list_transform(range(1, len(t)), i -> substr(t, i::int, 2)) "
+            f"ELSE [t] END))"
+        )
+        if self.stopwords:
+            stoplist = ", ".join(f"'{w}'" for w in sorted(self.stopwords))
+            expr = f"list_filter({expr}, t -> t NOT IN ({stoplist}))"
+        return expr
+
+    # ---- token stream with positions/offsets ----------------------------
+    def token_stream(self, text: str | None) -> list[tuple[str, int, int, int]]:
+        """Positions over the full stream with stopword holes; offsets are
+        character offsets into the lowercased text (same caveats as the
+        parent). A dictionary hit at [s, e) emits its segments with
+        cumulative offsets — exact because concat(segments) == surface."""
+        if not text:
+            return []
+        if not self.entries:
+            return super().token_stream(text)
+        src = text.lower() if self.lowercase else text
+        dict_re = re.compile(self._dict_pattern())
+        segmap = self._segment_map()
+        out: list[tuple[str, int, int, int]] = []
+        pos = 0
+
+        def emit(term: str, start: int, end: int) -> None:
+            nonlocal pos
+            if not (self.stopwords and term in self.stopwords):
+                out.append((term, pos, start, end))
+            pos += 1
+
+        def emit_cjk_fallback(seg: str, base: int) -> None:
+            if not seg:
+                return
+            if len(seg) == 1:
+                emit(seg, base, base + 1)
+            else:
+                for k in range(len(seg) - 1):
+                    emit(seg[k : k + 2], base + k, base + k + 2)
+
+        sub = re.compile(f"[{CJK_CLASS}]+|[^{CJK_CLASS}]+")
+        for m in _WORD_RUN.finditer(src):
+            for sm in sub.finditer(m.group(0)):
+                seg, base = sm.group(0), m.start() + sm.start()
+                if not _CJK_ONLY.match(seg):
+                    emit(seg, base, base + len(seg))
+                    continue
+                # leftmost-longest dict scan inside the CJK run; gaps
+                # get the bigram fallback
+                cursor = 0
+                for dm in dict_re.finditer(seg):
+                    emit_cjk_fallback(seg[cursor : dm.start()], base + cursor)
+                    off = base + dm.start()
+                    for g in segmap[dm.group(0)]:
+                        emit(g, off, off + len(g))
+                        off += len(g)
+                    cursor = dm.end()
+                emit_cjk_fallback(seg[cursor:], base + cursor)
+        return out
+
+
+# The deterministic fixture dictionary used by tests / registry queries —
+# classic Kuromoji userdict examples (関西国際空港 is the canonical one
+# from Lucene's own userdict.txt), CSV-parsed through the same loader a
+# real user file would use.
+FIXTURE_USERDICT_CSV = [
+    "関西国際空港,関西 国際 空港,カンサイ コクサイ クウコウ,カスタム名詞",
+    "日本経済新聞,日本 経済 新聞,ニホン ケイザイ シンブン,カスタム名詞",
+    "東京大学,東京 大学,トウキョウ ダイガク,カスタム名詞",
+    "形態素解析,形態素 解析,ケイタイソ カイセキ,カスタム名詞",
+    "全文検索,全文 検索,ゼンブン ケンサク,カスタム名詞",
+]
+FIXTURE_ENTRIES = tuple(JaUserDictEntry.parse(l) for l in FIXTURE_USERDICT_CSV)
+
+#: Reference builds JapaneseAnalyzer with an EMPTY stop set
+#: (FeaturedProcessors.scala:304) — mirror that.
+JA_DICT_ANALYZER = JaUserDictAnalyzer(stopwords=frozenset(), entries=FIXTURE_ENTRIES)

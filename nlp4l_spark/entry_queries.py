@@ -3612,6 +3612,121 @@ ORDER BY cf DESC, term ASC LIMIT 30
 O_UNICODE_WORDCOUNT = _o_unicode_wordcount()
 
 
+# --------------------------------------------------------------------- #
+# Dictionary-based Japanese analysis (JaUserDictionaryProcessor,
+# FeaturedProcessors.scala:302-342 — real user-dictionary segmentation,
+# analysis/jadict.py; upgrades the round-2 bigram-only stand-in)
+# --------------------------------------------------------------------- #
+JA_SNIPPETS = [
+    "関西国際空港から東京大学へ移動した",
+    "日本経済新聞で全文検索の記事を読む",
+    "形態素解析は全文検索エンジンの基盤技術",
+    "東京大学の研究者が関西国際空港に到着",
+]
+
+
+def q_ja_dict_wordcount(spark, sf_dir):
+    """Wordcount through the user-dictionary Japanese analyzer
+    (JA_DICT_ANALYZER): the corpus augmented with Japanese snippets keyed
+    by doc_id, tokenized by the dictionary contract (leftmost-longest
+    user-entry match -> dictionary segments; CJK-bigram fallback
+    elsewhere), top-30 terms by cf. Green ONLY if the single-pass
+    alternation match + segment expansion behaves identically in Spark
+    (Java regex) and DuckDB (RE2): dictionary hits like 関西国際空港 must
+    count as 関西/国際/空港, never as bigrams."""
+    from nlp4l_spark.analysis.jadict import JA_DICT_ANALYZER
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    snip = F.element_at(
+        F.array(*[F.lit(s) for s in JA_SNIPPETS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    aug = docs.withColumn("text", F.concat_ws(" ", F.col("text"), snip))
+    toks = JA_DICT_ANALYZER.tokens_expr("text")
+    return (
+        aug.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(30)
+    )
+
+
+def _o_ja_dict_wordcount() -> str:
+    from nlp4l_spark.analysis.jadict import JA_DICT_ANALYZER
+
+    whens = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(JA_SNIPPETS)
+    )
+    aug = f"(text || ' ' || CASE doc_id % 4 {whens} END)"
+    tok = JA_DICT_ANALYZER.duckdb_tokens_sql("text")
+    return f"""
+WITH aug AS (SELECT doc_id, {aug} AS text FROM documents),
+toks AS (SELECT unnest({tok}) AS term FROM aug)
+SELECT term, count(*)::bigint AS cf FROM toks GROUP BY term
+ORDER BY cf DESC, term ASC LIMIT 30
+"""
+
+
+O_JA_DICT_WORDCOUNT = _o_ja_dict_wordcount()
+
+
+def q_ja_user_dict_records(spark, sf_dir):
+    """JaUserDictionaryProcessor end-to-end (generateRecord,
+    FeaturedProcessors.scala:324-341): surfaces sampled from the corpus
+    (every 97th doc picks a Japanese phrase by doc_id), the processor
+    emits (surface, terms, readings, pos) with terms/readings
+    space-joined and NOREADING where the dictionary has no reading —
+    one JVM scan, readings via a broadcast map literal (no join)."""
+    from nlp4l_spark.analysis.jadict import JA_DICT_ANALYZER
+    from nlp4l_spark.ops.processors import ja_user_dictionary
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 97 == 0)
+    surf = F.element_at(
+        F.array(*[F.lit(s) for s in JA_SNIPPETS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    src = docs.select("doc_id", surf.alias("ja_text"))
+    out = ja_user_dictionary(src, "ja_text", JA_DICT_ANALYZER)
+    return out.select("doc_id", "surface", "terms", "readings", "pos").orderBy(
+        "doc_id"
+    )
+
+
+def _o_ja_user_dict_records() -> str:
+    from nlp4l_spark.analysis.jadict import (
+        DEFAULT_POS,
+        JA_DICT_ANALYZER,
+        NOREADING,
+    )
+
+    whens = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(JA_SNIPPETS)
+    )
+    tok = JA_DICT_ANALYZER.duckdb_tokens_sql("ja_text")
+    rmap = JA_DICT_ANALYZER.reading_map()
+    rwhens = " ".join(
+        f"WHEN t = '{k}' THEN '{rmap[k]}'" for k in sorted(rmap)
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id, CASE doc_id % 4 {whens} END AS ja_text
+  FROM documents WHERE doc_id % 97 = 0
+),
+tokd AS (SELECT doc_id, ja_text, {tok} AS toks FROM src)
+SELECT doc_id, ja_text AS surface,
+       array_to_string(toks, ' ') AS terms,
+       array_to_string(
+         list_transform(toks, t -> CASE {rwhens} ELSE '{NOREADING}' END),
+         ' ') AS readings,
+       '{DEFAULT_POS}' AS pos
+FROM tokd ORDER BY doc_id
+"""
+
+
+O_JA_USER_DICT_RECORDS = _o_ja_user_dict_records()
+
+
 def _index_cache_dir(sf_dir: str) -> str:
     key = sf_dir.strip("/").replace("/", "_")
     return os.path.join(tempfile.gettempdir(), f"nlp4l_idx_{key}")
@@ -6620,6 +6735,8 @@ REGISTRY: dict[str, tuple] = {
     "tf_vectors": (q_tf_vectors, O_TF_VECTORS),
     "count_words": (q_count_words, O_COUNT_WORDS),
     "unicode_wordcount": (q_unicode_wordcount, O_UNICODE_WORDCOUNT),
+    "ja_dict_wordcount": (q_ja_dict_wordcount, O_JA_DICT_WORDCOUNT),
+    "ja_user_dict_records": (q_ja_user_dict_records, O_JA_USER_DICT_RECORDS),
     "ltr_pairwise": (q_ltr_pairwise, O_LTR_PAIRWISE),
     "dict_match": (q_dict_match, O_DICT_MATCH),
     "synonym_topk": (q_synonym_topk, O_SYNONYM_TOPK),
@@ -6675,6 +6792,7 @@ _DRIVER_ORDER = [
     "media_jpeg_sof", "readability", "token_entropy", "burstiness", "span_first_search", "jaccard_topk",
     "dedup_rate_by_source", "highlight",
     # --- position > 50: next round's front ---
+    "ja_dict_wordcount", "ja_user_dict_records",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",
     "rolling_stats", "sorted_by_field", "repetition_features", "corpus_profile",

@@ -281,3 +281,49 @@ def rolling_stats(
             "avg_win": F.round(F.avg(value_col).over(w), 6),
         }
     )
+
+
+def ja_user_dictionary(
+    df: DataFrame,
+    cellname: str,
+    analyzer,
+    pos: str = "カスタム名詞",
+) -> DataFrame:
+    """JaUserDictionaryProcessor (FeaturedProcessors.scala:302-342): for
+    every record's ``cellname`` surface string, run the Japanese analysis
+    chain and emit ``(surface, terms, readings, pos)`` — terms and
+    readings space-joined, ``NOREADING`` for tokens without a dictionary
+    reading (generateRecord, :324-341; NOREADING at :263).
+
+    ``analyzer`` is a :class:`~nlp4l_spark.analysis.jadict.JaUserDictAnalyzer`
+    (user-dictionary leftmost-longest segmentation + CJK-bigram fallback).
+    The whole op is ONE JVM scan: tokens via ``tokens_expr`` (regex +
+    array HOFs), readings via a broadcast-literal map lookup — dictionary
+    entries number in the thousands at most, so the map literal is the
+    right distribution strategy (no join, no shuffle). Other columns of
+    ``df`` ride through untouched (the reference emits only the four
+    record cells; we keep input columns so the op composes — select the
+    four to match the reference exactly)."""
+    from nlp4l_spark.analysis.jadict import NOREADING
+
+    toks = analyzer.tokens_expr(cellname)
+    rmap = analyzer.reading_map()
+    lookup = F.create_map(
+        *[c for k in sorted(rmap) for c in (F.lit(k), F.lit(rmap[k]))]
+    )
+    return df.withColumns(
+        {
+            "surface": F.col(cellname),
+            "terms": F.array_join(toks, " "),
+            "readings": F.array_join(
+                F.transform(
+                    toks,
+                    lambda t: F.coalesce(
+                        F.element_at(lookup, t), F.lit(NOREADING)
+                    ),
+                ),
+                " ",
+            ),
+            "pos": F.lit(pos),
+        }
+    )

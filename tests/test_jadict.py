@@ -1,0 +1,222 @@
+"""User-dictionary Japanese analysis (analysis/jadict.py): 4-engine
+identity, leftmost-longest match semantics, token_stream offsets, the
+Lucene UserDictionary construction contract, and the
+JaUserDictionaryProcessor record shape (generateRecord,
+/root/reference/app/org/nlp4l/framework/builtin/FeaturedProcessors.scala:324-341).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from nlp4l_spark.analysis.jadict import (
+    DEFAULT_POS,
+    FIXTURE_ENTRIES,
+    JA_DICT_ANALYZER,
+    NOREADING,
+    JaUserDictAnalyzer,
+    JaUserDictEntry,
+)
+
+A = JA_DICT_ANALYZER
+
+# alphabet deliberately heavy in dictionary-surface characters so random
+# strings produce partial/adjacent/overlapping near-matches
+JA_ALPHABET = list(
+    "関西国際空港日本経済新聞東京大学形態素解析全文検索 "
+    "abcXYZ012、。スパークテスト漢字ですが･-"
+)
+
+
+def _random_ja_texts(n: int, seed: int) -> list[str]:
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        length = int(rng.randint(0, 60))
+        out.append("".join(rng.choice(JA_ALPHABET, size=length)))
+    out += [
+        "",
+        "関西国際空港",
+        "全文検索形態素解析",  # adjacent hits
+        "東京大学院",  # hit is a prefix of a longer run
+        "日本日本経済新聞日本",  # hit shadowed/bracketed by partial copies
+        "abc漢字mix 関西国際空港 test",
+        "␞injection 検索",  # literal marker char in input
+    ]
+    return out
+
+
+# ---- segmentation semantics ---------------------------------------------
+
+
+def test_dictionary_hits_segment_not_bigram():
+    assert A.tokenize("関西国際空港") == ["関西", "国際", "空港"]
+    assert A.tokenize("日本経済新聞を読む") == [
+        "日本", "経済", "新聞", "を読", "読む",
+    ]
+
+
+def test_leftmost_longest():
+    # adjacent entries both match, in order
+    assert A.tokenize("全文検索形態素解析") == ["全文", "検索", "形態素", "解析"]
+    # the hit wins at its position; the remainder falls back to bigrams
+    assert A.tokenize("東京大学院") == ["東京", "大学", "院"]
+    # unmatched copies of a hit's prefix around the hit stay bigrams
+    assert A.tokenize("日本日本経済新聞日本") == [
+        "日本", "日本", "経済", "新聞", "日本",
+    ]
+
+
+def test_marker_injection_is_inert():
+    # a literal U+241E in the input cannot fake a dictionary hit
+    assert A.tokenize("␞関西国際空港") == ["関西", "国際", "空港"]
+    assert A.tokenize("a␞b") == ["a", "b"]
+
+
+def test_non_cjk_passthrough_matches_parent():
+    from nlp4l_spark.analysis.unicode import UNICODE_CJK_ANALYZER
+
+    plain = JaUserDictAnalyzer(stopwords=frozenset(), entries=FIXTURE_ENTRIES)
+    for t in ["hello world 123", "café naïve", "Москва тест", ""]:
+        assert plain.tokenize(t) == UNICODE_CJK_ANALYZER.tokenize(t)
+
+
+def test_empty_dictionary_degenerates_to_bigrams():
+    from nlp4l_spark.analysis.unicode import UnicodeCJKAnalyzer
+
+    empty = JaUserDictAnalyzer(stopwords=frozenset())
+    parent = UnicodeCJKAnalyzer(stopwords=frozenset())
+    for t in _random_ja_texts(30, seed=5):
+        assert empty.tokenize(t) == parent.tokenize(t)
+
+
+# ---- construction contract (Lucene UserDictionary validation) -----------
+
+
+def test_validation_rejects_bad_entries():
+    with pytest.raises(ValueError, match="CJK"):
+        JaUserDictAnalyzer(entries=(JaUserDictEntry("abc", ("abc",)),))
+    with pytest.raises(ValueError, match="concatenate"):
+        JaUserDictAnalyzer(entries=(JaUserDictEntry("東京大学", ("東京", "大")),))
+    with pytest.raises(ValueError, match="duplicate"):
+        JaUserDictAnalyzer(
+            entries=(
+                JaUserDictEntry("東京", ("東京",)),
+                JaUserDictEntry("東京", ("東京",)),
+            )
+        )
+    with pytest.raises(ValueError, match="readings"):
+        JaUserDictAnalyzer(
+            entries=(JaUserDictEntry("東京大学", ("東京", "大学"), ("ト",)),)
+        )
+    with pytest.raises(ValueError, match="conflicting"):
+        JaUserDictAnalyzer(
+            entries=(
+                JaUserDictEntry("東京大学", ("東京", "大学"), ("トウキョウ", "ダイガク")),
+                JaUserDictEntry("東京駅前", ("東京", "駅前"), ("トーキョー", "エキマエ")),
+            )
+        ).reading_map()
+
+
+def test_csv_parse_roundtrip():
+    e = JaUserDictEntry.parse(
+        "関西国際空港,関西 国際 空港,カンサイ コクサイ クウコウ,カスタム名詞"
+    )
+    assert e.surface == "関西国際空港"
+    assert e.segments == ("関西", "国際", "空港")
+    assert e.readings == ("カンサイ", "コクサイ", "クウコウ")
+
+
+def test_identity_entry_allowed():
+    # single-segment user entries (surface == segment) are the common
+    # real-world case and must construct fine
+    a = JaUserDictAnalyzer(
+        entries=(JaUserDictEntry("検索", ("検索",), ("ケンサク",)),)
+    )
+    # the hit splits the CJK run: bigrams never span a dictionary-hit
+    # boundary (the 2-char leftover 全文 is one bigram, です another run)
+    assert a.tokenize("全文検索です") == ["全文", "検索", "です"]
+
+
+# ---- 4-engine identity ---------------------------------------------------
+
+
+def test_python_duckdb_identity_random():
+    texts = _random_ja_texts(300, seed=11)
+    con = duckdb.connect()
+    sql = A.duckdb_tokens_sql("t")
+    for t in texts:
+        got = con.execute(
+            f"SELECT {sql} FROM (VALUES (?)) AS x(t)", [t]
+        ).fetchone()[0]
+        assert got == A.tokenize(t), t
+
+
+def test_spark_and_arrow_identity_random(spark):
+    texts = _random_ja_texts(200, seed=23)
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    sql_rows = df.select(A.tokens_expr("t").alias("toks")).collect()
+    arrow_rows = df.select(A.tokenize_udf()("t").alias("toks")).collect()
+    want = [A.tokenize(t) for t in texts]
+    assert [r.toks for r in sql_rows] == want
+    assert [r.toks for r in arrow_rows] == want
+
+
+def test_spark_plan_python_free(spark):
+    df = spark.createDataFrame([("関西国際空港",)], "t string")
+    plan = (
+        df.select(A.tokens_expr("t").alias("toks"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+# ---- token_stream ---------------------------------------------------------
+
+
+def test_token_stream_matches_tokenize_and_offsets():
+    for t in _random_ja_texts(200, seed=37):
+        ts = A.token_stream(t)
+        assert [x[0] for x in ts] == A.tokenize(t), t
+        low = t.lower()
+        for term, _pos, s, e in ts:
+            assert low[s:e] == term, (t, term, s, e)
+
+
+def test_dict_segments_are_position_adjacent():
+    # phrase search over dictionary segments needs consecutive positions
+    ts = A.token_stream("関西国際空港")
+    assert [(term, pos) for term, pos, _s, _e in ts] == [
+        ("関西", 0), ("国際", 1), ("空港", 2),
+    ]
+
+
+# ---- processor record shape ----------------------------------------------
+
+
+def test_ja_user_dictionary_processor(spark):
+    from nlp4l_spark.ops.processors import ja_user_dictionary
+
+    df = spark.createDataFrame(
+        [(1, "関西国際空港へ行く"), (2, "spark 全文検索")],
+        "id int, ja_text string",
+    )
+    out = (
+        ja_user_dictionary(df, "ja_text", A)
+        .select("id", "surface", "terms", "readings", "pos")
+        .orderBy("id")
+        .collect()
+    )
+    assert out[0].surface == "関西国際空港へ行く"
+    assert out[0].terms == "関西 国際 空港 へ行 行く"
+    assert (
+        out[0].readings
+        == f"カンサイ コクサイ クウコウ {NOREADING} {NOREADING}"
+    )
+    assert out[0].pos == DEFAULT_POS
+    assert out[1].terms == "spark 全文 検索"
+    assert out[1].readings == f"{NOREADING} ゼンブン ケンサク"
