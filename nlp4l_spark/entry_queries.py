@@ -3084,6 +3084,182 @@ SELECT doc_id, n_clean FROM s WHERE n_clean > 0 ORDER BY doc_id ASC LIMIT 20
 """
 
 
+SPAN_OR_ALTS = ("merge", "vector")
+
+
+def q_span_or(spark, sf_dir):
+    """Lucene SpanOrQuery under SpanNearQuery (the canonical SpanOr use):
+    near(or({SPAN_OR_ALTS}), '{SPAN_B}', slop={SPAN_SLOP}, unordered).
+    The OR clause's positions are the union of its members'; each needs a
+    '{SPAN_B}' partner within the window. Docs with >= 1 qualifying
+    position, n_spans = qualifying count. Index path:
+    Searcher.search_span_or_near (term_vectors), identity-tested in
+    tests/test_boolean.py. Full-stream position contract as span_near."""
+    win = SPAN_SLOP + 1
+    ft = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+
+    def positions(term):
+        return F.filter(
+            F.transform(
+                ft, lambda x, i: F.when(x == term, i).otherwise(F.lit(None))
+            ),
+            lambda v: v.isNotNull(),
+        )
+
+    pa = F.array_sort(
+        F.concat(*[positions(t) for t in SPAN_OR_ALTS])
+    )
+    pb = positions(SPAN_B)
+    n_spans = F.size(
+        F.filter(
+            pa,
+            lambda p0: F.exists(
+                pb, lambda p1: (p1 != p0) & (F.abs(p1 - p0) <= win)
+            ),
+        )
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", n_spans.cast("long").alias("n_spans"))
+        .filter(F.col("n_spans") > 0)
+        .orderBy(F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+O_SPAN_OR = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ft
+           FROM documents),
+p AS (SELECT doc_id,
+        list_sort(list_concat(
+          list_filter(range(1, len(ft) + 1), i -> ft[i] = '{SPAN_OR_ALTS[0]}'),
+          list_filter(range(1, len(ft) + 1), i -> ft[i] = '{SPAN_OR_ALTS[1]}')
+        )) AS pa,
+        list_filter(range(1, len(ft) + 1), i -> ft[i] = '{SPAN_B}') AS pb
+      FROM t),
+s AS (SELECT doc_id,
+        len(list_filter(pa, p0 ->
+          len(list_filter(pb, p1 -> p1 <> p0 AND abs(p1 - p0) <= {SPAN_SLOP + 1})) > 0
+        ))::bigint AS n_spans
+      FROM p)
+SELECT doc_id, n_spans FROM s WHERE n_spans > 0 ORDER BY doc_id ASC LIMIT 20
+"""
+
+
+def q_explain_score(spark, sf_dir):
+    """Lucene IndexSearcher.explain parity as a query: the per-term BM25
+    decomposition (tf, df, idf, tf_norm, term score) for the TOP-1 doc of
+    '{BM25_QUERY}' — the numbers Searcher.explain returns (index path,
+    identity-tested in tests/test_boolean.py). Same one-tokenize two-pass
+    corpus shape as q_bm25_topk, plus a bounded top-1 collect; the detail
+    rows are one narrow scan of the single doc's tf map."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    top = (
+        per_doc.withColumn("s", _bm25_score_col(BM25_TERMS, n, avgdl, dfs))
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(1)
+        .select("doc_id")
+        .collect()
+    )
+    top_id = int(top[0]["doc_id"])
+    qt = F.explode(F.array(*[F.lit(t) for t in BM25_TERMS])).alias("term")
+    d = per_doc.filter(F.col("doc_id") == top_id).select(
+        "doc_id", "dl", "m", qt
+    )
+    df_map = F.create_map(
+        *[c for t in BM25_TERMS for c in (F.lit(t), F.lit(dfs[t]))]
+    )
+    tf = F.col("m")[F.col("term")].cast("double")
+    dfc = F.element_at(df_map, F.col("term"))
+    idf_c = F.log(F.lit(1.0) + (F.lit(float(n)) - dfc + 0.5) / (dfc + 0.5))
+    tf_norm = (
+        tf
+        * F.lit(2.2)
+        / (tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        d.filter(tf.isNotNull())
+        .select(
+            "doc_id",
+            "term",
+            tf.alias("tf"),
+            dfc.cast("long").alias("df"),
+            F.round(idf_c, 6).alias("idf"),
+            F.round(tf_norm, 6).alias("tf_norm"),
+            F.round(idf_c * tf_norm, 6).alias("score"),
+        )
+        .orderBy(F.asc("term"))
+    )
+
+
+O_EXPLAIN_SCORE = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id),
+top AS (SELECT doc_id FROM sc ORDER BY s DESC, doc_id ASC LIMIT 1)
+SELECT dt.doc_id, dt.term, dt.tf,
+       df::bigint AS df,
+       round(ln(1 + (n - df + 0.5) / (df + 0.5)), 6) AS idf,
+       round(tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS tf_norm,
+       round(ln(1 + (n - df + 0.5) / (df + 0.5))
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+FROM dt JOIN top USING (doc_id) JOIN dfm USING (term)
+     JOIN dl ON dl.doc_id = dt.doc_id CROSS JOIN st
+ORDER BY dt.term ASC
+"""
+
+
+SHUFFLE_SEED = 20260818
+
+
+def q_shuffle_export(spark, sf_dir):
+    """Deterministic seeded global shuffle for training-data export (the
+    last step of every LLM pre-training pipeline: break source/temporal
+    locality before the data loader sees the corpus). Shuffle key =
+    md5(doc_id || ':' || seed) — engine-independent, stable across reruns
+    and cluster sizes (unlike rand(), whose draw depends on partition
+    layout), and uniformly distributed so the export's range partitioner
+    balances at any scale. Emits the shuffled position for the first 50
+    docs of the ordering. At 100 TB this is ONE range-partitioned sort by
+    a precomputed uniform key: no skew by construction, and writers
+    stream each output partition without a further pass."""
+    key = F.md5(F.concat_ws(":", F.col("doc_id"), F.lit(str(SHUFFLE_SEED))))
+    head = (
+        _docs(spark, sf_dir)
+        .select("doc_id", key.alias("skey"))
+        .orderBy(F.asc("skey"))
+        .limit(50)  # TakeOrdered — distributed top-k, no global sort
+    )
+    # the numbering window runs on the 50 surviving rows only
+    w = Window.orderBy(F.asc("skey"))
+    return (
+        head.withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("pos", "doc_id", "skey")
+        .orderBy("pos")
+    )
+
+
+O_SHUFFLE_EXPORT = f"""
+WITH k AS (SELECT doc_id, md5(doc_id || ':' || '{SHUFFLE_SEED}') AS skey
+           FROM documents),
+r AS (SELECT doc_id, skey,
+             row_number() OVER (ORDER BY skey ASC)::bigint AS pos
+      FROM k)
+SELECT pos, doc_id, skey FROM r WHERE pos <= 50 ORDER BY pos
+"""
+
+
 TOP_TFIDF_K = 3
 
 
@@ -6737,6 +6913,9 @@ REGISTRY: dict[str, tuple] = {
     "unicode_wordcount": (q_unicode_wordcount, O_UNICODE_WORDCOUNT),
     "ja_dict_wordcount": (q_ja_dict_wordcount, O_JA_DICT_WORDCOUNT),
     "ja_user_dict_records": (q_ja_user_dict_records, O_JA_USER_DICT_RECORDS),
+    "span_or_search": (q_span_or, O_SPAN_OR),
+    "explain_score": (q_explain_score, O_EXPLAIN_SCORE),
+    "shuffle_export": (q_shuffle_export, O_SHUFFLE_EXPORT),
     "ltr_pairwise": (q_ltr_pairwise, O_LTR_PAIRWISE),
     "dict_match": (q_dict_match, O_DICT_MATCH),
     "synonym_topk": (q_synonym_topk, O_SYNONYM_TOPK),
@@ -6793,6 +6972,7 @@ _DRIVER_ORDER = [
     "dedup_rate_by_source", "highlight",
     # --- position > 50: next round's front ---
     "ja_dict_wordcount", "ja_user_dict_records",
+    "span_or_search", "explain_score", "shuffle_export",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",
     "rolling_stats", "sorted_by_field", "repetition_features", "corpus_profile",

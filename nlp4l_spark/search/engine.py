@@ -1135,6 +1135,72 @@ class Searcher:
             .limit(k)
         )
 
+    def search_span_or_near(
+        self,
+        terms_a: list[str],
+        term_b: str,
+        slop: int = 0,
+        in_order: bool = False,
+        k: int = 10,
+    ) -> DataFrame:
+        """Lucene SpanOrQuery composed under SpanNearQuery — the canonical
+        use of SpanOr: ``near(or(terms_a...), term_b, slop)``. The OR
+        clause's span positions are the union of its member terms'
+        positions; each union position needs a ``term_b`` partner within
+        ``slop`` intervening tokens (ordered: b strictly after; unordered:
+        either side). Same full-token-stream position contract as
+        search_span_near. Constant-score candidate retrieval (docID asc)
+        with ``n_spans`` = qualifying OR-positions.
+
+        Plan: one pushed-In(term) term_vectors read for the OR members, a
+        (doc)-keyed partial agg merging their position lists (df-sized,
+        never corpus-sized), one pushed-equality read for ``term_b``, an
+        equality join of the two df-sized frames, per-doc list filter."""
+        alts = sorted(
+            {t for raw in terms_a for t in self.analyzer.tokenize(raw)}
+        )
+        b = self.analyzer.tokenize(term_b)
+        if not alts or len(b) != 1:
+            raise ValueError(
+                "span_or_near needs >=1 OR term and exactly one near term"
+            )
+        if not self.cat.is_committed("term_vectors"):
+            raise ValueError(
+                "span_or_near needs term_vectors "
+                "(IndexBuilder(store_term_vectors=True))"
+            )
+        tv = self.cat.read(self.spark, "term_vectors")
+        pa = (
+            tv.filter(F.col("term").isin(alts))
+            .groupBy("doc_id")
+            .agg(
+                F.array_sort(F.flatten(F.collect_list("positions"))).alias(
+                    "_pa"
+                )
+            )
+        )
+        pb = tv.filter(F.col("term") == b[0]).select(
+            "doc_id", F.col("positions").alias("_pb")
+        )
+        win = int(slop) + 1
+        if in_order:
+            pair_ok = lambda p0: F.exists(  # noqa: E731
+                F.col("_pb"), lambda p1: (p1 > p0) & (p1 - p0 <= win)
+            )
+        else:
+            pair_ok = lambda p0: F.exists(  # noqa: E731
+                F.col("_pb"),
+                lambda p1: (p1 != p0) & (F.abs(p1 - p0) <= win),
+            )
+        n_spans = F.size(F.filter(F.col("_pa"), pair_ok))
+        return (
+            self._not_deleted(pa.join(pb, "doc_id"))
+            .select("doc_id", n_spans.cast("long").alias("n_spans"))
+            .filter(F.col("n_spans") > 0)
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_synonym(
         self, groups: list[list[str]], k: int = 10
     ) -> DataFrame:

@@ -423,6 +423,40 @@ def test_span_near(spark, tmp_path):
     }
     assert none == {0: 1, 1: 1, 2: 1, 3: 1}
 
+    # SpanOrQuery under SpanNear: near(or(merge, scan), join, slop=0,
+    # unordered). doc 0: merge@0 vs join@3 too far -> out. doc 1:
+    # merge@0 join@1 adjacent -> 1 span. doc 2: join@0 merge@1 -> 1.
+    # doc 3: scan@1,2,3 join@4 -> scan@3 adjacent (and merge@0 not) -> 1.
+    orq = {
+        r["doc_id"]: r["n_spans"]
+        for r in s.search_span_or_near(
+            ["merge", "scan"], "join", slop=0, in_order=False
+        ).collect()
+    }
+    assert orq == {1: 1, 2: 1, 3: 1}
+    # ordered: doc 2 (join before merge) drops out
+    orq_ord = {
+        r["doc_id"]: r["n_spans"]
+        for r in s.search_span_or_near(
+            ["merge", "scan"], "join", slop=0, in_order=True
+        ).collect()
+    }
+    assert orq_ord == {1: 1, 3: 1}
+    # single-member OR == plain span_near
+    near = {
+        (r["doc_id"], r["n_spans"])
+        for r in s.search_span_near(
+            "merge", "join", slop=2, in_order=False
+        ).collect()
+    }
+    orq_one = {
+        (r["doc_id"], r["n_spans"])
+        for r in s.search_span_or_near(
+            ["merge"], "join", slop=2, in_order=False, k=10**6
+        ).collect()
+    }
+    assert near == orq_one
+
 
 def test_fuzzy_index_vs_corpus_identity(spark, tmp_path):
     """search_fuzzy (Damerau expansion over term_stats, this round's
@@ -528,6 +562,35 @@ def test_span_queries_index_vs_corpus_identity(spark, tmp_path):
     got = {to_orig[r["doc_id"]]: r["n_clean"] for r in got_rows}
     got = dict(sorted(got.items())[: len(want)])
     assert got == want
+    # span_or (near(or(...), b))
+    want = {
+        r["doc_id"]: r["n_spans"]
+        for r in eq.REGISTRY["span_or_search"][0](spark, sf).collect()
+    }
+    got_rows = s.search_span_or_near(
+        list(eq.SPAN_OR_ALTS),
+        eq.SPAN_B,
+        slop=eq.SPAN_SLOP,
+        in_order=False,
+        k=10**6,
+    ).collect()
+    got = {to_orig[r["doc_id"]]: r["n_spans"] for r in got_rows}
+    got = dict(sorted(got.items())[: len(want)])
+    assert got == want
+
+    # explain_score corpus twin vs Searcher.explain on the same corpus:
+    # identical per-term (tf, df, idf, tf_norm, score) at 6dp
+    twin = eq.REGISTRY["explain_score"][0](spark, sf).collect()
+    from_orig = {v: k for k, v in to_orig.items()}
+    ex = s.explain(eq.BM25_QUERY, from_orig[twin[0]["doc_id"]])
+    details = {d["term"]: d for d in ex["details"]}
+    assert set(details) == {r["term"] for r in twin}
+    for r in twin:
+        d = details[r["term"]]
+        assert r["tf"] == d["tf"]
+        assert r["df"] == d["df"]
+        for col in ("idf", "tf_norm", "score"):
+            assert abs(r[col] - d[col]) < 5e-7, (r["term"], col)
 
 
 def test_bm25f_single_field_matches_oracle(spark):
