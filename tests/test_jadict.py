@@ -220,3 +220,44 @@ def test_ja_user_dictionary_processor(spark):
     assert out[0].pos == DEFAULT_POS
     assert out[1].terms == "spark 全文 検索"
     assert out[1].readings == f"{NOREADING} ゼンブン ケンサク"
+
+
+# ---- index-path integration (scale path) ----------------------------------
+
+
+def test_ja_dict_index_build_and_phrase_search(spark, tmp_path):
+    """The dict analyzer drops into the real index-build + BM25 + phrase
+    path (inherited Arrow term_counts / token_stream engines): a phrase
+    query for a dictionary surface matches its ADJACENT segment
+    positions, not mere segment co-occurrence."""
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.search import Searcher
+
+    docs = spark.createDataFrame(
+        [
+            (0, "関西国際空港へ向かう"),            # surface -> adjacent segments
+            (1, "関西の空港で国際会議"),            # all 3 words, NOT the surface
+            (2, "日本経済新聞を読む"),
+            (3, "無関係な ascii only text"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "ja_idx")
+    IndexBuilder(
+        analyzer=A, sort_cols=("doc_id",), store_positions=True
+    ).build(docs, idx)
+    s = Searcher(spark, idx, analyzer=A)
+    # BM25: segment query hits both docs containing the segments
+    hits = {r["doc_id"] for r in s.search("関西 空港", k=4, method="dataframe").collect()}
+    assert 0 in hits and 1 in hits
+    # PHRASE 関西国際空港 tokenizes to 関西/国際/空港 which must be
+    # adjacent: only the doc with the actual surface qualifies. Doc 1
+    # contains 関西 + 国際 + 空港 but never adjacently (国際 is inside
+    # the bigrammed run 国際会議 -> 国際/際会/会議, still the term 国際
+    # appears — but not right after 関西).
+    ph = s.search_phrase("関西国際空港", k=4, method="postings").collect()
+    assert [r["doc_id"] for r in ph] == [0], ph
+    assert (
+        s.search_phrase("日本経済新聞", k=4, method="postings").collect()[0]["doc_id"]
+        == 2
+    )
