@@ -3260,6 +3260,40 @@ SELECT pos, doc_id, skey FROM r WHERE pos <= 50 ORDER BY pos
 """
 
 
+TERM_BROWSE_SEEK = "mer"
+TERM_BROWSE_N = 30
+
+
+def q_term_browse(spark, sf_dir):
+    """Lucene TermsEnum.seekCeil + next() paging (the reference's Terms
+    walk, Terms.scala:30-60): the first {TERM_BROWSE_N} terms >=
+    '{TERM_BROWSE_SEEK}' in term order with (df, cf). Index path:
+    Searcher.browse_terms — a pushed >= range filter on the sorted term
+    dictionary (min/max file skipping = seekCeil). Corpus twin: one
+    tokenize + (term) agg."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.col("term") >= TERM_BROWSE_SEEK)
+        .groupBy("term")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.count("*").alias("cf"),
+        )
+        .orderBy(F.asc("term"))
+        .limit(TERM_BROWSE_N)
+    )
+
+
+O_TERM_BROWSE = f"""
+WITH {TOKS_CTE}
+SELECT term, count(DISTINCT doc_id)::bigint AS df, count(*)::bigint AS cf
+FROM toks WHERE term >= '{TERM_BROWSE_SEEK}'
+GROUP BY term ORDER BY term ASC LIMIT {TERM_BROWSE_N}
+"""
+
+
 TOP_TFIDF_K = 3
 
 
@@ -6916,6 +6950,7 @@ REGISTRY: dict[str, tuple] = {
     "span_or_search": (q_span_or, O_SPAN_OR),
     "explain_score": (q_explain_score, O_EXPLAIN_SCORE),
     "shuffle_export": (q_shuffle_export, O_SHUFFLE_EXPORT),
+    "term_browse": (q_term_browse, O_TERM_BROWSE),
     "ltr_pairwise": (q_ltr_pairwise, O_LTR_PAIRWISE),
     "dict_match": (q_dict_match, O_DICT_MATCH),
     "synonym_topk": (q_synonym_topk, O_SYNONYM_TOPK),
@@ -6972,7 +7007,7 @@ _DRIVER_ORDER = [
     "dedup_rate_by_source", "highlight",
     # --- position > 50: next round's front ---
     "ja_dict_wordcount", "ja_user_dict_records",
-    "span_or_search", "explain_score", "shuffle_export",
+    "span_or_search", "explain_score", "shuffle_export", "term_browse",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",
     "rolling_stats", "sorted_by_field", "repetition_features", "corpus_profile",

@@ -195,6 +195,26 @@ class Searcher:
         )
         return {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
 
+    def browse_terms(self, seek: str = "", n: int = 20) -> DataFrame:
+        """Lucene TermsEnum.seekCeil + next() — the term-dictionary walk
+        the reference's Terms surface iterates (/root/reference/app/org/
+        nlp4l/lucene/Terms.scala:30-60: termsEnum next/docFreq/
+        totalTermFreq): the first ``n`` terms >= ``seek`` in term order,
+        with (df, cf). One pushed->= range filter on the sorted term
+        dictionary — parquet min/max stats skip every file before the
+        seek point, so a page read touches O(page) data at any corpus
+        size (exactly a seekCeil)."""
+        ts = self.cat.read(self.spark, "term_stats")
+        if seek:
+            ts = ts.filter(F.col("term") >= seek)
+        return (
+            ts.select(
+                "term", F.col("df").cast("long"), F.col("cf").cast("long")
+            )
+            .orderBy(F.asc("term"))
+            .limit(int(n))
+        )
+
     # ------------------------------------------------------------------ #
     def positions(self, term: str) -> DataFrame:
         """Per-doc positions + offsets of one term — the reference's

@@ -578,6 +578,20 @@ def test_span_queries_index_vs_corpus_identity(spark, tmp_path):
     got = dict(sorted(got.items())[: len(want)])
     assert got == want
 
+    # term dictionary browse (TermsEnum.seekCeil): index term_stats page
+    # == corpus-twin (term, df, cf) page
+    want_rows = [
+        (r["term"], r["df"], r["cf"])
+        for r in eq.REGISTRY["term_browse"][0](spark, sf).collect()
+    ]
+    got_rows = [
+        (r["term"], r["df"], r["cf"])
+        for r in s.browse_terms(
+            seek=eq.TERM_BROWSE_SEEK, n=eq.TERM_BROWSE_N
+        ).collect()
+    ]
+    assert got_rows == want_rows
+
     # explain_score corpus twin vs Searcher.explain on the same corpus:
     # identical per-term (tf, df, idf, tf_norm, score) at 6dp
     twin = eq.REGISTRY["explain_score"][0](spark, sf).collect()
