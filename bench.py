@@ -155,6 +155,13 @@ EXTRA_QUERIES = [
     "oov_rate",
     "retention_cohorts",
     "conversation_stats",
+    # round-3 session-2 additions
+    "ja_dict_wordcount",
+    "ja_user_dict_records",
+    "span_or_search",
+    "explain_score",
+    "shuffle_export",
+    "term_browse",
 ]
 
 

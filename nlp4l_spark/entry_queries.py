@@ -3260,6 +3260,89 @@ SELECT pos, doc_id, skey FROM r WHERE pos <= 50 ORDER BY pos
 """
 
 
+CONV_DUP_PROMPTS = [
+    "how do i sort a table by key",
+    "explain the merge join plan",
+    "why is my query slow",
+]
+
+
+def q_conv_dedup(spark, sf_dir):
+    """Conversation-level PROMPT dedup (SFT triage: the same user-prompt
+    sequence collected twice should train once, whatever the assistant
+    said): signature = md5 of the conversation's user turns joined in
+    turn order; emit duplicated signatures with group size and the
+    keeper (min conv_id). The corpus carries no natural conv-level dups,
+    so every 5th conversation's user turns are deterministically
+    overridden with one of two canned prompts — the
+    dedup then finds exactly those planted groups. Plan: one
+    conv-keyed agg (sort_array keeps turn order under collect_list's
+    nondeterminism) + one signature-keyed agg — two hash shuffles, no
+    row amplification, driver state zero."""
+    t = _chat_turns(spark, sf_dir)
+    planted = F.element_at(
+        F.array(*[F.lit(p) for p in CONV_DUP_PROMPTS]),
+        (F.col("conv_id") % 2 + 1).cast("int"),
+    )
+    t = t.withColumn(
+        "text",
+        F.when(
+            (F.col("conv_id") % 5 == 1) & (F.col("role") == "user"),
+            planted,
+        ).otherwise(F.col("text")),
+    )
+    sig = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("turn_idx", "text"))
+                ),
+                lambda s: s["text"],
+            ),
+            " | ",
+        )
+    )
+    per_conv = (
+        t.filter(F.col("role") == "user")
+        .groupBy("conv_id")
+        .agg(sig.alias("sig"))
+    )
+    return (
+        per_conv.groupBy("sig")
+        .agg(
+            F.count("*").alias("n_convs"),
+            F.min("conv_id").alias("keeper"),
+        )
+        .filter(F.col("n_convs") > 1)
+        .orderBy("sig")
+    )
+
+
+def _o_conv_dedup() -> str:
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    whens = " ".join(
+        f"WHEN {i} THEN '{q(p)}'" for i, p in enumerate(CONV_DUP_PROMPTS)
+    )
+    return f"""
+WITH {CHAT_CTE},
+t AS (SELECT conv_id, turn_idx, role,
+             CASE WHEN conv_id % 5 = 1 AND role = 'user'
+                  THEN CASE conv_id % 2 {whens} END
+                  ELSE text END AS text
+      FROM chat),
+pc AS (SELECT conv_id,
+              md5(string_agg(text, ' | ' ORDER BY turn_idx)) AS sig
+       FROM t WHERE role = 'user' GROUP BY conv_id)
+SELECT sig, count(*)::bigint AS n_convs, min(conv_id) AS keeper
+FROM pc GROUP BY sig HAVING count(*) > 1 ORDER BY sig
+"""
+
+
+O_CONV_DEDUP = _o_conv_dedup()
+
+
 TERM_BROWSE_SEEK = "mer"
 TERM_BROWSE_N = 30
 
@@ -6951,6 +7034,7 @@ REGISTRY: dict[str, tuple] = {
     "explain_score": (q_explain_score, O_EXPLAIN_SCORE),
     "shuffle_export": (q_shuffle_export, O_SHUFFLE_EXPORT),
     "term_browse": (q_term_browse, O_TERM_BROWSE),
+    "conv_dedup": (q_conv_dedup, O_CONV_DEDUP),
     "ltr_pairwise": (q_ltr_pairwise, O_LTR_PAIRWISE),
     "dict_match": (q_dict_match, O_DICT_MATCH),
     "synonym_topk": (q_synonym_topk, O_SYNONYM_TOPK),
@@ -7007,7 +7091,7 @@ _DRIVER_ORDER = [
     "dedup_rate_by_source", "highlight",
     # --- position > 50: next round's front ---
     "ja_dict_wordcount", "ja_user_dict_records",
-    "span_or_search", "explain_score", "shuffle_export", "term_browse",
+    "span_or_search", "explain_score", "shuffle_export", "term_browse", "conv_dedup",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",
     "rolling_stats", "sorted_by_field", "repetition_features", "corpus_profile",
