@@ -592,3 +592,42 @@ def test_tree_leaves_are_term_pruned(spark, tmp_path):
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     terms_pushed = [ln for ln in pushed if "In(term" in ln or "EqualTo(term" in ln]
     assert len(terms_pushed) >= 3, pushed  # one pruned scan per leaf
+
+
+def test_shuffle_export_is_takeordered(spark):
+    """Seeded shuffle export: the head-of-ordering must compile to
+    TakeOrderedAndProject (distributed top-k), never a global Sort
+    exchange of the full corpus; no Python stages."""
+    plan = _plan(eq.REGISTRY["shuffle_export"][0](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_browse_terms_seek_is_pushed(spark, tmp_path):
+    """Term-dictionary paging: the seekCeil bound must reach the
+    term_stats parquet scan as a pushed GreaterThanOrEqual — the page
+    read skips every file before the seek point via min/max stats."""
+    from nlp4l_spark.data.transcripts import synth_transcripts
+    from nlp4l_spark.index import build_index
+    from nlp4l_spark.search import Searcher
+
+    idx = str(tmp_path / "idx")
+    build_index(synth_transcripts(spark, 800, num_partitions=4), idx)
+    s = Searcher(spark, idx)
+    plan = _plan(s.browse_terms(seek="w0001", n=10))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("GreaterThanOrEqual(term" in ln for ln in pushed), pushed
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_conv_dedup_plan_is_python_free(spark):
+    """Conversation prompt dedup: two hash aggregations, zero Python."""
+    plan = _plan(eq.REGISTRY["conv_dedup"][0](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ja_dict_wordcount_plan_is_python_free(spark):
+    """The dictionary-segmentation SQL engine is regex + HOFs — the
+    corpus scan must carry no Python eval nodes."""
+    plan = _plan(eq.REGISTRY["ja_dict_wordcount"][0](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
