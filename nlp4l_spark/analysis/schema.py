@@ -59,7 +59,7 @@ class SchemaError(ValueError):
     paths in SchemaLoader.read, SchemaLoader.scala:54-92)."""
 
 
-_KNOWN_TOKENIZERS = {"standard", "keyword", "pattern"}
+_KNOWN_TOKENIZERS = {"standard", "keyword", "pattern", "ja", "cjk"}
 _KNOWN_FILTERS = {"lowercase", "stop"}
 
 
@@ -110,6 +110,15 @@ def _build_analyzer(spec, where: str) -> Analyzer:
         )
     if tokenizer not in _KNOWN_TOKENIZERS:
         raise SchemaError(f"{where}: unknown tokenizer '{tokenizer}'")
+    if tokenizer in ("ja", "cjk"):
+        # The reference's SchemaLoader builds JapaneseAnalyzer chains
+        # from config, with an optional userDictionary file
+        # (JaUserDictionaryProcessorFactory reads `userDictionary`,
+        # FeaturedProcessors.scala:286-300). Mirror that: tokenizer
+        # "ja" + optional "user_dictionary" (list of Kuromoji userdict
+        # CSV lines) or "user_dictionary_path" (file, one line each);
+        # "cjk" is the dictionary-free bigram mode.
+        return _build_ja_analyzer(spec, where, tokenizer)
     if tokenizer == "standard":
         pattern = TOKEN_PATTERN
     elif tokenizer == "keyword":
@@ -140,6 +149,57 @@ def _build_analyzer(spec, where: str) -> Analyzer:
     return Analyzer(
         lowercase=lowercase, token_pattern=pattern, stopwords=stopwords
     )
+
+
+def _build_ja_analyzer(spec, where: str, tokenizer: str) -> Analyzer:
+    """tokenizer "ja"/"cjk": UnicodeCJKAnalyzer or, with a user
+    dictionary, JaUserDictAnalyzer. Filters work as for "standard"
+    (lowercase / stop with inline words or a path). The userdict lines
+    use the Kuromoji CSV shape ``surface,seg1 seg2,read1 read2,pos`` and
+    get the same construction validation as JaUserDictAnalyzer."""
+    from nlp4l_spark.analysis.jadict import JaUserDictAnalyzer, JaUserDictEntry
+    from nlp4l_spark.analysis.unicode import UnicodeCJKAnalyzer
+
+    filters = spec.get("filters", [])
+    if not isinstance(filters, (list, tuple)):
+        raise SchemaError(f"{where}: 'filters' must be a list")
+    unknown = [f for f in filters if f not in _KNOWN_FILTERS]
+    if unknown:
+        raise SchemaError(f"{where}: unknown filter(s) {unknown}")
+    lowercase = "lowercase" in filters
+    stopwords: frozenset[str] = frozenset()
+    if "stop" in filters:
+        if "stopwords" in spec:
+            stopwords = frozenset(spec["stopwords"])
+        elif "stopwords_path" in spec:
+            stopwords = load_stopwords(spec["stopwords_path"])
+        else:
+            stopwords = LUCENE_ENGLISH_STOPWORDS
+
+    lines: list[str] = []
+    if "user_dictionary" in spec:
+        lines = list(spec["user_dictionary"])
+    elif "user_dictionary_path" in spec:
+        with open(spec["user_dictionary_path"], encoding="utf-8") as fh:
+            lines = [
+                ln.strip()
+                for ln in fh
+                if ln.strip() and not ln.lstrip().startswith("#")
+            ]
+    if tokenizer == "cjk" and lines:
+        raise SchemaError(
+            f"{where}: tokenizer 'cjk' is dictionary-free; use 'ja' for "
+            "a user dictionary"
+        )
+    if not lines:
+        return UnicodeCJKAnalyzer(lowercase=lowercase, stopwords=stopwords)
+    try:
+        entries = tuple(JaUserDictEntry.parse(ln) for ln in lines)
+        return JaUserDictAnalyzer(
+            lowercase=lowercase, stopwords=stopwords, entries=entries
+        )
+    except ValueError as e:
+        raise SchemaError(f"{where}: bad user dictionary: {e}") from e
 
 
 def load_schema(config: dict | str) -> Schema:

@@ -811,4 +811,9 @@ def build_index_from_schema(
         store_term_vectors=(
             ft.term_vectors or ft.term_positions or ft.term_offsets
         ),
+        # termPositions also rides positions INSIDE the posting shards
+        # (Lucene: positions live in the postings; term vectors are the
+        # separate forward index) so schema-built indexes get the
+        # no-join phrase scale path too
+        store_positions=ft.term_positions,
     ).build(spark_df, index_dir, **kwargs)

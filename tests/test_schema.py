@@ -199,3 +199,88 @@ def test_schema_driven_index_build(spark, tmp_path):
     s = Searcher(spark, str(tmp_path / "idx"), analyzer=schema.analyzer("text"))
     hits = s.search("iron bars", k=3).collect()
     assert [h["doc_id"] for h in hits][:2] == [1, 2] or len(hits) == 2
+
+
+def test_ja_analyzer_from_schema(tmp_path):
+    """tokenizer 'ja' + user_dictionary (Kuromoji CSV lines) builds a
+    JaUserDictAnalyzer — the SchemaLoader/JaUserDictionaryProcessorFactory
+    path (FeaturedProcessors.scala:286-300); 'cjk' stays dictionary-free."""
+    from nlp4l_spark.analysis.jadict import JaUserDictAnalyzer
+    from nlp4l_spark.analysis.unicode import UnicodeCJKAnalyzer
+
+    s = load_schema(
+        {
+            "schema": {
+                "defAnalyzer": {"tokenizer": "standard", "filters": ["lowercase"]},
+                "fields": [
+                    {
+                        "name": "ja_text",
+                        "analyzer": {
+                            "tokenizer": "ja",
+                            "filters": ["lowercase"],
+                            "user_dictionary": [
+                                "関西国際空港,関西 国際 空港,カンサイ コクサイ クウコウ,カスタム名詞"
+                            ],
+                        },
+                        "termPositions": True,
+                    }
+                ],
+            }
+        }
+    )
+    a = s.analyzer("ja_text")
+    assert isinstance(a, JaUserDictAnalyzer)
+    assert a.tokenize("関西国際空港") == ["関西", "国際", "空港"]
+
+    # file-based dictionary with comments/blank lines
+    p = tmp_path / "userdict.txt"
+    p.write_text(
+        "# custom entries\n\n東京大学,東京 大学,トウキョウ ダイガク,カスタム名詞\n",
+        encoding="utf-8",
+    )
+    s2 = load_schema(
+        {
+            "schema": {
+                "defAnalyzer": {
+                    "tokenizer": "ja",
+                    "filters": [],
+                    "user_dictionary_path": str(p),
+                },
+                "fields": [{"name": "t"}],
+            }
+        }
+    )
+    assert s2.analyzer("t").tokenize("東京大学院") == ["東京", "大学", "院"]
+
+    # dictionary-free cjk mode
+    s3 = load_schema(
+        {
+            "schema": {
+                "defAnalyzer": {"tokenizer": "cjk", "filters": []},
+                "fields": [{"name": "t"}],
+            }
+        }
+    )
+    assert isinstance(s3.analyzer("t"), UnicodeCJKAnalyzer)
+    assert s3.analyzer("t").tokenize("東京大学") == ["東京", "京大", "大学"]
+
+
+@pytest.mark.parametrize(
+    "spec, msg",
+    [
+        (
+            {"tokenizer": "cjk", "user_dictionary": ["東京,東京,トウキョウ,名詞"]},
+            "dictionary-free",
+        ),
+        ({"tokenizer": "ja", "user_dictionary": ["abc,abc"]}, "bad user dictionary"),
+        (
+            {"tokenizer": "ja", "user_dictionary": ["東京大学,東京 大"]},
+            "bad user dictionary",
+        ),
+        ({"tokenizer": "ja", "filters": ["nope"]}, "unknown filter"),
+    ],
+)
+def test_ja_schema_invalid(spec, msg):
+    cfg = {"schema": {"defAnalyzer": spec, "fields": [{"name": "t"}]}}
+    with pytest.raises(SchemaError, match=msg):
+        load_schema(cfg)
