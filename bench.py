@@ -122,6 +122,8 @@ EXTRA_QUERIES = [
     "lang_mixture",
     "dfr_topk",
     "f2exp_topk",
+    "ib_topk",
+    "dfi_topk",
     "function_score_topk",
     "chat_validate",
     "loop_detect",

@@ -1939,6 +1939,107 @@ ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+def q_ib_topk(spark, sf_dir):
+    """Information-based LL/DF/H2 top-k, corpus path (index twin
+    Searcher.search_ib; Lucene IBSimilarity(DistributionLL, LambdaDF,
+    NormalizationH2), Clinchant & Gaussier SIGIR 2010): per present term,
+    with tfn = tf * log2(1 + avgdl/dl) (H2, c=1) and
+    lambda = (df+1)/(n+1) (LambdaDF), contribution =
+    ln(1 + tfn/lambda) (DistributionLL's -ln(lambda/(lambda+tfn))).
+    Same single-tokenize two-pass corpus shape as bm25_topk."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    score, any_match = None, None
+    for t in BM25_TERMS:
+        lam = (dfs[t] + 1.0) / (n + 1.0)
+        tf = F.col("m")[t].cast("double")
+        tfn = tf * F.log2(F.lit(1.0) + F.lit(avgdl) / F.col("dl"))
+        s_t = F.when(
+            tf.isNotNull(), F.log(F.lit(1.0) + tfn / F.lit(lam))
+        ).otherwise(F.lit(0.0))
+        score = s_t if score is None else score + s_t
+        m_t = F.col("m")[t]
+        any_match = m_t if any_match is None else F.greatest(any_match, m_t)
+    return (
+        per_doc.filter(any_match.isNotNull())
+        .withColumn("s", score)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_IB_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (tf * log2(1 + avgdl / dl))
+                  / ((df + 1) / (n + 1)))) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+def q_dfi_topk(spark, sf_dir):
+    """Divergence-from-independence top-k, corpus path (index twin
+    Searcher.search_dfi; Lucene DFISimilarity(IndependenceChiSquared),
+    Kocabas, Dincer & Karaoglan IR 2014): per present term, with
+    expected = (cf+1) * dl / (total+1) (the +1s are Lucene's), tf <=
+    expected contributes 0 (chance-level occurrence), else
+    log2((tf-expected)^2/expected + 1). The clamp compares products and
+    quotients of integer-exact doubles evaluated in the same order on
+    both engines, so clamp membership is bit-deterministic (no rounding
+    trick needed, unlike lmd_topk's transcendental-then-clamp)."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, total, cfs = _lm_corpus_stats(per_doc, BM25_TERMS)
+    score, any_match = None, None
+    for t in BM25_TERMS:
+        cfp = cfs[t] + 1.0
+        tf = F.col("m")[t].cast("double")
+        expected = F.lit(cfp) * F.col("dl") / F.lit(total + 1.0)
+        s_t = F.when(
+            tf.isNotNull() & (tf > expected),
+            F.log2((tf - expected) * (tf - expected) / expected + F.lit(1.0)),
+        ).otherwise(F.lit(0.0))
+        score = s_t if score is None else score + s_t
+        m_t = F.col("m")[t]
+        any_match = m_t if any_match is None else F.greatest(any_match, m_t)
+    return (
+        per_doc.filter(any_match.isNotNull())
+        .withColumn("s", score)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_DFI_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+tot AS (SELECT count(*)::double AS total FROM toks),
+cfm AS (SELECT term, sum(tf) AS cf FROM dt
+        WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)}) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum(CASE WHEN tf > (cf + 1) * dl / (total + 1)
+                  THEN log2((tf - (cf + 1) * dl / (total + 1))
+                            * (tf - (cf + 1) * dl / (total + 1))
+                            / ((cf + 1) * dl / (total + 1)) + 1)
+                  ELSE 0 END) AS s
+       FROM dt JOIN cfm USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+       GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 def q_collapse_topk(spark, sf_dir):
     """Field-collapsed BM25 top-k (Solr collapse / Lucene grouping's
     CollapsingTopDocsCollector; index twin Searcher.search_collapse): at
@@ -7043,6 +7144,8 @@ REGISTRY: dict[str, tuple] = {
     "classic_topk": (q_classic_topk, O_CLASSIC_TOPK),
     "dfr_topk": (q_dfr_topk, O_DFR_TOPK),
     "f2exp_topk": (q_f2exp_topk, O_F2EXP_TOPK),
+    "ib_topk": (q_ib_topk, O_IB_TOPK),
+    "dfi_topk": (q_dfi_topk, O_DFI_TOPK),
     "function_score_topk": (q_function_score_topk, O_FUNCTION_SCORE_TOPK),
     "collapse_topk": (q_collapse_topk, O_COLLAPSE_TOPK),
     "facet_ranges": (q_facet_ranges, O_FACET_RANGES),
@@ -7079,6 +7182,7 @@ _DRIVER_ORDER = [
     # cheapest-first; expensive closure/iteration queries last.
     "ann_lsh_topk", "media_features",
     "synonym_topk", "lmd_topk", "lmjm_topk", "classic_topk", "dfr_topk", "f2exp_topk",
+    "ib_topk", "dfi_topk",
     "dismax_topk", "bm25f_topk", "bm25_msm_topk", "boolean_tree_topk", "multi_phrase_topk", "sloppy_phrase_topk",
     "passage_topk", "index_phrase_topk", "span_near_search", "rescore_topk", "search_after_page2", "more_like_this",
     "rm3_topk", "facet_counts", "facet_ranges", "collapse_topk", "function_score_topk", "regexp_search",

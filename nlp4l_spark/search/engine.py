@@ -1459,6 +1459,92 @@ class Searcher:
             .limit(k)
         )
 
+    def search_ib(self, query: str, k: int = 10, c: float = 1.0) -> DataFrame:
+        """Information-based ranking, the Lucene
+        IBSimilarity(DistributionLL, LambdaDF, NormalizationH2)
+        composition (Clinchant & Gaussier, SIGIR 2010). Per present query
+        term:
+
+        * H2 length normalization: tfn = tf * log2(1 + c * avgdl / dl)
+        * LambdaDF: lambda = (df + 1) / (N + 1)
+        * DistributionLL: -ln(lambda / (lambda + tfn)) = ln(1 + tfn/lambda)
+
+        lambda is a per-term scalar folded in as a broadcast literal; the
+        plan is the same broadcast-join + partial-agg shape as the other
+        DataFrame similarities (work ∝ query postings, never the
+        corpus)."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        dfs = self._term_stats(terms)
+        rows = [
+            (t, (dfs[t] + 1.0) / (self.num_docs + 1.0))
+            for t in terms
+            if t in dfs
+        ]
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "term string, lam double")
+        )
+        decoded = self._decoded(self._matching_postings([r[0] for r in rows]))
+        tfn = F.col("tf").cast("double") * F.log2(
+            F.lit(1.0) + F.lit(c * (self.avgdl or 1.0)) / F.col("dl").cast("double")
+        )
+        s = F.log(F.lit(1.0) + tfn / F.col("lam"))
+        return (
+            decoded.join(qterms, "term")
+            .withColumn("_s", s)
+            .groupBy("doc_id")
+            .agg(F.sum("_s").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_dfi(self, query: str, k: int = 10) -> DataFrame:
+        """Divergence-from-independence ranking, the Lucene
+        DFISimilarity(IndependenceChiSquared) composition (Kocabas,
+        Dincer & Karaoglan, IR 2014). Per present query term, with the
+        term/document independence model over the token contingency
+        table:
+
+        * expected = (cf + 1) * dl / (total_tokens + 1)
+          (Lucene's +1s on totalTermFreq and numberOfFieldTokens)
+        * tf <= expected  ->  0  (a term occurring no more than chance
+          contributes nothing — Lucene's early-out)
+        * else chi-squared measure = (tf - expected)^2 / expected,
+          contribution = log2(measure + 1)
+
+        cf and total are collection scalars (term-dictionary point lookup
+        + field_stats broadcast); same broadcast-join + partial-agg plan
+        as the other DataFrame similarities."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        stats = self._term_stats_full(terms)
+        total = float(self.sum_dl)
+        rows = [(t, float(stats[t][1])) for t in terms if t in stats]
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "term string, cf double")
+        )
+        decoded = self._decoded(self._matching_postings([r[0] for r in rows]))
+        tf = F.col("tf").cast("double")
+        expected = (
+            (F.col("cf") + F.lit(1.0))
+            * F.col("dl").cast("double")
+            / F.lit(total + 1.0)
+        )
+        s = F.when(
+            tf > expected,
+            F.log2((tf - expected) * (tf - expected) / expected + F.lit(1.0)),
+        ).otherwise(F.lit(0.0))
+        return (
+            decoded.join(qterms, "term")
+            .withColumn("_s", s)
+            .groupBy("doc_id")
+            .agg(F.sum("_s").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_function_score(
         self,
         query: str,

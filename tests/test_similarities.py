@@ -184,6 +184,48 @@ def test_axiomatic_f2exp(spark, idx):
     assert _got(s.search_axiomatic("join merge vector")) == expect
 
 
+def test_ib_ll_df_h2(spark, idx):
+    s = Searcher(spark, idx)
+    terms = ["join", "merge", "vector"]
+    expect = {}
+    for d, toks in TOKS.items():
+        dl, score = len(toks), 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            tfn = tf * math.log2(1 + AVGDL / dl)
+            lam = (_df(t) + 1.0) / (N + 1.0)
+            score += math.log(1 + tfn / lam)
+        if score:
+            expect[d] = round(score, 9)
+    assert _got(s.search_ib("join merge vector")) == expect
+
+
+def test_dfi_chi_squared(spark, idx):
+    s = Searcher(spark, idx)
+    terms = ["join", "merge", "vector"]
+    expect = {}
+    clamped = 0
+    for d, toks in TOKS.items():
+        dl, score, match = len(toks), 0.0, False
+        for t in terms:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            match = True
+            exp_tf = (_cf(t) + 1.0) * dl / (TOTAL + 1.0)
+            if tf <= exp_tf:
+                clamped += 1
+                continue
+            score += math.log2((tf - exp_tf) ** 2 / exp_tf + 1)
+        if match:
+            expect[d] = round(score, 9)
+    assert _got(s.search_dfi("join merge vector")) == expect
+    # the chance-level early-out is real on this corpus
+    assert clamped > 0
+
+
 def test_regexp_query(spark, idx):
     s = Searcher(spark, idx)
     got = sorted(r["doc_id"] for r in s.search_regexp("(jo|sp).*[nk]").collect())
