@@ -124,6 +124,9 @@ EXTRA_QUERIES = [
     "f2exp_topk",
     "ib_topk",
     "dfi_topk",
+    "phrase_prefix_topk",
+    "date_histogram",
+    "ngram_novelty",
     "function_score_topk",
     "chat_validate",
     "loop_detect",

@@ -2368,6 +2368,124 @@ ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
 O_MULTI_PHRASE_TOPK = _o_multi_phrase()
 
 
+PPREFIX_LEAD = "merge"
+PPREFIX = "s"
+PPREFIX_MAX = 50
+
+
+def q_phrase_prefix_topk(spark, sf_dir):
+    """Elasticsearch match_phrase_prefix / Lucene MultiPhrasePrefixQuery
+    top-k, corpus path (index twin Searcher.search_phrase_prefix):
+    "{PPREFIX_LEAD} {PPREFIX}*" — the last slot expands to the first
+    {PPREFIX_MAX} vocabulary terms with the prefix in term order (ES's
+    max_expansions cap + ordering), then MultiPhraseQuery semantics: tf =
+    anchor positions where the lead term is followed by ANY expansion
+    member (full-token-stream adjacency, the stopword-hole contract of
+    phrase_bm25_topk), idf = Σ idf over all member terms. The expansion
+    job is a vocab-sized distinct (the suggest_complete shape); scoring
+    is the one-tokenize multi-phrase scan with idfs folded as
+    literals."""
+    ft = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    at = STANDARD_ANALYZER.tokens_expr("text")
+    exp = [
+        r["t"]
+        for r in (
+            _docs(spark, sf_dir)
+            .select(F.explode(at).alias("t"))
+            .filter(F.col("t").startswith(PPREFIX))
+            .distinct()
+            .orderBy(F.asc("t"))
+            .limit(PPREFIX_MAX)
+            .collect()
+        )
+    ]
+    if not exp:
+        return spark.createDataFrame([], "doc_id long, score double")
+    all_terms = sorted({PPREFIX_LEAD, *exp})
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        ft.alias("ft"),
+        F.size(at).cast("double").alias("dl"),
+        *[
+            F.array_contains(at, t).cast("long").alias(f"_has_{i}")
+            for i, t in enumerate(all_terms)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum(f"_has_{i}").alias(f"_df_{i}") for i in range(len(all_terms))],
+    ).collect()[0]
+    n = float(stats["n"])
+    avgdl = float(stats["sum_dl"]) / n
+    dfs = {t: float(stats[f"_df_{i}"]) for i, t in enumerate(all_terms)}
+    idf_total = sum(
+        math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5)) for t in all_terms
+    )
+    eset = F.array(*[F.lit(t) for t in exp])
+    p0 = F.filter(
+        F.transform(
+            F.col("ft"), lambda x, i: F.when(x == PPREFIX_LEAD, i)
+        ),
+        lambda v: v.isNotNull(),
+    )
+    p1 = F.filter(
+        F.transform(
+            F.col("ft"), lambda x, i: F.when(F.array_contains(eset, x), i)
+        ),
+        lambda v: v.isNotNull(),
+    )
+    tf = F.size(
+        F.filter(p0, lambda a: F.exists(p1, lambda b: b == a + 1))
+    ).cast("double")
+    score = (
+        F.lit(idf_total)
+        * F.col("tf")
+        * F.lit(2.2)
+        / (F.col("tf") + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+    )
+    return (
+        base.withColumn("tf", tf)
+        .filter(F.col("tf") > 0)
+        .withColumn("s", score)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_PHRASE_PREFIX_TOPK = f"""
+WITH t AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS ft,
+             {TOK_SQL} AS at FROM documents),
+tk AS (SELECT doc_id, unnest(at) AS term FROM t),
+exp AS (SELECT DISTINCT term FROM tk
+        WHERE term LIKE '{PPREFIX}%' ORDER BY term LIMIT {PPREFIX_MAX}),
+el AS (SELECT list(term ORDER BY term) AS el FROM exp),
+allt AS (SELECT DISTINCT term FROM
+           (SELECT '{PPREFIX_LEAD}' AS term UNION ALL SELECT term FROM exp)),
+dt AS (SELECT DISTINCT doc_id, term FROM tk),
+n AS (SELECT count(*)::double AS n,
+             sum(len(at))::double / count(*) AS avgdl FROM t),
+dfm AS (SELECT term, count(*)::double AS df
+        FROM dt JOIN allt USING (term) GROUP BY 1),
+it AS (SELECT sum(ln(1 + (n.n - df + 0.5) / (df + 0.5))) AS idf_total
+       FROM dfm CROSS JOIN n),
+base AS (SELECT t.doc_id,
+           len(list_filter(range(1, len(ft)),
+             i -> ft[i] = '{PPREFIX_LEAD}'
+                  AND list_contains(el.el, ft[i + 1])))::double AS tf,
+           len(at)::double AS dl
+         FROM t CROSS JOIN el)
+SELECT doc_id,
+       round(it.idf_total
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / n.avgdl)), 6)
+           AS score
+FROM base, n, it WHERE tf > 0
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 def q_passage_topk(spark, sf_dir):
     """Best-passage retrieval (the UnifiedHighlighter passage-scoring
     shape): candidate passages are windows of {PASSAGE_W} tokens
@@ -2890,6 +3008,30 @@ FROM ag WHERE dl >= 2
 """
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc 3-gram novelty (textqc.ngram_novelty): fraction of the
+    doc's distinct analyzer-token trigrams first seen (min doc_id) at
+    this doc — the batch-diversity / memorization proxy. One tokenize
+    scan, one gram-keyed min agg, one join-back, one doc agg."""
+    return textqc.ngram_novelty(
+        _docs(spark, sf_dir), "text", "doc_id", n=3, analyzer=STANDARD_ANALYZER
+    )
+
+
+O_NGRAM_NOVELTY = f"""
+WITH t AS (SELECT doc_id, {TOK_SQL} AS at FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(at) - 1),
+           i -> at[i] || ' ' || at[i + 1] || ' ' || at[i + 2]))) AS gram
+      FROM t WHERE len(at) >= 3),
+f AS (SELECT gram, min(doc_id) AS first FROM g GROUP BY 1)
+SELECT doc_id, count(*)::bigint AS n_grams,
+       round(sum((first = doc_id)::int)::double / count(*), 6) AS novelty
+FROM g JOIN f USING (gram)
+GROUP BY doc_id ORDER BY doc_id ASC
+"""
+
+
 def q_burstiness(spark, sf_dir):
     """Church-Gale burstiness for the top-{BURST_TOPN} corpus terms:
     variance-to-mean ratio of tf over the docs CONTAINING the term
@@ -3134,6 +3276,44 @@ d AS (SELECT DISTINCT cohort_week, week - cohort_week AS week_offset,
       FROM e JOIN f USING (user_id))
 SELECT cohort_week, week_offset, count(*)::bigint AS n_users
 FROM d GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_date_histogram(spark, sf_dir):
+    """Elasticsearch date_histogram aggregation with a per-bucket terms
+    sub-aggregation + metric (the kibana-dashboard staple): events
+    bucketed by day × event_type with doc count and sum(value). Day =
+    floor(epoch_seconds / 86400) (the retention_cohorts epoch-bucket
+    parity convention — no timezone/date-type drift between engines).
+    The metric sums round(value*100) as exact integer cents (value is
+    2-decimal by construction) so the aggregate is order-independent —
+    a distributed double sum would be ulp-unstable at hash granularity.
+    One hash-keyed groupBy; at 100 TB the (day, type) key space stays
+    tiny so the final agg is safe."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        _events(spark, sf_dir)
+        .select(
+            F.floor(sec / 86400).cast("long").alias("day"),
+            "event_type",
+            cents.alias("_c"),
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            (F.sum("_c").cast("double") / 100.0).alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+O_DATE_HISTOGRAM = """
+SELECT floor(floor(epoch(ts))::bigint / 86400)::bigint AS day,
+       event_type,
+       count(*)::bigint AS cnt,
+       sum(round(value * 100)::bigint)::double / 100.0 AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -7095,6 +7275,7 @@ REGISTRY: dict[str, tuple] = {
     "media_jpeg_sof": (q_media_jpeg_sof, O_MEDIA_JPEG_SOF),
     "readability": (q_readability, O_READABILITY),
     "token_entropy": (q_token_entropy, O_TOKEN_ENTROPY),
+    "ngram_novelty": (q_ngram_novelty, O_NGRAM_NOVELTY),
     "burstiness": (q_burstiness, O_BURSTINESS),
     "span_first_search": (q_span_first, O_SPAN_FIRST),
     "jaccard_topk": (q_jaccard_topk, O_JACCARD_TOPK),
@@ -7105,6 +7286,7 @@ REGISTRY: dict[str, tuple] = {
     "top_tfidf_terms": (q_top_tfidf_terms, O_TOP_TFIDF_TERMS),
     "oov_rate": (q_oov_rate, O_OOV_RATE),
     "retention_cohorts": (q_retention_cohorts, O_RETENTION_COHORTS),
+    "date_histogram": (q_date_histogram, O_DATE_HISTOGRAM),
     "conversation_stats": (q_conversation_stats, O_CONVERSATION_STATS),
     "media_frame_plan": (q_media_frame_plan, O_MEDIA_FRAME_PLAN),
     "term_positions": (q_term_positions, O_TERM_POSITIONS),
@@ -7154,6 +7336,7 @@ REGISTRY: dict[str, tuple] = {
     "suggest_complete": (q_suggest_complete, O_SUGGEST_COMPLETE),
     "suggest_next": (q_suggest_next, O_SUGGEST_NEXT),
     "multi_phrase_topk": (q_multi_phrase_topk, O_MULTI_PHRASE_TOPK),
+    "phrase_prefix_topk": (q_phrase_prefix_topk, O_PHRASE_PREFIX_TOPK),
     "passage_topk": (q_passage_topk, O_PASSAGE_TOPK),
     "lang_mixture": (q_lang_mixture, O_LANG_MIXTURE),
 }
@@ -7195,6 +7378,7 @@ _DRIVER_ORDER = [
     "dedup_rate_by_source", "highlight",
     # --- position > 50: next round's front ---
     "ja_dict_wordcount", "ja_user_dict_records",
+    "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "span_or_search", "explain_score", "shuffle_export", "term_browse", "conv_dedup",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",

@@ -1412,3 +1412,63 @@ def bigram_lm_score(
             "nll",
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    analyzer: Analyzer | None = None,
+) -> DataFrame:
+    """Per-document n-gram novelty — the diversity/memorization proxy a
+    training-data pipeline tracks per ingestion batch (the doc-level
+    counterpart of Lee et al. 2022's duplicate-text analysis): novelty =
+    fraction of the doc's DISTINCT word n-grams whose first corpus
+    occurrence (min id over all docs) is this doc. 1.0 = all-new text,
+    0.0 = every n-gram already seen in an earlier doc. Docs with fewer
+    than ``n`` analyzer tokens have no n-gram and are dropped.
+
+    Output (id_col, n_grams, novelty) ordered by id.
+
+    Plan: one tokenize scan -> explode distinct n-grams ->
+    groupBy(gram).min(id) (one shuffle on the gram key, partial aggs
+    combine map-side) -> equality join back on gram -> per-doc fraction
+    agg. Work is ∝ corpus n-gram count with no driver state; at 100 TB
+    the gram key space is the same scale the n-gram-Jaccard dedup
+    already shuffles."""
+    analyzer = analyzer or WHITESPACE_ANALYZER
+    toks = analyzer.tokens_expr(text_col)
+    # guard: sequence(0, negative) DESCENDS in Spark, so short docs need
+    # an explicit empty array, not an empty sequence
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = (
+        df.select(F.col(id_col), grams.alias("_g"))
+        .filter(F.size("_g") >= 1)
+        .select(id_col, F.explode("_g").alias("_gram"))
+    )
+    first = ex.groupBy("_gram").agg(F.min(id_col).alias("_first"))
+    return (
+        ex.join(first, "_gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.round(
+                F.sum((F.col("_first") == F.col(id_col)).cast("long")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy(F.asc(id_col))
+    )

@@ -2200,6 +2200,41 @@ class Searcher:
             .limit(k)
         )
 
+    def search_phrase_prefix(
+        self, query: str, k: int = 10, max_expansions: int = 50
+    ) -> DataFrame:
+        """Elasticsearch match_phrase_prefix / Lucene
+        MultiPhrasePrefixQuery: the last whitespace word of ``query`` is
+        a PREFIX; it expands against the sorted term dictionary to the
+        first ``max_expansions`` terms in term order (ES's cap + order),
+        and the phrase then scores with MultiPhraseQuery semantics
+        (search_multi_phrase: anchor tf over adjacent positions, idf =
+        Σ over all member terms). The expansion is a pushed startswith
+        range on the term-sorted dictionary — parquet min/max stats skip
+        files outside the prefix band, postings are never touched by the
+        expansion itself."""
+        words = query.split()
+        if len(words) < 2:
+            raise ValueError("phrase_prefix needs >= 1 lead word + prefix")
+        lead = [
+            t for w in words[:-1] for t in self.analyzer.tokenize(w)
+        ]
+        prefix = words[-1].lower()
+        exp = [
+            r["term"]
+            for r in (
+                self.cat.read(self.spark, "term_stats")
+                .filter(F.col("term").startswith(prefix))
+                .select("term")
+                .orderBy(F.asc("term"))
+                .limit(int(max_expansions))
+                .collect()
+            )
+        ]
+        if not lead or not exp:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return self.search_multi_phrase([[t] for t in lead] + [exp], k=k)
+
     def search_batch(
         self,
         queries: Iterable[tuple[int, str, int]],

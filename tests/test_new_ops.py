@@ -281,3 +281,23 @@ def test_rrf_fuse_known_values(spark):
         assert got[d][0] == round(s, 6)
     # doc 1 and 3 tie-break: 1/61+1/62 > 1/61+1/63 -> doc 1 first
     assert got[1][1] == 1 and got[3][1] == 2
+
+
+# ---------------- n-gram novelty ------------------------------------------- #
+def test_ngram_novelty_known_values(spark):
+    from nlp4l_spark.ops.textqc import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),      # trigrams {a b c, b c d}: both first here
+            (1, "a b c x"),      # {a b c (seen at 0), b c x (new)} -> 0.5
+            (2, "a b"),          # no trigram -> dropped
+            (3, "a b c d"),      # all grams seen at 0 -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["novelty"])
+        for r in ngram_novelty(df).collect()
+    }
+    assert got == {0: (2, 1.0), 1: (2, 0.5), 3: (2, 0.0)}

@@ -226,6 +226,24 @@ def test_dfi_chi_squared(spark, idx):
     assert clamped > 0
 
 
+def test_phrase_prefix(spark, idx):
+    s = Searcher(spark, idx)
+    # "scan s*" expands against the term dictionary to {scan, spark};
+    # doc 5 = "scan scan scan hash join" anchors at positions 0 and 1
+    got = _got(s.search_phrase_prefix("scan s", k=10))
+    all_terms = ["scan", "spark"]
+    idf_total = sum(_idf(_df(t)) for t in all_terms)
+    tf, dl = 2.0, 5.0
+    expect = {5: round(idf_total * _bm25_norm(tf, dl), 9)}
+    assert got == expect
+    # single-expansion prefix == MultiPhraseQuery with that term
+    pp = _got(s.search_phrase_prefix("join m", k=10))
+    mp = _got(s.search_multi_phrase([["join"], ["merge"]], k=10))
+    assert pp == mp and pp
+    # unknown prefix -> empty
+    assert s.search_phrase_prefix("join zz", k=10).count() == 0
+
+
 def test_regexp_query(spark, idx):
     s = Searcher(spark, idx)
     got = sorted(r["doc_id"] for r in s.search_regexp("(jo|sp).*[nk]").collect())
