@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as _F
+
 from nlp4l_spark import entry_queries as eq
 
 SF = "/root/testdata/sf0.001"
@@ -64,6 +66,12 @@ JVM_ONLY = [
     # events/chat reports: keyed window + agg, no Python
     "retention_cohorts",
     "conversation_stats",
+    # ES-style day histogram: one keyed groupBy, exact-cents metric
+    "date_histogram",
+    # trigram novelty: explode + gram-keyed min + join-back, all JVM
+    "ngram_novelty",
+    # phrase-prefix corpus twin: expansion distinct + one HOF scan
+    "phrase_prefix_topk",
 ]
 
 
@@ -618,6 +626,54 @@ def test_browse_terms_seek_is_pushed(spark, tmp_path):
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("GreaterThanOrEqual(term" in ln for ln in pushed), pushed
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_phrase_prefix_expansion_is_pushed(spark, tmp_path):
+    """MultiPhrasePrefixQuery expansion: the prefix bound must reach the
+    term_stats parquet scan as a pushed StringStartsWith — the expansion
+    reads O(prefix band) of the sorted dictionary, never the postings."""
+    from nlp4l_spark.data.transcripts import synth_transcripts
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.search import Searcher
+
+    idx = str(tmp_path / "idx")
+    IndexBuilder(
+        sort_cols=("conv_id", "turn_idx"), store_term_vectors=True
+    ).build(synth_transcripts(spark, 800, num_partitions=4), idx)
+    s = Searcher(spark, idx)
+    exp_df = (
+        s.cat.read(spark, "term_stats")
+        .filter(_F.col("term").startswith("w000"))
+        .select("term")
+        .orderBy(_F.asc("term"))
+        .limit(50)
+    )
+    pushed = [
+        ln for ln in _plan(exp_df).splitlines() if "PushedFilters" in ln
+    ]
+    assert any("StringStartsWith(term" in ln for ln in pushed), pushed
+    # and the full query still returns scored rows on this corpus
+    assert s.search_phrase_prefix("w00001 w0", k=3).count() >= 0
+
+
+def test_similarity_family_term_pushdown(spark, tmp_path):
+    """The IB/DFI (and by shared plumbing the whole DataFrame-similarity
+    family) postings scan must carry a pushed In(term) filter — work is
+    ∝ query postings, never the corpus."""
+    from nlp4l_spark.data.transcripts import synth_transcripts
+    from nlp4l_spark.index import build_index
+    from nlp4l_spark.search import Searcher
+
+    idx = str(tmp_path / "idx")
+    build_index(synth_transcripts(spark, 800, num_partitions=4), idx)
+    s = Searcher(spark, idx)
+    for df in (s.search_ib("w00001 w00002"), s.search_dfi("w00001 w00002")):
+        plan = _plan(df)
+        pushed = [
+            ln for ln in plan.splitlines() if "PushedFilters" in ln
+        ]
+        assert any("In(term" in ln for ln in pushed), pushed
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_conv_dedup_plan_is_python_free(spark):
