@@ -127,6 +127,8 @@ EXTRA_QUERIES = [
     "phrase_prefix_topk",
     "date_histogram",
     "ngram_novelty",
+    "boosting_topk",
+    "span_containing_search",
     "function_score_topk",
     "chat_validate",
     "loop_detect",

@@ -3427,6 +3427,178 @@ SELECT doc_id, n_spans FROM s WHERE n_spans > 0 ORDER BY doc_id ASC LIMIT 20
 """
 
 
+SPANC_BIG = ("merge", "join")
+SPANC_LITTLE = "data"
+SPANC_SLOP = 4
+
+
+def _spanc_frames():
+    """Shared position columns for the containing/within corpus twins:
+    (pa, pb, pc) full-stream positions of big-start, big-end, little."""
+    ft = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+
+    def positions(term):
+        return F.filter(
+            F.transform(
+                ft, lambda x, i: F.when(x == term, i).otherwise(F.lit(None))
+            ),
+            lambda v: v.isNotNull(),
+        )
+
+    return positions(SPANC_BIG[0]), positions(SPANC_BIG[1]), positions(
+        SPANC_LITTLE
+    )
+
+
+def q_span_containing(spark, sf_dir):
+    """Lucene SpanContainingQuery, corpus path (index twin
+    Searcher.search_span_containing): big spans = ordered
+    ('{SPANC_BIG[0]}' .. '{SPANC_BIG[1]}') with <= {SPANC_SLOP}
+    intervening tokens; an anchor qualifies iff SOME such span contains
+    a '{SPANC_LITTLE}' position. Docs with >= 1 qualifying anchor,
+    n_spans = anchor count, docID asc (constant-score span-family
+    contract). One HOF scan."""
+    win = SPANC_SLOP + 1
+    pa, pb, pc = _spanc_frames()
+    n_spans = F.size(
+        F.filter(
+            pa,
+            lambda p0: F.exists(
+                pb,
+                lambda p1: (p1 > p0)
+                & (p1 - p0 <= win)
+                & F.exists(pc, lambda q: (q >= p0) & (q <= p1)),
+            ),
+        )
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", n_spans.cast("long").alias("n_spans"))
+        .filter(F.col("n_spans") > 0)
+        .orderBy(F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+O_SPAN_CONTAINING = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ft
+           FROM documents),
+p AS (SELECT doc_id,
+        list_filter(range(1, len(ft) + 1), i -> ft[i] = '{SPANC_BIG[0]}') AS pa,
+        list_filter(range(1, len(ft) + 1), i -> ft[i] = '{SPANC_BIG[1]}') AS pb,
+        list_filter(range(1, len(ft) + 1), i -> ft[i] = '{SPANC_LITTLE}') AS pc
+      FROM t),
+s AS (SELECT doc_id,
+        len(list_filter(pa, p0 ->
+          len(list_filter(pb, p1 -> p1 > p0 AND p1 - p0 <= {SPANC_SLOP + 1}
+              AND len(list_filter(pc, q -> q >= p0 AND q <= p1)) > 0)) > 0
+        ))::bigint AS n_spans
+      FROM p)
+SELECT doc_id, n_spans FROM s WHERE n_spans > 0 ORDER BY doc_id ASC LIMIT 20
+"""
+
+
+def q_span_within(spark, sf_dir):
+    """Lucene SpanWithinQuery, corpus path (index twin
+    Searcher.search_span_within) — the dual of span_containing:
+    '{SPANC_LITTLE}' positions sitting INSIDE some ordered
+    ('{SPANC_BIG[0]}' .. '{SPANC_BIG[1]}') span with <= {SPANC_SLOP}
+    intervening tokens. n_within = qualifying little positions, docID
+    asc. One HOF scan."""
+    win = SPANC_SLOP + 1
+    pa, pb, pc = _spanc_frames()
+    n_within = F.size(
+        F.filter(
+            pc,
+            lambda q: F.exists(
+                pa,
+                lambda p0: (q >= p0)
+                & F.exists(
+                    pb,
+                    lambda p1: (p1 > p0) & (p1 - p0 <= win) & (q <= p1),
+                ),
+            ),
+        )
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", n_within.cast("long").alias("n_within"))
+        .filter(F.col("n_within") > 0)
+        .orderBy(F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+O_SPAN_WITHIN = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ft
+           FROM documents),
+p AS (SELECT doc_id,
+        list_filter(range(1, len(ft) + 1), i -> ft[i] = '{SPANC_BIG[0]}') AS pa,
+        list_filter(range(1, len(ft) + 1), i -> ft[i] = '{SPANC_BIG[1]}') AS pb,
+        list_filter(range(1, len(ft) + 1), i -> ft[i] = '{SPANC_LITTLE}') AS pc
+      FROM t),
+s AS (SELECT doc_id,
+        len(list_filter(pc, q ->
+          len(list_filter(pa, p0 -> q >= p0 AND
+            len(list_filter(pb, p1 -> p1 > p0 AND p1 - p0 <= {SPANC_SLOP + 1}
+                AND q <= p1)) > 0)) > 0
+        ))::bigint AS n_within
+      FROM p)
+SELECT doc_id, n_within FROM s WHERE n_within > 0 ORDER BY doc_id ASC LIMIT 20
+"""
+
+
+BOOST_NEG = "slow"
+BOOST_FACTOR = 0.3
+
+
+def q_boosting_topk(spark, sf_dir):
+    """Lucene queries-module BoostingQuery / ES `boosting` query top-k,
+    corpus path (index twin Searcher.search_boosting): BM25 on
+    {BM25_TERMS}, score × {BOOST_FACTOR} for docs also containing
+    '{BOOST_NEG}' — demotion without exclusion (contrast bm25_not_topk's
+    MUST_NOT). Same one-tokenize two-pass corpus shape as bm25_topk; the
+    demotion is a map-membership flag on the same scan."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    base = _bm25_score_col(BM25_TERMS, n, avgdl, dfs)
+    score = F.when(
+        F.col("m")[BOOST_NEG].isNotNull(), base * F.lit(BOOST_FACTOR)
+    ).otherwise(base)
+    return (
+        per_doc.filter(
+            F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull()
+        )
+        .withColumn("s", score)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_BOOSTING_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+neg AS (SELECT DISTINCT doc_id FROM dt WHERE term = '{BOOST_NEG}'),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id),
+b AS (SELECT sc.doc_id,
+             CASE WHEN neg.doc_id IS NOT NULL
+                  THEN s * {BOOST_FACTOR!r} ELSE s END AS s
+      FROM sc LEFT JOIN neg ON sc.doc_id = neg.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM b
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 def q_explain_score(spark, sf_dir):
     """Lucene IndexSearcher.explain parity as a query: the per-term BM25
     decomposition (tf, df, idf, tf_norm, term score) for the TOP-1 doc of
@@ -7314,6 +7486,9 @@ REGISTRY: dict[str, tuple] = {
     "ja_dict_wordcount": (q_ja_dict_wordcount, O_JA_DICT_WORDCOUNT),
     "ja_user_dict_records": (q_ja_user_dict_records, O_JA_USER_DICT_RECORDS),
     "span_or_search": (q_span_or, O_SPAN_OR),
+    "span_containing_search": (q_span_containing, O_SPAN_CONTAINING),
+    "span_within_search": (q_span_within, O_SPAN_WITHIN),
+    "boosting_topk": (q_boosting_topk, O_BOOSTING_TOPK),
     "explain_score": (q_explain_score, O_EXPLAIN_SCORE),
     "shuffle_export": (q_shuffle_export, O_SHUFFLE_EXPORT),
     "term_browse": (q_term_browse, O_TERM_BROWSE),
@@ -7379,6 +7554,7 @@ _DRIVER_ORDER = [
     # --- position > 50: next round's front ---
     "ja_dict_wordcount", "ja_user_dict_records",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
+    "boosting_topk", "span_containing_search", "span_within_search",
     "span_or_search", "explain_score", "shuffle_export", "term_browse", "conv_dedup",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",

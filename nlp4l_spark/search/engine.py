@@ -1221,6 +1221,157 @@ class Searcher:
             .limit(k)
         )
 
+    def _span_pair_frames(self, big: tuple[str, str], little: str):
+        """Shared retrieval for SpanContaining/SpanWithin: three pushed-
+        equality term_vectors reads -> (doc_id, _pa, _pb, _pc) with the
+        big pair inner-joined (both ends required) and little inner-joined
+        (containment needs it). All frames are df-sized."""
+        a = self.analyzer.tokenize(big[0])
+        b = self.analyzer.tokenize(big[1])
+        c = self.analyzer.tokenize(little)
+        if len(a) != 1 or len(b) != 1 or len(c) != 1:
+            raise ValueError("span clauses must analyze to one term each")
+        if not self.cat.is_committed("term_vectors"):
+            raise ValueError(
+                "span containing/within needs term_vectors "
+                "(IndexBuilder(store_term_vectors=True))"
+            )
+        tv = self.cat.read(self.spark, "term_vectors")
+        pa = tv.filter(F.col("term") == a[0]).select(
+            "doc_id", F.col("positions").alias("_pa")
+        )
+        pb = tv.filter(F.col("term") == b[0]).select(
+            "doc_id", F.col("positions").alias("_pb")
+        )
+        pc = tv.filter(F.col("term") == c[0]).select(
+            "doc_id", F.col("positions").alias("_pc")
+        )
+        return pa.join(pb, "doc_id").join(pc, "doc_id")
+
+    def search_span_containing(
+        self, big: tuple[str, str], little: str, slop: int = 0, k: int = 10
+    ) -> DataFrame:
+        """Lucene SpanContainingQuery: spans of ``big`` — the ordered pair
+        (a, b) with at most ``slop`` intervening tokens, interval
+        [p_a, p_b] — that CONTAIN a position of ``little``. Docs ranked
+        docID asc with ``n_spans`` = qualifying big spans (constant-score
+        candidate retrieval, the span-family contract). Plan: three
+        pushed-equality term_vectors reads, two df-sized equality joins,
+        per-doc nested list filters — never corpus-sized."""
+        joined = self._span_pair_frames(big, little)
+        win = int(slop) + 1
+        # an anchor p0 qualifies iff SOME (p0, p1) big span contains a
+        # little position — counting anchors (not (start, end) pairs)
+        # keeps n_spans deterministic where Lucene's span enumeration
+        # could emit several ends per start
+        contains = lambda p0: F.exists(  # noqa: E731
+            F.col("_pb"),
+            lambda p1: (p1 > p0)
+            & (p1 - p0 <= win)
+            & F.exists(
+                F.col("_pc"), lambda q: (q >= p0) & (q <= p1)
+            ),
+        )
+        n_spans = F.size(F.filter(F.col("_pa"), contains))
+        return (
+            self._not_deleted(joined)
+            .select("doc_id", n_spans.cast("long").alias("n_spans"))
+            .filter(F.col("n_spans") > 0)
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_span_within(
+        self, little: str, big: tuple[str, str], slop: int = 0, k: int = 10
+    ) -> DataFrame:
+        """Lucene SpanWithinQuery — the dual of SpanContainingQuery:
+        positions of ``little`` that sit INSIDE some ``big`` span (ordered
+        pair (a, b), at most ``slop`` intervening tokens). Docs ranked
+        docID asc with ``n_within`` = qualifying little positions. Same
+        three-read df-sized plan as search_span_containing."""
+        joined = self._span_pair_frames(big, little)
+        win = int(slop) + 1
+        inside = lambda q: F.exists(  # noqa: E731
+            F.col("_pa"),
+            lambda p0: (q >= p0)
+            & F.exists(
+                F.col("_pb"),
+                lambda p1: (p1 > p0) & (p1 - p0 <= win) & (q <= p1),
+            ),
+        )
+        n_within = F.size(F.filter(F.col("_pc"), inside))
+        return (
+            self._not_deleted(joined)
+            .select("doc_id", n_within.cast("long").alias("n_within"))
+            .filter(F.col("n_within") > 0)
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_boosting(
+        self,
+        positive: str,
+        negative: str,
+        negative_boost: float = 0.3,
+        k: int = 10,
+    ) -> DataFrame:
+        """Lucene queries-module BoostingQuery / Elasticsearch `boosting`
+        query: matching and scoring come from the ``positive`` query
+        alone; docs that ALSO match ``negative`` keep their place in the
+        candidate set but have their BM25 score multiplied by
+        ``negative_boost`` — demotion without exclusion (MUST_NOT would
+        drop them). Plan: the standard BM25 broadcast-join scoring plan
+        over the positive terms' postings, plus ONE equality left-join
+        against the negative terms' distinct-docID frame (postings-sized,
+        never corpus-sized)."""
+        pterms = sorted(set(self.analyzer.tokenize(positive)))
+        nterms = sorted(set(self.analyzer.tokenize(negative)))
+        dfs = self._term_stats(pterms)
+        rows = [(t, idf(self.num_docs, dfs[t])) for t in pterms if t in dfs]
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "term string, idf double")
+        )
+        decoded = self._decoded(self._matching_postings([r[0] for r in rows]))
+        avgdl = self.avgdl or 1.0
+        score_expr = (
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+            )
+        )
+        pos = (
+            decoded.join(qterms, "term")
+            .withColumn("_s", score_expr)
+            .groupBy("doc_id")
+            .agg(F.sum("_s").alias("_pos"))
+        )
+        neg_present = [t for t in nterms if t in self._term_stats(nterms)]
+        if neg_present:
+            neg = (
+                self._decoded(self._matching_postings(neg_present))
+                .select("doc_id")
+                .distinct()
+                .withColumn("_neg", F.lit(True))
+            )
+            pos = pos.join(neg, "doc_id", "left")
+        else:
+            pos = pos.withColumn("_neg", F.lit(None).cast("boolean"))
+        score = F.when(
+            F.col("_neg").isNotNull(),
+            F.col("_pos") * F.lit(float(negative_boost)),
+        ).otherwise(F.col("_pos"))
+        return (
+            pos.select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_synonym(
         self, groups: list[list[str]], k: int = 10
     ) -> DataFrame:

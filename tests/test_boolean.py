@@ -577,6 +577,47 @@ def test_span_queries_index_vs_corpus_identity(spark, tmp_path):
     got = {to_orig[r["doc_id"]]: r["n_spans"] for r in got_rows}
     got = dict(sorted(got.items())[: len(want)])
     assert got == want
+    # span_containing
+    want = {
+        r["doc_id"]: r["n_spans"]
+        for r in eq.REGISTRY["span_containing_search"][0](spark, sf).collect()
+    }
+    got_rows = s.search_span_containing(
+        eq.SPANC_BIG, eq.SPANC_LITTLE, slop=eq.SPANC_SLOP, k=10**6
+    ).collect()
+    got = {to_orig[r["doc_id"]]: r["n_spans"] for r in got_rows}
+    got = dict(sorted(got.items())[: len(want)])
+    assert got == want
+    # span_within (the dual)
+    want = {
+        r["doc_id"]: r["n_within"]
+        for r in eq.REGISTRY["span_within_search"][0](spark, sf).collect()
+    }
+    got_rows = s.search_span_within(
+        eq.SPANC_LITTLE, eq.SPANC_BIG, slop=eq.SPANC_SLOP, k=10**6
+    ).collect()
+    got = {to_orig[r["doc_id"]]: r["n_within"] for r in got_rows}
+    got = dict(sorted(got.items())[: len(want)])
+    assert got == want
+    # boosting: index path vs corpus twin, rank + 6dp score identity
+    want_rows = [
+        (r["doc_id"], r["score"])
+        for r in eq.REGISTRY["boosting_topk"][0](spark, sf).collect()
+    ]
+    got_rows = [
+        (to_orig[r["doc_id"]], round(r["score"], 6))
+        for r in s.search_boosting(
+            eq.BM25_QUERY, eq.BOOST_NEG, negative_boost=eq.BOOST_FACTOR,
+            k=eq.BM25_K,
+        ).collect()
+    ]
+    assert got_rows == want_rows
+    # demotion is real on this corpus: boosting reorders vs plain BM25
+    plain = [
+        r["doc_id"]
+        for r in eq.REGISTRY["bm25_topk"][0](spark, sf).collect()
+    ]
+    assert [d for d, _ in want_rows] != plain
 
     # term dictionary browse (TermsEnum.seekCeil): index term_stats page
     # == corpus-twin (term, df, cf) page
