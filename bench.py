@@ -129,6 +129,7 @@ EXTRA_QUERIES = [
     "ngram_novelty",
     "boosting_topk",
     "span_containing_search",
+    "significant_text",
     "function_score_topk",
     "chat_validate",
     "loop_detect",

@@ -5930,6 +5930,62 @@ SELECT g AS lang, term, fg_count, bg_count, g2 FROM rk WHERE rn <= 10
 """
 
 
+SIGTEXT_K = 15
+
+
+def q_significant_text(spark, sf_dir):
+    """Elasticsearch significant_text aggregation, corpus path (index
+    twin Searcher.significant_text): terms overrepresented by Dunning G²
+    in the docs MATCHING '{BM25_QUERY}' (>= 1 query term) vs the whole
+    corpus, the query's own terms excluded before ranking. Reuses
+    keyness.significant_terms with the match flag as the group column —
+    one tokenize scan + vocab-sized keyed aggs, totals broadcast."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    qarr = F.array(*[F.lit(t) for t in BM25_TERMS])
+    df2 = _docs(spark, sf_dir).withColumn(
+        "_fg", F.coalesce(F.arrays_overlap(toks, qarr), F.lit(False))
+    )
+    return (
+        keyness.significant_terms(
+            df2, "_fg", k=SIGTEXT_K, exclude=tuple(BM25_TERMS)
+        )
+        .filter(F.col("_fg"))
+        .select("term", "fg_count", "bg_count", "g2")
+        .orderBy(F.desc("g2"), F.asc("term"))
+    )
+
+
+O_SIGNIFICANT_TEXT = f"""
+WITH fl AS (SELECT {TOK_SQL} AS l FROM documents),
+fm AS (SELECT l, len(list_filter(l,
+          x -> x IN ({", ".join(f"'{t}'" for t in BM25_TERMS)}))) > 0 AS g
+       FROM fl),
+tk AS (SELECT g, unnest(l) AS term FROM fm),
+gt AS (SELECT g, term, count(*)::double AS a FROM tk GROUP BY 1, 2),
+ct AS (SELECT term, sum(a) AS rowt FROM gt GROUP BY 1),
+grp AS (SELECT g, sum(a) AS colt FROM gt GROUP BY 1),
+tot AS (SELECT sum(a) AS n FROM gt),
+sc AS (SELECT g, term, a, rowt - a AS b, rowt, colt, n
+       FROM gt JOIN ct USING (term) JOIN grp USING (g) CROSS JOIN tot),
+g2t AS (SELECT g, term, a::bigint AS fg_count, b::bigint AS bg_count,
+          round(2 * (
+            (CASE WHEN a > 0 THEN a * ln(a / ((rowt * colt) / n)) ELSE 0 END) +
+            (CASE WHEN b > 0 THEN b * ln(b / ((rowt * (n - colt)) / n)) ELSE 0 END) +
+            (CASE WHEN colt - a > 0 THEN (colt - a)
+                  * ln((colt - a) / (((n - rowt) * colt) / n)) ELSE 0 END) +
+            (CASE WHEN n - rowt - colt + a > 0 THEN (n - rowt - colt + a)
+                  * ln((n - rowt - colt + a)
+                       / (((n - rowt) * (n - colt)) / n)) ELSE 0 END)
+          ), 6) AS g2
+        FROM sc WHERE a >= 1 AND a * (n - colt) > b * colt
+          AND g AND term NOT IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})),
+rk AS (SELECT *, row_number() OVER
+         (ORDER BY g2 DESC, term ASC) AS rn FROM g2t)
+SELECT term, fg_count, bg_count, g2 FROM rk WHERE rn <= {SIGTEXT_K}
+ORDER BY g2 DESC, term ASC
+"""
+
+
 def q_dedup_spans(spark, sf_dir):
     """Maximal duplicated token spans (Lee et al. 2022 exact-substring
     dedup, arXiv:2107.06499): every shared token run >= 8 between doc
@@ -7424,6 +7480,7 @@ REGISTRY: dict[str, tuple] = {
     "dsir_weights": (q_dsir_weights, O_DSIR_WEIGHTS),
     "bigram_lm_score": (q_bigram_lm_score, O_BIGRAM_LM_SCORE),
     "significant_terms": (q_significant_terms, O_SIGNIFICANT_TERMS),
+    "significant_text": (q_significant_text, O_SIGNIFICANT_TEXT),
     "collocations": (q_collocations, O_COLLOCATIONS),
     "zipf_fit": (q_zipf_fit, O_ZIPF_FIT),
     "kwic": (q_kwic, O_KWIC),
@@ -7554,7 +7611,7 @@ _DRIVER_ORDER = [
     # --- position > 50: next round's front ---
     "ja_dict_wordcount", "ja_user_dict_records",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
-    "boosting_topk", "span_containing_search", "span_within_search",
+    "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "span_or_search", "explain_score", "shuffle_export", "term_browse", "conv_dedup",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",

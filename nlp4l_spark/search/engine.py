@@ -1372,6 +1372,90 @@ class Searcher:
             .limit(k)
         )
 
+    def significant_text(self, query: str, k: int = 15) -> DataFrame:
+        """Elasticsearch significant_text aggregation over a query's
+        result set: terms overrepresented in the MATCHING docs
+        (foreground) vs the whole index (background), scored by Dunning
+        G² on the 2×2 token contingency table — the same keyness math as
+        stats/keyness.significant_terms, with the foreground defined by
+        the query instead of a stored column. The query's own terms are
+        excluded (they define the foreground). Output (term, fg_count,
+        bg_count, g2), top-k by (g2 desc, term asc).
+
+        Plan: fg docset = distinct doc_ids of the (pushed-In) query
+        postings; fg term counts = term_vectors rows equality-joined to
+        that docset (needs IndexBuilder(store_term_vectors=True));
+        background totals ride the term_stats dictionary join; only the
+        two token-total scalars are collected."""
+        qterms = sorted(set(self.analyzer.tokenize(query)))
+        present = [t for t in qterms if t in self._term_stats(qterms)]
+        if not present:
+            return self.spark.createDataFrame(
+                [], "term string, fg_count long, bg_count long, g2 double"
+            )
+        if not self.cat.is_committed("term_vectors"):
+            raise ValueError(
+                "significant_text needs term_vectors "
+                "(IndexBuilder(store_term_vectors=True))"
+            )
+        fg_docs = (
+            self._decoded(self._matching_postings(present))
+            .select("doc_id")
+            .distinct()
+        )
+        tv = self.cat.read(self.spark, "term_vectors")
+        fg = (
+            tv.join(fg_docs, "doc_id")
+            .groupBy("term")
+            .agg(F.sum("tf").cast("double").alias("_a"))
+        )
+        colt = float(
+            self.cat.read(self.spark, "doc_lens")
+            .join(fg_docs, "doc_id")
+            .agg(F.sum("dl"))
+            .collect()[0][0]
+            or 0.0
+        )
+        n = float(self.sum_dl)
+        rowt_tbl = self.cat.read(self.spark, "term_stats").select(
+            "term", F.col("cf").cast("double").alias("_rowt")
+        )
+        a, rowt = F.col("_a"), F.col("_rowt")
+        b = rowt - a
+        c = F.lit(colt) - a
+        d = F.lit(n) - rowt - F.lit(colt) + a
+
+        def ll(kcol, e):
+            return F.when(kcol > 0, kcol * F.log(kcol / e)).otherwise(
+                F.lit(0.0)
+            )
+
+        g2 = F.round(
+            2.0
+            * (
+                ll(a, (rowt * F.lit(colt)) / F.lit(n))
+                + ll(b, (rowt * F.lit(n - colt)) / F.lit(n))
+                + ll(c, (F.lit(n) - rowt) * F.lit(colt) / F.lit(n))
+                + ll(d, (F.lit(n) - rowt) * F.lit(n - colt) / F.lit(n))
+            ),
+            6,
+        )
+        return (
+            fg.join(rowt_tbl, "term")
+            .filter(
+                ~F.col("term").isin(present)
+                & (a * F.lit(n - colt) > b * F.lit(colt))
+            )
+            .select(
+                "term",
+                a.cast("long").alias("fg_count"),
+                b.cast("long").alias("bg_count"),
+                g2.alias("g2"),
+            )
+            .orderBy(F.desc("g2"), F.asc("term"))
+            .limit(k)
+        )
+
     def search_synonym(
         self, groups: list[list[str]], k: int = 10
     ) -> DataFrame:

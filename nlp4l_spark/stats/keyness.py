@@ -33,6 +33,7 @@ def significant_terms(
     k: int = 10,
     min_count: int = 1,
     broadcast_totals: bool = True,
+    exclude: tuple[str, ...] = (),
 ) -> DataFrame:
     """Top-k overrepresented terms per group by Dunning G².
 
@@ -50,7 +51,9 @@ def significant_terms(
 
     Set ``broadcast_totals=False`` at 10⁹-term vocabularies to fall back
     to a term-keyed shuffle join for the term totals. Only the corpus
-    token total N is collected (one scalar).
+    token total N is collected (one scalar). ``exclude`` drops the named
+    terms BEFORE ranking (significant_text excludes the query's own
+    terms this way, so the top-k is over co-occurring vocabulary).
     """
     from nlp4l_spark.analysis import STANDARD_ANALYZER
 
@@ -93,6 +96,9 @@ def significant_terms(
         gt.join(term_tot, "term")
         .join(grp_tot, "_g")
         .filter((a >= float(min_count)) & (a * (F.lit(n) - colt) > b * colt))
+        .filter(
+            ~F.col("term").isin(list(exclude)) if exclude else F.lit(True)
+        )
         .select(
             "_g",
             "term",

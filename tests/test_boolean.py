@@ -618,6 +618,17 @@ def test_span_queries_index_vs_corpus_identity(spark, tmp_path):
         for r in eq.REGISTRY["bm25_topk"][0](spark, sf).collect()
     ]
     assert [d for d, _ in want_rows] != plain
+    # significant_text: index path (postings fg docset + term_vectors fg
+    # counts + term_stats background) == corpus twin, full-row identity
+    want_rows = [
+        (r["term"], r["fg_count"], r["bg_count"], r["g2"])
+        for r in eq.REGISTRY["significant_text"][0](spark, sf).collect()
+    ]
+    got_rows = [
+        (r["term"], r["fg_count"], r["bg_count"], r["g2"])
+        for r in s.significant_text(eq.BM25_QUERY, k=eq.SIGTEXT_K).collect()
+    ]
+    assert got_rows == want_rows and want_rows
 
     # term dictionary browse (TermsEnum.seekCeil): index term_stats page
     # == corpus-twin (term, df, cf) page
