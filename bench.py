@@ -130,6 +130,7 @@ EXTRA_QUERIES = [
     "boosting_topk",
     "span_containing_search",
     "significant_text",
+    "chat_flagged",
     "function_score_topk",
     "chat_validate",
     "loop_detect",

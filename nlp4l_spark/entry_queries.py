@@ -2719,6 +2719,38 @@ FROM agg ORDER BY conv_id
 """
 
 
+CHAT_FLAG_TERMS = ("slow", "dup")
+
+
+def q_chat_flagged(spark, sf_dir):
+    """Policy-term triage over assistant turns
+    (ops/chatqc.py::flagged_turn_triage): per conversation, the count /
+    rate / earliest turn_idx of assistant messages containing >= 1
+    flagged term {CHAT_FLAG_TERMS} (the refusal/safety-phrase screening
+    shape; the synthetic corpus stands the phrase list in with vocab
+    terms). One filtered scan + one groupBy(conv_id)."""
+    from nlp4l_spark.ops.chatqc import flagged_turn_triage
+
+    return flagged_turn_triage(
+        _chat_turns(spark, sf_dir), list(CHAT_FLAG_TERMS)
+    )
+
+
+O_CHAT_FLAGGED = f"""
+WITH {CHAT_CTE},
+a AS (SELECT conv_id, turn_idx,
+        len(list_filter({TOK_SQL},
+            x -> x IN ({", ".join(f"'{t}'" for t in CHAT_FLAG_TERMS)}))) > 0
+          AS f
+      FROM chat WHERE role = 'assistant')
+SELECT conv_id, count(*)::bigint AS n_role_turns,
+       sum(f::int)::bigint AS n_flagged,
+       round(sum(f::int)::double / count(*), 6) AS flag_rate,
+       min(CASE WHEN f THEN turn_idx END)::int AS first_flag_turn
+FROM a GROUP BY conv_id ORDER BY conv_id
+"""
+
+
 def q_tool_usage(spark, sf_dir):
     """Agent-transcript tool stats (ops/chatqc.py::tool_usage): per tool,
     call count, distinct conversations, share of all tool calls. One
@@ -7416,6 +7448,7 @@ REGISTRY: dict[str, tuple] = {
     "wildcard_search": (q_wildcard_search, O_WILDCARD_SEARCH),
     "regexp_search": (q_regexp_search, O_REGEXP_SEARCH),
     "chat_validate": (q_chat_validate, O_CHAT_VALIDATE),
+    "chat_flagged": (q_chat_flagged, O_CHAT_FLAGGED),
     "tool_usage": (q_tool_usage, O_TOOL_USAGE),
     "role_profile": (q_role_profile, O_ROLE_PROFILE),
     "loop_detect": (q_loop_detect, O_LOOP_DETECT),
@@ -7612,6 +7645,7 @@ _DRIVER_ORDER = [
     "ja_dict_wordcount", "ja_user_dict_records",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
+    "chat_flagged",
     "span_or_search", "explain_score", "shuffle_export", "term_browse", "conv_dedup",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",

@@ -203,3 +203,51 @@ def role_profile(
             "share"
         ),
     )
+
+
+def flagged_turn_triage(
+    turns: DataFrame,
+    terms: list[str],
+    *,
+    role: str = "assistant",
+    text_col: str = "text",
+    analyzer=None,
+) -> DataFrame:
+    """Policy-term triage over one role's turns — the SFT-filtering pass
+    that screens assistant messages against a flagged-phrase list
+    (refusal boilerplate, safety phrases, leaked system-prompt markers):
+    per conversation, how many ``role`` turns contain >= 1 flagged term,
+    the flag rate, and the earliest flagged turn. ``terms`` are matched
+    token-level under the analyzer contract (multiword phrases belong in
+    ops/dictmatch's FST-shape matcher).
+
+    Output (conv_id, n_role_turns, n_flagged, flag_rate,
+    first_flag_turn) — first_flag_turn null when nothing flagged.
+
+    Plan: one filtered scan (arrays_overlap against the literal term
+    array, pure JVM) + one groupBy(conv_id) — the chatqc single-shuffle
+    contract; no per-conv turn lists."""
+    from nlp4l_spark.analysis import STANDARD_ANALYZER
+
+    az = analyzer or STANDARD_ANALYZER
+    flagged = F.arrays_overlap(
+        az.tokens_expr(text_col), F.array(*[F.lit(t) for t in terms])
+    )
+    base = turns.filter(F.col("role") == role).select(
+        "conv_id", "turn_idx", flagged.alias("_f")
+    )
+    return (
+        base.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_role_turns"),
+            F.sum(F.col("_f").cast("long")).cast("long").alias("n_flagged"),
+            F.round(
+                F.sum(F.col("_f").cast("long")).cast("double") / F.count("*"),
+                6,
+            ).alias("flag_rate"),
+            F.min(F.when(F.col("_f"), F.col("turn_idx")))
+            .cast("int")
+            .alias("first_flag_turn"),
+        )
+        .orderBy("conv_id")
+    )

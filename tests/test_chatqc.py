@@ -134,3 +134,39 @@ def test_detect_turn_loops(spark):
         for r in detect_turn_loops(df, min_repeats=2).collect()
     }
     assert got2 == {0: True, 1: False, 2: True, 3: True}
+
+
+def test_flagged_turn_triage(spark):
+    from nlp4l_spark.ops.chatqc import flagged_turn_triage
+
+    turns2 = spark.createDataFrame(
+        [
+            # conv 0: assistant flagged at turn 1 (token 'sorry'), not 3
+            (0, 0, "user", "please do x", None),
+            (0, 1, "assistant", "sorry I cannot", None),
+            (0, 2, "user", "why", None),
+            (0, 3, "assistant", "policy reasons", None),
+            # conv 1: nothing flagged
+            (1, 0, "user", "hi", None),
+            (1, 1, "assistant", "hello there", None),
+            # conv 2: user turn contains the term but only the
+            # assistant role is screened
+            (2, 0, "user", "sorry to bother", None),
+            (2, 1, "assistant", "no problem", None),
+        ],
+        "conv_id long, turn_idx int, role string, text string, tool string",
+    )
+    got = {
+        r["conv_id"]: (
+            r["n_role_turns"],
+            r["n_flagged"],
+            r["flag_rate"],
+            r["first_flag_turn"],
+        )
+        for r in flagged_turn_triage(turns2, ["sorry", "cannot"]).collect()
+    }
+    assert got == {
+        0: (2, 1, 0.5, 1),
+        1: (1, 0, 0.0, None),
+        2: (1, 0, 0.0, None),
+    }
