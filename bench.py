@@ -131,6 +131,7 @@ EXTRA_QUERIES = [
     "span_containing_search",
     "significant_text",
     "chat_flagged",
+    "boilerplate_terms",
     "function_score_topk",
     "chat_validate",
     "loop_detect",

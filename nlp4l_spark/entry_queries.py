@@ -4074,6 +4074,53 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+BOILER_MIN_SHARE = 0.5
+
+
+def q_boilerplate_terms(spark, sf_dir):
+    """Per-source boilerplate vocabulary (the template-detection pass a
+    crawl pipeline runs before line/doc dedup — C4/RefinedWeb strip
+    boilerplate by ubiquity): terms present in >= {BOILER_MIN_SHARE:.0%}
+    of ONE source's docs, with per-source doc share. Plan: one tokenize
+    scan -> distinct (source, term, doc) -> (source, term) df agg + a
+    broadcast per-source doc-count join — two keyed shuffles, vocab-sized
+    output."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    d = _docs(spark, sf_dir)
+    per_src = F.broadcast(
+        d.groupBy("source").agg(F.count("*").alias("_n"))
+    )
+    df_tbl = (
+        d.select("source", "doc_id", F.explode(F.array_distinct(toks)).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("_df"))
+    )
+    share = F.col("_df").cast("double") / F.col("_n")
+    return (
+        df_tbl.join(per_src, "source")
+        .filter(share >= BOILER_MIN_SHARE)
+        .select(
+            "source",
+            "term",
+            F.col("_df").cast("long").alias("df"),
+            F.round(share, 6).alias("doc_share"),
+        )
+        .orderBy("source", F.desc("df"), F.asc("term"))
+    )
+
+
+O_BOILERPLATE_TERMS = f"""
+WITH t AS (SELECT source, doc_id, unnest(list_distinct({TOK_SQL})) AS term
+           FROM documents),
+n AS (SELECT source, count(*)::double AS _n FROM documents GROUP BY 1),
+d AS (SELECT source, term, count(*)::bigint AS df FROM t GROUP BY 1, 2)
+SELECT source, term, df, round(df::double / _n, 6) AS doc_share
+FROM d JOIN n USING (source)
+WHERE df::double / _n >= {BOILER_MIN_SHARE!r}
+ORDER BY source, df DESC, term ASC
+"""
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding-cluster quality report (the audit before
     trusting labels for semantic dedup / stratified sampling): centroid
@@ -7542,6 +7589,7 @@ REGISTRY: dict[str, tuple] = {
     "span_first_search": (q_span_first, O_SPAN_FIRST),
     "jaccard_topk": (q_jaccard_topk, O_JACCARD_TOPK),
     "dedup_rate_by_source": (q_dedup_rate_by_source, O_DEDUP_RATE_BY_SOURCE),
+    "boilerplate_terms": (q_boilerplate_terms, O_BOILERPLATE_TERMS),
     "label_centroids": (q_label_centroids, O_LABEL_CENTROIDS),
     "highlight": (q_highlight, O_HIGHLIGHT),
     "span_not_search": (q_span_not, O_SPAN_NOT),
@@ -7645,7 +7693,7 @@ _DRIVER_ORDER = [
     "ja_dict_wordcount", "ja_user_dict_records",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
-    "chat_flagged",
+    "chat_flagged", "boilerplate_terms",
     "span_or_search", "explain_score", "shuffle_export", "term_browse", "conv_dedup",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",
