@@ -1437,20 +1437,36 @@ def ngram_novelty(
     combine map-side) -> equality join back on gram -> per-doc fraction
     agg. Work is ∝ corpus n-gram count with no driver state; at 100 TB
     the gram key space is the same scale the n-gram-Jaccard dedup
-    already shuffles."""
+    already shuffles. The gram extraction is an Arrow pass (the
+    dedup.shingles_udf precedent: Spark interprets nested
+    transform/slice/concat_ws HOFs, measured ~35x slower at sf0.1) —
+    byte-identical to the declarative transform+slice form, short docs
+    (< n tokens) yielding NO grams (no shingles_col-style whole-doc
+    fallback: novelty over sub-n docs is undefined, they are dropped)."""
+    from pyspark.sql import types as T
+
     analyzer = analyzer or WHITESPACE_ANALYZER
-    toks = analyzer.tokens_expr(text_col)
-    # guard: sequence(0, negative) DESCENDS in Spark, so short docs need
-    # an explicit empty array, not an empty sequence
-    grams = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    tokenize = analyzer.tokenize
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _grams(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = tokenize(t)
+            if len(toks) >= n:
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + n])
+                            for i in range(len(toks) - n + 1)
+                        )
+                    )
+                )
+            else:
+                out.append([])
+        return pd.Series(out)
+
+    grams = _grams(F.col(text_col))
     ex = (
         df.select(F.col(id_col), grams.alias("_g"))
         .filter(F.size("_g") >= 1)

@@ -68,10 +68,11 @@ JVM_ONLY = [
     "conversation_stats",
     # ES-style day histogram: one keyed groupBy, exact-cents metric
     "date_histogram",
-    # trigram novelty: explode + gram-keyed min + join-back, all JVM
-    "ngram_novelty",
     # phrase-prefix corpus twin: expansion distinct + one HOF scan
     "phrase_prefix_topk",
+    # (ngram_novelty deliberately Arrow, like dedup_simhash: its gram
+    # extraction moved off interpreted nested HOFs for ~35x at sf0.1 —
+    # oracle-identical; the shuffles/joins stay JVM)
 ]
 
 
