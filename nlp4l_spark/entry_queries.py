@@ -3972,8 +3972,13 @@ def q_highlight(spark, sf_dir):
     """Lucene UnifiedHighlighter shape: per matching doc, the best
     {HL_W}-token window (max distinct query-term hits, earliest on tie)
     rendered as a snippet with matched terms UPPERCASED (a deterministic
-    ASCII-safe stand-in for <em> tags). One codegen HOF scan, zero
-    shuffle — the argmax over window starts runs inside the row."""
+    ASCII-safe stand-in for <em> tags). Two-stage plan: candidate
+    selection first — "contains >= 1 query term" (arrays_overlap,
+    codegen) is EQUIVALENT to "best window score > 0" since a W-token
+    window can cover any term position, so the docID-asc top-20 prunes
+    with a cheap filter + TakeOrdered — then the expensive window-argmax
+    HOFs run on the 20 surviving rows only (was: the whole corpus;
+    9.7 s -> sub-second at sf0.1), still zero Python."""
     ft = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
 
     def win_score(s):
@@ -4011,6 +4016,9 @@ def q_highlight(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
         .select("doc_id", ft.alias("_ft"))
+        .filter(F.arrays_overlap(F.col("_ft"), qarr))
+        .orderBy("doc_id")
+        .limit(20)
         .withColumn("_best", best)
         .filter(F.col("_best.score") > 0)
         .select(
@@ -4020,7 +4028,6 @@ def q_highlight(spark, sf_dir):
             snippet.alias("snippet"),
         )
         .orderBy("doc_id")
-        .limit(20)
     )
 
 
