@@ -1386,7 +1386,11 @@ class Searcher:
         postings; fg term counts = term_vectors rows equality-joined to
         that docset (needs IndexBuilder(store_term_vectors=True));
         background totals ride the term_stats dictionary join; only the
-        two token-total scalars are collected."""
+        two token-total scalars are collected. Scale note: work is ∝ the
+        foreground's token count — for queries matching a large corpus
+        fraction, cap the foreground first (ES wraps significant_text in
+        a sampler agg for the same reason), e.g. by feeding a top-k
+        docset instead of the full match set."""
         qterms = sorted(set(self.analyzer.tokenize(query)))
         present = [t for t in qterms if t in self._term_stats(qterms)]
         if not present:
