@@ -104,3 +104,23 @@ def test_entry_smoke(spark, entry_mod):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"doc_id", "score"}
+
+
+def test_bench_query_lists_are_registry_subsets():
+    """bench.py's headline/extra query lists must name real registry
+    entries — a typo would silently drop a timing from BENCH_r{N}."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", "/root/repo/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from nlp4l_spark.entry_queries import REGISTRY
+
+    missing = [q for q in bench.EXTRA_QUERIES if q not in REGISTRY]
+    assert not missing, missing
+    missing_h = [q for q in bench.BENCH_QUERIES if q not in REGISTRY]
+    assert not missing_h, missing_h
+    missing_s = [q for q in bench.R1_SUBSET if q not in bench.BENCH_QUERIES]
+    assert not missing_s, missing_s
