@@ -1,0 +1,106 @@
+"""Index integrity checker (index/checker.py — the CheckIndex
+analogue): a freshly built index passes every check; targeted
+corruptions are detected by the right check and only that check."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nlp4l_spark.data.transcripts import synth_transcripts
+from nlp4l_spark.index import IndexCatalog, build_index, check_index
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("chk") / "idx")
+    build_index(synth_transcripts(spark, 1200, num_partitions=4), d)
+    return d
+
+
+def _report(spark, path, deep=True):
+    return {
+        r["check"]: (r["ok"], r["detail"])
+        for r in check_index(spark, path, deep=deep).collect()
+    }
+
+
+def test_healthy_index_passes_all_checks(spark, idx):
+    rep = _report(spark, idx)
+    assert rep, "empty report"
+    failing = {k: v for k, v in rep.items() if not v[0]}
+    assert not failing, failing
+    # the deep checks actually ran
+    assert "postings_sort" in rep and "dl_crosscheck" in rep
+    # shallow mode skips them
+    shallow = _report(spark, idx, deep=False)
+    assert "postings_sort" not in shallow and "doc_count" in shallow
+
+
+def _copy_index(idx, tmp_path, name):
+    d = str(tmp_path / name)
+    shutil.copytree(idx, d)
+    return d
+
+
+def test_detects_stat_corruption(spark, idx, tmp_path):
+    # overstate a term's df in the dictionary -> df_cf_rollup fails
+    d = _copy_index(idx, tmp_path, "bad_stats")
+    cat = IndexCatalog(d)
+    ts = cat.read(spark, "term_stats")
+    broken = ts.withColumn(
+        "df",
+        F.when(F.col("term") == ts.limit(1).collect()[0]["term"],
+               F.col("df") + 1).otherwise(F.col("df")),
+    )
+    broken.cache().count()
+    cat.write(broken, "term_stats", mode="overwrite")
+    rep = _report(spark, d, deep=False)
+    assert not rep["df_cf_rollup"][0]
+    assert rep["shard_order"][0]  # unrelated checks stay green
+
+
+def test_detects_missing_docs(spark, idx, tmp_path):
+    # drop half the doc_lens rows -> doc_count + sum_dl + dense ids fail
+    d = _copy_index(idx, tmp_path, "bad_lens")
+    cat = IndexCatalog(d)
+    dl = cat.read(spark, "doc_lens").filter(F.col("doc_id") % 2 == 0)
+    dl.cache().count()
+    cat.write(dl, "doc_lens", mode="overwrite")
+    rep = _report(spark, d, deep=False)
+    assert not rep["doc_count"][0]
+    assert not rep["dense_doc_ids"][0]
+    assert not rep["sum_dl"][0]
+
+
+def test_detects_posting_blob_corruption(spark, idx, tmp_path):
+    # swap one posting row's doc blob for another term's -> deep checks
+    # (bounds/df or sort) fire while the dictionary rollup stays green
+    d = _copy_index(idx, tmp_path, "bad_blob")
+    cat = IndexCatalog(d)
+    p = cat.read(spark, "postings")
+    rows = p.orderBy("term", "shard").limit(2).collect()
+    a = rows[0]
+    donor = rows[1]["doc_ids_enc"]
+    broken = p.withColumn(
+        "doc_ids_enc",
+        F.when(
+            (F.col("term") == a["term"]) & (F.col("shard") == a["shard"]),
+            F.lit(bytearray(donor)),
+        ).otherwise(F.col("doc_ids_enc")),
+    )
+    broken.cache().count()
+    cat.write(broken, "postings", mode="overwrite")
+    rep = _report(spark, d, deep=True)
+    deep_fails = [
+        k
+        for k in ("postings_bounds", "postings_df", "postings_sort",
+                  "dl_crosscheck")
+        if not rep[k][0]
+    ]
+    assert deep_fails, rep
+    assert rep["uniq_terms"][0]
