@@ -4,7 +4,7 @@ from nlp4l_spark.index.builder import (
     build_index_from_schema,
 )
 from nlp4l_spark.index.catalog import IndexCatalog
-from nlp4l_spark.index.checker import check_index
+from nlp4l_spark.index.checker import check_index, index_stats
 from nlp4l_spark.index.deletes import (
     delete_by_term,
     delete_docs,
@@ -19,6 +19,7 @@ __all__ = [
     "build_index_from_schema",
     "IndexCatalog",
     "check_index",
+    "index_stats",
     "assign_doc_ids",
     "delete_docs",
     "delete_by_term",

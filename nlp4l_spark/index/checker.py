@@ -248,3 +248,53 @@ def check_index(
     return spark.createDataFrame(
         results, "check string, ok boolean, detail string"
     ).orderBy("check")
+
+
+def index_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Index observability report — the segment/size view Lucene exposes
+    through SegmentInfos + CheckIndex output: collection stats, posting
+    row/shard counts, encoded blob bytes, and compression-shape ratios.
+    One aggregate over each small table + one over postings (JVM-only,
+    blob sizes via length(); the blobs themselves are never decoded).
+    Output (stat, value) ordered by stat name, all values double."""
+    cat = IndexCatalog(path)
+    fs = cat.read(spark, "field_stats").collect()[0]
+    p = cat.read(spark, "postings").agg(
+        F.count("*").alias("rows"),
+        F.sum("df").alias("postings"),
+        F.sum("cf").alias("tokens"),
+        F.max("df").alias("max_row_df"),
+        F.sum(
+            F.length("doc_ids_enc")
+            + F.length("tfs_enc")
+            + F.length("dls_enc")
+        ).alias("blob_bytes"),
+    ).collect()[0]
+    shards = (
+        cat.read(spark, "postings")
+        .groupBy("term")
+        .agg(F.count("*").alias("_s"))
+        .agg(F.max("_s").alias("mx"), F.avg("_s").alias("av"))
+        .collect()[0]
+    )
+    n_postings = float(p["postings"] or 0.0)
+    rows = [
+        ("num_docs", float(fs["num_docs"])),
+        ("sum_dl", float(fs["sum_dl"])),
+        ("avgdl", float(fs["avgdl"])),
+        ("uniq_terms", float(fs["uniq_terms"])),
+        ("posting_rows", float(p["rows"])),
+        ("postings", n_postings),
+        ("tokens", float(p["tokens"] or 0.0)),
+        ("max_row_df", float(p["max_row_df"] or 0.0)),
+        ("blob_bytes", float(p["blob_bytes"] or 0.0)),
+        (
+            "bytes_per_posting",
+            float(p["blob_bytes"] or 0.0) / n_postings if n_postings else 0.0,
+        ),
+        ("max_shards_per_term", float(shards["mx"] or 0.0)),
+        ("avg_shards_per_term", float(shards["av"] or 0.0)),
+    ]
+    return spark.createDataFrame(
+        rows, "stat string, value double"
+    ).orderBy("stat")

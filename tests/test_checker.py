@@ -104,3 +104,24 @@ def test_detects_posting_blob_corruption(spark, idx, tmp_path):
     ]
     assert deep_fails, rep
     assert rep["uniq_terms"][0]
+
+
+def test_index_stats_invariants(spark, idx):
+    from nlp4l_spark.index import index_stats
+
+    stats = {r["stat"]: r["value"] for r in index_stats(spark, idx).collect()}
+    assert stats["num_docs"] == 1200.0
+    # postings == total (doc, term) pairs == sum of dictionary dfs
+    from nlp4l_spark.index import IndexCatalog
+
+    cat = IndexCatalog(idx)
+    dict_df = (
+        cat.read(spark, "term_stats").agg(F.sum("df")).collect()[0][0]
+    )
+    assert stats["postings"] == float(dict_df)
+    assert stats["tokens"] == stats["sum_dl"]
+    assert stats["blob_bytes"] > 0
+    # varbyte gap coding keeps the three blobs tight: well under
+    # 3 x 8-byte raw width per posting
+    assert 0 < stats["bytes_per_posting"] < 12
+    assert stats["max_shards_per_term"] >= stats["avg_shards_per_term"] >= 1
