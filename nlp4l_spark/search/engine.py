@@ -3039,3 +3039,102 @@ def parse_query(q: str) -> dict:
         if tok:
             out[target].append(tok)
     return out
+
+
+class MultiSearcher:
+    """Lucene MultiReader analogue: one logical search surface over
+    SEVERAL built index directories (index generations, per-partition
+    builds, per-tenant shards) with GLOBALLY blended statistics —
+    exactly how IndexSearcher over a MultiReader scores: idf from the
+    union's (N, df), norms from the union's avgdl, docIDs offset by the
+    docBase of the preceding readers (reader order = constructor order,
+    /root/reference's RawReader opens a DirectoryReader the same way;
+    MultiReader is its composition form).
+
+    Invariant (tested): searching a MultiSearcher over a corpus split
+    into K indexes is rank- AND score-identical to searching ONE index
+    built over the whole corpus, because BM25 depends on the corpus only
+    through (N, df_t, avgdl, tf, dl) — all blended exactly.
+
+    Plan: per index the same pushed-In(term) postings scan + broadcast
+    qterms join as Searcher's dataframe scoring; the union is K
+    postings-sized frames, one final partial-agg + TakeOrdered. No
+    cross-index shuffle beyond the final top-k."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dirs: list[str],
+        analyzer: Analyzer | None = None,
+    ):
+        if not index_dirs:
+            raise ValueError("MultiSearcher needs >= 1 index dir")
+        self.spark = spark
+        self.analyzer = analyzer or STANDARD_ANALYZER
+        self.searchers = [
+            Searcher(spark, d, analyzer=self.analyzer) for d in index_dirs
+        ]
+        self.doc_bases: list[int] = []
+        base = 0
+        for s in self.searchers:
+            self.doc_bases.append(base)
+            base += s.num_docs
+        self.num_docs = base
+        self.sum_dl = sum(s.sum_dl for s in self.searchers)
+        self.avgdl = self.sum_dl / self.num_docs if self.num_docs else 1.0
+
+    def _global_dfs(self, terms: list[str]) -> dict[str, int]:
+        dfs: dict[str, int] = {}
+        for s in self.searchers:
+            for t, df_t in s._term_stats(terms).items():
+                dfs[t] = dfs.get(t, 0) + df_t
+        return dfs
+
+    def search(self, query: str, k: int = 10) -> DataFrame:
+        """Global BM25 top-k. Returns (doc_id, score) with doc_id in the
+        union's docBase-offset space (Lucene MultiReader numbering);
+        ties break on that global docID ascending."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        dfs = self._global_dfs(terms)
+        rows = [
+            (t, idf(self.num_docs, dfs[t])) for t in terms if t in dfs
+        ]
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "term string, idf double")
+        )
+        avgdl = self.avgdl or 1.0
+        score_expr = (
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+            )
+        )
+        parts = []
+        present = [r[0] for r in rows]
+        for s, dbase in zip(self.searchers, self.doc_bases):
+            decoded = s._decoded(s._matching_postings(present))
+            parts.append(
+                decoded.select(
+                    (F.col("doc_id") + F.lit(dbase)).alias("doc_id"),
+                    "term",
+                    "tf",
+                    "dl",
+                )
+            )
+        un = parts[0]
+        for p in parts[1:]:
+            un = un.unionByName(p)
+        return (
+            un.join(qterms, "term")
+            .withColumn("_s", score_expr)
+            .groupBy("doc_id")
+            .agg(F.sum("_s").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
