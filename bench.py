@@ -132,6 +132,7 @@ EXTRA_QUERIES = [
     "significant_text",
     "chat_flagged",
     "boilerplate_terms",
+    "multi_index_bm25_topk",
     "function_score_topk",
     "chat_validate",
     "loop_detect",

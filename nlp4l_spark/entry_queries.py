@@ -4580,6 +4580,36 @@ def q_index_bm25_topk(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_multi_index_bm25_topk(spark, sf_dir):
+    """Federated-search path (Searcher composition, the MultiReader
+    shape): the documents table split at its docID midpoint into TWO
+    independently built indexes, searched through MultiSearcher with
+    blended global stats. The split is a prefix split in the builder's
+    (doc_id) sort order, so the docBase offsets reproduce the original
+    doc_ids — and BM25 over blended (N, df, avgdl) is EXACTLY the
+    whole-corpus BM25, so the oracle is the same SQL as bm25_topk.
+    Identity vs the single-index path is additionally asserted in
+    tests/test_multisearcher.py."""
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.index.catalog import IndexCatalog
+    from nlp4l_spark.search import MultiSearcher
+
+    docs = _docs(spark, sf_dir)
+    base = _index_cache_dir(sf_dir)
+    dirs = [f"{base}_splitA", f"{base}_splitB"]
+    if not all(IndexCatalog(d).is_committed("field_stats") for d in dirs):
+        k = docs.count() // 2
+        IndexBuilder(sort_cols=("doc_id",)).build(
+            docs.filter(F.col("doc_id") < k), dirs[0]
+        )
+        IndexBuilder(sort_cols=("doc_id",)).build(
+            docs.filter(F.col("doc_id") >= k), dirs[1]
+        )
+    ms = MultiSearcher(spark, dirs)
+    res = ms.search(BM25_QUERY, k=BM25_K)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_index_phrase_topk(spark, sf_dir):
     """The phrase SCALE path, driver-verified: positions ride inside the
     posting shards (store_positions=True adds only the missing
@@ -7486,6 +7516,7 @@ REGISTRY: dict[str, tuple] = {
     "facet_counts": (q_facet_counts, O_FACET_COUNTS),
     "rm3_topk": (q_rm3_topk, O_RM3_TOPK),
     "index_bm25_topk": (q_index_bm25_topk, _BM25_ORACLE),
+    "multi_index_bm25_topk": (q_multi_index_bm25_topk, _BM25_ORACLE),
     "phrase_bm25_topk": (q_phrase_bm25_topk, O_PHRASE_BM25_TOPK),
     "sloppy_phrase_topk": (q_sloppy_phrase_topk, O_SLOPPY_PHRASE_TOPK),
     "rescore_topk": (q_rescore_topk, O_RESCORE_TOPK),
@@ -7700,7 +7731,7 @@ _DRIVER_ORDER = [
     "ja_dict_wordcount", "ja_user_dict_records",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
-    "chat_flagged", "boilerplate_terms",
+    "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk",
     "span_or_search", "explain_score", "shuffle_export", "term_browse", "conv_dedup",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",
