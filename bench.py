@@ -133,6 +133,7 @@ EXTRA_QUERIES = [
     "chat_flagged",
     "boilerplate_terms",
     "multi_index_bm25_topk",
+    "term_adjacency",
     "function_score_topk",
     "chat_validate",
     "loop_detect",

@@ -4081,6 +4081,69 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+ADJ_FILTERS = ("join", "merge", "vector", "scan")
+
+
+def q_term_adjacency(spark, sf_dir):
+    """Elasticsearch adjacency_matrix aggregation: doc counts for every
+    named filter and every pairwise intersection — the co-occurrence
+    matrix dashboards build topic chord diagrams from. Filters here are
+    term-presence tests over {ADJ_FILTERS}. ONE scan computes all k
+    presence flags; the k(k+1)/2 cell counts are sums of flag products
+    in a single aggregate row, then unpivoted driver-side — no joins,
+    no shuffle beyond the scalar agg."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    flags = [
+        F.array_contains(toks, t).cast("long").alias(f"_f{i}")
+        for i, t in enumerate(ADJ_FILTERS)
+    ]
+    base = _docs(spark, sf_dir).select(*flags)
+    aggs = []
+    names = []
+    for i, a in enumerate(ADJ_FILTERS):
+        for j, b in enumerate(ADJ_FILTERS):
+            if i > j:
+                continue
+            key = a if i == j else f"{a}&{b}"
+            names.append(key)
+            aggs.append(
+                F.sum(F.col(f"_f{i}") * F.col(f"_f{j}")).alias(
+                    f"_c{len(aggs)}"
+                )
+            )
+    row = base.agg(*aggs).collect()[0]
+    out = [(names[i], int(row[f"_c{i}"] or 0)) for i in range(len(names))]
+    return (
+        spark.createDataFrame(out, "pair string, cnt long")
+        .filter(F.col("cnt") > 0)
+        .orderBy("pair")
+    )
+
+
+def _o_term_adjacency() -> str:
+    cells = []
+    for i, a in enumerate(ADJ_FILTERS):
+        for j, b in enumerate(ADJ_FILTERS):
+            if i > j:
+                continue
+            key = a if i == j else f"{a}&{b}"
+            cells.append(
+                f"SELECT '{key}' AS pair, sum(f{i} * f{j})::bigint AS cnt FROM fl"
+            )
+    flags = ", ".join(
+        f"list_contains({TOK_SQL}, '{t}')::bigint AS f{i}"
+        for i, t in enumerate(ADJ_FILTERS)
+    )
+    return f"""
+WITH fl AS (SELECT {flags} FROM documents)
+SELECT pair, cnt FROM ({" UNION ALL ".join(cells)})
+WHERE cnt > 0 ORDER BY pair
+"""
+
+
+O_TERM_ADJACENCY = _o_term_adjacency()
+
+
 BOILER_MIN_SHARE = 0.5
 
 
@@ -7628,6 +7691,7 @@ REGISTRY: dict[str, tuple] = {
     "jaccard_topk": (q_jaccard_topk, O_JACCARD_TOPK),
     "dedup_rate_by_source": (q_dedup_rate_by_source, O_DEDUP_RATE_BY_SOURCE),
     "boilerplate_terms": (q_boilerplate_terms, O_BOILERPLATE_TERMS),
+    "term_adjacency": (q_term_adjacency, O_TERM_ADJACENCY),
     "label_centroids": (q_label_centroids, O_LABEL_CENTROIDS),
     "highlight": (q_highlight, O_HIGHLIGHT),
     "span_not_search": (q_span_not, O_SPAN_NOT),
@@ -7731,7 +7795,7 @@ _DRIVER_ORDER = [
     "ja_dict_wordcount", "ja_user_dict_records",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
-    "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk",
+    "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
     "span_or_search", "explain_score", "shuffle_export", "term_browse", "conv_dedup",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",
