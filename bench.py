@@ -134,6 +134,9 @@ EXTRA_QUERIES = [
     "boilerplate_terms",
     "multi_index_bm25_topk",
     "term_adjacency",
+    "rare_terms",
+    "event_derivative",
+    "composite_page2",
     "function_score_topk",
     "chat_validate",
     "loop_detect",

@@ -4081,6 +4081,117 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+RARE_K = 10
+
+
+def q_rare_terms(spark, sf_dir):
+    """Elasticsearch rare_terms aggregation surface — the long-tail end
+    of the dictionary (typo/entity mining), here as the bottom-{RARE_K}
+    terms by document frequency (df asc, term asc) so the result is
+    non-degenerate at any corpus scale (ES's absolute max_doc_count
+    threshold selects nothing on this fixed synthetic vocabulary). One
+    tokenize scan + one (term) df agg + TakeOrdered — the inverse sort
+    of top_terms_by_docfreq."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.array_distinct(toks)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.asc("df"), F.asc("term"))
+        .limit(RARE_K)
+    )
+
+
+O_RARE_TERMS = f"""
+WITH t AS (SELECT doc_id, unnest(list_distinct({TOK_SQL})) AS term
+           FROM documents)
+SELECT term, count(*)::bigint AS df FROM t
+GROUP BY term ORDER BY df ASC, term ASC LIMIT {RARE_K}
+"""
+
+
+def q_event_derivative(spark, sf_dir):
+    """Elasticsearch derivative pipeline aggregation over a
+    date_histogram: day-over-day delta of the daily event count (the
+    trend panel next to every histogram). The parent histogram is the
+    date_histogram plan (one keyed groupBy); the derivative is a lag
+    window over the DAYS-sized bucket frame — window input is bucket
+    count, never event count."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    daily = (
+        _events(spark, sf_dir)
+        .select(F.floor(sec / 86400).cast("long").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.orderBy("day")
+    return (
+        daily.select(
+            "day",
+            "cnt",
+            (F.col("cnt") - F.lag("cnt").over(w)).cast("long").alias("delta"),
+        )
+        .orderBy("day")
+    )
+
+
+O_EVENT_DERIVATIVE = """
+WITH d AS (SELECT floor(floor(epoch(ts))::bigint / 86400)::bigint AS day,
+                  count(*)::bigint AS cnt
+           FROM events GROUP BY 1)
+SELECT day, cnt, (cnt - lag(cnt) OVER (ORDER BY day))::bigint AS delta
+FROM d ORDER BY day
+"""
+
+
+COMPOSITE_PAGE = 5
+
+
+def q_composite_page2(spark, sf_dir):
+    """Elasticsearch composite aggregation with after-key paging: the
+    SECOND page of (lang, source) doc-count buckets in composite key
+    order, page size {COMPOSITE_PAGE}. Keyset pagination — the page-2
+    predicate is a key-tuple comparison against page 1's last key, NOT
+    an OFFSET scan, so any page costs one pruned agg at any bucket
+    count (the scale argument for composite over terms+offset). The
+    after-key is derived driver-side from the page-1 frame (buckets are
+    tiny); the corpus sees one groupBy."""
+    buckets = (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    page1 = (
+        buckets.orderBy("lang", "source").limit(COMPOSITE_PAGE).collect()
+    )
+    if len(page1) < COMPOSITE_PAGE:
+        return buckets.orderBy("lang", "source").limit(0)
+    after_lang, after_src = page1[-1]["lang"], page1[-1]["source"]
+    return (
+        buckets.filter(
+            (F.col("lang") > after_lang)
+            | ((F.col("lang") == after_lang) & (F.col("source") > after_src))
+        )
+        .orderBy("lang", "source")
+        .limit(COMPOSITE_PAGE)
+    )
+
+
+O_COMPOSITE_PAGE2 = f"""
+WITH b AS (SELECT lang, source, count(*)::bigint AS cnt
+           FROM documents GROUP BY 1, 2),
+p1 AS (SELECT * FROM b ORDER BY lang, source LIMIT {COMPOSITE_PAGE}),
+ak AS (SELECT lang AS al, source AS asrc FROM p1
+       ORDER BY lang DESC, source DESC LIMIT 1)
+SELECT b.lang, b.source, b.cnt FROM b CROSS JOIN ak
+WHERE (SELECT count(*) FROM p1) = {COMPOSITE_PAGE}
+  AND (b.lang > al OR (b.lang = al AND b.source > asrc))
+ORDER BY lang, source LIMIT {COMPOSITE_PAGE}
+"""
+
+
 ADJ_FILTERS = ("join", "merge", "vector", "scan")
 
 
@@ -7692,6 +7803,9 @@ REGISTRY: dict[str, tuple] = {
     "dedup_rate_by_source": (q_dedup_rate_by_source, O_DEDUP_RATE_BY_SOURCE),
     "boilerplate_terms": (q_boilerplate_terms, O_BOILERPLATE_TERMS),
     "term_adjacency": (q_term_adjacency, O_TERM_ADJACENCY),
+    "rare_terms": (q_rare_terms, O_RARE_TERMS),
+    "event_derivative": (q_event_derivative, O_EVENT_DERIVATIVE),
+    "composite_page2": (q_composite_page2, O_COMPOSITE_PAGE2),
     "label_centroids": (q_label_centroids, O_LABEL_CENTROIDS),
     "highlight": (q_highlight, O_HIGHLIGHT),
     "span_not_search": (q_span_not, O_SPAN_NOT),
@@ -7796,6 +7910,7 @@ _DRIVER_ORDER = [
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
+    "rare_terms", "event_derivative", "composite_page2",
     "span_or_search", "explain_score", "shuffle_export", "term_browse", "conv_dedup",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",
