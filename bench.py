@@ -137,6 +137,7 @@ EXTRA_QUERIES = [
     "rare_terms",
     "event_derivative",
     "composite_page2",
+    "source_ttest",
     "function_score_topk",
     "chat_validate",
     "loop_detect",

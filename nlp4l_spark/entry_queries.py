@@ -4081,6 +4081,65 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_source_ttest(spark, sf_dir):
+    """Welch's two-sample t-test between the two lexicographically first
+    sources on per-doc token count — the A/B significance check a
+    pipeline runs before trusting a source-level quality difference
+    (extends the reference's Stats moments surface,
+    /root/reference/app/org/nlp4l/lucene/stats/Stats.scala:27-57, to
+    inference). t = (m1-m2)/sqrt(v1/n1+v2/n2), df by
+    Welch–Satterthwaite; one scan + one two-group aggregate, all
+    closed-form scalars."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    d = (
+        _docs(spark, sf_dir)
+        .select("source", F.size(toks).cast("double").alias("x"))
+    )
+    srcs = sorted(
+        r["source"] for r in d.select("source").distinct().collect()
+    )[:2]
+    g = (
+        d.filter(F.col("source").isin(srcs))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("x").alias("m"),
+            F.var_samp("x").alias("v"),
+        )
+        .collect()
+    )
+    a, b = sorted(g, key=lambda r: r["source"])
+    se2 = a["v"] / a["n"] + b["v"] / b["n"]
+    t = (a["m"] - b["m"]) / math.sqrt(se2)
+    dof = se2 * se2 / (
+        (a["v"] / a["n"]) ** 2 / (a["n"] - 1)
+        + (b["v"] / b["n"]) ** 2 / (b["n"] - 1)
+    )
+    return spark.createDataFrame(
+        [(a["source"], b["source"], round(t, 6), round(dof, 6))],
+        "source_a string, source_b string, t double, df double",
+    )
+
+
+O_SOURCE_TTEST = f"""
+WITH d AS (SELECT source, len({TOK_SQL})::double AS x FROM documents),
+s2 AS (SELECT source FROM d GROUP BY 1 ORDER BY source LIMIT 2),
+g AS (SELECT source, count(*)::double AS n, avg(x) AS m, var_samp(x) AS v
+      FROM d JOIN s2 USING (source) GROUP BY 1),
+ab AS (SELECT
+         min(source) AS source_a, max(source) AS source_b,
+         min_by(n, source) AS n1, min_by(m, source) AS m1, min_by(v, source) AS v1,
+         max_by(n, source) AS n2, max_by(m, source) AS m2, max_by(v, source) AS v2
+       FROM g)
+SELECT source_a, source_b,
+       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t,
+       round(pow(v1 / n1 + v2 / n2, 2)
+             / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)),
+             6) AS df
+FROM ab
+"""
+
+
 RARE_K = 10
 
 
@@ -7804,6 +7863,7 @@ REGISTRY: dict[str, tuple] = {
     "boilerplate_terms": (q_boilerplate_terms, O_BOILERPLATE_TERMS),
     "term_adjacency": (q_term_adjacency, O_TERM_ADJACENCY),
     "rare_terms": (q_rare_terms, O_RARE_TERMS),
+    "source_ttest": (q_source_ttest, O_SOURCE_TTEST),
     "event_derivative": (q_event_derivative, O_EVENT_DERIVATIVE),
     "composite_page2": (q_composite_page2, O_COMPOSITE_PAGE2),
     "label_centroids": (q_label_centroids, O_LABEL_CENTROIDS),
@@ -7910,7 +7970,7 @@ _DRIVER_ORDER = [
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
-    "rare_terms", "event_derivative", "composite_page2",
+    "rare_terms", "event_derivative", "composite_page2", "source_ttest",
     "span_or_search", "explain_score", "shuffle_export", "term_browse", "conv_dedup",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",
