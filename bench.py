@@ -138,6 +138,8 @@ EXTRA_QUERIES = [
     "event_derivative",
     "composite_page2",
     "source_ttest",
+    "bm25plus_topk",
+    "bm25l_topk",
     "function_score_topk",
     "chat_validate",
     "loop_detect",

@@ -2040,6 +2040,91 @@ ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+BM25PLUS_DELTA = 1.0
+BM25L_DELTA = 0.5
+
+
+def _q_bm25_lower_bounded(variant: str):
+    def q(spark, sf_dir):
+        per_doc = _bm25_per_doc(spark, sf_dir)
+        n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+        score, any_match = None, None
+        for t in BM25_TERMS:
+            idf_w = math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            tf = F.col("m")[t].cast("double")
+            norm = F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)
+            if variant == "plus":
+                body = (
+                    F.lit(2.2) * tf / (F.lit(1.2) * norm + tf)
+                    + F.lit(BM25PLUS_DELTA)
+                )
+            else:
+                cp = tf / norm
+                body = (
+                    F.lit(2.2)
+                    * (cp + F.lit(BM25L_DELTA))
+                    / (F.lit(1.2) + cp + F.lit(BM25L_DELTA))
+                )
+            s_t = F.when(tf.isNotNull(), F.lit(idf_w) * body).otherwise(
+                F.lit(0.0)
+            )
+            score = s_t if score is None else score + s_t
+            m_t = F.col("m")[t]
+            any_match = m_t if any_match is None else F.greatest(any_match, m_t)
+        return (
+            per_doc.filter(any_match.isNotNull())
+            .withColumn("s", score)
+            .orderBy(F.desc("s"), F.asc("doc_id"))
+            .limit(BM25_K)
+            .select("doc_id", F.round("s", 6).alias("score"))
+        )
+
+    return q
+
+
+q_bm25plus_topk = _q_bm25_lower_bounded("plus")
+q_bm25plus_topk.__doc__ = """BM25+ top-k, corpus path (index twin
+Searcher.search_bm25_variant('plus'); Lv & Zhai CIKM 2011): per present
+term idf * ((k1+1)*tf/(k1*norm + tf) + delta), delta=1 — the
+lower-bounded tf normalization that stops very long docs losing to
+non-occurrence. Same single-tokenize two-pass corpus shape as
+bm25_topk."""
+q_bm25l_topk = _q_bm25_lower_bounded("l")
+q_bm25l_topk.__doc__ = """BM25L top-k, corpus path (index twin
+Searcher.search_bm25_variant('l'); Lv & Zhai CIKM 2011): with
+c' = tf/norm, per present term idf * (k1+1)*(c'+delta)/(k1+c'+delta),
+delta=0.5. Same corpus shape as bm25_topk."""
+
+
+def _o_bm25_lower_bounded(variant: str) -> str:
+    if variant == "plus":
+        body = f"(2.2 * tf / (1.2 * (0.25 + 0.75 * dl / avgdl) + tf) + {BM25PLUS_DELTA!r})"
+    else:
+        body = (
+            f"(2.2 * (tf / (0.25 + 0.75 * dl / avgdl) + {BM25L_DELTA!r})"
+            f" / (1.2 + tf / (0.25 + 0.75 * dl / avgdl) + {BM25L_DELTA!r}))"
+        )
+    return f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * {body}) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+O_BM25PLUS_TOPK = _o_bm25_lower_bounded("plus")
+O_BM25L_TOPK = _o_bm25_lower_bounded("l")
+
+
 def q_collapse_topk(spark, sf_dir):
     """Field-collapsed BM25 top-k (Solr collapse / Lucene grouping's
     CollapsingTopDocsCollector; index twin Searcher.search_collapse): at
@@ -7917,6 +8002,8 @@ REGISTRY: dict[str, tuple] = {
     "f2exp_topk": (q_f2exp_topk, O_F2EXP_TOPK),
     "ib_topk": (q_ib_topk, O_IB_TOPK),
     "dfi_topk": (q_dfi_topk, O_DFI_TOPK),
+    "bm25plus_topk": (q_bm25plus_topk, O_BM25PLUS_TOPK),
+    "bm25l_topk": (q_bm25l_topk, O_BM25L_TOPK),
     "function_score_topk": (q_function_score_topk, O_FUNCTION_SCORE_TOPK),
     "collapse_topk": (q_collapse_topk, O_COLLAPSE_TOPK),
     "facet_ranges": (q_facet_ranges, O_FACET_RANGES),
@@ -7971,6 +8058,7 @@ _DRIVER_ORDER = [
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
     "rare_terms", "event_derivative", "composite_page2", "source_ttest",
+    "bm25plus_topk", "bm25l_topk",
     "span_or_search", "explain_score", "shuffle_export", "term_browse", "conv_dedup",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",

@@ -1372,6 +1372,65 @@ class Searcher:
             .limit(k)
         )
 
+    def search_bm25_variant(
+        self,
+        query: str,
+        k: int = 10,
+        variant: str = "plus",
+        delta: float | None = None,
+    ) -> DataFrame:
+        """Lower-bounded BM25 variants (Lv & Zhai, CIKM 2011 — "Lower-
+        Bounding Term Frequency Normalization"): very long documents are
+        over-penalized by plain BM25; both variants add a lower bound δ
+        to the normalized tf so ANY occurrence beats non-occurrence
+        regardless of dl. Per present query term, with
+        norm = 1 - b + b*dl/avgdl:
+
+        * plus (BM25+, δ=1.0 default):
+          idf * ((k1+1)*tf/(k1*norm + tf) + δ)
+        * l (BM25L, δ=0.5 default), with c' = tf/norm:
+          idf * (k1+1)*(c' + δ) / (k1 + c' + δ)
+
+        Same broadcast-join + partial-agg plan as the similarity family —
+        only the score expression changes."""
+        if variant not in ("plus", "l"):
+            raise ValueError(f"unknown BM25 variant: {variant}")
+        d = (1.0 if variant == "plus" else 0.5) if delta is None else float(delta)
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        dfs = self._term_stats(terms)
+        rows = [(t, idf(self.num_docs, dfs[t])) for t in terms if t in dfs]
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "term string, idf double")
+        )
+        decoded = self._decoded(self._matching_postings([r[0] for r in rows]))
+        tf = F.col("tf").cast("double")
+        norm = (
+            F.lit(1.0 - B)
+            + F.lit(B) * F.col("dl").cast("double") / F.lit(self.avgdl or 1.0)
+        )
+        if variant == "plus":
+            s = F.col("idf") * (
+                F.lit(K1 + 1.0) * tf / (F.lit(K1) * norm + tf) + F.lit(d)
+            )
+        else:
+            cp = tf / norm
+            s = (
+                F.col("idf")
+                * F.lit(K1 + 1.0)
+                * (cp + F.lit(d))
+                / (F.lit(K1) + cp + F.lit(d))
+            )
+        return (
+            decoded.join(qterms, "term")
+            .withColumn("_s", s)
+            .groupBy("doc_id")
+            .agg(F.sum("_s").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def significant_text(self, query: str, k: int = 15) -> DataFrame:
         """Elasticsearch significant_text aggregation over a query's
         result set: terms overrepresented in the MATCHING docs

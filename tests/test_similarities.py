@@ -226,6 +226,34 @@ def test_dfi_chi_squared(spark, idx):
     assert clamped > 0
 
 
+def test_bm25_plus_and_l(spark, idx):
+    s = Searcher(spark, idx)
+    terms = ["join", "merge", "vector"]
+    exp_plus, exp_l = {}, {}
+    for d, toks in TOKS.items():
+        dl = len(toks)
+        norm = 1 - 0.75 + 0.75 * dl / AVGDL
+        sp = sl = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            sp += _idf(_df(t)) * (2.2 * tf / (1.2 * norm + tf) + 1.0)
+            cp = tf / norm
+            sl += _idf(_df(t)) * 2.2 * (cp + 0.5) / (1.2 + cp + 0.5)
+        if sp:
+            exp_plus[d] = round(sp, 9)
+            exp_l[d] = round(sl, 9)
+    assert _got(s.search_bm25_variant("join merge vector", variant="plus")) == exp_plus
+    assert _got(s.search_bm25_variant("join merge vector", variant="l")) == exp_l
+    # delta=0 BM25+ degenerates to plain BM25
+    plain = _got(s.search("join merge vector", k=10, method="dataframe"))
+    zero = _got(
+        s.search_bm25_variant("join merge vector", variant="plus", delta=0.0)
+    )
+    assert zero == plain
+
+
 def test_phrase_prefix(spark, idx):
     s = Searcher(spark, idx)
     # "scan s*" expands against the term dictionary to {scan, spark};
