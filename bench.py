@@ -140,6 +140,8 @@ EXTRA_QUERIES = [
     "source_ttest",
     "bm25plus_topk",
     "bm25l_topk",
+    "vsm_cosine_topk",
+    "event_pipeline",
     "function_score_topk",
     "chat_validate",
     "loop_detect",

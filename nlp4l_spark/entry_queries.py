@@ -2040,6 +2040,70 @@ ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+def q_vsm_cosine_topk(spark, sf_dir):
+    """Classic vector-space ranked retrieval, SMART lnc.ltc (Manning,
+    Raghavan & Schütze IIR §6.4 — the textbook cosine scheme Lucene's
+    ClassicSimilarity descends from): document vectors lnc =
+    (1 + ln tf), cosine-normalized over the doc's FULL vocabulary;
+    query vector ltc = (1 + ln tfq) * ln(N/df) with tfq = 1, cosine-
+    normalized. Score = Σ_t w_d(t)·w_q(t). The per-doc norm is an
+    aggregate HOF over the tf map from the SAME single tokenize pass as
+    bm25_topk (no second scan); query weights fold in as literals. At
+    index scale the norm is what Lucene materializes at write time —
+    the corpus twin recomputes it in-scan."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, _avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    wq = {
+        t: math.log(n / dfs[t]) for t in BM25_TERMS if dfs[t] > 0
+    }
+    qnorm = math.sqrt(sum(w * w for w in wq.values())) or 1.0
+    norm_d = F.sqrt(
+        F.aggregate(
+            F.map_values("m"),
+            F.lit(0.0),
+            lambda acc, v: acc
+            + F.pow(F.lit(1.0) + F.log(v.cast("double")), F.lit(2.0)),
+        )
+    )
+    score, any_match = None, None
+    for t, w in wq.items():
+        tf = F.col("m")[t].cast("double")
+        s_t = F.when(
+            tf.isNotNull(),
+            (F.lit(1.0) + F.log(tf)) * F.lit(w / qnorm),
+        ).otherwise(F.lit(0.0))
+        score = s_t if score is None else score + s_t
+        m_t = F.col("m")[t]
+        any_match = m_t if any_match is None else F.greatest(any_match, m_t)
+    return (
+        per_doc.filter(any_match.isNotNull())
+        .withColumn("s", score / norm_d)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_VSM_COSINE_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+nd AS (SELECT doc_id, sqrt(sum(pow(1 + ln(tf), 2))) AS norm_d
+       FROM dt GROUP BY 1),
+st AS (SELECT count(DISTINCT doc_id)::double AS n FROM dt),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+wq AS (SELECT term, ln(n / df) AS w FROM dfm CROSS JOIN st),
+qn AS (SELECT sqrt(sum(w * w)) AS qnorm FROM wq),
+sc AS (SELECT dt.doc_id,
+              sum((1 + ln(tf)) * (w / qnorm)) AS dot
+       FROM dt JOIN wq USING (term) CROSS JOIN qn
+       GROUP BY dt.doc_id)
+SELECT doc_id, round(dot / norm_d, 6) AS score
+FROM sc JOIN nd USING (doc_id)
+ORDER BY dot / norm_d DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 BM25PLUS_DELTA = 1.0
 BM25L_DELTA = 0.5
 
@@ -4286,6 +4350,45 @@ WITH d AS (SELECT floor(floor(epoch(ts))::bigint / 86400)::bigint AS day,
                   count(*)::bigint AS cnt
            FROM events GROUP BY 1)
 SELECT day, cnt, (cnt - lag(cnt) OVER (ORDER BY day))::bigint AS delta
+FROM d ORDER BY day
+"""
+
+
+def q_event_pipeline(spark, sf_dir):
+    """Elasticsearch cumulative_sum + moving_fn pipeline aggregations
+    over the daily histogram: running total and trailing 7-day moving
+    average of the daily event count. Parent histogram = one keyed
+    groupBy; both pipeline stages are frames over the DAYS-sized bucket
+    series (integer sums — the moving average is an exact int/int
+    division, order-independent)."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    daily = (
+        _events(spark, sf_dir)
+        .select(F.floor(sec / 86400).cast("long").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_ma = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("long").alias("cum"),
+        F.round(F.avg("cnt").over(w_ma), 6).alias("ma7"),
+    ).orderBy("day")
+
+
+O_EVENT_PIPELINE = """
+WITH d AS (SELECT floor(floor(epoch(ts))::bigint / 86400)::bigint AS day,
+                  count(*)::bigint AS cnt
+           FROM events GROUP BY 1)
+SELECT day, cnt,
+       sum(cnt) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint
+         AS cum,
+       round(avg(cnt) OVER (ORDER BY day
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+         AS ma7
 FROM d ORDER BY day
 """
 
@@ -7949,6 +8052,7 @@ REGISTRY: dict[str, tuple] = {
     "term_adjacency": (q_term_adjacency, O_TERM_ADJACENCY),
     "rare_terms": (q_rare_terms, O_RARE_TERMS),
     "source_ttest": (q_source_ttest, O_SOURCE_TTEST),
+    "event_pipeline": (q_event_pipeline, O_EVENT_PIPELINE),
     "event_derivative": (q_event_derivative, O_EVENT_DERIVATIVE),
     "composite_page2": (q_composite_page2, O_COMPOSITE_PAGE2),
     "label_centroids": (q_label_centroids, O_LABEL_CENTROIDS),
@@ -8004,6 +8108,7 @@ REGISTRY: dict[str, tuple] = {
     "dfi_topk": (q_dfi_topk, O_DFI_TOPK),
     "bm25plus_topk": (q_bm25plus_topk, O_BM25PLUS_TOPK),
     "bm25l_topk": (q_bm25l_topk, O_BM25L_TOPK),
+    "vsm_cosine_topk": (q_vsm_cosine_topk, O_VSM_COSINE_TOPK),
     "function_score_topk": (q_function_score_topk, O_FUNCTION_SCORE_TOPK),
     "collapse_topk": (q_collapse_topk, O_COLLAPSE_TOPK),
     "facet_ranges": (q_facet_ranges, O_FACET_RANGES),
@@ -8058,7 +8163,7 @@ _DRIVER_ORDER = [
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
     "rare_terms", "event_derivative", "composite_page2", "source_ttest",
-    "bm25plus_topk", "bm25l_topk",
+    "bm25plus_topk", "bm25l_topk", "vsm_cosine_topk", "event_pipeline",
     "span_or_search", "explain_score", "shuffle_export", "term_browse", "conv_dedup",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",
