@@ -808,7 +808,7 @@ def q_rank_eval(spark, sf_dir):
     return (
         rank_metrics(results, qrels, k=BM25_K)
         .orderBy("qid")
-        .select("qid", "ndcg", "mrr", "p_at_k", "ap")
+        .select("qid", "ndcg", "mrr", "p_at_k", "ap", "err")
     )
 
 
@@ -842,7 +842,13 @@ met{q} AS (SELECT {q}::bigint AS qid,
     (SELECT sum((SELECT count(*) FROM res{q} r2
                  WHERE r2.rnk <= r.rnk AND r2.rel > 0)::double / r.rnk)
      FROM res{q} r WHERE r.rel > 0) /
-    nullif(least((SELECT count(*) FROM qr{q}), {k}), 0), 0), 6) AS ap)"""
+    nullif(least((SELECT count(*) FROM qr{q}), {k}), 0), 0), 6) AS ap,
+  round(coalesce(
+    (SELECT sum((pow(2.0, r.rel) - 1) / 4.0 / r.rnk
+                * exp(coalesce(
+                    (SELECT sum(ln(1 - (pow(2.0, r2.rel) - 1) / 4.0))
+                     FROM res{q} r2 WHERE r2.rnk < r.rnk), 0)))
+     FROM res{q} r), 0), 6) AS err)"""
 
 
 O_RANK_EVAL = (

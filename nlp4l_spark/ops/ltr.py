@@ -174,11 +174,16 @@ def rank_metrics(
     doc_col: str = "doc_id",
     rank_col: str = "rank",
     rel_col: str = "rel",
+    max_grade: int = 2,
 ) -> DataFrame:
     """Standard IR evaluation over ranked results vs graded judgments:
     per query nDCG@k (exponential gain, log2 discount), MRR, P@k
-    (binary rel > 0), and AP@k — the metrics the reference's LTR loop
-    optimizes for (SURVEY §2.11; trec_eval definitions).
+    (binary rel > 0), AP@k, and ERR@k (Chapelle et al., CIKM 2009
+    cascade model: R_i = (2^rel - 1)/2^max_grade, ERR = Σ R_i/i ·
+    Π_{j<i}(1-R_j); R < 1 always since rel <= max_grade, so the cascade
+    product is an exact exp-of-sum-of-logs window) — the metrics the
+    reference's LTR loop optimizes for (SURVEY §2.11; trec_eval
+    definitions).
 
     ``results``: (qid, doc_id, rank) with 1-based ranks.
     ``qrels``: (qid, doc_id, rel) graded relevance; missing pairs = 0.
@@ -208,14 +213,30 @@ def rank_metrics(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prec_at_i = F.sum(hit).over(w_ap) / F.col(rank_col).cast("double")
-    per_hit = res.withColumn("_g", gain).withColumn(
-        "_ap_term", prec_at_i * hit
+    r_i = (F.pow(F.lit(2.0), F.col("_rel")) - 1.0) / F.lit(
+        float(2 ** max_grade)
+    )
+    w_prev = (
+        Window.partitionBy(qid_col)
+        .orderBy(rank_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cascade = F.exp(
+        F.coalesce(F.sum(F.log(F.lit(1.0) - r_i)).over(w_prev), F.lit(0.0))
+    )
+    per_hit = (
+        res.withColumn("_g", gain)
+        .withColumn("_ap_term", prec_at_i * hit)
+        .withColumn(
+            "_err_term", r_i / F.col(rank_col).cast("double") * cascade
+        )
     )
     got = per_hit.groupBy(qid_col).agg(
         F.sum("_g").alias("_dcg"),
         F.sum(hit).alias("_nrel_ret"),
         F.min(F.when(F.col("_rel") > 0, F.col(rank_col))).alias("_first_rel"),
         F.sum("_ap_term").alias("_ap_sum"),
+        F.sum("_err_term").alias("_err"),
     )
     # ideal DCG from the judged set (top-k by rel desc, doc asc tiebreak)
     w_ideal = Window.partitionBy(qid_col).orderBy(
@@ -263,6 +284,7 @@ def rank_metrics(
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("ap"),
+            F.round(F.coalesce(F.col("_err"), F.lit(0.0)), 6).alias("err"),
         )
     )
     return out

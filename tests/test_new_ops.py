@@ -235,7 +235,7 @@ def test_rank_metrics_known_values(spark):
         [(0, 10, 3), (0, 12, 1), (0, 14, 2)],  # doc 14 judged but unretrieved
         "qid int, doc_id long, rel int",
     )
-    row = rank_metrics(results, qrels, k=4).collect()[0]
+    row = rank_metrics(results, qrels, k=4, max_grade=3).collect()[0]
     dcg = 7.0 / math.log2(2) + 1.0 / math.log2(4)
     idcg = 7.0 / math.log2(2) + 3.0 / math.log2(3) + 1.0 / math.log2(4)
     assert row["ndcg"] == round(dcg / idcg, 6)
@@ -243,6 +243,10 @@ def test_rank_metrics_known_values(spark):
     assert row["p_at_k"] == 0.5       # 2 of 4 retrieved are relevant
     # AP@4 = (1/1 + 2/3) / min(3 judged-relevant, 4)
     assert row["ap"] == round((1.0 + 2.0 / 3.0) / 3.0, 6)
+    # ERR@4 (Chapelle cascade, max_grade=3): R = (2^rel - 1)/8
+    r1, r3 = 7.0 / 8.0, 1.0 / 8.0
+    err = r1 / 1.0 + (1 - r1) * r3 / 3.0
+    assert row["err"] == round(err, 6)
 
 
 def test_rank_metrics_no_relevant(spark):
@@ -253,7 +257,9 @@ def test_rank_metrics_no_relevant(spark):
     )
     qrels = spark.createDataFrame([], "qid int, doc_id long, rel int")
     row = rank_metrics(results, qrels, k=2).collect()[0]
-    assert (row["ndcg"], row["mrr"], row["p_at_k"], row["ap"]) == (0.0, 0.0, 0.0, 0.0)
+    assert (row["ndcg"], row["mrr"], row["p_at_k"], row["ap"], row["err"]) == (
+        0.0, 0.0, 0.0, 0.0, 0.0,
+    )
 
 
 # ---------------- reciprocal rank fusion ----------------------------------- #
