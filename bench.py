@@ -142,6 +142,7 @@ EXTRA_QUERIES = [
     "bm25l_topk",
     "vsm_cosine_topk",
     "event_pipeline",
+    "conv_pooling",
     "function_score_topk",
     "chat_validate",
     "loop_detect",

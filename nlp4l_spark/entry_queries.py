@@ -2046,6 +2046,57 @@ ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+def q_conv_pooling(spark, sf_dir):
+    """Conversation-level embedding rollup (turn → conversation
+    mean-pooling, the retrieval-unit change every RAG-over-chats
+    pipeline makes): pooled vector = component-wise mean of the
+    conversation's turn embeddings (conv = vec_id // 4, the chat
+    derivation), reported as (conv_id, n_vecs, norm). The pooled norm is
+    the coherence signal — aligned unit vectors pool to norm ≈ 1,
+    incoherent ones to ≈ 1/√n. Components are 6dp-rounded BEFORE the
+    norm on both engines (the label_centroids order-independence
+    convention). Plan: one posexplode agg keyed by (conv, pos) + one
+    conv-keyed rollup — vectors are never shuffled whole."""
+    emb = _embeddings(spark, sf_dir).select(
+        (F.col("vec_id") / 4).cast("long").alias("conv_id"),
+        "vec_id",
+        "embedding",
+    )
+    comp = emb.select(
+        "conv_id", F.posexplode("embedding").alias("pos", "v")
+    )
+    pooled = (
+        comp.groupBy("conv_id", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+        .groupBy("conv_id")
+        .agg(F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("norm"))
+    )
+    counts = emb.groupBy("conv_id").agg(
+        F.countDistinct("vec_id").cast("long").alias("n_vecs")
+    )
+    return (
+        pooled.join(counts, "conv_id")
+        .select("conv_id", "n_vecs", "norm")
+        .orderBy("conv_id")
+    )
+
+
+O_CONV_POOLING = """
+WITH e AS (SELECT (vec_id // 4)::bigint AS conv_id, vec_id, embedding
+           FROM embeddings),
+c AS (SELECT conv_id, pos, round(avg(v::double), 6) AS c
+      FROM (SELECT conv_id, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM e)
+      GROUP BY 1, 2),
+p AS (SELECT conv_id, round(sqrt(sum(c * c)), 6) AS norm FROM c GROUP BY 1),
+n AS (SELECT conv_id, count(DISTINCT vec_id)::bigint AS n_vecs
+      FROM e GROUP BY 1)
+SELECT conv_id, n_vecs, norm FROM p JOIN n USING (conv_id)
+ORDER BY conv_id
+"""
+
+
 def q_vsm_cosine_topk(spark, sf_dir):
     """Classic vector-space ranked retrieval, SMART lnc.ltc (Manning,
     Raghavan & Schütze IIR §6.4 — the textbook cosine scheme Lucene's
@@ -8115,6 +8166,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25plus_topk": (q_bm25plus_topk, O_BM25PLUS_TOPK),
     "bm25l_topk": (q_bm25l_topk, O_BM25L_TOPK),
     "vsm_cosine_topk": (q_vsm_cosine_topk, O_VSM_COSINE_TOPK),
+    "conv_pooling": (q_conv_pooling, O_CONV_POOLING),
     "function_score_topk": (q_function_score_topk, O_FUNCTION_SCORE_TOPK),
     "collapse_topk": (q_collapse_topk, O_COLLAPSE_TOPK),
     "facet_ranges": (q_facet_ranges, O_FACET_RANGES),
@@ -8169,7 +8221,7 @@ _DRIVER_ORDER = [
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
     "rare_terms", "event_derivative", "composite_page2", "source_ttest",
-    "bm25plus_topk", "bm25l_topk", "vsm_cosine_topk", "event_pipeline",
+    "bm25plus_topk", "bm25l_topk", "vsm_cosine_topk", "event_pipeline", "conv_pooling",
     "span_or_search", "explain_score", "shuffle_export", "term_browse", "conv_dedup",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",
