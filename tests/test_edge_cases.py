@@ -122,3 +122,53 @@ def test_new_ops_degenerate_inputs(spark):
     right = spark.createDataFrame([], "k long, ts long, v double")
     out = asof_join(left, right, on="ts", by=("k",), right_cols=("v",)).collect()
     assert len(out) == 1 and out[0]["v_r"] is None
+
+
+def test_session3_ops_degenerate_inputs(spark, tmp_path):
+    """Null/empty/short text must not crash the session-3 ops, and the
+    error contracts (missing term_vectors, malformed queries) raise the
+    documented ValueErrors instead of producing wrong answers."""
+    import pytest as _pytest
+
+    from nlp4l_spark.data.transcripts import synth_transcripts
+    from nlp4l_spark.index import build_index
+    from nlp4l_spark.ops.chatqc import flagged_turn_triage
+    from nlp4l_spark.ops.textqc import ngram_novelty
+    from nlp4l_spark.search import Searcher
+
+    deg = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "two words"), (3, "a b c a b c")],
+        "doc_id long, text string",
+    )
+    nov = {r["doc_id"]: r for r in ngram_novelty(deg).collect()}
+    # only doc 3 has >= 3 tokens; its grams are all first occurrences
+    assert list(nov) == [3] and nov[3]["novelty"] == 1.0
+
+    turns = spark.createDataFrame(
+        [(0, 0, "user", None, None), (0, 1, "assistant", "", None),
+         (0, 2, "user", "x", None), (0, 3, "assistant", "flagme now", None)],
+        "conv_id long, turn_idx int, role string, text string, tool string",
+    )
+    row = flagged_turn_triage(turns, ["flagme"]).collect()[0]
+    assert (row["n_role_turns"], row["n_flagged"], row["first_flag_turn"]) == (
+        2, 1, 3,
+    )
+
+    # error contracts on a term-vector-less index
+    idx = str(tmp_path / "deg_idx")
+    build_index(synth_transcripts(spark, 300, num_partitions=2), idx)
+    s = Searcher(spark, idx)
+    with _pytest.raises(ValueError, match="term_vectors"):
+        s.search_span_containing(("w00001", "w00002"), "w00003")
+    with _pytest.raises(ValueError, match="term_vectors"):
+        s.significant_text("w00001")
+    with _pytest.raises(ValueError, match="phrase_prefix"):
+        s.search_phrase_prefix("single")
+    with _pytest.raises(ValueError, match="variant"):
+        s.search_bm25_variant("w00001", variant="nope")
+    # boosting with an absent negative == plain scoring, not a crash
+    base = s.search("w00001", k=3, method="dataframe").collect()
+    boosted = s.search_boosting("w00001", "zzznotaterm", k=3).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in base] == [
+        (r["doc_id"], round(r["score"], 9)) for r in boosted
+    ]
