@@ -207,6 +207,38 @@ def check_index(
     )
     add("shard_order", overlaps == 0, f"violations={overlaps}")
 
+    if cat.is_committed("term_vectors"):
+        tv = cat.read(spark, "term_vectors")
+        tv_roll = (
+            tv.groupBy("term")
+            .agg(
+                F.countDistinct("doc_id").alias("_df"),
+                F.sum("tf").alias("_cf"),
+            )
+            .join(term_stats, "term", "full")
+            .filter(
+                (F.col("_df") != F.col("df"))
+                | (F.col("_cf") != F.col("cf"))
+                | F.col("_df").isNull()
+                | F.col("df").isNull()
+            )
+            .count()
+        )
+        add(
+            "term_vectors_rollup",
+            tv_roll == 0,
+            f"mismatched_terms={tv_roll}",
+        )
+        pos_bad = tv.filter(
+            F.col("positions").isNotNull()
+            & (F.size("positions") != F.col("tf"))
+        ).count()
+        add(
+            "term_vectors_positions",
+            pos_bad == 0,
+            f"rows_with_pos_tf_mismatch={pos_bad}",
+        )
+
     if deep:
         decoded = postings.select(
             "df", "cf", "min_doc", "max_doc",

@@ -125,3 +125,35 @@ def test_index_stats_invariants(spark, idx):
     # 3 x 8-byte raw width per posting
     assert 0 < stats["bytes_per_posting"] < 12
     assert stats["max_shards_per_term"] >= stats["avg_shards_per_term"] >= 1
+
+
+def test_term_vectors_checks(spark, tmp_path):
+    from nlp4l_spark.data.transcripts import synth_transcripts
+    from nlp4l_spark.index import IndexBuilder
+
+    d = str(tmp_path / "tv_idx")
+    IndexBuilder(
+        sort_cols=("conv_id", "turn_idx"), store_term_vectors=True
+    ).build(synth_transcripts(spark, 600, num_partitions=2), d)
+    rep = _report(spark, d, deep=False)
+    assert rep["term_vectors_rollup"][0], rep["term_vectors_rollup"]
+    assert rep["term_vectors_positions"][0], rep["term_vectors_positions"]
+    # corrupt one tv row's tf -> rollup and positions checks both fire,
+    # the postings-side dictionary rollup stays green
+    cat = IndexCatalog(d)
+    tv = cat.read(spark, "term_vectors")
+    first = tv.limit(1).collect()[0]
+    broken = tv.withColumn(
+        "tf",
+        F.when(
+            (F.col("term") == first["term"])
+            & (F.col("doc_id") == first["doc_id"]),
+            F.col("tf") + 1,
+        ).otherwise(F.col("tf")),
+    )
+    broken.cache().count()
+    cat.write(broken, "term_vectors", mode="overwrite")
+    rep = _report(spark, d, deep=False)
+    assert not rep["term_vectors_rollup"][0]
+    assert not rep["term_vectors_positions"][0]
+    assert rep["df_cf_rollup"][0]
