@@ -64,9 +64,17 @@ def _deep_decoder(avgdl: float):
             pair_doc: list[np.ndarray] = []
             pair_dl: list[np.ndarray] = []
             for _, row in pdf.iterrows():
-                d = codec.decode_doc_ids(row["doc_ids_enc"])
-                f = codec.decode_tfs(row["tfs_enc"])
-                l = codec.decode_tfs(row["dls_enc"])
+                try:
+                    d = codec.decode_doc_ids(row["doc_ids_enc"])
+                    f = codec.decode_tfs(row["tfs_enc"])
+                    l = codec.decode_tfs(row["dls_enc"])
+                except Exception:
+                    # undecodable blob: count one violation per category
+                    # it blocks (sort/bounds/df unverifiable) and skip
+                    bad["sort"] += 1
+                    bad["bounds"] += 1
+                    bad["df"] += 1
+                    continue
                 if d.size > 1 and not (np.diff(d) > 0).all():
                     bad["sort"] += 1
                 if d.size and (
@@ -238,6 +246,96 @@ def check_index(
             pos_bad == 0,
             f"rows_with_pos_tf_mismatch={pos_bad}",
         )
+
+    if cat.is_committed("pos_postings"):
+        pp = cat.read(spark, "pos_postings")
+        pp_roll = (
+            pp.groupBy("term")
+            .agg(F.sum("df").alias("_df"))
+            .join(term_stats.select("term", "df"), "term", "full")
+            .filter(
+                (F.col("_df") != F.col("df"))
+                | F.col("_df").isNull()
+                | F.col("df").isNull()
+            )
+            .count()
+        )
+        add("pos_postings_rollup", pp_roll == 0, f"mismatched_terms={pp_roll}")
+        if deep:
+            pos_schema = T.StructType(
+                [
+                    T.StructField("term", T.StringType()),
+                    T.StructField("cf_row", T.LongType()),
+                    T.StructField("bad", T.LongType()),
+                ]
+            )
+
+            def pos_check(batches: Iterator[pd.DataFrame]):
+                for pdf in batches:
+                    terms_o, cfs_o, bads_o = [], [], []
+                    for _, row in pdf.iterrows():
+                        bad, cf_row = 0, 0
+                        # an undecodable / inconsistent blob IS the
+                        # violation being hunted — count it, don't crash
+                        try:
+                            dd = codec.decode_doc_ids(row["doc_ids_enc"])
+                            lens = codec.decode_tfs(row["pos_lens_enc"])
+                            pos = codec.decode_positions(
+                                row["pos_enc"], lens
+                            )
+                            cf_row = int(lens.sum())
+                            if (
+                                dd.size != int(row["df"])
+                                or lens.size != dd.size
+                            ):
+                                bad = 1
+                            elif dd.size > 1 and not (np.diff(dd) > 0).all():
+                                bad = 1
+                            elif cf_row != pos.size:
+                                bad = 1
+                            else:
+                                # per-doc runs strictly ascending
+                                ends = np.cumsum(lens)
+                                starts = ends - lens
+                                for s0, e0 in zip(starts, ends):
+                                    run = pos[s0:e0]
+                                    if run.size > 1 and not (
+                                        np.diff(run) > 0
+                                    ).all():
+                                        bad = 1
+                                        break
+                        except Exception:
+                            bad = 1
+                        terms_o.append(row["term"])
+                        cfs_o.append(cf_row)
+                        bads_o.append(bad)
+                    yield pd.DataFrame(
+                        {"term": terms_o, "cf_row": cfs_o, "bad": bads_o}
+                    )
+
+            dec = pp.select(
+                "term", "df", "doc_ids_enc", "pos_lens_enc", "pos_enc"
+            ).mapInPandas(pos_check, pos_schema)
+            dec.cache()
+            n_bad = int(dec.agg(F.sum("bad")).collect()[0][0] or 0)
+            add("pos_postings_decode", n_bad == 0, f"bad_rows={n_bad}")
+            cf_bad = (
+                dec.groupBy("term")
+                .agg(F.sum("cf_row").alias("_cf"))
+                .join(term_stats.select("term", "cf"), "term", "full")
+                .filter(
+                    (F.col("_cf") != F.col("cf"))
+                    | F.col("_cf").isNull()
+                    | F.col("cf").isNull()
+                )
+                .count()
+            )
+            dec.unpersist()
+            add(
+                "pos_postings_cf",
+                cf_bad == 0,
+                f"mismatched_terms={cf_bad}",
+            )
 
     if deep:
         decoded = postings.select(

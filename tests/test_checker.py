@@ -157,3 +157,34 @@ def test_term_vectors_checks(spark, tmp_path):
     assert not rep["term_vectors_rollup"][0]
     assert not rep["term_vectors_positions"][0]
     assert rep["df_cf_rollup"][0]
+
+
+def test_pos_postings_checks(spark, tmp_path):
+    from nlp4l_spark.data.transcripts import synth_transcripts
+    from nlp4l_spark.index import IndexBuilder
+
+    d = str(tmp_path / "pos_idx")
+    IndexBuilder(
+        sort_cols=("conv_id", "turn_idx"), store_positions=True
+    ).build(synth_transcripts(spark, 600, num_partitions=2), d)
+    rep = _report(spark, d, deep=True)
+    for c in ("pos_postings_rollup", "pos_postings_decode", "pos_postings_cf"):
+        assert rep[c][0], (c, rep[c])
+    # corrupt a row's position blob (swap with another row's) -> the
+    # deep decode/cf checks fire, the df rollup stays green
+    cat = IndexCatalog(d)
+    pp = cat.read(spark, "pos_postings")
+    rows = pp.orderBy("term", "shard").limit(2).collect()
+    a, donor = rows[0], rows[1]["pos_lens_enc"]
+    broken = pp.withColumn(
+        "pos_lens_enc",
+        F.when(
+            (F.col("term") == a["term"]) & (F.col("shard") == a["shard"]),
+            F.lit(bytearray(donor)),
+        ).otherwise(F.col("pos_lens_enc")),
+    )
+    broken.cache().count()
+    cat.write(broken, "pos_postings", mode="overwrite")
+    rep = _report(spark, d, deep=True)
+    assert not (rep["pos_postings_decode"][0] and rep["pos_postings_cf"][0])
+    assert rep["pos_postings_rollup"][0]
