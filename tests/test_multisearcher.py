@@ -70,3 +70,35 @@ def test_unknown_and_empty(spark, dirs):
     assert multi.search("zzzqqqxxx", k=5).count() == 0
     with pytest.raises(ValueError):
         MultiSearcher(spark, [])
+
+
+def test_federation_respects_per_shard_deletes(spark, dirs, tmp_path):
+    """Deleting a doc in ONE shard must drop it from federated results
+    while the other shard's candidates are untouched — Lucene's
+    per-reader liveDocs semantics under MultiReader."""
+    import shutil
+
+    from nlp4l_spark.index import delete_docs
+
+    d_full, d_a, d_b = dirs
+    # work on copies so the module fixture stays pristine
+    ca, cb = str(tmp_path / "da"), str(tmp_path / "db")
+    shutil.copytree(d_a, ca)
+    shutil.copytree(d_b, cb)
+    ms0 = MultiSearcher(spark, [ca, cb])
+    q = "w00001 w00454"
+    before = [r["doc_id"] for r in ms0.search(q, k=5).collect()]
+    assert before
+    top = before[0]
+    # locate the top doc's owning shard + local id, tombstone it there
+    base_a = ms0.doc_bases[1]
+    if top < base_a:
+        delete_docs(spark, ca, [top])
+    else:
+        delete_docs(spark, cb, [top - base_a])
+    ms1 = MultiSearcher(spark, [ca, cb])
+    after = [r["doc_id"] for r in ms1.search(q, k=5).collect()]
+    assert top not in after
+    # the rest of the ranking is unchanged (stats frozen until expunge,
+    # the Lucene deletes model) and the next candidate fills in
+    assert after[: len(before) - 1] == [d for d in before if d != top][:4]
