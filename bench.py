@@ -143,6 +143,7 @@ EXTRA_QUERIES = [
     "vsm_cosine_topk",
     "event_pipeline",
     "conv_pooling",
+    "activity_matrix",
     "function_score_topk",
     "chat_validate",
     "loop_detect",

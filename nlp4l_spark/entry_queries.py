@@ -4411,6 +4411,34 @@ FROM d ORDER BY day
 """
 
 
+def q_activity_matrix(spark, sf_dir):
+    """Hour-of-day × day-of-week activity matrix over the events table
+    (the triage heatmap every ops dashboard opens with). Buckets derive
+    from epoch arithmetic — dow = floor(epoch/86400 + 4) % 7 (epoch day
+    0 was a Thursday), hour = floor(epoch/3600) % 24 — so no calendar /
+    timezone functions diverge between engines. One keyed groupBy over
+    a 168-cell key space."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    return (
+        _events(spark, sf_dir)
+        .select(
+            ((F.floor(sec / 86400) + 4) % 7).cast("int").alias("dow"),
+            (F.floor(sec / 3600) % 24).cast("int").alias("hour"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy("dow", "hour")
+    )
+
+
+O_ACTIVITY_MATRIX = """
+SELECT ((floor(floor(epoch(ts))::bigint / 86400) + 4) % 7)::int AS dow,
+       (floor(floor(epoch(ts))::bigint / 3600) % 24)::int AS hour,
+       count(*)::bigint AS cnt
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_event_pipeline(spark, sf_dir):
     """Elasticsearch cumulative_sum + moving_fn pipeline aggregations
     over the daily histogram: running total and trailing 7-day moving
@@ -8110,6 +8138,7 @@ REGISTRY: dict[str, tuple] = {
     "rare_terms": (q_rare_terms, O_RARE_TERMS),
     "source_ttest": (q_source_ttest, O_SOURCE_TTEST),
     "event_pipeline": (q_event_pipeline, O_EVENT_PIPELINE),
+    "activity_matrix": (q_activity_matrix, O_ACTIVITY_MATRIX),
     "event_derivative": (q_event_derivative, O_EVENT_DERIVATIVE),
     "composite_page2": (q_composite_page2, O_COMPOSITE_PAGE2),
     "label_centroids": (q_label_centroids, O_LABEL_CENTROIDS),
@@ -8222,6 +8251,7 @@ _DRIVER_ORDER = [
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
     "rare_terms", "event_derivative", "composite_page2", "source_ttest",
     "bm25plus_topk", "bm25l_topk", "vsm_cosine_topk", "event_pipeline", "conv_pooling",
+    "activity_matrix",
     "span_or_search", "explain_score", "shuffle_export", "term_browse", "conv_dedup",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",
