@@ -144,6 +144,7 @@ EXTRA_QUERIES = [
     "event_pipeline",
     "conv_pooling",
     "activity_matrix",
+    "source_similarity",
     "function_score_topk",
     "chat_validate",
     "loop_detect",

@@ -4411,6 +4411,74 @@ FROM d ORDER BY day
 """
 
 
+def q_source_similarity(spark, sf_dir):
+    """Pairwise cosine similarity between sources' unigram frequency
+    vectors — the corpus-comparison triage before mixing sources (which
+    crawls are near-duplicates of each other at the DISTRIBUTION level,
+    the keyness family's symmetric sibling). All dot products and norms
+    are exact int64 sums of integer term counts, so the aggregate is
+    order-independent; only the final cosine divides in double (rounded
+    6dp). Plan: one tokenize scan -> (source, term) cf agg (vocab-sized)
+    -> term-keyed self-join of the per-source vectors -> pair agg —
+    pairs are |sources|², never corpus-sized."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    gt = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(toks).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("cf"))
+    )
+    norms = gt.groupBy("source").agg(
+        F.sum(F.col("cf") * F.col("cf")).alias("_n2")
+    )
+    a = gt.select(
+        F.col("source").alias("source_a"), "term", F.col("cf").alias("_ca")
+    )
+    b = gt.select(
+        F.col("source").alias("source_b"), "term", F.col("cf").alias("_cb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"))
+    )
+    na = norms.select(
+        F.col("source").alias("source_a"), F.col("_n2").alias("_na")
+    )
+    nb = norms.select(
+        F.col("source").alias("source_b"), F.col("_n2").alias("_nb")
+    )
+    cos = F.col("_dot").cast("double") / (
+        F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))
+    )
+    return (
+        dots.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a", "source_b", F.round(cos, 6).alias("cosine")
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+O_SOURCE_SIMILARITY = f"""
+WITH t AS (SELECT source, unnest({TOK_SQL}) AS term FROM documents),
+gt AS (SELECT source, term, count(*)::bigint AS cf FROM t GROUP BY 1, 2),
+n AS (SELECT source, sum(cf * cf)::bigint AS n2 FROM gt GROUP BY 1),
+d AS (SELECT a.source AS source_a, b.source AS source_b,
+             sum(a.cf * b.cf)::bigint AS dot
+      FROM gt a JOIN gt b USING (term)
+      WHERE a.source < b.source
+      GROUP BY 1, 2)
+SELECT source_a, source_b,
+       round(dot::double / (sqrt(na.n2::double) * sqrt(nb.n2::double)), 6)
+         AS cosine
+FROM d JOIN n na ON na.source = source_a JOIN n nb ON nb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
 def q_activity_matrix(spark, sf_dir):
     """Hour-of-day × day-of-week activity matrix over the events table
     (the triage heatmap every ops dashboard opens with). Buckets derive
@@ -8139,6 +8207,7 @@ REGISTRY: dict[str, tuple] = {
     "source_ttest": (q_source_ttest, O_SOURCE_TTEST),
     "event_pipeline": (q_event_pipeline, O_EVENT_PIPELINE),
     "activity_matrix": (q_activity_matrix, O_ACTIVITY_MATRIX),
+    "source_similarity": (q_source_similarity, O_SOURCE_SIMILARITY),
     "event_derivative": (q_event_derivative, O_EVENT_DERIVATIVE),
     "composite_page2": (q_composite_page2, O_COMPOSITE_PAGE2),
     "label_centroids": (q_label_centroids, O_LABEL_CENTROIDS),
@@ -8251,7 +8320,7 @@ _DRIVER_ORDER = [
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
     "rare_terms", "event_derivative", "composite_page2", "source_ttest",
     "bm25plus_topk", "bm25l_topk", "vsm_cosine_topk", "event_pipeline", "conv_pooling",
-    "activity_matrix",
+    "activity_matrix", "source_similarity",
     "span_or_search", "explain_score", "shuffle_export", "term_browse", "conv_dedup",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",
