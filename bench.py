@@ -185,6 +185,13 @@ EXTRA_QUERIES = [
     "explain_score",
     "shuffle_export",
     "term_browse",
+    # round-3 session-5 additions
+    "mannwhitney_u",
+    "ks_test",
+    "gini_token",
+    "event_moving_avg",
+    "cardinality_by_source",
+    "top_hits_by_source",
 ]
 
 

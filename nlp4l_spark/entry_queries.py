@@ -8073,6 +8073,325 @@ FROM t a JOIN t b ON a.qid = b.qid AND a.n_matched > b.n_matched
 """
 
 
+# --------------------------------------------------------------------- #
+# Nonparametric source-comparison tests (extends the reference's Stats
+# surface, /root/reference/app/org/nlp4l/lucene/stats/Stats.scala:27-57,
+# with the rank-based siblings of q_source_ttest)
+# --------------------------------------------------------------------- #
+def _two_source_value_counts(spark, sf_dir):
+    """(x, n1, n2) per distinct per-doc token count for the two
+    lexicographically first sources, plus the source names. The
+    grouped table is VALUE-COUNT sized (distinct doc lengths, not
+    docs), so the single-partition rank window downstream is bounded
+    by the length distribution's support — at 100 TB this is a few
+    thousand rows regardless of corpus size."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    d = _docs(spark, sf_dir).select(
+        "source", F.size(toks).cast("long").alias("x")
+    )
+    srcs = sorted(
+        r["source"] for r in d.select("source").distinct().collect()
+    )[:2]
+    a, b = srcs
+    g = (
+        d.filter(F.col("source").isin(srcs))
+        .groupBy("x")
+        .agg(
+            F.sum(F.when(F.col("source") == a, 1).otherwise(0))
+            .cast("long")
+            .alias("n1"),
+            F.sum(F.when(F.col("source") == b, 1).otherwise(0))
+            .cast("long")
+            .alias("n2"),
+        )
+    )
+    return g, a, b
+
+
+def q_mannwhitney_u(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) between the two
+    lexicographically first sources on per-doc token count — the
+    nonparametric twin of q_source_ttest for the skewed length
+    distributions real crawls have. Ranks are midranks over the
+    combined sample; z uses the tie-corrected normal approximation
+    (no continuity correction, like scipy mannwhitneyu default).
+    Everything up to the final two divisions is exact int64 (2*R1 is
+    an integer even with midranks), so the aggregate is
+    order-independent: one scan + one value-count agg + one
+    support-sized window."""
+    g, a, b = _two_source_value_counts(spark, sf_dir)
+    nt = (F.col("n1") + F.col("n2")).alias("nt")
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.select(
+        "n1", "n2", nt,
+        F.coalesce(
+            F.sum(F.col("n1") + F.col("n2")).over(w), F.lit(0)
+        ).cast("long").alias("c_less"),
+    )
+    row = ranked.agg(
+        F.sum("n1").alias("na"),
+        F.sum("n2").alias("nb"),
+        # 2*R1 = sum n1*(2*c_less + nt + 1)  (midrank doubled -> int)
+        F.sum(
+            F.col("n1") * (2 * F.col("c_less") + F.col("nt") + 1)
+        ).alias("r1_twice"),
+        F.sum(
+            F.col("nt") * F.col("nt") * F.col("nt") - F.col("nt")
+        ).alias("ties"),
+    ).collect()[0]
+    na, nb = row["na"], row["nb"]
+    n = na + nb
+    u1 = (row["r1_twice"] - na * (na + 1)) / 2.0
+    mu = na * nb / 2.0
+    sigma2 = na * nb / 12.0 * ((n + 1) - row["ties"] / (n * (n - 1.0)))
+    z = (u1 - mu) / math.sqrt(sigma2)
+    return spark.createDataFrame(
+        [(a, b, round(u1, 6), round(z, 6))],
+        "source_a string, source_b string, u double, z double",
+    )
+
+
+def _o_two_source_counts(with_cum: str) -> str:
+    return f"""
+WITH d AS (SELECT source, len({TOK_SQL})::bigint AS x FROM documents),
+s2 AS (SELECT source FROM d GROUP BY 1 ORDER BY source LIMIT 2),
+ab AS (SELECT min(source) AS sa, max(source) AS sb FROM s2),
+g AS (SELECT x,
+             sum(CASE WHEN source = (SELECT sa FROM ab) THEN 1 ELSE 0 END)::bigint AS n1,
+             sum(CASE WHEN source = (SELECT sb FROM ab) THEN 1 ELSE 0 END)::bigint AS n2
+      FROM d JOIN s2 USING (source) GROUP BY 1),
+cum AS ({with_cum})
+"""
+
+
+O_MANNWHITNEY_U = _o_two_source_counts(
+    """SELECT n1, n2, (n1 + n2) AS nt,
+       coalesce(sum(n1 + n2) OVER (ORDER BY x
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS c_less
+       FROM g"""
+) + """,
+s AS (SELECT sum(n1)::bigint AS na, sum(n2)::bigint AS nb,
+             sum(n1 * (2 * c_less + nt + 1))::bigint AS r1_twice,
+             sum(nt * nt * nt - nt)::bigint AS ties
+      FROM cum)
+SELECT (SELECT sa FROM ab) AS source_a, (SELECT sb FROM ab) AS source_b,
+       round((r1_twice - na * (na + 1)) / 2.0, 6) AS u,
+       round(((r1_twice - na * (na + 1)) / 2.0 - na * nb / 2.0)
+             / sqrt(na * nb / 12.0
+                    * ((na + nb + 1) - ties / ((na + nb) * (na + nb - 1.0)))),
+             6) AS z
+FROM s
+"""
+
+
+def q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic between the same two
+    sources on per-doc token count: D = max |F1(x) - F2(x)| over the
+    combined support, with the (smallest) location where the maximum
+    is attained. The CDF difference is kept as the exact integer
+    |c1*n2 - c2*n1| until the final division, so the argmax is
+    FP-deterministic. Same value-count-sized plan as
+    q_mannwhitney_u."""
+    g, a, b = _two_source_value_counts(spark, sf_dir)
+    tot = g.agg(F.sum("n1").alias("na"), F.sum("n2").alias("nb")).collect()[0]
+    na, nb = tot["na"], tot["nb"]
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    best = (
+        g.select(
+            "x",
+            F.abs(
+                F.sum("n1").over(w) * nb - F.sum("n2").over(w) * na
+            ).cast("long").alias("dnum"),
+        )
+        .orderBy(F.desc("dnum"), F.asc("x"))
+        .limit(1)
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [(a, b, round(best["dnum"] / (na * nb), 6), best["x"])],
+        "source_a string, source_b string, d double, at_x bigint",
+    )
+
+
+O_KS_TEST = _o_two_source_counts(
+    """SELECT x,
+       sum(n1) OVER (ORDER BY x)::bigint AS c1,
+       sum(n2) OVER (ORDER BY x)::bigint AS c2
+       FROM g"""
+) + """,
+s AS (SELECT sum(n1)::bigint AS na, sum(n2)::bigint AS nb FROM g),
+dd AS (SELECT x, abs(c1 * (SELECT nb FROM s) - c2 * (SELECT na FROM s))::bigint AS dnum
+       FROM cum)
+SELECT (SELECT sa FROM ab) AS source_a, (SELECT sb FROM ab) AS source_b,
+       round(dnum / ((SELECT na FROM s) * (SELECT nb FROM s) * 1.0), 6) AS d,
+       x AS at_x
+FROM dd ORDER BY dnum DESC, x ASC LIMIT 1
+"""
+
+
+def q_gini_token(spark, sf_dir):
+    """Gini coefficient of the collection-frequency distribution — the
+    one-row concentration diagnostic next to zipf_fit (a corpus whose
+    token mass is owned by a handful of boilerplate terms has high
+    Gini). G = (2*sum(i*cf_i) - (n+1)*sum(cf)) / (n*sum(cf)) with cf
+    sorted ascending (ties broken by term, so the rank assignment is
+    deterministic); both sums are exact int64, one divide at the end.
+    One tokenize pass + one cf agg + one vocab-sized sort window."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    cf = (
+        _docs(spark, sf_dir)
+        .select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cf"))
+    )
+    w = Window.orderBy("cf", "term")
+    row = (
+        cf.select("cf", F.row_number().over(w).cast("long").alias("i"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cf").alias("s"),
+            F.sum(F.col("i") * F.col("cf")).alias("si"),
+        )
+        .collect()[0]
+    )
+    n, s, si = row["n"], row["s"], row["si"]
+    gini = (2 * si - (n + 1) * s) / (n * s)
+    return spark.createDataFrame(
+        [(n, s, round(gini, 6))],
+        "n_terms bigint, total_tokens bigint, gini double",
+    )
+
+
+O_GINI_TOKEN = f"""
+WITH {TOKS_CTE},
+cf AS (SELECT term, count(*)::bigint AS cf FROM toks GROUP BY 1),
+r AS (SELECT cf, row_number() OVER (ORDER BY cf, term)::bigint AS i FROM cf),
+s AS (SELECT count(*)::bigint AS n, sum(cf)::bigint AS s,
+             sum(i * cf)::bigint AS si FROM r)
+SELECT n AS n_terms, s AS total_tokens,
+       round((2 * si - (n + 1) * s) / (n * s * 1.0), 6) AS gini
+FROM s
+"""
+
+
+def q_event_moving_avg(spark, sf_dir):
+    """Elasticsearch moving_fn pipeline aggregation over a
+    date_histogram: calendar 7-day trailing average of the daily event
+    count (missing days count as zero — RANGE frame on the day key,
+    not ROWS, so gaps are handled identically at any scale). Parent
+    histogram is one keyed groupBy; the window frame is DAYS-sized."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    daily = (
+        _events(spark, sf_dir)
+        .select(F.floor(sec / 86400).cast("long").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            "cnt",
+            F.round(F.sum("cnt").over(w) / 7.0, 6).alias("avg7"),
+        )
+        .orderBy("day")
+    )
+
+
+O_EVENT_MOVING_AVG = """
+WITH d AS (SELECT floor(floor(epoch(ts))::bigint / 86400)::bigint AS day,
+                  count(*)::bigint AS cnt
+           FROM events GROUP BY 1)
+SELECT day, cnt,
+       round(sum(cnt) OVER (ORDER BY day
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) / 7.0, 6) AS avg7
+FROM d ORDER BY day
+"""
+
+
+def q_cardinality_by_source(spark, sf_dir):
+    """Elasticsearch cardinality aggregation surface: distinct term
+    count per source. This registry twin is EXACT (count distinct) so
+    the oracle can verify it; the scale path for 100 TB is the same
+    plan with approx_count_distinct (HLL++, fixed-size sketch per
+    group, no distinct shuffle) — documented rather than registered
+    because an approximate result can't hash-match a DuckDB oracle.
+    One tokenize pass + one (source, term) dedup agg."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    return (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.array_distinct(toks)).alias("term"))
+        .groupBy("source")
+        .agg(F.countDistinct("term").cast("long").alias("uniq_terms"))
+        .orderBy("source")
+    )
+
+
+O_CARDINALITY_BY_SOURCE = f"""
+WITH t AS (SELECT source, unnest(list_distinct({TOK_SQL})) AS term
+           FROM documents)
+SELECT source, count(DISTINCT term)::bigint AS uniq_terms
+FROM t GROUP BY 1 ORDER BY source
+"""
+
+
+TOP_HITS_PER_BUCKET = 2
+
+
+def q_top_hits_by_source(spark, sf_dir):
+    """Elasticsearch top_hits aggregation: for the standard BM25 query,
+    the top-{TOP_HITS_PER_BUCKET} scoring documents inside EVERY source
+    bucket (the "best example per crawl" drill-down panel). Collection
+    statistics stay whole-corpus (buckets slice the hit list, not the
+    index). Same one-tokenize-pass corpus BM25 as q_bm25_topk plus a
+    per-source rank window that compiles to WindowGroupLimit — O(k)
+    retained per bucket, never a full per-bucket sort at scale."""
+    tc = STANDARD_ANALYZER.term_counts_udf()
+    per_doc = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", tc(F.col("text")).alias("_tc"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("_tc.dl").cast("double").alias("dl"),
+            F.map_from_arrays("_tc.terms", "_tc.tfs").alias("m"),
+        )
+    )
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    w = Window.partitionBy("source").orderBy(F.desc("s"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("s", _bm25_score_col(BM25_TERMS, n, avgdl, dfs))
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_HITS_PER_BUCKET)
+        .select("source", "rank", "doc_id", F.round("s", 6).alias("score"))
+        .orderBy("source", "rank")
+    )
+
+
+O_TOP_HITS_BY_SOURCE = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id),
+ranked AS (SELECT d.source, sc.doc_id, sc.s,
+                  row_number() OVER (PARTITION BY d.source
+                                     ORDER BY sc.s DESC, sc.doc_id ASC)::bigint AS rank
+           FROM sc JOIN documents d USING (doc_id))
+SELECT source, rank, doc_id, round(s, 6) AS score
+FROM ranked WHERE rank <= {TOP_HITS_PER_BUCKET}
+ORDER BY source, rank
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -8208,6 +8527,12 @@ REGISTRY: dict[str, tuple] = {
     "event_pipeline": (q_event_pipeline, O_EVENT_PIPELINE),
     "activity_matrix": (q_activity_matrix, O_ACTIVITY_MATRIX),
     "source_similarity": (q_source_similarity, O_SOURCE_SIMILARITY),
+    "mannwhitney_u": (q_mannwhitney_u, O_MANNWHITNEY_U),
+    "ks_test": (q_ks_test, O_KS_TEST),
+    "gini_token": (q_gini_token, O_GINI_TOKEN),
+    "event_moving_avg": (q_event_moving_avg, O_EVENT_MOVING_AVG),
+    "cardinality_by_source": (q_cardinality_by_source, O_CARDINALITY_BY_SOURCE),
+    "top_hits_by_source": (q_top_hits_by_source, O_TOP_HITS_BY_SOURCE),
     "event_derivative": (q_event_derivative, O_EVENT_DERIVATIVE),
     "composite_page2": (q_composite_page2, O_COMPOSITE_PAGE2),
     "label_centroids": (q_label_centroids, O_LABEL_CENTROIDS),
@@ -8292,7 +8617,7 @@ REGISTRY: dict[str, tuple] = {
 # (trained models / iterative algorithms / Python alignment) sit at the
 # tail.
 _DRIVER_ORDER = [
-    # --- never externally verified (err or unreached), 89 entries ---
+    # --- never externally verified (err or unreached), 123 entries ---
     # Priority within the block (the external gate's budget is ~50
     # queries/round, so position IS the verification decision):
     # 1) the two round-1 err-record queries; 2) the surfaces VERDICT r2
@@ -8321,6 +8646,8 @@ _DRIVER_ORDER = [
     "rare_terms", "event_derivative", "composite_page2", "source_ttest",
     "bm25plus_topk", "bm25l_topk", "vsm_cosine_topk", "event_pipeline", "conv_pooling",
     "activity_matrix", "source_similarity",
+    "mannwhitney_u", "ks_test", "gini_token", "event_moving_avg",
+    "cardinality_by_source", "top_hits_by_source",
     "span_or_search", "explain_score", "shuffle_export", "term_browse", "conv_dedup",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",
