@@ -192,6 +192,8 @@ EXTRA_QUERIES = [
     "event_moving_avg",
     "cardinality_by_source",
     "top_hits_by_source",
+    "rake_keywords",
+    "phrase_suggest",
 ]
 
 

@@ -8392,6 +8392,190 @@ ORDER BY source, rank
 """
 
 
+RAKE_K = 15
+RAKE_MAXLEN = 4
+
+
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal runs of non-stopword tokens (stopwords as delimiters, so the
+    STOP-KEEPING analyzer twin is used and the 33-word Lucene stop set
+    drives segmentation); word score = deg(w)/freq(w) with
+    deg(w) = sum of lengths of phrases containing w; phrase score = sum
+    of its word scores. Complements kea_top_keyphrases / textrank with
+    the third classic keyphrase extractor. Determinism: deg/freq are
+    exact int64; the per-phrase sum folds word scores in phrase order on
+    BOTH engines (array aggregate over a position-sorted list), and the
+    final rank orders by the ROUNDED score with a phrase tiebreak. Plan:
+    one tokenize pass -> doc-keyed segment window -> phrase-occurrence
+    agg; word stats and distinct-phrase scoring run over phrase-sized
+    frames with a broadcast word-stats join."""
+    toks = WHITESPACE_ANALYZER.tokens_expr("text")
+    stops = sorted(LUCENE_ENGLISH_STOPWORDS)
+    t = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(toks).alias("pos", "term"))
+        .withColumn("is_stop", F.col("term").isin(stops))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ph = (
+        t.select(
+            "doc_id", "pos", "term", "is_stop",
+            F.sum(F.col("is_stop").cast("int")).over(w).alias("seg"),
+        )
+        .filter(~F.col("is_stop"))
+        .groupBy("doc_id", "seg")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "term"))).alias("pt"))
+        .select(F.transform("pt", lambda x: x["term"]).alias("words"))
+        .filter(F.size("words") <= RAKE_MAXLEN)
+    )
+    ws = (
+        ph.select(F.size("words").alias("plen"), F.explode("words").alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+    )
+    dp = ph.groupBy("words").agg(F.count("*").cast("long").alias("occurrences"))
+    j = dp.select(
+        "words", "occurrences", F.posexplode("words").alias("wpos", "word")
+    ).join(F.broadcast(ws), "word")
+    scored = (
+        j.groupBy("words", "occurrences")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "wpos",
+                        (F.col("deg").cast("double") / F.col("freq")).alias("s"),
+                    )
+                )
+            ).alias("ss")
+        )
+        .select(
+            F.array_join("words", " ").alias("phrase"),
+            "occurrences",
+            F.round(
+                F.aggregate(
+                    F.transform("ss", lambda x: x["s"]),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("phrase")).limit(RAKE_K)
+
+
+_RAKE_STOPLIST = ", ".join(f"'{s}'" for s in sorted(LUCENE_ENGLISH_STOPWORDS))
+
+O_RAKE_KEYWORDS = f"""
+WITH t AS (SELECT doc_id, unnest({WS_SQL}) AS term,
+                  generate_subscripts({WS_SQL}, 1) AS pos
+           FROM documents),
+f AS (SELECT doc_id, pos, term,
+             (term IN ({_RAKE_STOPLIST})) AS is_stop FROM t),
+seg AS (SELECT doc_id, pos, term, is_stop,
+               sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+        FROM f),
+ph AS (SELECT list(term ORDER BY pos) AS words
+       FROM seg WHERE NOT is_stop GROUP BY doc_id, seg
+       HAVING count(*) <= {RAKE_MAXLEN}),
+ws AS (SELECT word, count(*)::bigint AS freq, sum(plen)::bigint AS deg
+       FROM (SELECT len(words) AS plen, unnest(words) AS word FROM ph)
+       GROUP BY 1),
+dp AS (SELECT words, count(*)::bigint AS occurrences FROM ph GROUP BY 1),
+exp AS (SELECT words, occurrences, unnest(words) AS word,
+               generate_subscripts(words, 1) AS wpos
+        FROM dp),
+j AS (SELECT e.words, e.occurrences, e.wpos,
+             ws.deg::double / ws.freq AS s
+      FROM exp e JOIN ws USING (word)),
+sc AS (SELECT array_to_string(words, ' ') AS phrase, occurrences,
+              round(list_aggregate(list_transform(
+                  list_sort(list(struct_pack(wpos := wpos, s := s))),
+                  x -> x.s), 'sum'), 6) AS score
+       FROM j GROUP BY words, occurrences)
+SELECT phrase, occurrences, score
+FROM sc ORDER BY score DESC, phrase ASC LIMIT {RAKE_K}
+"""
+
+
+DYM_TERMS = ("bog", "ord")  # each within 2 Damerau edits of 3 dictionary terms
+DYM_PER_TERM = 3
+DYM_K = 5
+
+
+def q_phrase_suggest(spark, sf_dir):
+    """Phrase suggester ("did you mean") over a 2-term misspelled query:
+    per-term candidates are dictionary terms within 2 Damerau edits
+    (transposition = 1, matching the fuzzy surface), ranked
+    (edits asc, df desc, term asc) and cut to {DYM_PER_TERM} per term
+    like Lucene's DirectSpellChecker; phrase candidates are the cross
+    product ranked by (total edits asc, df product desc, phrase asc) —
+    the ES phrase-suggester shape with an exact integer frequency score.
+    Plan: the term-dictionary df agg is the only corpus work; the JVM
+    lev <= 2*max_edits prefilter bounds the candidate collect (vocab
+    slice, same contract as fuzzy_bm25_topk), and the cross of two
+    <= {DYM_PER_TERM}-row candidate sets is driver-trivial."""
+    from nlp4l_spark.search.engine import damerau_levenshtein
+
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    dfm = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.array_distinct(toks)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    pre = F.lit(False)
+    for qt in DYM_TERMS:
+        pre = pre | (F.levenshtein(F.col("term"), F.lit(qt)) <= 4)
+    rows = dfm.filter(pre).collect()
+    cands = {}
+    for qt in DYM_TERMS:
+        c = []
+        for r in rows:
+            e = damerau_levenshtein(r["term"], qt)
+            if e <= 2:
+                c.append((e, -r["df"], r["term"]))
+        c.sort()
+        cands[qt] = [(t, e, -negdf) for (e, negdf, t) in c[:DYM_PER_TERM]]
+    out = []
+    for t1, e1, d1 in cands[DYM_TERMS[0]]:
+        for t2, e2, d2 in cands[DYM_TERMS[1]]:
+            out.append((f"{t1} {t2}", e1 + e2, d1 * d2))
+    out.sort(key=lambda x: (x[1], -x[2], x[0]))
+    return spark.createDataFrame(
+        out[:DYM_K], "suggestion string, edits bigint, df_product bigint"
+    )
+
+
+O_PHRASE_SUGGEST = f"""
+WITH t AS (SELECT doc_id, unnest(list_distinct({TOK_SQL})) AS term
+           FROM documents),
+dfm AS (SELECT term, count(*)::bigint AS df FROM t GROUP BY 1),
+c1 AS (SELECT term, df, damerau_levenshtein(term, '{DYM_TERMS[0]}')::bigint AS e
+       FROM dfm WHERE damerau_levenshtein(term, '{DYM_TERMS[0]}') <= 2
+       ORDER BY e ASC, df DESC, term ASC LIMIT {DYM_PER_TERM}),
+c2 AS (SELECT term, df, damerau_levenshtein(term, '{DYM_TERMS[1]}')::bigint AS e
+       FROM dfm WHERE damerau_levenshtein(term, '{DYM_TERMS[1]}') <= 2
+       ORDER BY e ASC, df DESC, term ASC LIMIT {DYM_PER_TERM}),
+x AS (SELECT c1.term || ' ' || c2.term AS suggestion,
+             (c1.e + c2.e)::bigint AS edits,
+             (c1.df * c2.df)::bigint AS df_product
+      FROM c1 CROSS JOIN c2)
+SELECT suggestion, edits, df_product
+FROM x ORDER BY edits ASC, df_product DESC, suggestion ASC LIMIT {DYM_K}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -8533,6 +8717,8 @@ REGISTRY: dict[str, tuple] = {
     "event_moving_avg": (q_event_moving_avg, O_EVENT_MOVING_AVG),
     "cardinality_by_source": (q_cardinality_by_source, O_CARDINALITY_BY_SOURCE),
     "top_hits_by_source": (q_top_hits_by_source, O_TOP_HITS_BY_SOURCE),
+    "rake_keywords": (q_rake_keywords, O_RAKE_KEYWORDS),
+    "phrase_suggest": (q_phrase_suggest, O_PHRASE_SUGGEST),
     "event_derivative": (q_event_derivative, O_EVENT_DERIVATIVE),
     "composite_page2": (q_composite_page2, O_COMPOSITE_PAGE2),
     "label_centroids": (q_label_centroids, O_LABEL_CENTROIDS),
@@ -8617,7 +8803,7 @@ REGISTRY: dict[str, tuple] = {
 # (trained models / iterative algorithms / Python alignment) sit at the
 # tail.
 _DRIVER_ORDER = [
-    # --- never externally verified (err or unreached), 123 entries ---
+    # --- never externally verified (err or unreached), 125 entries ---
     # Priority within the block (the external gate's budget is ~50
     # queries/round, so position IS the verification decision):
     # 1) the two round-1 err-record queries; 2) the surfaces VERDICT r2
@@ -8647,7 +8833,7 @@ _DRIVER_ORDER = [
     "bm25plus_topk", "bm25l_topk", "vsm_cosine_topk", "event_pipeline", "conv_pooling",
     "activity_matrix", "source_similarity",
     "mannwhitney_u", "ks_test", "gini_token", "event_moving_avg",
-    "cardinality_by_source", "top_hits_by_source",
+    "cardinality_by_source", "top_hits_by_source", "rake_keywords", "phrase_suggest",
     "span_or_search", "explain_score", "shuffle_export", "term_browse", "conv_dedup",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",
