@@ -194,6 +194,11 @@ EXTRA_QUERIES = [
     "top_hits_by_source",
     "rake_keywords",
     "phrase_suggest",
+    "decay_gauss_topk",
+    "bucket_selector",
+    "serial_diff",
+    "value_histogram",
+    "weighted_avg",
 ]
 
 

@@ -8576,6 +8576,202 @@ FROM x ORDER BY edits ASC, df_product DESC, suggestion ASC LIMIT {DYM_K}
 """
 
 
+GAUSS_SCALE = 90.0
+GAUSS_DECAY = 0.5
+# ES gauss decay: sigma^2 = -scale^2 / (2 ln decay)
+_GAUSS_DENOM = 2.0 * (-GAUSS_SCALE * GAUSS_SCALE / (2.0 * math.log(GAUSS_DECAY)))
+
+
+def q_decay_gauss_topk(spark, sf_dir):
+    """FunctionScoreQuery with the ES *gauss* decay (the bell-shaped
+    sibling of function_score_topk's exp decay): BM25 OR-score ×
+    exp(-age² / 2σ²) with σ derived from (scale={GAUSS_SCALE},
+    decay={GAUSS_DECAY}) exactly as ES computes it. Same deterministic
+    doc_id % 365 age stand-in and the same single-tokenize two-pass
+    plan — the decay folds in before top-k."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    age = (F.col("doc_id") % 365).cast("double")
+    decay = F.exp(-(age * age) / F.lit(_GAUSS_DENOM))
+    return (
+        per_doc.withColumn(
+            "s", _bm25_score_col(BM25_TERMS, n, avgdl, dfs) * decay
+        )
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_DECAY_GAUSS_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+              * exp(-((dt.doc_id % 365) * (dt.doc_id % 365))
+                    / {_GAUSS_DENOM!r}) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+def q_bucket_selector(spark, sf_dir):
+    """ES bucket_selector pipeline aggregation (SQL HAVING over a parent
+    terms agg): keep only sources whose mean per-doc token count exceeds
+    the corpus-wide mean. Both means are exact-int sums divided once, so
+    the predicate is FP-deterministic; the parent agg is one keyed
+    shuffle and the corpus mean is a broadcast scalar."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    d = _docs(spark, sf_dir).select(
+        "source", F.size(toks).cast("long").alias("dl")
+    )
+    tot = d.agg(F.sum("dl").alias("s"), F.count("*").alias("c")).collect()[0]
+    gmean = tot["s"] / tot["c"]
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").alias("_s"),
+        )
+        .filter(F.col("_s") / F.col("n_docs") > F.lit(gmean))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("_s") / F.col("n_docs"), 6).alias("mean_dl"),
+        )
+        .orderBy("source")
+    )
+
+
+O_BUCKET_SELECTOR = f"""
+WITH d AS (SELECT source, len({TOK_SQL})::bigint AS dl FROM documents),
+t AS (SELECT sum(dl)::double / count(*) AS gmean FROM d),
+g AS (SELECT source, count(*)::bigint AS n_docs, sum(dl)::bigint AS s
+      FROM d GROUP BY 1)
+SELECT source, n_docs, round(s::double / n_docs, 6) AS mean_dl
+FROM g CROSS JOIN t WHERE s::double / n_docs > gmean
+ORDER BY source
+"""
+
+
+SERIAL_DIFF_LAG = 7
+
+
+def q_serial_diff(spark, sf_dir):
+    """ES serial_diff pipeline aggregation: lag-{SERIAL_DIFF_LAG}
+    differencing of the daily event count (the deseasonalization step
+    before trend fitting). Like ES, the lag is in BUCKET positions
+    (ROWS), not calendar days. Same daily-histogram parent as
+    event_derivative; one DAYS-sized window."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    daily = (
+        _events(spark, sf_dir)
+        .select(F.floor(sec / 86400).cast("long").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.orderBy("day")
+    return (
+        daily.select(
+            "day",
+            "cnt",
+            (F.col("cnt") - F.lag("cnt", SERIAL_DIFF_LAG).over(w))
+            .cast("long")
+            .alias(f"diff{SERIAL_DIFF_LAG}"),
+        )
+        .orderBy("day")
+    )
+
+
+O_SERIAL_DIFF = f"""
+WITH d AS (SELECT floor(floor(epoch(ts))::bigint / 86400)::bigint AS day,
+                  count(*)::bigint AS cnt
+           FROM events GROUP BY 1)
+SELECT day, cnt,
+       (cnt - lag(cnt, {SERIAL_DIFF_LAG}) OVER (ORDER BY day))::bigint
+         AS diff{SERIAL_DIFF_LAG}
+FROM d ORDER BY day
+"""
+
+
+HIST_INTERVAL = 50
+
+
+def q_value_histogram(spark, sf_dir):
+    """ES histogram aggregation over events.value with a fixed interval
+    of {HIST_INTERVAL}: bucket floor, count, and the bucket's value sum
+    — the sum carried as exact integer cents (round-then-sum), the
+    repo-wide determinism rule for double sums across groups. One keyed
+    groupBy; empty buckets omitted (min_doc_count=1 semantics)."""
+    b = (F.floor(F.col("value") / HIST_INTERVAL) * HIST_INTERVAL).cast("long")
+    return (
+        _events(spark, sf_dir)
+        .select(
+            b.alias("bucket"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+O_VALUE_HISTOGRAM = f"""
+SELECT (floor(value / {HIST_INTERVAL}) * {HIST_INTERVAL})::bigint AS bucket,
+       count(*)::bigint AS cnt,
+       sum(round(value * 100)::bigint)::bigint AS sum_cents
+FROM events GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_weighted_avg(spark, sf_dir):
+    """ES weighted_avg aggregation: per-source mean document length in
+    characters weighted by token count (long documents weigh more —
+    the "mean chars per token-weighted doc" panel). Numerator and
+    denominator are exact int64 sums; one division per group at the
+    end, so the aggregate is order-independent."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    d = _docs(spark, sf_dir).select(
+        "source",
+        F.col("n_chars").cast("long").alias("w_val"),
+        F.size(toks).cast("long").alias("w"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.col("w_val") * F.col("w")).alias("_num"),
+            F.sum("w").alias("_den"),
+        )
+        .select(
+            "source",
+            F.round(F.col("_num") / F.col("_den"), 6).alias("weighted_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+O_WEIGHTED_AVG = f"""
+WITH d AS (SELECT source, n_chars::bigint AS w_val,
+                  len({TOK_SQL})::bigint AS w
+           FROM documents)
+SELECT source,
+       round(sum(w_val * w)::double / sum(w), 6) AS weighted_chars
+FROM d GROUP BY 1 ORDER BY source
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -8719,6 +8915,11 @@ REGISTRY: dict[str, tuple] = {
     "top_hits_by_source": (q_top_hits_by_source, O_TOP_HITS_BY_SOURCE),
     "rake_keywords": (q_rake_keywords, O_RAKE_KEYWORDS),
     "phrase_suggest": (q_phrase_suggest, O_PHRASE_SUGGEST),
+    "decay_gauss_topk": (q_decay_gauss_topk, O_DECAY_GAUSS_TOPK),
+    "bucket_selector": (q_bucket_selector, O_BUCKET_SELECTOR),
+    "serial_diff": (q_serial_diff, O_SERIAL_DIFF),
+    "value_histogram": (q_value_histogram, O_VALUE_HISTOGRAM),
+    "weighted_avg": (q_weighted_avg, O_WEIGHTED_AVG),
     "event_derivative": (q_event_derivative, O_EVENT_DERIVATIVE),
     "composite_page2": (q_composite_page2, O_COMPOSITE_PAGE2),
     "label_centroids": (q_label_centroids, O_LABEL_CENTROIDS),
@@ -8803,7 +9004,7 @@ REGISTRY: dict[str, tuple] = {
 # (trained models / iterative algorithms / Python alignment) sit at the
 # tail.
 _DRIVER_ORDER = [
-    # --- never externally verified (err or unreached), 125 entries ---
+    # --- never externally verified (err or unreached), 130 entries ---
     # Priority within the block (the external gate's budget is ~50
     # queries/round, so position IS the verification decision):
     # 1) the two round-1 err-record queries; 2) the surfaces VERDICT r2
@@ -8834,6 +9035,7 @@ _DRIVER_ORDER = [
     "activity_matrix", "source_similarity",
     "mannwhitney_u", "ks_test", "gini_token", "event_moving_avg",
     "cardinality_by_source", "top_hits_by_source", "rake_keywords", "phrase_suggest",
+    "decay_gauss_topk", "bucket_selector", "serial_diff", "value_histogram", "weighted_avg",
     "span_or_search", "explain_score", "shuffle_export", "term_browse", "conv_dedup",
     "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
     "conversation_stats",
