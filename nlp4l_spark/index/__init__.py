@@ -12,6 +12,8 @@ from nlp4l_spark.index.deletes import (
     expunge_deletes,
 )
 from nlp4l_spark.index.docids import assign_doc_ids
+from nlp4l_spark.index.generations import GenerationLog, stream_into_generations
+from nlp4l_spark.index.mergepolicy import TieredMergePolicy, compact, maintain
 
 __all__ = [
     "IndexBuilder",
@@ -25,4 +27,9 @@ __all__ = [
     "delete_by_term",
     "deleted_count",
     "expunge_deletes",
+    "GenerationLog",
+    "stream_into_generations",
+    "TieredMergePolicy",
+    "compact",
+    "maintain",
 ]
