@@ -38,9 +38,14 @@ import math
 import os
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import SparkSession, functions as F
 
+from nlp4l_spark.index import codec
 from nlp4l_spark.index.builder import (
+    POS_POSTINGS_SCHEMA,
     POSTINGS_SCHEMA,
     SEGMENT_SCHEMA,
     _segment_builder,
@@ -132,6 +137,67 @@ def index_size_bytes(index_dir: str) -> int:
     return total
 
 
+def _rebase_pos_rows(base: int, docs_per_shard: int):
+    """mapInPandas fn over ONE generation's pos_postings: shift docIDs by
+    the generation's docBase and recompute shard ownership, splitting the
+    (rare) row whose rebased doc range crosses a shard boundary.
+
+    This is the Lucene merge economics for positions: no re-analysis —
+    only the docID gaps change. Fast path (almost every row): the rebased
+    range stays in one shard, so the per-doc-reset dls/pos_lens/pos
+    buffers are byte-identical and pass through untouched; only the
+    docID buffer re-encodes (its first gap carries the absolute docID).
+    Rows here are (term, shard, pid) segments — vocab-sized, not
+    corpus-sized — and the work per row is one varbyte decode/encode."""
+
+    cols = [f.name for f in POS_POSTINGS_SCHEMA.fields]
+
+    def run(batches):
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+
+            def emit(term, shard, pid, d, dls_enc, pl_enc, pos_enc):
+                out["term"].append(term)
+                out["shard"].append(int(shard))
+                out["pid"].append(pid)
+                out["df"].append(int(d.size))
+                out["min_doc"].append(int(d[0]))
+                out["max_doc"].append(int(d[-1]))
+                out["doc_ids_enc"].append(codec.encode_doc_ids(d))
+                out["dls_enc"].append(dls_enc)
+                out["pos_lens_enc"].append(pl_enc)
+                out["pos_enc"].append(pos_enc)
+
+            for r in pdf.itertuples(index=False):
+                d = codec.decode_doc_ids(r.doc_ids_enc) + base
+                s0, s1 = d[0] // docs_per_shard, d[-1] // docs_per_shard
+                if s0 == s1:  # fast path: buffers unchanged
+                    emit(r.term, s0, r.pid, d,
+                         r.dls_enc, r.pos_lens_enc, r.pos_enc)
+                    continue
+                dls = codec.decode_tfs(r.dls_enc)
+                pl = codec.decode_tfs(r.pos_lens_enc)
+                flat = codec.decode_positions(r.pos_enc, pl)
+                pstarts = np.zeros(pl.size + 1, dtype=np.int64)
+                np.cumsum(pl, out=pstarts[1:])
+                s = d // docs_per_shard
+                bnds = np.concatenate(
+                    ([0], 1 + np.flatnonzero(np.diff(s) != 0), [d.size])
+                )
+                for a, b in zip(bnds[:-1].tolist(), bnds[1:].tolist()):
+                    emit(
+                        r.term, s[a], r.pid, d[a:b],
+                        codec.encode_tfs(dls[a:b]),
+                        codec.encode_tfs(pl[a:b]),
+                        codec.encode_positions(
+                            flat[pstarts[a]:pstarts[b]], pl[a:b]
+                        ),
+                    )
+            yield pd.DataFrame(out)
+
+    return run
+
+
 def compact(
     spark: SparkSession,
     index_dirs: list[str],
@@ -150,9 +216,11 @@ def compact(
     from the forward index via the standard segment-encode +
     (term, shard)-merge stages. Requires the generations to have been
     built with materialize_forward=True (the default). Position shards
-    and term_vectors are not carried over — compact the core BM25
-    surface first, rebuild extras with the same pattern if needed
-    (documented limitation)."""
+    (pos_postings) and term_vectors carry over WITHOUT re-analysis when
+    every input generation has them: positions are doc-relative, so the
+    rebase touches only docID gaps (see _rebase_pos_rows); term_vectors
+    is a rebased union. If only some generations have an extra table it
+    is dropped (the compacted index stays honest about its surface)."""
     cats = [IndexCatalog(d) for d in index_dirs]
     for c, d in zip(cats, index_dirs):
         if not c.is_committed("doc_terms_fwd"):
@@ -225,6 +293,27 @@ def compact(
         ),
         "field_stats",
     )
+
+    if all(c.is_committed("pos_postings") for c in cats):
+        pos = None
+        for c, b in zip(cats, bases):
+            p = (
+                c.read(spark, "pos_postings")
+                .mapInPandas(
+                    _rebase_pos_rows(b, docs_per_shard), POS_POSTINGS_SCHEMA
+                )
+            )
+            pos = p if pos is None else pos.unionByName(p)
+        out.write(pos, "pos_postings", sort_by=["term"])
+
+    if all(c.is_committed("term_vectors") for c in cats):
+        tv = None
+        for c, b in zip(cats, bases):
+            t = c.read(spark, "term_vectors").withColumn(
+                "doc_id", F.col("doc_id") + F.lit(b)
+            )
+            tv = t if tv is None else tv.unionByName(t)
+        out.write(tv, "term_vectors", sort_by=["doc_id"])
     return out
 
 

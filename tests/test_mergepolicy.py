@@ -161,6 +161,50 @@ def test_maintain_round(spark, gens, tmp_path):
     assert [s for _, s in after] == [s for _, s in before]
 
 
+def test_compact_carries_positions_and_vectors(spark, tmp_path):
+    """pos_postings + term_vectors survive compaction without
+    re-analysis; a deliberately tiny docs_per_shard forces the
+    row-splitting slow path at rebased shard boundaries. The compacted
+    index answers phrase queries identically to a single build and
+    passes the full offline integrity check."""
+    from nlp4l_spark.index import IndexBuilder, check_index
+
+    full = synth_transcripts(spark, 600, num_partitions=3)
+    convs = sorted(
+        r["conv_id"] for r in full.select("conv_id").distinct().collect()
+    )
+    mid = convs[len(convs) // 2]
+    b = IndexBuilder(store_positions=True, store_term_vectors=True)
+    d_full = str(tmp_path / "full")
+    d0, d1 = str(tmp_path / "g0"), str(tmp_path / "g1")
+    b.build(full, d_full)
+    b.build(full.filter(F.col("conv_id") < mid), d0)
+    b.build(full.filter(F.col("conv_id") >= mid), d1)
+    out = str(tmp_path / "out")
+    cat = compact(spark, [d0, d1], out, docs_per_shard=97)
+    assert cat.is_committed("pos_postings")
+    assert cat.is_committed("term_vectors")
+    comp = Searcher(spark, out)
+    single = Searcher(spark, d_full)
+    hit = False
+    for q in ('"w00010 w00020"', '"w00001 w00454"', '"w00002 w00003"'):
+        phrase = q.strip('"')
+        got = _rows(comp.search_phrase(phrase, k=10))
+        want = _rows(single.search_phrase(phrase, k=10))
+        assert got == want, phrase
+        hit = hit or bool(got)
+    # term_vectors: rebased union matches the single build row-for-row
+    tv_c = cat.read(spark, "term_vectors")
+    tv_s = Searcher(spark, d_full).cat.read(spark, "term_vectors")
+    assert sorted(map(tuple, tv_c.collect())) == sorted(
+        map(tuple, tv_s.collect())
+    )
+    # offline integrity: postings/pos_postings/term_vectors all agree
+    report = check_index(spark, out).collect()
+    bad = [(r["check"], r["detail"]) for r in report if not r["ok"]]
+    assert report and not bad, bad
+
+
 def test_index_size_bytes(gens):
     _, d = gens
     s = index_size_bytes(d[0])
