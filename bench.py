@@ -277,6 +277,82 @@ def timed_build(spark, n_turns: int, out_dir: str) -> float:
     return time.time() - t0
 
 
+def timed_ingest(spark) -> dict:
+    """Incremental-ingest economics: the same K micro-batches through
+    (a) GenerationLog — O(batch) per append, one tiered maintenance
+    round at the end — and (b) append_to_index — full postings re-merge
+    per append. At bench scale the re-merge tax is modest; the numbers
+    pin the direction (genlog per-batch cost is flat in corpus size,
+    append's grows linearly — the 100-TB argument, PLANS.md)."""
+    from pyspark.sql import functions as F
+
+    from nlp4l_spark.data.transcripts import synth_transcripts
+    from nlp4l_spark.index import (
+        GenerationLog,
+        TieredMergePolicy,
+        build_index,
+    )
+    from nlp4l_spark.streaming import append_to_index
+
+    n_batches, per = 4, 8000
+    total = n_batches * per
+    df = synth_transcripts(spark, total)
+    convs = sorted(
+        r["conv_id"] for r in df.select("conv_id").distinct().collect()
+    )
+    cuts = [convs[i * len(convs) // n_batches] for i in range(1, n_batches)]
+    batches, lo = [], None
+    for hi in cuts + [None]:
+        b = df
+        if lo is not None:
+            b = b.filter(F.col("conv_id") >= lo)
+        if hi is not None:
+            b = b.filter(F.col("conv_id") < hi)
+        batches.append(b)
+        lo = hi
+
+    root = "/tmp/nlp4l_bench_genlog"
+    shutil.rmtree(root, ignore_errors=True)
+    log = GenerationLog(root)
+    t0 = time.time()
+    for b in batches:
+        log.ingest(b)
+    genlog_sec = time.time() - t0
+    t0 = time.time()
+    log.maintain(
+        spark,
+        TieredMergePolicy(
+            segs_per_tier=1.0,
+            floor_segment_bytes=1 << 30,
+            max_merged_segment_bytes=1 << 40,
+        ),
+    )
+    maintain_sec = time.time() - t0
+    n_live = len(log.live_dirs)
+
+    adir = "/tmp/nlp4l_bench_append"
+    shutil.rmtree(adir, ignore_errors=True)
+    t0 = time.time()
+    build_index(batches[0], adir)
+    for b in batches[1:]:
+        append_to_index(b, adir)
+    append_sec = time.time() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(adir, ignore_errors=True)
+    out = {
+        "turns": total,
+        "batches": n_batches,
+        "genlog_sec": round(genlog_sec, 2),
+        "genlog_turns_per_sec": round(total / genlog_sec, 1),
+        "maintain_sec": round(maintain_sec, 2),
+        "live_gens_after_maintain": n_live,
+        "append_sec": round(append_sec, 2),
+        "append_turns_per_sec": round(total / append_sec, 1),
+    }
+    print(f"  ingest: {out}", file=sys.stderr)
+    return out
+
+
 CONTROL_QUERY = "wordcount_cf"
 
 
@@ -409,6 +485,7 @@ def main():
     spark = make_session(CPUS)
     warmup(spark)
     build_secs = timed_build(spark, BENCH_TURNS, "/tmp/nlp4l_bench_idx_main")
+    ingest = timed_ingest(spark)
     # batch search throughput over the just-built index (reference query
     # mix: head/rare/OR/needle/stopword-only/unknown terms)
     from nlp4l_spark.data.transcripts import synth_queries
@@ -466,6 +543,7 @@ def main():
         "sec": round(build_secs, 2),
         "turns_per_sec": round(BENCH_TURNS / build_secs, 1),
     }
+    result["ingest"] = ingest
     result["search"] = {
         "queries": len(qset),
         "sec": round(search_secs, 3),
