@@ -156,6 +156,37 @@ class GenerationLog:
             shutil.rmtree(os.path.join(self.root, n), ignore_errors=True)
         return merges
 
+    # ------------------------------------------------------------ deletes
+
+    def delete(self, spark: SparkSession, global_doc_ids) -> int:
+        """IndexWriter.deleteDocuments over the log: tombstone
+        federation-numbered docIDs in their owning generations. Visible
+        immediately through searcher() (per-reader liveDocs,
+        tests/test_multisearcher.py); physically expunged — with stats
+        recomputed — by the next maintain() round that compacts the
+        owning generation (Lucene's merge-expunges-deletions)."""
+        from nlp4l_spark.index.catalog import IndexCatalog
+        from nlp4l_spark.index.deletes import delete_docs
+
+        dirs = self.live_dirs
+        bases: list[int] = []
+        b = 0
+        for d in dirs:
+            bases.append(b)
+            b += int(
+                IndexCatalog(d).manifest("doc_lens")["counters"]["num_docs"]
+            )
+        per_gen: dict[int, list[int]] = {}
+        for g in sorted(int(x) for x in global_doc_ids):
+            if not 0 <= g < b:
+                raise ValueError(f"doc_id {g} outside federation range {b}")
+            i = max(j for j, bb in enumerate(bases) if bb <= g)
+            per_gen.setdefault(i, []).append(g - bases[i])
+        n = 0
+        for i, local_ids in per_gen.items():
+            n += delete_docs(spark, dirs[i], local_ids)
+        return n
+
     # -------------------------------------------------------------- query
 
     def searcher(self, spark: SparkSession):

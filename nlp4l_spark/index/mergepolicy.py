@@ -151,6 +151,21 @@ def _rebase_pos_rows(base: int, docs_per_shard: int):
     corpus-sized — and the work per row is one varbyte decode/encode."""
 
     cols = [f.name for f in POS_POSTINGS_SCHEMA.fields]
+    return _rebase_pos_rows_masked(base, docs_per_shard, None, cols)
+
+
+def _rebase_pos_rows_masked(
+    base: int, docs_per_shard: int, deleted, cols=None
+):
+    """_rebase_pos_rows plus a live-docs mask: rows touching a
+    tombstoned (generation-local) docID take the decode path and drop
+    that doc's postings — Lucene's merge-expunges-deletions contract."""
+    cols = cols or [f.name for f in POS_POSTINGS_SCHEMA.fields]
+    dels = (
+        np.asarray(sorted(deleted), dtype=np.int64)
+        if deleted
+        else None
+    )
 
     def run(batches):
         for pdf in batches:
@@ -169,15 +184,31 @@ def _rebase_pos_rows(base: int, docs_per_shard: int):
                 out["pos_enc"].append(pos_enc)
 
             for r in pdf.itertuples(index=False):
-                d = codec.decode_doc_ids(r.doc_ids_enc) + base
+                d_local = codec.decode_doc_ids(r.doc_ids_enc)
+                live = (
+                    ~np.isin(d_local, dels)
+                    if dels is not None
+                    else None
+                )
+                d = d_local + base
+                if live is not None and not live.all():
+                    d = d[live]
+                    if d.size == 0:
+                        continue  # every doc in this row was deleted
+                elif live is not None:
+                    live = None  # no overlap: fast path still valid
                 s0, s1 = d[0] // docs_per_shard, d[-1] // docs_per_shard
-                if s0 == s1:  # fast path: buffers unchanged
+                if s0 == s1 and live is None:  # fast path: buffers unchanged
                     emit(r.term, s0, r.pid, d,
                          r.dls_enc, r.pos_lens_enc, r.pos_enc)
                     continue
                 dls = codec.decode_tfs(r.dls_enc)
                 pl = codec.decode_tfs(r.pos_lens_enc)
                 flat = codec.decode_positions(r.pos_enc, pl)
+                if live is not None:  # drop deleted docs' position runs
+                    keep_pos = np.repeat(live, pl)
+                    flat = flat[keep_pos]
+                    dls, pl = dls[live], pl[live]
                 pstarts = np.zeros(pl.size + 1, dtype=np.int64)
                 np.cumsum(pl, out=pstarts[1:])
                 s = d // docs_per_shard
@@ -220,7 +251,14 @@ def compact(
     every input generation has them: positions are doc-relative, so the
     rebase touches only docID gaps (see _rebase_pos_rows); term_vectors
     is a rebased union. If only some generations have an extra table it
-    is dropped (the compacted index stays honest about its surface)."""
+    is dropped (the compacted index stays honest about its surface).
+
+    Deletes: compaction EXPUNGES tombstoned docs and recomputes stats —
+    Lucene's merge semantics (deleted docs leave; num_docs/df/avgdl
+    refresh), so post-compact scores match a MultiSearcher over
+    expunge_deletes'd inputs, NOT the frozen-stats pre-expunge view.
+    Surviving docIDs keep their federation numbering (holes where
+    deleted); no tombstones table is written to the output."""
     cats = [IndexCatalog(d) for d in index_dirs]
     for c, d in zip(cats, index_dirs):
         if not c.is_committed("doc_terms_fwd"):
@@ -228,29 +266,70 @@ def compact(
                 f"compact needs a committed doc_terms_fwd in {d} "
                 "(build with materialize_forward=True)"
             )
+    # live-docs per generation: compaction EXPUNGES tombstoned docs
+    # (Lucene merges drop deletions and recompute stats — the
+    # forceMergeDeletes contract), while docBases stay the frozen
+    # MultiSearcher numbering so surviving docIDs are unchanged (holes
+    # where deleted — better than Lucene, which renumbers).
+    tombs: list[set[int]] = []
+    for c in cats:
+        if c.is_committed("tombstones"):
+            tombs.append(
+                {
+                    int(r[0])
+                    for r in c.read(spark, "tombstones")
+                    .select("doc_id")
+                    .collect()
+                }
+            )
+        else:
+            tombs.append(set())
     bases: list[int] = []
     base = 0
     sum_dl = 0
-    for c in cats:
+    n_deleted = 0
+    for c, t in zip(cats, tombs):
         bases.append(base)
         counters = c.manifest("doc_lens")["counters"]
         base += int(counters["num_docs"])
         sum_dl += int(counters["sum_dl"])
-    num_docs = base
+        n_deleted += len(t)
+        if t:  # subtract the tombstoned docs' lengths (pushed-In scan)
+            dropped = (
+                c.read(spark, "doc_lens")
+                .filter(F.col("doc_id").isin([int(x) for x in t]))
+                .agg(F.sum("dl"))
+                .collect()[0][0]
+            )
+            sum_dl -= int(dropped or 0)
+    num_docs = base - n_deleted
+
+    def _live(df, t):
+        if not t:
+            return df
+        return df.filter(~F.col("doc_id").isin([int(x) for x in t]))
 
     out = IndexCatalog(out_dir)
 
     stored = None
-    for c, b in zip(cats, bases):
-        s = c.read(spark, "stored").withColumn(
+    for c, b, t in zip(cats, bases, tombs):
+        s = _live(c.read(spark, "stored"), t).withColumn(
             "doc_id", F.col("doc_id") + F.lit(b)
         )
         stored = s if stored is None else stored.unionByName(s)
-    out.write(stored, "stored", sort_by=["doc_id"], counters={"num_docs": num_docs})
+    out.write(
+        stored,
+        "stored",
+        sort_by=["doc_id"],
+        # "expunged" declares docID holes (deleted docs keep their slot
+        # number reserved) — check_index bounds instead of requiring
+        # density when it is present
+        counters={"num_docs": num_docs, "expunged": n_deleted},
+    )
 
     fwd = None
-    for c, b in zip(cats, bases):
-        f_ = c.read(spark, "doc_terms_fwd").withColumn(
+    for c, b, t in zip(cats, bases, tombs):
+        f_ = _live(c.read(spark, "doc_terms_fwd"), t).withColumn(
             "doc_id", F.col("doc_id") + F.lit(b)
         )
         fwd = f_ if fwd is None else fwd.unionByName(f_)
@@ -296,11 +375,12 @@ def compact(
 
     if all(c.is_committed("pos_postings") for c in cats):
         pos = None
-        for c, b in zip(cats, bases):
+        for c, b, t in zip(cats, bases, tombs):
             p = (
                 c.read(spark, "pos_postings")
                 .mapInPandas(
-                    _rebase_pos_rows(b, docs_per_shard), POS_POSTINGS_SCHEMA
+                    _rebase_pos_rows_masked(b, docs_per_shard, t),
+                    POS_POSTINGS_SCHEMA,
                 )
             )
             pos = p if pos is None else pos.unionByName(p)
@@ -308,11 +388,11 @@ def compact(
 
     if all(c.is_committed("term_vectors") for c in cats):
         tv = None
-        for c, b in zip(cats, bases):
-            t = c.read(spark, "term_vectors").withColumn(
+        for c, b, t in zip(cats, bases, tombs):
+            t_ = _live(c.read(spark, "term_vectors"), t).withColumn(
                 "doc_id", F.col("doc_id") + F.lit(b)
             )
-            tv = t if tv is None else tv.unionByName(t)
+            tv = t_ if tv is None else tv.unionByName(t_)
         out.write(tv, "term_vectors", sort_by=["doc_id"])
     return out
 

@@ -205,6 +205,111 @@ def test_compact_carries_positions_and_vectors(spark, tmp_path):
     assert report and not bad, bad
 
 
+def test_compact_expunges_deletes(spark, tmp_path):
+    """Lucene merge semantics: tombstoned docs leave the compacted
+    generation and stats recompute. Surviving docIDs keep their
+    federation numbering (holes where deleted). The independent Python
+    OracleIndex over the surviving (rebased_id, text) pairs is the
+    referee for both ranking AND absolute BM25 scores; check_index
+    validates postings/pos_postings/term_vectors consistency after the
+    masked carry-over."""
+    from nlp4l_spark.index import IndexBuilder, check_index, delete_docs
+    from nlp4l_spark.oracle import OracleIndex
+
+    full = synth_transcripts(spark, 500, num_partitions=2)
+    convs = sorted(
+        r["conv_id"] for r in full.select("conv_id").distinct().collect()
+    )
+    mid = convs[len(convs) // 2]
+    b = IndexBuilder(store_positions=True, store_term_vectors=True)
+    d0, d1 = str(tmp_path / "g0"), str(tmp_path / "g1")
+    b.build(full.filter(F.col("conv_id") < mid), d0)
+    b.build(full.filter(F.col("conv_id") >= mid), d1)
+    multi = MultiSearcher(spark, [d0, d1])
+    base1 = multi.doc_bases[1]
+    # delete a top hit from each generation (global ids span both)
+    top = [r["doc_id"] for r in multi.search("w00001", k=4).collect()]
+    dels_global = {top[0], top[-1], 3, base1 + 3}
+    for g in sorted(dels_global):
+        if g < base1:
+            delete_docs(spark, d0, [g])
+        else:
+            delete_docs(spark, d1, [g - base1])
+    out = str(tmp_path / "out")
+    cat = compact(spark, [d0, d1], out)
+    # surviving corpus with federation numbering, minus deletions
+    pairs = []
+    for d, bb in ((d0, 0), (d1, base1)):
+        for r in (
+            Searcher(spark, d).cat.read(spark, "stored")
+            .select("doc_id", "text").collect()
+        ):
+            g = r["doc_id"] + bb
+            if g not in dels_global:
+                pairs.append((g, r["text"]))
+    oracle = OracleIndex.build(pairs)
+    fs = cat.read(spark, "field_stats").collect()[0]
+    assert fs["num_docs"] == len(pairs)
+    assert fs["sum_dl"] == oracle.sum_dl
+    comp = Searcher(spark, out)
+    for q in ("w00001", "w00002 w00005", "w00010 w00020"):
+        got = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in comp.search(q, k=10, method="wand").collect()
+        ]
+        want = [(d, round(s, 6)) for d, s in oracle.search(q, 10)]
+        assert got == want, (q, got, want)
+        assert not ({g for g, _ in got} & dels_global)
+    # phrase path: pos mask agrees with the term_vectors mask (two
+    # independent carry-over implementations), deleted docs gone
+    for ph in ("w00010 w00020", "w00001 w00454"):
+        via_pos = _rows(comp.search_phrase(ph, k=10, method="postings"))
+        via_tv = _rows(comp.search_phrase(ph, k=10, method="term_vectors"))
+        assert via_pos == via_tv, ph
+        assert not ({g for g, _ in via_pos} & dels_global)
+    report = check_index(spark, out).collect()
+    bad = [(r["check"], r["detail"]) for r in report if not r["ok"]]
+    assert report and not bad, bad
+
+
+def test_generation_log_delete_routes_and_expunges(spark, tmp_path):
+    from nlp4l_spark.index import GenerationLog, TieredMergePolicy, deleted_count
+
+    full = synth_transcripts(spark, 450, num_partitions=2)
+    convs = sorted(
+        r["conv_id"] for r in full.select("conv_id").distinct().collect()
+    )
+    c1, c2 = convs[len(convs) // 3], convs[2 * len(convs) // 3]
+    log = GenerationLog(str(tmp_path / "log"))
+    log.ingest(full.filter(F.col("conv_id") < c1))
+    log.ingest(full.filter((F.col("conv_id") >= c1) & (F.col("conv_id") < c2)))
+    # NOTE: a 2-generation log is always within the tier budget
+    # (allowed_segment_count >= 2) — three generations force the merge
+    log.ingest(full.filter(F.col("conv_id") >= c2))
+    fed = log.searcher(spark)
+    top = [r["doc_id"] for r in fed.search("w00001", k=3).collect()]
+    n = log.delete(spark, top[:2])
+    assert n == 2
+    # visible immediately through the federated view
+    after = [r["doc_id"] for r in log.searcher(spark).search("w00001", k=3).collect()]
+    assert not (set(after) & set(top[:2]))
+    with pytest.raises(ValueError):
+        log.delete(spark, [10**9])
+    # maintain physically expunges: compacted generation has no tombstones
+    log.maintain(
+        spark,
+        TieredMergePolicy(
+            segs_per_tier=1.0,
+            floor_segment_bytes=1 << 30,
+            max_merged_segment_bytes=1 << 42,
+        ),
+    )
+    assert len(log.live_dirs) == 1
+    assert deleted_count(log.live_dirs[0]) == 0
+    final = [r["doc_id"] for r in log.searcher(spark).search("w00001", k=3).collect()]
+    assert not (set(final) & set(top[:2]))
+
+
 def test_index_size_bytes(gens):
     _, d = gens
     s = index_size_bytes(d[0])
