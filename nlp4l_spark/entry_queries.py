@@ -5899,8 +5899,9 @@ def q_ann_ivfsq_topk(spark, sf_dir):
 def _ann_cache_dir(sf_dir: str) -> str:
     key = sf_dir.strip("/").replace("/", "_")
     # params in the key: a changed geometry never reuses a stale layout
-    # (sq1 = round-3 layouts carry SQ codes + meta)
-    return os.path.join(tempfile.gettempdir(), f"nlp4l_ann_b2t16sq1_{key}")
+    # (sq1 = round-3 layouts carry SQ codes + meta; m1 = label rides
+    # inline for filtered probes)
+    return os.path.join(tempfile.gettempdir(), f"nlp4l_ann_b2t16sq1m1_{key}")
 
 
 def _ann_index(spark, sf_dir):
@@ -5921,7 +5922,10 @@ def _ann_index(spark, sf_dir):
             r["embedding"]
             for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
         ]
-        build_ann_index(emb, d, bits=2, tables=16, centroids=cents, sq=True)
+        build_ann_index(
+            emb, d, bits=2, tables=16, centroids=cents, sq=True,
+            meta_cols=["label"],
+        )
     return d
 
 
@@ -5962,6 +5966,47 @@ def _cos_sql(a: str, b: str) -> str:
         f" * sqrt(list_aggregate(list_transform({b},"
         f" x -> x::double * x::double), 'sum')))"
     )
+
+
+ANN_FILTER_LABEL = 3
+
+
+def q_ann_filtered_topk(spark, sf_dir):
+    """Filtered vector search over the MATERIALIZED LSH index (Lucene's
+    KnnFloatVectorQuery-with-filter / FAISS IDSelector, pre-filter
+    semantics: top-k among predicate survivors only): the label column
+    rides inline in the bucket partitions (build_ann_index meta_cols),
+    so the predicate evaluates INSIDE the 16 pruned (tbl, bucket)
+    directory reads as a parquet PushedFilter — no join back to the
+    corpus at query time (plan-guarded in tests/test_plans.py).
+    Geometry is the same deliberately recall-heavy bits=2/tables=16 as
+    ann_lsh_topk (a vector misses all 16 query buckets w.p. ~(3/4)^16 =
+    1% on this near-random fixture, less for near neighbors), so the
+    result equals exact filtered brute force at sf0.001/0.01/0.1 — the
+    oracle IS the exact filtered SQL and a recall miss surfaces as a
+    hash mismatch. At scale the filter costs nothing extra: it rides
+    the same pruned bucket scan."""
+    from nlp4l_spark.ops.ann_index import lsh_topk_indexed
+
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_topk_indexed(
+        spark,
+        _ann_index(spark, sf_dir),
+        qvec,
+        k=10,
+        where=F.col("label") == ANN_FILTER_LABEL,
+    )
+
+
+O_ANN_FILTERED_TOPK = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sc AS (SELECT vec_id, round({_cos_sql("embedding", "qe")}, 6) AS cosine
+       FROM embeddings CROSS JOIN q
+       WHERE label = {ANN_FILTER_LABEL})
+SELECT vec_id, cosine FROM sc
+ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -8772,6 +8817,87 @@ FROM d GROUP BY 1 ORDER BY source
 """
 
 
+def q_block_join_topk(spark, sf_dir):
+    """Lucene join module's ToParentBlockJoinQuery over the transcripts
+    derivation (conversation = parent block, turns = child docs; ref
+    Lucene join/ToParentBlockJoinQuery + ScoreMode, the ES has_child
+    shape): child query = the standard BM25 OR over BM25_TERMS; parent
+    score under ScoreMode.Max, with the Total sum and matching-child
+    count carried as the explain surface, best_turn = earliest turn
+    achieving the max (Lucene's collector keeps the best child per
+    parent). Child scores are rounded to 6 dp BEFORE the parent fold so
+    the max/argmax choice is cross-engine deterministic, and the Total
+    sum folds exact integer micros (addition-order independent). Same
+    one-tokenize two-pass shape as q_bm25_topk plus ONE
+    groupBy(conv_id) shuffle (the max-over window reuses the same
+    hash partitioning, so no second exchange)."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    matched = (
+        per_doc.withColumn(
+            "s", F.round(_bm25_score_col(BM25_TERMS, n, avgdl, dfs), 6)
+        )
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
+        .select(
+            F.floor(F.col("doc_id") / 4).alias("conv_id"),
+            (F.col("doc_id") % 4).cast("int").alias("turn_idx"),
+            "s",
+            F.round(F.col("s") * 1e6).cast("long").alias("s_micros"),
+        )
+    )
+    w = Window.partitionBy("conv_id")
+    agg = (
+        matched.withColumn("smax", F.max("s").over(w))
+        .groupBy("conv_id")
+        .agg(
+            F.max("s").alias("score_max"),
+            (F.sum("s_micros") / 1e6).alias("score_total"),
+            F.count("*").cast("long").alias("n_child"),
+            F.min(
+                F.when(F.col("s") == F.col("smax"), F.col("turn_idx"))
+            ).alias("best_turn"),
+        )
+    )
+    return (
+        agg.orderBy(F.desc("score_max"), F.asc("conv_id"))
+        .limit(BM25_K)
+        .select(
+            F.col("conv_id").cast("long").alias("conv_id"),
+            "score_max",
+            F.round("score_total", 6).alias("score_total"),
+            "n_child",
+            "best_turn",
+        )
+    )
+
+
+O_BLOCK_JOIN_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id),
+ch AS (SELECT doc_id // 4 AS conv_id, (doc_id % 4)::int AS turn_idx, s,
+              round(s * 1e6)::bigint AS s_micros,
+              max(s) OVER (PARTITION BY doc_id // 4) AS smax
+       FROM sc),
+a AS (SELECT conv_id, max(s) AS score_max,
+             round(sum(s_micros) / 1e6, 6) AS score_total,
+             count(*)::bigint AS n_child,
+             min(turn_idx) FILTER (s = smax) AS best_turn
+      FROM ch GROUP BY conv_id)
+SELECT conv_id::bigint AS conv_id, score_max, score_total, n_child, best_turn
+FROM a ORDER BY score_max DESC, conv_id ASC LIMIT {BM25_K}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -8988,6 +9114,8 @@ REGISTRY: dict[str, tuple] = {
     "phrase_prefix_topk": (q_phrase_prefix_topk, O_PHRASE_PREFIX_TOPK),
     "passage_topk": (q_passage_topk, O_PASSAGE_TOPK),
     "lang_mixture": (q_lang_mixture, O_LANG_MIXTURE),
+    "block_join_topk": (q_block_join_topk, O_BLOCK_JOIN_TOPK),
+    "ann_filtered_topk": (q_ann_filtered_topk, O_ANN_FILTERED_TOPK),
 }
 
 
@@ -9026,7 +9154,7 @@ _DRIVER_ORDER = [
     "media_jpeg_sof", "readability", "token_entropy", "burstiness", "span_first_search", "jaccard_topk",
     "dedup_rate_by_source", "highlight",
     # --- position > 50: next round's front ---
-    "ja_dict_wordcount", "ja_user_dict_records",
+    "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",

