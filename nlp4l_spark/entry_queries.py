@@ -2367,6 +2367,42 @@ ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT {BM25_K}
 """
 
 
+def q_index_sorted_topk(spark, sf_dir):
+    """Index-time sorting + early-terminated sort query (Lucene
+    IndexWriterConfig.setIndexSort + TopFieldCollector early
+    termination): the index is built sorted by (n_chars desc, doc_id),
+    so docID rank == the query's sort order and Searcher.search_sorted
+    takes the k SMALLEST matching docIDs straight from the query's
+    postings — the stored table is read for exactly k rows via a pushed
+    In(doc_id) point fetch, never joined against the matching set or
+    sorted. The result carries the ORIGINAL doc_id (a stored field
+    here, distinct from the sorted index's internal docID rank), so the
+    oracle is the same SQL as the corpus-path sorted_by_field."""
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.index.catalog import IndexCatalog
+    from nlp4l_spark.search import Searcher
+
+    idx = _index_cache_dir(sf_dir) + "_sorted"
+    if not IndexCatalog(idx).is_committed("field_stats"):
+        IndexBuilder(
+            sort_cols=("n_chars", "orig_id"), sort_desc=(True, False)
+        ).build(
+            _docs(spark, sf_dir).withColumnRenamed("doc_id", "orig_id"),
+            idx,
+        )
+    s = Searcher(spark, idx)
+    res = s.search_sorted(BM25_QUERY, "n_chars", k=BM25_K, ascending=False)
+    # present the original ids (the internal docID is the sort rank)
+    stored = IndexCatalog(idx).read(spark, "stored").select(
+        "doc_id", F.col("orig_id")
+    )
+    return (
+        res.join(stored, "doc_id")
+        .select(F.col("orig_id").alias("doc_id"), "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    )
+
+
 FS_HALF_LIFE = 180.0
 FS_RATE = math.log(2.0) / FS_HALF_LIFE
 
@@ -9116,6 +9152,7 @@ REGISTRY: dict[str, tuple] = {
     "lang_mixture": (q_lang_mixture, O_LANG_MIXTURE),
     "block_join_topk": (q_block_join_topk, O_BLOCK_JOIN_TOPK),
     "ann_filtered_topk": (q_ann_filtered_topk, O_ANN_FILTERED_TOPK),
+    "index_sorted_topk": (q_index_sorted_topk, O_SORTED_BY_FIELD),
 }
 
 
@@ -9155,6 +9192,7 @@ _DRIVER_ORDER = [
     "dedup_rate_by_source", "highlight",
     # --- position > 50: next round's front ---
     "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
+    "index_sorted_topk",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",

@@ -112,6 +112,11 @@ class IndexBuilder:
     analyzer: Analyzer = field(default_factory=lambda: STANDARD_ANALYZER)
     text_col: str = "text"
     sort_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+    # Lucene IndexWriterConfig.setIndexSort reverse flags: per-sort_cols
+    # descending order. docIDs are assigned in (sort_cols, sort_desc)
+    # order either way; recording the sort in the stored manifest lets
+    # Searcher.search_sorted early-terminate a matching query sort.
+    sort_desc: tuple[bool, ...] | None = None
     docs_per_shard: int = 1 << 24  # bounds any merge/scoring task
     num_partitions: int | None = None
     # Lucene FieldType(termVectors, termPositions, termOffsets) analogue
@@ -158,14 +163,24 @@ class IndexBuilder:
         # -- stage 1: docIDs + stored fields --------------------------------
         if not done("stored"):
             with_ids = assign_doc_ids(
-                df, self.sort_cols, num_partitions=self.num_partitions
+                df,
+                self.sort_cols,
+                num_partitions=self.num_partitions,
+                sort_desc=self.sort_desc,
             )
             n = with_ids._total_rows  # known from the offsets pass
             cat.write(
                 with_ids,
                 "stored",
                 sort_by=["doc_id"],
-                counters={"num_docs": n},
+                counters={
+                    "num_docs": n,
+                    "index_sort": list(self.sort_cols),
+                    "index_sort_desc": list(
+                        self.sort_desc
+                        or (False,) * len(self.sort_cols)
+                    ),
+                },
             )
             cache = getattr(with_ids, "_docid_cache", None)
             if cache is not None:

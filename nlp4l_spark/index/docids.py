@@ -32,16 +32,30 @@ def assign_doc_ids(
     sort_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     num_partitions: int | None = None,
     doc_id_col: str = "doc_id",
+    sort_desc: tuple[bool, ...] | None = None,
 ) -> DataFrame:
     """Add a dense 0-based int64 ``doc_id`` = rank under ``sort_cols``.
 
     The sort key must be unique per row (it is for transcripts:
     (conv_id, turn_idx) is the primary key per FIXTURES.md §1).
+
+    ``sort_desc`` flips individual key columns descending — Lucene's
+    SortField(..., reverse=true) inside an index sort
+    (IndexWriterConfig.setIndexSort): docID order then equals e.g.
+    "newest first", and a matching query sort early-terminates
+    (Searcher.search_sorted) instead of sorting matches.
     """
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    cols = [F.col(c) for c in sort_cols]
+    if sort_desc is None:
+        sort_desc = tuple(False for _ in sort_cols)
+    if len(sort_desc) != len(sort_cols):
+        raise ValueError("sort_desc must match sort_cols length")
+    cols = [
+        F.col(c).desc() if d else F.col(c).asc()
+        for c, d in zip(sort_cols, sort_desc)
+    ]
 
     ranged = (
         df.repartitionByRange(num_partitions, *cols)

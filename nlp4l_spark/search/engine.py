@@ -2197,7 +2197,19 @@ class Searcher:
         instead of relevance, doc_id tiebreak. Matching-doc set work ∝
         query postings; the stored sort-key join is column-pruned to
         (doc_id, sort_col); top-k compiles to TakeOrderedAndProject, no
-        global sort of the corpus."""
+        global sort of the corpus.
+
+        When the query sort MATCHES the index sort (IndexBuilder
+        sort_cols/sort_desc, Lucene IndexWriterConfig.setIndexSort),
+        this early-terminates exactly like Lucene's TopFieldCollector
+        over a sorted index: docID order == sort order, so the top-k
+        are simply the k smallest matching docIDs — taken from the
+        query's own postings — and the stored table is touched for
+        exactly k rows via a pushed In(doc_id) point fetch. The corpus
+        is never joined or sorted. Identical results to the generic
+        path (the k-smallest-docID set == limit k under
+        (value direction, doc_id asc), since doc_id rank IS that
+        order); asserted in tests/test_index_sort.py."""
         terms = sorted(set(self.analyzer.tokenize(query)))
         stats = self._term_stats(terms)
         present = [t for t in terms if t in stats]
@@ -2210,6 +2222,24 @@ class Searcher:
             .select("doc_id")
             .distinct()
         )
+        counters = self.cat.manifest("stored").get("counters", {})
+        isort = counters.get("index_sort") or []
+        idesc = counters.get("index_sort_desc") or []
+        if (
+            isort
+            and isort[0] == sort_col
+            and bool(idesc[0] if idesc else False) == (not ascending)
+        ):
+            ids = [
+                r["doc_id"]
+                for r in matching.orderBy(F.asc("doc_id")).limit(k).collect()
+            ]
+            fetched = (
+                self.cat.read(self.spark, "stored")
+                .filter(F.col("doc_id").isin(ids))
+                .select("doc_id", sort_col)
+            )
+            return fetched.orderBy(F.asc("doc_id"))
         stored = self.cat.read(self.spark, "stored").select(
             "doc_id", sort_col
         )
