@@ -8934,6 +8934,222 @@ FROM a ORDER BY score_max DESC, conv_id ASC LIMIT {BM25_K}
 """
 
 
+def q_extended_stats(spark, sf_dir):
+    """Elasticsearch extended_stats aggregation per event_type: count,
+    min, max, sum, avg, population variance and std deviation. All
+    moments derive from EXACT integer-cents sums (value is 2-decimal by
+    construction): sum(c) and sum(c^2) are order-independent int64
+    folds, so the derived doubles are bit-stable across engines and
+    partitionings — the date_histogram cents convention extended to
+    second moments. One map-side-combined groupBy."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    e = _events(spark, sf_dir).select("event_type", cents.alias("c"))
+    agg = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("cnt"),
+        (F.min("c").cast("double") / 100.0).alias("min_value"),
+        (F.max("c").cast("double") / 100.0).alias("max_value"),
+        F.sum("c").alias("_s1"),
+        F.sum(F.col("c") * F.col("c")).alias("_s2"),
+    )
+    n = F.col("cnt").cast("double")
+    mean_c = F.col("_s1").cast("double") / n
+    var_c = F.col("_s2").cast("double") / n - mean_c * mean_c
+    return agg.select(
+        "event_type",
+        "cnt",
+        "min_value",
+        "max_value",
+        (F.col("_s1").cast("double") / 100.0).alias("sum_value"),
+        F.round(mean_c / 100.0, 6).alias("avg_value"),
+        F.round(var_c / 10000.0, 6).alias("variance"),
+        F.round(F.sqrt(var_c) / 100.0, 6).alias("std_dev"),
+    ).orderBy("event_type")
+
+
+O_EXTENDED_STATS = """
+WITH e AS (SELECT event_type, round(value * 100)::bigint AS c FROM events),
+a AS (SELECT event_type, count(*)::bigint AS cnt,
+             min(c) AS mn, max(c) AS mx,
+             sum(c)::bigint AS s1, sum(c * c)::bigint AS s2
+      FROM e GROUP BY 1)
+SELECT event_type, cnt,
+       mn::double / 100.0 AS min_value,
+       mx::double / 100.0 AS max_value,
+       s1::double / 100.0 AS sum_value,
+       round(s1::double / cnt / 100.0, 6) AS avg_value,
+       round((s2::double / cnt - (s1::double / cnt) * (s1::double / cnt))
+             / 10000.0, 6) AS variance,
+       round(sqrt(s2::double / cnt - (s1::double / cnt) * (s1::double / cnt))
+             / 100.0, 6) AS std_dev
+FROM a ORDER BY event_type
+"""
+
+
+def q_multi_terms(spark, sf_dir):
+    """Elasticsearch multi_terms aggregation: top compound-key buckets
+    over (lang, source) by doc count (the ES shape for 'terms over two
+    fields without a script'), count desc with full key tiebreak. One
+    hash groupBy + TakeOrdered."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("lang"), F.asc("source"))
+        .limit(10)
+    )
+
+
+O_MULTI_TERMS = """
+SELECT lang, source, count(*)::bigint AS cnt
+FROM documents GROUP BY 1, 2
+ORDER BY cnt DESC, lang ASC, source ASC LIMIT 10
+"""
+
+
+def q_string_stats(spark, sf_dir):
+    """Elasticsearch string_stats aggregation (show_distribution shape)
+    over the documents lang field: count, min/max/avg length, and the
+    Shannon character entropy of the concatenated field. The entropy
+    sum folds per-character terms IN CHARACTER ORDER on both engines
+    (array_sort + ordered aggregate here, list(... ORDER BY) fold in
+    the oracle) — a hash-ordered double sum would be ulp-unstable.
+    Char counts are one explode + groupBy on a ~tens-of-rows key space."""
+    d = _docs(spark, sf_dir).select("lang")
+    lens = d.select(F.length("lang").alias("ln")).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.min("ln").cast("long").alias("min_len"),
+        F.max("ln").cast("long").alias("max_len"),
+        F.sum("ln").cast("long").alias("_total"),
+    )
+    chars = (
+        d.select(F.explode(F.split("lang", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("ch")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    folded = chars.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ch"), F.col("c")))
+        ).alias("arr"),
+        F.sum("c").alias("n"),
+    ).select(
+        F.aggregate(
+            "arr",
+            F.lit(0.0),
+            lambda acc, s: acc
+            - (s["c"] / F.col("n")) * F.log2(s["c"] / F.col("n")),
+        ).alias("entropy")
+    )
+    return lens.crossJoin(folded).select(
+        "cnt",
+        "min_len",
+        "max_len",
+        F.round(F.col("_total").cast("double") / F.col("cnt"), 6).alias(
+            "avg_len"
+        ),
+        F.round("entropy", 6).alias("entropy"),
+    )
+
+
+O_STRING_STATS = """
+WITH l AS (SELECT count(*)::bigint AS cnt,
+                  min(len(lang))::bigint AS min_len,
+                  max(len(lang))::bigint AS max_len,
+                  sum(len(lang))::bigint AS total
+           FROM documents),
+ch AS (SELECT unnest(string_split(lang, '')) AS ch FROM documents),
+cc AS (SELECT ch, count(*)::double AS c FROM ch WHERE ch != '' GROUP BY 1),
+f AS (SELECT list(c ORDER BY ch) AS cs, sum(c) AS n FROM cc),
+e AS (SELECT list_aggregate(
+          list_transform(cs, c -> -(c / n) * log2(c / n)), 'sum') AS ent
+      FROM f)
+SELECT l.cnt, l.min_len, l.max_len,
+       round(l.total::double / l.cnt, 6) AS avg_len,
+       round(e.ent, 6) AS entropy
+FROM l CROSS JOIN e
+"""
+
+
+def q_cumulative_cardinality(spark, sf_dir):
+    """Elasticsearch cumulative_cardinality pipeline aggregation: per
+    day, the running count of DISTINCT users seen so far (the 'total
+    unique users to date' dashboard line). Distributed shape: distinct
+    cardinality never recomputes per bucket — each user contributes at
+    their FIRST day only (one groupBy(user) min), then a day-keyed
+    count + cumulative window over the tiny day axis."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    first_day = (
+        _events(spark, sf_dir)
+        .select("user_id", F.floor(sec / 86400).cast("long").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+    )
+    per_day = first_day.groupBy("day").agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.withColumn(
+            "cumulative_users", F.sum("new_users").over(w).cast("long")
+        )
+        .orderBy("day")
+    )
+
+
+O_CUMULATIVE_CARDINALITY = """
+WITH fd AS (SELECT user_id,
+                   min(floor(floor(epoch(ts))::bigint / 86400)::bigint) AS day
+            FROM events GROUP BY 1),
+pd AS (SELECT day, count(*)::bigint AS new_users FROM fd GROUP BY 1)
+SELECT day, new_users,
+       sum(new_users) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint
+           AS cumulative_users
+FROM pd ORDER BY day
+"""
+
+
+def q_top_metrics(spark, sf_dir):
+    """Elasticsearch top_metrics aggregation: per event_type, the value
+    of the LATEST event (metric at the top of a ts sort, event_id-asc
+    tiebreak for determinism). One groupBy with a struct-max — the
+    argmax never shuffles raw events twice."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    top = (
+        _events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.struct(
+                sec.alias("s"),
+                (-F.col("event_id")).alias("neg_id"),
+                cents.alias("c"),
+                F.col("event_id").alias("eid"),
+            ).alias("t"),
+        )
+        .groupBy("event_type")
+        .agg(F.max("t").alias("t"))
+    )
+    return top.select(
+        "event_type",
+        F.col("t.eid").cast("long").alias("event_id"),
+        (F.col("t.c").cast("double") / 100.0).alias("top_value"),
+    ).orderBy("event_type")
+
+
+O_TOP_METRICS = """
+WITH r AS (SELECT event_type, event_id,
+                  round(value * 100)::bigint AS c,
+                  row_number() OVER (PARTITION BY event_type
+                      ORDER BY floor(epoch(ts))::bigint DESC, event_id ASC)
+                      AS rn
+           FROM events)
+SELECT event_type, event_id::bigint AS event_id,
+       c::double / 100.0 AS top_value
+FROM r WHERE rn = 1 ORDER BY event_type
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -9153,6 +9369,11 @@ REGISTRY: dict[str, tuple] = {
     "block_join_topk": (q_block_join_topk, O_BLOCK_JOIN_TOPK),
     "ann_filtered_topk": (q_ann_filtered_topk, O_ANN_FILTERED_TOPK),
     "index_sorted_topk": (q_index_sorted_topk, O_SORTED_BY_FIELD),
+    "extended_stats": (q_extended_stats, O_EXTENDED_STATS),
+    "multi_terms": (q_multi_terms, O_MULTI_TERMS),
+    "string_stats": (q_string_stats, O_STRING_STATS),
+    "cumulative_cardinality": (q_cumulative_cardinality, O_CUMULATIVE_CARDINALITY),
+    "top_metrics": (q_top_metrics, O_TOP_METRICS),
 }
 
 
@@ -9192,7 +9413,8 @@ _DRIVER_ORDER = [
     "dedup_rate_by_source", "highlight",
     # --- position > 50: next round's front ---
     "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
-    "index_sorted_topk",
+    "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
+    "cumulative_cardinality", "top_metrics",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
