@@ -8934,6 +8934,70 @@ FROM a ORDER BY score_max DESC, conv_id ASC LIMIT {BM25_K}
 """
 
 
+IV_MAXGAPS = 3
+
+
+def q_intervals_ordered(spark, sf_dir):
+    """Lucene intervals module, Intervals.maxgaps({IV_MAXGAPS},
+    ordered(SPAN_A, SPAN_B)) corpus twin (index path
+    Searcher.search_intervals, identity-tested): MINIMAL ordered
+    intervals only — for an a-position p0 the interval ends at the
+    NEAREST following b-position p1 and is dropped if another a lies
+    strictly inside (a later start gives a shorter interval). This is
+    the Clarke/Cormack minimal-interval semantics, deliberately distinct
+    from span_near's all-pairs slop count. One HOF scan over the
+    tokenized stream, zero shuffle; integer position arithmetic on both
+    engines."""
+    ft = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+
+    def positions(term):
+        return F.filter(
+            F.transform(
+                ft, lambda x, i: F.when(x == term, i).otherwise(F.lit(None))
+            ),
+            lambda v: v.isNotNull(),
+        )
+
+    pa, pb = positions(SPAN_A), positions(SPAN_B)
+
+    def minimal(p0):
+        nb = F.array_min(F.filter(pb, lambda x: x > p0))
+        return (
+            nb.isNotNull()
+            & (nb - p0 - 1 <= F.lit(IV_MAXGAPS))
+            & ~F.exists(pa, lambda q: (q > p0) & (q < nb))
+        )
+
+    n_iv = F.size(F.filter(pa, minimal))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", n_iv.cast("long").alias("n_intervals"))
+        .filter(F.col("n_intervals") > 0)
+        .orderBy(F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+O_INTERVALS_ORDERED = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ft
+           FROM documents),
+p AS (SELECT doc_id,
+        list_filter(range(1, len(ft) + 1), i -> ft[i] = '{SPAN_A}') AS pa,
+        list_filter(range(1, len(ft) + 1), i -> ft[i] = '{SPAN_B}') AS pb
+      FROM t),
+s AS (SELECT doc_id,
+        len(list_filter(pa, p0 ->
+          len(list_filter(pb, x -> x > p0)) > 0
+          AND list_min(list_filter(pb, x -> x > p0)) - p0 - 1 <= {IV_MAXGAPS}
+          AND len(list_filter(pa, q -> q > p0
+                AND q < list_min(list_filter(pb, x -> x > p0)))) = 0
+        ))::bigint AS n_intervals
+      FROM p)
+SELECT doc_id, n_intervals FROM s WHERE n_intervals > 0
+ORDER BY doc_id ASC LIMIT 20
+"""
+
+
 def q_extended_stats(spark, sf_dir):
     """Elasticsearch extended_stats aggregation per event_type: count,
     min, max, sum, avg, population variance and std deviation. All
@@ -9374,6 +9438,7 @@ REGISTRY: dict[str, tuple] = {
     "string_stats": (q_string_stats, O_STRING_STATS),
     "cumulative_cardinality": (q_cumulative_cardinality, O_CUMULATIVE_CARDINALITY),
     "top_metrics": (q_top_metrics, O_TOP_METRICS),
+    "intervals_ordered": (q_intervals_ordered, O_INTERVALS_ORDERED),
 }
 
 
@@ -9414,7 +9479,7 @@ _DRIVER_ORDER = [
     # --- position > 50: next round's front ---
     "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
-    "cumulative_cardinality", "top_metrics",
+    "cumulative_cardinality", "top_metrics", "intervals_ordered",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",

@@ -1083,6 +1083,60 @@ class Searcher:
             .limit(k)
         )
 
+    def search_intervals(
+        self,
+        term_a: str,
+        term_b: str,
+        maxgaps: int = 0,
+        k: int = 10,
+    ) -> DataFrame:
+        """Lucene intervals module, Intervals.maxgaps(g, ordered(a, b)):
+        docs with >= 1 MINIMAL ordered interval — for a start position
+        p0 of ``a``, the interval ends at the NEAREST following ``b``
+        position p1, and is minimal only if no other ``a`` position lies
+        strictly inside (p0, p1) (a later start would give a shorter
+        interval — the Clarke/Cormack minimal-interval semantics that
+        distinguishes intervals from SpanNear's all-pairs slop counting);
+        gaps = p1 - p0 - 1 <= maxgaps. ``n_intervals`` = minimal
+        qualifying intervals per doc, constant-score docID-asc
+        retrieval. Positions from the opt-in term_vectors table: the
+        pairing is a per-doc HOF over two df-sized position lists."""
+        a = self.analyzer.tokenize(term_a)
+        b = self.analyzer.tokenize(term_b)
+        if len(a) != 1 or len(b) != 1:
+            raise ValueError("interval clauses must analyze to one term each")
+        if maxgaps < 0:
+            raise ValueError(f"maxgaps must be >= 0, got {maxgaps}")
+        if not self.cat.is_committed("term_vectors"):
+            raise ValueError(
+                "intervals needs term_vectors "
+                "(IndexBuilder(store_term_vectors=True))"
+            )
+        tv = self.cat.read(self.spark, "term_vectors")
+        pa = tv.filter(F.col("term") == a[0]).select(
+            "doc_id", F.col("positions").alias("_pa")
+        )
+        pb = tv.filter(F.col("term") == b[0]).select(
+            "doc_id", F.col("positions").alias("_pb")
+        )
+
+        def minimal(p0):
+            nb = F.array_min(F.filter(F.col("_pb"), lambda x: x > p0))
+            return (
+                nb.isNotNull()
+                & (nb - p0 - 1 <= F.lit(int(maxgaps)))
+                & ~F.exists(F.col("_pa"), lambda q: (q > p0) & (q < nb))
+            )
+
+        n_iv = F.size(F.filter(F.col("_pa"), minimal))
+        return (
+            self._not_deleted(pa.join(pb, "doc_id"))
+            .select("doc_id", n_iv.cast("long").alias("n_intervals"))
+            .filter(F.col("n_intervals") > 0)
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_span_first(
         self, term: str, end: int, k: int = 10
     ) -> DataFrame:

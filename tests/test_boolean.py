@@ -347,6 +347,45 @@ def test_min_should_match(spark, idx):
     assert s.search_boolean(should=["join", "zzznothere"], min_should_match=2).count() == 0
 
 
+def test_intervals_minimal_semantics(spark, tmp_path):
+    """Minimal-interval contract (hand-computed): in
+    'merge scan merge join', (0 -> 3) is NOT minimal (the merge at 2
+    starts a shorter interval inside it) — exactly one interval, where
+    SpanNear slop-counting would report two qualifying starts."""
+    docs = [
+        (0, "merge scan merge join"),     # minimal: (2,3) only
+        (1, "merge join merge join"),     # two disjoint minimal intervals
+        (2, "merge a b c d join"),        # gap 4 > maxgaps 3
+        (3, "join merge"),                # wrong order
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("u").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    d = str(tmp_path / "ividx")
+    IndexBuilder(
+        sort_cols=("conv_id", "turn_idx"), store_term_vectors=True
+    ).build(df, d)
+    s = Searcher(spark, d)
+    stored = s.cat.read(spark, "stored").select("doc_id", "conv_id").collect()
+    to_orig = {r["doc_id"]: int(r["conv_id"]) for r in stored}
+    got = {
+        to_orig[r["doc_id"]]: r["n_intervals"]
+        for r in s.search_intervals("merge", "join", maxgaps=3).collect()
+    }
+    assert got == {0: 1, 1: 2}
+    # maxgaps=0 keeps only adjacency
+    got0 = {
+        to_orig[r["doc_id"]]: r["n_intervals"]
+        for r in s.search_intervals("merge", "join", maxgaps=0).collect()
+    }
+    assert got0 == {0: 1, 1: 2}
+
+
 def test_span_near(spark, tmp_path):
     docs = [
         (0, "merge the big join"),       # gap 2, in order
@@ -586,6 +625,17 @@ def test_span_queries_index_vs_corpus_identity(spark, tmp_path):
         eq.SPANC_BIG, eq.SPANC_LITTLE, slop=eq.SPANC_SLOP, k=10**6
     ).collect()
     got = {to_orig[r["doc_id"]]: r["n_spans"] for r in got_rows}
+    got = dict(sorted(got.items())[: len(want)])
+    assert got == want
+    # intervals (minimal ordered, maxgaps)
+    want = {
+        r["doc_id"]: r["n_intervals"]
+        for r in eq.REGISTRY["intervals_ordered"][0](spark, sf).collect()
+    }
+    got_rows = s.search_intervals(
+        eq.SPAN_A, eq.SPAN_B, maxgaps=eq.IV_MAXGAPS, k=10**6
+    ).collect()
+    got = {to_orig[r["doc_id"]]: r["n_intervals"] for r in got_rows}
     got = dict(sorted(got.items())[: len(want)])
     assert got == want
     # span_within (the dual)
