@@ -26,6 +26,7 @@ from nlp4l_spark.analysis import (
     LUCENE_ENGLISH_STOPWORDS,
     STANDARD_ANALYZER,
     WHITESPACE_ANALYZER,
+    Analyzer,
 )
 from nlp4l_spark.ops import bpe, dedup, multimodal, processors, similarity, textqc
 from nlp4l_spark.stats import Corpus, concordance, keyness, moments, tfidf, wordcounts
@@ -8934,6 +8935,194 @@ FROM a ORDER BY score_max DESC, conv_id ASC LIMIT {BM25_K}
 """
 
 
+SYNG_TERM = "vector"  # the user's query term
+SYNG_PHRASE = ("merge", "join")  # its multi-word synonym
+
+
+def q_synonym_graph_topk(spark, sf_dir):
+    """Multi-word query-time synonyms (Lucene SynonymGraphFilter +
+    QueryBuilder.analyzeGraphBoolean): the query term expands to a
+    graph with a two-token path, and the built query is
+    SHOULD(TermQuery(vector), PhraseQuery("merge join")) — score = sum
+    of matching clause scores, phrase idf = Σ member idfs (PhraseQuery
+    BM25), match if either path matches. ONE corpus scan computes both
+    clause tfs (analyzed-term count + Arrow phrase-frequency pass) plus
+    the per-term presence bits the stats agg needs; same two-pass shape
+    as bm25_topk. Index paths compose from Searcher.search +
+    search_phrase the same way."""
+    from nlp4l_spark.search.engine import _phrase_tf_udf
+
+    az = STANDARD_ANALYZER
+    full = Analyzer(
+        lowercase=az.lowercase,
+        token_pattern=az.token_pattern,
+        stopwords=frozenset(),
+    )
+    at = az.tokens_expr("text")
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(at).cast("double").alias("dl"),
+        F.size(F.filter(at, lambda x: x == SYNG_TERM))
+        .cast("double")
+        .alias("tf_v"),
+        _phrase_tf_udf(list(SYNG_PHRASE), full)(F.col("text"))
+        .cast("double")
+        .alias("tf_p"),
+        F.array_contains(at, SYNG_PHRASE[0]).alias("_hm"),
+        F.array_contains(at, SYNG_PHRASE[1]).alias("_hj"),
+    )
+    st = base.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        F.count_if(F.col("tf_v") > 0).alias("df_v"),
+        F.count_if("_hm").alias("df_m"),
+        F.count_if("_hj").alias("df_j"),
+    ).collect()[0]
+    n, avgdl = st["n"], st["sum_dl"] / st["n"]
+
+    def _idf(df_):
+        return math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
+
+    norm = F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))
+    clause_v = F.when(
+        F.col("tf_v") > 0,
+        F.lit(_idf(st["df_v"])) * F.col("tf_v") * F.lit(2.2)
+        / (F.col("tf_v") + norm),
+    ).otherwise(F.lit(0.0))
+    clause_p = F.when(
+        F.col("tf_p") > 0,
+        F.lit(_idf(st["df_m"]) + _idf(st["df_j"]))
+        * F.col("tf_p")
+        * F.lit(2.2)
+        / (F.col("tf_p") + norm),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.filter((F.col("tf_v") > 0) | (F.col("tf_p") > 0))
+        .select("doc_id", F.round(clause_v + clause_p, 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
+    )
+
+
+O_SYNONYM_GRAPH_TOPK = f"""
+WITH t AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS ft,
+             {TOK_SQL} AS at FROM documents),
+base AS (SELECT doc_id,
+           len(at)::double AS dl,
+           len(list_filter(at, x -> x = '{SYNG_TERM}'))::double AS tf_v,
+           (CASE WHEN len(ft) >= 2 THEN len(list_filter(range(1, len(ft)),
+                i -> ft[i] = '{SYNG_PHRASE[0]}'
+                 AND ft[i+1] = '{SYNG_PHRASE[1]}')) ELSE 0 END)::double AS tf_p,
+           list_contains(at, '{SYNG_PHRASE[0]}') AS hm,
+           list_contains(at, '{SYNG_PHRASE[1]}') AS hj
+         FROM t),
+st AS (SELECT count(*)::double AS n,
+              sum(dl) / count(*) AS avgdl,
+              count(*) FILTER (tf_v > 0)::double AS dfv,
+              count(*) FILTER (hm)::double AS dfm,
+              count(*) FILTER (hj)::double AS dfj
+       FROM base)
+SELECT doc_id,
+       round(
+         (CASE WHEN tf_v > 0 THEN
+            ln(1 + (n - dfv + 0.5) / (dfv + 0.5)) * tf_v * 2.2
+            / (tf_v + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END)
+         + (CASE WHEN tf_p > 0 THEN
+            (ln(1 + (n - dfm + 0.5) / (dfm + 0.5))
+             + ln(1 + (n - dfj + 0.5) / (dfj + 0.5))) * tf_p * 2.2
+            / (tf_p + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END), 6)
+           AS score
+FROM base, st WHERE tf_v > 0 OR tf_p > 0
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+CTX_BUDGET = 120
+
+
+def q_truncate_context(spark, sf_dir):
+    """Turn-granular context-window truncation over the transcripts
+    derivation (ops/chatqc.truncate_context): per conversation, the
+    longest turn SUFFIX fitting a {CTX_BUDGET}-token budget — the
+    serving-time chat-history cut. One reverse-cumulative window + one
+    groupBy on the same conv_id key (single shuffle)."""
+    from nlp4l_spark.ops.chatqc import truncate_context
+
+    return truncate_context(_chat_turns(spark, sf_dir), budget=CTX_BUDGET)
+
+
+O_TRUNCATE_CONTEXT = rf"""
+WITH {CHAT_CTE},
+t AS (SELECT conv_id, turn_idx,
+        len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]+'))::bigint
+            AS n_tokens
+      FROM chat),
+s AS (SELECT conv_id, turn_idx, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+            ROWS UNBOUNDED PRECEDING) AS suffix
+      FROM t)
+SELECT conv_id::bigint AS conv_id, count(*)::bigint AS n_turns,
+       sum(n_tokens)::bigint AS total_tokens,
+       count(*) FILTER (suffix <= {CTX_BUDGET})::bigint AS kept_turns,
+       coalesce(sum(n_tokens) FILTER (suffix <= {CTX_BUDGET}), 0)::bigint
+           AS kept_tokens,
+       min(turn_idx) FILTER (suffix <= {CTX_BUDGET})::int AS first_kept_turn
+FROM s GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+def q_pack_loss_mask(spark, sf_dir):
+    """SFT packing with loss masks (ops/chatqc.pack_with_loss_mask):
+    conv-atomic per-shard token streams, every turn placed at its global
+    offset with loss_mask = 1 on assistant turns only — the
+    train-on-assistant-tokens placement table. Turn windows and the
+    conv-level shard window share keys with their aggs; two keyed
+    shuffles of the turn table total."""
+    from nlp4l_spark.ops.chatqc import pack_with_loss_mask
+
+    return pack_with_loss_mask(
+        _chat_turns(spark, sf_dir), seq_len=256, n_shards=8
+    ).orderBy("conv_id", "turn_idx")
+
+
+O_PACK_LOSS_MASK = r"""
+WITH chat AS (
+  SELECT doc_id // 4 AS conv_id,
+         (doc_id % 4)::int AS turn_idx,
+         CASE WHEN ((doc_id % 4) % 2
+                    + CASE WHEN doc_id % 37 = 3 THEN 1 ELSE 0 END) % 2 = 0
+              THEN 'user' ELSE 'assistant' END AS role,
+         text
+  FROM documents),
+t AS (SELECT conv_id, turn_idx, role,
+        len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]+'))::bigint
+            AS n_tokens
+      FROM chat),
+b AS (SELECT conv_id, turn_idx, role, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS UNBOUNDED PRECEDING) - n_tokens AS turn_off
+      FROM t),
+c AS (SELECT conv_id, sum(n_tokens)::bigint AS conv_tokens,
+        ('0x' || substr(md5('sft' || conv_id::varchar), 1, 8))::bigint % 8
+            AS shard
+      FROM t GROUP BY conv_id),
+p AS (SELECT conv_id, shard,
+        sum(conv_tokens) OVER (PARTITION BY shard ORDER BY conv_id
+            ROWS UNBOUNDED PRECEDING) - conv_tokens AS conv_start
+      FROM c)
+SELECT b.conv_id::bigint AS conv_id, b.turn_idx, p.shard,
+       (p.conv_start + b.turn_off)::bigint AS tok_start,
+       b.n_tokens,
+       (b.role = 'assistant')::int AS loss_mask,
+       ((p.conv_start + b.turn_off) // 256)::bigint AS seq_first,
+       (greatest(p.conv_start + b.turn_off + b.n_tokens - 1,
+                 p.conv_start + b.turn_off) // 256)::bigint AS seq_last
+FROM b JOIN p USING (conv_id)
+ORDER BY conv_id, turn_idx
+"""
+
+
 IV_MAXGAPS = 3
 
 
@@ -9439,6 +9628,9 @@ REGISTRY: dict[str, tuple] = {
     "cumulative_cardinality": (q_cumulative_cardinality, O_CUMULATIVE_CARDINALITY),
     "top_metrics": (q_top_metrics, O_TOP_METRICS),
     "intervals_ordered": (q_intervals_ordered, O_INTERVALS_ORDERED),
+    "truncate_context": (q_truncate_context, O_TRUNCATE_CONTEXT),
+    "pack_loss_mask": (q_pack_loss_mask, O_PACK_LOSS_MASK),
+    "synonym_graph_topk": (q_synonym_graph_topk, O_SYNONYM_GRAPH_TOPK),
 }
 
 
@@ -9480,6 +9672,7 @@ _DRIVER_ORDER = [
     "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
+    "truncate_context", "pack_loss_mask", "synonym_graph_topk",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",

@@ -251,3 +251,149 @@ def flagged_turn_triage(
         )
         .orderBy("conv_id")
     )
+
+
+def truncate_context(
+    turns: DataFrame,
+    budget: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window truncation at TURN granularity — the serving-time
+    pass that keeps the longest SUFFIX of each conversation fitting a
+    token budget (chat history always truncates from the front, never
+    mid-turn). A turn is kept iff the total tokens from it to the
+    conversation's end is <= ``budget``; a single over-budget final
+    turn yields an empty kept set (kept_turns = 0), matching the
+    "drop history, then the message itself is too big" serving contract.
+
+    Output per conversation: (conv_id, n_turns, total_tokens,
+    kept_turns, kept_tokens, first_kept_turn; first_kept_turn null when
+    nothing fits).
+
+    Plan: one reverse cumulative-sum window + one groupBy on the SAME
+    conv_id key — the window's hash partitioning is reused by the
+    aggregation, a single shuffle end-to-end. Token counts use the
+    BPE-ish proxy of ops/textqc.token_count_col."""
+    from nlp4l_spark.ops.textqc import token_count_col
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.desc("turn_idx"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = turns.select(
+        "conv_id",
+        "turn_idx",
+        token_count_col(text_col).cast("long").alias("n_tokens"),
+    ).withColumn("_suffix", F.sum("n_tokens").over(w))
+    keep = F.col("_suffix") <= budget
+    return (
+        base.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(keep.cast("long")).cast("long").alias("kept_turns"),
+            F.coalesce(
+                F.sum(F.when(keep, F.col("n_tokens"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("kept_tokens"),
+            F.min(F.when(keep, F.col("turn_idx")))
+            .cast("int")
+            .alias("first_kept_turn"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def pack_with_loss_mask(
+    turns: DataFrame,
+    seq_len: int = 256,
+    n_shards: int = 8,
+    text_col: str = "text",
+    loss_role: str = "assistant",
+    salt: str = "sft",
+) -> DataFrame:
+    """SFT sequence packing with loss masks: conversations are
+    concatenated into per-shard token streams (the pack_sequences
+    layout, conv-atomic so a dialogue never splits across shards) and
+    every TURN is placed at its global token offset with
+    ``loss_mask`` = 1 only for ``loss_role`` turns — the standard
+    "train on assistant tokens only" SFT recipe, emitted as the
+    placement table a batch loader consumes.
+
+    Output per turn: (conv_id, turn_idx, shard, tok_start, n_tokens,
+    loss_mask, seq_first, seq_last).
+
+    Plan: turn token counts -> conv-internal prefix sum (window on
+    conv_id) -> conv totals (groupBy conv_id, same key, same exchange)
+    -> conv placement prefix sum per shard (window over the CONV-level
+    table, shard-keyed — conv-count-sized, not turn-count-sized) ->
+    broadcast-eligible join of conv offsets back to turns. Two keyed
+    shuffles of the turns table total; the shard window never sees
+    individual turns."""
+    from nlp4l_spark.ops.textqc import token_count_col
+
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("conv_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    wt = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        token_count_col(text_col).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "turn_off", F.sum("n_tokens").over(wt) - F.col("n_tokens")
+    )
+    conv = base.groupBy("conv_id").agg(
+        F.sum("n_tokens").alias("conv_tokens")
+    )
+    wc = (
+        Window.partitionBy("shard")
+        .orderBy("conv_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    placed = conv.withColumn("shard", shard).withColumn(
+        "conv_start", F.sum("conv_tokens").over(wc) - F.col("conv_tokens")
+    )
+    out = base.join(
+        placed.select("conv_id", "shard", "conv_start"), "conv_id"
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "shard",
+        (F.col("conv_start") + F.col("turn_off")).alias("tok_start"),
+        "n_tokens",
+        (F.col("role") == loss_role).cast("int").alias("loss_mask"),
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "shard",
+        "tok_start",
+        "n_tokens",
+        "loss_mask",
+        F.floor(F.col("tok_start") / seq_len).cast("long").alias("seq_first"),
+        F.floor(
+            F.greatest(
+                F.col("tok_start") + F.col("n_tokens") - 1, F.col("tok_start")
+            )
+            / seq_len
+        )
+        .cast("long")
+        .alias("seq_last"),
+    )

@@ -170,3 +170,67 @@ def test_flagged_turn_triage(spark):
         1: (1, 0, 0.0, None),
         2: (1, 0, 0.0, None),
     }
+
+
+def test_truncate_context_edges(spark):
+    from nlp4l_spark.ops.chatqc import truncate_context
+
+    rows = [
+        # conv 0: 3 turns of 2/3/4 tokens; budget 7 keeps suffix (1,2)
+        (0, 0, "u", "a b"),
+        (0, 1, "a", "c d e"),
+        (0, 2, "u", "f g h i"),
+        # conv 1: single turn over budget -> kept 0, first_kept null
+        (1, 0, "u", "t1 t2 t3 t4 t5 t6 t7 t8"),
+        # conv 2: everything fits
+        (2, 0, "u", "x"),
+        (2, 1, "a", "y z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, text string"
+    )
+    got = {
+        r["conv_id"]: (
+            r["n_turns"],
+            r["total_tokens"],
+            r["kept_turns"],
+            r["kept_tokens"],
+            r["first_kept_turn"],
+        )
+        for r in truncate_context(df, budget=7).collect()
+    }
+    assert got == {
+        0: (3, 9, 2, 7, 1),
+        1: (1, 8, 0, 0, None),
+        2: (2, 3, 2, 3, 0),
+    }
+
+
+def test_pack_with_loss_mask_layout(spark):
+    from nlp4l_spark.ops.chatqc import pack_with_loss_mask
+
+    rows = [
+        (0, 0, "user", "a b c"),
+        (0, 1, "assistant", "d e"),
+        (1, 0, "user", "x"),
+        (1, 1, "assistant", "y z w"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, text string"
+    )
+    out = pack_with_loss_mask(df, seq_len=4, n_shards=1).collect()
+    by_turn = {(r["conv_id"], r["turn_idx"]): r for r in out}
+    # conv-atomic stream in conv_id order: conv 0 at 0..4, conv 1 at 5..8
+    assert by_turn[(0, 0)]["tok_start"] == 0
+    assert by_turn[(0, 1)]["tok_start"] == 3
+    assert by_turn[(1, 0)]["tok_start"] == 5
+    assert by_turn[(1, 1)]["tok_start"] == 6
+    # loss mask on assistant turns only
+    assert [by_turn[k]["loss_mask"] for k in sorted(by_turn)] == [0, 1, 0, 1]
+    # a turn straddling the seq_len=4 boundary spans both sequences
+    assert (by_turn[(0, 1)]["seq_first"], by_turn[(0, 1)]["seq_last"]) == (0, 1)
+    # offsets within a shard never overlap: token intervals are disjoint
+    ivs = sorted(
+        (r["tok_start"], r["tok_start"] + r["n_tokens"]) for r in out
+    )
+    assert all(a[1] <= b[0] for a, b in zip(ivs, ivs[1:]))
