@@ -9403,6 +9403,35 @@ FROM r WHERE rn = 1 ORDER BY event_type
 """
 
 
+def q_index_block_join_topk(spark, sf_dir):
+    """Block-join from the INDEX (Searcher.search_block_join): the
+    documents index is built with sort_cols=("doc_id",), so internal
+    docIDs equal the original ids and the conversation derivation
+    doc_id // 4 gives the parent blocks — contiguous docID ranges,
+    exactly Lucene's block-indexing contract. Child BM25 comes from the
+    pushed-In(term) postings; the parent fold is one groupBy of the
+    df-sized candidate set. Same oracle as the corpus twin
+    block_join_topk."""
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.index.catalog import IndexCatalog
+    from nlp4l_spark.search import Searcher
+
+    idx = _index_cache_dir(sf_dir)
+    if not IndexCatalog(idx).is_committed("field_stats"):
+        IndexBuilder(sort_cols=("doc_id",)).build(_docs(spark, sf_dir), idx)
+    s = Searcher(spark, idx)
+    res = s.search_block_join(
+        BM25_QUERY, k=BM25_K, parent_expr="floor(doc_id / 4)"
+    )
+    return res.select(
+        F.col("parent").cast("long").alias("conv_id"),
+        "score_max",
+        "score_total",
+        "n_child",
+        (F.col("best_child") % 4).cast("int").alias("best_turn"),
+    )
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -9631,6 +9660,7 @@ REGISTRY: dict[str, tuple] = {
     "truncate_context": (q_truncate_context, O_TRUNCATE_CONTEXT),
     "pack_loss_mask": (q_pack_loss_mask, O_PACK_LOSS_MASK),
     "synonym_graph_topk": (q_synonym_graph_topk, O_SYNONYM_GRAPH_TOPK),
+    "index_block_join_topk": (q_index_block_join_topk, O_BLOCK_JOIN_TOPK),
 }
 
 
@@ -9672,7 +9702,7 @@ _DRIVER_ORDER = [
     "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
-    "truncate_context", "pack_loss_mask", "synonym_graph_topk",
+    "truncate_context", "pack_loss_mask", "synonym_graph_topk", "index_block_join_topk",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",

@@ -343,6 +343,93 @@ class Searcher:
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.withColumn("rank", F.row_number().over(w))
 
+    def search_block_join(
+        self,
+        query: str,
+        k: int = 10,
+        parent_col: str | None = None,
+        parent_expr: str | None = None,
+    ) -> DataFrame:
+        """Lucene ToParentBlockJoinQuery over the index: children are
+        scored with the standard BM25 OR query, then folded per parent
+        block — ScoreMode.Max as the ranking score, with the Total sum
+        (exact integer micros, addition-order independent), matching-
+        child count, and the best child's docID (earliest among the
+        argmax, Lucene's per-parent best-child collector) as the explain
+        surface. Child scores round to 6 dp BEFORE the fold so the
+        argmax is deterministic.
+
+        The parent key comes from ``parent_col`` (a stored column — the
+        default transcripts index sorts by (conv_id, turn_idx), so
+        parent blocks are contiguous docID ranges exactly like Lucene's
+        block indexing) or ``parent_expr`` (a SQL expression over
+        doc_id, for derived blocks). Plan shape: candidate scoring is
+        ∝ query postings; with parent_col the candidate table (df-sized)
+        BROADCASTS against a column-pruned stored scan — the corpus is
+        never shuffled; the parent fold is one groupBy of candidates.
+
+        Returns (parent, score_max, score_total, n_child, best_child),
+        score_max desc / parent asc, limit k."""
+        if (parent_col is None) == (parent_expr is None):
+            raise ValueError("pass exactly one of parent_col / parent_expr")
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        dfs = self._term_stats(terms)
+        present = [t for t in terms if t in dfs]
+        if not present:
+            return self.spark.createDataFrame(
+                [],
+                "parent long, score_max double, score_total double,"
+                " n_child long, best_child long",
+            )
+        rows = [(t, idf(self.num_docs, dfs[t])) for t in present]
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "term string, idf double")
+        )
+        decoded = self._decoded(self._matching_postings(present))
+        score_expr = (
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (
+                    F.lit(1.0 - B)
+                    + F.lit(B) * F.col("dl") / F.lit(self.avgdl or 1.0)
+                )
+            )
+        )
+        child = (
+            decoded.join(qterms, "term")
+            .withColumn("_s", score_expr)
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("_s"), 6).alias("s"))
+        )
+        if parent_col is not None:
+            stored = self.cat.read(self.spark, "stored").select(
+                "doc_id", F.col(parent_col).alias("parent")
+            )
+            child = stored.join(F.broadcast(child), "doc_id")
+        else:
+            child = child.withColumn("parent", F.expr(parent_expr))
+        child = child.withColumn(
+            "s_micros", F.round(F.col("s") * 1e6).cast("long")
+        )
+        w = Window.partitionBy("parent")
+        agg = (
+            child.withColumn("smax", F.max("s").over(w))
+            .groupBy("parent")
+            .agg(
+                F.max("s").alias("score_max"),
+                F.round(F.sum("s_micros") / 1e6, 6).alias("score_total"),
+                F.count("*").cast("long").alias("n_child"),
+                F.min(
+                    F.when(F.col("s") == F.col("smax"), F.col("doc_id"))
+                ).alias("best_child"),
+            )
+        )
+        return agg.orderBy(F.desc("score_max"), F.asc("parent")).limit(k)
+
     def search_boolean(
         self,
         should: list[str] | None = None,

@@ -125,3 +125,39 @@ def test_old_index_without_sort_metadata_still_works(spark, plain_idx):
     )
     keys = [r["turn_idx"] for r in res.collect()]
     assert keys == sorted(keys, reverse=True)
+
+
+def test_block_join_parent_col_matches_child_fold(spark, plain_idx):
+    """search_block_join(parent_col=...) must equal a hand fold of the
+    full child BM25 result set (rounded-6dp max/total/count/argmax per
+    conv_id)."""
+    from collections import defaultdict
+
+    s = Searcher(spark, plain_idx)
+    res = {
+        r["parent"]: (
+            r["score_max"],
+            r["score_total"],
+            r["n_child"],
+            r["best_child"],
+        )
+        for r in s.search_block_join(
+            QUERY, k=10**6, parent_col="conv_id"
+        ).collect()
+    }
+    children = s.search(QUERY, k=10**6, method="dataframe").collect()
+    stored = IndexCatalog(plain_idx).read(spark, "stored")
+    conv = {
+        r["doc_id"]: r["conv_id"]
+        for r in stored.select("doc_id", "conv_id").collect()
+    }
+    folded = defaultdict(list)
+    for r in children:
+        folded[conv[r["doc_id"]]].append((round(r["score"], 6), r["doc_id"]))
+    want = {}
+    for p, rows in folded.items():
+        smax = max(x[0] for x in rows)
+        total = round(sum(round(x[0] * 1e6) for x in rows) / 1e6, 6)
+        best = min(d for sc, d in rows if sc == smax)
+        want[p] = (smax, total, len(rows), best)
+    assert res == want and len(res) > 0
