@@ -9403,6 +9403,87 @@ FROM r WHERE rn = 1 ORDER BY event_type
 """
 
 
+TSA_SHARDS, TSA_SHARD_SIZE, TSA_SIZE = 4, 3, 5
+
+
+def q_terms_shard_approx(spark, sf_dir):
+    """Elasticsearch terms aggregation DISTRIBUTED semantics: each shard
+    returns only its local top-``shard_size`` buckets, the coordinator
+    sums what it received, and every bucket carries
+    ``doc_count_error_upper_bound`` = Σ over the shards that did NOT
+    report the term of that shard's smallest returned count (the ES
+    error-bound contract: a missing term can hide at most just below
+    the shard's cutoff). Shards here are the engine-reproducible md5
+    doc buckets, so both engines compute the identical approximation —
+    including the deliberate under-counts that make this different from
+    the exact `multi_terms` twin. Plan: one (shard, key) groupBy + a
+    per-shard WindowGroupLimit; the error grid joins two coordinator-
+    sized tables (≤ shards × shard_size rows)."""
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("tsa"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % TSA_SHARDS
+    )
+    per = (
+        _docs(spark, sf_dir)
+        .select(shard.alias("shard"), F.col("source").alias("key"))
+        .groupBy("shard", "key")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("key"))
+    kept = per.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= TSA_SHARD_SIZE
+    )
+    cutoff = kept.groupBy("shard").agg(F.min("cnt").alias("cut"))
+    keys = kept.select("key").distinct()
+    grid = keys.crossJoin(cutoff)  # coordinator-sized: keys x shards
+    merged = (
+        grid.join(kept.select("shard", "key", "cnt"), ["shard", "key"], "left")
+        .groupBy("key")
+        .agg(
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(
+                "doc_count"
+            ),
+            F.sum(F.when(F.col("cnt").isNull(), F.col("cut")).otherwise(0))
+            .cast("long")
+            .alias("doc_count_error_upper_bound"),
+        )
+    )
+    return merged.orderBy(F.desc("doc_count"), F.asc("key")).limit(TSA_SIZE)
+
+
+O_TERMS_SHARD_APPROX = f"""
+WITH d AS (SELECT source AS key,
+             ('0x' || substr(md5('tsa' || doc_id::varchar), 1, 8))::bigint
+                 % {TSA_SHARDS} AS shard
+           FROM documents),
+per AS (SELECT shard, key, count(*)::bigint AS cnt FROM d GROUP BY 1, 2),
+kept AS (SELECT shard, key, cnt FROM (
+           SELECT shard, key, cnt,
+                  row_number() OVER (PARTITION BY shard
+                      ORDER BY cnt DESC, key ASC) AS rn
+           FROM per) WHERE rn <= {TSA_SHARD_SIZE}),
+cutoff AS (SELECT shard, min(cnt) AS cut FROM kept GROUP BY 1),
+keys AS (SELECT DISTINCT key FROM kept),
+grid AS (SELECT k.key, c.shard, c.cut FROM keys k CROSS JOIN cutoff c),
+m AS (SELECT g.key,
+        sum(coalesce(kp.cnt, 0))::bigint AS doc_count,
+        sum(CASE WHEN kp.cnt IS NULL THEN g.cut ELSE 0 END)::bigint
+            AS doc_count_error_upper_bound
+      FROM grid g LEFT JOIN kept kp ON kp.shard = g.shard AND kp.key = g.key
+      GROUP BY g.key)
+SELECT key, doc_count, doc_count_error_upper_bound FROM m
+ORDER BY doc_count DESC, key ASC LIMIT {TSA_SIZE}
+"""
+
+
 def q_index_block_join_topk(spark, sf_dir):
     """Block-join from the INDEX (Searcher.search_block_join): the
     documents index is built with sort_cols=("doc_id",), so internal
@@ -9661,6 +9742,7 @@ REGISTRY: dict[str, tuple] = {
     "pack_loss_mask": (q_pack_loss_mask, O_PACK_LOSS_MASK),
     "synonym_graph_topk": (q_synonym_graph_topk, O_SYNONYM_GRAPH_TOPK),
     "index_block_join_topk": (q_index_block_join_topk, O_BLOCK_JOIN_TOPK),
+    "terms_shard_approx": (q_terms_shard_approx, O_TERMS_SHARD_APPROX),
 }
 
 
@@ -9703,6 +9785,7 @@ _DRIVER_ORDER = [
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
     "truncate_context", "pack_loss_mask", "synonym_graph_topk", "index_block_join_topk",
+    "terms_shard_approx",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
