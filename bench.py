@@ -199,6 +199,21 @@ EXTRA_QUERIES = [
     "serial_diff",
     "value_histogram",
     "weighted_avg",
+    # round-3 session-6 additions
+    "block_join_topk",
+    "index_block_join_topk",
+    "ann_filtered_topk",
+    "index_sorted_topk",
+    "intervals_ordered",
+    "extended_stats",
+    "multi_terms",
+    "string_stats",
+    "cumulative_cardinality",
+    "top_metrics",
+    "truncate_context",
+    "pack_loss_mask",
+    "synonym_graph_topk",
+    "terms_shard_approx",
 ]
 
 
