@@ -9403,6 +9403,62 @@ FROM r WHERE rn = 1 ORDER BY event_type
 """
 
 
+CTQ_TERMS = ["dup", "scan"]  # dup df/N = 0.05 (low), scan = 0.8 (common)
+CTQ_CUTOFF = 0.10  # df/N above this => common
+
+
+def q_common_terms_topk(spark, sf_dir):
+    """Lucene CommonTermsQuery: query terms are split by document
+    frequency at maxTermFrequency={CTQ_CUTOFF} — LOW-df terms form the
+    candidate-driving SHOULD clause (>= 1 must match), HIGH-df ("common",
+    stopword-ish) terms never select candidates and only ADD to the BM25
+    score of docs already matched by a low clause. The pre-analysis
+    stopword idea done with corpus statistics at query time. Same
+    two-pass one-tokenize shape as bm25_topk: the split is a driver-side
+    decision on the df row, the candidate filter uses only the low
+    terms' map lookups."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, CTQ_TERMS)
+    low = [t for t in CTQ_TERMS if dfs[t] / n <= CTQ_CUTOFF]
+    if not low:  # all terms common -> Lucene falls back to plain SHOULD
+        low = CTQ_TERMS
+    gate = F.col("m")[low[0]].isNotNull()
+    for t in low[1:]:
+        gate = gate | F.col("m")[t].isNotNull()
+    score = _bm25_score_col(CTQ_TERMS, n, avgdl, dfs)
+    return (
+        per_doc.filter(gate)
+        .withColumn("s", score)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_COMMON_TERMS_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({CTQ_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+lowt AS (SELECT term FROM dfm CROSS JOIN st WHERE df / n <= {CTQ_CUTOFF}
+         UNION ALL
+         SELECT term FROM qt WHERE NOT EXISTS (
+           SELECT 1 FROM dfm CROSS JOIN st WHERE df / n <= {CTQ_CUTOFF})),
+cand AS (SELECT DISTINCT doc_id FROM dt JOIN lowt USING (term)),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       WHERE dt.doc_id IN (SELECT doc_id FROM cand)
+       GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 TSA_SHARDS, TSA_SHARD_SIZE, TSA_SIZE = 4, 3, 5
 
 
@@ -9743,6 +9799,7 @@ REGISTRY: dict[str, tuple] = {
     "synonym_graph_topk": (q_synonym_graph_topk, O_SYNONYM_GRAPH_TOPK),
     "index_block_join_topk": (q_index_block_join_topk, O_BLOCK_JOIN_TOPK),
     "terms_shard_approx": (q_terms_shard_approx, O_TERMS_SHARD_APPROX),
+    "common_terms_topk": (q_common_terms_topk, O_COMMON_TERMS_TOPK),
 }
 
 
@@ -9785,7 +9842,7 @@ _DRIVER_ORDER = [
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
     "truncate_context", "pack_loss_mask", "synonym_graph_topk", "index_block_join_topk",
-    "terms_shard_approx",
+    "terms_shard_approx", "common_terms_topk",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
