@@ -124,6 +124,14 @@ class Analyzer:
     # offsets in token_stream then refer to the folded text (its length
     # shifts only at the ae/oe/ss multi-char foldings)
     ascii_fold: bool = False
+    # Index-time synonym injection (Lucene SynonymFilter with one-way
+    # single-token rules, "dup => duplicate"): each (term, injected)
+    # pair emits ``injected`` at the SAME position as ``term``
+    # (posinc 0), after stop filtering. Norm semantics follow
+    # BM25Similarity's discountOverlaps=true default: injected tokens
+    # do NOT count toward dl (see term_counts_udf), but DO carry tf and
+    # positions (phrases match through either variant).
+    synonyms: tuple[tuple[str, str], ...] = ()
 
     def _normalize(self, text: str) -> str:
         if self.lowercase:
@@ -136,7 +144,10 @@ class Analyzer:
 
     # ---- driver-side / oracle path (plain Python; used for query strings
     # and the single-node oracle, never on the distributed hot path) ----
-    def tokenize(self, text: str | None) -> list[str]:
+    def _base_tokens(self, text: str | None) -> list[str]:
+        """Tokens BEFORE synonym injection — the dl/norm stream
+        (discountOverlaps: overlapping synonym tokens never count toward
+        document length)."""
         if not text:
             return []
         text = self._normalize(text)
@@ -144,6 +155,19 @@ class Analyzer:
         if self.stopwords:
             toks = [t for t in toks if t not in self.stopwords]
         return toks
+
+    def tokenize(self, text: str | None) -> list[str]:
+        toks = self._base_tokens(text)
+        if not self.synonyms:
+            return toks
+        syn: dict[str, list[str]] = {}
+        for k, v in self.synonyms:
+            syn.setdefault(k, []).append(v)
+        out: list[str] = []
+        for t in toks:
+            out.append(t)
+            out.extend(syn.get(t, ()))
+        return out
 
     # ---- Spark SQL engine (JVM-side, codegen; no Python) ----
     def tokens_col(self, col: Column | str) -> Column:
@@ -172,7 +196,24 @@ class Analyzer:
         string escaping)."""
         src = self._normalize_sql(col_sql)
         toks = F.regexp_extract_all(F.expr(src), F.lit(self.token_pattern), F.lit(0))
-        return self._strip_stopwords(toks)
+        return self._expand_synonyms(self._strip_stopwords(toks))
+
+    def _expand_synonyms(self, toks: Column) -> Column:
+        if not self.synonyms:
+            return toks
+        syn: dict[str, list[str]] = {}
+        for k, v in self.synonyms:
+            syn.setdefault(k, []).append(v)
+
+        def expand(x):
+            expr = F.array(x)
+            for k in sorted(syn):
+                expr = F.when(
+                    x == k, F.array(x, *[F.lit(s) for s in syn[k]])
+                ).otherwise(expr)
+            return expr
+
+        return F.flatten(F.transform(toks, expand))
 
     def _strip_stopwords(self, toks: Column) -> Column:
         if not self.stopwords:
@@ -190,6 +231,19 @@ class Analyzer:
             stoplist = ", ".join(f"'{w}'" for w in sorted(self.stopwords))
             expr = (
                 f"list_filter({expr}, t -> t NOT IN ({stoplist}))"
+            )
+        if self.synonyms:
+            syn: dict[str, list[str]] = {}
+            for k, v in self.synonyms:
+                syn.setdefault(k, []).append(v)
+            cases = " ".join(
+                f"WHEN x = '{k}' THEN "
+                f"[x, {', '.join(repr(s) for s in syn[k])}]"
+                for k in sorted(syn)
+            )
+            expr = (
+                f"flatten(list_transform({expr},"
+                f" x -> CASE {cases} ELSE [x] END))"
             )
         return expr
 
@@ -225,12 +279,17 @@ class Analyzer:
             if self.token_pattern == TOKEN_PATTERN
             else re.compile(self.token_pattern)
         )
+        syn: dict[str, list[str]] = {}
+        for k, v in self.synonyms:
+            syn.setdefault(k, []).append(v)
         out = []
         for pos, m in enumerate(pattern.finditer(src)):
             term = m.group(0)
             if self.stopwords and term in self.stopwords:
                 continue
             out.append((term, pos, m.start(), m.end()))
+            for s in syn.get(term, ()):  # posinc 0: same position/offsets
+                out.append((s, pos, m.start(), m.end()))
         return out
 
     def term_vectors_schema(self) -> T.StructType:
@@ -323,7 +382,12 @@ class Analyzer:
                     counts[x] = counts.get(x, 0) + 1
                 terms_out.append(list(counts.keys()))
                 tfs_out.append(list(counts.values()))
-                dls.append(len(toks))
+                # discountOverlaps: dl counts the pre-injection stream
+                dls.append(
+                    len(analyzer._base_tokens(t))
+                    if analyzer.synonyms
+                    else len(toks)
+                )
             return pd.DataFrame({"terms": terms_out, "tfs": tfs_out, "dl": dls})
 
         return _counts

@@ -9403,6 +9403,45 @@ FROM r WHERE rn = 1 ORDER BY event_type
 """
 
 
+SYNIDX_ANALYZER_SYNS = (("dup", "duplicate"),)
+
+
+def q_synonym_index_wordcount(spark, sf_dir):
+    """Index-TIME synonyms (Lucene SynonymFilter, one-way single-token
+    rules at posinc 0; query-time twins are synonym_topk /
+    synonym_graph_topk): whole-index term counts under an analyzer that
+    injects 'duplicate' wherever 'dup' appears — cf('duplicate') gains
+    exactly cf('dup'). The oracle tokenizes with the SAME analyzer's
+    DuckDB expression (Analyzer.duckdb_tokens_sql emits the expansion),
+    so the synonym contract itself is what's being checked. One
+    tokenize + one groupBy, the wordcount_cf plan."""
+    syn_az = Analyzer(
+        stopwords=LUCENE_ENGLISH_STOPWORDS, synonyms=SYNIDX_ANALYZER_SYNS
+    )
+    c = Corpus(_docs(spark, sf_dir), "text", "doc_id", analyzer=syn_az)
+    return (
+        wordcounts.count_whole_index(c)
+        .filter(F.col("term").isin("dup", "duplicate", "scan"))
+        .orderBy("term")
+    )
+
+
+def _o_synonym_index_wordcount() -> str:
+    syn_az = Analyzer(
+        stopwords=LUCENE_ENGLISH_STOPWORDS, synonyms=SYNIDX_ANALYZER_SYNS
+    )
+    tok = syn_az.duckdb_tokens_sql("text")
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({tok}) AS term FROM documents)
+SELECT term, count(*)::bigint AS cf FROM toks
+WHERE term IN ('dup', 'duplicate', 'scan')
+GROUP BY term ORDER BY term
+"""
+
+
+O_SYNONYM_INDEX_WORDCOUNT = _o_synonym_index_wordcount()
+
+
 CTQ_TERMS = ["dup", "scan"]  # dup df/N = 0.05 (low), scan = 0.8 (common)
 CTQ_CUTOFF = 0.10  # df/N above this => common
 
@@ -9800,6 +9839,7 @@ REGISTRY: dict[str, tuple] = {
     "index_block_join_topk": (q_index_block_join_topk, O_BLOCK_JOIN_TOPK),
     "terms_shard_approx": (q_terms_shard_approx, O_TERMS_SHARD_APPROX),
     "common_terms_topk": (q_common_terms_topk, O_COMMON_TERMS_TOPK),
+    "synonym_index_wordcount": (q_synonym_index_wordcount, O_SYNONYM_INDEX_WORDCOUNT),
 }
 
 
@@ -9842,7 +9882,7 @@ _DRIVER_ORDER = [
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
     "truncate_context", "pack_loss_mask", "synonym_graph_topk", "index_block_join_topk",
-    "terms_shard_approx", "common_terms_topk",
+    "terms_shard_approx", "common_terms_topk", "synonym_index_wordcount",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",

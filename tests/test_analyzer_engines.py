@@ -244,3 +244,89 @@ def test_four_engines_agree_ascii_folding(spark):
     ]
     # the unfolded analyzer splits at every diacritic — the gap folding fixes
     assert STANDARD_ANALYZER.tokenize("café straße") == ["caf", "stra", "e"]
+
+
+def test_four_engines_agree_index_time_synonyms(spark):
+    """Synonym injection (posinc-0, one-way rules incl. a multi-target
+    key) must agree across all four engines, including on texts where
+    the key never appears and where it collides with stopwords."""
+    from nlp4l_spark.analysis import LUCENE_ENGLISH_STOPWORDS
+    from nlp4l_spark.analysis.analyzer import Analyzer
+
+    syn = Analyzer(
+        stopwords=LUCENE_ENGLISH_STOPWORDS,
+        synonyms=(("dup", "duplicate"), ("ml", "learning"), ("ml", "machine")),
+    )
+    texts = _random_texts(200, seed=77) + [
+        "dup the dup",
+        "ml and DUP",
+        "no keys here",
+        "",
+        "dup ml dup ml",
+    ]
+    _assert_four_engines(spark, syn, texts)
+
+
+def test_synonym_token_stream_and_norms(spark):
+    """posinc-0 contract: injected tokens share position/offsets with
+    their source; dl (term_counts) counts the PRE-injection stream
+    (BM25 discountOverlaps), while tfs include injections."""
+    from nlp4l_spark.analysis.analyzer import Analyzer
+
+    syn = Analyzer(stopwords=frozenset(), synonyms=(("dup", "duplicate"),))
+    stream = syn.token_stream("dup scan dup")
+    assert stream == [
+        ("dup", 0, 0, 3),
+        ("duplicate", 0, 0, 3),
+        ("scan", 1, 4, 8),
+        ("dup", 2, 9, 12),
+        ("duplicate", 2, 9, 12),
+    ]
+    df = spark.createDataFrame([("dup scan dup",)], "text string")
+    row = df.select(syn.term_counts_udf()(F.col("text")).alias("c")).first()["c"]
+    counts = dict(zip(row["terms"], row["tfs"]))
+    assert counts == {"dup": 2, "duplicate": 2, "scan": 1}
+    assert row["dl"] == 3  # injected tokens never count toward length
+
+
+def test_synonym_index_build_and_search(spark, tmp_path):
+    """Index-time synonyms drop into the real build + BM25 + phrase
+    path: searching the INJECTED variant finds source docs; the
+    injected token shares its source's position, so phrases match
+    through either variant (Lucene SynonymFilter posinc-0 semantics)."""
+    from nlp4l_spark.analysis import LUCENE_ENGLISH_STOPWORDS
+    from nlp4l_spark.analysis.analyzer import Analyzer
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.search import Searcher
+
+    syn = Analyzer(
+        stopwords=LUCENE_ENGLISH_STOPWORDS,
+        synonyms=(("dup", "duplicate"),),
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "dup rows in the scan"),
+            (1, "a duplicate record appeared"),
+            (2, "nothing relevant here"),
+            (3, "dup dup everywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "syn_idx")
+    IndexBuilder(
+        analyzer=syn, sort_cols=("doc_id",), store_positions=True,
+        store_term_vectors=True,
+    ).build(docs, idx)
+    s = Searcher(spark, idx, analyzer=syn)
+    # query "duplicate" (itself expanded at query time is a no-op: the
+    # rule is one-way dup=>duplicate) matches docs 0, 1, 3 via the index
+    hits = {r["doc_id"] for r in s.search("duplicate", k=10).collect()}
+    assert hits == {0, 1, 3}
+    # tf of 'duplicate' in doc 3 is 2 (two injections) while its dl
+    # stays 3 (discountOverlaps): doc 3 outranks doc 1 (tf 1)
+    ranked = [r["doc_id"] for r in s.search("duplicate", k=10).collect()]
+    assert ranked[0] == 3
+    # phrase through the synonym: "duplicate rows" matches doc 0 because
+    # the injected token sits at the source position
+    ph = s.search_phrase("duplicate rows", k=10, method="postings").collect()
+    assert [r["doc_id"] for r in ph] == [0]
