@@ -9403,6 +9403,79 @@ FROM r WHERE rn = 1 ORDER BY event_type
 """
 
 
+def q_bucket_sort_page(spark, sf_dir):
+    """Elasticsearch bucket_sort pipeline aggregation: re-sort the
+    parent terms buckets by a METRIC (sum of exact cents), then apply
+    from/size paging over the sorted buckets — distinct from terms-agg
+    ordering because the sort key is a computed sub-metric and the
+    paging happens after aggregation. One keyed groupBy + TakeOrdered
+    with an offset."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        _events(spark, sf_dir)
+        .select("event_type", cents.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            (F.sum("c").cast("double") / 100.0).alias("sum_value"),
+        )
+    )
+    w = Window.orderBy(F.desc("sum_value"), F.asc("event_type"))
+    return (
+        agg.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > 1) & (F.col("_rn") <= 4))  # from=1, size=3
+        .select("event_type", "cnt", "sum_value")
+        .orderBy(F.desc("sum_value"), F.asc("event_type"))
+    )
+
+
+O_BUCKET_SORT_PAGE = """
+WITH a AS (SELECT event_type, count(*)::bigint AS cnt,
+                  sum(round(value * 100)::bigint)::double / 100.0 AS sum_value
+           FROM events GROUP BY 1),
+r AS (SELECT *, row_number() OVER (ORDER BY sum_value DESC, event_type ASC)
+          AS rn FROM a)
+SELECT event_type, cnt, sum_value FROM r WHERE rn > 1 AND rn <= 4
+ORDER BY sum_value DESC, event_type ASC
+"""
+
+
+def q_normalize_agg(spark, sf_dir):
+    """Elasticsearch normalize pipeline aggregation (percent_of_sum):
+    each event_type bucket's share of the total metric, from exact
+    integer cents so the shares are order-independent. One groupBy; the
+    total is a broadcast scalar over the tiny bucket table, never a
+    second scan of events."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = (
+        _events(spark, sf_dir)
+        .select("event_type", cents.alias("c"))
+        .groupBy("event_type")
+        .agg(F.sum("c").alias("_s"))
+    )
+    w = Window.partitionBy()
+    return (
+        agg.withColumn("_tot", F.sum("_s").over(w))
+        .select(
+            "event_type",
+            (F.col("_s").cast("double") / 100.0).alias("sum_value"),
+            F.round(
+                F.col("_s").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("percent_of_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_NORMALIZE_AGG = """
+WITH a AS (SELECT event_type, sum(round(value * 100)::bigint)::bigint AS s
+           FROM events GROUP BY 1)
+SELECT event_type, s::double / 100.0 AS sum_value,
+       round(s::double / (SELECT sum(s) FROM a)::double, 6) AS percent_of_sum
+FROM a ORDER BY event_type
+"""
+
+
 SYNIDX_ANALYZER_SYNS = (("dup", "duplicate"),)
 
 
@@ -9840,6 +9913,8 @@ REGISTRY: dict[str, tuple] = {
     "terms_shard_approx": (q_terms_shard_approx, O_TERMS_SHARD_APPROX),
     "common_terms_topk": (q_common_terms_topk, O_COMMON_TERMS_TOPK),
     "synonym_index_wordcount": (q_synonym_index_wordcount, O_SYNONYM_INDEX_WORDCOUNT),
+    "bucket_sort_page": (q_bucket_sort_page, O_BUCKET_SORT_PAGE),
+    "normalize_agg": (q_normalize_agg, O_NORMALIZE_AGG),
 }
 
 
@@ -9883,6 +9958,7 @@ _DRIVER_ORDER = [
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
     "truncate_context", "pack_loss_mask", "synonym_graph_topk", "index_block_join_topk",
     "terms_shard_approx", "common_terms_topk", "synonym_index_wordcount",
+    "bucket_sort_page", "normalize_agg",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
