@@ -9403,6 +9403,57 @@ FROM r WHERE rn = 1 ORDER BY event_type
 """
 
 
+PERC_PHRASES = [
+    ("q_mj", ["merge", "join"]),
+    ("q_jm", ["join", "merge"]),
+    ("q_bos", ["big", "order", "scan"]),
+    ("q_none", ["merge", "join", "vector", "scan"]),  # expected 0 hits
+]
+
+
+def q_percolate_phrase(spark, sf_dir):
+    """Phrase percolation (ES percolator with match_phrase predicates,
+    ops/percolate.percolate_phrase): every doc checked against a
+    broadcast registry of stored PHRASE queries — term-subset prune
+    first (the percolator candidate optimization), exact contiguous
+    adjacency on candidates only, full-token-stream positions exactly
+    like the forward PhraseQuery. Includes a reversed phrase (order
+    matters), a trigram, and a never-matching phrase."""
+    from nlp4l_spark.ops.percolate import percolate_phrase
+
+    qdf = spark.createDataFrame(
+        PERC_PHRASES, "query_id string, phrase array<string>"
+    )
+    return (
+        percolate_phrase(_docs(spark, sf_dir), qdf)
+        .orderBy("doc_id", "query_id")
+    )
+
+
+def _o_percolate_phrase() -> str:
+    arms = []
+    for qid, ph in PERC_PHRASES:
+        n = len(ph)
+        conj = " AND ".join(
+            f"ft[i+{j}] = '{t}'" for j, t in enumerate(ph)
+        )
+        arms.append(
+            f"SELECT doc_id, '{qid}' AS query_id FROM t "
+            f"WHERE len(ft) >= {n} AND "
+            f"len(list_filter(range(1, len(ft) - {n - 2}), i -> {conj})) > 0"
+        )
+    u = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ft
+           FROM documents)
+{u}
+ORDER BY doc_id, query_id
+"""
+
+
+O_PERCOLATE_PHRASE = _o_percolate_phrase()
+
+
 def q_bucket_sort_page(spark, sf_dir):
     """Elasticsearch bucket_sort pipeline aggregation: re-sort the
     parent terms buckets by a METRIC (sum of exact cents), then apply
@@ -9915,6 +9966,7 @@ REGISTRY: dict[str, tuple] = {
     "synonym_index_wordcount": (q_synonym_index_wordcount, O_SYNONYM_INDEX_WORDCOUNT),
     "bucket_sort_page": (q_bucket_sort_page, O_BUCKET_SORT_PAGE),
     "normalize_agg": (q_normalize_agg, O_NORMALIZE_AGG),
+    "percolate_phrase": (q_percolate_phrase, O_PERCOLATE_PHRASE),
 }
 
 
@@ -9958,7 +10010,7 @@ _DRIVER_ORDER = [
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
     "truncate_context", "pack_loss_mask", "synonym_graph_topk", "index_block_join_topk",
     "terms_shard_approx", "common_terms_topk", "synonym_index_wordcount",
-    "bucket_sort_page", "normalize_agg",
+    "bucket_sort_page", "normalize_agg", "percolate_phrase",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",

@@ -61,3 +61,62 @@ def percolate(
     return (
         d.join(q, prune, "inner").filter(subset).select("doc_id", "query_id")
     )
+
+
+def percolate_phrase(
+    docs: DataFrame,
+    queries: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    phrase_col: str = "phrase",
+    analyzer: Analyzer | None = None,
+) -> DataFrame:
+    """Phrase percolation: a doc matches query q iff q's ``phrase``
+    tokens occur CONTIGUOUSLY in the doc's full token stream (stopword
+    holes preserved — the PhraseQuery position contract, so a stored
+    phrase percolates exactly like the forward phrase query matches).
+
+    Same two-stage shape as ES's percolator: a cheap term-subset prune
+    (a doc can only match if every phrase token occurs at all) bounds
+    the candidate (doc, query) pairs, then the exact adjacency check —
+    a per-pair HOF over the token stream — runs on candidates only.
+    Queries broadcast; the doc side is one scan, zero corpus shuffle."""
+    analyzer = analyzer or STANDARD_ANALYZER
+    full = Analyzer(
+        lowercase=analyzer.lowercase,
+        token_pattern=analyzer.token_pattern,
+        stopwords=frozenset(),
+    )
+    ft = full.tokens_expr(text_col)
+    d = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        ft.alias("_ft"),
+        F.array_distinct(ft).alias("_set"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(phrase_col).alias("_ph"),
+        )
+    )
+    prune = F.forall(
+        F.col("_ph"), lambda t: F.array_contains(F.col("_set"), t)
+    )
+    n = F.size(F.col("_ph"))
+    # valid 0-based start positions (empty when the stream is shorter
+    # than the phrase — no Spark descending-sequence / ANSI
+    # out-of-bounds hazards; F.get is 0-based and null-safe)
+    starts = F.filter(
+        F.transform(F.col("_ft"), lambda x, i: i),
+        lambda i: i + n <= F.size(F.col("_ft")),
+    )
+    adjacent = F.exists(
+        starts,
+        lambda i: F.slice(F.col("_ft"), i + 1, n) == F.col("_ph"),
+    )
+    return (
+        d.join(q, prune, "inner")
+        .filter(adjacent)
+        .select("doc_id", "query_id")
+    )
