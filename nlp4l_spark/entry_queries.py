@@ -9703,6 +9703,25 @@ ORDER BY doc_count DESC, key ASC LIMIT {TSA_SIZE}
 """
 
 
+def q_lucene_qs_topk(spark, sf_dir):
+    """Classic query-string surface end-to-end (Searcher.search_lucene +
+    search/queryparser.py): the string '+join +(merge vector) -scan'
+    parses to MUST(join), MUST(bool(merge OR vector)), MUST_NOT(scan)
+    and compiles onto pushed-In(term) postings frames — semantically
+    identical to the nested-tree query, so the oracle is
+    O_BOOLEAN_TREE_TOPK verbatim."""
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.index.catalog import IndexCatalog
+    from nlp4l_spark.search import Searcher
+
+    idx = _index_cache_dir(sf_dir)
+    if not IndexCatalog(idx).is_committed("field_stats"):
+        IndexBuilder(sort_cols=("doc_id",)).build(_docs(spark, sf_dir), idx)
+    s = Searcher(spark, idx)
+    res = s.search_lucene("+join +(merge vector) -scan", k=BM25_K)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_index_block_join_topk(spark, sf_dir):
     """Block-join from the INDEX (Searcher.search_block_join): the
     documents index is built with sort_cols=("doc_id",), so internal
@@ -9967,6 +9986,7 @@ REGISTRY: dict[str, tuple] = {
     "bucket_sort_page": (q_bucket_sort_page, O_BUCKET_SORT_PAGE),
     "normalize_agg": (q_normalize_agg, O_NORMALIZE_AGG),
     "percolate_phrase": (q_percolate_phrase, O_PERCOLATE_PHRASE),
+    "lucene_qs_topk": (q_lucene_qs_topk, O_BOOLEAN_TREE_TOPK),
 }
 
 
@@ -10010,7 +10030,7 @@ _DRIVER_ORDER = [
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
     "truncate_context", "pack_loss_mask", "synonym_graph_topk", "index_block_join_topk",
     "terms_shard_approx", "common_terms_topk", "synonym_index_wordcount",
-    "bucket_sort_page", "normalize_agg", "percolate_phrase",
+    "bucket_sort_page", "normalize_agg", "percolate_phrase", "lucene_qs_topk",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",

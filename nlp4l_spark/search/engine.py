@@ -430,6 +430,232 @@ class Searcher:
         )
         return agg.orderBy(F.desc("score_max"), F.asc("parent")).limit(k)
 
+    # ---- classic query-string surface (queryparser.py) ---------------- #
+    def search_lucene(self, query: str, k: int = 10) -> DataFrame:
+        """Lucene classic QueryParser surface: parse a query STRING
+        (+must/-not, AND/OR/NOT, nested parens, ^boosts, "phrases",
+        wild?ards, fuzzy~1, [a TO b] ranges — see
+        search/queryparser.py) and compile it onto the existing
+        primitives: term leaves are pushed-In(term) BM25 postings
+        frames, multi-term leaves (wildcard/range) rewrite against the
+        VOCAB-sized dictionary to constant-score frames (Lucene's
+        constant-score rewrite), fuzzy leaves reuse the
+        length-window-pruned Damerau expansion with Lucene's fuzzy
+        boost, phrase leaves score PhraseQuery BM25 from term_vectors,
+        and bool groups compose with Lucene BooleanQuery semantics:
+        MUST = inner join (scores add), SHOULD with MUSTs present =
+        left-join score bonus (optional, Lucene's should-alongside-must),
+        SHOULD alone = union + groupBy-sum (>= 1 matches),
+        MUST_NOT = anti join, never scores. Every frame is
+        postings-sized; the corpus is never scanned."""
+        from nlp4l_spark.search.queryparser import parse
+
+        frame = self._qnode_frame(parse(query), 1.0)
+        if frame is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return (
+            frame.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def _weighted_or_frame(self, rows: list[tuple]) -> DataFrame | None:
+        """(term, idf*boost) rows -> unlimited (doc_id, score) OR frame."""
+        if not rows:
+            return None
+        qterms = F.broadcast(
+            self.spark.createDataFrame(
+                [(0, t, w) for t, w in rows], "qid int, term string, idf double"
+            )
+        )
+        postings = self._matching_postings([t for t, _ in rows])
+        return self._score_dataframe(postings, qterms).select(
+            "doc_id", "score"
+        )
+
+    def _const_frame(self, postings: DataFrame, boost: float) -> DataFrame:
+        """Constant-score frame (multi-term rewrite): distinct matching
+        docs at score = boost."""
+        return (
+            self._decoded(postings)
+            .select("doc_id")
+            .distinct()
+            .select("doc_id", F.lit(float(boost)).alias("score"))
+        )
+
+    def _phrase_frame(self, terms: list[str], boost: float) -> DataFrame | None:
+        """Unlimited PhraseQuery BM25 frame from term_vectors (the
+        composable form of search_phrase's term_vectors path)."""
+        if not self.cat.is_committed("term_vectors"):
+            raise ValueError(
+                "phrase clauses need term_vectors "
+                "(IndexBuilder(store_term_vectors=True))"
+            )
+        dfs = self._term_stats(terms)
+        if any(t not in dfs for t in terms):
+            return None
+        tv = self.cat.read(self.spark, "term_vectors")
+        joined = None
+        for i, t in enumerate(terms):
+            side = tv.filter(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias(f"_p{i}")
+            )
+            joined = side if joined is None else joined.join(side, "doc_id")
+
+        def _shift(off: int):
+            return lambda p: p - off
+
+        first = F.col("_p0")
+        for i in range(1, len(terms)):
+            first = F.array_intersect(
+                first, F.transform(F.col(f"_p{i}"), _shift(i))
+            )
+        cand = self._not_deleted(
+            joined.select("doc_id", F.size(first).alias("tf")).filter(
+                F.col("tf") > 0
+            )
+        )
+        idf_sum = sum(idf(self.num_docs, dfs[t]) for t in terms)
+        dl = self.cat.read(self.spark, "doc_lens")
+        score = (
+            F.lit(idf_sum * float(boost))
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1 - B) + F.lit(B) * F.col("dl") / F.lit(self.avgdl))
+            )
+        )
+        return cand.join(dl, "doc_id").select("doc_id", score.alias("score"))
+
+    def _qnode_frame(self, node: dict, boost: float) -> DataFrame | None:
+        """Compile one AST node -> unlimited (doc_id, score) frame, or
+        None when the node cannot match anything."""
+        b = float(boost) * float(node.get("boost", 1.0))
+        kind = node["kind"]
+        if kind == "term":
+            toks = self.analyzer.tokenize(node["text"])
+            if not toks:
+                return None
+            if len(toks) > 1:  # "a.b" analyzes to a phrase, like Lucene
+                return self._phrase_frame(toks, b)
+            dfs = self._term_stats(toks)
+            if toks[0] not in dfs:
+                return None
+            return self._weighted_or_frame(
+                [(toks[0], idf(self.num_docs, dfs[toks[0]]) * b)]
+            )
+        if kind == "phrase":
+            toks = self.analyzer.tokenize(node["text"])
+            if not toks:
+                return None
+            if len(toks) == 1:
+                return self._qnode_frame(
+                    {"kind": "term", "text": toks[0]}, b
+                )
+            return self._phrase_frame(toks, b)
+        if kind == "wild":
+            import re as _re
+
+            p = node["pattern"].lower()
+            rx = "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in p
+            )
+            lit = p.split("*", 1)[0].split("?", 1)[0]
+            stats = self.cat.read(self.spark, "term_stats")
+            cond = F.col("term").rlike(f"^{rx}$")
+            if lit:
+                cond = F.col("term").startswith(lit) & cond
+            terms = [r["term"] for r in stats.filter(cond).select("term").limit(1025).collect()]
+            if len(terms) > 1024:
+                raise ValueError(f"wildcard '{p}' expands to > 1024 terms")
+            if not terms:
+                return None
+            return self._const_frame(self._matching_postings(terms), b)
+        if kind == "range":
+            t = F.col("term")
+            cond = F.lit(True)
+            if node["lower"] is not None:
+                lo = node["lower"].lower()
+                cond = cond & (t >= lo if node["incl_lower"] else t > lo)
+            if node["upper"] is not None:
+                hi = node["upper"].lower()
+                cond = cond & (t <= hi if node["incl_upper"] else t < hi)
+            postings = self.cat.read(self.spark, "postings").filter(cond)
+            return self._const_frame(postings, b)
+        if kind == "fuzzy":
+            q = node["text"].lower()
+            rows = [
+                (
+                    r["term"],
+                    idf(self.num_docs, int(r["df"])) * float(r["boost"]) * b,
+                )
+                for r in self._fuzzy_expansion(q, node["max_edits"]).collect()
+            ]
+            return self._weighted_or_frame(rows)
+        if kind == "bool":
+            musts, shoulds, nots = [], [], []
+            for occ, child in node["clauses"]:
+                fr = self._qnode_frame(child, b)
+                if occ == "must":
+                    if fr is None:
+                        return None  # a required clause can never match
+                    musts.append(fr)
+                elif occ == "must_not":
+                    if fr is not None:
+                        nots.append(fr)
+                else:
+                    if fr is not None:
+                        shoulds.append(fr)
+            base = None
+            if musts:
+                for fr in musts:
+                    if base is None:
+                        base = fr
+                    else:
+                        base = (
+                            base.alias("l")
+                            .join(fr.alias("r"), "doc_id")
+                            .select(
+                                "doc_id",
+                                (F.col("l.score") + F.col("r.score")).alias(
+                                    "score"
+                                ),
+                            )
+                        )
+                for fr in shoulds:  # optional score bonus
+                    base = (
+                        base.alias("l")
+                        .join(
+                            fr.selectExpr(
+                                "doc_id", "score AS _sb"
+                            ),
+                            "doc_id",
+                            "left",
+                        )
+                        .select(
+                            "doc_id",
+                            (
+                                F.col("score")
+                                + F.coalesce(F.col("_sb"), F.lit(0.0))
+                            ).alias("score"),
+                        )
+                    )
+            else:
+                if not shoulds:
+                    return None
+                u = shoulds[0]
+                for fr in shoulds[1:]:
+                    u = u.unionByName(fr)
+                base = u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+            for fr in nots:
+                base = base.join(
+                    fr.select("doc_id"), "doc_id", "left_anti"
+                )
+            return base
+        raise ValueError(f"unknown AST node kind: {kind!r}")
+
     def search_boolean(
         self,
         should: list[str] | None = None,
