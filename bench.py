@@ -214,6 +214,14 @@ EXTRA_QUERIES = [
     "pack_loss_mask",
     "synonym_graph_topk",
     "terms_shard_approx",
+    # round-3 session-7 additions
+    "common_terms_topk",
+    "synonym_index_wordcount",
+    "bucket_sort_page",
+    "normalize_agg",
+    "percolate_phrase",
+    "lucene_qs_topk",
+    "has_parent_turns",
 ]
 
 

@@ -9703,6 +9703,67 @@ ORDER BY doc_count DESC, key ASC LIMIT {TSA_SIZE}
 """
 
 
+def q_has_parent_turns(spark, sf_dir):
+    """ES has_parent query over the transcripts derivation: return the
+    TURNS of the top-{BM25_K} conversations whose parent score
+    (ScoreMode.Max over child BM25, the block_join fold) qualifies —
+    each child row carries its parent's score (has_parent score mode =
+    parent score propagated to every child). The top-k parent set is
+    k-sized and broadcasts against the turn stream; the corpus never
+    shuffles for the propagation."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    matched = (
+        per_doc.withColumn(
+            "s", F.round(_bm25_score_col(BM25_TERMS, n, avgdl, dfs), 6)
+        )
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
+        .select(F.floor(F.col("doc_id") / 4).alias("conv_id"), "s")
+    )
+    parents = F.broadcast(
+        matched.groupBy("conv_id")
+        .agg(F.max("s").alias("parent_score"))
+        .orderBy(F.desc("parent_score"), F.asc("conv_id"))
+        .limit(BM25_K)
+    )
+    turns = _docs(spark, sf_dir).select(
+        F.floor(F.col("doc_id") / 4).alias("conv_id"),
+        (F.col("doc_id") % 4).cast("int").alias("turn_idx"),
+    )
+    return (
+        turns.join(parents, "conv_id")
+        .select(
+            F.col("conv_id").cast("long").alias("conv_id"),
+            "turn_idx",
+            "parent_score",
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+O_HAS_PARENT_TURNS = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id),
+p AS (SELECT doc_id // 4 AS conv_id, max(s) AS parent_score
+      FROM sc GROUP BY 1
+      ORDER BY parent_score DESC, conv_id ASC LIMIT {BM25_K})
+SELECT (d.doc_id // 4)::bigint AS conv_id, (d.doc_id % 4)::int AS turn_idx,
+       p.parent_score
+FROM documents d JOIN p ON d.doc_id // 4 = p.conv_id
+ORDER BY conv_id, turn_idx
+"""
+
+
 def q_lucene_qs_topk(spark, sf_dir):
     """Classic query-string surface end-to-end (Searcher.search_lucene +
     search/queryparser.py): the string '+join +(merge vector) -scan'
@@ -9987,6 +10048,7 @@ REGISTRY: dict[str, tuple] = {
     "normalize_agg": (q_normalize_agg, O_NORMALIZE_AGG),
     "percolate_phrase": (q_percolate_phrase, O_PERCOLATE_PHRASE),
     "lucene_qs_topk": (q_lucene_qs_topk, O_BOOLEAN_TREE_TOPK),
+    "has_parent_turns": (q_has_parent_turns, O_HAS_PARENT_TURNS),
 }
 
 
@@ -10031,6 +10093,7 @@ _DRIVER_ORDER = [
     "truncate_context", "pack_loss_mask", "synonym_graph_topk", "index_block_join_topk",
     "terms_shard_approx", "common_terms_topk", "synonym_index_wordcount",
     "bucket_sort_page", "normalize_agg", "percolate_phrase", "lucene_qs_topk",
+    "has_parent_turns",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",

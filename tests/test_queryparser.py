@@ -149,3 +149,25 @@ def test_phrase_clause_and_boost(spark, idx):
     assert set(single) == set(doubled)
     for d, v in single.items():
         assert abs(doubled[d] - 2 * v) < 2.1e-6  # scores 6dp-rounded
+
+
+def test_parse_never_crashes_unexpectedly():
+    """Property: arbitrary input either parses or raises ValueError —
+    no hangs, no other exception types."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        import pytest as _pytest
+
+        _pytest.skip("hypothesis not installed")
+
+    @given(st.text(alphabet='ab ()"+-^~*?[]{}TO0123.', max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def run(q):
+        try:
+            parse(q)
+        except ValueError:
+            pass
+
+    run()
