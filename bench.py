@@ -222,6 +222,8 @@ EXTRA_QUERIES = [
     "percolate_phrase",
     "lucene_qs_topk",
     "has_parent_turns",
+    "rank_feature_topk",
+    "echo_rate",
 ]
 
 

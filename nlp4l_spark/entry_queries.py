@@ -9703,6 +9703,116 @@ ORDER BY doc_count DESC, key ASC LIMIT {TSA_SIZE}
 """
 
 
+RF_PIVOT, RF_BOOST = 500.0, 2.0
+
+
+def q_rank_feature_topk(spark, sf_dir):
+    """ES rank_feature query, saturation function: score = BM25 OR +
+    boost * x / (x + pivot) over the numeric feature column (n_chars
+    here — the static doc-quality signal pattern). Unlike
+    function_score's multiplicative decay, rank_feature ADDS a bounded
+    bonus, so unmatched-feature docs keep their text score. Folds into
+    the same single-scan projection as bm25_topk — no extra pass."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    feat = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("double").alias("_x")
+    )
+    sat = F.lit(RF_BOOST) * F.col("_x") / (F.col("_x") + F.lit(RF_PIVOT))
+    return (
+        per_doc.join(feat, "doc_id")
+        .withColumn("s", _bm25_score_col(BM25_TERMS, n, avgdl, dfs) + sat)
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_RANK_FEATURE_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT sc.doc_id,
+       round(s + {RF_BOOST!r} * d.n_chars::double
+                 / (d.n_chars::double + {RF_PIVOT!r}), 6) AS score
+FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+ORDER BY score DESC, sc.doc_id ASC LIMIT {BM25_K}
+"""
+
+
+def q_echo_rate(spark, sf_dir):
+    """Assistant echo detection (SFT QC): per conversation, the mean
+    fraction of each assistant turn's distinct tokens that already
+    appeared in the immediately preceding user turn — high values flag
+    parrot/template responses a training pipeline downweights. One lag
+    window + one conv agg on the same key (single shuffle); rates fold
+    per-turn rounded so the mean is cross-engine exact."""
+    ft = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = (
+        _chat_turns(spark, sf_dir)
+        .select(
+            "conv_id", "turn_idx", "role",
+            F.array_distinct(ft).alias("_tk"),
+        )
+        .withColumn("_prev", F.lag("_tk").over(w))
+        .withColumn("_prev_role", F.lag("role").over(w))
+    )
+    rate = F.round(
+        F.size(F.array_intersect(F.col("_tk"), F.col("_prev")))
+        / F.greatest(F.size("_tk"), F.lit(1)),
+        6,
+    )
+    a = t.filter(
+        (F.col("role") == "assistant")
+        & (F.col("_prev_role") == "user")
+        & F.col("_prev").isNotNull()
+    ).select("conv_id", rate.alias("_r"))
+    return (
+        a.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.round(F.col("_r") * 1e6)) / 1e6 / F.count("*"), 6
+            ).alias("echo_rate"),
+        )
+        .select(F.col("conv_id").cast("long").alias("conv_id"),
+                "n_pairs", "echo_rate")
+        .orderBy("conv_id")
+    )
+
+
+O_ECHO_RATE = f"""
+WITH {CHAT_CTE},
+t AS (SELECT conv_id, turn_idx, role,
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                 AS tk,
+             lag(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                 OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev,
+             lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                 AS prev_role
+      FROM chat),
+a AS (SELECT conv_id,
+             round(len(list_intersect(tk, prev))::double
+                   / greatest(len(tk), 1), 6) AS r
+      FROM t
+      WHERE role = 'assistant' AND prev_role = 'user' AND prev IS NOT NULL)
+SELECT conv_id::bigint AS conv_id, count(*)::bigint AS n_pairs,
+       round(sum(round(r * 1e6)) / 1e6 / count(*), 6) AS echo_rate
+FROM a GROUP BY conv_id ORDER BY conv_id
+"""
+
+
 def q_has_parent_turns(spark, sf_dir):
     """ES has_parent query over the transcripts derivation: return the
     TURNS of the top-{BM25_K} conversations whose parent score
@@ -10049,6 +10159,8 @@ REGISTRY: dict[str, tuple] = {
     "percolate_phrase": (q_percolate_phrase, O_PERCOLATE_PHRASE),
     "lucene_qs_topk": (q_lucene_qs_topk, O_BOOLEAN_TREE_TOPK),
     "has_parent_turns": (q_has_parent_turns, O_HAS_PARENT_TURNS),
+    "rank_feature_topk": (q_rank_feature_topk, O_RANK_FEATURE_TOPK),
+    "echo_rate": (q_echo_rate, O_ECHO_RATE),
 }
 
 
@@ -10093,7 +10205,7 @@ _DRIVER_ORDER = [
     "truncate_context", "pack_loss_mask", "synonym_graph_topk", "index_block_join_topk",
     "terms_shard_approx", "common_terms_topk", "synonym_index_wordcount",
     "bucket_sort_page", "normalize_agg", "percolate_phrase", "lucene_qs_topk",
-    "has_parent_turns",
+    "has_parent_turns", "rank_feature_topk", "echo_rate",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
