@@ -9703,6 +9703,147 @@ ORDER BY doc_count DESC, key ASC LIMIT {TSA_SIZE}
 """
 
 
+def q_topic_shifts(spark, sf_dir):
+    """TextTiling-style dialogue segmentation (Hearst 1997, the
+    lexical-cohesion boundary detector, simplified to the adjacent-gap
+    form): per conversation, cosine-of-token-sets similarity between
+    each adjacent turn pair (|A∩B| / sqrt(|A||B|), 6-dp rounded), and a
+    topic boundary wherever a gap's similarity falls strictly below the
+    conversation's mean gap similarity (micros-folded mean, so the
+    comparison is cross-engine exact). Output: per conversation, gap
+    count, boundary count, first boundary gap. One lag window + one
+    groupBy + one rejoin, all on conv_id — the window's partitioning is
+    reused throughout."""
+    ft = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = (
+        _chat_turns(spark, sf_dir)
+        .select("conv_id", "turn_idx", F.array_distinct(ft).alias("_tk"))
+        .withColumn("_prev", F.lag("_tk").over(w))
+        .filter(F.col("_prev").isNotNull())
+    )
+    sim = F.round(
+        F.size(F.array_intersect(F.col("_tk"), F.col("_prev")))
+        / F.sqrt(
+            F.greatest(F.size("_tk") * F.size("_prev"), F.lit(1)).cast(
+                "double"
+            )
+        ),
+        6,
+    )
+    gaps = t.select(
+        "conv_id", F.col("turn_idx").alias("gap"), sim.alias("_s"),
+        F.round(sim * 1e6).cast("long").alias("_sm"),
+    )
+    stats = gaps.groupBy("conv_id").agg(
+        F.count("*").alias("_n"),
+        F.round(F.sum("_sm") / 1e6 / F.count("*"), 6).alias("_mean"),
+    )
+    flagged = gaps.join(stats, "conv_id").withColumn(
+        "_b", (F.col("_s") < F.col("_mean")).cast("long")
+    )
+    return (
+        flagged.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.sum("_b").cast("long").alias("n_boundaries"),
+            F.min(F.when(F.col("_b") == 1, F.col("gap")))
+            .cast("int")
+            .alias("first_boundary"),
+        )
+        .select(
+            F.col("conv_id").cast("long").alias("conv_id"),
+            "n_gaps", "n_boundaries", "first_boundary",
+        )
+        .orderBy("conv_id")
+    )
+
+
+O_TOPIC_SHIFTS = f"""
+WITH {CHAT_CTE},
+t AS (SELECT conv_id, turn_idx,
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                 AS tk,
+             lag(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                 OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+      FROM chat),
+g AS (SELECT conv_id, turn_idx AS gap,
+             round(len(list_intersect(tk, prev))::double
+                   / sqrt(greatest(len(tk) * len(prev), 1)::double), 6) AS s
+      FROM t WHERE prev IS NOT NULL),
+m AS (SELECT conv_id, count(*) AS n,
+             round(sum(round(s * 1e6)) / 1e6 / count(*), 6) AS mean_s
+      FROM g GROUP BY 1)
+SELECT g.conv_id::bigint AS conv_id, count(*)::bigint AS n_gaps,
+       sum(CASE WHEN g.s < m.mean_s THEN 1 ELSE 0 END)::bigint
+           AS n_boundaries,
+       min(CASE WHEN g.s < m.mean_s THEN g.gap END)::int AS first_boundary
+FROM g JOIN m USING (conv_id)
+GROUP BY 1 ORDER BY conv_id
+"""
+
+
+def q_heaps_growth(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve (the corpus-profile companion
+    to zipf_fit): distinct-vocabulary size V(N) after the first N docs
+    in docID order at geometric (power-of-two) checkpoints. Each term
+    contributes at its FIRST document only (one groupBy(term) min —
+    cumulative distinct without re-counting per checkpoint, the
+    cumulative_cardinality trick on the term axis); the checkpoint
+    cumulative is a tiny window. NB the synthetic fixture's ~30-word
+    vocabulary saturates within the first couple of docs (2-4 checkpoint
+    rows); the op's value shows on a real corpus where V(N) keeps
+    growing — the plan shape is what's asserted here."""
+    n_docs = _docs(spark, sf_dir).count()
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    first = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.array_distinct(toks)).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("d0"))
+    )
+    # GEOMETRIC checkpoints (1, 2, 4, ... docs): Heaps' V ~ k*N^beta is
+    # a log-log line, so doubling checkpoints spread the curve; linear
+    # deciles collapse onto one point on a fast-saturating vocabulary.
+    # floor(log2) is engine-exact: log2 of a power of two is exact in
+    # IEEE doubles, every other value sits strictly between integers.
+    p = F.when(F.col("d0") == 0, F.lit(0)).otherwise(
+        F.floor(F.log2(F.col("d0").cast("double"))) + 1
+    )
+    bucket = F.pow(F.lit(2.0), p).cast("long")
+    per = first.groupBy(
+        F.least(bucket, F.lit(n_docs)).cast("long").alias("n_docs")
+    ).agg(F.count("*").alias("new_terms"))
+    w = Window.orderBy("n_docs").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.withColumn("vocab", F.sum("new_terms").over(w).cast("long"))
+        .select("n_docs", F.col("new_terms").cast("long").alias("new_terms"), "vocab")
+        .orderBy("n_docs")
+    )
+
+
+def _o_heaps_growth() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(list_distinct({TOK_SQL})) AS term
+              FROM documents),
+f AS (SELECT term, min(doc_id) AS d0 FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS nd FROM documents),
+per AS (SELECT least(
+                 (CASE WHEN d0 = 0 THEN 1
+                       ELSE pow(2, floor(log2(d0::double)) + 1) END)::bigint,
+                 nd)::bigint AS n_docs,
+               count(*)::bigint AS new_terms
+        FROM f CROSS JOIN n GROUP BY 1)
+SELECT n_docs, new_terms,
+       sum(new_terms) OVER (ORDER BY n_docs
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint AS vocab
+FROM per ORDER BY n_docs
+"""
+
+
+O_HEAPS_GROWTH = _o_heaps_growth()
+
+
 RF_PIVOT, RF_BOOST = 500.0, 2.0
 
 
@@ -10161,6 +10302,8 @@ REGISTRY: dict[str, tuple] = {
     "has_parent_turns": (q_has_parent_turns, O_HAS_PARENT_TURNS),
     "rank_feature_topk": (q_rank_feature_topk, O_RANK_FEATURE_TOPK),
     "echo_rate": (q_echo_rate, O_ECHO_RATE),
+    "topic_shifts": (q_topic_shifts, O_TOPIC_SHIFTS),
+    "heaps_growth": (q_heaps_growth, O_HEAPS_GROWTH),
 }
 
 
@@ -10205,7 +10348,7 @@ _DRIVER_ORDER = [
     "truncate_context", "pack_loss_mask", "synonym_graph_topk", "index_block_join_topk",
     "terms_shard_approx", "common_terms_topk", "synonym_index_wordcount",
     "bucket_sort_page", "normalize_agg", "percolate_phrase", "lucene_qs_topk",
-    "has_parent_turns", "rank_feature_topk", "echo_rate",
+    "has_parent_turns", "rank_feature_topk", "echo_rate", "topic_shifts", "heaps_growth",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
