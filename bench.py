@@ -224,6 +224,8 @@ EXTRA_QUERIES = [
     "has_parent_turns",
     "rank_feature_topk",
     "echo_rate",
+    "topic_shifts",
+    "heaps_growth",
 ]
 
 
