@@ -226,6 +226,7 @@ EXTRA_QUERIES = [
     "echo_rate",
     "topic_shifts",
     "heaps_growth",
+    "cross_fields_topk",
 ]
 
 

@@ -9703,6 +9703,117 @@ ORDER BY doc_count DESC, key ASC LIMIT {TSA_SIZE}
 """
 
 
+XF_BOOSTS = {"title": 2.0, "body": 1.0}  # bm25f's field derivation
+
+
+def q_cross_fields_topk(spark, sf_dir):
+    """ES multi_match type=cross_fields over the bm25f title/body
+    derivation — the 'one big field' semantics, deliberately DISTINCT
+    from bm25f (per-field scores summed) and dismax (best field wins):
+    per term, tf* = Σ_f boost_f·tf_f and dl* = Σ_f boost_f·dl_f, i.e.
+    boosts act as field repetition weights in one virtual field; df is
+    blended as docs-where-ANY-field-matches (the SynonymQuery-style
+    blend cross_fields uses). One scan computes both fields' counts;
+    same two-pass shape as bm25_topk."""
+    title = F.array_join(
+        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 6), " "
+    )
+    at_t = STANDARD_ANALYZER.tokens_expr("title")
+    at_b = STANDARD_ANALYZER.tokens_expr("body")
+    bt, bb = XF_BOOSTS["title"], XF_BOOSTS["body"]
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id", title.alias("title"), F.col("text").alias("body"))
+        .select(
+            "doc_id",
+            *(
+                (
+                    F.size(F.filter(at_t, (lambda tt: lambda x: x == tt)(t)))
+                    * F.lit(bt)
+                    + F.size(F.filter(at_b, (lambda tt: lambda x: x == tt)(t)))
+                    * F.lit(bb)
+                ).alias(f"_tf_{i}")
+                for i, t in enumerate(BM25_TERMS)
+            ),
+            (F.size(at_t) * F.lit(bt) + F.size(at_b) * F.lit(bb)).alias("dl"),
+        )
+    )
+    st = base.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *(
+            F.count_if(F.col(f"_tf_{i}") > 0).alias(f"_df_{i}")
+            for i in range(len(BM25_TERMS))
+        ),
+    ).collect()[0]
+    n, avgdl = st["n"], st["sum_dl"] / st["n"]
+    score = None
+    for i, t in enumerate(BM25_TERMS):
+        idf_w = math.log(
+            1.0 + (n - st[f"_df_{i}"] + 0.5) / (st[f"_df_{i}"] + 0.5)
+        )
+        tf = F.col(f"_tf_{i}")
+        s_t = F.when(
+            tf > 0,
+            F.lit(idf_w) * tf * F.lit(2.2)
+            / (tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))),
+        ).otherwise(F.lit(0.0))
+        score = s_t if score is None else score + s_t
+    any_match = None
+    for i in range(len(BM25_TERMS)):
+        c = F.col(f"_tf_{i}") > 0
+        any_match = c if any_match is None else (any_match | c)
+    return (
+        base.filter(any_match)
+        .withColumn("s", score)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+def _o_cross_fields() -> str:
+    bt, bb = XF_BOOSTS["title"], XF_BOOSTS["body"]
+    tf_cols = ", ".join(
+        f"len(list_filter({{T}}, x -> x = '{t}')) * {bt!r}"
+        f" + len(list_filter({{B}}, x -> x = '{t}')) * {bb!r} AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    ).format(T="at_t", B="at_b")
+    df_cols = ", ".join(
+        f"count(*) FILTER (tf_{i} > 0)::double AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN"
+        f" ln(1 + (n - df_{i} + 0.5) / (df_{i} + 0.5)) * tf_{i} * 2.2"
+        f" / (tf_{i} + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END)"
+        for i in range(len(BM25_TERMS))
+    )
+    any_m = " OR ".join(f"tf_{i} > 0" for i in range(len(BM25_TERMS)))
+    tok_t = STANDARD_ANALYZER.duckdb_tokens_sql("title")
+    tok_b = STANDARD_ANALYZER.duckdb_tokens_sql("body")
+    return f"""
+WITH d AS (SELECT doc_id,
+             array_to_string(list_slice(
+                 regexp_split_to_array(trim(text), '\\s+'), 1, 6), ' ')
+                 AS title,
+             text AS body
+           FROM documents),
+tk AS (SELECT doc_id, {tok_t} AS at_t, {tok_b} AS at_b FROM d),
+base AS (SELECT doc_id, {tf_cols},
+                len(at_t) * {bt!r} + len(at_b) * {bb!r} AS dl
+         FROM tk),
+st AS (SELECT count(*)::double AS n, sum(dl) / count(*) AS avgdl, {df_cols}
+       FROM base)
+SELECT doc_id, round({score}, 6) AS score
+FROM base, st WHERE {any_m}
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+O_CROSS_FIELDS_TOPK = _o_cross_fields()
+
+
 def q_topic_shifts(spark, sf_dir):
     """TextTiling-style dialogue segmentation (Hearst 1997, the
     lexical-cohesion boundary detector, simplified to the adjacent-gap
@@ -10304,6 +10415,7 @@ REGISTRY: dict[str, tuple] = {
     "echo_rate": (q_echo_rate, O_ECHO_RATE),
     "topic_shifts": (q_topic_shifts, O_TOPIC_SHIFTS),
     "heaps_growth": (q_heaps_growth, O_HEAPS_GROWTH),
+    "cross_fields_topk": (q_cross_fields_topk, O_CROSS_FIELDS_TOPK),
 }
 
 
@@ -10349,6 +10461,7 @@ _DRIVER_ORDER = [
     "terms_shard_approx", "common_terms_topk", "synonym_index_wordcount",
     "bucket_sort_page", "normalize_agg", "percolate_phrase", "lucene_qs_topk",
     "has_parent_turns", "rank_feature_topk", "echo_rate", "topic_shifts", "heaps_growth",
+    "cross_fields_topk",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
