@@ -10174,6 +10174,187 @@ def q_index_block_join_topk(spark, sf_dir):
     )
 
 
+def q_has_child_topk(spark, sf_dir):
+    """ES has_child query with the two knobs block_join_topk does NOT
+    exercise: score_mode=avg and min_children=2 (ref ES
+    HasChildQueryBuilder; Lucene join/ToParentBlockJoinQuery
+    ScoreMode.Avg). Parents = conversations (doc_id // 4); a parent
+    qualifies only if >= 2 children match the BM25 OR query, and its
+    score is the AVERAGE of matching-child scores. Child scores are
+    6dp-rounded then summed as exact micros (the rounded-selection-key
+    convention) so the avg is order-independent across engines. Plan:
+    one corpus scoring scan -> one conv-keyed groupBy of the matching
+    subset -> TakeOrdered k."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    matched = (
+        per_doc.withColumn(
+            "s", F.round(_bm25_score_col(BM25_TERMS, n, avgdl, dfs), 6)
+        )
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
+        .select(F.floor(F.col("doc_id") / 4).alias("conv_id"), "s")
+    )
+    return (
+        matched.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_children"),
+            F.round(
+                F.sum(F.round(F.col("s") * 1e6)) / 1e6 / F.count("*"), 6
+            ).alias("avg_score"),
+        )
+        .filter(F.col("n_children") >= 2)
+        .orderBy(F.desc("avg_score"), F.asc("conv_id"))
+        .limit(BM25_K)
+        .select(F.col("conv_id").cast("long").alias("conv_id"),
+                "n_children", "avg_score")
+    )
+
+
+O_HAS_CHILD_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT (doc_id // 4)::bigint AS conv_id, count(*)::bigint AS n_children,
+       round(sum(round(s * 1e6)) / 1e6 / count(*), 6) AS avg_score
+FROM sc GROUP BY 1 HAVING count(*) >= 2
+ORDER BY avg_score DESC, conv_id ASC LIMIT {BM25_K}
+"""
+
+
+TERMS_SET_TERMS = ["join", "merge", "vector", "scan"]
+
+
+def q_terms_set_topk(spark, sf_dir):
+    """ES terms_set query (ref TermsSetQueryBuilder): the number of
+    query terms a doc must match is PER-DOC — ES reads it from a field
+    (minimum_should_match_field). We derive the required count
+    deterministically from the doc itself: required = 2 + (doc_id % 2),
+    i.e. even docs need any 2 of {TERMS_SET_TERMS}, odd docs need 3.
+    Distinct from bm25_msm_topk, whose threshold is one global
+    constant. Qualifying docs score BM25 over their PRESENT query
+    terms; top-k by (score desc, doc_id asc). One scoring scan, no
+    join."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, TERMS_SET_TERMS)
+    n_matched = sum(
+        F.when(F.col("m")[t].isNotNull(), 1).otherwise(0)
+        for t in TERMS_SET_TERMS
+    )
+    required = (F.lit(2) + (F.col("doc_id") % 2)).cast("int")
+    return (
+        per_doc.withColumn("n_matched", n_matched)
+        .filter(F.col("n_matched") >= required)
+        .withColumn(
+            "score",
+            F.round(_bm25_score_col(TERMS_SET_TERMS, n, avgdl, dfs), 6),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.col("n_matched").cast("int").alias("n_matched"),
+                "score")
+    )
+
+
+O_TERMS_SET_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({TERMS_SET_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id, count(*)::int AS n_matched,
+              round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+                  AS score
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT doc_id, n_matched, score FROM sc
+WHERE n_matched >= 2 + (doc_id % 2)
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+def q_field_value_factor_topk(spark, sf_dir):
+    """ES function_score field_value_factor (ref
+    FieldValueFactorFunction, modifier=log1p): final = bm25 *
+    ln(1 + factor * n_chars), factor = 0.01 — the static
+    document-quality boost pattern (popularity, length priors).
+    Distinct from function_score_topk (recency decay) and
+    rank_feature_topk (saturation): this one multiplies. BM25 is
+    6dp-rounded BEFORE the multiply on both engines. Still one scoring
+    scan; n_chars rides the same row."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    chars = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    factor = F.log(F.lit(1.0) + F.lit(0.01) * F.col("n_chars").cast("double"))
+    return (
+        per_doc.join(chars, "doc_id")
+        .withColumn(
+            "s", F.round(_bm25_score_col(BM25_TERMS, n, avgdl, dfs), 6)
+        )
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
+        .withColumn("score", F.round(F.col("s") * factor, 6))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", "score")
+    )
+
+
+O_FIELD_VALUE_FACTOR_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT sc.doc_id,
+       round(s * ln(1 + 0.01 * d.n_chars::double), 6) AS score
+FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+ORDER BY score DESC, sc.doc_id ASC LIMIT {BM25_K}
+"""
+
+
+def q_pivot_facets(spark, sf_dir):
+    """Solr pivot faceting, facet.pivot=lang,source (ref Solr
+    PivotFacetProcessor): hierarchical counts — every lang bucket plus
+    every nested (lang, source) sub-bucket, the drill-down tree a Solr
+    UI renders. Expressed as Spark's native ROLLUP (one shuffle,
+    partial-agg map-side; Catalyst expands the grouping sets), grand
+    total dropped; level-1 rows carry source = NULL exactly as Solr's
+    pivot response nests. Mirrored GROUP BY ROLLUP in DuckDB."""
+    return (
+        _docs(spark, sf_dir)
+        .rollup("lang", "source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("lang").isNotNull())
+        .orderBy(F.asc("lang"), F.asc_nulls_first("source"))
+    )
+
+
+O_PIVOT_FACETS = """
+SELECT lang, source, count(*)::bigint AS n_docs
+FROM documents GROUP BY ROLLUP (lang, source)
+HAVING lang IS NOT NULL
+ORDER BY lang ASC, source ASC NULLS FIRST
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -10416,6 +10597,10 @@ REGISTRY: dict[str, tuple] = {
     "topic_shifts": (q_topic_shifts, O_TOPIC_SHIFTS),
     "heaps_growth": (q_heaps_growth, O_HEAPS_GROWTH),
     "cross_fields_topk": (q_cross_fields_topk, O_CROSS_FIELDS_TOPK),
+    "has_child_topk": (q_has_child_topk, O_HAS_CHILD_TOPK),
+    "terms_set_topk": (q_terms_set_topk, O_TERMS_SET_TOPK),
+    "field_value_factor_topk": (q_field_value_factor_topk, O_FIELD_VALUE_FACTOR_TOPK),
+    "pivot_facets": (q_pivot_facets, O_PIVOT_FACETS),
 }
 
 
@@ -10461,7 +10646,8 @@ _DRIVER_ORDER = [
     "terms_shard_approx", "common_terms_topk", "synonym_index_wordcount",
     "bucket_sort_page", "normalize_agg", "percolate_phrase", "lucene_qs_topk",
     "has_parent_turns", "rank_feature_topk", "echo_rate", "topic_shifts", "heaps_growth",
-    "cross_fields_topk",
+    "cross_fields_topk", "has_child_topk", "terms_set_topk",
+    "field_value_factor_topk", "pivot_facets",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
