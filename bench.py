@@ -227,6 +227,11 @@ EXTRA_QUERIES = [
     "topic_shifts",
     "heaps_growth",
     "cross_fields_topk",
+    # round-3 session-9 additions
+    "has_child_topk",
+    "terms_set_topk",
+    "field_value_factor_topk",
+    "pivot_facets",
 ]
 
 
