@@ -232,6 +232,9 @@ EXTRA_QUERIES = [
     "terms_set_topk",
     "field_value_factor_topk",
     "pivot_facets",
+    "hll_user_days",
+    "cms_term_counts",
+    "kmv_event_overlap",
 ]
 
 

@@ -28,7 +28,15 @@ from nlp4l_spark.analysis import (
     WHITESPACE_ANALYZER,
     Analyzer,
 )
-from nlp4l_spark.ops import bpe, dedup, multimodal, processors, similarity, textqc
+from nlp4l_spark.ops import (
+    bpe,
+    dedup,
+    multimodal,
+    processors,
+    similarity,
+    sketches,
+    textqc,
+)
 from nlp4l_spark.stats import Corpus, concordance, keyness, moments, tfidf, wordcounts
 
 TOK_SQL = STANDARD_ANALYZER.duckdb_tokens_sql("text")
@@ -10355,6 +10363,143 @@ ORDER BY lang ASC, source ASC NULLS FIRST
 """
 
 
+def _user_day_key():
+    """user_id:day epoch-bucket key — the classic distinct-actives HLL
+    input. Day via the retention_cohorts floor(epoch/86400) convention."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    return F.concat_ws(
+        ":",
+        F.col("user_id").cast("string"),
+        F.floor(sec / 86400).cast("long").cast("string"),
+    )
+
+
+UD_SQL = (
+    "user_id::varchar || ':' || "
+    "(floor(floor(epoch(ts))::bigint / 86400))::bigint::varchar"
+)
+
+
+def q_hll_user_days(spark, sf_dir):
+    """Distinct user-days ("daily actives") per event_type via a
+    256-register HyperLogLog — the mergeable fixed-size sketch that
+    replaces the exact-distinct shuffle at 100 TB (ES `cardinality` agg;
+    the exact twin is cardinality_by_source). The oracle recomputes the
+    SAME registers and estimator in DuckDB, so the approximation itself
+    is externally verified, not just some exact answer. sf0.001 lands in
+    the linear-counting branch, sf0.01 in the raw-harmonic branch — both
+    correction paths get driver coverage. Plan: one groupBy whose key
+    space is types x 256, map-side combinable; see ops/sketches.py."""
+    ev = _events(spark, sf_dir).select("event_type", _user_day_key().alias("ud"))
+    return sketches.hll_estimate(ev, F.col("ud"), ["event_type"], p=8).orderBy(
+        "event_type"
+    )
+
+
+O_HLL_USER_DAYS = (
+    sketches.hll_sql(
+        "ud",
+        f"(SELECT event_type, {UD_SQL} AS ud FROM events) s",
+        ["event_type"],
+        p=8,
+    )
+    + " ORDER BY event_type"
+)
+
+
+def q_cms_term_counts(spark, sf_dir):
+    """Corpus collection-frequency point estimates for the
+    {TFIDF_FEATURES} terms from a 4x1024 Count-Min sketch. The counter
+    table is <= 4096 rows no matter the corpus size — the heavy-hitter
+    frequency surface a 100-TB stream keeps instead of a full wordcount
+    (exact twin: wordcount_cf). CMS guarantees est >= truth
+    (tests/test_sketches.py asserts it); the oracle rebuilds identical
+    counters in DuckDB. Plan: one tokenize scan -> one bounded groupBy
+    -> broadcast probe join."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    tdf = _docs(spark, sf_dir).select(F.explode(toks).alias("term"))
+    counters = sketches.cms_build(tdf, F.col("term"), depth=4, width=1024)
+    return (
+        sketches.cms_query(counters, TFIDF_FEATURES, depth=4, width=1024)
+        .select(F.col("key").alias("term"), "est")
+        .orderBy("term")
+    )
+
+
+O_CMS_TERM_COUNTS = f"""
+WITH {TOKS_CTE},
+rows_ AS (SELECT unnest(generate_series(0, 3)) AS row),
+cells AS (SELECT row,
+                 ('0x' || substr(md5(row::varchar || ':' || term), 1, 8))::bigint
+                     % 1024 AS col,
+                 count(*)::bigint AS cnt
+          FROM toks CROSS JOIN rows_ GROUP BY 1, 2),
+probe AS (SELECT term, row,
+                 ('0x' || substr(md5(row::varchar || ':' || term), 1, 8))::bigint
+                     % 1024 AS col
+          FROM (SELECT unnest({TFIDF_FEATURES!r}) AS term) CROSS JOIN rows_)
+SELECT term, min(coalesce(cnt, 0))::bigint AS est
+FROM probe LEFT JOIN cells USING (row, col)
+GROUP BY term ORDER BY term
+"""
+
+
+def q_kmv_event_overlap(spark, sf_dir):
+    """Pairwise audience overlap between event types — KMV/theta
+    sketches (k=64 minimum hashes) over the user-day sets, giving
+    estimated cardinalities, intersection, and Jaccard for every type
+    pair WITHOUT ever joining the raw sets (the scale path behind
+    jaccard_topk / source_similarity). theta = min of the two kth
+    minima; groups holding < k hashes degrade to exact. Everything
+    after the bounded sketch is joins over <= types*64 rows. The oracle
+    reruns the identical estimator in DuckDB."""
+    ev = _events(spark, sf_dir).select("event_type", _user_day_key().alias("ud"))
+    sk = sketches.kmv_sketch(ev, F.col("ud"), "event_type", k=64)
+    return (
+        sketches.kmv_pair_overlap(sk, k=64)
+        .select(
+            F.col("ga").alias("type_a"),
+            F.col("gb").alias("type_b"),
+            "est_card_a",
+            "est_card_b",
+            "est_inter",
+            "jaccard_est",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+O_KMV_EVENT_OVERLAP = f"""
+WITH ud AS (SELECT DISTINCT event_type AS g,
+                   ('0x' || substr(md5({UD_SQL}), 1, 8))::bigint AS h
+            FROM events),
+sk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+       FROM ud QUALIFY rn <= 64),
+st AS (SELECT g, CASE WHEN count(*) < 64 THEN 4294967296
+                      ELSE max(h) END AS theta FROM sk GROUP BY g),
+pairs AS (SELECT a.g AS ga, b.g AS gb, least(a.theta, b.theta) AS theta
+          FROM st a, st b WHERE a.g < b.g),
+sa AS (SELECT ga, gb, theta, h FROM pairs
+       JOIN sk ON sk.g = pairs.ga AND sk.h < pairs.theta),
+sb AS (SELECT ga, gb, h FROM pairs
+       JOIN sk ON sk.g = pairs.gb AND sk.h < pairs.theta),
+na AS (SELECT ga, gb, count(*)::bigint AS na FROM sa GROUP BY 1, 2),
+nb AS (SELECT ga, gb, count(*)::bigint AS nb FROM sb GROUP BY 1, 2),
+ni AS (SELECT sa.ga, sa.gb, count(*)::bigint AS ni FROM sa
+       JOIN sb ON sa.ga = sb.ga AND sa.gb = sb.gb AND sa.h = sb.h
+       GROUP BY 1, 2)
+SELECT pairs.ga AS type_a, pairs.gb AS type_b,
+       round(na * (4294967296.0 / theta::double), 4) AS est_card_a,
+       round(nb * (4294967296.0 / theta::double), 4) AS est_card_b,
+       round(coalesce(ni, 0) * (4294967296.0 / theta::double), 4) AS est_inter,
+       round(coalesce(ni, 0)::double
+             / greatest(na + nb - coalesce(ni, 0), 1), 6) AS jaccard_est
+FROM pairs JOIN na USING (ga, gb) JOIN nb USING (ga, gb)
+LEFT JOIN ni USING (ga, gb)
+ORDER BY type_a, type_b
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -10601,6 +10746,9 @@ REGISTRY: dict[str, tuple] = {
     "terms_set_topk": (q_terms_set_topk, O_TERMS_SET_TOPK),
     "field_value_factor_topk": (q_field_value_factor_topk, O_FIELD_VALUE_FACTOR_TOPK),
     "pivot_facets": (q_pivot_facets, O_PIVOT_FACETS),
+    "hll_user_days": (q_hll_user_days, O_HLL_USER_DAYS),
+    "cms_term_counts": (q_cms_term_counts, O_CMS_TERM_COUNTS),
+    "kmv_event_overlap": (q_kmv_event_overlap, O_KMV_EVENT_OVERLAP),
 }
 
 
@@ -10648,6 +10796,7 @@ _DRIVER_ORDER = [
     "has_parent_turns", "rank_feature_topk", "echo_rate", "topic_shifts", "heaps_growth",
     "cross_fields_topk", "has_child_topk", "terms_set_topk",
     "field_value_factor_topk", "pivot_facets",
+    "hll_user_days", "cms_term_counts", "kmv_event_overlap",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",

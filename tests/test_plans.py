@@ -73,6 +73,9 @@ JVM_ONLY = [
     # (ngram_novelty deliberately Arrow, like dedup_simhash: its gram
     # extraction moved off interpreted nested HOFs for ~35x at sf0.1 —
     # oracle-identical; the shuffles/joins stay JVM)
+    # sketches: md5 register/counter math is all built-in expressions
+    "hll_user_days",
+    "cms_term_counts",
 ]
 
 
@@ -729,4 +732,35 @@ def test_ja_dict_wordcount_plan_is_python_free(spark):
     """The dictionary-segmentation SQL engine is regex + HOFs — the
     corpus scan must carry no Python eval nodes."""
     plan = _plan(eq.REGISTRY["ja_dict_wordcount"][0](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_plan_two_bounded_shuffles_map_side_combined(spark):
+    """HLL: register groupBy + estimate groupBy — exactly two hash
+    shuffles, both over key spaces bounded by groups x 2^p, with the
+    register max combined map-side (partial_max before the exchange)."""
+    plan = _plan(eq.REGISTRY["hll_user_days"][0](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial_max" in plan, plan
+
+
+def test_cms_probe_join_is_broadcast(spark):
+    """CMS: the bounded counter table must broadcast to the probe —
+    no shuffle join for a <=4096-row sketch."""
+    plan = _plan(eq.REGISTRY["cms_term_counts"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_kmv_sketch_distributed_part_is_python_free(spark):
+    """KMV: the one distributed pass (distinct + per-group rank) is
+    pure JVM; the pair merge runs on the bounded collected sketch."""
+    import os
+    from nlp4l_spark.ops import sketches
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    sk = sketches.kmv_sketch(
+        ev.select("event_type", _F.col("user_id").cast("string").alias("k")),
+        _F.col("k"), "event_type", k=64,
+    )
+    plan = _plan(sk)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,140 @@
+"""Sketch-family properties the DuckDB oracle can't express: merge
+losslessness, the CMS over-estimate guarantee, and accuracy vs exact."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nlp4l_spark.ops import sketches
+
+SF = "/root/testdata/sf0.001"
+
+
+def _user_days(spark):
+    ev = spark.read.parquet(os.path.join(SF, "events.parquet"))
+    sec = F.col("ts").cast("timestamp").cast("long")
+    return ev.select(
+        "event_type",
+        F.concat_ws(
+            ":",
+            F.col("user_id").cast("string"),
+            F.floor(sec / 86400).cast("long").cast("string"),
+        ).alias("ud"),
+    )
+
+
+def test_hll_merge_is_lossless(spark):
+    """Per-partition register tables union into the global sketch with
+    bit-identical estimates — the mergeability claim behind running HLL
+    map-side at 100 TB."""
+    ud = _user_days(spark)
+    half_a = ud.filter(F.crc32(F.col("ud")) % 2 == 0)
+    half_b = ud.filter(F.crc32(F.col("ud")) % 2 == 1)
+    merged = sketches.hll_merge(
+        sketches.hll_registers(half_a, F.col("ud"), ["event_type"]),
+        sketches.hll_registers(half_b, F.col("ud"), ["event_type"]),
+    )
+    one_pass = sketches.hll_estimate(ud, F.col("ud"), ["event_type"])
+    via_merge = sketches.hll_estimate_registers(merged, ["event_type"])
+    a = {r["event_type"]: r["hll_est"] for r in one_pass.collect()}
+    b = {r["event_type"]: r["hll_est"] for r in via_merge.collect()}
+    assert a == b and len(a) == 5
+
+
+def test_hll_accuracy_vs_exact(spark):
+    """m=256 HLL has ~6.5% relative standard error; assert < 15% on the
+    real fixture (deterministic, so this can never flake)."""
+    ud = _user_days(spark)
+    est = {
+        r["event_type"]: r["hll_est"]
+        for r in sketches.hll_estimate(ud, F.col("ud"), ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ud.groupBy("event_type")
+        .agg(F.countDistinct("ud").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(est[t] - n) / n < 0.15, (t, est[t], n)
+
+
+def test_hll_duplicate_insensitive(spark):
+    """Feeding each key twice must not move a cardinality sketch."""
+    ud = _user_days(spark)
+    doubled = ud.unionByName(ud)
+    a = sketches.hll_estimate(ud, F.col("ud"), ["event_type"]).collect()
+    b = sketches.hll_estimate(doubled, F.col("ud"), ["event_type"]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_cms_never_underestimates(spark):
+    """CMS point estimates are >= truth by construction; with 1024
+    columns on this corpus the overshoot should also stay tiny."""
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    from nlp4l_spark.analysis import STANDARD_ANALYZER
+
+    toks = docs.select(
+        F.explode(STANDARD_ANALYZER.tokens_expr("text")).alias("term")
+    )
+    counters = sketches.cms_build(toks, F.col("term"))
+    truth = {
+        r["term"]: r["cf"]
+        for r in toks.groupBy("term").agg(F.count("*").alias("cf")).collect()
+    }
+    probe_keys = list(truth)[:10] + ["never-seen-term"]
+    est = {
+        r["key"]: r["est"]
+        for r in sketches.cms_query(counters, probe_keys).collect()
+    }
+    assert est["never-seen-term"] >= 0
+    for k in probe_keys[:-1]:
+        assert est[k] >= truth[k], (k, est[k], truth[k])
+        assert est[k] <= truth[k] * 2, (k, est[k], truth[k])
+
+
+def test_cms_cells_match_engine_hash(spark):
+    """Driver-side hashlib md5 cells must agree with the JVM md5 used
+    to build the counters — probe a key that exists and confirm the
+    exact counter values are found (non-zero) for every row."""
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    from nlp4l_spark.analysis import STANDARD_ANALYZER
+
+    toks = docs.select(
+        F.explode(STANDARD_ANALYZER.tokens_expr("text")).alias("term")
+    )
+    counters = sketches.cms_build(toks, F.col("term"))
+    some_term = toks.limit(1).collect()[0]["term"]
+    cond = None
+    for r, c in sketches.cms_cells(some_term):
+        leg = (F.col("row") == r) & (F.col("col") == c)
+        cond = leg if cond is None else (cond | leg)
+    assert counters.filter(cond).count() == 4
+
+
+def test_kmv_jaccard_accuracy(spark):
+    """k=64 theta-sketch Jaccard vs the exact set Jaccard on the
+    user-day sets: deterministic fixture, assert absolute error < 0.2
+    on every pair (RSE ~ 1/sqrt(k) = 12.5%)."""
+    ud = _user_days(spark)
+    sk = sketches.kmv_sketch(ud, F.col("ud"), "event_type", k=64)
+    est = {
+        (r["ga"], r["gb"]): r["jaccard_est"]
+        for r in sketches.kmv_pair_overlap(sk, k=64).collect()
+    }
+    sets = {
+        r["event_type"]: set(r["uds"])
+        for r in ud.groupBy("event_type")
+        .agg(F.collect_set("ud").alias("uds"))
+        .collect()
+    }
+    types = sorted(sets)
+    assert len(est) == len(types) * (len(types) - 1) // 2
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            exact = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            assert abs(est[(a, b)] - exact) < 0.2, (a, b, est[(a, b)], exact)
