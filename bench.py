@@ -235,6 +235,12 @@ EXTRA_QUERIES = [
     "hll_user_days",
     "cms_term_counts",
     "kmv_event_overlap",
+    "drill_sideways",
+    "adjacency_matrix",
+    "auto_date_histogram",
+    "dataset_split",
+    "simple_qs_topk",
+    "diversified_sampler",
 ]
 
 

@@ -10500,6 +10500,339 @@ ORDER BY type_a, type_b
 """
 
 
+DS_LANG = "en"
+DS_SOURCE = "src3"
+
+
+def q_drill_sideways(spark, sf_dir):
+    """Lucene DrillSideways (facet/DrillSideways.java): with drill-down
+    selections lang={DS_LANG} AND source={DS_SOURCE} on a base match-any
+    query, each dimension's facet counts are computed with the OTHER
+    dimension's filter applied but its own relaxed — the "what would I
+    get if I un-picked this" counts a faceted UI needs. Rows: dim='lang'
+    facets (source filter on), dim='source' facets (lang filter on),
+    dim='hits' (both on). ONE corpus scan: each doc conditionally emits
+    its applicable (dim, value) contributions into an exploded array —
+    no per-dimension re-scan — then one (dim, value) groupBy."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    base = _docs(spark, sf_dir).select(
+        "lang", "source", toks.alias("at")
+    ).filter(
+        F.arrays_overlap(
+            "at", F.array(*[F.lit(t) for t in BM25_TERMS])
+        )
+    )
+    contrib = F.filter(
+        F.array(
+            F.when(
+                F.col("source") == DS_SOURCE,
+                F.struct(F.lit("lang").alias("dim"), F.col("lang").alias("value")),
+            ),
+            F.when(
+                F.col("lang") == DS_LANG,
+                F.struct(F.lit("source").alias("dim"), F.col("source").alias("value")),
+            ),
+            F.when(
+                (F.col("lang") == DS_LANG) & (F.col("source") == DS_SOURCE),
+                F.struct(F.lit("hits").alias("dim"), F.lit("*").alias("value")),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        base.select(F.explode(contrib).alias("c"))
+        .groupBy(F.col("c.dim").alias("dim"), F.col("c.value").alias("value"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("dim", "value")
+    )
+
+
+O_DRILL_SIDEWAYS = f"""
+WITH base AS (
+  SELECT lang, source FROM documents
+  WHERE len(list_intersect(list_distinct({TOK_SQL}),
+            {BM25_TERMS!r})) > 0),
+u AS (
+  SELECT 'lang' AS dim, lang AS value FROM base WHERE source = '{DS_SOURCE}'
+  UNION ALL
+  SELECT 'source' AS dim, source AS value FROM base WHERE lang = '{DS_LANG}'
+  UNION ALL
+  SELECT 'hits' AS dim, '*' AS value FROM base
+  WHERE lang = '{DS_LANG}' AND source = '{DS_SOURCE}')
+SELECT dim, value, count(*)::bigint AS n_docs
+FROM u GROUP BY dim, value ORDER BY dim, value
+"""
+
+
+def q_adjacency_matrix(spark, sf_dir):
+    """ES adjacency_matrix aggregation (AdjacencyMatrixAggregator):
+    named filters = presence of each {BM25_TERMS} term; buckets for
+    every filter and every pairwise intersection ('a&b' keys), empty
+    buckets omitted exactly as ES does. One scan computing the three
+    presence flags, one scalar agg, then an in-plan unpivot — no join,
+    no second pass."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    a, b, c = BM25_TERMS
+    d = _docs(spark, sf_dir).select(
+        *[
+            F.array_contains(toks, t).cast("int").alias(f"f{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ]
+    )
+    agg = d.agg(
+        F.sum("f0").alias("na"),
+        F.sum("f1").alias("nb"),
+        F.sum("f2").alias("nc"),
+        F.sum(F.col("f0") * F.col("f1")).alias("nab"),
+        F.sum(F.col("f0") * F.col("f2")).alias("nac"),
+        F.sum(F.col("f1") * F.col("f2")).alias("nbc"),
+    )
+    pairs = [
+        (a, "na"), (b, "nb"), (c, "nc"),
+        (f"{a}&{b}", "nab"), (f"{a}&{c}", "nac"), (f"{b}&{c}", "nbc"),
+    ]
+    buckets = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(key).alias("key"),
+                    F.col(col).cast("long").alias("doc_count"),
+                )
+                for key, col in pairs
+            ]
+        )
+    )
+    return (
+        agg.select(buckets.alias("x"))
+        .select("x.key", "x.doc_count")
+        .filter(F.col("doc_count") > 0)
+        .orderBy("key")
+    )
+
+
+O_ADJACENCY_MATRIX = f"""
+WITH d AS (SELECT list_contains(list_distinct({TOK_SQL}), '{BM25_TERMS[0]}')::int AS f0,
+                  list_contains(list_distinct({TOK_SQL}), '{BM25_TERMS[1]}')::int AS f1,
+                  list_contains(list_distinct({TOK_SQL}), '{BM25_TERMS[2]}')::int AS f2
+           FROM documents),
+s AS (SELECT sum(f0) AS na, sum(f1) AS nb, sum(f2) AS nc,
+             sum(f0 * f1) AS nab, sum(f0 * f2) AS nac, sum(f1 * f2) AS nbc
+      FROM d),
+u AS (SELECT '{BM25_TERMS[0]}' AS key, na AS doc_count FROM s
+      UNION ALL SELECT '{BM25_TERMS[1]}', nb FROM s
+      UNION ALL SELECT '{BM25_TERMS[2]}', nc FROM s
+      UNION ALL SELECT '{BM25_TERMS[0]}&{BM25_TERMS[1]}', nab FROM s
+      UNION ALL SELECT '{BM25_TERMS[0]}&{BM25_TERMS[2]}', nac FROM s
+      UNION ALL SELECT '{BM25_TERMS[1]}&{BM25_TERMS[2]}', nbc FROM s)
+SELECT key, doc_count::bigint AS doc_count FROM u
+WHERE doc_count > 0 ORDER BY key
+"""
+
+
+AUTO_HIST_TARGET = 20
+AUTO_HIST_LADDER = [
+    1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800, 43200,
+    86400, 604800, 2592000, 7776000, 31536000,
+]
+
+
+def q_auto_date_histogram(spark, sf_dir):
+    """ES auto_date_histogram (AutoDateHistogramAggregationBuilder):
+    the engine, not the caller, picks the interval — the smallest rung
+    on a fixed ladder such that the bucket count stays <= {AUTO_HIST_TARGET}.
+    The interval choice is a driver decision on the min/max stats row
+    (the common_terms df-split convention: a bounded 1-row collect);
+    the data pass is then one keyed groupBy on the derived epoch
+    bucket. Oracle mirrors the ladder as a CASE chain."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    ev = _events(spark, sf_dir).select(sec.alias("sec"))
+    row = ev.agg(F.min("sec").alias("mn"), F.max("sec").alias("mx")).collect()[0]
+    span = row["mx"] - row["mn"]
+    iv = next(
+        (i for i in AUTO_HIST_LADDER if span // i <= AUTO_HIST_TARGET - 1),
+        AUTO_HIST_LADDER[-1],
+    )
+    return (
+        ev.groupBy((F.floor(F.col("sec") / iv) * iv).cast("long").alias("bucket_start"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn("interval_s", F.lit(iv).cast("long"))
+        .orderBy("bucket_start")
+    )
+
+
+def _auto_hist_case() -> str:
+    legs = " ".join(
+        f"WHEN (mx - mn) // {i} <= {AUTO_HIST_TARGET - 1} THEN {i}"
+        for i in AUTO_HIST_LADDER
+    )
+    return f"CASE {legs} ELSE {AUTO_HIST_LADDER[-1]} END"
+
+
+O_AUTO_DATE_HISTOGRAM = f"""
+WITH b AS (SELECT min(floor(epoch(ts))::bigint) AS mn,
+                  max(floor(epoch(ts))::bigint) AS mx FROM events),
+iv AS (SELECT {_auto_hist_case()} AS ivl FROM b)
+SELECT (floor(epoch(ts))::bigint // ivl) * ivl AS bucket_start,
+       count(*)::bigint AS cnt, ivl::bigint AS interval_s
+FROM events, iv GROUP BY 1, 3 ORDER BY 1
+"""
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split — the reproducible-pipeline
+    primitive behind every training-data run: split membership is a
+    pure function of the stable doc_id (md5 bucket mod 100: <10 test,
+    <20 val, else train), so re-runs, backfills, and different cluster
+    sizes all agree with no shuffled state. Per-split counts + exact
+    char budget + source coverage; one scan, one 3-key groupBy."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    bucket = h % 100
+    split = (
+        F.when(bucket < 10, "test").when(bucket < 20, "val").otherwise("train")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(split.alias("split"), "n_chars", "source")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .orderBy("split")
+    )
+
+
+O_DATASET_SPLIT = """
+WITH d AS (SELECT CASE
+             WHEN ('0x' || substr(md5('split:' || doc_id::varchar), 1, 8))::bigint % 100 < 10 THEN 'test'
+             WHEN ('0x' || substr(md5('split:' || doc_id::varchar), 1, 8))::bigint % 100 < 20 THEN 'val'
+             ELSE 'train' END AS split,
+           n_chars, source FROM documents)
+SELECT split, count(*)::bigint AS n_docs,
+       sum(n_chars)::bigint AS total_chars,
+       count(DISTINCT source)::bigint AS n_sources
+FROM d GROUP BY split ORDER BY split
+"""
+
+
+def q_simple_qs_topk(spark, sf_dir):
+    """ES simple_query_string end-to-end (Searcher.search_simple +
+    queryparser.parse_simple): 'join + merge | vect* -scan' parses to
+    MUST(join), MUST(merge), SHOULD(prefix vect*), MUST_NOT(scan) under
+    the lenient grammar (`+` AND both neighbors, `|` OR, `-` negate,
+    trailing-* prefix). Compiles to pushed-In(term) postings frames;
+    the prefix leaf rewrites against the vocab-sized dictionary to a
+    constant-score (1.0) left-join bonus — Lucene's multi-term
+    constant-score rewrite. Oracle recomputes BM25 + bonus in SQL."""
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.index.catalog import IndexCatalog
+    from nlp4l_spark.search import Searcher
+
+    idx = _index_cache_dir(sf_dir)
+    if not IndexCatalog(idx).is_committed("field_stats"):
+        IndexBuilder(sort_cols=("doc_id",)).build(_docs(spark, sf_dir), idx)
+    s = Searcher(spark, idx)
+    res = s.search_simple("join + merge | vect* -scan", k=BM25_K)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+O_SIMPLE_QS_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest(['join', 'merge']) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+musts AS (SELECT doc_id, sum(s) AS s FROM sc GROUP BY 1 HAVING count(*) = 2),
+pfx AS (SELECT DISTINCT doc_id FROM dt WHERE term LIKE 'vect%'),
+nots AS (SELECT DISTINCT doc_id FROM dt WHERE term = 'scan')
+SELECT m.doc_id,
+       round(m.s + CASE WHEN p.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END, 6)
+           AS score
+FROM musts m LEFT JOIN pfx p USING (doc_id)
+WHERE m.doc_id NOT IN (SELECT doc_id FROM nots)
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+SAMPLER_SHARD_SIZE = 100
+SAMPLER_MAX_PER_SOURCE = 5
+SAMPLER_SUB_K = 10
+
+
+def q_diversified_sampler(spark, sf_dir):
+    """ES diversified_sampler aggregation (DiversifiedAggregationBuilder):
+    sub-aggregations run on a score-ordered SAMPLE of the hit stream,
+    capped at max_docs_per_value per diversity field (source) so one
+    crawl can't dominate the sample — here the top-{SAMPLER_SHARD_SIZE}
+    BM25 hits with <= {SAMPLER_MAX_PER_SOURCE} docs per source, then a
+    terms sub-agg (top-{SAMPLER_SUB_K} terms by sample doc_count).
+    Scores are 6dp-rounded BEFORE selection (the rounded-selection-key
+    convention) with doc_id tiebreaks, so the sample set is identical
+    across engines. Plan: one scoring scan -> per-source rank window
+    (WindowGroupLimit) -> global top-k -> term counts of the bounded
+    sample only."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    scored = (
+        per_doc.withColumn(
+            "s", F.round(_bm25_score_col(BM25_TERMS, n, avgdl, dfs), 6)
+        )
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
+        .join(src, "doc_id")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("s"), F.asc("doc_id"))
+    sample = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SAMPLER_MAX_PER_SOURCE)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(SAMPLER_SHARD_SIZE)
+    )
+    return (
+        sample.select("doc_id", F.explode(F.map_keys("m")).alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("doc_count"))
+        .orderBy(F.desc("doc_count"), F.asc("term"))
+        .limit(SAMPLER_SUB_K)
+    )
+
+
+O_DIVERSIFIED_SAMPLER = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id),
+ranked AS (SELECT sc.doc_id, s,
+                  row_number() OVER (PARTITION BY d.source
+                                     ORDER BY s DESC, sc.doc_id ASC) AS rn
+           FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+sample AS (SELECT doc_id FROM ranked WHERE rn <= {SAMPLER_MAX_PER_SOURCE}
+           ORDER BY s DESC, doc_id ASC LIMIT {SAMPLER_SHARD_SIZE})
+SELECT term, count(DISTINCT doc_id)::bigint AS doc_count
+FROM toks JOIN sample USING (doc_id)
+GROUP BY term ORDER BY doc_count DESC, term ASC LIMIT {SAMPLER_SUB_K}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -10749,6 +11082,12 @@ REGISTRY: dict[str, tuple] = {
     "hll_user_days": (q_hll_user_days, O_HLL_USER_DAYS),
     "cms_term_counts": (q_cms_term_counts, O_CMS_TERM_COUNTS),
     "kmv_event_overlap": (q_kmv_event_overlap, O_KMV_EVENT_OVERLAP),
+    "drill_sideways": (q_drill_sideways, O_DRILL_SIDEWAYS),
+    "adjacency_matrix": (q_adjacency_matrix, O_ADJACENCY_MATRIX),
+    "auto_date_histogram": (q_auto_date_histogram, O_AUTO_DATE_HISTOGRAM),
+    "dataset_split": (q_dataset_split, O_DATASET_SPLIT),
+    "simple_qs_topk": (q_simple_qs_topk, O_SIMPLE_QS_TOPK),
+    "diversified_sampler": (q_diversified_sampler, O_DIVERSIFIED_SAMPLER),
 }
 
 
@@ -10797,6 +11136,8 @@ _DRIVER_ORDER = [
     "cross_fields_topk", "has_child_topk", "terms_set_topk",
     "field_value_factor_topk", "pivot_facets",
     "hll_user_days", "cms_term_counts", "kmv_event_overlap",
+    "drill_sideways", "adjacency_matrix", "auto_date_histogram", "dataset_split",
+    "simple_qs_topk", "diversified_sampler",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",

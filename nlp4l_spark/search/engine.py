@@ -458,6 +458,24 @@ class Searcher:
             .limit(k)
         )
 
+    def search_simple(self, query: str, k: int = 10) -> DataFrame:
+        """ES simple_query_string / Lucene SimpleQueryParser surface:
+        the LENIENT query string (`+` AND, `|` OR, `-` negate,
+        "phrases", trailing-* prefix, ( ) groups, word~N fuzzy —
+        queryparser.parse_simple) compiled onto exactly the same AST
+        machinery as search_lucene. Malformed input never raises; the
+        parser discards what it can't use (the property that makes this
+        the user-facing search-box parser in ES). Deviations documented
+        at queryparser.py: phrase slop parsed-but-exact, internal
+        wildcards literal."""
+        from nlp4l_spark.search.queryparser import parse_simple
+
+        node = parse_simple(query)
+        frame = self._qnode_frame(node, 1.0) if node is not None else None
+        if frame is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return frame.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def _weighted_or_frame(self, rows: list[tuple]) -> DataFrame | None:
         """(term, idf*boost) rows -> unlimited (doc_id, score) OR frame."""
         if not rows:

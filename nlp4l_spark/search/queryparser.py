@@ -165,6 +165,119 @@ def _parse_word(val: str) -> dict:
     return {"kind": "term", "text": val, "boost": 1.0}
 
 
+# --------------------------------------------------------------------- #
+# ES simple_query_string / Lucene SimpleQueryParser
+# (org.apache.lucene.queryparser.simple.SimpleQueryParser): the LENIENT
+# query-string surface — `+` AND, `|` OR, `-` negate, "..." phrase,
+# trailing-* prefix, ( ) groups, word~N fuzzy. Its defining property is
+# that it NEVER raises: stray ')', unterminated '(', dangling operators
+# and empty groups all degrade to whatever text the parser can use
+# (Lucene javadoc: "will never throw an exception, and discards invalid
+# syntax"). Shares the classic parser's AST + deterministic operator
+# rule (`+` promotes both neighbors to MUST, `|` keeps SHOULD).
+# Documented deviations: "phrase"~N slop is parsed but matched exact;
+# internal * / ? are literal text (only the trailing * is an operator),
+# exactly as SimpleQueryParser's PREFIX_OPERATOR defines.
+# --------------------------------------------------------------------- #
+_SIMPLE_TOKEN_RE = re.compile(
+    r"""
+    "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))?
+  | (?P<lparen>\()
+  | (?P<rparen>\))
+  | (?P<andop>\+)
+  | (?P<orop>\|)
+  | (?P<word>[^\s()"+|]+)
+    """,
+    re.VERBOSE,
+)
+
+
+def parse_simple(q: str) -> dict | None:
+    """Parse a simple_query_string -> AST root (same node dicts as
+    parse()), or None when no usable clause survives. Never raises."""
+    toks = [
+        (m.lastgroup, m.group(m.lastgroup))
+        for m in _SIMPLE_TOKEN_RE.finditer(q)
+    ]
+    node, _ = _parse_simple_group(toks, 0, top=True)
+    return node
+
+
+def _parse_simple_word(val: str) -> dict | None:
+    m = re.fullmatch(r"(.+?)~(\d*)", val)
+    if m:
+        return {
+            "kind": "fuzzy",
+            "text": m.group(1),
+            "max_edits": min(int(m.group(2)), 2) if m.group(2) else 2,
+            "boost": 1.0,
+        }
+    if val.endswith("*") and len(val) > 1:
+        return {"kind": "wild", "pattern": val, "boost": 1.0}
+    if not val.strip("*?~"):
+        return None  # operator debris, nothing usable
+    return {"kind": "term", "text": val, "boost": 1.0}
+
+
+def _parse_simple_group(toks, pos, top=False):
+    clauses: list[tuple[str, dict]] = []
+    promote_next = False
+    neg_next = False
+    while pos < len(toks):
+        kind, val = toks[pos]
+        if kind == "rparen":
+            pos += 1
+            if top:
+                continue  # lenient: stray ')' discarded
+            break
+        if kind == "andop":
+            if clauses:
+                occ, nd = clauses[-1]
+                if occ == "should":
+                    clauses[-1] = ("must", nd)
+            promote_next = True
+            pos += 1
+            continue
+        if kind == "orop":
+            pos += 1
+            continue
+        occur = "should"
+        if kind == "word" and val == "-":
+            neg_next = True  # negated group: "-(a b)"
+            pos += 1
+            continue
+        if kind == "word" and val.startswith("-") and len(val) > 1:
+            occur, val = "must_not", val[1:]
+        if neg_next:
+            occur = "must_not"
+        elif promote_next and occur == "should":
+            occur = "must"
+        promote_next = False
+        neg_next = False
+        if kind == "lparen":
+            sub, pos = _parse_simple_group(toks, pos + 1)
+            if sub is not None:
+                clauses.append((occur, sub))
+            continue
+        if kind == "phrase":
+            if val.strip():
+                clauses.append(
+                    (occur, {"kind": "phrase", "text": val, "boost": 1.0})
+                )
+            pos += 1
+            continue
+        node = _parse_simple_word(val)
+        if node is not None:
+            clauses.append((occur, node))
+        pos += 1
+    # lenient: an unterminated '(' group simply ends at end-of-input
+    if not clauses:
+        return None, pos
+    if len(clauses) == 1 and clauses[0][0] == "should":
+        return clauses[0][1], pos
+    return {"kind": "bool", "clauses": clauses, "boost": 1.0}, pos
+
+
 def _parse_range(val: str) -> dict:
     incl_lower = val[0] == "["
     incl_upper = val[-1] == "]"

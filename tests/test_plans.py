@@ -76,6 +76,11 @@ JVM_ONLY = [
     # sketches: md5 register/counter math is all built-in expressions
     "hll_user_days",
     "cms_term_counts",
+    # faceting/agg twins + split: conditional-emit scans, zero Python
+    "drill_sideways",
+    "adjacency_matrix",
+    "auto_date_histogram",
+    "dataset_split",
 ]
 
 
@@ -764,3 +769,29 @@ def test_kmv_sketch_distributed_part_is_python_free(spark):
     )
     plan = _plan(sk)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_drill_sideways_is_single_scan_single_shuffle(spark):
+    """DrillSideways: each doc conditionally emits its per-dimension
+    contributions in ONE scan — no per-dimension re-scan union — and
+    the only shuffle is the (dim, value) groupBy."""
+    plan = _plan(eq.REGISTRY["drill_sideways"][0](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Union" not in plan, "per-dimension re-scan crept back in"
+
+
+def test_adjacency_matrix_is_joinless_scalar_agg(spark):
+    """adjacency_matrix: presence flags + one scalar agg + in-plan
+    unpivot — no join, no hash shuffle (scalar agg is a single
+    exchange to one partition at most)."""
+    plan = _plan(eq.REGISTRY["adjacency_matrix"][0](spark, SF))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_diversified_sampler_per_source_cap_is_group_limit(spark):
+    """diversified_sampler: the per-source cap must compile to
+    WindowGroupLimit (only max_docs_per_value rows per source survive
+    the rank shuffle, never a full per-source sort)."""
+    plan = _plan(eq.REGISTRY["diversified_sampler"][0](spark, SF))
+    assert "WindowGroupLimit" in plan, plan

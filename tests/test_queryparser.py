@@ -171,3 +171,70 @@ def test_parse_never_crashes_unexpectedly():
             pass
 
     run()
+
+
+# ---------------- simple_query_string (lenient) ---------------- #
+from nlp4l_spark.search.queryparser import parse_simple
+
+
+def test_simple_parse_operators():
+    ast = parse_simple("join + merge | vect* -scan")
+    occs = [(occ, c["kind"]) for occ, c in ast["clauses"]]
+    assert occs == [
+        ("must", "term"), ("must", "term"),
+        ("should", "wild"), ("must_not", "term"),
+    ]
+    assert ast["clauses"][2][1]["pattern"] == "vect*"
+
+
+def test_simple_parse_phrase_fuzzy_neg_group():
+    ast = parse_simple('"a b" word~1 -(c d)')
+    occs = [(occ, c["kind"]) for occ, c in ast["clauses"]]
+    assert occs == [("should", "phrase"), ("should", "fuzzy"), ("must_not", "bool")]
+    assert ast["clauses"][1][1]["max_edits"] == 1
+
+
+def test_simple_parser_is_lenient_where_classic_raises():
+    """The defining property: inputs the classic parser rejects parse
+    to SOMETHING (or None) here — never an exception."""
+    for q in ["(a b", "a) b", "a ^2", "+", "|", "-", '"unclosed', "~", ""]:
+        parse_simple(q)  # must not raise
+    assert parse_simple("(a b")["kind"] == "bool" or parse_simple("(a b") is not None
+    assert parse_simple("") is None
+    assert parse_simple("+ | -") is None
+
+
+def test_simple_parse_never_crashes():
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        import pytest as _pytest
+
+        _pytest.skip("hypothesis not installed")
+
+    @given(st.text(alphabet='ab ()"+-|~*?.', max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def run(q):
+        parse_simple(q)  # NEVER raises, by contract
+
+    run()
+
+
+def test_search_simple_matches_search_lucene_equivalent(spark, idx):
+    """'w00001 + w00002 | w0001* -w00003' under the simple grammar is
+    the classic '+w00001 +w00002 w0001* -w00003' (AND both neighbors,
+    OR keeps SHOULD) — identical frames end-to-end."""
+    s = Searcher(spark, idx)
+    simple = s.search_simple("w00001 + w00002 | w0001* -w00003", k=8)
+    classic = s.search_lucene("+w00001 +w00002 w0001* -w00003", k=8)
+    assert _rows(simple) == _rows(classic)
+
+
+def test_search_simple_lenient_end_to_end(spark, idx):
+    """Malformed query strings still search (using what parsed) —
+    no exception anywhere in the pipeline."""
+    s = Searcher(spark, idx)
+    assert s.search_simple("(w00001 w00002", k=5).count() > 0
+    assert s.search_simple('w00001 ")" |', k=5).count() > 0
+    assert s.search_simple("+ | -", k=5).count() == 0
