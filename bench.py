@@ -241,6 +241,10 @@ EXTRA_QUERIES = [
     "dataset_split",
     "simple_qs_topk",
     "diversified_sampler",
+    "filters_agg",
+    "bucket_script",
+    "percentile_ranks",
+    "stream_set_ops",
 ]
 
 

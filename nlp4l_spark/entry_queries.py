@@ -10833,6 +10833,181 @@ GROUP BY term ORDER BY doc_count DESC, term ASC LIMIT {SAMPLER_SUB_K}
 """
 
 
+def q_filters_agg(spark, sf_dir):
+    """ES `filters` aggregation with other_bucket=true
+    (FiltersAggregator): named overlapping buckets — 'short'
+    (n_chars < 200), 'english' (lang=en), 'cjk' (lang=zh) — where a doc
+    counts in EVERY filter it matches, plus the '_other_' bucket for
+    docs matching none, exactly ES's other_bucket_key contract. One
+    scan computing the flags, one scalar agg, in-plan unpivot (the
+    adjacency_matrix shape)."""
+    d = _docs(spark, sf_dir).select(
+        (F.col("n_chars") < 200).cast("int").alias("f_short"),
+        (F.col("lang") == "en").cast("int").alias("f_en"),
+        (F.col("lang") == "zh").cast("int").alias("f_zh"),
+    )
+    agg = d.agg(
+        F.sum("f_short").alias("n_short"),
+        F.sum("f_en").alias("n_en"),
+        F.sum("f_zh").alias("n_zh"),
+        F.sum(
+            (
+                (F.col("f_short") + F.col("f_en") + F.col("f_zh")) == 0
+            ).cast("int")
+        ).alias("n_other"),
+    )
+    buckets = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(key).alias("key"), F.col(c).cast("long").alias("doc_count"))
+                for key, c in [
+                    ("short", "n_short"), ("english", "n_en"),
+                    ("cjk", "n_zh"), ("_other_", "n_other"),
+                ]
+            ]
+        )
+    )
+    return (
+        agg.select(buckets.alias("x")).select("x.key", "x.doc_count").orderBy("key")
+    )
+
+
+O_FILTERS_AGG = """
+WITH d AS (SELECT (n_chars < 200)::int AS f_short,
+                  (lang = 'en')::int AS f_en,
+                  (lang = 'zh')::int AS f_zh FROM documents),
+s AS (SELECT sum(f_short) AS n_short, sum(f_en) AS n_en, sum(f_zh) AS n_zh,
+             sum((f_short + f_en + f_zh = 0)::int) AS n_other FROM d),
+u AS (SELECT 'short' AS key, n_short AS doc_count FROM s
+      UNION ALL SELECT 'english', n_en FROM s
+      UNION ALL SELECT 'cjk', n_zh FROM s
+      UNION ALL SELECT '_other_', n_other FROM s)
+SELECT key, doc_count::bigint AS doc_count FROM u ORDER BY key
+"""
+
+
+def q_bucket_script(spark, sf_dir):
+    """ES bucket_script pipeline aggregation
+    (BucketScriptPipelineAggregationBuilder): a per-bucket metric
+    computed FROM sibling metrics — the canonical error-rate dashboard:
+    day buckets with total events, error events, and
+    rate = errors/total. Distinct from bucket_selector (filters
+    buckets) and bucket_sort (pages them): this one adds a derived
+    metric column. One keyed groupBy; the script is a projection over
+    the bucket-sized table."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    return (
+        _events(spark, sf_dir)
+        .select(
+            F.floor(sec / 86400).cast("long").alias("day"),
+            (F.col("event_type") == "error").cast("int").alias("is_err"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum("is_err").cast("long").alias("n_error"),
+        )
+        .withColumn(
+            "error_rate",
+            F.round(F.col("n_error").cast("double") / F.col("n_total"), 6),
+        )
+        .orderBy("day")
+    )
+
+
+O_BUCKET_SCRIPT = """
+SELECT floor(floor(epoch(ts))::bigint / 86400)::bigint AS day,
+       count(*)::bigint AS n_total,
+       sum((event_type = 'error')::int)::bigint AS n_error,
+       round(sum((event_type = 'error')::int)::double / count(*), 6)
+           AS error_rate
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+PCTRANK_VALUES = [50.0, 100.0, 200.0]
+
+
+def q_percentile_ranks(spark, sf_dir):
+    """ES percentile_ranks aggregation (PercentileRanksAggregationBuilder):
+    the inverse of percentiles — for fixed values, the percent of
+    observations <= each value. Exact (the length_percentiles
+    convention: exact twin verifiable, t-digest is the documented scale
+    path). One scan, one scalar agg via conditional sums, in-plan
+    unpivot."""
+    ev = _events(spark, sf_dir).select("value")
+    agg = ev.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum((F.col("value") <= v).cast("int")).alias(f"le{i}")
+            for i, v in enumerate(PCTRANK_VALUES)
+        ],
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(v).alias("value"),
+                    F.round(
+                        F.col(f"le{i}").cast("double") * 100.0 / F.col("n"), 6
+                    ).alias("pct_rank"),
+                )
+                for i, v in enumerate(PCTRANK_VALUES)
+            ]
+        )
+    )
+    return agg.select(rows.alias("x")).select("x.value", "x.pct_rank").orderBy("value")
+
+
+O_PERCENTILE_RANKS = f"""
+WITH s AS (SELECT count(*)::bigint AS n,
+    {", ".join(f"sum((value <= {v})::int)::bigint AS le{i}" for i, v in enumerate(PCTRANK_VALUES))}
+    FROM events),
+u AS ({" UNION ALL ".join(f"SELECT {v}::double AS value, round(le{i}::double * 100.0 / n, 6) AS pct_rank FROM s" for i, v in enumerate(PCTRANK_VALUES))})
+SELECT value, pct_rank FROM u ORDER BY value
+"""
+
+
+def q_stream_set_ops(spark, sf_dir):
+    """Solr streaming-expression set decorators `intersect` and
+    `complement` (org.apache.solr.client.solrj.io.stream): set algebra
+    over two sorted doc_id streams — here streamA = docs containing
+    'join', streamB = docs containing 'merge'. Rather than two merge
+    joins over re-executed streams, one conditional-emit scan computes
+    both decorators (the drill_sideways shape): op='intersect' for docs
+    in A∩B, op='complement' for A\\B."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_contains(toks, "join").alias("a"),
+        F.array_contains(toks, "merge").alias("b"),
+    )
+    emit = F.filter(
+        F.array(
+            F.when(F.col("a") & F.col("b"), F.lit("intersect")),
+            F.when(F.col("a") & ~F.col("b"), F.lit("complement")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        d.filter("a")
+        .select("doc_id", F.explode(emit).alias("op"))
+        .orderBy("op", "doc_id")
+    )
+
+
+O_STREAM_SET_OPS = f"""
+WITH d AS (SELECT doc_id,
+                  list_contains(list_distinct({TOK_SQL}), 'join') AS a,
+                  list_contains(list_distinct({TOK_SQL}), 'merge') AS b
+           FROM documents)
+SELECT doc_id, 'intersect' AS op FROM d WHERE a AND b
+UNION ALL
+SELECT doc_id, 'complement' AS op FROM d WHERE a AND NOT b
+ORDER BY op, doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -11088,6 +11263,10 @@ REGISTRY: dict[str, tuple] = {
     "dataset_split": (q_dataset_split, O_DATASET_SPLIT),
     "simple_qs_topk": (q_simple_qs_topk, O_SIMPLE_QS_TOPK),
     "diversified_sampler": (q_diversified_sampler, O_DIVERSIFIED_SAMPLER),
+    "filters_agg": (q_filters_agg, O_FILTERS_AGG),
+    "bucket_script": (q_bucket_script, O_BUCKET_SCRIPT),
+    "percentile_ranks": (q_percentile_ranks, O_PERCENTILE_RANKS),
+    "stream_set_ops": (q_stream_set_ops, O_STREAM_SET_OPS),
 }
 
 
@@ -11138,6 +11317,7 @@ _DRIVER_ORDER = [
     "hll_user_days", "cms_term_counts", "kmv_event_overlap",
     "drill_sideways", "adjacency_matrix", "auto_date_histogram", "dataset_split",
     "simple_qs_topk", "diversified_sampler",
+    "filters_agg", "bucket_script", "percentile_ranks", "stream_set_ops",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",

@@ -466,8 +466,9 @@ class Searcher:
         machinery as search_lucene. Malformed input never raises; the
         parser discards what it can't use (the property that makes this
         the user-facing search-box parser in ES). Deviations documented
-        at queryparser.py: phrase slop parsed-but-exact, internal
-        wildcards literal."""
+        at queryparser.py: two-term "a b"~N compiles to the sloppy
+        frame (longer sloppy phrases match exact), internal wildcards
+        literal."""
         from nlp4l_spark.search.queryparser import parse_simple
 
         node = parse_simple(query)
@@ -571,6 +572,13 @@ class Searcher:
                 return self._qnode_frame(
                     {"kind": "term", "text": toks[0]}, b
                 )
+            slop = int(node.get("slop", 0))
+            if slop > 0 and len(toks) == 2:
+                # "a b"~N — Lucene sloppy PhraseQuery via the shared
+                # fractional-tf frame. Phrases of >2 terms with slop
+                # fall through to exact matching (documented deviation:
+                # the multi-term sloppy matcher is not implemented).
+                return self._sloppy_phrase_frame(toks[0], toks[1], slop, b)
             return self._phrase_frame(toks, b)
         if kind == "wild":
             import re as _re
@@ -2659,22 +2667,31 @@ class Searcher:
             raise ValueError(
                 "sloppy_phrase clauses must analyze to one term each"
             )
+        frame = self._sloppy_phrase_frame(a[0], b[0], int(slop), 1.0)
+        if frame is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return frame.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _sloppy_phrase_frame(
+        self, ta: str, tb: str, slop: int, boost: float
+    ) -> DataFrame | None:
+        """Unlimited (doc_id, score) frame of the two-term sloppy phrase
+        (the composable form search_sloppy_phrase and the query-string
+        parsers' \"a b\"~N clauses share)."""
         if not self.cat.is_committed("term_vectors"):
             raise ValueError(
                 "sloppy_phrase needs term_vectors "
                 "(IndexBuilder(store_term_vectors=True))"
             )
-        dfs = self._term_stats([a[0], b[0]])
-        if a[0] not in dfs or b[0] not in dfs:
-            return self.spark.createDataFrame([], "doc_id long, score double")
-        idf_total = idf(self.num_docs, dfs[a[0]]) + idf(
-            self.num_docs, dfs[b[0]]
-        )
+        dfs = self._term_stats([ta, tb])
+        if ta not in dfs or tb not in dfs:
+            return None
+        idf_total = idf(self.num_docs, dfs[ta]) + idf(self.num_docs, dfs[tb])
         tv = self.cat.read(self.spark, "term_vectors")
-        pa = tv.filter(F.col("term") == a[0]).select(
+        pa = tv.filter(F.col("term") == ta).select(
             "doc_id", F.col("positions").alias("_pa")
         )
-        pb = tv.filter(F.col("term") == b[0]).select(
+        pb = tv.filter(F.col("term") == tb).select(
             "doc_id", F.col("positions").alias("_pb")
         )
         win = int(slop) + 1
@@ -2699,7 +2716,7 @@ class Searcher:
             .join(dl_tbl, "doc_id")
         )
         score_expr = (
-            F.lit(idf_total)
+            F.lit(idf_total * float(boost))
             * F.col("tf")
             * F.lit(K1 + 1.0)
             / (
@@ -2708,11 +2725,7 @@ class Searcher:
                 * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
             )
         )
-        return (
-            scored.select("doc_id", score_expr.alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        return scored.select("doc_id", score_expr.alias("score"))
 
     def search_collapse(
         self, query: str, k: int = 10, collapse_col: str = "conv_id"

@@ -14,6 +14,8 @@ Supported syntax (the widely-used subset, documented deviations below):
   (…)                   grouping, arbitrarily nested
   term^2.5  (…)^2       boosts on any clause
   "a b c"               exact PhraseQuery clause
+  "a b"~N               sloppy PhraseQuery (two-term: fractional-tf
+                        sloppy frame; longer phrases match exact)
   te?m  te*             WildcardQuery clause (constant-score rewrite)
   term~1  term~         FuzzyQuery clause (~ alone = 2 edits)
   [a TO b]  {a TO b}    TermRangeQuery clause (constant-score),
@@ -36,7 +38,7 @@ import re
 
 _TOKEN_RE = re.compile(
     r"""
-    "(?P<phrase>[^"]*)"                     # quoted phrase
+    "(?P<phrase>[^"]*)"(?:~(?P<pslop>\d*))?  # quoted phrase, opt "…"~N slop
   | (?P<lparen>\()
   | (?P<rparen>\))
   | (?P<range>[\[{][^\]}]+[\]}])            # [a TO b] / {a TO b}
@@ -47,9 +49,13 @@ _TOKEN_RE = re.compile(
 )
 
 
-def _lex(q: str) -> list[tuple[str, str]]:
+def _lex(q: str) -> list[tuple[str, object]]:
     out = []
     for m in _TOKEN_RE.finditer(q):
+        if m.group("phrase") is not None:
+            ps = m.group("pslop")
+            out.append(("phrase", (m.group("phrase"), int(ps) if ps else 0)))
+            continue
         kind = m.lastgroup
         out.append((kind, m.group(kind)))
     return out
@@ -121,7 +127,8 @@ def _parse_group(toks, pos, top=False):
             clauses.append((occur, sub))
             continue
         if kind == "phrase":
-            node = {"kind": "phrase", "text": val, "boost": 1.0}
+            text, slop = val
+            node = {"kind": "phrase", "text": text, "slop": slop, "boost": 1.0}
             pos += 1
             node, pos = _attach_boost(toks, pos, node)
             clauses.append((occur, node))
@@ -175,9 +182,11 @@ def _parse_word(val: str) -> dict:
 # (Lucene javadoc: "will never throw an exception, and discards invalid
 # syntax"). Shares the classic parser's AST + deterministic operator
 # rule (`+` promotes both neighbors to MUST, `|` keeps SHOULD).
-# Documented deviations: "phrase"~N slop is parsed but matched exact;
-# internal * / ? are literal text (only the trailing * is an operator),
-# exactly as SimpleQueryParser's PREFIX_OPERATOR defines.
+# Documented deviations: "a b"~N slop compiles to the sloppy-phrase
+# frame for TWO-term phrases (search_sloppy_phrase's fractional tf);
+# longer sloppy phrases match exact. Internal * / ? are literal text
+# (only the trailing * is an operator), exactly as SimpleQueryParser's
+# PREFIX_OPERATOR defines.
 # --------------------------------------------------------------------- #
 _SIMPLE_TOKEN_RE = re.compile(
     r"""
@@ -195,10 +204,13 @@ _SIMPLE_TOKEN_RE = re.compile(
 def parse_simple(q: str) -> dict | None:
     """Parse a simple_query_string -> AST root (same node dicts as
     parse()), or None when no usable clause survives. Never raises."""
-    toks = [
-        (m.lastgroup, m.group(m.lastgroup))
-        for m in _SIMPLE_TOKEN_RE.finditer(q)
-    ]
+    toks = []
+    for m in _SIMPLE_TOKEN_RE.finditer(q):
+        if m.group("phrase") is not None:
+            s = m.group("slop")
+            toks.append(("phrase", (m.group("phrase"), int(s) if s else 0)))
+            continue
+        toks.append((m.lastgroup, m.group(m.lastgroup)))
     node, _ = _parse_simple_group(toks, 0, top=True)
     return node
 
@@ -260,9 +272,10 @@ def _parse_simple_group(toks, pos, top=False):
                 clauses.append((occur, sub))
             continue
         if kind == "phrase":
-            if val.strip():
+            text, slop = val
+            if text.strip():
                 clauses.append(
-                    (occur, {"kind": "phrase", "text": val, "boost": 1.0})
+                    (occur, {"kind": "phrase", "text": text, "slop": slop, "boost": 1.0})
                 )
             pos += 1
             continue

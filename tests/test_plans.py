@@ -81,6 +81,10 @@ JVM_ONLY = [
     "adjacency_matrix",
     "auto_date_histogram",
     "dataset_split",
+    "filters_agg",
+    "bucket_script",
+    "percentile_ranks",
+    "stream_set_ops",
 ]
 
 

@@ -238,3 +238,24 @@ def test_search_simple_lenient_end_to_end(spark, idx):
     assert s.search_simple("(w00001 w00002", k=5).count() > 0
     assert s.search_simple('w00001 ")" |', k=5).count() > 0
     assert s.search_simple("+ | -", k=5).count() == 0
+
+
+def test_phrase_slop_parses_in_both_grammars():
+    assert parse('"a b"~2')["slop"] == 2
+    assert parse('"a b"')["slop"] == 0
+    assert parse('"a b"~')["slop"] == 0  # lenient bare ~
+    assert parse_simple('"a b"~3')["slop"] == 3
+    assert parse_simple('"a b"')["slop"] == 0
+
+
+def test_phrase_slop_compiles_to_sloppy_frame(spark, idx):
+    """'"w00001 w00002"~2' in BOTH grammars must equal the dedicated
+    search_sloppy_phrase top-k (same fractional-tf frame)."""
+    s = Searcher(spark, idx)
+    want = _rows(s.search_sloppy_phrase("w00001", "w00002", slop=2, k=8))
+    assert want, "fixture should produce sloppy matches"
+    assert _rows(s.search_lucene('"w00001 w00002"~2', k=8)) == want
+    assert _rows(s.search_simple('"w00001 w00002"~2', k=8)) == want
+    # and slop=0 still takes the exact-phrase path
+    exact = _rows(s.search_lucene('"w00001 w00002"', k=8))
+    assert exact == _rows(s.search_simple('"w00001 w00002"', k=8))
