@@ -245,6 +245,7 @@ EXTRA_QUERIES = [
     "bucket_script",
     "percentile_ranks",
     "stream_set_ops",
+    "reindex_wordcount",
 ]
 
 

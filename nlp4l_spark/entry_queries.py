@@ -11008,6 +11008,48 @@ ORDER BY op, doc_id
 """
 
 
+def q_reindex_wordcount(spark, sf_dir):
+    """ES _reindex end-to-end (index/reindex.py): the documents index's
+    STORED fields — not the original corpus — are filtered
+    (where="lang = 'en'", ES reindex's source.query) and rebuilt into a
+    fresh destination index; the answer is the destination's term
+    dictionary (term_stats: cf + df). Oracle = wordcount over the
+    filtered corpus, which the destination must reproduce exactly if
+    the stored-fields round-trip, live-docs filter, and rebuild are all
+    correct. Destination is cached like the source index (one build per
+    sf_dir)."""
+    from nlp4l_spark.index import IndexBuilder, reindex
+    from nlp4l_spark.index.catalog import IndexCatalog
+
+    src = _index_cache_dir(sf_dir)
+    if not IndexCatalog(src).is_committed("field_stats"):
+        IndexBuilder(sort_cols=("doc_id",)).build(_docs(spark, sf_dir), src)
+    dst = src + "_reindex_en"
+    if not IndexCatalog(dst).is_committed("term_stats"):
+        reindex(
+            spark,
+            src,
+            dst,
+            where="lang = 'en'",
+            transform=lambda d: d.withColumnRenamed("doc_id", "src_id"),
+            builder=IndexBuilder(sort_cols=("src_id",)),
+        )
+    ts = IndexCatalog(dst).read(spark, "term_stats")
+    return ts.select(
+        "term",
+        F.col("cf").cast("long").alias("cf"),
+        F.col("df").cast("long").alias("df"),
+    ).orderBy("term")
+
+
+O_REINDEX_WORDCOUNT = f"""
+WITH toks AS (SELECT doc_id, unnest({TOK_SQL}) AS term
+              FROM documents WHERE lang = 'en')
+SELECT term, count(*)::bigint AS cf, count(DISTINCT doc_id)::bigint AS df
+FROM toks GROUP BY term ORDER BY term
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -11267,6 +11309,7 @@ REGISTRY: dict[str, tuple] = {
     "bucket_script": (q_bucket_script, O_BUCKET_SCRIPT),
     "percentile_ranks": (q_percentile_ranks, O_PERCENTILE_RANKS),
     "stream_set_ops": (q_stream_set_ops, O_STREAM_SET_OPS),
+    "reindex_wordcount": (q_reindex_wordcount, O_REINDEX_WORDCOUNT),
 }
 
 
@@ -11318,6 +11361,7 @@ _DRIVER_ORDER = [
     "drill_sideways", "adjacency_matrix", "auto_date_histogram", "dataset_split",
     "simple_qs_topk", "diversified_sampler",
     "filters_agg", "bucket_script", "percentile_ranks", "stream_set_ops",
+    "reindex_wordcount",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
