@@ -246,6 +246,8 @@ EXTRA_QUERIES = [
     "percentile_ranks",
     "stream_set_ops",
     "reindex_wordcount",
+    "shingle_wordcount",
+    "edge_ngram_autocomplete",
 ]
 
 

@@ -132,6 +132,19 @@ class Analyzer:
     # do NOT count toward dl (see term_counts_udf), but DO carry tf and
     # positions (phrases match through either variant).
     synonyms: tuple[tuple[str, str], ...] = ()
+    # Lucene ShingleFilter (word n-grams, outputUnigrams=true, token
+    # separator "_"): shingles are built over the stop-filtered
+    # PRE-synonym stream and appended after the unigram stream.
+    # Deviation (documented): no "_" filler tokens at stopword holes —
+    # shingles join across holes. Shingles never count toward dl
+    # (the discountOverlaps convention, like synonyms).
+    shingle_size: int = 0
+    # Lucene EdgeNGramTokenFilter(min, max) with preserveOriginal: each
+    # emitted token is REPLACED by its prefixes of length
+    # min..min(max, len(token)), plus the original token when longer
+    # than max — the search-as-you-type index analyzer. Tokens shorter
+    # than min emit nothing. Edge grams never count toward dl.
+    edge_ngrams: tuple[int, ...] = ()
 
     def _normalize(self, text: str) -> str:
         if self.lowercase:
@@ -157,16 +170,31 @@ class Analyzer:
         return toks
 
     def tokenize(self, text: str | None) -> list[str]:
-        toks = self._base_tokens(text)
-        if not self.synonyms:
-            return toks
-        syn: dict[str, list[str]] = {}
-        for k, v in self.synonyms:
-            syn.setdefault(k, []).append(v)
-        out: list[str] = []
-        for t in toks:
-            out.append(t)
-            out.extend(syn.get(t, ()))
+        base = self._base_tokens(text)
+        out = base
+        if self.synonyms:
+            syn: dict[str, list[str]] = {}
+            for k, v in self.synonyms:
+                syn.setdefault(k, []).append(v)
+            out = []
+            for t in base:
+                out.append(t)
+                out.extend(syn.get(t, ()))
+        if self.shingle_size >= 2:
+            n = self.shingle_size
+            out = out + [
+                "_".join(base[i : i + n]) for i in range(len(base) - n + 1)
+            ]
+        if self.edge_ngrams:
+            mn, mx = self.edge_ngrams
+            edged: list[str] = []
+            for t in out:
+                if len(t) < mn:
+                    continue
+                edged.extend(t[:k] for k in range(mn, min(mx, len(t)) + 1))
+                if len(t) > mx:
+                    edged.append(t)
+            out = edged
         return out
 
     # ---- Spark SQL engine (JVM-side, codegen; no Python) ----
@@ -196,7 +224,37 @@ class Analyzer:
         string escaping)."""
         src = self._normalize_sql(col_sql)
         toks = F.regexp_extract_all(F.expr(src), F.lit(self.token_pattern), F.lit(0))
-        return self._expand_synonyms(self._strip_stopwords(toks))
+        base = self._strip_stopwords(toks)
+        out = self._expand_synonyms(base)
+        if self.shingle_size >= 2:
+            out = F.concat(out, self._shingles_expr(base))
+        if self.edge_ngrams:
+            out = self._edge_expr(out)
+        return out
+
+    def _shingles_expr(self, toks: Column) -> Column:
+        n = self.shingle_size
+        sh = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), "_"),
+        )
+        empty = F.array().cast("array<string>")
+        return F.when(F.size(toks) >= n, sh).otherwise(empty)
+
+    def _edge_expr(self, toks: Column) -> Column:
+        mn, mx = self.edge_ngrams
+        empty = F.array().cast("array<string>")
+
+        def per_token(t):
+            ln = F.length(t)
+            prefixes = F.transform(
+                F.sequence(F.lit(mn), F.least(F.lit(mx), ln)),
+                lambda k: t.substr(F.lit(1), k),
+            )
+            full = F.when(ln > mx, F.array(t)).otherwise(empty)
+            return F.when(ln >= mn, F.concat(prefixes, full)).otherwise(empty)
+
+        return F.flatten(F.transform(toks, per_token))
 
     def _expand_synonyms(self, toks: Column) -> Column:
         if not self.synonyms:
@@ -226,12 +284,13 @@ class Analyzer:
         driver's oracle comparisons (list<varchar> of analyzed tokens)."""
         src = self._normalize_sql(col_sql)
         pat = self.token_pattern.replace("'", "''")  # SQL string escaping
-        expr = f"regexp_extract_all({src}, '{pat}')"
+        base = f"regexp_extract_all({src}, '{pat}')"
         if self.stopwords:
             stoplist = ", ".join(f"'{w}'" for w in sorted(self.stopwords))
-            expr = (
-                f"list_filter({expr}, t -> t NOT IN ({stoplist}))"
+            base = (
+                f"list_filter({base}, t -> t NOT IN ({stoplist}))"
             )
+        expr = base
         if self.synonyms:
             syn: dict[str, list[str]] = {}
             for k, v in self.synonyms:
@@ -244,6 +303,24 @@ class Analyzer:
             expr = (
                 f"flatten(list_transform({expr},"
                 f" x -> CASE {cases} ELSE [x] END))"
+            )
+        if self.shingle_size >= 2:
+            n = self.shingle_size
+            # generate_series(1, m) is empty when m < 1, so no guard
+            sh = (
+                f"list_transform(generate_series(1, len({base}) - {n - 1}),"
+                f" i -> array_to_string({base}[i:i+{n - 1}], '_'))"
+            )
+            expr = f"list_concat({expr}, {sh})"
+        if self.edge_ngrams:
+            mn, mx = self.edge_ngrams
+            expr = (
+                f"flatten(list_transform({expr}, t -> "
+                f"CASE WHEN length(t) >= {mn} THEN list_concat("
+                f"list_transform(generate_series({mn}, least({mx}, length(t))),"
+                f" k -> substr(t, 1, k)),"
+                f" CASE WHEN length(t) > {mx} THEN [t] ELSE []::VARCHAR[] END)"
+                f" ELSE []::VARCHAR[] END))"
             )
         return expr
 
@@ -283,13 +360,41 @@ class Analyzer:
         for k, v in self.synonyms:
             syn.setdefault(k, []).append(v)
         out = []
+        kept: list[tuple[str, int, int, int]] = []  # pre-synonym stream
         for pos, m in enumerate(pattern.finditer(src)):
             term = m.group(0)
             if self.stopwords and term in self.stopwords:
                 continue
+            kept.append((term, pos, m.start(), m.end()))
             out.append((term, pos, m.start(), m.end()))
             for s in syn.get(term, ()):  # posinc 0: same position/offsets
                 out.append((s, pos, m.start(), m.end()))
+        if self.shingle_size >= 2:
+            # shingle carries its FIRST word's position; offsets span the
+            # whole shingle (Lucene ShingleFilter's offset contract)
+            n = self.shingle_size
+            for i in range(len(kept) - n + 1):
+                grams = kept[i : i + n]
+                out.append(
+                    (
+                        "_".join(g[0] for g in grams),
+                        grams[0][1],
+                        grams[0][2],
+                        grams[-1][3],
+                    )
+                )
+        if self.edge_ngrams:
+            mn, mx = self.edge_ngrams
+            edged = []
+            for term, pos, start, end in out:
+                if len(term) < mn:
+                    continue
+                for k in range(mn, min(mx, len(term)) + 1):
+                    # posinc 0: every gram sits at the source position
+                    edged.append((term[:k], pos, start, end))
+                if len(term) > mx:
+                    edged.append((term, pos, start, end))
+            out = edged
         return out
 
     def term_vectors_schema(self) -> T.StructType:
@@ -385,7 +490,11 @@ class Analyzer:
                 # discountOverlaps: dl counts the pre-injection stream
                 dls.append(
                     len(analyzer._base_tokens(t))
-                    if analyzer.synonyms
+                    if (
+                        analyzer.synonyms
+                        or analyzer.shingle_size
+                        or analyzer.edge_ngrams
+                    )
                     else len(toks)
                 )
             return pd.DataFrame({"terms": terms_out, "tfs": tfs_out, "dl": dls})

@@ -11050,6 +11050,69 @@ FROM toks GROUP BY term ORDER BY term
 """
 
 
+SHINGLE_ANALYZER = Analyzer(
+    stopwords=LUCENE_ENGLISH_STOPWORDS, shingle_size=2
+)
+EDGE_ANALYZER = Analyzer(stopwords=LUCENE_ENGLISH_STOPWORDS, edge_ngrams=(2, 4))
+
+
+def q_shingle_wordcount(spark, sf_dir):
+    """Lucene ShingleFilter contract (analysis/analyzer.py shingle_size):
+    index-time word bigrams ("a_b") appended to the unigram stream,
+    outputUnigrams=true — the phrase-frequency index that powers
+    phrase-boosting and collocation stats without positions. Top-20
+    shingles by collection frequency; the oracle re-renders the SAME
+    analyzer contract in DuckDB (4-engine identity smoke-tested in
+    tests/test_shingle_edge.py)."""
+    toks = SHINGLE_ANALYZER.tokens_expr("text")
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(toks).alias("term"))
+        .filter(F.col("term").contains("_"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(20)
+    )
+
+
+O_SHINGLE_WORDCOUNT = f"""
+WITH t AS (SELECT unnest({SHINGLE_ANALYZER.duckdb_tokens_sql("text")}) AS term
+           FROM documents)
+SELECT term, count(*)::bigint AS cf FROM t
+WHERE contains(term, '_')
+GROUP BY term ORDER BY cf DESC, term ASC LIMIT 20
+"""
+
+
+def q_edge_ngram_autocomplete(spark, sf_dir):
+    """Lucene EdgeNGramTokenFilter / ES search_as_you_type contract
+    (analysis/analyzer.py edge_ngrams): the index analyzer replaces each
+    token by its 2..4-char prefixes (+ the original), so a partial
+    keystroke is an EXACT term lookup — no wildcard scan at query time.
+    The twin materializes the autocomplete table for prefix 've': each
+    edge term's doc frequency, the numbers a suggest-box ranks on."""
+    toks = EDGE_ANALYZER.tokens_expr("text")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.array_distinct(toks)).alias("term"))
+        .filter(F.col("term").startswith("ve"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+        .orderBy("term")
+    )
+
+
+O_EDGE_NGRAM_AUTOCOMPLETE = f"""
+WITH t AS (SELECT doc_id,
+                  unnest(list_distinct({EDGE_ANALYZER.duckdb_tokens_sql("text")}))
+                      AS term
+           FROM documents)
+SELECT term, count(DISTINCT doc_id)::bigint AS df FROM t
+WHERE term LIKE 've%' GROUP BY term ORDER BY term
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -11310,6 +11373,11 @@ REGISTRY: dict[str, tuple] = {
     "percentile_ranks": (q_percentile_ranks, O_PERCENTILE_RANKS),
     "stream_set_ops": (q_stream_set_ops, O_STREAM_SET_OPS),
     "reindex_wordcount": (q_reindex_wordcount, O_REINDEX_WORDCOUNT),
+    "shingle_wordcount": (q_shingle_wordcount, O_SHINGLE_WORDCOUNT),
+    "edge_ngram_autocomplete": (
+        q_edge_ngram_autocomplete,
+        O_EDGE_NGRAM_AUTOCOMPLETE,
+    ),
 }
 
 
@@ -11361,7 +11429,7 @@ _DRIVER_ORDER = [
     "drill_sideways", "adjacency_matrix", "auto_date_histogram", "dataset_split",
     "simple_qs_topk", "diversified_sampler",
     "filters_agg", "bucket_script", "percentile_ranks", "stream_set_ops",
-    "reindex_wordcount",
+    "reindex_wordcount", "shingle_wordcount", "edge_ngram_autocomplete",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
