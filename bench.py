@@ -248,6 +248,9 @@ EXTRA_QUERIES = [
     "reindex_wordcount",
     "shingle_wordcount",
     "edge_ngram_autocomplete",
+    "mix_weights",
+    "random_score_topk",
+    "pinned_topk",
 ]
 
 

@@ -11113,6 +11113,159 @@ WHERE term LIKE 've%' GROUP BY term ORDER BY term
 """
 
 
+MIX_ALPHA = 0.3
+
+
+def q_mix_weights(spark, sf_dir):
+    """Temperature-based data mixing (the multilingual/multi-source
+    sampling recipe, p_i ∝ n_i^alpha with alpha={MIX_ALPHA} — Conneau &
+    Lample 2019 XLM §3.1, also the Pile/ROOTS mixing shape): per source,
+    the raw doc share and the temperature-flattened sampling weight.
+    Small sources get up-weighted, head sources damped — the knob every
+    LLM data pipeline sets. Weight = n^alpha / sum(n^alpha): pow and ONE
+    division per row, 6dp both engines; the n^alpha fold is over the
+    source-sized table. One scan + one tiny agg."""
+    counts = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    total = counts.agg(
+        F.sum("n_docs").alias("_t"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), MIX_ALPHA)).alias("_z"),
+    ).collect()[0]
+    return counts.select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / float(total["_t"]), 6).alias(
+            "raw_share"
+        ),
+        F.round(
+            F.pow(F.col("n_docs").cast("double"), MIX_ALPHA)
+            / float(total["_z"]),
+            6,
+        ).alias("mix_weight"),
+    ).orderBy("source")
+
+
+O_MIX_WEIGHTS = f"""
+WITH c AS (SELECT source, count(*)::bigint AS n_docs FROM documents GROUP BY 1),
+t AS (SELECT sum(n_docs)::double AS total,
+             sum(pow(n_docs::double, {MIX_ALPHA})) AS z FROM c)
+SELECT source, n_docs,
+       round(n_docs::double / total, 6) AS raw_share,
+       round(pow(n_docs::double, {MIX_ALPHA}) / z, 6) AS mix_weight
+FROM c CROSS JOIN t ORDER BY source
+"""
+
+
+RANDOM_SCORE_SEED = 42
+
+
+def q_random_score_topk(spark, sf_dir):
+    """ES function_score random_score with a seed+field
+    (RandomScoreFunctionBuilder): ES makes "random" reproducible by
+    hashing (seed, field value) — which is exactly a deterministic hash
+    score, so the twin IS the real semantics, not an approximation.
+    score = md5-hash32(seed:doc_id) / 2^32 ∈ [0,1). The canonical use is
+    a stable random sample / exploration slice of a filtered set (here:
+    docs matching the BM25 terms). One scan, TakeOrdered."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{RANDOM_SCORE_SEED}:"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        _docs(spark, sf_dir)
+        .filter(
+            F.arrays_overlap(toks, F.array(*[F.lit(t) for t in BM25_TERMS]))
+        )
+        .select(
+            "doc_id",
+            F.round(h.cast("double") / F.lit(4294967296.0), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
+    )
+
+
+O_RANDOM_SCORE_TOPK = f"""
+SELECT doc_id,
+       round(('0x' || substr(md5('{RANDOM_SCORE_SEED}:' || doc_id::varchar), 1, 8))::bigint::double
+             / 4294967296.0, 6) AS score
+FROM documents
+WHERE len(list_intersect(list_distinct({TOK_SQL}), {BM25_TERMS!r})) > 0
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+PINNED_IDS = [7, 404, 13]
+
+
+def q_pinned_topk(spark, sf_dir):
+    """ES pinned query (PinnedQueryBuilder): curated doc ids rank FIRST
+    in their given order, organic BM25 results follow — the editorial
+    'promoted result' surface. ES implements it as a huge constant boost
+    per pin position; the twin scores pins as 1e6 - position and
+    organics by 6dp-rounded BM25, one ranking. Pins that also match
+    organically appear once (pinned position wins). The pin list is a
+    LITERAL, so no join at all: organic scan with a NOT-IN filter, pins
+    unioned in as driver-built rows."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    organic = (
+        per_doc.withColumn(
+            "s", F.round(_bm25_score_col(BM25_TERMS, n, avgdl, dfs), 6)
+        )
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
+        .filter(~F.col("doc_id").isin(PINNED_IDS))
+        .select("doc_id", F.col("s").alias("score"))
+    )
+    pin_rows = spark.createDataFrame(
+        [(d, 1e6 - i) for i, d in enumerate(PINNED_IDS)],
+        "doc_id long, score double",
+    )
+    return (
+        organic.unionByName(pin_rows)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+O_PINNED_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id),
+merged AS (SELECT doc_id, s AS score FROM sc
+           WHERE doc_id NOT IN (SELECT unnest({PINNED_IDS!r}))
+           UNION ALL
+           SELECT unnest({PINNED_IDS!r})::bigint AS doc_id,
+                  1e6 - (generate_subscripts({PINNED_IDS!r}, 1) - 1) AS score)
+SELECT doc_id, round(score, 6) AS score FROM merged
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -11378,6 +11531,9 @@ REGISTRY: dict[str, tuple] = {
         q_edge_ngram_autocomplete,
         O_EDGE_NGRAM_AUTOCOMPLETE,
     ),
+    "mix_weights": (q_mix_weights, O_MIX_WEIGHTS),
+    "random_score_topk": (q_random_score_topk, O_RANDOM_SCORE_TOPK),
+    "pinned_topk": (q_pinned_topk, O_PINNED_TOPK),
 }
 
 
@@ -11430,6 +11586,7 @@ _DRIVER_ORDER = [
     "simple_qs_topk", "diversified_sampler",
     "filters_agg", "bucket_script", "percentile_ranks", "stream_set_ops",
     "reindex_wordcount", "shingle_wordcount", "edge_ngram_autocomplete",
+    "mix_weights", "random_score_topk", "pinned_topk",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",

@@ -85,6 +85,12 @@ JVM_ONLY = [
     "bucket_script",
     "percentile_ranks",
     "stream_set_ops",
+    "mix_weights",
+    "random_score_topk",
+    # (pinned_topk scores via the Arrow term-counts pass like every
+    # corpus BM25 twin — its plan guard is the zero-join shape instead)
+    "shingle_wordcount",
+    "edge_ngram_autocomplete",
 ]
 
 
@@ -799,3 +805,11 @@ def test_diversified_sampler_per_source_cap_is_group_limit(spark):
     the rank shuffle, never a full per-source sort)."""
     plan = _plan(eq.REGISTRY["diversified_sampler"][0](spark, SF))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_pinned_topk_is_joinless(spark):
+    """pinned: literal NOT-IN filter + driver-built union — a pin merge
+    must never become a (non-broadcastable) full outer join."""
+    plan = _plan(eq.REGISTRY["pinned_topk"][0](spark, SF))
+    assert "Join" not in plan, plan
+    assert "Union" in plan, plan
