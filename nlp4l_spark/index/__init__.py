@@ -15,6 +15,7 @@ from nlp4l_spark.index.docids import assign_doc_ids
 from nlp4l_spark.index.generations import GenerationLog, stream_into_generations
 from nlp4l_spark.index.mergepolicy import TieredMergePolicy, compact, maintain
 from nlp4l_spark.index.reindex import reindex
+from nlp4l_spark.index.snapshot import restore, snapshot, verify_snapshot
 
 __all__ = [
     "IndexBuilder",
