@@ -1249,7 +1249,11 @@ class Searcher:
         return docs.select("doc_id", F.lit(1.0).alias("score"))
 
     def search_fuzzy(
-        self, term: str, k: int = 10, max_edits: int = 2
+        self,
+        term: str,
+        k: int = 10,
+        max_edits: int = 2,
+        prefix_length: int = 0,
     ) -> DataFrame:
         """Lucene FuzzyQuery shape: expand the query term to all dictionary
         terms within ``max_edits`` Damerau-Levenshtein edits (adjacent
@@ -1276,7 +1280,7 @@ class Searcher:
         (DL >= Lev/2 always) bounds the rows the Arrow DL pass sees.
         Falls back to computed length on pre-``tlen`` indexes."""
         q = term.lower()
-        expanded = self._fuzzy_expansion(q, max_edits).collect()
+        expanded = self._fuzzy_expansion(q, max_edits, prefix_length).collect()
         if not expanded:
             return self.spark.createDataFrame([], "doc_id long, score double")
         # fold the boost into the idf column and reuse the OR scorer
@@ -1295,14 +1299,20 @@ class Searcher:
             .limit(k)
         )
 
-    def _fuzzy_expansion(self, q: str, max_edits: int) -> DataFrame:
+    def _fuzzy_expansion(
+        self, q: str, max_edits: int, prefix_length: int = 0
+    ) -> DataFrame:
         """Dictionary expansion for search_fuzzy: a tlen range filter
         (pushed to the parquet reader — plan-guarded in tests/test_plans.py)
         prunes the scan to the exact length window, a JVM
         levenshtein() <= 2*max_edits prefilter bounds the candidates
         (Lev <= 2*DL, so no DL neighbor is lost), then the Arrow
         Damerau-Levenshtein pass computes the true edit count the boost
-        uses."""
+        uses. ``prefix_length`` is Lucene FuzzyQuery's prefixLength:
+        the first N chars must match EXACTLY — a startswith predicate
+        that also pushes to the reader (StringStartsWith), turning the
+        length-window scan into a prefix seek on the term-sorted
+        dictionary."""
         stats = self.cat.read(self.spark, "term_stats")
         tlen = F.col("tlen") if "tlen" in stats.columns else F.length("term")
         lev = F.levenshtein(F.col("term"), F.lit(q))
@@ -1310,6 +1320,10 @@ class Searcher:
         boost = F.lit(1.0) - F.col("edits") / F.least(
             F.length("term"), F.lit(len(q))
         )
+        if prefix_length > 0:
+            stats = stats.filter(
+                F.col("term").startswith(q[:prefix_length])
+            )
         return (
             stats.filter(tlen.between(len(q) - max_edits, len(q) + max_edits))
             .filter(lev <= 2 * max_edits)

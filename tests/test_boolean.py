@@ -850,3 +850,25 @@ def test_damerau_levenshtein_matches_duckdb_and_hand_neighbors():
             "SELECT damerau_levenshtein(?, ?)", [a, b]
         ).fetchone()[0]
         assert dl(a, b) == want, (a, b, dl(a, b), want)
+
+
+def test_fuzzy_prefix_length_restricts_expansion(spark, idx):
+    """Lucene FuzzyQuery prefixLength: the first N chars must match
+    exactly. 'jion'~2 expands to 'join' with prefix_length 0 or 1
+    (j matches) but NOT with prefix_length 2 ('ji' != 'jo')."""
+    s = Searcher(spark, idx)
+    assert {r["term"] for r in s._fuzzy_expansion("jion", 2, 1).collect()} >= {"join"}
+    assert "join" not in {
+        r["term"] for r in s._fuzzy_expansion("jion", 2, 2).collect()
+    }
+    # end-to-end: prefix_length=2 kills the only expansion -> no hits
+    assert s.search_fuzzy("jion", k=10, prefix_length=2).count() == 0
+    same = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in s.search_fuzzy("jion", k=10, prefix_length=1).collect()
+    ]
+    base = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in s.search_fuzzy("jion", k=10).collect()
+    ]
+    assert same == base  # prefix that all expansions share changes nothing

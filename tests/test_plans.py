@@ -813,3 +813,19 @@ def test_pinned_topk_is_joinless(spark):
     plan = _plan(eq.REGISTRY["pinned_topk"][0](spark, SF))
     assert "Join" not in plan, plan
     assert "Union" in plan, plan
+
+
+def test_fuzzy_prefix_length_pushes_startswith(spark, tmp_path):
+    """prefixLength: the exact-prefix constraint must reach the parquet
+    reader (StringStartsWith pushed filter) — a prefix seek on the
+    term-sorted dictionary, not a post-scan filter."""
+    from nlp4l_spark.data.transcripts import synth_transcripts
+    from nlp4l_spark.index import build_index
+    from nlp4l_spark.search import Searcher
+
+    idx = str(tmp_path / "idx")
+    build_index(synth_transcripts(spark, 1200, num_partitions=4), idx)
+    s = Searcher(spark, idx)
+    plan = _plan(s._fuzzy_expansion("w00454", max_edits=2, prefix_length=3))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("StringStartsWith(term,w00" in ln for ln in pushed), pushed
