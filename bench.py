@@ -251,6 +251,15 @@ EXTRA_QUERIES = [
     "mix_weights",
     "random_score_topk",
     "pinned_topk",
+    # round-3 session-11 additions
+    "boxplot_value",
+    "mad_value",
+    "matrix_stats_fields",
+    "log_templates",
+    "frequent_pairs",
+    "preference_pairs",
+    "constant_score_topk",
+    "match_bool_prefix_topk",
 ]
 
 

@@ -11266,6 +11266,413 @@ ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+# --------------------------------------------------------------------- #
+# ES metric-agg twins (boxplot, median_absolute_deviation, matrix_stats),
+# categorize_text log templates, frequent_item_sets pair support,
+# constant_score / match_bool_prefix queries, and DPO preference pairs.
+# --------------------------------------------------------------------- #
+
+
+def q_boxplot_value(spark, sf_dir):
+    """ES boxplot aggregation per event_type: min, q1, median, q3, max
+    (BoxplotAggregationBuilder's response surface). ES computes the
+    quartiles from a TDigest; the twin computes EXACT linearly
+    interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`, both index = p*(n-1)) over integer cents so the
+    interpolated doubles are bit-identical cross-engine. One
+    map-side-combined groupBy; percentile is a sorted-list fold per
+    group, bounded by group size."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    e = _events(spark, sf_dir).select("event_type", cents.alias("c"))
+    agg = e.groupBy("event_type").agg(
+        F.min("c").alias("_mn"),
+        F.expr("percentile(c, array(0.25D, 0.5D, 0.75D))").alias("_q"),
+        F.max("c").alias("_mx"),
+    )
+    return agg.select(
+        "event_type",
+        (F.col("_mn").cast("double") / 100.0).alias("min_value"),
+        F.round(F.col("_q")[0] / 100.0, 6).alias("q1"),
+        F.round(F.col("_q")[1] / 100.0, 6).alias("q2"),
+        F.round(F.col("_q")[2] / 100.0, 6).alias("q3"),
+        (F.col("_mx").cast("double") / 100.0).alias("max_value"),
+    ).orderBy("event_type")
+
+
+O_BOXPLOT_VALUE = """
+WITH e AS (SELECT event_type, round(value * 100)::bigint AS c FROM events)
+SELECT event_type,
+       min(c)::double / 100.0 AS min_value,
+       round(quantile_cont(c, 0.25) / 100.0, 6) AS q1,
+       round(quantile_cont(c, 0.50) / 100.0, 6) AS q2,
+       round(quantile_cont(c, 0.75) / 100.0, 6) AS q3,
+       max(c)::double / 100.0 AS max_value
+FROM e GROUP BY 1 ORDER BY event_type
+"""
+
+
+def q_mad_value(spark, sf_dir):
+    """ES median_absolute_deviation aggregation per event_type:
+    median(|x - median(x)|), the robust dispersion panel. Exactness
+    trick: medians of integer cents interpolate to halves at worst, so
+    2*median is an exact integer and |2c - 2median| is an exact long —
+    the second median runs over longs and the final /200 is one exact
+    division. Two aggregations + one broadcast join of the tiny
+    per-type median table back onto events (ES pays the same two
+    passes conceptually via TDigest merge)."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    e = _events(spark, sf_dir).select("event_type", cents.alias("c"))
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(c, 0.5D)") * 2).cast("long").alias("_m2")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("c") * 2 - F.col("_m2")).alias("dev2"),
+    )
+    return (
+        dev.groupBy("event_type")
+        .agg(F.round(F.expr("percentile(dev2, 0.5D)") / 200.0, 6).alias("mad"))
+        .orderBy("event_type")
+    )
+
+
+O_MAD_VALUE = """
+WITH e AS (SELECT event_type, round(value * 100)::bigint AS c FROM events),
+m AS (SELECT event_type, round(quantile_cont(c, 0.5) * 2)::bigint AS m2
+      FROM e GROUP BY 1),
+d AS (SELECT e.event_type, abs(c * 2 - m2)::bigint AS dev2
+      FROM e JOIN m USING (event_type))
+SELECT event_type, round(quantile_cont(dev2, 0.5) / 200.0, 6) AS mad
+FROM d GROUP BY 1 ORDER BY event_type
+"""
+
+
+_MATRIX_FIELDS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_matrix_stats_fields(spark, sf_dir):
+    """ES matrix_stats aggregation over lineitem's four numeric fields:
+    population covariance and Pearson correlation for every ordered
+    field pair. All moments derive from EXACT integer sums: each field
+    is 2-decimal by construction, so cents are longs, pairwise products
+    fit int64, and the sums accumulate in decimal(38,0) (Spark) /
+    HUGEINT (DuckDB) — order-independent exact folds; the covariance /
+    correlation doubles then come from the IDENTICAL expression over
+    identical exact operands on both engines. ONE map-side-combined
+    corpus aggregation produces every sum; the 6 pair rows explode from
+    that single row (no per-pair rescan)."""
+    li = _lineitem(spark, sf_dir).select(
+        *[
+            F.round(F.col(f) * 100).cast("long").alias(f"c{i}")
+            for i, f in enumerate(_MATRIX_FIELDS)
+        ]
+    )
+    aggs = [F.count("*").cast("double").alias("n")]
+    for i in range(len(_MATRIX_FIELDS)):
+        aggs.append(
+            F.sum(F.col(f"c{i}").cast("decimal(38,0)")).cast("double").alias(f"s{i}")
+        )
+        for j in range(i, len(_MATRIX_FIELDS)):
+            aggs.append(
+                F.sum((F.col(f"c{i}") * F.col(f"c{j}")).cast("decimal(38,0)"))
+                .cast("double")
+                .alias(f"s{i}{j}")
+            )
+    a = li.agg(*aggs)
+
+    def _cov(i, j):
+        lo, hi = min(i, j), max(i, j)
+        return (
+            F.col(f"s{lo}{hi}") / F.col("n")
+            - (F.col(f"s{i}") / F.col("n")) * (F.col(f"s{j}") / F.col("n"))
+        )
+
+    rows = []
+    for i in range(len(_MATRIX_FIELDS)):
+        for j in range(i + 1, len(_MATRIX_FIELDS)):
+            rows.append(
+                F.struct(
+                    F.lit(_MATRIX_FIELDS[i]).alias("field_x"),
+                    F.lit(_MATRIX_FIELDS[j]).alias("field_y"),
+                    F.round(_cov(i, j) / 10000.0, 6).alias("covariance"),
+                    F.round(
+                        _cov(i, j) / F.sqrt(_cov(i, i) * _cov(j, j)), 6
+                    ).alias("correlation"),
+                )
+            )
+    return (
+        a.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.*")
+        .orderBy("field_x", "field_y")
+    )
+
+
+def _o_matrix_stats():
+    n_f = len(_MATRIX_FIELDS)
+    sums = ["count(*)::double AS n"]
+    for i, f in enumerate(_MATRIX_FIELDS):
+        sums.append(f"sum(c{i})::double AS s{i}")
+        for j in range(i, n_f):
+            sums.append(f"sum(c{i} * c{j})::double AS s{i}{j}")
+    cents = ", ".join(
+        f"round({f} * 100)::bigint AS c{i}" for i, f in enumerate(_MATRIX_FIELDS)
+    )
+
+    def cov(i, j):
+        lo, hi = min(i, j), max(i, j)
+        return f"(s{lo}{hi} / n - (s{i} / n) * (s{j} / n))"
+
+    selects = []
+    for i in range(n_f):
+        for j in range(i + 1, n_f):
+            selects.append(
+                f"SELECT '{_MATRIX_FIELDS[i]}' AS field_x,"
+                f" '{_MATRIX_FIELDS[j]}' AS field_y,"
+                f" round({cov(i, j)} / 10000.0, 6) AS covariance,"
+                f" round({cov(i, j)} / sqrt({cov(i, i)} * {cov(j, j)}), 6)"
+                f" AS correlation FROM a"
+            )
+    body = " UNION ALL ".join(selects)
+    return (
+        f"WITH c AS (SELECT {cents} FROM lineitem),\n"
+        f"a AS (SELECT {', '.join(sums)} FROM c)\n"
+        f"SELECT * FROM ({body}) ORDER BY field_x, field_y"
+    )
+
+
+O_MATRIX_STATS_FIELDS = _o_matrix_stats()
+
+
+def q_log_templates(spark, sf_dir):
+    """ES categorize_text aggregation (CategorizeTextAggregationBuilder):
+    cluster semi-structured messages into templates by dropping the
+    variable (digit-bearing) tokens and grouping on what remains. ES
+    uses an incremental token-similarity tree; the twin uses the
+    deterministic core of that contract — tokens containing digits are
+    variables, the remaining token sequence IS the category key — which
+    reproduces ES exactly on messages that differ only in numerics.
+    Pure JVM HOF scan (filter + array_join) + one groupBy; top 20
+    buckets by count."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    tmpl = F.array_join(
+        F.filter(toks, lambda t: ~t.rlike("[0-9]")), " "
+    ).alias("template")
+    return (
+        _docs(spark, sf_dir)
+        .select(tmpl)
+        .groupBy("template")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("template"))
+        .limit(20)
+    )
+
+
+O_LOG_TEMPLATES = f"""
+WITH t AS (SELECT array_to_string(
+               list_filter({TOK_SQL}, t -> NOT regexp_matches(t, '[0-9]')),
+               ' ') AS template
+           FROM documents)
+SELECT template, count(*)::bigint AS cnt
+FROM t GROUP BY 1 ORDER BY cnt DESC, template ASC LIMIT 20
+"""
+
+
+def q_frequent_pairs(spark, sf_dir):
+    """ES frequent_item_sets aggregation restricted to 2-itemsets (the
+    dominant practical case): which event_type pairs co-occur for the
+    same user, with support = co-occurring users / all users — the
+    market-basket panel. Distinct (user, type) first (one shuffle),
+    then an equality self-join on user_id with item_a < item_b: per-user
+    type sets are tiny (≤ #event types), so the join fans out k² per
+    user, never all-pairs across users. The user count joins in as a
+    broadcast scalar."""
+    ut = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    n_users = ut.select("user_id").distinct().count()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select(
+            "item_a",
+            "item_b",
+            "cnt",
+            F.round(F.col("cnt") / F.lit(float(n_users)), 6).alias("support"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("item_a"), F.asc("item_b"))
+        .limit(20)
+    )
+
+
+O_FREQUENT_PAIRS = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT count(DISTINCT user_id)::double AS n FROM events),
+p AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+             count(*)::bigint AS cnt
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT item_a, item_b, cnt,
+       round(cnt / (SELECT n FROM nu), 6) AS support
+FROM p ORDER BY cnt DESC, item_a ASC, item_b ASC LIMIT 20
+"""
+
+
+def q_preference_pairs(spark, sf_dir):
+    """DPO/RLHF preference-pair construction: per user, pair the
+    highest-valued event (chosen) against the lowest-valued (rejected)
+    with the value margin — the standard 'best vs worst response'
+    mining step for preference-tuning data. Deterministic argmax/argmin
+    via struct max/min over exact cents (ties break to the smaller
+    event_id on both sides); users whose events all tie produce no pair
+    (margin must be > 0). ONE groupBy(user_id) — no window, no join."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", cents.alias("c")
+    )
+    agg = e.groupBy("user_id").agg(
+        F.max(F.struct(F.col("c"), (-F.col("event_id")).alias("_ni"))).alias("_ch"),
+        F.min(F.struct(F.col("c"), F.col("event_id"))).alias("_rj"),
+    )
+    return (
+        agg.select(
+            "user_id",
+            (-F.col("_ch._ni")).alias("chosen_id"),
+            F.col("_rj.event_id").alias("rejected_id"),
+            F.round(
+                (F.col("_ch.c") - F.col("_rj.c")).cast("double") / 100.0, 6
+            ).alias("margin"),
+        )
+        .filter(F.col("margin") > 0)
+        .orderBy("user_id")
+    )
+
+
+O_PREFERENCE_PAIRS = """
+WITH e AS (SELECT user_id, event_id, round(value * 100)::bigint AS c
+           FROM events),
+ch AS (SELECT user_id, event_id AS chosen_id, c AS c_ch,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY c DESC, event_id ASC) AS rn
+       FROM e),
+rj AS (SELECT user_id, event_id AS rejected_id, c AS c_rj,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY c ASC, event_id ASC) AS rn
+       FROM e)
+SELECT ch.user_id, chosen_id, rejected_id,
+       round((c_ch - c_rj)::double / 100.0, 6) AS margin
+FROM ch JOIN rj ON ch.user_id = rj.user_id AND ch.rn = 1 AND rj.rn = 1
+WHERE c_ch > c_rj
+ORDER BY ch.user_id
+"""
+
+
+CONST_SCORE_BOOST = 1.5
+
+
+def q_constant_score_topk(spark, sf_dir):
+    """Lucene ConstantScoreQuery / ES constant_score: a filter-context
+    bool (MUST term 'join', MUST_NOT term 'slow') whose every match
+    scores exactly the boost — no tf/idf computed at all, which is the
+    entire point of the query (Lucene skips the Similarity). The twin
+    is a pure map-membership scan over the per-doc term map; ordering
+    falls back to doc_id as in Lucene's constant-score hit order."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    return (
+        per_doc.filter(
+            F.col("m")["join"].isNotNull() & F.col("m")["slow"].isNull()
+        )
+        .select(
+            "doc_id",
+            F.lit(float(CONST_SCORE_BOOST)).alias("score"),
+        )
+        .orderBy("doc_id")
+        .limit(BM25_K)
+    )
+
+
+O_CONSTANT_SCORE_TOPK = f"""
+WITH {TOKS_CTE},
+dm AS (SELECT doc_id,
+              bool_or(term = 'join') AS has_join,
+              bool_or(term = 'slow') AS has_slow
+       FROM toks GROUP BY 1)
+SELECT doc_id, {float(CONST_SCORE_BOOST)} AS score
+FROM dm WHERE has_join AND NOT has_slow
+ORDER BY doc_id LIMIT {BM25_K}
+"""
+
+
+MBP_TERM = "merge"
+MBP_PREFIX = "vec"
+
+
+def q_match_bool_prefix_topk(spark, sf_dir):
+    """ES match_bool_prefix: the query text's last token becomes a
+    PrefixQuery, the rest become term queries, all SHOULD-joined. Per
+    Lucene's default rewrite the prefix clause is CONSTANT-scored (1.0)
+    while the full terms score BM25 — so score = BM25('merge') +
+    1.0·[any term starts with 'vec'], match requires at least one
+    clause. Same one-tokenize corpus shape as q_bm25_topk; the prefix
+    test is an `exists` HOF over the per-doc term-map keys (no second
+    tokenize, no join)."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, [MBP_TERM])
+    s_term = F.when(
+        F.col("m")[MBP_TERM].isNotNull(),
+        _bm25_score_col([MBP_TERM], n, avgdl, dfs),
+    ).otherwise(F.lit(0.0))
+    s_prefix = F.when(
+        F.exists(F.map_keys("m"), lambda k: k.startswith(MBP_PREFIX)),
+        F.lit(1.0),
+    ).otherwise(F.lit(0.0))
+    return (
+        per_doc.withColumn("score", F.round(s_term + s_prefix, 6))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", "score")
+    )
+
+
+O_MATCH_BOOL_PREFIX_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+dfm AS (SELECT count(DISTINCT doc_id)::double AS df FROM dt
+        WHERE term = '{MBP_TERM}'),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+       FROM dt CROSS JOIN dfm JOIN dl USING (doc_id) CROSS JOIN st
+       WHERE dt.term = '{MBP_TERM}'
+       GROUP BY dt.doc_id),
+px AS (SELECT DISTINCT doc_id FROM toks WHERE term LIKE '{MBP_PREFIX}%'),
+merged AS (SELECT coalesce(sc.doc_id, px.doc_id) AS doc_id,
+                  round(coalesce(s, 0)
+                        + CASE WHEN px.doc_id IS NOT NULL
+                               THEN 1.0 ELSE 0.0 END, 6) AS score
+           FROM sc FULL JOIN px ON sc.doc_id = px.doc_id)
+SELECT doc_id, score FROM merged
+WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -11534,6 +11941,17 @@ REGISTRY: dict[str, tuple] = {
     "mix_weights": (q_mix_weights, O_MIX_WEIGHTS),
     "random_score_topk": (q_random_score_topk, O_RANDOM_SCORE_TOPK),
     "pinned_topk": (q_pinned_topk, O_PINNED_TOPK),
+    "boxplot_value": (q_boxplot_value, O_BOXPLOT_VALUE),
+    "mad_value": (q_mad_value, O_MAD_VALUE),
+    "matrix_stats_fields": (q_matrix_stats_fields, O_MATRIX_STATS_FIELDS),
+    "log_templates": (q_log_templates, O_LOG_TEMPLATES),
+    "frequent_pairs": (q_frequent_pairs, O_FREQUENT_PAIRS),
+    "preference_pairs": (q_preference_pairs, O_PREFERENCE_PAIRS),
+    "constant_score_topk": (q_constant_score_topk, O_CONSTANT_SCORE_TOPK),
+    "match_bool_prefix_topk": (
+        q_match_bool_prefix_topk,
+        O_MATCH_BOOL_PREFIX_TOPK,
+    ),
 }
 
 
@@ -11587,6 +12005,9 @@ _DRIVER_ORDER = [
     "filters_agg", "bucket_script", "percentile_ranks", "stream_set_ops",
     "reindex_wordcount", "shingle_wordcount", "edge_ngram_autocomplete",
     "mix_weights", "random_score_topk", "pinned_topk",
+    "boxplot_value", "mad_value", "matrix_stats_fields", "log_templates",
+    "frequent_pairs", "preference_pairs", "constant_score_topk",
+    "match_bool_prefix_topk",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
