@@ -260,6 +260,10 @@ EXTRA_QUERIES = [
     "preference_pairs",
     "constant_score_topk",
     "match_bool_prefix_topk",
+    "event_ewma",
+    "span_multi_search",
+    "kneser_ney_bigrams",
+    "distance_feature_topk",
 ]
 
 

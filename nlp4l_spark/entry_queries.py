@@ -11673,6 +11673,241 @@ ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+# --------------------------------------------------------------------- #
+# ES moving_fn EWMA, span_multi (wildcard-in-span), Kneser-Ney bigram LM,
+# and the distance_feature recency query.
+# --------------------------------------------------------------------- #
+
+
+def q_event_ewma(spark, sf_dir):
+    """ES moving_fn(MovingFunctions.ewma, alpha=0.5) pipeline agg over a
+    daily date_histogram: exponentially weighted moving average of the
+    day's value sum. The recurrence s_t = α·x_t + (1−α)·s_{t−1} folds
+    IN DAY ORDER over the bucket array (a histogram is bucket-count
+    sized by construction, so collecting it into one array is bounded
+    regardless of corpus size — same contract as ES, where pipeline
+    aggs run driver-side over the reduced buckets). Cross-engine
+    determinism: daily sums are exact cents; the fold is the identical
+    null-init recurrence on both engines (Spark `aggregate` HOF, DuckDB
+    `list_reduce` with first-element init), α=0.5 so every step is an
+    exact binary halving."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        _events(spark, sf_dir)
+        .select(F.floor(sec / 86400).cast("long").alias("day"), cents.alias("_c"))
+        .groupBy("day")
+        .agg(F.sum("_c").alias("s"))
+    )
+    arr = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "s"))).alias("a")
+    )
+    ex = arr.select("a", F.posexplode("a").alias("pos", "e"))
+    prefix = F.transform(
+        F.slice(F.col("a"), 1, F.col("pos") + 1), lambda e: e["s"].cast("double")
+    )
+    fold = F.aggregate(
+        prefix,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(0.5 * x + 0.5 * acc),
+    )
+    return ex.select(
+        F.col("e.day").alias("day"),
+        (F.col("e.s").cast("double") / 100.0).alias("raw"),
+        F.round(fold / 100.0, 6).alias("ewma"),
+    ).orderBy("day")
+
+
+O_EVENT_EWMA = """
+WITH daily AS (SELECT floor(floor(epoch(ts))::bigint / 86400)::bigint AS day,
+                      sum(round(value * 100)::bigint)::bigint AS s
+               FROM events GROUP BY 1),
+arr AS (SELECT list(struct_pack(day := day, s := s) ORDER BY day) AS a
+        FROM daily),
+ex AS (SELECT unnest(a) AS e, generate_subscripts(a, 1) AS p, a FROM arr)
+SELECT e.day AS day,
+       e.s::double / 100.0 AS raw,
+       round(list_reduce(list_transform(a[1:p], x -> x.s::double),
+                         (acc, x) -> 0.5 * x + 0.5 * acc) / 100.0, 6) AS ewma
+FROM ex ORDER BY day
+"""
+
+
+SPAN_MULTI_PREFIX = "vec"
+SPAN_MULTI_TERM = "join"
+SPAN_MULTI_SLOP = 3
+
+
+def q_span_multi_search(spark, sf_dir):
+    """Lucene SpanMultiTermQueryWrapper: a multi-term query (here
+    PrefixQuery '{SPAN_MULTI_PREFIX}*') lifted into span algebra and
+    composed in a SpanNearQuery — any token starting with the prefix
+    followed in order by '{SPAN_MULTI_TERM}' within slop
+    {SPAN_MULTI_SLOP}. Same full-token-stream position contract as the
+    other span twins (stopword holes preserved); n_spans = qualifying
+    start positions. The wrapper's term expansion costs nothing here —
+    the prefix test runs inside the same position-extraction HOF."""
+    win = SPAN_MULTI_SLOP + 1
+    ft = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    pa = F.filter(
+        F.transform(
+            ft,
+            lambda x, i: F.when(
+                x.startswith(SPAN_MULTI_PREFIX), i
+            ).otherwise(F.lit(None)),
+        ),
+        lambda v: v.isNotNull(),
+    )
+    pb = F.filter(
+        F.transform(
+            ft,
+            lambda x, i: F.when(x == SPAN_MULTI_TERM, i).otherwise(F.lit(None)),
+        ),
+        lambda v: v.isNotNull(),
+    )
+    n_spans = F.size(
+        F.filter(
+            pa, lambda p0: F.exists(pb, lambda p1: (p1 > p0) & (p1 - p0 <= win))
+        )
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", n_spans.cast("long").alias("n_spans"))
+        .filter(F.col("n_spans") > 0)
+        .orderBy(F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+O_SPAN_MULTI_SEARCH = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ft
+           FROM documents),
+p AS (SELECT doc_id,
+        list_filter(range(1, len(ft) + 1),
+                    i -> ft[i] LIKE '{SPAN_MULTI_PREFIX}%') AS pa,
+        list_filter(range(1, len(ft) + 1),
+                    i -> ft[i] = '{SPAN_MULTI_TERM}') AS pb
+      FROM t),
+s AS (SELECT doc_id,
+        len(list_filter(pa, p0 ->
+          len(list_filter(pb,
+              p1 -> p1 > p0 AND p1 - p0 <= {SPAN_MULTI_SLOP + 1})) > 0
+        ))::bigint AS n_spans
+      FROM p)
+SELECT doc_id, n_spans FROM s WHERE n_spans > 0 ORDER BY doc_id ASC LIMIT 20
+"""
+
+
+KN_DISCOUNT = 0.75
+KN_MIN_COUNT = 5
+
+
+def q_kneser_ney_bigrams(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995,
+    the Chen-Goodman formulation with a fixed discount D=0.75), the
+    classic n-gram-LM smoothing a perplexity-filter pipeline trains:
+    P(w2|w1) = max(c12−D, 0)/c1 + (D·N1+(w1·)/c1) · N1+(·w2)/T, where
+    N1+ are continuation-type counts and T = distinct bigram types. Top
+    20 bigrams with c12 ≥ {KN_MIN_COUNT} by smoothed probability. One
+    explode shuffle builds the bigram-type table; everything after is
+    keyed joins on that (vocab²-bounded) table plus a broadcast-scalar
+    T — the corpus is never rescanned."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = _docs(spark, sf_dir).select(F.explode(pairs).alias("b")).select("b.*")
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").cast("double").alias("n1fw")
+    )
+    c2 = c12.groupBy("w2").agg(F.count("*").cast("double").alias("n1bw"))
+    t_types = float(c12.count())
+    d = float(KN_DISCOUNT)
+    p_kn = (
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+        + (d * F.col("n1fw") / F.col("c1")) * (F.col("n1bw") / t_types)
+    )
+    return (
+        c12.join(c1, "w1")
+        .join(c2, "w2")
+        .filter(F.col("c12") >= KN_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("cnt"),
+            F.round(p_kn, 6).alias("p_kn"),
+        )
+        .orderBy(F.desc("p_kn"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
+O_KNESER_NEY_BIGRAMS = f"""
+WITH t AS (SELECT doc_id, unnest({TOK_SQL}) AS term,
+                  generate_subscripts({TOK_SQL}, 1) AS p
+           FROM documents),
+bg AS (SELECT a.term AS w1, b.term AS w2
+       FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+c12 AS (SELECT w1, w2, count(*)::double AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12)::double AS c1, count(*)::double AS n1fw
+       FROM c12 GROUP BY 1),
+c2 AS (SELECT w2, count(*)::double AS n1bw FROM c12 GROUP BY 1),
+tt AS (SELECT count(*)::double AS t FROM c12)
+SELECT w1, w2, c12::bigint AS cnt,
+       round(greatest(c12 - {KN_DISCOUNT}, 0.0) / c1
+             + ({KN_DISCOUNT} * n1fw / c1) * (n1bw / t), 6) AS p_kn
+FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tt
+WHERE c12 >= {KN_MIN_COUNT}
+ORDER BY p_kn DESC, w1 ASC, w2 ASC LIMIT 20
+"""
+
+
+DF_ORIGIN_SEC = 1706745600  # 2024-02-01T00:00:00Z, after the event window
+DF_PIVOT_SEC = 7 * 86400
+DF_BOOST = 2.0
+
+
+def q_distance_feature_topk(spark, sf_dir):
+    """ES distance_feature query on a date field: score = boost ·
+    pivot / (pivot + |origin − ts|) — the saturation-shaped recency
+    boost (DistanceFeatureQueryBuilder), distinct from the gaussian
+    decay of function_score (q_decay_gauss_topk). Filter context =
+    event_type 'click'; top 20 most-recent-weighted events. Single
+    filtered scan + TakeOrdered, the whole score is one JVM projection."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    score = F.round(
+        F.lit(DF_BOOST)
+        * F.lit(float(DF_PIVOT_SEC))
+        / (F.lit(float(DF_PIVOT_SEC)) + F.abs(F.lit(DF_ORIGIN_SEC) - sec)),
+        6,
+    )
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("event_id"))
+        .limit(20)
+    )
+
+
+O_DISTANCE_FEATURE_TOPK = f"""
+SELECT event_id,
+       round({DF_BOOST} * {float(DF_PIVOT_SEC)}
+             / ({float(DF_PIVOT_SEC)}
+                + abs({DF_ORIGIN_SEC} - floor(epoch(ts))::bigint)), 6) AS score
+FROM events WHERE event_type = 'click'
+ORDER BY score DESC, event_id ASC LIMIT 20
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -11952,6 +12187,13 @@ REGISTRY: dict[str, tuple] = {
         q_match_bool_prefix_topk,
         O_MATCH_BOOL_PREFIX_TOPK,
     ),
+    "event_ewma": (q_event_ewma, O_EVENT_EWMA),
+    "span_multi_search": (q_span_multi_search, O_SPAN_MULTI_SEARCH),
+    "kneser_ney_bigrams": (q_kneser_ney_bigrams, O_KNESER_NEY_BIGRAMS),
+    "distance_feature_topk": (
+        q_distance_feature_topk,
+        O_DISTANCE_FEATURE_TOPK,
+    ),
 }
 
 
@@ -12008,6 +12250,8 @@ _DRIVER_ORDER = [
     "boxplot_value", "mad_value", "matrix_stats_fields", "log_templates",
     "frequent_pairs", "preference_pairs", "constant_score_topk",
     "match_bool_prefix_topk",
+    "event_ewma", "span_multi_search", "kneser_ney_bigrams",
+    "distance_feature_topk",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
