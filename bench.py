@@ -264,6 +264,10 @@ EXTRA_QUERIES = [
     "span_multi_search",
     "kneser_ney_bigrams",
     "distance_feature_topk",
+    "dense_histogram",
+    "spellcheck_collate",
+    "solr_join_filter",
+    "scale_score_topk",
 ]
 
 

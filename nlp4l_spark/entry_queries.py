@@ -11609,7 +11609,7 @@ dm AS (SELECT doc_id,
               bool_or(term = 'join') AS has_join,
               bool_or(term = 'slow') AS has_slow
        FROM toks GROUP BY 1)
-SELECT doc_id, {float(CONST_SCORE_BOOST)} AS score
+SELECT doc_id, {float(CONST_SCORE_BOOST)}::double AS score
 FROM dm WHERE has_join AND NOT has_slow
 ORDER BY doc_id LIMIT {BM25_K}
 """
@@ -11908,6 +11908,222 @@ ORDER BY score DESC, event_id ASC LIMIT 20
 """
 
 
+# --------------------------------------------------------------------- #
+# min_doc_count=0 dense histogram, Solr spellcheck.collate, the Solr
+# cross-collection join qparser, and Solr's scale() function query.
+# --------------------------------------------------------------------- #
+
+
+def q_dense_histogram(spark, sf_dir):
+    """ES histogram aggregation with min_doc_count=0: EMPTY buckets
+    between the min and max observed bucket are emitted with cnt 0 (the
+    sparkline-friendly dense form; q_value_histogram is the
+    min_doc_count=1 twin). One corpus groupBy + a generated bucket
+    spine (bounded by the value range / interval, never by corpus
+    size) left-joined against the counts — ES does exactly this densify
+    step in the reduce phase."""
+    e = _events(spark, sf_dir).select(
+        F.floor(F.col("value")).cast("long").alias("bucket")
+    )
+    c = e.groupBy("bucket").agg(F.count("*").cast("long").alias("_n"))
+    mn, mx = e.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+    spine = spark.range(int(mn), int(mx) + 1).select(
+        F.col("id").alias("bucket")
+    )
+    return (
+        spine.join(c, "bucket", "left")
+        .select("bucket", F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+O_DENSE_HISTOGRAM = """
+WITH e AS (SELECT floor(value)::bigint AS bucket FROM events),
+c AS (SELECT bucket, count(*)::bigint AS cnt FROM e GROUP BY 1),
+b AS (SELECT unnest(generate_series((SELECT min(bucket) FROM e),
+                                    (SELECT max(bucket) FROM e))) AS bucket)
+SELECT b.bucket, coalesce(cnt, 0)::bigint AS cnt
+FROM b LEFT JOIN c USING (bucket) ORDER BY bucket
+"""
+
+
+COLLATE_WORDS = ("spakr", "window")
+
+
+def q_spellcheck_collate(spark, sf_dir):
+    """Solr spellcheck.collate: for a two-word misspelled query, take
+    the top-3 correction candidates per word (the gram-overlap +
+    levenshtein suggest ranking), form every collated query, and verify
+    each against the corpus — hits = docs containing BOTH corrections
+    (AND semantics), collations ranked by hits (Solr only returns
+    collations with hits > 0; the twin keeps zeros visible for the
+    contract). Two term-dictionary suggest scans + ONE distinct
+    (doc_id, term) pass semi-pruned to the ≤6 candidate terms; the 3×3
+    combo table is broadcast-tiny."""
+    from nlp4l_spark.ops import spellcheck
+
+    terms = (
+        _corpus(spark, sf_dir)
+        .tokens()
+        .select(F.explode("tokens").alias("term"))
+        .distinct()
+    )
+    top1 = spellcheck.suggest(terms, COLLATE_WORDS[0], k=3).select(
+        F.col("term").alias("s1")
+    )
+    top2 = spellcheck.suggest(terms, COLLATE_WORDS[1], k=3).select(
+        F.col("term").alias("s2")
+    )
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    dt = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(toks).alias("term"))
+        .distinct()
+    )
+    x = dt.join(F.broadcast(top1), dt["term"] == F.col("s1")).select("doc_id", "s1")
+    y = dt.join(F.broadcast(top2), dt["term"] == F.col("s2")).select(
+        F.col("doc_id").alias("_d2"), "s2"
+    )
+    pc = (
+        x.join(y, x["doc_id"] == y["_d2"])
+        .groupBy("s1", "s2")
+        .agg(F.count("*").cast("long").alias("_h"))
+    )
+    combos = top1.crossJoin(top2)
+    return (
+        combos.join(pc, ["s1", "s2"], "left")
+        .select(
+            "s1",
+            "s2",
+            F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("hits"),
+        )
+        .orderBy(F.desc("hits"), F.asc("s1"), F.asc("s2"))
+        .limit(5)
+    )
+
+
+def _grams_sql(w: str) -> str:
+    grams = sorted({w[i : i + 2] for i in range(max(len(w) - 1, 1))})
+    return "[" + ", ".join(f"'{g}'" for g in grams) + "]"
+
+
+def _o_collate():
+    w1, w2 = COLLATE_WORDS
+    return f"""
+WITH {TOKS_CTE},
+terms AS (SELECT DISTINCT term FROM toks),
+g AS (SELECT term,
+        list_distinct(list_transform(
+          generate_series(1, greatest(length(term) - 1, 1)),
+          i -> substr(term, i, 2))) AS grams
+      FROM terms),
+r1 AS (SELECT term AS s1,
+              row_number() OVER (
+                ORDER BY len(list_intersect(grams, {_grams_sql(w1)})) DESC,
+                         levenshtein(term, '{w1}') ASC, term ASC) AS rn
+       FROM g WHERE len(list_intersect(grams, {_grams_sql(w1)})) >= 1),
+r2 AS (SELECT term AS s2,
+              row_number() OVER (
+                ORDER BY len(list_intersect(grams, {_grams_sql(w2)})) DESC,
+                         levenshtein(term, '{w2}') ASC, term ASC) AS rn
+       FROM g WHERE len(list_intersect(grams, {_grams_sql(w2)})) >= 1),
+t1 AS (SELECT s1 FROM r1 WHERE rn <= 3),
+t2 AS (SELECT s2 FROM r2 WHERE rn <= 3),
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+pc AS (SELECT x.term AS s1, y.term AS s2, count(*)::bigint AS h
+       FROM dt x JOIN dt y ON x.doc_id = y.doc_id
+       WHERE x.term IN (SELECT s1 FROM t1) AND y.term IN (SELECT s2 FROM t2)
+       GROUP BY 1, 2)
+SELECT t1.s1, t2.s2, coalesce(h, 0)::bigint AS hits
+FROM t1 CROSS JOIN t2 LEFT JOIN pc ON pc.s1 = t1.s1 AND pc.s2 = t2.s2
+ORDER BY hits DESC, t1.s1 ASC, t2.s2 ASC LIMIT 5
+"""
+
+
+O_SPELLCHECK_COLLATE = _o_collate()
+
+
+JOIN_PRICE_MIN = 300000.0
+
+
+def q_solr_join_filter(spark, sf_dir):
+    """Solr's cross-collection join qparser ({{!join from=o_custkey
+    to=c_custkey}}o_totalprice:[{JOIN_PRICE_MIN} TO *]) / Lucene
+    joinutil JoinUtil.createJoinQuery with ScoreMode.None: filter one
+    collection by a query on another via a shared key, constant-scored.
+    Spark shape: the inner query reduces to a distinct key set that
+    SEMI-joins the outer collection — broadcastable when the inner hit
+    set is small, sort-merge-safe otherwise; never a row-multiplying
+    join (ScoreMode.None ignores child multiplicity)."""
+    keys = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter(F.col("o_totalprice") > JOIN_PRICE_MIN)
+        .select("o_custkey")
+        .distinct()
+    )
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return (
+        cust.join(keys, cust["c_custkey"] == keys["o_custkey"], "left_semi")
+        .select("c_custkey", F.lit(1.0).alias("score"))
+        .orderBy("c_custkey")
+        .limit(20)
+    )
+
+
+O_SOLR_JOIN_FILTER = f"""
+SELECT c_custkey, 1.0::double AS score FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+                    WHERE o_totalprice > {JOIN_PRICE_MIN})
+ORDER BY c_custkey LIMIT 20
+"""
+
+
+def q_scale_score_topk(spark, sf_dir):
+    """Solr's scale(query({{!...}}),0,1) function query / ES min-max
+    score normalization (the normalizer step of linear hybrid fusion):
+    BM25 scores of the matching set rescaled to [0,1] by the set's own
+    min/max. Scores are 6dp-rounded BEFORE the min/max and the rescale
+    (the repo's round-before-select determinism rule), so both engines
+    scale identical operands. Two jobs: the usual one-tokenize stats
+    pass + one scoring scan; the min/max is a 2-value scalar agg."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    matched = (
+        per_doc.withColumn(
+            "s", F.round(_bm25_score_col(BM25_TERMS, n, avgdl, dfs), 6)
+        )
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
+        .select("doc_id", "s")
+    )
+    mn, mx = matched.agg(F.min("s"), F.max("s")).collect()[0]
+    scaled = F.round((F.col("s") - F.lit(mn)) / F.lit(mx - mn), 6)
+    return (
+        matched.select("doc_id", scaled.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_K)
+    )
+
+
+O_SCALE_SCORE_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id),
+mm AS (SELECT min(s) AS mn, max(s) AS mx FROM sc)
+SELECT doc_id, round((s - mn) / (mx - mn), 6) AS score
+FROM sc CROSS JOIN mm
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -12194,6 +12410,10 @@ REGISTRY: dict[str, tuple] = {
         q_distance_feature_topk,
         O_DISTANCE_FEATURE_TOPK,
     ),
+    "dense_histogram": (q_dense_histogram, O_DENSE_HISTOGRAM),
+    "spellcheck_collate": (q_spellcheck_collate, O_SPELLCHECK_COLLATE),
+    "solr_join_filter": (q_solr_join_filter, O_SOLR_JOIN_FILTER),
+    "scale_score_topk": (q_scale_score_topk, O_SCALE_SCORE_TOPK),
 }
 
 
@@ -12252,6 +12472,8 @@ _DRIVER_ORDER = [
     "match_bool_prefix_topk",
     "event_ewma", "span_multi_search", "kneser_ney_bigrams",
     "distance_feature_topk",
+    "dense_histogram", "spellcheck_collate", "solr_join_filter",
+    "scale_score_topk",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
