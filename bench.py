@@ -268,6 +268,9 @@ EXTRA_QUERIES = [
     "spellcheck_collate",
     "solr_join_filter",
     "scale_score_topk",
+    "percolate_bool",
+    "rate_agg",
+    "max_bucket",
 ]
 
 

@@ -12124,6 +12124,122 @@ ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+# --------------------------------------------------------------------- #
+# Bool percolation (must/must_not/should+msm stored queries), the ES
+# rate aggregation, and the max_bucket sibling pipeline aggregation.
+# --------------------------------------------------------------------- #
+PERC_BOOL_QUERIES = [
+    # (query_id, must, must_not, should, min_should)
+    (1, ["join"], ["slow"], [], 0),
+    (2, [], [], ["vector", "hash", "scan"], 2),
+    (3, ["merge"], [], ["spark", "window"], 1),
+    (4, [], ["data"], [], 0),
+    (5, ["nosuchterm"], [], [], 0),
+]
+
+
+def q_percolate_bool(spark, sf_dir):
+    """Bool percolation (ops/percolate.py::percolate_bool; the full ES
+    bool percolator): stored queries with MUST / MUST_NOT / SHOULD
+    clause lists and minimum_should_match, matched against every doc in
+    ONE tokenize scan under a necessity prune (must-overlap, or
+    should-overlap when msm>0, else match-all). Queries broadcast, zero
+    corpus shuffle — the alerting/routing hot path at stream scale."""
+    from nlp4l_spark.ops.percolate import percolate_bool
+
+    q = spark.createDataFrame(
+        PERC_BOOL_QUERIES,
+        "query_id int, must_terms array<string>, must_not_terms array<string>,"
+        " should_terms array<string>, min_should int",
+    )
+    return percolate_bool(_docs(spark, sf_dir), q).orderBy(
+        "doc_id", "query_id"
+    )
+
+
+def _o_percolate_bool() -> str:
+    def lst(terms):
+        return "[" + ", ".join(f"'{t}'" for t in terms) + "]::varchar[]"
+
+    values = ", ".join(
+        f"({qid}, {lst(m)}, {lst(mn)}, {lst(sh)}, {msm})"
+        for qid, m, mn, sh, msm in PERC_BOOL_QUERIES
+    )
+    return f"""
+WITH d AS (SELECT doc_id, list_distinct({TOK_SQL}) AS toks FROM documents),
+q AS (SELECT * FROM (VALUES {values})
+      AS t(query_id, must, mnot, should, msm))
+SELECT doc_id, query_id FROM d JOIN q
+  ON list_has_all(toks, must)
+ AND NOT list_has_any(toks, mnot)
+ AND len(list_intersect(toks, should)) >= msm
+ORDER BY doc_id, query_id
+"""
+
+
+O_PERCOLATE_BOOL = _o_percolate_bool()
+
+
+def q_rate_agg(spark, sf_dir):
+    """ES rate aggregation (unit=day) inside a weekly date_histogram:
+    per-week event count and value sum normalized to a per-day rate —
+    the 'requests per day, bucketed by week' dashboard panel. ES
+    divides by the bucket's duration in rate units (7 days) regardless
+    of partial buckets; the twin does the same. Exact cents sums; one
+    keyed groupBy."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        _events(spark, sf_dir)
+        .select(
+            F.floor(F.floor(sec / 86400) / 7).cast("long").alias("week"),
+            cents.alias("_c"),
+        )
+        .groupBy("week")
+        .agg(
+            F.round(F.count("*") / 7.0, 6).alias("count_rate"),
+            F.round(F.sum("_c") / 100.0 / 7.0, 6).alias("value_rate"),
+        )
+        .orderBy("week")
+    )
+
+
+O_RATE_AGG = """
+SELECT floor(floor(floor(epoch(ts))::bigint / 86400) / 7)::bigint AS week,
+       round(count(*) / 7.0, 6) AS count_rate,
+       round(sum(round(value * 100)::bigint) / 100.0 / 7.0, 6) AS value_rate
+FROM events GROUP BY 1 ORDER BY week
+"""
+
+
+def q_max_bucket(spark, sf_dir):
+    """ES max_bucket sibling pipeline aggregation: which daily bucket
+    of a date_histogram has the largest sum(value), returning the
+    bucket key and the metric (ties broken to the earliest day; ES
+    returns all tied keys — the twin's deterministic single-key form).
+    One keyed groupBy + a 1-row TakeOrdered over the bucket table."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        _events(spark, sf_dir)
+        .select(F.floor(sec / 86400).cast("long").alias("day"), cents.alias("_c"))
+        .groupBy("day")
+        .agg(F.sum("_c").alias("_s"))
+        .select("day", (F.col("_s").cast("double") / 100.0).alias("max_sum"))
+        .orderBy(F.desc("max_sum"), F.asc("day"))
+        .limit(1)
+    )
+
+
+O_MAX_BUCKET = """
+WITH daily AS (SELECT floor(floor(epoch(ts))::bigint / 86400)::bigint AS day,
+                      sum(round(value * 100)::bigint)::bigint AS s
+               FROM events GROUP BY 1)
+SELECT day, s::double / 100.0 AS max_sum
+FROM daily ORDER BY max_sum DESC, day ASC LIMIT 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -12414,6 +12530,9 @@ REGISTRY: dict[str, tuple] = {
     "spellcheck_collate": (q_spellcheck_collate, O_SPELLCHECK_COLLATE),
     "solr_join_filter": (q_solr_join_filter, O_SOLR_JOIN_FILTER),
     "scale_score_topk": (q_scale_score_topk, O_SCALE_SCORE_TOPK),
+    "percolate_bool": (q_percolate_bool, O_PERCOLATE_BOOL),
+    "rate_agg": (q_rate_agg, O_RATE_AGG),
+    "max_bucket": (q_max_bucket, O_MAX_BUCKET),
 }
 
 
@@ -12474,6 +12593,7 @@ _DRIVER_ORDER = [
     "distance_feature_topk",
     "dense_histogram", "spellcheck_collate", "solr_join_filter",
     "scale_score_topk",
+    "percolate_bool", "rate_agg", "max_bucket",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",

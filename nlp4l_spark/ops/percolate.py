@@ -120,3 +120,62 @@ def percolate_phrase(
         .filter(adjacent)
         .select("doc_id", "query_id")
     )
+
+
+def percolate_bool(
+    docs: DataFrame,
+    queries: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    must_col: str = "must_terms",
+    must_not_col: str = "must_not_terms",
+    should_col: str = "should_terms",
+    msm_col: str = "min_should",
+    analyzer: Analyzer | None = None,
+) -> DataFrame:
+    """Boolean percolation: stored queries carry MUST / MUST_NOT /
+    SHOULD clause lists plus a minimum_should_match — the full ES bool
+    percolator shape (conjunctive `percolate` is the MUST-only special
+    case). A doc matches iff every must term occurs, no must_not term
+    occurs, and at least ``min_should`` of the should terms occur
+    (msm=0 disables the should requirement, Lucene's rule when other
+    required clauses exist).
+
+    Same scale shape as `percolate`: queries broadcast, one tokenize
+    scan on the doc side, candidate pruning before the exact clause
+    checks — zero corpus shuffle. The prune must stay NECESSARY for a
+    match: overlap with must terms when there are any, else overlap
+    with should terms when msm > 0, else match-all."""
+    analyzer = analyzer or STANDARD_ANALYZER
+    toks = F.array_distinct(analyzer.tokens_expr(text_col))
+    d = docs.select(F.col(doc_id_col).alias("doc_id"), toks.alias("_toks"))
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(must_col).alias("_must"),
+            F.col(must_not_col).alias("_mnot"),
+            F.col(should_col).alias("_should"),
+            F.col(msm_col).alias("_msm"),
+        )
+    )
+    prune = F.when(
+        F.size(F.col("_must")) > 0,
+        F.arrays_overlap(F.col("_toks"), F.col("_must")),
+    ).otherwise(
+        (F.col("_msm") == 0)
+        | F.arrays_overlap(F.col("_toks"), F.col("_should"))
+    )
+    must_ok = F.forall(
+        F.col("_must"), lambda t: F.array_contains(F.col("_toks"), t)
+    )
+    mnot_ok = ~F.arrays_overlap(F.col("_toks"), F.col("_mnot"))
+    should_ok = (
+        F.size(F.array_intersect(F.col("_toks"), F.col("_should")))
+        >= F.col("_msm")
+    )
+    return (
+        d.join(q, prune, "inner")
+        .filter(must_ok & mnot_ok & should_ok)
+        .select("doc_id", "query_id")
+    )

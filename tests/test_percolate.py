@@ -90,3 +90,60 @@ def test_streaming_percolation(spark, tmp_path):
         (r["doc_id"], r["query_id"]) for r in percolate(docs, qs).collect()
     }
     assert got == batch and got
+
+
+# --------------------------------------------------------------------- #
+# Bool percolation: must / must_not / should + minimum_should_match
+# --------------------------------------------------------------------- #
+BOOL_QUERIES = [
+    # (query_id, must, must_not, should, min_should)
+    (20, ["join"], ["scan"], [], 0),
+    (21, [], [], ["spark", "vector", "hash"], 2),
+    (22, ["join"], [], ["merge", "vector"], 1),
+    (23, [], ["join"], [], 0),          # match-all minus 'join' docs
+    (24, [], [], ["zzznope"], 1),       # unsatisfiable should
+]
+
+
+@pytest.fixture(scope="module")
+def bool_hits(spark):
+    from nlp4l_spark.ops.percolate import percolate_bool
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qs = spark.createDataFrame(
+        BOOL_QUERIES,
+        "query_id int, must_terms array<string>, must_not_terms array<string>,"
+        " should_terms array<string>, min_should int",
+    )
+    return {
+        (r["doc_id"], r["query_id"])
+        for r in percolate_bool(docs, qs).collect()
+    }
+
+
+def test_bool_must_and_must_not(bool_hits):
+    # doc 0 (spark join merge vector): must join ok, no scan -> hit
+    assert (0, 20) in bool_hits and (1, 20) in bool_hits
+    # doc 2 has scan -> excluded even though it lacks join anyway
+    assert (2, 20) not in bool_hits
+
+
+def test_bool_minimum_should_match(bool_hits):
+    # q21 needs >= 2 of {spark, vector, hash}
+    assert (0, 21) in bool_hits      # spark + vector
+    assert (2, 21) in bool_hits      # vector + hash
+    assert (1, 21) not in bool_hits  # none
+
+
+def test_bool_must_plus_should(bool_hits):
+    # q22: must join AND >=1 of {merge, vector}
+    assert (0, 22) in bool_hits
+    assert (1, 22) not in bool_hits  # join but no should term
+
+
+def test_bool_pure_must_not_is_match_all_minus(bool_hits):
+    assert {d for d, q in bool_hits if q == 23} == {2, 3}
+
+
+def test_bool_unsatisfiable_should(bool_hits):
+    assert not any(q == 24 for _, q in bool_hits)
