@@ -271,6 +271,7 @@ EXTRA_QUERIES = [
     "percolate_bool",
     "rate_agg",
     "max_bucket",
+    "dds_percentiles",
 ]
 
 

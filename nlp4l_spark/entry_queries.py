@@ -12240,6 +12240,59 @@ FROM daily ORDER BY max_sum DESC, day ASC LIMIT 1
 """
 
 
+# --------------------------------------------------------------------- #
+# DDSketch percentiles: the mergeable relative-error quantile sketch
+# (ES `percentiles` hdr mode analogue; ops/sketches.py::dd_*).
+# --------------------------------------------------------------------- #
+DDS_QS = [0.5, 0.9, 0.99]
+
+
+def q_dds_percentiles(spark, sf_dir):
+    """ES percentiles aggregation in its sketched (HDR-mode) form,
+    implemented as a DDSketch (Masson 2019): exponential buckets
+    ceil(ln(v)/ln(gamma)) over exact cents, quantile = first bucket
+    whose cumulative count reaches ceil(q·n), estimate = the bucket
+    midpoint (alpha=2% relative-error bound, asserted against exact
+    quantiles in tests/test_sketches.py). The sketch groupBy is
+    map-side combinable with a bucket-count-bounded key space and
+    merges by count addition (dd_merge) — the scale path where the
+    exact `percentile` sorts of q_boxplot_value would spill. Oracle =
+    the IDENTICAL bucket/pick/midpoint math in DuckDB."""
+    from nlp4l_spark.ops import sketches
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    v = _events(spark, sf_dir).select(cents.alias("c"))
+    sk = sketches.dd_sketch(v, "c")
+    return sketches.dd_quantiles(sk, DDS_QS, scale=100.0)
+
+
+def _o_dds() -> str:
+    from nlp4l_spark.ops import sketches
+
+    gamma = sketches.dd_gamma()
+    lg = math.log(gamma)
+    qs = ", ".join(repr(q) for q in DDS_QS)
+    return f"""
+WITH v AS (SELECT round(value * 100)::bigint AS c FROM events),
+s AS (SELECT ceil(round(ln(c::double) / {lg!r}, 6))::bigint AS bucket,
+             count(*)::bigint AS cnt
+      FROM v GROUP BY 1),
+cu AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum,
+              sum(cnt) OVER () AS n
+       FROM s),
+q AS (SELECT unnest([{qs}]::double[]) AS pct),
+pick AS (SELECT pct, min(bucket)::bigint AS bucket
+         FROM q JOIN cu ON cum >= ceil(pct * n) GROUP BY 1)
+SELECT pct, bucket,
+       round(2.0 * exp(bucket * {lg!r}) / ({gamma!r} + 1.0) / 100.0, 6)
+         AS estimate
+FROM pick ORDER BY pct
+"""
+
+
+O_DDS_PERCENTILES = _o_dds()
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -12533,6 +12586,7 @@ REGISTRY: dict[str, tuple] = {
     "percolate_bool": (q_percolate_bool, O_PERCOLATE_BOOL),
     "rate_agg": (q_rate_agg, O_RATE_AGG),
     "max_bucket": (q_max_bucket, O_MAX_BUCKET),
+    "dds_percentiles": (q_dds_percentiles, O_DDS_PERCENTILES),
 }
 
 
@@ -12593,7 +12647,7 @@ _DRIVER_ORDER = [
     "distance_feature_topk",
     "dense_histogram", "spellcheck_collate", "solr_join_filter",
     "scale_score_topk",
-    "percolate_bool", "rate_agg", "max_bucket",
+    "percolate_bool", "rate_agg", "max_bucket", "dds_percentiles",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",

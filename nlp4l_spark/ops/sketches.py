@@ -289,3 +289,98 @@ def kmv_pair_overlap(sketch: DataFrame, k: int = 64) -> DataFrame:
             6,
         ).alias("jaccard_est"),
     )
+
+
+# --------------------------------------------------------------------- #
+# DDSketch (Masson, Rim & Lee, VLDB 2019): relative-error-bounded
+# quantiles from exponentially-spaced buckets — the mergeable sketch
+# behind ES `percentiles` (hdr mode) / Datadog distributions. Bucket
+# index = ceil(ln(v)/ln(gamma)) with gamma = (1+alpha)/(1-alpha), so any
+# quantile estimate is within alpha relative error of the true value;
+# sketches merge by bucket-count ADDITION (same op that builds them).
+#
+# Determinism contract: inputs are positive integers (cents), ln runs on
+# exactly-representable doubles, and the bucket ratio is rounded to 6 dp
+# before ceil (the repo's round-before-select rule, absorbing the <=1ulp
+# libm difference between the JVM and DuckDB); gamma and ln(gamma) are
+# Python-computed literals injected into BOTH engines.
+# --------------------------------------------------------------------- #
+import math as _math
+
+DD_ALPHA = 0.02
+
+
+def dd_gamma(alpha: float = DD_ALPHA) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def dd_bucket_expr(col, alpha: float = DD_ALPHA):
+    """Bucket index for a POSITIVE value column (JVM expression)."""
+    lg = _math.log(dd_gamma(alpha))
+    return F.ceil(F.round(F.log(col.cast("double")) / F.lit(lg), 6)).cast(
+        "long"
+    )
+
+
+def dd_sketch(
+    df: DataFrame,
+    value_col: str,
+    alpha: float = DD_ALPHA,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(group_cols..., bucket, cnt) — ONE map-side-combinable groupBy
+    whose key space is the bucket count (~log-range/alpha), never the
+    data size."""
+    b = dd_bucket_expr(F.col(value_col), alpha)
+    return (
+        df.groupBy(*group_cols, b.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def dd_merge(*sketches: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Union partial sketches into one: bucket counts add."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (
+        out.groupBy(*group_cols, "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def dd_quantiles(
+    sketch: DataFrame,
+    qs: Sequence[float],
+    alpha: float = DD_ALPHA,
+    scale: float = 1.0,
+) -> DataFrame:
+    """(pct, bucket, estimate) per requested quantile: the first bucket
+    whose cumulative count reaches ceil(q*n), estimated at the bucket's
+    midpoint 2*gamma^b/(gamma+1), divided by ``scale`` (e.g. 100 when
+    the sketch was built over cents). All windows and joins run over the
+    bucket-count-sized sketch table — nothing is ∝ data."""
+    gamma = dd_gamma(alpha)
+    lg = _math.log(gamma)
+    spark = sketch.sparkSession
+    cum = sketch.select(
+        "bucket",
+        F.sum("cnt").over(Window.orderBy("bucket")).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "pct double")
+    est = F.round(
+        2.0 * F.exp(F.col("bucket") * F.lit(lg)) / F.lit(gamma + 1.0)
+        / F.lit(float(scale)),
+        6,
+    )
+    return (
+        F.broadcast(qdf)
+        .join(cum, F.col("cum") >= F.ceil(F.col("pct") * F.col("n")))
+        .groupBy("pct")
+        .agg(F.min("bucket").alias("bucket"))
+        .select("pct", "bucket", est.alias("estimate"))
+        .orderBy("pct")
+    )

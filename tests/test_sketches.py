@@ -138,3 +138,69 @@ def test_kmv_jaccard_accuracy(spark):
         for b in types[i + 1 :]:
             exact = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
             assert abs(est[(a, b)] - exact) < 0.2, (a, b, est[(a, b)], exact)
+
+
+# --------------------------------------------------------------------- #
+# DDSketch quantiles
+# --------------------------------------------------------------------- #
+def _values(spark):
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    return (
+        spark.read.parquet(os.path.join(sf, "events.parquet"))
+        .select(F.round(F.col("value") * 100).cast("long").alias("c"))
+    )
+
+
+def test_dds_relative_error_bound(spark):
+    """Every DDSketch quantile estimate is within the alpha=2% relative
+    error of the EXACT quantile — the sketch's contract (Masson 2019,
+    Thm. 1) on the real fixture distribution."""
+    v = _values(spark)
+    sk = sketches.dd_sketch(v, "c")
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    est = {
+        r["pct"]: r["estimate"]
+        for r in sketches.dd_quantiles(sk, qs, scale=100.0).collect()
+    }
+    exact = v.agg(
+        F.expr(
+            "percentile(c, array(" + ",".join(str(q) for q in qs) + "))"
+        ).alias("p")
+    ).collect()[0]["p"]
+    for q, ex in zip(qs, exact):
+        ex /= 100.0
+        assert abs(est[q] - ex) <= 0.021 * ex + 1e-9, (q, est[q], ex)
+
+
+def test_dds_merge_is_lossless(spark):
+    """Per-partition (here: per-event_type) sketches merged by count
+    addition equal the sketch built over the whole data — bucket for
+    bucket, and therefore quantile for quantile."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    e = spark.read.parquet(os.path.join(sf, "events.parquet")).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    whole = sketches.dd_sketch(e, "c")
+    parts = [
+        sketches.dd_sketch(e.filter(F.col("event_type") == t), "c")
+        for t in ["click", "error", "purchase", "signup", "view"]
+    ]
+    merged = sketches.dd_merge(*parts)
+    a = {r["bucket"]: r["cnt"] for r in whole.collect()}
+    b = {r["bucket"]: r["cnt"] for r in merged.collect()}
+    assert a == b and sum(a.values()) == e.count()
+
+
+def test_dds_bucket_keyspace_is_bounded(spark):
+    """The sketch's key space is the bucket count (log-range / alpha),
+    not the value cardinality: cents span ~5 decades -> well under 600
+    buckets at alpha=2%."""
+    v = _values(spark)
+    sk = sketches.dd_sketch(v, "c")
+    n_buckets = sk.count()
+    n_distinct = v.distinct().count()
+    assert n_buckets < 600 and n_buckets < n_distinct
