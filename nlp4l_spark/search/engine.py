@@ -1114,6 +1114,115 @@ class Searcher:
         )
         return docs.select("doc_id", F.lit(1.0).alias("score"))
 
+    def search_constant_score(
+        self,
+        must_terms: list[str],
+        must_not_terms: list[str] = (),
+        boost: float = 1.0,
+        k: int = 10,
+    ) -> DataFrame:
+        """Lucene ConstantScoreQuery / ES constant_score over the index:
+        a filter-context bool (all MUST terms present, no MUST_NOT term
+        present) where every match scores exactly ``boost`` — no
+        Similarity, no stats job at all (the whole point of the query
+        type). Corpus twin: entry_queries.q_constant_score_topk
+        (identity-tested in tests/test_boolean.py).
+
+        Plan: both clause sides are pushed-In(term) postings reads; the
+        MUST candidate set is a countDistinct==n filter, MUST_NOT is a
+        LEFT ANTI join of distinct doc ids — never row-multiplying."""
+        must = sorted({t.lower() for t in must_terms})
+        if not must:
+            raise ValueError("constant_score needs >=1 must term")
+        cand = (
+            self._decoded(self._matching_postings(must))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("_nm"))
+            .filter(F.col("_nm") == len(must))
+            .select("doc_id")
+        )
+        mnot = sorted({t.lower() for t in must_not_terms})
+        if mnot:
+            excl = (
+                self._decoded(self._matching_postings(mnot))
+                .select("doc_id")
+                .distinct()
+            )
+            cand = cand.join(excl, "doc_id", "left_anti")
+        return (
+            cand.orderBy(F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", F.lit(float(boost)).alias("score"))
+        )
+
+    def search_match_bool_prefix(self, query: str, k: int = 10) -> DataFrame:
+        """ES match_bool_prefix over the index: the analyzed query's
+        LAST token becomes a PrefixQuery, the rest are term queries, all
+        SHOULD-joined. Per Lucene's constant-score multi-term rewrite
+        the prefix clause contributes exactly 1.0 while the full terms
+        score BM25 — so score = BM25(rest) + 1.0·[prefix hit], matching
+        requires >=1 clause. Corpus twin:
+        entry_queries.q_match_bool_prefix_topk (identity-tested in
+        tests/test_boolean.py).
+
+        Plan: one pushed-In(term) postings read for the scored terms +
+        one StringStartsWith-pushed dictionary range read for the
+        prefix; the two candidate streams union and fold in ONE
+        groupBy(doc_id) — no join between the clause sides."""
+        toks = self.analyzer.tokenize(query)
+        if not toks:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        prefix, rest = toks[-1], sorted(set(toks[:-1]))
+        parts = []
+        if rest:
+            dfs = self._term_stats(rest)
+            present = [t for t in rest if t in dfs]
+            if present:
+                rows = [(t, idf(self.num_docs, dfs[t])) for t in present]
+                qterms = F.broadcast(
+                    self.spark.createDataFrame(rows, "term string, idf double")
+                )
+                score_expr = (
+                    F.col("idf")
+                    * F.col("tf")
+                    * F.lit(K1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + F.lit(K1)
+                        * (
+                            F.lit(1.0 - B)
+                            + F.lit(B)
+                            * F.col("dl")
+                            / F.lit(self.avgdl or 1.0)
+                        )
+                    )
+                )
+                parts.append(
+                    self._decoded(self._matching_postings(present))
+                    .join(qterms, "term")
+                    .select("doc_id", score_expr.alias("_s"))
+                )
+        pdocs = (
+            self._decoded(
+                self.cat.read(self.spark, "postings").filter(
+                    F.col("term").startswith(prefix)
+                )
+            )
+            .select("doc_id")
+            .distinct()
+            .select("doc_id", F.lit(1.0).alias("_s"))
+        )
+        parts.append(pdocs)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return (
+            out.groupBy("doc_id")
+            .agg(F.round(F.sum("_s"), 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_wildcard(
         self, pattern: str, k: int = 10, max_expansions: int = 1024
     ) -> DataFrame:

@@ -872,3 +872,45 @@ def test_fuzzy_prefix_length_restricts_expansion(spark, idx):
         for r in s.search_fuzzy("jion", k=10).collect()
     ]
     assert same == base  # prefix that all expansions share changes nothing
+
+
+def test_constant_score_index(spark, idx):
+    s = Searcher(spark, idx)
+    # MUST join, MUST_NOT scan: docs 0,1,2,4 have join; 3,5 have scan
+    got = [
+        (r["doc_id"], r["score"])
+        for r in s.search_constant_score(["join"], ["scan"], boost=1.5).collect()
+    ]
+    assert got == [(0, 1.5), (1, 1.5), (2, 1.5), (4, 1.5)]
+    # conjunctive MUST set, default boost, docID ascending
+    got2 = [r["doc_id"] for r in s.search_constant_score(["join", "merge"]).collect()]
+    assert got2 == [0, 1, 4]
+    # must_not that excludes everything
+    assert s.search_constant_score(["join"], ["join"]).count() == 0
+
+
+def test_match_bool_prefix_index(spark, idx):
+    s = Searcher(spark, idx)
+    # rest = ['merge'] scores BM25, prefix 'vec' contributes constant 1.0
+    bm = {
+        r["doc_id"]: r["score"]
+        for r in s.search("merge", k=10, method="dataframe").collect()
+    }
+    hasvec = {0, 2, 3, 4}
+    expect = {
+        d: round(bm.get(d, 0.0) + (1.0 if d in hasvec else 0.0), 6)
+        for d in set(bm) | hasvec
+    }
+    got = {
+        r["doc_id"]: r["score"]
+        for r in s.search_match_bool_prefix("merge vec", k=10).collect()
+    }
+    assert got == expect
+    # single-token query = pure prefix clause, constant 1.0
+    got1 = {
+        (r["doc_id"], r["score"])
+        for r in s.search_match_bool_prefix("vec", k=10).collect()
+    }
+    assert got1 == {(d, 1.0) for d in hasvec}
+    # unknown rest term + unknown prefix -> empty
+    assert s.search_match_bool_prefix("zzq yyq", k=10).count() == 0

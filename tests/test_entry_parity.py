@@ -111,9 +111,11 @@ def test_bench_query_lists_are_registry_subsets():
     entries — a typo would silently drop a timing from BENCH_r{N}."""
     import importlib.util
 
-    spec = importlib.util.spec_from_file_location(
-        "bench", "/root/repo/bench.py"
+    bench_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench.py",
     )
+    spec = importlib.util.spec_from_file_location("bench", bench_path)
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
     from nlp4l_spark.entry_queries import REGISTRY

@@ -829,3 +829,33 @@ def test_fuzzy_prefix_length_pushes_startswith(spark, tmp_path):
     plan = _plan(s._fuzzy_expansion("w00454", max_edits=2, prefix_length=3))
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("StringStartsWith(term,w00" in ln for ln in pushed), pushed
+
+
+def test_match_bool_prefix_pushdowns(spark, tmp_path):
+    """search_match_bool_prefix's two clause reads both push to the
+    scans: the scored terms reach the postings read as In(term), the
+    prefix clause as StringStartsWith(term) — no full dictionary or
+    postings scan for either side."""
+    from nlp4l_spark.data.transcripts import synth_transcripts
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.search import Searcher
+
+    idx = str(tmp_path / "idx")
+    IndexBuilder(sort_cols=("conv_id", "turn_idx")).build(
+        synth_transcripts(spark, 400, num_partitions=4), idx
+    )
+    s = Searcher(spark, idx)
+    df = s.search_match_bool_prefix("w00001 w000", k=5)
+    pushed = [ln for ln in _plan(df).splitlines() if "PushedFilters" in ln]
+    assert any("StringStartsWith(term,w000" in ln for ln in pushed), pushed
+    # a 1-term In() is simplified by Catalyst to EqualTo — accept either
+    assert any(
+        "In(term" in ln or "EqualTo(term,w00001" in ln for ln in pushed
+    ), pushed
+    assert df.count() > 0
+    # constant_score: both clause sides are pushed term-equality reads
+    cs = s.search_constant_score(["w00001"], ["w00002"], k=5)
+    cpushed = [ln for ln in _plan(cs).splitlines() if "PushedFilters" in ln]
+    assert (
+        sum("In(term" in ln or "EqualTo(term" in ln for ln in cpushed) >= 2
+    ), cpushed
