@@ -187,6 +187,47 @@ class GenerationLog:
             n += delete_docs(spark, dirs[i], local_ids)
         return n
 
+    # ----------------------------------------------------------- lifecycle
+
+    def retention_sweep(self, spark: SparkSession, cutoff_ts) -> list[str]:
+        """ES ILM delete phase over the generation log: drop every live
+        generation whose NEWEST stored document is older than
+        ``cutoff_ts`` — retention is generation-granular, the ILM
+        contract where the rollover unit ages out as a whole (documents
+        younger than the cutoff keep their whole generation alive).
+
+        Age is EVENT time (max ts of the generation's stored table — a
+        per-generation scalar agg over its own parquet only), never the
+        wall clock, so sweeps are deterministic and replayable. Publish
+        order is the same two-phase rule as maintain(): the shrunken
+        manifest is adopted atomically FIRST, directories are deleted
+        only after it is durable — a crash between the two leaves
+        unreferenced orphans, not missing live data. Returns the
+        dropped generation names."""
+        from nlp4l_spark.index.catalog import IndexCatalog
+
+        from pyspark.sql import functions as F
+
+        man = self._load()
+        keep: list[str] = []
+        drop: list[str] = []
+        for name in man["generations"]:
+            mx = (
+                IndexCatalog(os.path.join(self.root, name))
+                .read(spark, "stored")
+                .agg(F.max("ts").alias("mx"))
+                .collect()[0]["mx"]
+            )
+            if mx is not None and mx < cutoff_ts:
+                drop.append(name)
+            else:
+                keep.append(name)
+        if drop:
+            self._adopt({"generations": keep, "next_id": man["next_id"]})
+            for n in drop:  # only after the new manifest is durable
+                shutil.rmtree(os.path.join(self.root, n), ignore_errors=True)
+        return drop
+
     # -------------------------------------------------------------- query
 
     def searcher(self, spark: SparkSession):

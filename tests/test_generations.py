@@ -130,3 +130,44 @@ def test_stream_into_generations(spark, corpus, tmp_path):
     assert len(log.live_dirs) == 1
     fed = log.searcher(spark)
     assert fed.num_docs == full.count()
+
+
+def test_retention_sweep_drops_expired_generations(spark, corpus, tmp_path):
+    """ILM delete phase: a cutoff between the batches' event-time ranges
+    drops exactly the all-expired generations, the federated view loses
+    exactly their docs, and the swept directories are reclaimed."""
+    import datetime
+
+    full, b1, b2, b3 = corpus
+    # shift each batch into its own month so the ts ranges are disjoint
+    batches = []
+    for i, b in enumerate((b1, b2, b3)):
+        batches.append(
+            b.withColumn(
+                "ts",
+                F.to_timestamp(F.lit(f"2024-{i + 1:02d}-15 00:00:00"))
+                + F.make_interval(secs=F.col("turn_idx").cast("double")),
+            )
+        )
+    log = GenerationLog(str(tmp_path / "ilm"))
+    for b in batches:
+        log.ingest(b)
+    assert len(log.live_dirs) == 3
+    n_all = log.searcher(spark).num_docs
+    n_b1 = batches[0].count()
+
+    # cutoff mid-February: only the January generation is fully expired
+    dropped = log.retention_sweep(
+        spark, datetime.datetime(2024, 2, 1)
+    )
+    assert dropped == ["gen_000000"]
+    assert len(log.live_dirs) == 2
+    assert log.searcher(spark).num_docs == n_all - n_b1
+    assert not os.path.exists(str(tmp_path / "ilm" / "gen_000000"))
+
+    # idempotent: nothing else is old enough
+    assert log.retention_sweep(spark, datetime.datetime(2024, 2, 1)) == []
+
+    # a cutoff beyond every batch drops everything
+    dropped = log.retention_sweep(spark, datetime.datetime(2025, 1, 1))
+    assert len(dropped) == 2 and log.live_dirs == []
