@@ -272,6 +272,9 @@ EXTRA_QUERIES = [
     "rate_agg",
     "max_bucket",
     "dds_percentiles",
+    "anomaly_days",
+    "code_detect",
+    "terms_by_metric",
 ]
 
 

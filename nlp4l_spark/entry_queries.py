@@ -12293,6 +12293,158 @@ FROM pick ORDER BY pct
 O_DDS_PERCENTILES = _o_dds()
 
 
+# --------------------------------------------------------------------- #
+# Trailing z-score anomaly days, code-vs-prose detection, and the ES
+# terms-agg ordered-by-sub-aggregation contract.
+# --------------------------------------------------------------------- #
+
+
+def q_anomaly_days(spark, sf_dir):
+    """Anomaly detection over the daily value series (the ES ML
+    single-metric-job panel, deterministic twin): a day is anomalous
+    when its sum deviates from the TRAILING 7-day window mean by more
+    than 2 trailing standard deviations. Mean and std derive from exact
+    integer-cents sum/sumsq window folds (ROWS BETWEEN 7 PRECEDING AND
+    1 PRECEDING), so both engines z-score identical operands; the first
+    7 days have no full window and are never flagged. One groupBy to
+    days + one ordered window over the day-count-sized series."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        _events(spark, sf_dir)
+        .select(F.floor(sec / 86400).cast("long").alias("day"), cents.alias("_c"))
+        .groupBy("day")
+        .agg(F.sum("_c").alias("s"))
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    n = F.count("s").over(w).cast("double")
+    s1 = F.sum("s").over(w).cast("double")
+    s2 = F.sum(F.col("s") * F.col("s")).over(w).cast("double")
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    z = (F.col("s").cast("double") - mean) / F.sqrt(var)
+    return (
+        daily.select(
+            "day",
+            (F.col("s").cast("double") / 100.0).alias("day_sum"),
+            F.when(n >= 7, F.round(z, 6)).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > 2.0)
+        .orderBy("day")
+    )
+
+
+O_ANOMALY_DAYS = """
+WITH daily AS (SELECT floor(floor(epoch(ts))::bigint / 86400)::bigint AS day,
+                      sum(round(value * 100)::bigint)::bigint AS s
+               FROM events GROUP BY 1),
+w AS (SELECT day, s,
+             count(s) OVER tw AS n,
+             sum(s) OVER tw AS s1,
+             sum(s * s) OVER tw AS s2
+      FROM daily
+      WINDOW tw AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+z AS (SELECT day, s::double / 100.0 AS day_sum,
+             CASE WHEN n >= 7 THEN
+               round((s::double - s1::double / n)
+                     / sqrt(s2::double / n
+                            - (s1::double / n) * (s1::double / n)), 6)
+             END AS z
+      FROM w)
+SELECT day, day_sum, z FROM z WHERE abs(z) > 2.0 ORDER BY day
+"""
+
+
+def q_code_detect(spark, sf_dir):
+    """Code-vs-prose detection (the StarCoder/CodeParrot corpus-split
+    heuristic): per document, symbol density (braces/semicolons/equals
+    per char), keyword hits (def/class/import/return/if), and
+    whitespace-indented-line fraction fold into a code score; per
+    source, the flagged fraction. Pure JVM regexp counts in one scan +
+    one source-keyed groupBy — the pre-filter a code-corpus pipeline
+    runs before expensive AST parsing."""
+    sym = F.length(F.regexp_replace(F.col("text"), r"[^{};=()\[\]<>]", ""))
+    kw = F.size(
+        F.expr(
+            r"regexp_extract_all(text,"
+            r" '\\b(def|class|import|return|if|for|while)\\b', 0)"
+        )
+    )
+    lines = F.split(F.col("text"), "\n")
+    indented = F.size(F.filter(lines, lambda l: l.rlike("^(    |\t)")))
+    score = (
+        F.round(
+            sym.cast("double") / F.greatest(F.col("n_chars"), F.lit(1))
+            * 10.0
+            + kw.cast("double") / 10.0
+            + indented.cast("double")
+            / F.greatest(F.size(lines), F.lit(1)),
+            6,
+        )
+    )
+    d = _docs(spark, sf_dir).select(
+        "source", score.alias("_sc")
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("_sc") > 0.3).cast("long")).alias("n_code"),
+            F.round(F.avg("_sc"), 6).alias("avg_code_score"),
+        )
+        .orderBy("source")
+    )
+
+
+O_CODE_DETECT = r"""
+WITH d AS (SELECT source,
+  round(length(regexp_replace(text, '[^{};=()\[\]<>]', '', 'g'))::double
+          / greatest(n_chars, 1) * 10.0
+        + len(regexp_extract_all(text,
+              '\b(def|class|import|return|if|for|while)\b', 0))::double
+          / 10.0
+        + len(list_filter(string_split(text, chr(10)),
+              l -> regexp_matches(l, '^(    |\t)')))::double
+          / greatest(len(string_split(text, chr(10))), 1), 6) AS sc
+  FROM documents)
+SELECT source, count(*)::bigint AS n_docs,
+       sum((sc > 0.3)::bigint)::bigint AS n_code,
+       round(avg(sc), 6) AS avg_code_score
+FROM d GROUP BY 1 ORDER BY source
+"""
+
+
+def q_terms_by_metric(spark, sf_dir):
+    """ES terms aggregation ORDERED BY A SUB-AGGREGATION (order:
+    {avg_value: desc}) — the contract where bucket ranking follows a
+    metric, not doc count (and the classic shard-approximation footgun;
+    the exact form here is the oracle the `terms_shard_approx` twin
+    bounds). Exact cents sums; avg = one division per bucket; ties
+    break on the key. One keyed groupBy + TakeOrdered."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        _events(spark, sf_dir)
+        .select("event_type", cents.alias("_c"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.round(F.sum("_c").cast("double") / F.count("*") / 100.0, 6).alias(
+                "avg_value"
+            ),
+        )
+        .orderBy(F.desc("avg_value"), F.asc("event_type"))
+        .limit(10)
+    )
+
+
+O_TERMS_BY_METRIC = """
+SELECT event_type, count(*)::bigint AS cnt,
+       round(sum(round(value * 100)::bigint)::double / count(*) / 100.0, 6)
+         AS avg_value
+FROM events GROUP BY 1 ORDER BY avg_value DESC, event_type ASC LIMIT 10
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -12587,6 +12739,9 @@ REGISTRY: dict[str, tuple] = {
     "rate_agg": (q_rate_agg, O_RATE_AGG),
     "max_bucket": (q_max_bucket, O_MAX_BUCKET),
     "dds_percentiles": (q_dds_percentiles, O_DDS_PERCENTILES),
+    "anomaly_days": (q_anomaly_days, O_ANOMALY_DAYS),
+    "code_detect": (q_code_detect, O_CODE_DETECT),
+    "terms_by_metric": (q_terms_by_metric, O_TERMS_BY_METRIC),
 }
 
 
@@ -12648,6 +12803,7 @@ _DRIVER_ORDER = [
     "dense_histogram", "spellcheck_collate", "solr_join_filter",
     "scale_score_topk",
     "percolate_bool", "rate_agg", "max_bucket", "dds_percentiles",
+    "anomaly_days", "code_detect", "terms_by_metric",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
