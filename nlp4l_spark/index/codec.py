@@ -253,3 +253,82 @@ def for128_decode(buf: bytes) -> np.ndarray:
         off += nbytes
         done += frame_len
     return out
+
+
+# --------------------------------------------------------------------- #
+# Front-coded term dictionary (Lucene BlockTree prefix sharing)
+# --------------------------------------------------------------------- #
+TERM_BLOCK = 16
+
+
+def _uvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def front_code_terms(terms) -> bytes:
+    """Front-code a SORTED term list into TERM_BLOCK-term blocks —
+    Lucene's BlockTree term-dictionary prefix sharing (every block
+    leader is stored whole so a seekCeil can land on block boundaries;
+    followers store only (lcp, suffix) against their predecessor).
+
+    Layout: uint32 n_terms, then per term: uvarint lcp, uvarint
+    suffix_len, suffix utf-8 bytes (block leaders have lcp forced to 0).
+    Like FOR128 this is NOT the live layout (the term dictionary lives
+    in parquet, whose own dictionary+RLE encoding the reader prunes
+    with pushed ranges); it is the measured storage twin for a
+    Lucene-file-layout export — tests/test_codec.py shows ~2-4x
+    shrinkage on real sorted vocabularies."""
+    parts = [np.uint32(len(terms)).tobytes()]
+    prev = b""
+    for i, t in enumerate(terms):
+        tb = t.encode("utf-8")
+        if i % TERM_BLOCK == 0:
+            lcp = 0
+        else:
+            lcp = 0
+            m = min(len(prev), len(tb))
+            while lcp < m and prev[lcp] == tb[lcp]:
+                lcp += 1
+        suffix = tb[lcp:]
+        parts.append(_uvarint(lcp))
+        parts.append(_uvarint(len(suffix)))
+        parts.append(suffix)
+        prev = tb
+    return b"".join(parts)
+
+
+def front_decode_terms(buf: bytes) -> list[str]:
+    """Inverse of front_code_terms."""
+    if not buf:
+        return []
+    n = int(np.frombuffer(buf[:4], dtype=np.uint32)[0])
+    off = 4
+    out: list[str] = []
+    prev = b""
+
+    def uv(off):
+        val, shift = 0, 0
+        while True:
+            b = buf[off]
+            off += 1
+            val |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return val, off
+            shift += 7
+
+    for _ in range(n):
+        lcp, off = uv(off)
+        slen, off = uv(off)
+        tb = prev[:lcp] + buf[off : off + slen]
+        off += slen
+        out.append(tb.decode("utf-8"))
+        prev = tb
+    return out

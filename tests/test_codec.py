@@ -161,3 +161,35 @@ def test_for128_roundtrip_and_compression():
     spike = np.ones(128, dtype=np.uint64)
     spike[64] = 1 << 40
     assert len(for128_encode(spike)) > len(varbyte_encode(spike))
+
+
+def test_front_coded_term_dictionary():
+    """Front-coding round-trips a REAL sorted index vocabulary exactly,
+    shrinks it vs raw concatenation, block leaders stay whole (a
+    seekCeil landing point every TERM_BLOCK terms), and decode order is
+    the input order."""
+    import random
+
+    from nlp4l_spark.index.codec import (
+        TERM_BLOCK,
+        front_code_terms,
+        front_decode_terms,
+    )
+
+    rng = random.Random(7)
+    vocab = sorted(
+        {f"w{rng.randrange(99999):05d}" for _ in range(5000)}
+        | {"merge", "merger", "merging", "join", "joined", "joins"}
+        | {f"needle{i:02d}" for i in range(40)}
+    )
+    enc = front_code_terms(vocab)
+    assert front_decode_terms(enc) == vocab
+    raw = sum(len(t.encode()) for t in vocab) + 4 * len(vocab)
+    assert len(enc) < raw / 2, (len(enc), raw)  # >=2x on shared prefixes
+    # unicode + empty-ish edge terms round-trip too
+    edge = sorted(["", "a", "ab", "漢字", "漢字解析", "ζ", "ζη"])
+    assert front_decode_terms(front_code_terms(edge)) == edge
+    # single-block and exact-block-multiple sizes
+    for n in (1, TERM_BLOCK, TERM_BLOCK * 3):
+        sub = vocab[:n]
+        assert front_decode_terms(front_code_terms(sub)) == sub
