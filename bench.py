@@ -275,6 +275,7 @@ EXTRA_QUERIES = [
     "anomaly_days",
     "code_detect",
     "terms_by_metric",
+    "dds_by_type",
 ]
 
 

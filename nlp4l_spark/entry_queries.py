@@ -12445,6 +12445,50 @@ FROM events GROUP BY 1 ORDER BY avg_value DESC, event_type ASC LIMIT 10
 """
 
 
+def q_dds_by_type(spark, sf_dir):
+    """Grouped DDSketch percentiles (the ES percentiles-agg-inside-terms
+    shape): p50/p90 per event_type from per-group bucket sketches — the
+    grouped form of q_dds_percentiles, exercising the
+    group-partitioned cumulative windows in ops/sketches.dd_quantiles.
+    Identical bucket/pick/midpoint math in the DuckDB oracle."""
+    from nlp4l_spark.ops import sketches
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    v = _events(spark, sf_dir).select("event_type", cents.alias("c"))
+    sk = sketches.dd_sketch(v, "c", group_cols=["event_type"])
+    return sketches.dd_quantiles(
+        sk, [0.5, 0.9], scale=100.0, group_cols=["event_type"]
+    )
+
+
+def _o_dds_by_type() -> str:
+    from nlp4l_spark.ops import sketches
+
+    gamma = sketches.dd_gamma()
+    lg = math.log(gamma)
+    return f"""
+WITH v AS (SELECT event_type, round(value * 100)::bigint AS c FROM events),
+s AS (SELECT event_type,
+             ceil(round(ln(c::double) / {lg!r}, 6))::bigint AS bucket,
+             count(*)::bigint AS cnt
+      FROM v GROUP BY 1, 2),
+cu AS (SELECT event_type, bucket,
+              sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+              sum(cnt) OVER (PARTITION BY event_type) AS n
+       FROM s),
+q AS (SELECT unnest([0.5, 0.9]::double[]) AS pct),
+pick AS (SELECT event_type, pct, min(bucket)::bigint AS bucket
+         FROM cu JOIN q ON cum >= ceil(pct * n) GROUP BY 1, 2)
+SELECT event_type, pct, bucket,
+       round(2.0 * exp(bucket * {lg!r}) / ({gamma!r} + 1.0) / 100.0, 6)
+         AS estimate
+FROM pick ORDER BY event_type, pct
+"""
+
+
+O_DDS_BY_TYPE = _o_dds_by_type()
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -12742,6 +12786,7 @@ REGISTRY: dict[str, tuple] = {
     "anomaly_days": (q_anomaly_days, O_ANOMALY_DAYS),
     "code_detect": (q_code_detect, O_CODE_DETECT),
     "terms_by_metric": (q_terms_by_metric, O_TERMS_BY_METRIC),
+    "dds_by_type": (q_dds_by_type, O_DDS_BY_TYPE),
 }
 
 
@@ -12803,7 +12848,7 @@ _DRIVER_ORDER = [
     "dense_histogram", "spellcheck_collate", "solr_join_filter",
     "scale_score_topk",
     "percolate_bool", "rate_agg", "max_bucket", "dds_percentiles",
-    "anomaly_days", "code_detect", "terms_by_metric",
+    "anomaly_days", "code_detect", "terms_by_metric", "dds_by_type",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",

@@ -354,21 +354,24 @@ def dd_quantiles(
     qs: Sequence[float],
     alpha: float = DD_ALPHA,
     scale: float = 1.0,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """(pct, bucket, estimate) per requested quantile: the first bucket
-    whose cumulative count reaches ceil(q*n), estimated at the bucket's
-    midpoint 2*gamma^b/(gamma+1), divided by ``scale`` (e.g. 100 when
-    the sketch was built over cents). All windows and joins run over the
-    bucket-count-sized sketch table — nothing is ∝ data."""
+    """(group_cols..., pct, bucket, estimate) per requested quantile:
+    the first bucket whose cumulative count reaches ceil(q*n),
+    estimated at the bucket's midpoint 2*gamma^b/(gamma+1), divided by
+    ``scale`` (e.g. 100 when the sketch was built over cents). All
+    windows and joins run over the bucket-count-sized sketch table —
+    nothing is ∝ data; with ``group_cols`` the cumulative window
+    partitions by group (per-group state stays bucket-bounded)."""
     gamma = dd_gamma(alpha)
     lg = _math.log(gamma)
     spark = sketch.sparkSession
+    g = list(group_cols)
     cum = sketch.select(
+        *g,
         "bucket",
-        F.sum("cnt").over(Window.orderBy("bucket")).alias("cum"),
-        F.sum("cnt").over(
-            Window.partitionBy()
-        ).alias("n"),
+        F.sum("cnt").over(Window.partitionBy(*g).orderBy("bucket")).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy(*g)).alias("n"),
     )
     qdf = spark.createDataFrame([(float(q),) for q in qs], "pct double")
     est = F.round(
@@ -377,10 +380,9 @@ def dd_quantiles(
         6,
     )
     return (
-        F.broadcast(qdf)
-        .join(cum, F.col("cum") >= F.ceil(F.col("pct") * F.col("n")))
-        .groupBy("pct")
+        cum.join(F.broadcast(qdf), F.col("cum") >= F.ceil(F.col("pct") * F.col("n")))
+        .groupBy(*g, "pct")
         .agg(F.min("bucket").alias("bucket"))
-        .select("pct", "bucket", est.alias("estimate"))
-        .orderBy("pct")
+        .select(*g, "pct", "bucket", est.alias("estimate"))
+        .orderBy(*g, "pct")
     )
