@@ -276,6 +276,9 @@ EXTRA_QUERIES = [
     "code_detect",
     "terms_by_metric",
     "dds_by_type",
+    "suggest_context",
+    "lsh_tuning_curve",
+    "wordlist_screen",
 ]
 
 

@@ -12489,6 +12489,122 @@ FROM pick ORDER BY event_type, pct
 O_DDS_BY_TYPE = _o_dds_by_type()
 
 
+# --------------------------------------------------------------------- #
+# Context-filtered completion suggester, MinHash-LSH tuning curve, and
+# the C4-style wordlist screen.
+# --------------------------------------------------------------------- #
+SUGGEST_CTX_SOURCE = "src0"
+
+
+def q_suggest_context(spark, sf_dir):
+    """ES completion suggester with CONTEXTS (CategoryContextMapping):
+    completions of the prefix ranked by collection frequency, but only
+    counting occurrences inside documents whose `source` matches the
+    query context — the 'autocomplete within my tenant' shape. The
+    context is a pushed equality filter on the stored field BEFORE the
+    tokenize, so the suggest scan touches only the context's partition
+    of the corpus (at scale: a partition-pruned directory read when the
+    corpus is partitioned by tenant)."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("source") == SUGGEST_CTX_SOURCE)
+        .select(F.explode(toks).alias("term"))
+        .filter(F.col("term").startswith(SUGGEST_PREFIX))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(10)
+    )
+
+
+O_SUGGEST_CONTEXT = f"""
+WITH toks AS (SELECT unnest({TOK_SQL}) AS term FROM documents
+              WHERE source = '{SUGGEST_CTX_SOURCE}')
+SELECT term, count(*)::bigint AS cf FROM toks
+WHERE term LIKE '{SUGGEST_PREFIX}%'
+GROUP BY term ORDER BY cf DESC, term ASC LIMIT 10
+"""
+
+
+LSH_BANDS = 16
+LSH_ROWS = 8
+
+
+def q_lsh_tuning_curve(spark, sf_dir):
+    """MinHash-LSH design table: for the deployed banding (b={LSH_BANDS}
+    bands × r={LSH_ROWS} rows — the geometry `dedup_minhash` runs), the
+    probability a pair at Jaccard similarity s lands in >=1 shared
+    bucket: P(s) = 1 − (1 − s^r)^b (Leskovec/Rajaraman/Ullman, MMDS
+    ch.3). The curve is what a pipeline owner reads to pick b,r for a
+    target threshold; emitting it from the engine keeps the tuning and
+    the implementation in one place. Pure generated table — no data
+    scan at all."""
+    s = (F.col("id").cast("double") / 20.0)
+    p = 1.0 - F.pow(
+        1.0 - F.pow(s, F.lit(float(LSH_ROWS))), F.lit(float(LSH_BANDS))
+    )
+    return (
+        spark.range(1, 20)
+        .select(
+            F.round(s, 2).alias("similarity"),
+            F.round(p, 6).alias("p_detect"),
+        )
+        .orderBy("similarity")
+    )
+
+
+O_LSH_TUNING_CURVE = f"""
+SELECT round(i / 20.0, 2) AS similarity,
+       round(1.0 - pow(1.0 - pow(i / 20.0, {float(LSH_ROWS)}),
+                       {float(LSH_BANDS)}), 6) AS p_detect
+FROM (SELECT unnest(generate_series(1, 19))::double AS i)
+ORDER BY similarity
+"""
+
+
+SCREEN_LEXICON = ["slow", "error", "dup"]
+
+
+def q_wordlist_screen(spark, sf_dir):
+    """C4's bad-words screen (the 'List of Dirty, Naughty …' filter
+    stage), lexicon-pluggable: per source, how many documents contain
+    ANY lexicon token and the screen-out rate — the report a corpus
+    curator reads before dropping. Token-level membership against the
+    analyzed stream (not substring — C4 matches words), one
+    arrays_overlap scan + one source-keyed groupBy."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    hit = F.arrays_overlap(
+        toks, F.array(*[F.lit(w) for w in SCREEN_LEXICON])
+    ).cast("long")
+    d = _docs(spark, sf_dir).select("source", hit.alias("_h"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_h").alias("n_flagged"),
+            F.round(F.sum("_h") / F.count("*"), 6).alias("flag_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _o_wordlist_screen() -> str:
+    lex = "[" + ", ".join(f"'{w}'" for w in SCREEN_LEXICON) + "]"
+    return f"""
+WITH d AS (SELECT source,
+                  (list_has_any({TOK_SQL}, {lex}))::bigint AS h
+           FROM documents)
+SELECT source, count(*)::bigint AS n_docs,
+       sum(h)::bigint AS n_flagged,
+       round(sum(h) / count(*), 6) AS flag_rate
+FROM d GROUP BY 1 ORDER BY source
+"""
+
+
+O_WORDLIST_SCREEN = _o_wordlist_screen()
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -12787,6 +12903,9 @@ REGISTRY: dict[str, tuple] = {
     "code_detect": (q_code_detect, O_CODE_DETECT),
     "terms_by_metric": (q_terms_by_metric, O_TERMS_BY_METRIC),
     "dds_by_type": (q_dds_by_type, O_DDS_BY_TYPE),
+    "suggest_context": (q_suggest_context, O_SUGGEST_CONTEXT),
+    "lsh_tuning_curve": (q_lsh_tuning_curve, O_LSH_TUNING_CURVE),
+    "wordlist_screen": (q_wordlist_screen, O_WORDLIST_SCREEN),
 }
 
 
@@ -12849,6 +12968,7 @@ _DRIVER_ORDER = [
     "scale_score_topk",
     "percolate_bool", "rate_agg", "max_bucket", "dds_percentiles",
     "anomaly_days", "code_detect", "terms_by_metric", "dds_by_type",
+    "suggest_context", "lsh_tuning_curve", "wordlist_screen",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
