@@ -279,6 +279,7 @@ EXTRA_QUERIES = [
     "suggest_context",
     "lsh_tuning_curve",
     "wordlist_screen",
+    "bradley_terry",
 ]
 
 

@@ -12605,6 +12605,140 @@ FROM d GROUP BY 1 ORDER BY source
 O_WORDLIST_SCREEN = _o_wordlist_screen()
 
 
+# --------------------------------------------------------------------- #
+# Bradley-Terry strength fit over the mined preference pairs (the
+# RLHF reward-model analytics step), 2 unrolled MM iterations.
+# --------------------------------------------------------------------- #
+BT_ITERS = 2
+
+
+def q_bradley_terry(spark, sf_dir):
+    """Bradley-Terry player strengths from the preference pairs that
+    q_preference_pairs mines: each user's (chosen, rejected) events
+    become a win of the chosen event_type over the rejected one, and
+    {BT_ITERS} unrolled Zermelo/MM iterations fit the strengths —
+    p_i ← W_i / Σ_j n_ij/(p_i+p_j), normalized to sum 1 (Hunter 2004,
+    the fit behind RLHF preference-strength dashboards). Cross-engine
+    float contract: every per-player denominator and the normalizer
+    fold in EXPLICIT j-order (Spark `aggregate` HOF over a sorted
+    struct array == DuckDB `list_reduce` over `list(... ORDER BY)`),
+    and p is rounded to 6 dp after every stage, so both engines iterate
+    identical operands. The pair/win tables are event-type² bounded;
+    the corpus contributes one groupBy(user)."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", cents.alias("c")
+    )
+    agg = e.groupBy("user_id").agg(
+        F.max(
+            F.struct(F.col("c"), (-F.col("event_id")).alias("_ni"),
+                     F.col("event_type").alias("t"))
+        ).alias("_ch"),
+        F.min(
+            F.struct(F.col("c"), F.col("event_id"),
+                     F.col("event_type").alias("t"))
+        ).alias("_rj"),
+    )
+    m = agg.filter(
+        (F.col("_ch.c") > F.col("_rj.c")) & (F.col("_ch.t") != F.col("_rj.t"))
+    ).select(F.col("_ch.t").alias("w"), F.col("_rj.t").alias("l"))
+    d = m.groupBy("w", "l").agg(F.count("*").cast("double").alias("n"))
+    g = (
+        d.select(F.col("w").alias("i"), F.col("l").alias("j"), "n")
+        .unionByName(d.select(F.col("l").alias("i"), F.col("w").alias("j"), "n"))
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("n"))
+    )
+    wins = d.groupBy(F.col("w").alias("i")).agg(F.sum("n").alias("wn"))
+
+    def _ordered_sum(pairs_col):
+        return F.aggregate(
+            F.transform(F.array_sort(pairs_col), lambda s: s["v"]),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    p = g.select("i").distinct().select("i", F.lit(1.0).alias("p"))
+    for _ in range(BT_ITERS):
+        pi = p.select(F.col("i"), F.col("p").alias("_pi"))
+        pj = p.select(F.col("i").alias("j"), F.col("p").alias("_pj"))
+        terms = (
+            g.join(F.broadcast(pi), "i")
+            .join(F.broadcast(pj), "j")
+            .select(
+                "i",
+                F.struct(
+                    F.col("j").alias("k"),
+                    (F.col("n") / (F.col("_pi") + F.col("_pj"))).alias("v"),
+                ).alias("_t"),
+            )
+        )
+        den = terms.groupBy("i").agg(
+            _ordered_sum(F.collect_list("_t")).alias("_den")
+        )
+        raw = (
+            F.broadcast(wins)
+            .join(den, "i")
+            .select("i", F.round(F.col("wn") / F.col("_den"), 6).alias("_raw"))
+        )
+        tot = raw.agg(
+            _ordered_sum(
+                F.collect_list(F.struct(F.col("i").alias("k"),
+                                        F.col("_raw").alias("v")))
+            ).alias("_tot")
+        )
+        p = raw.crossJoin(F.broadcast(tot)).select(
+            "i", F.round(F.col("_raw") / F.col("_tot"), 6).alias("p")
+        )
+    return (
+        p.select(F.col("i").alias("event_type"), F.col("p").alias("strength"))
+        .orderBy(F.desc("strength"), F.asc("event_type"))
+    )
+
+
+def _o_bradley_terry() -> str:
+    fold = lambda expr, order: (  # noqa: E731
+        f"list_reduce(list_prepend(0.0::double, list({expr} ORDER BY {order})),"
+        f" (a, b) -> a + b)"
+    )
+    iters = []
+    prev = "p0"
+    for t in range(1, BT_ITERS + 1):
+        iters.append(f"""
+t{t} AS (SELECT g.i, g.j, g.n / (pi.p + pj.p) AS term
+         FROM g JOIN {prev} pi ON pi.i = g.i JOIN {prev} pj ON pj.i = g.j),
+den{t} AS (SELECT i, {fold('term', 'j')} AS den FROM t{t} GROUP BY i),
+r{t} AS (SELECT w.i, round(w.wn / den, 6) AS raw
+         FROM wins w JOIN den{t} USING (i)),
+tot{t} AS (SELECT {fold('raw', 'i')} AS tot FROM r{t}),
+p{t} AS (SELECT i, round(raw / tot, 6) AS p FROM r{t} CROSS JOIN tot{t})""")
+        prev = f"p{t}"
+    return f"""
+WITH e AS (SELECT user_id, event_id, event_type,
+                  round(value * 100)::bigint AS c FROM events),
+ch AS (SELECT user_id, event_type AS t, c,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY c DESC, event_id ASC) AS rn FROM e),
+rj AS (SELECT user_id, event_type AS t, c,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY c ASC, event_id ASC) AS rn FROM e),
+m AS (SELECT ch.t AS w, rj.t AS l
+      FROM ch JOIN rj ON ch.user_id = rj.user_id AND ch.rn = 1 AND rj.rn = 1
+      WHERE ch.c > rj.c AND ch.t <> rj.t),
+d AS (SELECT w, l, count(*)::double AS n FROM m GROUP BY 1, 2),
+g AS (SELECT i, j, sum(n) AS n FROM (
+        SELECT w AS i, l AS j, n FROM d
+        UNION ALL SELECT l AS i, w AS j, n FROM d) GROUP BY 1, 2),
+wins AS (SELECT w AS i, sum(n)::double AS wn FROM d GROUP BY 1),
+p0 AS (SELECT DISTINCT i, 1.0::double AS p FROM g),{','.join(iters)}
+SELECT i AS event_type, p AS strength FROM p{BT_ITERS}
+ORDER BY strength DESC, event_type ASC
+"""
+
+
+O_BRADLEY_TERRY = _o_bradley_terry()
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -12906,6 +13040,7 @@ REGISTRY: dict[str, tuple] = {
     "suggest_context": (q_suggest_context, O_SUGGEST_CONTEXT),
     "lsh_tuning_curve": (q_lsh_tuning_curve, O_LSH_TUNING_CURVE),
     "wordlist_screen": (q_wordlist_screen, O_WORDLIST_SCREEN),
+    "bradley_terry": (q_bradley_terry, O_BRADLEY_TERRY),
 }
 
 
@@ -12969,6 +13104,7 @@ _DRIVER_ORDER = [
     "percolate_bool", "rate_agg", "max_bucket", "dds_percentiles",
     "anomaly_days", "code_detect", "terms_by_metric", "dds_by_type",
     "suggest_context", "lsh_tuning_curve", "wordlist_screen",
+    "bradley_terry",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
