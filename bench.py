@@ -280,6 +280,11 @@ EXTRA_QUERIES = [
     "lsh_tuning_curve",
     "wordlist_screen",
     "bradley_terry",
+    "change_point",
+    "counter_rate",
+    "dow_profile",
+    "dau_mau",
+    "moving_median",
 ]
 
 

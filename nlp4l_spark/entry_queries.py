@@ -12739,6 +12739,242 @@ ORDER BY strength DESC, event_type ASC
 O_BRADLEY_TERRY = _o_bradley_terry()
 
 
+# --------------------------------------------------------------------- #
+# Time-series panel: ES change_point, TSDB counter_rate, day-of-week
+# seasonality, DAU/MAU stickiness, and a moving median.
+# --------------------------------------------------------------------- #
+
+
+def q_change_point(spark, sf_dir):
+    """ES change_point aggregation (the step-change detector), exact
+    twin: over the daily value-sum series, the split day d maximizing
+    |mean(before d) - mean(from d)| with both sides >= 3 days — a
+    deterministic single-changepoint scan (the CUSUM family's argmax
+    form). Prefix sums come from exact cents via an ordered window, so
+    both engines score identical operands; ties break to the earliest
+    day. One groupBy to days + one window + a 1-row TakeOrdered."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        _events(spark, sf_dir)
+        .select(F.floor(sec / 86400).cast("long").alias("day"), cents.alias("_c"))
+        .groupBy("day")
+        .agg(F.sum("_c").alias("s"))
+    )
+    w = Window.orderBy("day")
+    d = daily.select(
+        "day",
+        "s",
+        F.sum("s").over(w).alias("_cum"),
+        F.row_number().over(w).alias("_i"),
+        F.sum("s").over(Window.partitionBy()).alias("_tot"),
+        F.count("*").over(Window.partitionBy()).alias("_n"),
+    )
+    before_n = (F.col("_i") - 1).cast("double")
+    after_n = (F.col("_n") - F.col("_i") + 1).cast("double")
+    before_mean = (F.col("_cum") - F.col("s")).cast("double") / before_n
+    after_mean = (F.col("_tot") - F.col("_cum") + F.col("s")).cast(
+        "double"
+    ) / after_n
+    shift = F.round(F.abs(after_mean - before_mean) / 100.0, 6)
+    return (
+        d.filter((before_n >= 3) & (after_n >= 3))
+        .select("day", shift.alias("mean_shift"))
+        .orderBy(F.desc("mean_shift"), F.asc("day"))
+        .limit(1)
+    )
+
+
+O_CHANGE_POINT = """
+WITH daily AS (SELECT floor(floor(epoch(ts))::bigint / 86400)::bigint AS day,
+                      sum(round(value * 100)::bigint)::bigint AS s
+               FROM events GROUP BY 1),
+d AS (SELECT day, s,
+             sum(s) OVER (ORDER BY day) AS cum,
+             row_number() OVER (ORDER BY day) AS i,
+             sum(s) OVER () AS tot,
+             count(*) OVER () AS n
+      FROM daily)
+SELECT day,
+       round(abs((tot - cum + s)::double / (n - i + 1)
+                 - (cum - s)::double / (i - 1)) / 100.0, 6) AS mean_shift
+FROM d WHERE i - 1 >= 3 AND n - i + 1 >= 3
+ORDER BY mean_shift DESC, day ASC LIMIT 1
+"""
+
+
+def q_counter_rate(spark, sf_dir):
+    """ES TSDB counter_rate / Prometheus rate(): treat each user's
+    running `value` stream as a monotonic counter WITH RESETS — the
+    per-user rate is the sum of positive deltas between consecutive
+    observations (a reset, i.e. a negative delta, contributes the new
+    absolute value, the Prometheus extrapolation-free core). Exact
+    cents deltas via lag over (user, ts-order); top 10 users by total
+    increase. ONE window shuffle keyed by user."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("_t", "event_id")
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", sec.alias("_t"), cents.alias("_c")
+    )
+    delta = F.col("_c") - F.lag("_c").over(w)
+    inc = F.when(F.lag("_c").over(w).isNull(), F.lit(0)).otherwise(
+        F.when(delta >= 0, delta).otherwise(F.col("_c"))
+    )
+    return (
+        e.select("user_id", inc.alias("_inc"))
+        .groupBy("user_id")
+        .agg((F.sum("_inc").cast("double") / 100.0).alias("total_increase"))
+        .orderBy(F.desc("total_increase"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+O_COUNTER_RATE = """
+WITH e AS (SELECT user_id, event_id, floor(epoch(ts))::bigint AS t,
+                  round(value * 100)::bigint AS c FROM events),
+d AS (SELECT user_id, c,
+             lag(c) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pc
+      FROM e),
+i AS (SELECT user_id,
+             CASE WHEN pc IS NULL THEN 0
+                  WHEN c - pc >= 0 THEN c - pc
+                  ELSE c END AS inc
+      FROM d)
+SELECT user_id, sum(inc)::double / 100.0 AS total_increase
+FROM i GROUP BY 1 ORDER BY total_increase DESC, user_id ASC LIMIT 10
+"""
+
+
+def q_dow_profile(spark, sf_dir):
+    """Day-of-week seasonality profile (the Kibana heatmap row): count
+    and exact-cents average value per weekday, weekday = epoch-day mod 7
+    (timezone-free — day 0 is a Thursday, the same on both engines, so
+    no locale/DOW-convention drift). One keyed groupBy."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        _events(spark, sf_dir)
+        .select(
+            (F.floor(sec / 86400) % 7).cast("long").alias("dow"),
+            cents.alias("_c"),
+        )
+        .groupBy("dow")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.round(F.sum("_c").cast("double") / F.count("*") / 100.0, 6).alias(
+                "avg_value"
+            ),
+        )
+        .orderBy("dow")
+    )
+
+
+O_DOW_PROFILE = """
+SELECT (floor(floor(epoch(ts))::bigint / 86400) % 7)::bigint AS dow,
+       count(*)::bigint AS cnt,
+       round(sum(round(value * 100)::bigint)::double / count(*) / 100.0, 6)
+         AS avg_value
+FROM events GROUP BY 1 ORDER BY dow
+"""
+
+
+DAU_MAU_WINDOW = 7
+
+
+def q_dau_mau(spark, sf_dir):
+    """Product-analytics stickiness: per day, DAU / trailing-{DAU_MAU_WINDOW}-day
+    active users (the DAU/MAU ratio at a window the one-month fixture
+    can fill). Exact form: distinct (day, user) once, then a bounded
+    day-range self-join (each day joins its <= {DAU_MAU_WINDOW} trailing
+    days — fanout is WINDOW×, never data²) and a distinct-user count per
+    anchor day. Warm-up days (fewer than {DAU_MAU_WINDOW} prior days in
+    the data) are emitted too — the ratio is still well-defined."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    du = (
+        _events(spark, sf_dir)
+        .select(F.floor(sec / 86400).cast("long").alias("day"), "user_id")
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    a = days.alias("a")
+    b = du.alias("b")
+    joined = a.join(
+        b,
+        (F.col("b.day") <= F.col("a.day"))
+        & (F.col("b.day") > F.col("a.day") - DAU_MAU_WINDOW),
+    )
+    wau = joined.groupBy(F.col("a.day").alias("day")).agg(
+        F.countDistinct("b.user_id").cast("long").alias("wau")
+    )
+    dau = du.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+O_DAU_MAU = f"""
+WITH du AS (SELECT DISTINCT
+              floor(floor(epoch(ts))::bigint / 86400)::bigint AS day,
+              user_id
+            FROM events),
+days AS (SELECT DISTINCT day FROM du),
+wau AS (SELECT a.day, count(DISTINCT b.user_id)::bigint AS wau
+        FROM days a JOIN du b
+          ON b.day <= a.day AND b.day > a.day - {DAU_MAU_WINDOW}
+        GROUP BY 1),
+dau AS (SELECT day, count(DISTINCT user_id)::bigint AS dau
+        FROM du GROUP BY 1)
+SELECT day, dau, wau, round(dau / wau::double, 6) AS stickiness
+FROM dau JOIN wau USING (day) ORDER BY day
+"""
+
+
+def q_moving_median(spark, sf_dir):
+    """ES moving_fn with a median window function: trailing 7-day
+    median (window INCLUDES the current day, ES's default window
+    alignment) of the daily value sum. Exact interpolated percentile
+    over integer cents inside the frame — the same Spark `percentile`
+    == DuckDB `quantile_cont` identity as q_boxplot_value, applied as a
+    window aggregate over the day-count-sized series."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        _events(spark, sf_dir)
+        .select(F.floor(sec / 86400).cast("long").alias("day"), cents.alias("_c"))
+        .groupBy("day")
+        .agg(F.sum("_c").alias("s"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    med = F.expr("percentile(s, 0.5D)").over(w)
+    return daily.select(
+        "day",
+        (F.col("s").cast("double") / 100.0).alias("day_sum"),
+        F.round(med / 100.0, 6).alias("moving_median"),
+    ).orderBy("day")
+
+
+O_MOVING_MEDIAN = """
+WITH daily AS (SELECT floor(floor(epoch(ts))::bigint / 86400)::bigint AS day,
+                      sum(round(value * 100)::bigint)::bigint AS s
+               FROM events GROUP BY 1)
+SELECT day, s::double / 100.0 AS day_sum,
+       round(quantile_cont(s, 0.5) OVER
+               (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+             / 100.0, 6) AS moving_median
+FROM daily ORDER BY day
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -13041,6 +13277,11 @@ REGISTRY: dict[str, tuple] = {
     "lsh_tuning_curve": (q_lsh_tuning_curve, O_LSH_TUNING_CURVE),
     "wordlist_screen": (q_wordlist_screen, O_WORDLIST_SCREEN),
     "bradley_terry": (q_bradley_terry, O_BRADLEY_TERRY),
+    "change_point": (q_change_point, O_CHANGE_POINT),
+    "counter_rate": (q_counter_rate, O_COUNTER_RATE),
+    "dow_profile": (q_dow_profile, O_DOW_PROFILE),
+    "dau_mau": (q_dau_mau, O_DAU_MAU),
+    "moving_median": (q_moving_median, O_MOVING_MEDIAN),
 }
 
 
@@ -13104,7 +13345,8 @@ _DRIVER_ORDER = [
     "percolate_bool", "rate_agg", "max_bucket", "dds_percentiles",
     "anomaly_days", "code_detect", "terms_by_metric", "dds_by_type",
     "suggest_context", "lsh_tuning_curve", "wordlist_screen",
-    "bradley_terry",
+    "bradley_terry", "change_point", "counter_rate", "dow_profile",
+    "dau_mau", "moving_median",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
