@@ -143,6 +143,18 @@ class IndexBuilder:
     # parallelism, and the fwd table doubles as the tokenize resume
     # checkpoint.
     materialize_forward: bool = True
+    # Lucene keyword fields (StringField / ES `keyword` type): each named
+    # stored column is ALSO indexed as untokenized terms namespaced
+    # "<field>:<lowercased value>" — ':' cannot appear in analyzed text
+    # tokens ([a-z0-9]+), so the namespaces never collide. Keyword terms
+    # carry tf=1 and do NOT count toward dl (they must not move BM25
+    # length normalization; text stats stay exactly as without the
+    # option). Values are lowercased (an ES `lowercase` normalizer;
+    # Searcher.search_filtered_indexed applies the same fold at query
+    # time). Nulls are simply not indexed — the ES missing-value rule.
+    # Enables postings-only filter intersection (search_filtered_indexed)
+    # instead of the stored-table scan.
+    keyword_fields: tuple[str, ...] = ()
 
     # ------------------------------------------------------------------ #
     def build(
@@ -356,14 +368,45 @@ class IndexBuilder:
         return cat
 
     def _tokenized(self, stored: DataFrame) -> DataFrame:
-        """(doc_id, terms[], tfs[], dl) via the Arrow tokenize UDF."""
+        """(doc_id, terms[], tfs[], dl) via the Arrow tokenize UDF; with
+        ``keyword_fields`` the per-doc term list also carries the
+        namespaced keyword terms (tf=1, dl untouched — see the field
+        note), so keyword postings ride the SAME segment build/merge
+        path as text postings with zero extra passes."""
         tc = self.analyzer.term_counts_udf()
-        return stored.select(
-            "doc_id", tc(F.col(self.text_col)).alias("_tc")
-        ).select(
+        base = stored.select(
             "doc_id",
-            F.col("_tc.terms").alias("terms"),
-            F.col("_tc.tfs").alias("tfs"),
+            *self.keyword_fields,
+            tc(F.col(self.text_col)).alias("_tc"),
+        )
+        if not self.keyword_fields:
+            return base.select(
+                "doc_id",
+                F.col("_tc.terms").alias("terms"),
+                F.col("_tc.tfs").alias("tfs"),
+                F.col("_tc.dl").alias("dl"),
+            )
+        kw = F.filter(
+            F.array(
+                *[
+                    F.when(
+                        F.col(f).isNotNull(),
+                        F.concat(
+                            F.lit(f + ":"), F.lower(F.col(f).cast("string"))
+                        ),
+                    )
+                    for f in self.keyword_fields
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return base.select(
+            "doc_id",
+            F.concat(F.col("_tc.terms"), kw).alias("terms"),
+            F.concat(
+                F.col("_tc.tfs"),
+                F.transform(kw, lambda _: F.lit(1).cast("int")),
+            ).alias("tfs"),
             F.col("_tc.dl").alias("dl"),
         )
 

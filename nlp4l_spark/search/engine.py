@@ -1491,6 +1491,53 @@ class Searcher:
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.withColumn("rank", F.row_number().over(w))
 
+    def search_filtered_indexed(
+        self,
+        query: str,
+        where: dict[str, object],
+        k: int = 10,
+    ) -> DataFrame:
+        """search_filtered's postings-only twin for indexes built with
+        ``IndexBuilder(keyword_fields=...)``: every FILTER predicate is a
+        pushed term lookup of the namespaced keyword posting
+        ("<field>:<lowercased value>"), intersected by a
+        countDistinct==n fold — the stored table is never touched, so
+        the filter side reads O(Σ posting lengths) instead of scanning a
+        stored column (Lucene's actual FILTER execution: a keyword
+        TermQuery DocIdSet intersected with the scored iterator).
+        Scoring and idf stay corpus-global, identical to
+        search_filtered (identity-tested in
+        tests/test_keyword_fields.py)."""
+        fv = [f"{c}:{str(v).lower()}" for c, v in sorted(where.items())]
+        allowed = (
+            self._decoded(self._matching_postings(fv))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("_nf"))
+            .filter(F.col("_nf") == len(fv))
+            .select("doc_id")
+        )
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        dfs = self._term_stats(terms)
+        rows = [(0, t, idf(self.num_docs, dfs[t])) for t in terms if t in dfs]
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, rank int"
+            )
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "qid int, term string, idf double")
+        )
+        scored = self._score_dataframe(
+            self._matching_postings([r[1] for r in rows]), qterms
+        )
+        out = (
+            scored.join(allowed, "doc_id", "left_semi")
+            .select("doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.withColumn("rank", F.row_number().over(w))
+
     def search_span_near(
         self,
         term_a: str,

@@ -1,0 +1,88 @@
+"""Keyword-field postings (IndexBuilder(keyword_fields=...)): namespaced
+untokenized terms ride the normal segment path, text stats stay
+untouched, and search_filtered_indexed equals the stored-scan
+search_filtered exactly."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nlp4l_spark.data.transcripts import synth_transcripts
+from nlp4l_spark.index import IndexBuilder
+from nlp4l_spark.search import Searcher
+
+N_TURNS = 600
+
+
+@pytest.fixture(scope="module")
+def idx_pair(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("kwidx")
+    df = synth_transcripts(spark, N_TURNS, num_partitions=4)
+    plain = str(root / "plain")
+    kw = str(root / "kw")
+    IndexBuilder(sort_cols=("conv_id", "turn_idx")).build(df, plain)
+    IndexBuilder(
+        sort_cols=("conv_id", "turn_idx"), keyword_fields=("role", "tool")
+    ).build(df, kw)
+    return plain, kw
+
+
+def _rows(df):
+    return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+def test_text_stats_unchanged_by_keyword_fields(spark, idx_pair):
+    """dl/avgdl/num_docs and text-term BM25 must be identical with and
+    without keyword fields — keyword terms carry no length norm."""
+    plain, kw = idx_pair
+    sp, sk = Searcher(spark, plain), Searcher(spark, kw)
+    assert (sp.num_docs, sp.avgdl) == (sk.num_docs, sk.avgdl)
+    for q in ("w00001 w00454", "w00002 w00010"):
+        assert _rows(sp.search(q, k=10, method="dataframe")) == _rows(
+            sk.search(q, k=10, method="dataframe")
+        ), q
+
+
+def test_keyword_terms_are_namespaced_postings(spark, idx_pair):
+    _, kw = idx_pair
+    s = Searcher(spark, kw)
+    terms = {
+        r["term"]
+        for r in s.cat.read(spark, "term_stats")
+        .filter(F.col("term").contains(":"))
+        .collect()
+    }
+    assert "role:user" in terms and "role:assistant" in terms
+    assert "tool:bash" in terms
+    # nulls (tool=None rows) are not indexed
+    assert not any(t.endswith(":none") or t.endswith(":null") for t in terms)
+
+
+def test_filtered_indexed_equals_stored_scan(spark, idx_pair):
+    _, kw = idx_pair
+    s = Searcher(spark, kw)
+    for where in (
+        {"role": "assistant"},
+        {"role": "user", "tool": "bash"},
+        {"tool": "grep"},
+    ):
+        a = _rows(s.search_filtered("w00001 w00002", where, k=10))
+        b = _rows(s.search_filtered_indexed("w00001 w00002", where, k=10))
+        assert a == b, where
+
+
+def test_filtered_indexed_plan_skips_stored(spark, idx_pair):
+    """The filter side is a pushed keyword-term postings read; the plan
+    touches no stored-table files."""
+    _, kw = idx_pair
+    s = Searcher(spark, kw)
+    df = s.search_filtered_indexed("w00001", {"role": "assistant"}, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "/stored" not in plan, "stored table should not be scanned"
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any(
+        "role:assistant" in ln or "In(term" in ln or "EqualTo(term" in ln
+        for ln in pushed
+    ), pushed
