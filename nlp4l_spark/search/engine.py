@@ -1538,6 +1538,45 @@ class Searcher:
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return out.withColumn("rank", F.row_number().over(w))
 
+    def search_exists(self, fld: str, k: int = 10) -> DataFrame:
+        """ES exists query over a keyword field: docs where the field
+        has ANY value = union of the field's namespaced postings — one
+        StringStartsWith-pushed dictionary range read (nulls were never
+        indexed, so presence in any "<field>:*" posting IS existence).
+        Constant score 1.0, docID ascending (the multi-term
+        constant-score rewrite)."""
+        matching = self.cat.read(self.spark, "postings").filter(
+            F.col("term").startswith(fld + ":")
+        )
+        return (
+            self._decoded(matching)
+            .select("doc_id")
+            .distinct()
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", F.lit(1.0).alias("score"))
+        )
+
+    def facet_keyword(self, fld: str) -> DataFrame:
+        """Keyword-field facet counts from the TERM DICTIONARY ALONE —
+        Lucene's SortedSetDocValues facet shape: each "<field>:<value>"
+        dictionary row's df IS the bucket count, so faceting reads zero
+        postings and zero stored bytes, just a StringStartsWith-pruned
+        band of the vocab-sized term_stats table. Returns (value, cnt),
+        count desc / value asc."""
+        pre = fld + ":"
+        return (
+            self.cat.read(self.spark, "term_stats")
+            .filter(F.col("term").startswith(pre))
+            .select(
+                F.substring(
+                    F.col("term"), len(pre) + 1, 2_147_483_647
+                ).alias("value"),
+                F.col("df").cast("long").alias("cnt"),
+            )
+            .orderBy(F.desc("cnt"), F.asc("value"))
+        )
+
     def search_span_near(
         self,
         term_a: str,

@@ -86,3 +86,39 @@ def test_filtered_indexed_plan_skips_stored(spark, idx_pair):
         "role:assistant" in ln or "In(term" in ln or "EqualTo(term" in ln
         for ln in pushed
     ), pushed
+
+
+def test_exists_query(spark, idx_pair):
+    """exists(tool) = docs whose tool is non-null; nulls were never
+    indexed so the prefix-band union is exactly the non-null set."""
+    _, kw = idx_pair
+    s = Searcher(spark, kw)
+    got = {r["doc_id"] for r in s.search_exists("tool", k=10**6).collect()}
+    expect = {
+        r["doc_id"]
+        for r in s.cat.read(spark, "stored")
+        .filter(F.col("tool").isNotNull())
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_facet_keyword_from_dictionary(spark, idx_pair):
+    """Dictionary-only facets equal a stored-table groupBy exactly."""
+    _, kw = idx_pair
+    s = Searcher(spark, kw)
+    got = [(r["value"], r["cnt"]) for r in s.facet_keyword("role").collect()]
+    expect = [
+        (r["role"], r["n"])
+        for r in s.cat.read(spark, "stored")
+        .groupBy(F.col("role"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("role"))
+        .collect()
+    ]
+    assert got == expect
+    # the facet plan reads the dictionary only — no postings decode
+    plan = (
+        s.facet_keyword("role")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "/term_stats" in plan and "/postings" not in plan
