@@ -285,6 +285,7 @@ EXTRA_QUERIES = [
     "dow_profile",
     "dau_mau",
     "moving_median",
+    "index_keyword_facet",
 ]
 
 

@@ -12975,6 +12975,44 @@ FROM daily ORDER BY day
 """
 
 
+# --------------------------------------------------------------------- #
+# Keyword-field index facet: the dictionary-only facet path, oracled.
+# --------------------------------------------------------------------- #
+
+
+def q_index_keyword_facet(spark, sf_dir):
+    """Dictionary-only keyword facets from a real index
+    (Searcher.facet_keyword over IndexBuilder(keyword_fields=...)):
+    documents indexed with `source` as a keyword field, bucket counts
+    read from the TERM DICTIONARY's df column alone — zero postings or
+    stored bytes (plan-asserted in tests/test_keyword_fields.py). The
+    oracle is the plain stored-side groupBy, so a green row proves the
+    namespaced keyword postings carry exact per-value doc counts
+    through the whole build/merge pipeline."""
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.index.catalog import IndexCatalog
+    from nlp4l_spark.search import Searcher
+
+    idx = _index_cache_dir(sf_dir) + "_kw1"
+    cat = IndexCatalog(idx)
+    if not cat.is_committed("field_stats"):
+        IndexBuilder(
+            sort_cols=("doc_id",), keyword_fields=("source",)
+        ).build(_docs(spark, sf_dir), idx)
+    return (
+        Searcher(spark, idx)
+        .facet_keyword("source")
+        .select("value", "cnt")
+        .orderBy(F.desc("cnt"), F.asc("value"))
+    )
+
+
+O_INDEX_KEYWORD_FACET = """
+SELECT source AS value, count(*)::bigint AS cnt
+FROM documents GROUP BY 1 ORDER BY cnt DESC, value ASC
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -13282,6 +13320,7 @@ REGISTRY: dict[str, tuple] = {
     "dow_profile": (q_dow_profile, O_DOW_PROFILE),
     "dau_mau": (q_dau_mau, O_DAU_MAU),
     "moving_median": (q_moving_median, O_MOVING_MEDIAN),
+    "index_keyword_facet": (q_index_keyword_facet, O_INDEX_KEYWORD_FACET),
 }
 
 
@@ -13346,7 +13385,7 @@ _DRIVER_ORDER = [
     "anomaly_days", "code_detect", "terms_by_metric", "dds_by_type",
     "suggest_context", "lsh_tuning_curve", "wordlist_screen",
     "bradley_terry", "change_point", "counter_rate", "dow_profile",
-    "dau_mau", "moving_median",
+    "dau_mau", "moving_median", "index_keyword_facet",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
