@@ -286,6 +286,8 @@ EXTRA_QUERIES = [
     "dau_mau",
     "moving_median",
     "index_keyword_facet",
+    "rbo_rankings",
+    "rank_correlation",
 ]
 
 

@@ -13013,6 +13013,162 @@ FROM documents GROUP BY 1 ORDER BY cnt DESC, value ASC
 """
 
 
+# --------------------------------------------------------------------- #
+# Ranking-comparison metrics: RBO and Kendall tau between two scorers.
+# --------------------------------------------------------------------- #
+RBO_P = 0.9
+RBO_K = 10
+
+
+def _two_rankings(spark, sf_dir):
+    """Top-{RBO_K} rankings of the SAME query under two scorers: BM25
+    (rank_a) and raw tf-sum (rank_b), both 6dp/tiebreak-deterministic."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    tf_sum = None
+    for t in BM25_TERMS:
+        x = F.coalesce(F.col("m")[t].cast("long"), F.lit(0))
+        tf_sum = x if tf_sum is None else tf_sum + x
+    matched = (
+        per_doc.withColumn(
+            "sa", F.round(_bm25_score_col(BM25_TERMS, n, avgdl, dfs), 6)
+        )
+        .withColumn("sb", tf_sum)
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
+        .select("doc_id", "sa", "sb")
+    )
+    wa = Window.orderBy(F.desc("sa"), F.asc("doc_id"))
+    wb = Window.orderBy(F.desc("sb"), F.asc("doc_id"))
+    ra = (
+        matched.select("doc_id", F.row_number().over(wa).alias("rank_a"))
+        .filter(F.col("rank_a") <= RBO_K)
+    )
+    rb = (
+        matched.select("doc_id", F.row_number().over(wb).alias("rank_b"))
+        .filter(F.col("rank_b") <= RBO_K)
+    )
+    return ra, rb
+
+
+_RANKINGS_SQL = f"""
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS sa,
+              sum(tf)::bigint AS sb
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id),
+ra AS (SELECT doc_id, rank_a FROM (
+         SELECT doc_id, row_number() OVER (ORDER BY sa DESC, doc_id ASC) AS rank_a
+         FROM sc) WHERE rank_a <= {RBO_K}),
+rb AS (SELECT doc_id, rank_b FROM (
+         SELECT doc_id, row_number() OVER (ORDER BY sb DESC, doc_id ASC) AS rank_b
+         FROM sc) WHERE rank_b <= {RBO_K})
+"""
+
+
+def q_rbo_rankings(spark, sf_dir):
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between the
+    BM25 and tf-sum rankings of the same query — the standard metric
+    for 'how much did my ranker change', truncated at depth {RBO_K}
+    without extrapolation (the lower-bound estimate): RBO = (1−p) ·
+    Σ_d p^(d−1)·|A_d ∩ B_d|/d, p={RBO_P}. Per-depth intersection sizes
+    come from a depth-spine × rank-pair join (both tables are k rows);
+    the final ≤{RBO_K}-term sum folds in explicit depth order so both
+    engines add identical operands identically."""
+    ra, rb = _two_rankings(spark, sf_dir)
+    both = ra.join(rb, "doc_id")
+    depths = spark.range(1, RBO_K + 1).select(F.col("id").alias("d"))
+    xd = (
+        depths.join(
+            both,
+            (F.col("rank_a") <= F.col("d")) & (F.col("rank_b") <= F.col("d")),
+            "left",
+        )
+        .groupBy("d")
+        .agg(F.count("doc_id").cast("double").alias("x"))
+    )
+    term = F.struct(
+        F.col("d").alias("k"),
+        (
+            F.pow(F.lit(RBO_P), F.col("d") - 1) * F.col("x") / F.col("d")
+        ).alias("v"),
+    )
+    folded = xd.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(term)), lambda s: s["v"]
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("_s")
+    )
+    return folded.select(
+        F.round(F.lit(1.0 - RBO_P) * F.col("_s"), 6).alias("rbo")
+    )
+
+
+O_RBO_RANKINGS = f"""
+WITH {TOKS_CTE},
+{_RANKINGS_SQL},
+both_r AS (SELECT ra.doc_id, rank_a, rank_b FROM ra JOIN rb USING (doc_id)),
+depths AS (SELECT unnest(generate_series(1, {RBO_K}))::bigint AS d),
+xd AS (SELECT d, count(doc_id)::double AS x
+       FROM depths LEFT JOIN both_r
+         ON rank_a <= d AND rank_b <= d
+       GROUP BY d),
+terms AS (SELECT d, pow({RBO_P}, d - 1) * x / d AS v FROM xd),
+folded AS (SELECT list_reduce(
+             list_prepend(0.0::double, list(v ORDER BY d)),
+             (a, b) -> a + b) AS s FROM terms)
+SELECT round((1.0 - {RBO_P}) * s, 6) AS rbo FROM folded
+"""
+
+
+def q_rank_correlation(spark, sf_dir):
+    """Kendall tau-a between the two rankings over their COMMON top-{RBO_K}
+    docs: concordant minus discordant ordered pairs over n(n−1)/2 — the
+    rank-stability number an A/B ranking change reports next to RBO.
+    Exact integer pair counts; one k²-bounded self-join."""
+    ra, rb = _two_rankings(spark, sf_dir)
+    both = ra.join(rb, "doc_id")
+    a = both.alias("a")
+    b = both.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+    sgn = (F.col("a.rank_a") - F.col("b.rank_a")) * (
+        F.col("a.rank_b") - F.col("b.rank_b")
+    )
+    agg = pairs.agg(
+        F.sum((sgn > 0).cast("long")).alias("c"),
+        F.sum((sgn < 0).cast("long")).alias("d"),
+        F.count("*").cast("long").alias("np"),
+    )
+    return agg.select(
+        F.round(
+            (F.col("c") - F.col("d")).cast("double") / F.col("np"), 6
+        ).alias("tau"),
+        F.col("np").alias("n_pairs"),
+    )
+
+
+O_RANK_CORRELATION = f"""
+WITH {TOKS_CTE},
+{_RANKINGS_SQL},
+both_r AS (SELECT ra.doc_id, rank_a, rank_b FROM ra JOIN rb USING (doc_id)),
+p AS (SELECT (a.rank_a - b.rank_a) * (a.rank_b - b.rank_b) AS sgn
+      FROM both_r a JOIN both_r b ON a.doc_id < b.doc_id)
+SELECT round((sum((sgn > 0)::bigint) - sum((sgn < 0)::bigint))::double
+             / count(*), 6) AS tau,
+       count(*)::bigint AS n_pairs
+FROM p
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -13321,6 +13477,8 @@ REGISTRY: dict[str, tuple] = {
     "dau_mau": (q_dau_mau, O_DAU_MAU),
     "moving_median": (q_moving_median, O_MOVING_MEDIAN),
     "index_keyword_facet": (q_index_keyword_facet, O_INDEX_KEYWORD_FACET),
+    "rbo_rankings": (q_rbo_rankings, O_RBO_RANKINGS),
+    "rank_correlation": (q_rank_correlation, O_RANK_CORRELATION),
 }
 
 
@@ -13386,6 +13544,7 @@ _DRIVER_ORDER = [
     "suggest_context", "lsh_tuning_curve", "wordlist_screen",
     "bradley_terry", "change_point", "counter_rate", "dow_profile",
     "dau_mau", "moving_median", "index_keyword_facet",
+    "rbo_rankings", "rank_correlation",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
