@@ -288,6 +288,7 @@ EXTRA_QUERIES = [
     "index_keyword_facet",
     "rbo_rankings",
     "rank_correlation",
+    "matryoshka_recall",
 ]
 
 

@@ -13169,6 +13169,102 @@ FROM p
 """
 
 
+# --------------------------------------------------------------------- #
+# Matryoshka truncation quality: recall@k of half-dimension cosine
+# retrieval against the full-dimension ranking.
+# --------------------------------------------------------------------- #
+MR_DIM = 32
+MR_QUERIES = 5
+MR_K = 10
+
+
+def q_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-embedding truncation report (Kusupati et al. 2022 —
+    the 'can I serve the first {MR_DIM} of 64 dims' decision): for each
+    of {MR_QUERIES} query vectors, recall@{MR_K} of the truncated-dim
+    exact cosine top-k against the full-dim top-k. Rankings reuse the
+    oracled brute-force cosine path (6dp round + id tiebreak) on the
+    full and sliced vectors; the per-query overlap is a {MR_K}-row
+    driver fold (bounded collects, the MMR convention). Note the
+    fixture embeddings are random — truncation recall is LOW here by
+    construction; the operator's contract is the measurement, which the
+    oracle reproduces exactly."""
+    from nlp4l_spark.ops import similarity
+
+    emb = _embeddings(spark, sf_dir)
+    qrows = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < MR_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, MR_DIM).alias("embedding")
+    )
+    rows = []
+    for qid in sorted(qrows):
+        full_ids = {
+            r["vec_id"]
+            for r in similarity.brute_force_cosine_topk(
+                emb, qrows[qid], k=MR_K
+            ).collect()
+        }
+        tr_ids = {
+            r["vec_id"]
+            for r in similarity.brute_force_cosine_topk(
+                trunc, qrows[qid][:MR_DIM], k=MR_K
+            ).collect()
+        }
+        rows.append((qid, round(len(full_ids & tr_ids) / MR_K, 6)))
+    return spark.createDataFrame(rows, "query_id long, recall double").orderBy(
+        "query_id"
+    )
+
+
+def _o_matryoshka() -> str:
+    def cos(prefix_len: int | None) -> str:
+        if prefix_len is None:
+            rng, a, b = "range(1, len(embedding) + 1)", "embedding", "qe"
+        else:
+            rng, a, b = f"range(1, {prefix_len + 1})", "embedding", "qe"
+        return (
+            f"list_aggregate(list_transform({rng},"
+            f" i -> {a}[i]::double * {b}[i]::double), 'sum')"
+            f" / (sqrt(list_aggregate(list_transform("
+            f"{a if prefix_len is None else f'{a}[1:{prefix_len}]'},"
+            f" x -> x::double * x::double), 'sum'))"
+            f" * sqrt(list_aggregate(list_transform("
+            f"{b if prefix_len is None else f'{b}[1:{prefix_len}]'},"
+            f" x -> x::double * x::double), 'sum')))"
+        )
+
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < {MR_QUERIES}),
+sc AS (SELECT qid, vec_id,
+              round({cos(None)}, 6) AS cf,
+              round({cos(MR_DIM)}, 6) AS ct
+       FROM embeddings CROSS JOIN q),
+fa AS (SELECT qid, vec_id FROM (
+         SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY cf DESC, vec_id ASC) AS rn
+         FROM sc) WHERE rn <= {MR_K}),
+tb AS (SELECT qid, vec_id FROM (
+         SELECT qid, vec_id,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY ct DESC, vec_id ASC) AS rn
+         FROM sc) WHERE rn <= {MR_K})
+SELECT fa.qid AS query_id,
+       round(count(*) / {float(MR_K)}, 6) AS recall
+FROM fa JOIN tb ON fa.qid = tb.qid AND fa.vec_id = tb.vec_id
+GROUP BY fa.qid ORDER BY query_id
+"""
+
+
+O_MATRYOSHKA_RECALL = _o_matryoshka()
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -13479,6 +13575,7 @@ REGISTRY: dict[str, tuple] = {
     "index_keyword_facet": (q_index_keyword_facet, O_INDEX_KEYWORD_FACET),
     "rbo_rankings": (q_rbo_rankings, O_RBO_RANKINGS),
     "rank_correlation": (q_rank_correlation, O_RANK_CORRELATION),
+    "matryoshka_recall": (q_matryoshka_recall, O_MATRYOSHKA_RECALL),
 }
 
 
@@ -13544,7 +13641,7 @@ _DRIVER_ORDER = [
     "suggest_context", "lsh_tuning_curve", "wordlist_screen",
     "bradley_terry", "change_point", "counter_rate", "dow_profile",
     "dau_mau", "moving_median", "index_keyword_facet",
-    "rbo_rankings", "rank_correlation",
+    "rbo_rankings", "rank_correlation", "matryoshka_recall",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
