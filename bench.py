@@ -289,6 +289,9 @@ EXTRA_QUERIES = [
     "rbo_rankings",
     "rank_correlation",
     "matryoshka_recall",
+    "frequent_sequences",
+    "hard_negatives",
+    "cdc_chunks",
 ]
 
 

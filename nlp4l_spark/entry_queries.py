@@ -11812,24 +11812,54 @@ def q_kneser_ney_bigrams(spark, sf_dir):
     explode shuffle builds the bigram-type table; everything after is
     keyed joins on that (vocab²-bounded) table plus a broadcast-scalar
     T — the corpus is never rescanned."""
-    toks = STANDARD_ANALYZER.tokens_expr("text")
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bg = _docs(spark, sf_dir).select(F.explode(pairs).alias("b")).select("b.*")
-    c12 = bg.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c12"))
+    from pyspark.sql import types as T
+
+    tokenize = STANDARD_ANALYZER.tokenize
+
+    # Arrow pass for per-doc bigram COUNTS: the declarative
+    # sequence/element_at struct HOF is evaluated interpreted and
+    # measured 26.6 s at sf0.1; this is the dedup.shingles_udf precedent
+    # (oracle-identical output — consecutive pairs of the same analyzed
+    # stream), with counts kept so c12 sums them.
+    @F.pandas_udf(
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("w1", T.StringType()),
+                    T.StructField("w2", T.StringType()),
+                    T.StructField("c", T.LongType()),
+                ]
+            )
+        )
+    )
+    def _bigram_counts(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = tokenize(t)
+            counts: dict[tuple, int] = {}
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+            out.append([(a, b, c) for (a, b), c in counts.items()])
+        return pd.Series(out)
+
+    bg = (
+        _docs(spark, sf_dir)
+        .select(F.explode(_bigram_counts(F.col("text"))).alias("b"))
+        .select("b.*")
+    )
+    # persist the reduced bigram-type table: c1/c2/T and the final join
+    # all derive from it, and without the cache each branch would re-run
+    # the corpus tokenize+explode (measured 76 s unfixed at sf0.1)
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.sum("c").cast("double").alias("c12"))
+        .persist()
+    )
     c1 = c12.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count("*").cast("double").alias("n1fw")
     )
     c2 = c12.groupBy("w2").agg(F.count("*").cast("double").alias("n1bw"))
-    t_types = float(c12.count())
+    t_types = float(c12.count())  # also materializes the cache
     d = float(KN_DISCOUNT)
     p_kn = (
         F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
@@ -13036,6 +13066,9 @@ def _two_rankings(spark, sf_dir):
         .withColumn("sb", tf_sum)
         .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
         .select("doc_id", "sa", "sb")
+        # both rank branches and their join read this table — cached so
+        # the tokenize pass runs once, not once per branch
+        .persist()
     )
     wa = Window.orderBy(F.desc("sa"), F.asc("doc_id"))
     wb = Window.orderBy(F.desc("sb"), F.asc("doc_id"))
@@ -13263,6 +13296,162 @@ GROUP BY fa.qid ORDER BY query_id
 
 
 O_MATRYOSHKA_RECALL = _o_matryoshka()
+
+
+# --------------------------------------------------------------------- #
+# Sequential patterns, contrastive hard negatives, and content-defined
+# chunking stats.
+# --------------------------------------------------------------------- #
+
+
+def q_frequent_sequences(spark, sf_dir):
+    """Frequent 3-step behavioral sequences (the GSP/PrefixSpan report
+    restricted to consecutive triples): per user, consecutive
+    event_type triples in (ts, event_id) order, top 10 by support —
+    the funnel-mining extension of `event_transitions` (which stops at
+    pairs). ONE user-keyed window shuffle produces both leads; the
+    triple table groupBy is event-type³ bounded."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("_t", "event_id")
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", sec.alias("_t"), "event_type"
+    )
+    tri = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+        .limit(10)
+    )
+
+
+O_FREQUENT_SEQUENCES = """
+WITH e AS (SELECT user_id, event_id, floor(epoch(ts))::bigint AS t,
+                  event_type FROM events),
+tri AS (SELECT event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+SELECT e1, e2, e3, count(*)::bigint AS cnt
+FROM tri WHERE e3 IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY cnt DESC, e1, e2, e3 LIMIT 10
+"""
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (the DPR/SimCSE training-data
+    step): for each of the first {MR_QUERIES} query vectors, the
+    single most-similar vector with a DIFFERENT label — the negative a
+    contrastive loss learns the most from. Exact cosine on the oracled
+    brute-force expression, 6dp round + id tiebreak; the label
+    inequality is a pushed filter per query. At scale this runs on the
+    ANN index's candidate set instead of the full corpus (same
+    contract, pruned candidates)."""
+    from nlp4l_spark.ops import similarity
+
+    emb = _embeddings(spark, sf_dir)
+    qrows = [
+        (r["vec_id"], list(r["embedding"]), r["label"])
+        for r in emb.filter(F.col("vec_id") < MR_QUERIES)
+        .select("vec_id", "embedding", "label")
+        .collect()
+    ]
+    out = None
+    for qid, qvec, qlabel in sorted(qrows):
+        top = (
+            similarity.brute_force_cosine_topk(
+                emb, qvec, k=1, where=(F.col("label") != qlabel)
+            )
+            .select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col("vec_id").alias("neg_id"),
+                F.col("cosine"),
+            )
+        )
+        out = top if out is None else out.unionByName(top)
+    return out.orderBy("query_id")
+
+
+O_HARD_NEGATIVES = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+           FROM embeddings WHERE vec_id < {MR_QUERIES}),
+sc AS (SELECT qid, vec_id,
+              round(list_aggregate(list_transform(
+                        range(1, len(embedding) + 1),
+                        i -> embedding[i]::double * qe[i]::double), 'sum')
+                    / (sqrt(list_aggregate(list_transform(embedding,
+                          x -> x::double * x::double), 'sum'))
+                       * sqrt(list_aggregate(list_transform(qe,
+                          x -> x::double * x::double), 'sum'))), 6) AS c
+       FROM embeddings CROSS JOIN q
+       WHERE label <> ql),
+r AS (SELECT qid, vec_id, c,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY c DESC, vec_id ASC) AS rn
+      FROM sc)
+SELECT qid AS query_id, vec_id AS neg_id, c AS cosine
+FROM r WHERE rn = 1 ORDER BY query_id
+"""
+
+
+CDC_MASK = 16
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking stats (the FastCDC/rsync boundary idea
+    on the analyzed token stream — the Spark-native form a
+    dedup-friendly corpus store uses so edits don't shift every chunk):
+    a token ENDS a chunk when hash(token) % {CDC_MASK} == 0, giving
+    expected chunk length {CDC_MASK}; per source, doc count, total
+    chunks, and bytes-stable average chunk length from EXACT integer
+    sums (sum dl / sum chunks — never an average of per-doc doubles).
+    The hash is the repo's cross-engine md5-32 contract; at scale
+    you'd swap xxhash64 (same semantics, cheaper). One tokenize scan +
+    one source groupBy."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    h32 = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast(  # noqa: E731
+        "long"
+    )
+    boundaries = F.size(
+        F.filter(toks, lambda t: h32(t) % CDC_MASK == F.lit(0))
+    )
+    dl = F.size(toks)
+    d = _docs(spark, sf_dir).select(
+        "source",
+        dl.alias("_dl"),
+        F.when(dl > 0, boundaries + 1).otherwise(F.lit(0)).alias("_nc"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_nc").cast("long").alias("total_chunks"),
+            F.round(
+                F.sum("_dl").cast("double") / F.sum("_nc"), 6
+            ).alias("avg_chunk_len"),
+        )
+        .orderBy("source")
+    )
+
+
+O_CDC_CHUNKS = f"""
+WITH d AS (SELECT source,
+                  len({TOK_SQL}) AS dl,
+                  CASE WHEN len({TOK_SQL}) > 0 THEN
+                    len(list_filter({TOK_SQL},
+                        t -> ('0x' || substr(md5(t), 1, 8))::bigint
+                             % {CDC_MASK} = 0)) + 1
+                  ELSE 0 END AS nc
+           FROM documents)
+SELECT source, count(*)::bigint AS n_docs,
+       sum(nc)::bigint AS total_chunks,
+       round(sum(dl)::double / sum(nc), 6) AS avg_chunk_len
+FROM d GROUP BY 1 ORDER BY source
+"""
 
 
 REGISTRY: dict[str, tuple] = {
@@ -13576,6 +13765,9 @@ REGISTRY: dict[str, tuple] = {
     "rbo_rankings": (q_rbo_rankings, O_RBO_RANKINGS),
     "rank_correlation": (q_rank_correlation, O_RANK_CORRELATION),
     "matryoshka_recall": (q_matryoshka_recall, O_MATRYOSHKA_RECALL),
+    "frequent_sequences": (q_frequent_sequences, O_FREQUENT_SEQUENCES),
+    "hard_negatives": (q_hard_negatives, O_HARD_NEGATIVES),
+    "cdc_chunks": (q_cdc_chunks, O_CDC_CHUNKS),
 }
 
 
@@ -13642,6 +13834,7 @@ _DRIVER_ORDER = [
     "bradley_terry", "change_point", "counter_rate", "dow_profile",
     "dau_mau", "moving_median", "index_keyword_facet",
     "rbo_rankings", "rank_correlation", "matryoshka_recall",
+    "frequent_sequences", "hard_negatives", "cdc_chunks",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
