@@ -292,6 +292,8 @@ EXTRA_QUERIES = [
     "frequent_sequences",
     "hard_negatives",
     "cdc_chunks",
+    "pricing_summary",
+    "shipping_priority",
 ]
 
 

@@ -13454,6 +13454,115 @@ FROM d GROUP BY 1 ORDER BY source
 """
 
 
+# --------------------------------------------------------------------- #
+# Relational-analytics parity: TPC-H Q1/Q3 twins with exact integer
+# arithmetic (the OLAP side a mixed search+analytics engine serves).
+# --------------------------------------------------------------------- #
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 (pricing summary report) twin over the fixture lineitem:
+    per (returnflag, linestatus) exact sums of qty, base price,
+    discounted price, and charge. Cross-engine exactness: price is 2dp
+    and discount/tax are 2dp fractions, so price_cents ×
+    (100−disc_pct) × (100+tax_pct) is an EXACT int64 (≈1e11/row, 6e16
+    summed — inside int64), divided back to currency once per group;
+    no floating accumulation anywhere. ONE map-side-combined groupBy —
+    the canonical Spark aggregation plan."""
+    li = _lineitem(spark, sf_dir)
+    qty = F.round(F.col("l_quantity")).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_p = F.round(F.col("l_discount") * 100).cast("long")
+    tax_p = F.round(F.col("l_tax") * 100).cast("long")
+    disc_c = price_c * (100 - disc_p)  # cents*1e2
+    charge_c = disc_c * (100 + tax_p)  # cents*1e4
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            qty.alias("_q"),
+            price_c.alias("_p"),
+            disc_c.alias("_d"),
+            charge_c.alias("_c"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("_q").cast("long").alias("sum_qty"),
+            (F.sum("_p").cast("double") / 100.0).alias("sum_base_price"),
+            F.round(F.sum("_d").cast("double") / 10000.0, 6).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.sum("_c").cast("double") / 1000000.0, 6).alias(
+                "sum_charge"
+            ),
+            F.count("*").cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+O_PRICING_SUMMARY = """
+WITH c AS (SELECT l_returnflag, l_linestatus,
+                  round(l_quantity)::bigint AS q,
+                  round(l_extendedprice * 100)::bigint AS p,
+                  round(l_discount * 100)::bigint AS d,
+                  round(l_tax * 100)::bigint AS t
+           FROM lineitem)
+SELECT l_returnflag, l_linestatus,
+       sum(q)::bigint AS sum_qty,
+       sum(p)::double / 100.0 AS sum_base_price,
+       round(sum(p * (100 - d))::double / 10000.0, 6) AS sum_disc_price,
+       round(sum(p * (100 - d) * (100 + t))::double / 1000000.0, 6)
+         AS sum_charge,
+       count(*)::bigint AS count_order
+FROM c GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus
+"""
+
+
+SHIP_CUTOFF = "1998-06-15"
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 (shipping priority) twin: revenue per order for orders
+    placed before {SHIP_CUTOFF} with lineitems shipped after it, top 10
+    by revenue — the classic fact⋈fact⋈dim plan. Revenue folds exact
+    discounted cents (price_c × (100−disc_p), int64). Spark shape:
+    orders filter broadcasts onto the lineitem scan (the small side),
+    one revenue groupBy, TakeOrdered."""
+    li = _lineitem(spark, sf_dir)
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cutoff = F.to_timestamp(F.lit(SHIP_CUTOFF))
+    o = orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_orderdate"
+    )
+    rev_c = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    l = li.filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", rev_c.alias("_r")
+    )
+    return (
+        l.join(F.broadcast(o), l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("_r").cast("double") / 10000.0, 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+O_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey,
+       round(sum(round(l_extendedprice * 100)::bigint
+                 * (100 - round(l_discount * 100)::bigint))::double
+             / 10000.0, 6) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
+GROUP BY 1 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -13768,6 +13877,8 @@ REGISTRY: dict[str, tuple] = {
     "frequent_sequences": (q_frequent_sequences, O_FREQUENT_SEQUENCES),
     "hard_negatives": (q_hard_negatives, O_HARD_NEGATIVES),
     "cdc_chunks": (q_cdc_chunks, O_CDC_CHUNKS),
+    "pricing_summary": (q_pricing_summary, O_PRICING_SUMMARY),
+    "shipping_priority": (q_shipping_priority, O_SHIPPING_PRIORITY),
 }
 
 
@@ -13835,6 +13946,7 @@ _DRIVER_ORDER = [
     "dau_mau", "moving_median", "index_keyword_facet",
     "rbo_rankings", "rank_correlation", "matryoshka_recall",
     "frequent_sequences", "hard_negatives", "cdc_chunks",
+    "pricing_summary", "shipping_priority",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
