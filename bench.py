@@ -294,6 +294,9 @@ EXTRA_QUERIES = [
     "cdc_chunks",
     "pricing_summary",
     "shipping_priority",
+    "order_priority_count",
+    "local_supplier_volume",
+    "reply_latency",
 ]
 
 

@@ -13563,6 +13563,146 @@ GROUP BY 1 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
 """
 
 
+def q_order_priority_count(spark, sf_dir):
+    """TPC-H Q4 (order priority checking) twin: orders placed in a
+    quarter that have AT LEAST ONE late lineitem, counted per priority
+    — the canonical EXISTS/semi-join plan (never row-multiplying; an
+    inner join would double-count multi-line orders). Date filters push
+    to both scans; the late-lineitem key set LEFT SEMI joins onto
+    orders."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = _lineitem(spark, sf_dir)
+    lo = F.to_timestamp(F.lit("1997-01-01"))
+    hi = F.to_timestamp(F.lit("1997-07-01"))
+    o = orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    # fixture lineitem has no commitdate: 'late' = shipped after a fixed
+    # in-quarter date (same EXISTS plan shape, fixture-adapted predicate)
+    late = li.filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1997-02-01"))
+    ).select("l_orderkey")
+    return (
+        o.join(late, o["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+O_ORDER_PRIORITY_COUNT = """
+SELECT o_orderpriority, count(*)::bigint AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '1997-02-01 00:00:00')
+GROUP BY 1 ORDER BY o_orderpriority
+"""
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume) twin: revenue per nation for
+    ASIA-region customers served by SAME-NATION suppliers in one year —
+    the canonical star join. Plan shape: the region→nation→customer /
+    supplier dimension chain broadcasts onto the orders⋈lineitem fact
+    side (dims are tiny by construction); revenue folds exact
+    discounted cents."""
+    sf = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))  # noqa: E731
+    region = sf("region").filter(F.col("r_name") == "ASIA")
+    nation = sf("nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = sf("customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_nationkey").alias("_cn"), "n_name")
+    supp = sf("supplier").select("s_suppkey", "s_nationkey")
+    lo = F.to_timestamp(F.lit("1997-01-01"))
+    hi = F.to_timestamp(F.lit("1998-01-01"))
+    orders = sf("orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey")
+    rev_c = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    li = _lineitem(spark, sf_dir).select(
+        "l_orderkey", "l_suppkey", rev_c.alias("_r")
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") == F.col("_cn"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.round(F.sum("_r").cast("double") / 10000.0, 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+O_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       round(sum(round(l_extendedprice * 100)::bigint
+                 * (100 - round(l_discount * 100)::bigint))::double
+             / 10000.0, 6) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1 ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q_reply_latency(spark, sf_dir):
+    """Inter-event reply latency per FOLLOWING event type: for each
+    user's consecutive event pairs, the gap in seconds attributed to
+    the second event's type, with exact interpolated median and p90
+    (the 'how long until the next purchase' panel). ONE user-keyed
+    window (lag) + one type-keyed percentile groupBy over integer
+    seconds."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("_t", "event_id")
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", sec.alias("_t")
+    )
+    gaps = e.select(
+        "event_type",
+        (F.col("_t") - F.lag("_t").over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.round(F.expr("percentile(gap, 0.5D)"), 6).alias("median_gap_s"),
+            F.round(F.expr("percentile(gap, 0.9D)"), 6).alias("p90_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_REPLY_LATENCY = """
+WITH e AS (SELECT user_id, event_id, event_type,
+                  floor(epoch(ts))::bigint AS t FROM events),
+g AS (SELECT event_type,
+             t - lag(t) OVER (PARTITION BY user_id
+                              ORDER BY t, event_id) AS gap
+      FROM e)
+SELECT event_type, count(*)::bigint AS n_gaps,
+       round(quantile_cont(gap, 0.5), 6) AS median_gap_s,
+       round(quantile_cont(gap, 0.9), 6) AS p90_gap_s
+FROM g WHERE gap IS NOT NULL
+GROUP BY 1 ORDER BY event_type
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -13879,6 +14019,15 @@ REGISTRY: dict[str, tuple] = {
     "cdc_chunks": (q_cdc_chunks, O_CDC_CHUNKS),
     "pricing_summary": (q_pricing_summary, O_PRICING_SUMMARY),
     "shipping_priority": (q_shipping_priority, O_SHIPPING_PRIORITY),
+    "order_priority_count": (
+        q_order_priority_count,
+        O_ORDER_PRIORITY_COUNT,
+    ),
+    "local_supplier_volume": (
+        q_local_supplier_volume,
+        O_LOCAL_SUPPLIER_VOLUME,
+    ),
+    "reply_latency": (q_reply_latency, O_REPLY_LATENCY),
 }
 
 
@@ -13946,7 +14095,8 @@ _DRIVER_ORDER = [
     "dau_mau", "moving_median", "index_keyword_facet",
     "rbo_rankings", "rank_correlation", "matryoshka_recall",
     "frequent_sequences", "hard_negatives", "cdc_chunks",
-    "pricing_summary", "shipping_priority",
+    "pricing_summary", "shipping_priority", "order_priority_count",
+    "local_supplier_volume", "reply_latency",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
