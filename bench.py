@@ -297,6 +297,8 @@ EXTRA_QUERIES = [
     "order_priority_count",
     "local_supplier_volume",
     "reply_latency",
+    "middle_out_truncate",
+    "k_anonymity",
 ]
 
 

@@ -13703,6 +13703,85 @@ GROUP BY 1 ORDER BY event_type
 """
 
 
+def q_middle_out_truncate(spark, sf_dir):
+    """Middle-out context truncation (ops/chatqc.middle_out_truncate —
+    the 'lost in the middle' mitigation, Liu et al. 2023): keep the
+    conversation's FIRST turn plus the longest later-turn suffix within
+    the {CTX_BUDGET}-token budget; the middle drops first. Same
+    single-shuffle window shape as q_truncate_context, with the
+    first-turn anchor carried by an in-partition max-over."""
+    from nlp4l_spark.ops.chatqc import middle_out_truncate
+
+    return middle_out_truncate(_chat_turns(spark, sf_dir), budget=CTX_BUDGET)
+
+
+O_MIDDLE_OUT_TRUNCATE = rf"""
+WITH {CHAT_CTE},
+t AS (SELECT conv_id, turn_idx,
+        len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]+'))::bigint
+            AS n_tokens
+      FROM chat),
+s1 AS (SELECT conv_id, turn_idx, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+            ROWS UNBOUNDED PRECEDING) AS suffix,
+        min(turn_idx) OVER (PARTITION BY conv_id) AS first_idx
+       FROM t),
+s AS (SELECT *,
+        max(CASE WHEN turn_idx = first_idx THEN n_tokens END)
+            OVER (PARTITION BY conv_id) AS first_tok
+      FROM s1),
+k AS (SELECT conv_id, turn_idx, n_tokens,
+        (first_tok <= {CTX_BUDGET}
+         AND (turn_idx = first_idx
+              OR first_tok + suffix <= {CTX_BUDGET})) AS keep
+      FROM s)
+SELECT conv_id::bigint AS conv_id, count(*)::bigint AS n_turns,
+       sum(n_tokens)::bigint AS total_tokens,
+       sum(keep::bigint)::bigint AS kept_turns,
+       coalesce(sum(n_tokens) FILTER (keep), 0)::bigint AS kept_tokens,
+       (count(*) - sum(keep::bigint))::bigint AS dropped_middle
+FROM k GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+K_ANON = 20
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity report over the quasi-identifier pair (lang, source)
+    — the privacy-release gate a corpus publisher runs: equivalence
+    classes smaller than k={K_ANON} are re-identification risks. Output:
+    the risky classes (size < k) plus their share of the corpus. One
+    keyed groupBy + a broadcast-scalar total."""
+    d = _docs(spark, sf_dir)
+    total = d.count()
+    return (
+        d.groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("class_size"))
+        .filter(F.col("class_size") < K_ANON)
+        .select(
+            "lang",
+            "source",
+            "class_size",
+            F.round(F.col("class_size") / F.lit(float(total)), 6).alias(
+                "risk_share"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+O_K_ANONYMITY = f"""
+WITH tot AS (SELECT count(*)::double AS n FROM documents),
+c AS (SELECT lang, source, count(*)::bigint AS class_size
+      FROM documents GROUP BY 1, 2)
+SELECT lang, source, class_size,
+       round(class_size / (SELECT n FROM tot), 6) AS risk_share
+FROM c WHERE class_size < {K_ANON}
+ORDER BY lang, source
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -14028,6 +14107,8 @@ REGISTRY: dict[str, tuple] = {
         O_LOCAL_SUPPLIER_VOLUME,
     ),
     "reply_latency": (q_reply_latency, O_REPLY_LATENCY),
+    "middle_out_truncate": (q_middle_out_truncate, O_MIDDLE_OUT_TRUNCATE),
+    "k_anonymity": (q_k_anonymity, O_K_ANONYMITY),
 }
 
 
@@ -14096,7 +14177,8 @@ _DRIVER_ORDER = [
     "rbo_rankings", "rank_correlation", "matryoshka_recall",
     "frequent_sequences", "hard_negatives", "cdc_chunks",
     "pricing_summary", "shipping_priority", "order_priority_count",
-    "local_supplier_volume", "reply_latency",
+    "local_supplier_volume", "reply_latency", "middle_out_truncate",
+    "k_anonymity",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",

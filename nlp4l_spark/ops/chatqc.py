@@ -397,3 +397,70 @@ def pack_with_loss_mask(
         .cast("long")
         .alias("seq_last"),
     )
+
+
+def middle_out_truncate(
+    turns: DataFrame,
+    budget: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Middle-out context truncation — the 'lost in the middle'
+    mitigation (Liu et al. 2023): the conversation's FIRST turn (the
+    system/task anchor) is always kept when it fits, and the remaining
+    budget keeps the longest suffix of the LATER turns; the middle
+    drops first. Contract details: if the first turn alone exceeds the
+    budget nothing is kept (the serving error case); a suffix turn is
+    kept iff first-turn tokens + tokens from it to the end fit; when
+    the whole conversation fits, kept == all turns (head and suffix
+    meet).
+
+    Output per conversation: (conv_id, n_turns, total_tokens,
+    kept_turns, kept_tokens, dropped_middle = n_turns - kept_turns).
+
+    Plan: same single-shuffle shape as truncate_context — one
+    conv-keyed window pass (reverse cumulative sum + first-turn token
+    broadcast within the partition via a max-over) and one groupBy on
+    the same key."""
+    from nlp4l_spark.ops.textqc import token_count_col
+
+    wfull = Window.partitionBy("conv_id")
+    wsfx = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.desc("turn_idx"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = turns.select(
+        "conv_id",
+        "turn_idx",
+        token_count_col(text_col).cast("long").alias("n_tokens"),
+    )
+    first_idx = F.min("turn_idx").over(wfull)
+    first_tok = F.max(
+        F.when(F.col("turn_idx") == first_idx, F.col("n_tokens"))
+    ).over(wfull)
+    base = (
+        base.withColumn("_suffix", F.sum("n_tokens").over(wsfx))
+        .withColumn("_first_idx", first_idx)
+        .withColumn("_first_tok", first_tok)
+    )
+    head_fits = F.col("_first_tok") <= budget
+    is_first = F.col("turn_idx") == F.col("_first_idx")
+    keep = head_fits & (
+        is_first
+        | (F.col("_first_tok") + F.col("_suffix") <= budget)
+    )
+    return (
+        base.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(keep.cast("long")).cast("long").alias("kept_turns"),
+            F.coalesce(F.sum(F.when(keep, F.col("n_tokens"))), F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            (F.count("*") - F.sum(keep.cast("long")))
+            .cast("long")
+            .alias("dropped_middle"),
+        )
+        .orderBy("conv_id")
+    )
