@@ -299,6 +299,7 @@ EXTRA_QUERIES = [
     "reply_latency",
     "middle_out_truncate",
     "k_anonymity",
+    "injection_scan",
 ]
 
 

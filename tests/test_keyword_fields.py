@@ -122,3 +122,14 @@ def test_facet_keyword_from_dictionary(spark, idx_pair):
         s.facet_keyword("role")._jdf.queryExecution().executedPlan().toString()
     )
     assert "/term_stats" in plan and "/postings" not in plan
+
+
+def test_check_index_passes_with_keyword_fields(spark, idx_pair):
+    """All CheckIndex invariants hold on a keyword-field index — the
+    dl crosscheck in particular, because keyword terms carry the doc's
+    text dl in their postings rather than perturbing it."""
+    from nlp4l_spark.index.checker import check_index
+
+    _, kw = idx_pair
+    res = {r["check"]: r["ok"] for r in check_index(spark, kw).collect()}
+    assert len(res) >= 13 and all(res.values()), res
