@@ -300,6 +300,7 @@ EXTRA_QUERIES = [
     "middle_out_truncate",
     "k_anonymity",
     "injection_scan",
+    "attribution_pairs",
 ]
 
 

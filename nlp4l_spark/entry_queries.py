@@ -13854,6 +13854,55 @@ FROM d GROUP BY 1 ORDER BY source
 O_INJECTION_SCAN = _o_injection_scan()
 
 
+def q_attribution_pairs(spark, sf_dir):
+    """Click→purchase attribution pairs within a 1-hour window
+    (streaming/attribution.py::attribution_join run in batch mode — the
+    same code path the stream-stream interval join executes, per-pair
+    identical across both, tests/test_streaming_attribution.py): per
+    user, purchases following a click by (0, 3600]s, aggregated to
+    (user_id, n_pairs, min/max delay). The join fans out per-user
+    click×purchase within the window — bounded by per-user activity,
+    never users²."""
+    from nlp4l_spark.streaming.attribution import attribution_join
+
+    # floor ts to whole seconds BEFORE the join so the (0, 3600] window
+    # predicate is bit-identical to the oracle's epoch-second math
+    # (sub-second timestamps would otherwise disagree exactly at the
+    # window boundary)
+    e = _events(spark, sf_dir).withColumn(
+        "ts",
+        F.col("ts").cast("timestamp").cast("long").cast("timestamp"),
+    )
+    pairs = attribution_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.min("delay_s").cast("long").alias("min_delay_s"),
+            F.max("delay_s").cast("long").alias("max_delay_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+O_ATTRIBUTION_PAIRS = """
+WITH c AS (SELECT user_id, event_id, floor(epoch(ts))::bigint AS t
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id, floor(epoch(ts))::bigint AS t
+      FROM events WHERE event_type = 'purchase'),
+j AS (SELECT c.user_id, p.t - c.t AS delay_s
+      FROM c JOIN p ON c.user_id = p.user_id
+       AND p.t > c.t AND p.t <= c.t + 3600)
+SELECT user_id, count(*)::bigint AS n_pairs,
+       min(delay_s)::bigint AS min_delay_s,
+       max(delay_s)::bigint AS max_delay_s
+FROM j GROUP BY 1 ORDER BY user_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -14182,6 +14231,7 @@ REGISTRY: dict[str, tuple] = {
     "middle_out_truncate": (q_middle_out_truncate, O_MIDDLE_OUT_TRUNCATE),
     "k_anonymity": (q_k_anonymity, O_K_ANONYMITY),
     "injection_scan": (q_injection_scan, O_INJECTION_SCAN),
+    "attribution_pairs": (q_attribution_pairs, O_ATTRIBUTION_PAIRS),
 }
 
 
@@ -14251,7 +14301,7 @@ _DRIVER_ORDER = [
     "frequent_sequences", "hard_negatives", "cdc_chunks",
     "pricing_summary", "shipping_priority", "order_priority_count",
     "local_supplier_volume", "reply_latency", "middle_out_truncate",
-    "k_anonymity", "injection_scan",
+    "k_anonymity", "injection_scan", "attribution_pairs",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
