@@ -301,6 +301,9 @@ EXTRA_QUERIES = [
     "k_anonymity",
     "injection_scan",
     "attribution_pairs",
+    "dp_counts",
+    "equi_depth_histogram",
+    "analyze_table",
 ]
 
 

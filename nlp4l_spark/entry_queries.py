@@ -13903,6 +13903,140 @@ FROM j GROUP BY 1 ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------- #
+# Privacy + catalog-statistics panel: DP counts with seeded noise,
+# equi-depth histogram, ANALYZE-style column stats.
+# --------------------------------------------------------------------- #
+DP_EPSILON = 1.0
+DP_SEED = "dp1"
+
+
+def q_dp_counts(spark, sf_dir):
+    """Differentially private per-source doc counts (the release
+    mechanism next to q_k_anonymity): Laplace noise at sensitivity 1 /
+    epsilon={DP_EPSILON}, with the noise drawn from a SEEDED hash of the
+    group key (the ES random_score determinism trick applied to DP —
+    reproducible releases for testing; a production release would use a
+    real RNG). u = hash32(seed:source)/2^32 ∈ (0,1); noise =
+    −(1/ε)·sign(u−½)·ln(1−2|u−½|), the inverse-CDF Laplace transform —
+    identical md5 and ln on both engines, 6dp rounded. One groupBy."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(DP_SEED + ":"), F.col("source"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + 0.5) / 4294967296.0
+    cen = u - 0.5
+    noise = (
+        -F.lit(1.0 / DP_EPSILON)
+        * F.signum(cen)
+        * F.log(1.0 - 2.0 * F.abs(cen))
+    )
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("true_count"))
+        .select(
+            "source",
+            "true_count",
+            F.round(F.col("true_count") + noise, 6).alias("dp_count"),
+        )
+        .orderBy("source")
+    )
+
+
+O_DP_COUNTS = f"""
+WITH c AS (SELECT source, count(*)::bigint AS true_count
+           FROM documents GROUP BY 1),
+n AS (SELECT source, true_count,
+             ((('0x' || substr(md5('{DP_SEED}:' || source), 1, 8))::bigint
+               ::double + 0.5) / 4294967296.0 - 0.5) AS cen
+      FROM c)
+SELECT source, true_count,
+       round(true_count + (-{1.0 / DP_EPSILON!r}) * sign(cen)
+             * ln(1.0 - 2.0 * abs(cen)), 6) AS dp_count
+FROM n ORDER BY source
+"""
+
+
+def q_equi_depth_histogram(spark, sf_dir):
+    """Equi-depth (equi-height) histogram over events.value — the
+    statistic ANALYZE TABLE computes for the optimizer's selectivity
+    estimates: 4 buckets bounded by the exact quartiles, each holding
+    ~25% of rows (exact interpolated percentiles over cents, the
+    boxplot identity). Bucket of v = # of quartile edges < v (strict,
+    so edge-valued rows fall in the lower bucket). One percentile agg +
+    one bucketed groupBy."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    e = _events(spark, sf_dir).select(cents.alias("c"))
+    qs = e.agg(
+        F.expr("percentile(c, array(0.25D, 0.5D, 0.75D))").alias("q")
+    ).collect()[0]["q"]
+    b = (
+        (F.col("c") > qs[0]).cast("int")
+        + (F.col("c") > qs[1]).cast("int")
+        + (F.col("c") > qs[2]).cast("int")
+    )
+    return (
+        e.select(b.cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+O_EQUI_DEPTH_HISTOGRAM = """
+WITH v AS (SELECT round(value * 100)::bigint AS c FROM events),
+q AS (SELECT quantile_cont(c, 0.25) AS q1, quantile_cont(c, 0.5) AS q2,
+             quantile_cont(c, 0.75) AS q3 FROM v)
+SELECT ((c > q1)::int + (c > q2)::int + (c > q3)::int)::bigint AS bucket,
+       count(*)::bigint AS cnt
+FROM v CROSS JOIN q GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_analyze_table(spark, sf_dir):
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS, the catalog
+    stats a cost-based optimizer feeds on, for the documents table:
+    per column, exact distinct count, null count, and min/max rendered
+    as strings (the catalog's type-erased form). One pass per column
+    over a column-pruned scan; grouped into a single long-format
+    result."""
+    d = _docs(spark, sf_dir)
+    parts = []
+    for c in ["doc_id", "lang", "source", "n_chars"]:
+        parts.append(
+            d.agg(
+                F.lit(c).alias("column"),
+                F.countDistinct(c).cast("long").alias("n_distinct"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
+                F.min(F.col(c).cast("string")).alias("min_s"),
+                F.max(F.col(c).cast("string")).alias("max_s"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column")
+
+
+def _o_analyze_table() -> str:
+    selects = [
+        f"SELECT '{c}' AS \"column\", count(DISTINCT {c})::bigint AS n_distinct,"
+        f" sum(({c} IS NULL)::bigint)::bigint AS n_null,"
+        f" min({c}::varchar) AS min_s, max({c}::varchar) AS max_s"
+        f" FROM documents"
+        for c in ["doc_id", "lang", "source", "n_chars"]
+    ]
+    return (
+        "SELECT * FROM (" + " UNION ALL ".join(selects)
+        + ") ORDER BY \"column\""
+    )
+
+
+O_ANALYZE_TABLE = _o_analyze_table()
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -14232,6 +14366,12 @@ REGISTRY: dict[str, tuple] = {
     "k_anonymity": (q_k_anonymity, O_K_ANONYMITY),
     "injection_scan": (q_injection_scan, O_INJECTION_SCAN),
     "attribution_pairs": (q_attribution_pairs, O_ATTRIBUTION_PAIRS),
+    "dp_counts": (q_dp_counts, O_DP_COUNTS),
+    "equi_depth_histogram": (
+        q_equi_depth_histogram,
+        O_EQUI_DEPTH_HISTOGRAM,
+    ),
+    "analyze_table": (q_analyze_table, O_ANALYZE_TABLE),
 }
 
 
@@ -14302,6 +14442,7 @@ _DRIVER_ORDER = [
     "pricing_summary", "shipping_priority", "order_priority_count",
     "local_supplier_volume", "reply_latency", "middle_out_truncate",
     "k_anonymity", "injection_scan", "attribution_pairs",
+    "dp_counts", "equi_depth_histogram", "analyze_table",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
