@@ -304,6 +304,8 @@ EXTRA_QUERIES = [
     "dp_counts",
     "equi_depth_histogram",
     "analyze_table",
+    "label_maxsim",
+    "uncertainty_sampling",
 ]
 
 

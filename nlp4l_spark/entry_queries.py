@@ -14037,6 +14037,146 @@ def _o_analyze_table() -> str:
 O_ANALYZE_TABLE = _o_analyze_table()
 
 
+# --------------------------------------------------------------------- #
+# Active-learning + late-interaction panel over labeled embeddings.
+# --------------------------------------------------------------------- #
+
+
+def q_label_maxsim(spark, sf_dir):
+    """Late-interaction (ColBERT MaxSim) scoring reduced to the
+    single-query-vector case: each label's vector set scores as the MAX
+    member cosine to the query (vs label_centroids' mean-pooled form —
+    max pooling keeps multi-modal clusters competitive). 6dp-rounded
+    cosines before the max (selection-key convention); one scan + one
+    label groupBy."""
+    from nlp4l_spark.ops.similarity import cosine_col
+
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return (
+        emb.select(
+            "label",
+            F.round(cosine_col(F.col("embedding"), qvec), 6).alias("_c"),
+        )
+        .groupBy("label")
+        .agg(F.max("_c").alias("maxsim"))
+        .orderBy(F.desc("maxsim"), F.asc("label"))
+    )
+
+
+O_LABEL_MAXSIM = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sc AS (SELECT label,
+         round(list_aggregate(list_transform(range(1, len(embedding) + 1),
+               i -> embedding[i]::double * qe[i]::double), 'sum')
+             / (sqrt(list_aggregate(list_transform(embedding,
+                    x -> x::double * x::double), 'sum'))
+                * sqrt(list_aggregate(list_transform(qe,
+                    x -> x::double * x::double), 'sum'))), 6) AS c
+       FROM embeddings CROSS JOIN q)
+SELECT label, max(c) AS maxsim FROM sc
+GROUP BY 1 ORDER BY maxsim DESC, label ASC
+"""
+
+
+def q_uncertainty_sampling(spark, sf_dir):
+    """Active-learning uncertainty sampling (margin strategy): the 10
+    vectors whose top-2 label-centroid cosines are CLOSEST — the points
+    a labeling budget should be spent on. Centroid components are
+    6dp-rounded before the cosine and every cosine is 6dp-rounded
+    before ranking (the label_centroids conventions), so the margin
+    argsort is cross-engine deterministic. Plan: centroid table is
+    label×dim-bounded and broadcast; one scan scores every vector
+    against all centroids (labels× fanout, label-count bounded); one
+    vec-keyed window picks the top-2."""
+    emb = _embeddings(spark, sf_dir)
+    comp = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("_cl"), "centroid")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "centroid", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            F.transform("centroid", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("_cl"),
+        F.round(dot / (nv * nc), 6).alias("_c"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_c"), F.asc("_cl"))
+    ranked = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= 2
+    )
+    top = ranked.groupBy("vec_id").agg(
+        F.max(F.when(F.col("_rn") == 1, F.col("_cl"))).alias("best_label"),
+        F.round(
+            F.max(F.when(F.col("_rn") == 1, F.col("_c")))
+            - F.max(F.when(F.col("_rn") == 2, F.col("_c"))),
+            6,
+        ).alias("margin"),
+    )
+    return (
+        top.orderBy(F.asc("margin"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "best_label", "margin")
+    )
+
+
+O_UNCERTAINTY_SAMPLING = """
+WITH u AS (SELECT label,
+                  unnest(list_zip(range(1, len(embedding) + 1),
+                                  embedding)) AS z
+           FROM embeddings),
+uu AS (SELECT label, z[1] AS i, z[2]::double AS v FROM u),
+c AS (SELECT label, i, round(avg(v), 6) AS c FROM uu GROUP BY 1, 2),
+cent AS (SELECT label AS cl, list(c ORDER BY i) AS centroid
+         FROM c GROUP BY label),
+sc AS (SELECT vec_id, cl,
+         round(list_aggregate(list_transform(range(1, len(embedding) + 1),
+               i -> embedding[i]::double * centroid[i]), 'sum')
+             / (sqrt(list_aggregate(list_transform(embedding,
+                    x -> x::double * x::double), 'sum'))
+                * sqrt(list_aggregate(list_transform(centroid,
+                    x -> x * x), 'sum'))), 6) AS c
+       FROM embeddings CROSS JOIN cent),
+r AS (SELECT vec_id, cl, c,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY c DESC, cl ASC) AS rn
+      FROM sc),
+t AS (SELECT vec_id,
+             max(CASE WHEN rn = 1 THEN cl END) AS best_label,
+             round(max(CASE WHEN rn = 1 THEN c END)
+                   - max(CASE WHEN rn = 2 THEN c END), 6) AS margin
+      FROM r WHERE rn <= 2 GROUP BY vec_id)
+SELECT vec_id, best_label, margin FROM t
+ORDER BY margin ASC, vec_id ASC LIMIT 10
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -14372,6 +14512,11 @@ REGISTRY: dict[str, tuple] = {
         O_EQUI_DEPTH_HISTOGRAM,
     ),
     "analyze_table": (q_analyze_table, O_ANALYZE_TABLE),
+    "label_maxsim": (q_label_maxsim, O_LABEL_MAXSIM),
+    "uncertainty_sampling": (
+        q_uncertainty_sampling,
+        O_UNCERTAINTY_SAMPLING,
+    ),
 }
 
 
@@ -14443,6 +14588,7 @@ _DRIVER_ORDER = [
     "local_supplier_volume", "reply_latency", "middle_out_truncate",
     "k_anonymity", "injection_scan", "attribution_pairs",
     "dp_counts", "equi_depth_histogram", "analyze_table",
+    "label_maxsim", "uncertainty_sampling",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
