@@ -306,6 +306,8 @@ EXTRA_QUERIES = [
     "analyze_table",
     "label_maxsim",
     "uncertainty_sampling",
+    "psi_drift",
+    "seasonal_decompose",
 ]
 
 

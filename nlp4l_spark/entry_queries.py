@@ -14177,6 +14177,150 @@ ORDER BY margin ASC, vec_id ASC LIMIT 10
 """
 
 
+# --------------------------------------------------------------------- #
+# ML-monitoring panel: PSI distribution drift and additive seasonal
+# decomposition.
+# --------------------------------------------------------------------- #
+PSI_SPLIT_DAY = 15  # reference = first 15 days, current = the rest
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index (the model-monitoring drift score):
+    events.value deciles fitted on the REFERENCE window (first
+    {PSI_SPLIT_DAY} days) score the CURRENT window's distribution —
+    PSI = Σ (p−q)·ln(p/q) over the 10 reference-decile buckets, the
+    industry 0.1/0.25 alert thresholds' statistic. Decile edges are
+    exact interpolated percentiles over cents; bucket shares divide
+    exact counts; the 10-term PSI sum folds in bucket order. Emits the
+    per-bucket rows (the drilldown a dashboard shows) with the psi
+    contribution per bucket."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    day0 = F.floor(sec / 86400).cast("long")
+    e = _events(spark, sf_dir).select(day0.alias("day"), cents.alias("c"))
+    dmin = e.agg(F.min("day")).collect()[0][0]
+    split = dmin + PSI_SPLIT_DAY
+    ref = e.filter(F.col("day") < split)
+    cur = e.filter(F.col("day") >= split)
+    qs = ref.agg(
+        F.expr(
+            "percentile(c, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+        ).alias("q")
+    ).collect()[0]["q"]
+    bucket = None
+    for edge in qs:
+        b = (F.col("c") > edge).cast("int")
+        bucket = b if bucket is None else bucket + b
+    n_ref = ref.count()
+    n_cur = cur.count()
+
+    def shares(df, name, n):
+        return (
+            df.select(bucket.cast("long").alias("bucket"))
+            .groupBy("bucket")
+            .agg((F.count("*") / F.lit(float(n))).alias(name))
+        )
+
+    j = shares(ref, "p", n_ref).join(shares(cur, "q", n_cur), "bucket", "outer")
+    contrib = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return j.select(
+        "bucket",
+        F.round("p", 6).alias("ref_share"),
+        F.round("q", 6).alias("cur_share"),
+        F.round(contrib, 6).alias("psi_contrib"),
+    ).orderBy("bucket")
+
+
+def _o_psi() -> str:
+    pcts = ",".join(f"quantile_cont(c, {p / 10.0})" for p in range(1, 10))
+    return f"""
+WITH e AS (SELECT floor(floor(epoch(ts))::bigint / 86400)::bigint AS day,
+                  round(value * 100)::bigint AS c FROM events),
+sp AS (SELECT min(day) + {PSI_SPLIT_DAY} AS s FROM e),
+ref AS (SELECT c FROM e CROSS JOIN sp WHERE day < s),
+cur AS (SELECT c FROM e CROSS JOIN sp WHERE day >= s),
+q AS (SELECT [{pcts}] AS edges FROM ref),
+rb AS (SELECT len(list_filter(edges, x -> c > x))::bigint AS bucket
+       FROM ref CROSS JOIN q),
+cb AS (SELECT len(list_filter(edges, x -> c > x))::bigint AS bucket
+       FROM cur CROSS JOIN q),
+p AS (SELECT bucket, count(*)::double / (SELECT count(*) FROM ref) AS p
+      FROM rb GROUP BY 1),
+c2 AS (SELECT bucket, count(*)::double / (SELECT count(*) FROM cur) AS q
+       FROM cb GROUP BY 1)
+SELECT bucket, round(p, 6) AS ref_share, round(q, 6) AS cur_share,
+       round((p - q) * ln(p / q), 6) AS psi_contrib
+FROM p FULL JOIN c2 USING (bucket) ORDER BY bucket
+"""
+
+
+O_PSI_DRIFT = _o_psi()
+
+
+def q_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition (the classical
+    trend/seasonal/remainder split, period=7): trend = CENTERED 7-day
+    moving average of the daily sum (full windows only), seasonal =
+    mean detrended value per weekday (epoch-day mod 7, the dow_profile
+    convention), remainder = value − trend − seasonal. Exact cents
+    until the final divisions; window means over full frames only so
+    both engines average identical 7-term sets. Emits the days that
+    have a full centered window."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        _events(spark, sf_dir)
+        .select(F.floor(sec / 86400).cast("long").alias("day"), cents.alias("_c"))
+        .groupBy("day")
+        .agg(F.sum("_c").alias("s"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.select(
+        "day",
+        "s",
+        F.when(
+            F.count("s").over(w) == 7,
+            F.sum("s").over(w).cast("double") / 7.0,
+        ).alias("_trend"),
+    ).filter(F.col("_trend").isNotNull())
+    t = t.withColumn("_detr", F.col("s").cast("double") - F.col("_trend"))
+    seas = (
+        t.groupBy((F.col("day") % 7).alias("_dow"))
+        .agg(F.avg("_detr").alias("_seas"))
+    )
+    out = t.join(F.broadcast(seas), (F.col("day") % 7) == F.col("_dow"))
+    return out.select(
+        "day",
+        (F.col("s").cast("double") / 100.0).alias("day_sum"),
+        F.round(F.col("_trend") / 100.0, 6).alias("trend"),
+        F.round(F.col("_seas") / 100.0, 6).alias("seasonal"),
+        F.round(
+            (F.col("_detr") - F.col("_seas")) / 100.0, 6
+        ).alias("remainder"),
+    ).orderBy("day")
+
+
+O_SEASONAL_DECOMPOSE = """
+WITH daily AS (SELECT floor(floor(epoch(ts))::bigint / 86400)::bigint AS day,
+                      sum(round(value * 100)::bigint)::bigint AS s
+               FROM events GROUP BY 1),
+t0 AS (SELECT day, s,
+              CASE WHEN count(s) OVER cw = 7
+                   THEN sum(s) OVER cw::double / 7.0 END AS trend
+       FROM daily
+       WINDOW cw AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+t AS (SELECT day, s, trend, s::double - trend AS detr
+      FROM t0 WHERE trend IS NOT NULL),
+seas AS (SELECT day % 7 AS dow, avg(detr) AS seas FROM t GROUP BY 1)
+SELECT day, s::double / 100.0 AS day_sum,
+       round(trend / 100.0, 6) AS trend,
+       round(seas / 100.0, 6) AS seasonal,
+       round((detr - seas) / 100.0, 6) AS remainder
+FROM t JOIN seas ON t.day % 7 = seas.dow
+ORDER BY day
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -14517,6 +14661,8 @@ REGISTRY: dict[str, tuple] = {
         q_uncertainty_sampling,
         O_UNCERTAINTY_SAMPLING,
     ),
+    "psi_drift": (q_psi_drift, O_PSI_DRIFT),
+    "seasonal_decompose": (q_seasonal_decompose, O_SEASONAL_DECOMPOSE),
 }
 
 
@@ -14588,7 +14734,8 @@ _DRIVER_ORDER = [
     "local_supplier_volume", "reply_latency", "middle_out_truncate",
     "k_anonymity", "injection_scan", "attribution_pairs",
     "dp_counts", "equi_depth_histogram", "analyze_table",
-    "label_maxsim", "uncertainty_sampling",
+    "label_maxsim", "uncertainty_sampling", "psi_drift",
+    "seasonal_decompose",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
