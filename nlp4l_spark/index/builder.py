@@ -47,7 +47,7 @@ Scale notes (10^12 turns):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields
 from typing import Iterator
 
 import numpy as np
@@ -841,11 +841,20 @@ def build_index(
     store_term_vectors: bool = False,
     **kwargs,
 ) -> IndexCatalog:
+    """Convenience wrapper: IndexBuilder dataclass options (sort_cols,
+    keyword_fields, store_positions, ...) pass straight through as
+    kwargs alongside build()-call options (resume, fail_after_stage) —
+    split by the dataclass field set, so GenerationLog.ingest and the
+    streaming sinks can forward either kind."""
+    field_names = {f.name for f in fields(IndexBuilder)}
+    builder_kwargs = {k: v for k, v in kwargs.items() if k in field_names}
+    build_kwargs = {k: v for k, v in kwargs.items() if k not in field_names}
     return IndexBuilder(
         analyzer=analyzer or STANDARD_ANALYZER,
         materialize_forward=materialize_forward,
         store_term_vectors=store_term_vectors,
-    ).build(spark_df, index_dir, **kwargs)
+        **builder_kwargs,
+    ).build(spark_df, index_dir, **build_kwargs)
 
 
 def build_index_from_schema(

@@ -3786,6 +3786,24 @@ class MultiSearcher:
                 dfs[t] = dfs.get(t, 0) + df_t
         return dfs
 
+    def facet_keyword(self, fld: str) -> DataFrame:
+        """Federated dictionary-only keyword facets: each member index's
+        "<field>:*" term_stats band contributes its df, and bucket
+        counts ADD across readers (df is per-doc-exact, docs never span
+        readers) — so the LSM generation log gets SSDV-style facets
+        without touching postings or stored bytes in ANY generation.
+        Same contract as Searcher.facet_keyword; union of K vocab-band
+        reads + one value groupBy."""
+        parts = [s.facet_keyword(fld) for s in self.searchers]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return (
+            out.groupBy("value")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("value"))
+        )
+
     def search(self, query: str, k: int = 10) -> DataFrame:
         """Global BM25 top-k. Returns (doc_id, score) with doc_id in the
         union's docBase-offset space (Lucene MultiReader numbering);

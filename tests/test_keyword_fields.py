@@ -133,3 +133,32 @@ def test_check_index_passes_with_keyword_fields(spark, idx_pair):
     _, kw = idx_pair
     res = {r["check"]: r["ok"] for r in check_index(spark, kw).collect()}
     assert len(res) >= 13 and all(res.values()), res
+
+
+def test_multisearcher_federated_facets(spark, tmp_path):
+    """Facets over a split corpus (two keyword-field indexes under a
+    MultiSearcher) equal the single-index facets exactly — df adds
+    across readers because docs never span them."""
+    from nlp4l_spark.search import MultiSearcher
+
+    df = synth_transcripts(spark, 400, num_partitions=4)
+    convs = sorted(
+        r["conv_id"] for r in df.select("conv_id").distinct().collect()
+    )
+    mid = convs[len(convs) // 2]
+    kw = dict(sort_cols=("conv_id", "turn_idx"), keyword_fields=("role",))
+    d_all = str(tmp_path / "all")
+    d_a = str(tmp_path / "a")
+    d_b = str(tmp_path / "b")
+    IndexBuilder(**kw).build(df, d_all)
+    IndexBuilder(**kw).build(df.filter(F.col("conv_id") < mid), d_a)
+    IndexBuilder(**kw).build(df.filter(F.col("conv_id") >= mid), d_b)
+    single = [
+        (r["value"], r["cnt"])
+        for r in Searcher(spark, d_all).facet_keyword("role").collect()
+    ]
+    fed = [
+        (r["value"], r["cnt"])
+        for r in MultiSearcher(spark, [d_a, d_b]).facet_keyword("role").collect()
+    ]
+    assert fed == single and len(fed) == 4
