@@ -308,6 +308,7 @@ EXTRA_QUERIES = [
     "uncertainty_sampling",
     "psi_drift",
     "seasonal_decompose",
+    "behavior_entropy",
 ]
 
 

@@ -14321,6 +14321,65 @@ ORDER BY day
 """
 
 
+def q_behavior_entropy(spark, sf_dir):
+    """Per-user behavioral diversity: Shannon entropy (nats) of each
+    user's event-type distribution, top 10 most-diverse users — the
+    exploration-vs-habit segmentation panel. Exact integer counts per
+    (user, type); the ≤|types|-term −Σp·ln p folds in type order (the
+    bradley_terry ordered-fold rule) and rounds to 6dp before the
+    ranking. One (user,type) groupBy + one user groupBy."""
+    ut = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.partitionBy("user_id")
+    terms = ut.select(
+        "user_id",
+        F.struct(
+            F.col("event_type").alias("k"),
+            (
+                -(F.col("c") / F.sum("c").over(w))
+                * F.log(F.col("c") / F.sum("c").over(w))
+            ).alias("v"),
+        ).alias("_t"),
+    )
+    ent = terms.groupBy("user_id").agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list("_t")), lambda s: s["v"]
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("entropy")
+    )
+    return (
+        ent.orderBy(F.desc("entropy"), F.asc("user_id"))
+        .limit(10)
+        .select("user_id", "entropy")
+    )
+
+
+O_BEHAVIOR_ENTROPY = """
+WITH ut AS (SELECT user_id, event_type, count(*)::bigint AS c
+            FROM events GROUP BY 1, 2),
+t AS (SELECT user_id, event_type,
+             -(c::double / sum(c) OVER (PARTITION BY user_id))
+              * ln(c::double / sum(c) OVER (PARTITION BY user_id)) AS v
+      FROM ut),
+e AS (SELECT user_id,
+             round(list_reduce(
+               list_prepend(0.0::double, list(v ORDER BY event_type)),
+               (a, b) -> a + b), 6) AS entropy
+      FROM t GROUP BY user_id)
+SELECT user_id, entropy FROM e
+ORDER BY entropy DESC, user_id ASC LIMIT 10
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     # (callable, oracle_sql | None)
     "wordcount_cf": (q_wordcount_cf, O_WORDCOUNT_CF),
@@ -14663,6 +14722,7 @@ REGISTRY: dict[str, tuple] = {
     ),
     "psi_drift": (q_psi_drift, O_PSI_DRIFT),
     "seasonal_decompose": (q_seasonal_decompose, O_SEASONAL_DECOMPOSE),
+    "behavior_entropy": (q_behavior_entropy, O_BEHAVIOR_ENTROPY),
 }
 
 
@@ -14735,7 +14795,7 @@ _DRIVER_ORDER = [
     "k_anonymity", "injection_scan", "attribution_pairs",
     "dp_counts", "equi_depth_histogram", "analyze_table",
     "label_maxsim", "uncertainty_sampling", "psi_drift",
-    "seasonal_decompose",
+    "seasonal_decompose", "behavior_entropy",
     "phrase_prefix_topk", "date_histogram", "ngram_novelty",
     "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
     "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
