@@ -13661,6 +13661,346 @@ GROUP BY 1 ORDER BY revenue DESC, n_name ASC
 """
 
 
+def q_revenue_change(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change) twin: the revenue delta
+    from dropping a discount band — sum(price × discount) for 1997
+    shipments with discount in [5%,7%] and quantity < 24. Pure
+    scan+filter+agg: every predicate is a parquet pushdown
+    (PushedFilters on l_shipdate/l_discount/l_quantity), no join, no
+    shuffle beyond the final 1-row combine — the cheapest possible
+    TPC-H plan and the canonical predicate-pushdown check. Exact
+    arithmetic: cents × integer discount-pct summed in int64, divided
+    back once."""
+    li = _lineitem(spark, sf_dir)
+    lo = F.to_timestamp(F.lit("1997-01-01"))
+    hi = F.to_timestamp(F.lit("1998-01-01"))
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_p = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select((price_c * disc_p).alias("_r"))
+        .agg(
+            F.round(F.sum("_r").cast("double") / 10000.0, 6).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+O_REVENUE_CHANGE = """
+SELECT round(sum(round(l_extendedprice * 100)::bigint
+               * round(l_discount * 100)::bigint)::double / 10000.0, 6)
+         AS revenue,
+       count(*)::bigint AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 (returned item reporting) twin: top-20 customers by
+    lost revenue from RETURNED ('R') lineitems of Q1-1997 orders, with
+    nation names. Plan shape: both fact filters push to the scans,
+    orders(quarter) broadcasts onto lineitem(R), then the per-customer
+    rollup joins the broadcast customer⋈nation dim chain. Revenue folds
+    exact discounted cents."""
+    sf = lambda t: spark.read.parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet")
+    )
+    lo = F.to_timestamp(F.lit("1997-01-01"))
+    hi = F.to_timestamp(F.lit("1997-04-01"))
+    orders = sf("orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey")
+    rev_c = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    li = _lineitem(spark, sf_dir).filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", rev_c.alias("_r"))
+    cust = sf("customer").join(
+        F.broadcast(sf("nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    per_cust = (
+        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("_r").cast("double") / 10000.0, 6).alias("revenue"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+O_RETURNED_ITEMS = """
+SELECT c_custkey, c_name,
+       round(sum(round(l_extendedprice * 100)::bigint
+                 * (100 - round(l_discount * 100)::bigint))::double
+             / 10000.0, 6) AS revenue,
+       round(c_acctbal, 2) AS c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 4, 5 ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 (promotion effect) twin: the percentage of Q1-1997
+    discounted revenue attributable to PROMO-type parts. Plan shape:
+    the part dim broadcasts onto the date-pruned lineitem scan; ONE
+    conditional-sum aggregate computes both numerator and denominator
+    in a single pass (no second scan, no self-join). The percentage is
+    a ratio of two EXACT int64 cent-sums, rounded once."""
+    li = _lineitem(spark, sf_dir)
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).select(
+        "p_partkey", "p_type"
+    )
+    lo = F.to_timestamp(F.lit("1997-01-01"))
+    hi = F.to_timestamp(F.lit("1997-04-01"))
+    rev_c = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    j = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_partkey", rev_c.alias("_r"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("_r")).otherwise(F.lit(0))
+    )
+    total = F.sum("_r")
+    return j.agg(
+        F.round(promo * 100.0 / total, 6).alias("promo_revenue_pct"),
+        F.round(total.cast("double") / 10000.0, 6).alias("total_revenue"),
+    )
+
+
+O_PROMO_REVENUE = """
+WITH j AS (SELECT p_type,
+                  round(l_extendedprice * 100)::bigint
+                  * (100 - round(l_discount * 100)::bigint) AS r
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00')
+SELECT round(sum(CASE WHEN p_type = 'PROMO' THEN r ELSE 0 END) * 100.0
+             / sum(r), 6) AS promo_revenue_pct,
+       round(sum(r)::double / 10000.0, 6) AS total_revenue
+FROM j
+"""
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier) twin: the supplier(s) with maximum
+    Q1-1997 discounted revenue — the classic agg-then-argmax-with-ties
+    (TPC-H's revenue view + '= max' subquery). Spark shape: one
+    per-supplier cent-sum groupBy, then the 1-row global max broadcast
+    back as an equi-filter (ties all survive, as the spec requires —
+    and NO single-partition rank() window at any scale), then the tiny
+    supplier dim broadcast for names. Exact int64 cents make the
+    argmax itself exact — no float argmax flakiness."""
+    li = _lineitem(spark, sf_dir)
+    lo = F.to_timestamp(F.lit("1997-01-01"))
+    hi = F.to_timestamp(F.lit("1997-04-01"))
+    rev_c = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    per_supp = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_suppkey", rev_c.alias("_r"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("_r").alias("_rev_c"))
+    )
+    mx = per_supp.agg(F.max("_rev_c").alias("_mx"))
+    top = per_supp.join(
+        F.broadcast(mx), per_supp["_rev_c"] == mx["_mx"]
+    ).drop("_mx")
+    supp = spark.read.parquet(
+        os.path.join(sf_dir, "supplier.parquet")
+    ).select("s_suppkey", "s_name")
+    return (
+        top.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("_rev_c").cast("double") / 10000.0, 6).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+O_TOP_SUPPLIER = """
+WITH r AS (SELECT l_suppkey,
+                  sum(round(l_extendedprice * 100)::bigint
+                      * (100 - round(l_discount * 100)::bigint)) AS rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+           GROUP BY 1)
+SELECT s_suppkey, s_name,
+       round(rev::double / 10000.0, 6) AS total_revenue
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT max(rev) FROM r)
+ORDER BY s_suppkey
+"""
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 (large volume customer) twin: orders whose total
+    quantity exceeds 300 units, with customer names — the canonical
+    HAVING-on-fact-rollup + dim join. Plan shape: the per-order
+    quantity rollup runs FIRST (map-side combined, before any join),
+    the >300 filter shrinks it to a handful of keys, and only then do
+    orders and the broadcast customer dim attach — never join-then-
+    aggregate. Quantities are integral by fixture construction, so the
+    HAVING threshold is exact int64."""
+    li = _lineitem(spark, sf_dir)
+    qty = F.round(F.col("l_quantity")).cast("long")
+    big = (
+        li.select("l_orderkey", qty.alias("_q"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("_q").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    sf = lambda t: spark.read.parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet")
+    )
+    orders = sf("orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    cust = sf("customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+O_LARGE_ORDERS = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       sum(round(l_quantity)::bigint)::bigint AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1, 2, 3, 4, 5
+HAVING sum(round(l_quantity)::bigint) > 300
+ORDER BY o_totalprice DESC, o_orderkey ASC
+"""
+
+
+def q_brand_revenue(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue) twin: revenue from three
+    disjunctive (brand × size-band × quantity-band) channels — the
+    classic OR-of-ANDs predicate that exercises join-condition
+    pushdown. Plan shape: the part dim broadcasts; the disjunction
+    evaluates post-join as one boolean expression (Catalyst extracts
+    the common p_partkey equi-key; the OR arms don't block the hash
+    join). Per-channel exact cent-sums plus the total, one pass."""
+    li = _lineitem(spark, sf_dir)
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    rev_c = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    j = li.select("l_partkey", "l_quantity", rev_c.alias("_r")).join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    arm1 = (
+        (F.col("p_brand") == "Brand#13")
+        & sz.between(1, 15)
+        & q.between(1, 20)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#22")
+        & sz.between(10, 30)
+        & q.between(10, 30)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#19")
+        & sz.between(20, 50)
+        & q.between(20, 45)
+    )
+    matched = j.filter(arm1 | arm2 | arm3)
+    csum = lambda c: F.sum(  # noqa: E731
+        F.when(c, F.col("_r")).otherwise(F.lit(0))
+    )
+    return matched.agg(
+        F.round(F.sum("_r").cast("double") / 10000.0, 6).alias("revenue"),
+        F.round(csum(arm1).cast("double") / 10000.0, 6).alias("rev_brand13"),
+        F.round(csum(arm2).cast("double") / 10000.0, 6).alias("rev_brand22"),
+        F.round(csum(arm3).cast("double") / 10000.0, 6).alias("rev_brand19"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+O_BRAND_REVENUE = """
+WITH j AS (SELECT p_brand, p_size, l_quantity,
+                  round(l_extendedprice * 100)::bigint
+                  * (100 - round(l_discount * 100)::bigint) AS r,
+                  (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20) AS a1,
+                  (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 30) AS a2,
+                  (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 45) AS a3
+           FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT round(sum(r)::double / 10000.0, 6) AS revenue,
+       round(sum(CASE WHEN a1 THEN r ELSE 0 END)::double / 10000.0, 6)
+         AS rev_brand13,
+       round(sum(CASE WHEN a2 THEN r ELSE 0 END)::double / 10000.0, 6)
+         AS rev_brand22,
+       round(sum(CASE WHEN a3 THEN r ELSE 0 END)::double / 10000.0, 6)
+         AS rev_brand19,
+       count(*)::bigint AS n_items
+FROM j WHERE a1 OR a2 OR a3
+"""
+
+
 def q_reply_latency(spark, sf_dir):
     """Inter-event reply latency per FOLLOWING event type: for each
     user's consecutive event pairs, the gap in seconds attributed to
@@ -14704,6 +15044,12 @@ REGISTRY: dict[str, tuple] = {
         q_local_supplier_volume,
         O_LOCAL_SUPPLIER_VOLUME,
     ),
+    "revenue_change": (q_revenue_change, O_REVENUE_CHANGE),
+    "returned_items": (q_returned_items, O_RETURNED_ITEMS),
+    "promo_revenue": (q_promo_revenue, O_PROMO_REVENUE),
+    "top_supplier": (q_top_supplier, O_TOP_SUPPLIER),
+    "large_orders": (q_large_orders, O_LARGE_ORDERS),
+    "brand_revenue": (q_brand_revenue, O_BRAND_REVENUE),
     "reply_latency": (q_reply_latency, O_REPLY_LATENCY),
     "middle_out_truncate": (q_middle_out_truncate, O_MIDDLE_OUT_TRUNCATE),
     "k_anonymity": (q_k_anonymity, O_K_ANONYMITY),
@@ -14761,6 +15107,8 @@ _DRIVER_ORDER = [
     "media_jpeg_sof", "readability", "token_entropy", "burstiness", "span_first_search", "jaccard_topk",
     "dedup_rate_by_source", "highlight",
     # --- position > 50: next round's front ---
+    "revenue_change", "returned_items", "promo_revenue", "top_supplier",
+    "large_orders", "brand_revenue",
     "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
