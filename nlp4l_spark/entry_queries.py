@@ -14001,6 +14001,542 @@ FROM j WHERE a1 OR a2 OR a3
 """
 
 
+# --------------------------------------------------------------------- #
+# ES pipeline-aggregation twins (cumulative_sum, stats_bucket,
+# percentiles_bucket) + classical-statistics twins (one-way ANOVA,
+# Cramér's V, Spearman), ACF, and graph triangle counting.
+# --------------------------------------------------------------------- #
+
+
+def _daily_counts(spark, sf_dir):
+    """Shared parent: the daily event-count date histogram (epoch-day
+    buckets, timezone-free — the same parent every ES pipeline agg in
+    this file hangs off)."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    return (
+        _events(spark, sf_dir)
+        .select(F.floor(sec / 86400).cast("long").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+O_DAILY_CTE = """d AS (
+  SELECT floor(floor(epoch(ts))::bigint / 86400)::bigint AS day,
+         count(*)::bigint AS cnt
+  FROM events GROUP BY 1)"""
+
+
+def q_cumulative_sum_daily(spark, sf_dir):
+    """ES cumulative_sum pipeline aggregation over the daily date
+    histogram, plus the normalized running share (cumulative % of the
+    period's volume — the 'pacing' panel). The running window is over
+    BUCKETS, not events: its input is calendar-bounded (one row per
+    day), so the unpartitioned ordered window is a constant-size
+    driver-side triviality at any corpus scale — the aggregation
+    underneath is the only data-sized job."""
+    daily = _daily_counts(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.partitionBy()
+    return (
+        daily.select(
+            "day",
+            "cnt",
+            F.sum("cnt").over(w).cast("long").alias("cum_cnt"),
+            F.round(
+                F.sum("cnt").over(w).cast("double")
+                / F.sum("cnt").over(total),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("day")
+    )
+
+
+O_CUMULATIVE_SUM_DAILY = f"""
+WITH {O_DAILY_CTE}
+SELECT day, cnt,
+       sum(cnt) OVER (ORDER BY day)::bigint AS cum_cnt,
+       round(sum(cnt) OVER (ORDER BY day)::double
+             / sum(cnt) OVER (), 6) AS cum_share
+FROM d ORDER BY day
+"""
+
+
+def q_stats_bucket(spark, sf_dir):
+    """ES stats_bucket pipeline aggregation: min/max/avg/sum over the
+    per-day VALUE SUMS (the sibling metric, not the raw rows) — 'which
+    day grossed the most'. Daily sums fold as exact integer cents, so
+    min/max/sum are exact and avg is one exact-int division; the final
+    reduce is over a calendar-bounded bucket set."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        _events(spark, sf_dir)
+        .select(
+            F.floor(sec / 86400).cast("long").alias("day"),
+            cents.alias("_c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("_c").alias("day_cents"))
+    )
+    return daily.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        (F.min("day_cents").cast("double") / 100.0).alias("min_day_value"),
+        (F.max("day_cents").cast("double") / 100.0).alias("max_day_value"),
+        F.round(
+            F.sum("day_cents").cast("double") / F.count("*") / 100.0, 6
+        ).alias("avg_day_value"),
+        F.round(F.sum("day_cents").cast("double") / 100.0, 6).alias(
+            "sum_value"
+        ),
+    )
+
+
+O_STATS_BUCKET = """
+WITH d AS (SELECT floor(floor(epoch(ts))::bigint / 86400)::bigint AS day,
+                  sum(round(value * 100)::bigint) AS day_cents
+           FROM events GROUP BY 1)
+SELECT count(*)::bigint AS n_buckets,
+       min(day_cents)::double / 100.0 AS min_day_value,
+       max(day_cents)::double / 100.0 AS max_day_value,
+       round(sum(day_cents)::double / count(*) / 100.0, 6)
+         AS avg_day_value,
+       round(sum(day_cents)::double / 100.0, 6) AS sum_value
+FROM d
+"""
+
+
+def q_percentiles_bucket(spark, sf_dir):
+    """ES percentiles_bucket pipeline aggregation: interpolated
+    p25/p50/p75/p90 of the per-day event counts — 'what does a typical
+    day look like'. Integer bucket counts + the same linear
+    interpolation rule on both engines (Spark percentile ≡ DuckDB
+    quantile_cont) make this exact; the percentile pass sees one row
+    per calendar day."""
+    daily = _daily_counts(spark, sf_dir)
+    return daily.agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.round(F.expr("percentile(cnt, 0.25D)"), 6).alias("p25"),
+        F.round(F.expr("percentile(cnt, 0.5D)"), 6).alias("p50"),
+        F.round(F.expr("percentile(cnt, 0.75D)"), 6).alias("p75"),
+        F.round(F.expr("percentile(cnt, 0.9D)"), 6).alias("p90"),
+    )
+
+
+O_PERCENTILES_BUCKET = f"""
+WITH {O_DAILY_CTE}
+SELECT count(*)::bigint AS n_buckets,
+       round(quantile_cont(cnt, 0.25), 6) AS p25,
+       round(quantile_cont(cnt, 0.5), 6) AS p50,
+       round(quantile_cont(cnt, 0.75), 6) AS p75,
+       round(quantile_cont(cnt, 0.9), 6) AS p90
+FROM d
+"""
+
+
+def q_anova_value(spark, sf_dir):
+    """One-way ANOVA of event value across event types (the 'does the
+    metric differ by segment' test an experimentation platform runs):
+    F statistic and effect size η² from the sum-of-squares identities
+    SSB = Σ S_g²/n_g − T²/n, SSW = Q − Σ S_g²/n_g. Every S_g, Q, T is
+    an EXACT int64 cent-sum (one map-side-combined groupBy over the
+    fact table; k+1 rows thereafter), so both engines run the same
+    float ops on identical integers — deterministic to the 6dp
+    rounding."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = (
+        _events(spark, sf_dir)
+        .select("event_type", cents.alias("_c"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_g"),
+            F.sum("_c").alias("s_g"),
+            F.sum(F.col("_c") * F.col("_c")).alias("q_g"),
+        )
+    )
+    k = F.count("*").cast("long")
+    n = F.sum("n_g").cast("long")
+    t = F.sum("s_g").cast("double")
+    q = F.sum("q_g").cast("double")
+    within = F.sum(
+        F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")
+    )
+    ssb = within - t * t / n
+    ssw = q - within
+    return g.agg(
+        k.alias("k_groups"),
+        n.alias("n_rows"),
+        F.round((ssb / (k - 1)) / (ssw / (n - k)), 6).alias("f_stat"),
+        F.round(ssb / (q - t * t / n), 6).alias("eta_sq"),
+    )
+
+
+O_ANOVA_VALUE = """
+WITH g AS (SELECT event_type, count(*)::bigint AS n_g,
+                  sum(round(value * 100)::bigint) AS s_g,
+                  sum(round(value * 100)::bigint
+                      * round(value * 100)::bigint) AS q_g
+           FROM events GROUP BY 1),
+a AS (SELECT count(*)::bigint AS k, sum(n_g)::bigint AS n,
+             sum(s_g)::double AS t, sum(q_g)::double AS q,
+             sum(s_g::double * s_g / n_g) AS w
+      FROM g)
+SELECT k AS k_groups, n AS n_rows,
+       round(((w - t * t / n) / (k - 1))
+             / ((q - w) / (n - k)), 6) AS f_stat,
+       round((w - t * t / n) / (q - t * t / n), 6) AS eta_sq
+FROM a
+"""
+
+
+def q_cramers_v(spark, sf_dir):
+    """Cramér's V association between event type and day-of-week (the
+    'is traffic mix weekday-dependent' check): χ² over the k×7
+    contingency table INCLUDING structurally-empty cells (zero observed
+    still contributes its expectation), then V = √(χ²/(n·min(r−1,c−1))).
+    The table is built with one fact groupBy; the dense cell grid is a
+    tiny dim×dim cross join. Weekday = epoch-day mod 7, the repo's
+    timezone-free convention."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    obs = (
+        _events(spark, sf_dir)
+        .select(
+            "event_type",
+            (F.floor(sec / 86400) % 7).cast("long").alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").cast("long").alias("o"))
+    )
+    rows = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    cols = obs.groupBy("dow").agg(F.sum("o").alias("ct"))
+    grid = rows.crossJoin(cols)
+    cells = grid.join(obs, ["event_type", "dow"], "left").withColumn(
+        "o", F.coalesce(F.col("o"), F.lit(0))
+    )
+    # chi2 per cell needs the global n: total is a constant once the
+    # grid exists — fold it via a 1-row broadcast.
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("_n"),
+        F.countDistinct("event_type").cast("long").alias("_r"),
+        F.countDistinct("dow").cast("long").alias("_c"),
+    )
+    cc = cells.crossJoin(F.broadcast(tot))
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("_n")
+    chi2 = F.sum((F.col("o") - e) * (F.col("o") - e) / e)
+    dmin = F.least(F.max("_r") - 1, F.max("_c") - 1).cast("double")
+    return cc.agg(
+        F.max("_n").alias("n_rows"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(F.sqrt(chi2 / (F.max("_n") * dmin)), 6).alias("cramers_v"),
+    )
+
+
+O_CRAMERS_V = """
+WITH obs AS (SELECT event_type,
+                    (floor(floor(epoch(ts))::bigint / 86400) % 7)::bigint
+                      AS dow,
+                    count(*)::bigint AS o
+             FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, sum(o)::bigint AS rt FROM obs GROUP BY 1),
+c AS (SELECT dow, sum(o)::bigint AS ct FROM obs GROUP BY 1),
+cells AS (SELECT r.event_type, c.dow, r.rt, c.ct,
+                 coalesce(o.o, 0)::bigint AS o
+          FROM r CROSS JOIN c
+          LEFT JOIN obs o ON o.event_type = r.event_type
+                         AND o.dow = c.dow),
+tot AS (SELECT sum(o)::bigint AS n,
+               count(DISTINCT event_type)::bigint AS nr,
+               count(DISTINCT dow)::bigint AS nc
+        FROM cells)
+SELECT max(n)::bigint AS n_rows,
+       round(sum((o - rt::double * ct / n) * (o - rt::double * ct / n)
+                 / (rt::double * ct / n)), 6) AS chi2,
+       round(sqrt(sum((o - rt::double * ct / n)
+                      * (o - rt::double * ct / n)
+                      / (rt::double * ct / n))
+                  / (max(n) * least(max(nr) - 1, max(nc) - 1))), 6)
+         AS cramers_v
+FROM cells CROSS JOIN tot
+"""
+
+
+def q_spearman_qty_price(spark, sf_dir):
+    """Spearman rank correlation between quantity and price per
+    returnflag (the monotone-association twin of the Pearson in
+    stats_moments — robust to the price tail). Average ranks carry as
+    EXACT integers via 2·avgrank = 2·rank + ties − 1 (rank/count
+    windows partitioned by flag, so each flag's ranking shuffles
+    independently); ρ comes from the 6 exact int64 rank sums per flag
+    — both engines run identical float ops on identical integers."""
+    li = _lineitem(spark, sf_dir)
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_quantity")).cast("long").alias("_q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("_p"),
+    )
+    r2 = lambda c: (  # noqa: E731
+        2 * F.rank().over(Window.partitionBy("flag").orderBy(c))
+        + F.count("*").over(Window.partitionBy("flag", c))
+        - 1
+    ).cast("long")
+    r = v.select(
+        "flag", r2("_q").alias("rx"), r2("_p").alias("ry")
+    )
+    s = r.groupBy("flag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select(
+        "flag", "n", F.round(num / den, 6).alias("spearman_rho")
+    ).orderBy("flag")
+
+
+O_SPEARMAN_QTY_PRICE = """
+WITH v AS (SELECT l_returnflag AS flag,
+                  round(l_quantity)::bigint AS q,
+                  round(l_extendedprice * 100)::bigint AS p
+           FROM lineitem),
+r AS (SELECT flag,
+             (2 * rank() OVER (PARTITION BY flag ORDER BY q)
+              + count(*) OVER (PARTITION BY flag, q) - 1)::bigint AS rx,
+             (2 * rank() OVER (PARTITION BY flag ORDER BY p)
+              + count(*) OVER (PARTITION BY flag, p) - 1)::bigint AS ry
+      FROM v),
+s AS (SELECT flag, count(*)::bigint AS n,
+             sum(rx)::bigint AS sx, sum(ry)::bigint AS sy,
+             sum(rx * rx)::bigint AS sxx, sum(ry * ry)::bigint AS syy,
+             sum(rx * ry)::bigint AS sxy
+      FROM r GROUP BY 1)
+SELECT flag, n,
+       round((n::double * sxy - sx::double * sy)
+             / sqrt((n::double * sxx - sx::double * sx)
+                    * (n::double * syy - sy::double * sy)), 6)
+         AS spearman_rho
+FROM s ORDER BY flag
+"""
+
+
+ACF_LAGS = [1, 2, 3, 7]
+
+
+def q_acf_daily(spark, sf_dir):
+    """Autocorrelation function of the daily event count at lags
+    {ACF_LAGS} (the seasonality detector feeding seasonal_decompose's
+    period choice). Lags are BUCKET positions (row_number over the day
+    histogram), matching ES serial_diff convention. The whole
+    computation reduces to integer sums — n²·num and n·den clear every
+    division, so acf = [n²Sxy − nT(Sx+Sy) + KT²] / [n(nQ − T²)] is one
+    float division over exact int64s. The lagged self-join runs on the
+    calendar-sized histogram, never on raw events."""
+    daily = _daily_counts(spark, sf_dir)
+    w = Window.orderBy("day")
+    d = daily.select(
+        F.row_number().over(w).alias("rn"), "cnt"
+    )
+    tot = d.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("cnt").cast("long").alias("_t"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("_q"),
+    )
+    lags = spark.createDataFrame([(lg,) for lg in ACF_LAGS], "lag long")
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = lags.crossJoin(a).join(
+        b, F.col("b.rn") == F.col("a.rn") + F.col("lag")
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count("*").cast("long").alias("k_pairs"),
+        F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("sxy"),
+        F.sum(F.col("a.cnt")).cast("long").alias("sx"),
+        F.sum(F.col("b.cnt")).cast("long").alias("sy"),
+    )
+    sc = s.crossJoin(F.broadcast(tot))
+    nd = F.col("_n").cast("double")
+    num = (
+        nd * nd * F.col("sxy")
+        - nd * F.col("_t") * (F.col("sx") + F.col("sy"))
+        + F.col("k_pairs").cast("double") * F.col("_t") * F.col("_t")
+    )
+    den = nd * (nd * F.col("_q") - F.col("_t").cast("double") * F.col("_t"))
+    return sc.select(
+        "lag", "k_pairs", F.round(num / den, 6).alias("acf")
+    ).orderBy("lag")
+
+
+O_ACF_DAILY = f"""
+WITH {O_DAILY_CTE},
+dr AS (SELECT row_number() OVER (ORDER BY day) AS rn, cnt FROM d),
+tot AS (SELECT count(*)::bigint AS n, sum(cnt)::bigint AS t,
+               sum(cnt * cnt)::bigint AS q
+        FROM dr),
+lags AS (SELECT unnest({ACF_LAGS}) AS lag),
+s AS (SELECT lag, count(*)::bigint AS k_pairs,
+             sum(a.cnt * b.cnt)::bigint AS sxy,
+             sum(a.cnt)::bigint AS sx, sum(b.cnt)::bigint AS sy
+      FROM lags, dr a, dr b
+      WHERE b.rn = a.rn + lag
+      GROUP BY 1)
+SELECT lag, k_pairs,
+       round((n::double * n * sxy - n::double * t * (sx + sy)
+              + k_pairs::double * t * t)
+             / (n::double * (n::double * q - t::double * t)), 6) AS acf
+FROM s CROSS JOIN tot ORDER BY lag
+"""
+
+
+TRI_VOCAB = 150
+TRI_MIN_DF = 5
+TRI_MIN_CODOCS = 3
+TRI_MIN_LIFT = 1.05
+
+
+def q_triangle_count(spark, sf_dir):
+    """Graph analytics over the term ASSOCIATION graph: nodes are the
+    top-{TRI_VOCAB} terms by document frequency (df ≥ {TRI_MIN_DF};
+    df desc, term asc — deterministic), edges connect term pairs whose
+    co-occurrence LIFT (observed co-docs / independence expectation
+    df_u·df_v/n) clears {TRI_MIN_LIFT} with ≥ {TRI_MIN_CODOCS} co-docs
+    — raw co-occurrence alone saturates to a complete graph on any
+    head-heavy vocabulary, lift keeps only genuinely-correlated pairs.
+    Output is the global triangle census (nodes/edges/wedges/triangles
+    + transitivity = 3Δ/wedges). Spark shape is the standard
+    distributed triangle count: distinct doc→term pairs, edges via a
+    per-doc self-join restricted to the bounded vocabulary (fanout ≤
+    C(vocab,2), never data²), each triangle counted once via a<b<c
+    edge orientation — the ordering trick that bounds the join. Lift is
+    all-integer inputs → one float division, rounded to 6dp BEFORE the
+    threshold compare (the repo's cross-engine selection rule)."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    dt = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(toks).alias("term"))
+        .distinct()
+    )
+    nd = dt.agg(F.countDistinct("doc_id").cast("long").alias("_nd"))
+    vocab = (
+        dt.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .filter(F.col("df") >= TRI_MIN_DF)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(TRI_VOCAB)
+    )
+    dtv = dt.join(F.broadcast(vocab.select("term")), "term")
+    a = dtv.alias("a")
+    b = dtv.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(F.col("a.term").alias("u"), F.col("b.term").alias("v"))
+        .agg(F.count("*").cast("long").alias("codocs"))
+    )
+    du = vocab.select(
+        F.col("term").alias("u"), F.col("df").alias("_dfu")
+    )
+    dv = vocab.select(
+        F.col("term").alias("v"), F.col("df").alias("_dfv")
+    )
+    lift = F.round(
+        F.col("codocs").cast("double")
+        * F.col("_nd")
+        / (F.col("_dfu").cast("double") * F.col("_dfv")),
+        6,
+    )
+    edges = (
+        co.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            (F.col("codocs") >= TRI_MIN_CODOCS) & (lift >= TRI_MIN_LIFT)
+        )
+        .select("u", "v")
+    )
+    edges = edges.persist()
+    deg = (
+        edges.select(F.col("u").alias("t"))
+        .union(edges.select(F.col("v").alias("t")))
+        .groupBy("t")
+        .agg(F.count("*").alias("d"))
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    summary = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    ).crossJoin(edges.agg(F.count("*").cast("long").alias("n_edges")))
+    out = summary.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+        ).alias("transitivity"),
+    )
+    return out
+
+
+O_TRIANGLE_COUNT = f"""
+WITH dt AS (SELECT DISTINCT doc_id, unnest({TOK_SQL}) AS term
+            FROM documents),
+nd AS (SELECT count(DISTINCT doc_id)::bigint AS n FROM dt),
+vocab AS (SELECT term, count(*)::bigint AS df FROM dt GROUP BY term
+          HAVING count(*) >= {TRI_MIN_DF}
+          ORDER BY df DESC, term ASC LIMIT {TRI_VOCAB}),
+dtv AS (SELECT dt.doc_id, dt.term FROM dt JOIN vocab USING (term)),
+co AS (SELECT a.term AS u, b.term AS v, count(*)::bigint AS codocs
+       FROM dtv a JOIN dtv b
+         ON a.doc_id = b.doc_id AND a.term < b.term
+       GROUP BY 1, 2),
+edges AS (SELECT u, v
+          FROM co, nd, vocab du, vocab dv
+          WHERE du.term = co.u AND dv.term = co.v
+            AND codocs >= {TRI_MIN_CODOCS}
+            AND round(codocs::double * n / (du.df::double * dv.df), 6)
+                >= {TRI_MIN_LIFT}),
+deg AS (SELECT t, count(*)::bigint AS d
+        FROM (SELECT u AS t FROM edges
+              UNION ALL SELECT v AS t FROM edges)
+        GROUP BY 1),
+tri AS (SELECT count(*)::bigint AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+s AS (SELECT count(*)::bigint AS n_nodes,
+             (sum(d * (d - 1)) / 2)::bigint AS n_wedges
+      FROM deg),
+ec AS (SELECT count(*)::bigint AS n_edges FROM edges)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       round(3.0 * n_triangles / n_wedges, 6) AS transitivity
+FROM s CROSS JOIN ec CROSS JOIN tri
+"""
+
+
 def q_reply_latency(spark, sf_dir):
     """Inter-event reply latency per FOLLOWING event type: for each
     user's consecutive event pairs, the gap in seconds attributed to
@@ -15050,6 +15586,14 @@ REGISTRY: dict[str, tuple] = {
     "top_supplier": (q_top_supplier, O_TOP_SUPPLIER),
     "large_orders": (q_large_orders, O_LARGE_ORDERS),
     "brand_revenue": (q_brand_revenue, O_BRAND_REVENUE),
+    "cumulative_sum_daily": (q_cumulative_sum_daily, O_CUMULATIVE_SUM_DAILY),
+    "stats_bucket": (q_stats_bucket, O_STATS_BUCKET),
+    "percentiles_bucket": (q_percentiles_bucket, O_PERCENTILES_BUCKET),
+    "anova_value": (q_anova_value, O_ANOVA_VALUE),
+    "cramers_v": (q_cramers_v, O_CRAMERS_V),
+    "spearman_qty_price": (q_spearman_qty_price, O_SPEARMAN_QTY_PRICE),
+    "acf_daily": (q_acf_daily, O_ACF_DAILY),
+    "triangle_count": (q_triangle_count, O_TRIANGLE_COUNT),
     "reply_latency": (q_reply_latency, O_REPLY_LATENCY),
     "middle_out_truncate": (q_middle_out_truncate, O_MIDDLE_OUT_TRUNCATE),
     "k_anonymity": (q_k_anonymity, O_K_ANONYMITY),
@@ -15109,6 +15653,9 @@ _DRIVER_ORDER = [
     # --- position > 50: next round's front ---
     "revenue_change", "returned_items", "promo_revenue", "top_supplier",
     "large_orders", "brand_revenue",
+    "cumulative_sum_daily", "stats_bucket", "percentiles_bucket",
+    "anova_value", "cramers_v", "spearman_qty_price", "acf_daily",
+    "triangle_count",
     "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
