@@ -2055,6 +2055,131 @@ ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+def q_pl2_topk(spark, sf_dir):
+    """PL2 top-k, corpus path (index twin Searcher.search_pl2; DFR
+    BasicModelP + AfterEffectL + NormalizationH2, Amati & van
+    Rijsbergen 2002 — Terrier's classic default, dropped from Lucene
+    8 but still the canonical Poisson DFR). Per present term with
+    λ = cf/N and tfn = tf·log2(1 + avgdl/dl) (c=1):
+    (tfn·log2(tfn/λ) + (λ−tfn)·log2(e) + 0.5·log2(2π·tfn)) / (tfn+1).
+    Same single-tokenize two-pass corpus shape as bm25_topk."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, total, cfs = _lm_corpus_stats(per_doc, BM25_TERMS)
+    avgdl = total / n
+    log2e = 1.0 / math.log(2.0)
+    score, any_match = None, None
+    for t in BM25_TERMS:
+        if cfs[t] <= 0:
+            continue
+        lam = cfs[t] / n
+        tf = F.col("m")[t].cast("double")
+        tfn = tf * F.log2(F.lit(1.0) + F.lit(avgdl) / F.col("dl"))
+        s_t = F.when(
+            tf.isNotNull(),
+            (
+                tfn * F.log2(tfn / F.lit(lam))
+                + (F.lit(lam) - tfn) * F.lit(log2e)
+                + F.lit(0.5) * F.log2(F.lit(2.0 * math.pi) * tfn)
+            )
+            / (tfn + F.lit(1.0)),
+        ).otherwise(F.lit(0.0))
+        score = s_t if score is None else score + s_t
+        m_t = F.col("m")[t]
+        any_match = m_t if any_match is None else F.greatest(any_match, m_t)
+    return (
+        per_doc.filter(any_match.isNotNull())
+        .withColumn("s", score)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_PL2_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+cfm AS (SELECT term, sum(tf) AS cf FROM dt
+        WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)}) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum((tf * log2(1 + avgdl / dl)
+                     * log2(tf * log2(1 + avgdl / dl) / (cf / n))
+                   + (cf / n - tf * log2(1 + avgdl / dl)) * {1.0 / math.log(2.0)!r}
+                   + 0.5 * log2(2 * {math.pi!r} * tf * log2(1 + avgdl / dl)))
+                  / (tf * log2(1 + avgdl / dl) + 1)) AS s
+       FROM dt JOIN cfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
+def q_dph_topk(spark, sf_dir):
+    """DPH top-k, corpus path (index twin Searcher.search_dph; the
+    parameter-free hypergeometric DFR model, Amati 2006 / Terrier DPH).
+    Per present term with f = tf/dl:
+    ((1−f)²/(tf+1)) · (tf·log2((tf·avgdl/dl)·(N/cf))
+    + 0.5·log2(2π·tf·(1−f))); a tf = dl degenerate doc contributes 0
+    (documented deviation from Terrier's −∞, both paths identical)."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, total, cfs = _lm_corpus_stats(per_doc, BM25_TERMS)
+    avgdl = total / n
+    score, any_match = None, None
+    for t in BM25_TERMS:
+        if cfs[t] <= 0:
+            continue
+        tf = F.col("m")[t].cast("double")
+        dl = F.col("dl")
+        fr = tf / dl
+        s_t = F.when(
+            tf.isNotNull() & (tf < dl),
+            (F.lit(1.0) - fr)
+            * (F.lit(1.0) - fr)
+            / (tf + F.lit(1.0))
+            * (
+                tf
+                * F.log2(
+                    tf * F.lit(avgdl) / dl * F.lit(float(n)) / F.lit(cfs[t])
+                )
+                + F.lit(0.5)
+                * F.log2(F.lit(2.0 * math.pi) * tf * (F.lit(1.0) - fr))
+            ),
+        ).otherwise(F.lit(0.0))
+        score = s_t if score is None else score + s_t
+        m_t = F.col("m")[t]
+        any_match = m_t if any_match is None else F.greatest(any_match, m_t)
+    return (
+        per_doc.filter(any_match.isNotNull())
+        .withColumn("s", score)
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_DPH_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+cfm AS (SELECT term, sum(tf) AS cf FROM dt
+        WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)}) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum(CASE WHEN tf < dl THEN
+                    (1 - tf / dl) * (1 - tf / dl) / (tf + 1)
+                    * (tf * log2(tf * avgdl / dl * n / cf)
+                       + 0.5 * log2(2 * {math.pi!r} * tf * (1 - tf / dl)))
+                  ELSE 0 END) AS s
+       FROM dt JOIN cfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 def q_conv_pooling(spark, sf_dir):
     """Conversation-level embedding rollup (turn → conversation
     mean-pooling, the retrieval-unit change every RAG-over-chats
@@ -15594,6 +15719,8 @@ REGISTRY: dict[str, tuple] = {
     "spearman_qty_price": (q_spearman_qty_price, O_SPEARMAN_QTY_PRICE),
     "acf_daily": (q_acf_daily, O_ACF_DAILY),
     "triangle_count": (q_triangle_count, O_TRIANGLE_COUNT),
+    "pl2_topk": (q_pl2_topk, O_PL2_TOPK),
+    "dph_topk": (q_dph_topk, O_DPH_TOPK),
     "reply_latency": (q_reply_latency, O_REPLY_LATENCY),
     "middle_out_truncate": (q_middle_out_truncate, O_MIDDLE_OUT_TRUNCATE),
     "k_anonymity": (q_k_anonymity, O_K_ANONYMITY),
@@ -15655,7 +15782,7 @@ _DRIVER_ORDER = [
     "large_orders", "brand_revenue",
     "cumulative_sum_daily", "stats_bucket", "percentiles_bucket",
     "anova_value", "cramers_v", "spearman_qty_price", "acf_daily",
-    "triangle_count",
+    "triangle_count", "pl2_topk", "dph_topk",
     "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
     "cumulative_cardinality", "top_metrics", "intervals_ordered",

@@ -2445,6 +2445,110 @@ class Searcher:
             .limit(k)
         )
 
+    def search_pl2(self, query: str, k: int = 10, c: float = 1.0) -> DataFrame:
+        """PL2 ranking — the DFR composition BasicModelP (Poisson) +
+        AfterEffectL + NormalizationH2 (Amati & van Rijsbergen 2002),
+        Terrier's long-time default and the classic web-search DFR
+        model (Lucene dropped BasicModelP in 8.0; this follows
+        Terrier's PL2 with the Stirling-approximated Poisson). Per
+        present query term, with λ = cf / N (the Poisson rate of the
+        term across the collection):
+
+        * H2 length normalization: tfn = tf * log2(1 + c * avgdl / dl)
+        * score contribution = (1/(tfn+1)) * (tfn·log2(tfn/λ)
+          + (λ − tfn)·log2(e) + 0.5·log2(2π·tfn))
+
+        λ is a per-term scalar (term-dictionary point lookup); same
+        broadcast-join + partial-agg plan as the other DataFrame
+        similarities — work ∝ query postings, never the corpus."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        stats = self._term_stats_full(terms)
+        rows = [
+            (t, stats[t][1] / float(self.num_docs))
+            for t in terms
+            if t in stats and stats[t][1] > 0
+        ]
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "term string, lam double")
+        )
+        decoded = self._decoded(self._matching_postings([r[0] for r in rows]))
+        log2e = 1.0 / math.log(2.0)
+        tfn = F.col("tf").cast("double") * F.log2(
+            F.lit(1.0) + F.lit(c * (self.avgdl or 1.0)) / F.col("dl").cast("double")
+        )
+        s = (
+            tfn * F.log2(tfn / F.col("lam"))
+            + (F.col("lam") - tfn) * F.lit(log2e)
+            + F.lit(0.5) * F.log2(F.lit(2.0 * math.pi) * tfn)
+        ) / (tfn + F.lit(1.0))
+        return (
+            decoded.join(qterms, "term")
+            .withColumn("_s", s)
+            .groupBy("doc_id")
+            .agg(F.sum("_s").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_dph(self, query: str, k: int = 10) -> DataFrame:
+        """DPH ranking — the parameter-free hypergeometric DFR model
+        (Amati 2006, 'Frequentist and Bayesian approach to Information
+        Retrieval'; Terrier DPH). Per present query term, with
+        f = tf / dl:
+
+        * norm = (1 − f)² / (tf + 1)
+        * score contribution = norm · (tf·log2((tf·avgdl/dl)·(N/cf))
+          + 0.5·log2(2π·tf·(1 − f)))
+
+        Deviation from Terrier: a one-token-repeated document (tf = dl,
+        f = 1) would take log2(0) = −∞; this implementation defines the
+        contribution as 0 there (the norm factor is already 0), mirrored
+        exactly in the corpus twin. No tunable parameter — cf and N are
+        collection scalars; same broadcast-join + partial-agg plan as
+        the other DataFrame similarities."""
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        stats = self._term_stats_full(terms)
+        rows = [
+            (t, float(stats[t][1]))
+            for t in terms
+            if t in stats and stats[t][1] > 0
+        ]
+        if not rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "term string, cf double")
+        )
+        decoded = self._decoded(self._matching_postings([r[0] for r in rows]))
+        tf = F.col("tf").cast("double")
+        dl = F.col("dl").cast("double")
+        f = tf / dl
+        norm = (F.lit(1.0) - f) * (F.lit(1.0) - f) / (tf + F.lit(1.0))
+        s = F.when(
+            tf < dl,
+            norm
+            * (
+                tf
+                * F.log2(
+                    tf
+                    * F.lit(self.avgdl or 1.0)
+                    / dl
+                    * F.lit(float(self.num_docs))
+                    / F.col("cf")
+                )
+                + F.lit(0.5) * F.log2(F.lit(2.0 * math.pi) * tf * (F.lit(1.0) - f))
+            ),
+        ).otherwise(F.lit(0.0))
+        return (
+            decoded.join(qterms, "term")
+            .withColumn("_s", s)
+            .groupBy("doc_id")
+            .agg(F.sum("_s").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_function_score(
         self,
         query: str,

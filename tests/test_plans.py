@@ -859,3 +859,70 @@ def test_match_bool_prefix_pushdowns(spark, tmp_path):
     assert (
         sum("In(term" in ln or "EqualTo(term" in ln for ln in cpushed) >= 2
     ), cpushed
+
+
+def test_pl2_dph_term_pushdown(spark, tmp_path):
+    """PL2/DPH join the similarity family's contract: the postings scan
+    carries a pushed In(term) filter and no Python eval nodes — work is
+    ∝ query postings."""
+    from nlp4l_spark.data.transcripts import synth_transcripts
+    from nlp4l_spark.index import build_index
+    from nlp4l_spark.search import Searcher
+
+    idx = str(tmp_path / "idx")
+    build_index(synth_transcripts(spark, 800, num_partitions=4), idx)
+    s = Searcher(spark, idx)
+    for df in (s.search_pl2("w00001 w00002"), s.search_dph("w00001 w00002")):
+        plan = _plan(df)
+        pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        assert any("In(term" in ln for ln in pushed), pushed
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpch_q6_scan_only_pushdown(spark):
+    """revenue_change (TPC-H Q6 twin) must be a pure pushed-filter scan:
+    date/discount/quantity predicates reach the parquet reader, the read
+    schema is pruned to the four referenced columns, and there is no
+    join anywhere in the plan."""
+    plan = _plan(eq.REGISTRY["revenue_change"][0](spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any(
+        "l_shipdate" in ln and "l_discount" in ln and "l_quantity" in ln
+        for ln in pushed
+    ), pushed
+    sch = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert sch and "l_returnflag" not in sch[0] and "l_partkey" not in sch[0]
+    assert "Join" not in plan
+
+
+def test_tpch_q10_dims_broadcast(spark):
+    """returned_items (TPC-H Q10 twin): every dimension side (orders
+    quarter-slice, customer⋈nation) attaches as a BroadcastHashJoin, and
+    the R-flag filter is pushed to the lineitem scan."""
+    plan = _plan(eq.REGISTRY["returned_items"][0](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo(l_returnflag,R)" in ln for ln in pushed), pushed
+
+
+def test_spearman_windows_are_partitioned(spark):
+    """spearman_qty_price ranks inside flag partitions — no global
+    single-partition window may appear in the plan."""
+    plan = _plan(eq.REGISTRY["spearman_qty_price"][0](spark, SF))
+    specs = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(" in ln
+    ]
+    assert specs
+    assert all("flag" in ln.split("windowspecdefinition(", 1)[1] for ln in specs), specs
+
+
+def test_triangle_count_no_cartesian(spark):
+    """triangle_count: the bounded vocabulary and the per-doc equi-join
+    keep every join hashed/broadcast — no CartesianProduct node (the
+    only nested-loop is the 1-row corpus-stats broadcast)."""
+    plan = _plan(eq.REGISTRY["triangle_count"][0](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan

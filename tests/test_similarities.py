@@ -689,3 +689,87 @@ def test_search_tree(spark, idx):
     # unknown term in AND -> empty; in OR -> ignored
     assert s.search_tree({"and": [{"term": "join"}, {"term": "zzz"}]}).count() == 0
     assert _got(s.search_tree({"or": [{"term": "join"}, {"term": "zzz"}]}))
+
+
+def test_pl2(spark, idx):
+    """Terrier PL2 (DFR BasicModelP + AfterEffectL + NormalizationH2):
+    index path equals the published formula computed first-principles,
+    with lambda = cf/N and H2 tfn."""
+    s = Searcher(spark, idx)
+    terms = ["join", "merge", "vector"]
+    log2e = 1.0 / math.log(2.0)
+    expect = {}
+    for d, toks in TOKS.items():
+        dl, score, match = len(toks), 0.0, False
+        for t in terms:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            match = True
+            lam = _cf(t) / N
+            tfn = tf * math.log2(1 + AVGDL / dl)
+            score += (
+                tfn * math.log2(tfn / lam)
+                + (lam - tfn) * log2e
+                + 0.5 * math.log2(2 * math.pi * tfn)
+            ) / (tfn + 1)
+        if match:
+            expect[d] = round(score, 9)
+    got = _got(s.search_pl2("join merge vector", k=10))
+    assert set(got) == set(expect)
+    for d in expect:
+        assert got[d] == pytest.approx(expect[d], abs=5e-9)
+
+
+def test_dph(spark, idx):
+    """Terrier DPH (parameter-free hypergeometric DFR): index path
+    equals the published formula; a term filling its whole document
+    (tf = dl) contributes 0 by the documented deviation."""
+    s = Searcher(spark, idx)
+    terms = ["join", "merge", "vector"]
+    expect = {}
+    for d, toks in TOKS.items():
+        dl, score, match = len(toks), 0.0, False
+        for t in terms:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            match = True
+            if tf >= dl:
+                continue
+            f = tf / dl
+            score += (
+                (1 - f) ** 2
+                / (tf + 1)
+                * (
+                    tf * math.log2((tf * AVGDL / dl) * (N / _cf(t)))
+                    + 0.5 * math.log2(2 * math.pi * tf * (1 - f))
+                )
+            )
+        if match:
+            expect[d] = round(score, 9)
+    got = _got(s.search_dph("join merge vector", k=10))
+    assert set(got) == set(expect)
+    for d in expect:
+        assert got[d] == pytest.approx(expect[d], abs=5e-9)
+
+
+def test_dph_degenerate_doc_scores_zero(spark, tmp_path):
+    """A document that is one term repeated (tf = dl) must take score 0
+    under DPH's guarded log, not NaN/-inf."""
+    from pyspark.sql import functions as FF
+
+    d = str(tmp_path / "dphidx")
+    rows = [(0, "zz zz zz"), (1, "zz join scan")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        FF.col("doc_id").cast("string").alias("conv_id"),
+        FF.lit(0).alias("turn_idx"),
+        FF.lit("u").alias("role"),
+        "text",
+        FF.lit(None).cast("string").alias("tool"),
+        FF.lit(None).cast("timestamp").alias("ts"),
+    )
+    IndexBuilder(sort_cols=("conv_id", "turn_idx")).build(df, d)
+    got = _got(Searcher(spark, d).search_dph("zz", k=10))
+    assert got[0] == 0.0
+    assert got[1] != 0.0 and not math.isnan(got[1])
