@@ -14520,28 +14520,102 @@ FROM s CROSS JOIN tot ORDER BY lag
 """
 
 
+def q_holt_forecast(spark, sf_dir):
+    """ES moving_fn(MovingFunctions.holt, α=0.5, β=0.5) — double
+    exponential smoothing over the daily value-sum histogram, the trend
+    step up from event_ewma: per day the running level, trend, and
+    one-step forecast (level + trend). The two-state recurrence
+    l_i = α·x_i + (1−α)(l_{i−1}+t_{i−1}),
+    t_i = β(l_i − l_{i−1}) + (1−β)t_{i−1} folds IN DAY ORDER over the
+    bucket array with a STRUCT accumulator (Spark `aggregate` HOF,
+    init l=x₁,t=0), exactly the event_ewma contract extended to two
+    states; α=β=0.5 keeps every step an exact binary operation on
+    exact-cents daily sums. The oracle uses a recursive CTE instead of
+    `list_reduce` — DuckDB 1.0 struct accumulators alias fields in
+    declaration order (a later field reads the already-overwritten
+    earlier one), so multi-state folds are only safe row-recursive
+    there. Histogram-sized work only after the one data-sized
+    groupBy."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        _events(spark, sf_dir)
+        .select(
+            F.floor(sec / 86400).cast("long").alias("day"),
+            cents.alias("_c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("_c").alias("s"))
+    )
+    arr = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "s"))).alias("a")
+    )
+    ex = arr.select("a", F.posexplode("a").alias("pos", "e"))
+    prefix = F.transform(
+        F.slice(F.col("a"), 1, F.col("pos") + 1),
+        lambda e: e["s"].cast("double"),
+    )
+    init = F.struct(
+        F.lit(None).cast("double").alias("l"), F.lit(0.0).alias("t")
+    )
+
+    def step(acc, x):
+        nl = 0.5 * x + 0.5 * (acc["l"] + acc["t"])
+        nt = 0.5 * (nl - acc["l"]) + 0.5 * acc["t"]
+        return F.when(
+            acc["l"].isNull(),
+            F.struct(x.alias("l"), F.lit(0.0).alias("t")),
+        ).otherwise(F.struct(nl.alias("l"), nt.alias("t")))
+
+    fold = F.aggregate(prefix, init, step)
+    return ex.select(
+        F.col("e.day").alias("day"),
+        (F.col("e.s").cast("double") / 100.0).alias("raw"),
+        F.round(fold["l"] / 100.0, 6).alias("level"),
+        F.round(fold["t"] / 100.0, 6).alias("trend"),
+        F.round((fold["l"] + fold["t"]) / 100.0, 6).alias("forecast"),
+    ).orderBy("day")
+
+
+O_HOLT_FORECAST = """
+WITH RECURSIVE
+daily AS (SELECT floor(floor(epoch(ts))::bigint / 86400)::bigint AS day,
+                 sum(round(value * 100)::bigint)::bigint AS s
+          FROM events GROUP BY 1),
+dr AS (SELECT row_number() OVER (ORDER BY day) AS rn, day, s FROM daily),
+h AS (
+  SELECT rn, day, s, s::double AS l, 0.0::double AS t
+  FROM dr WHERE rn = 1
+  UNION ALL
+  SELECT d.rn, d.day, d.s,
+         0.5 * d.s + 0.5 * (h.l + h.t),
+         0.5 * ((0.5 * d.s + 0.5 * (h.l + h.t)) - h.l) + 0.5 * h.t
+  FROM h JOIN dr d ON d.rn = h.rn + 1)
+SELECT day, s::double / 100.0 AS raw,
+       round(l / 100.0, 6) AS level,
+       round(t / 100.0, 6) AS trend,
+       round((l + t) / 100.0, 6) AS forecast
+FROM h ORDER BY day
+"""
+
+
 TRI_VOCAB = 150
 TRI_MIN_DF = 5
 TRI_MIN_CODOCS = 3
 TRI_MIN_LIFT = 1.05
 
 
-def q_triangle_count(spark, sf_dir):
-    """Graph analytics over the term ASSOCIATION graph: nodes are the
-    top-{TRI_VOCAB} terms by document frequency (df ≥ {TRI_MIN_DF};
-    df desc, term asc — deterministic), edges connect term pairs whose
-    co-occurrence LIFT (observed co-docs / independence expectation
-    df_u·df_v/n) clears {TRI_MIN_LIFT} with ≥ {TRI_MIN_CODOCS} co-docs
-    — raw co-occurrence alone saturates to a complete graph on any
-    head-heavy vocabulary, lift keeps only genuinely-correlated pairs.
-    Output is the global triangle census (nodes/edges/wedges/triangles
-    + transitivity = 3Δ/wedges). Spark shape is the standard
-    distributed triangle count: distinct doc→term pairs, edges via a
-    per-doc self-join restricted to the bounded vocabulary (fanout ≤
-    C(vocab,2), never data²), each triangle counted once via a<b<c
-    edge orientation — the ordering trick that bounds the join. Lift is
-    all-integer inputs → one float division, rounded to 6dp BEFORE the
-    threshold compare (the repo's cross-engine selection rule)."""
+def _lift_edges(spark, sf_dir):
+    """Shared term-association graph: undirected edges (u < v) between
+    top-{TRI_VOCAB} by-df terms whose co-occurrence LIFT (observed
+    co-docs / independence expectation df_u·df_v/n) clears
+    {TRI_MIN_LIFT} with ≥ {TRI_MIN_CODOCS} co-docs. Raw co-occurrence
+    alone saturates to a complete graph on any head-heavy vocabulary;
+    lift keeps only genuinely-correlated pairs. Plan: distinct doc→term
+    pairs, a per-doc self-join restricted to the broadcast bounded
+    vocabulary (fanout ≤ C(vocab,2), never data²), lift rounded to 6dp
+    BEFORE the threshold compare (the repo's cross-engine selection
+    rule)."""
     toks = STANDARD_ANALYZER.tokens_expr("text")
     dt = (
         _docs(spark, sf_dir)
@@ -14580,7 +14654,7 @@ def q_triangle_count(spark, sf_dir):
         / (F.col("_dfu").cast("double") * F.col("_dfv")),
         6,
     )
-    edges = (
+    return (
         co.join(F.broadcast(du), "u")
         .join(F.broadcast(dv), "v")
         .crossJoin(F.broadcast(nd))
@@ -14589,7 +14663,17 @@ def q_triangle_count(spark, sf_dir):
         )
         .select("u", "v")
     )
-    edges = edges.persist()
+
+
+def q_triangle_count(spark, sf_dir):
+    """Graph analytics over the lift-edged term association graph (see
+    _lift_edges): the global triangle census — nodes/edges/wedges/
+    triangles + transitivity = 3Δ/wedges. Spark shape is the standard
+    distributed triangle count: edges materialize once (persisted),
+    each triangle counted once via a<b<c edge orientation — the
+    ordering trick that bounds the join; wedges come from the exact
+    degree sum Σd(d−1)/2."""
+    edges = _lift_edges(spark, sf_dir).persist()
     deg = (
         edges.select(F.col("u").alias("t"))
         .union(edges.select(F.col("v").alias("t")))
@@ -14626,8 +14710,7 @@ def q_triangle_count(spark, sf_dir):
     return out
 
 
-O_TRIANGLE_COUNT = f"""
-WITH dt AS (SELECT DISTINCT doc_id, unnest({TOK_SQL}) AS term
+O_LIFT_EDGES_CTES = f"""dt AS (SELECT DISTINCT doc_id, unnest({TOK_SQL}) AS term
             FROM documents),
 nd AS (SELECT count(DISTINCT doc_id)::bigint AS n FROM dt),
 vocab AS (SELECT term, count(*)::bigint AS df FROM dt GROUP BY term
@@ -14643,7 +14726,11 @@ edges AS (SELECT u, v
           WHERE du.term = co.u AND dv.term = co.v
             AND codocs >= {TRI_MIN_CODOCS}
             AND round(codocs::double * n / (du.df::double * dv.df), 6)
-                >= {TRI_MIN_LIFT}),
+                >= {TRI_MIN_LIFT})"""
+
+
+O_TRIANGLE_COUNT = f"""
+WITH {O_LIFT_EDGES_CTES},
 deg AS (SELECT t, count(*)::bigint AS d
         FROM (SELECT u AS t FROM edges
               UNION ALL SELECT v AS t FROM edges)
@@ -14659,6 +14746,296 @@ ec AS (SELECT count(*)::bigint AS n_edges FROM edges)
 SELECT n_nodes, n_edges, n_wedges, n_triangles,
        round(3.0 * n_triangles / n_wedges, 6) AS transitivity
 FROM s CROSS JOIN ec CROSS JOIN tri
+"""
+
+
+LPA_ROUNDS = 3
+
+
+def q_label_propagation(spark, sf_dir):
+    """Community detection on the lift-edged term association graph
+    (see _lift_edges): {LPA_ROUNDS} rounds of SYNCHRONOUS label
+    propagation — every node simultaneously adopts the most frequent
+    label among its neighbors, ties broken by minimum label (Raghavan
+    et al. 2007, made deterministic: no random order, no random
+    tie-break). Output is the community size histogram. Spark shape:
+    each round is one adjacency⋈labels join + one (node, label) count
+    + one per-node WindowGroupLimit argmax — the round count is fixed
+    and small, so the lineage stays bounded (at real scale you'd
+    checkpoint between rounds; 3 rounds needs none)."""
+    edges = _lift_edges(spark, sf_dir).persist()
+    adj = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).toDF("t", "nb").persist()
+    labels = adj.select("t").distinct().withColumn("label", F.col("t"))
+    w = Window.partitionBy("t").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(LPA_ROUNDS):
+        cand = (
+            adj.join(
+                labels.select(F.col("t").alias("nb"), "label"), "nb"
+            )
+            .groupBy("t", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("t", "label")
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").cast("long").alias("size"))
+        .orderBy(F.desc("size"), F.asc("community"))
+    )
+
+
+def _lpa_round_ctes() -> str:
+    parts = [
+        "adj AS (SELECT u AS t, v AS nb FROM edges "
+        "UNION ALL SELECT v, u FROM edges)",
+        "l0 AS (SELECT DISTINCT t, t AS label FROM adj)",
+    ]
+    for r in range(1, LPA_ROUNDS + 1):
+        parts.append(
+            f"c{r} AS (SELECT adj.t, lp.label, count(*) AS c\n"
+            f"      FROM adj JOIN l{r - 1} lp ON lp.t = adj.nb"
+            " GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{r} AS (SELECT t, label FROM (\n"
+            "      SELECT t, label, row_number() OVER (PARTITION BY t"
+            " ORDER BY c DESC, label ASC) AS rn\n"
+            f"      FROM c{r}) WHERE rn = 1)"
+        )
+    return ",\n".join(parts)
+
+
+O_LABEL_PROPAGATION = f"""
+WITH {O_LIFT_EDGES_CTES},
+{_lpa_round_ctes()}
+SELECT label AS community, count(*)::bigint AS size
+FROM l{LPA_ROUNDS} GROUP BY 1 ORDER BY size DESC, community ASC
+"""
+
+
+MI_MIN_DF = 5
+MI_TOP = 20
+
+
+def q_mutual_info_terms(spark, sf_dir):
+    """Mutual-information feature selection (the information-theoretic
+    sibling of CommonProcessor.selectFeatures' χ²): top-{MI_TOP} terms
+    by I(presence; lang) = Σ_s Σ_{{b∈0,1}} (n_bs/N)·ln(n_bs·N/(n_b·n_s)),
+    zero cells contributing 0 (x·ln x → 0). Needs the DENSE term×lang
+    grid — a term ABSENT from a language still contributes through its
+    absence cell — built as bounded-vocab × lang-count cross join with
+    the observed joint left-joined on. All probabilities come from
+    exact integer counts; MI is rounded to 6dp BEFORE the top-k
+    selection (tie: term asc)."""
+    dt = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", F.explode(
+            STANDARD_ANALYZER.tokens_expr("text")
+        ).alias("term"))
+        .select("doc_id", "lang", "term")
+        .distinct()
+    )
+    docs = _docs(spark, sf_dir)
+    nn = docs.count()
+    langs = (
+        docs.groupBy("lang").agg(F.count("*").cast("long").alias("ns"))
+    )
+    tdf = (
+        dt.groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n1"))
+        .filter(F.col("n1") >= MI_MIN_DF)
+    )
+    joint = dt.groupBy("term", "lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n1s")
+    )
+    grid = (
+        tdf.crossJoin(F.broadcast(langs))
+        .join(joint, ["term", "lang"], "left")
+        .withColumn("n1s", F.coalesce(F.col("n1s"), F.lit(0)))
+    )
+    N = F.lit(float(nn))
+    n0 = nn - F.col("n1")
+    n0s = F.col("ns") - F.col("n1s")
+    mi_cell = lambda nbs, nb: F.when(  # noqa: E731
+        (nbs > 0) & (nb > 0),
+        (nbs.cast("double") / N)
+        * F.log(
+            nbs.cast("double")
+            * N
+            / (nb.cast("double") * F.col("ns"))
+        ),
+    ).otherwise(F.lit(0.0))
+    mi = mi_cell(F.col("n1s"), F.col("n1")) + mi_cell(n0s, n0)
+    return (
+        grid.groupBy("term")
+        .agg(F.round(F.sum(mi), 6).alias("mi"))
+        .orderBy(F.desc("mi"), F.asc("term"))
+        .limit(MI_TOP)
+    )
+
+
+O_MUTUAL_INFO_TERMS = f"""
+WITH dt AS (SELECT DISTINCT d.doc_id, d.lang, t.term
+            FROM documents d, unnest({TOK_SQL}) AS t(term)),
+nd AS (SELECT count(*)::bigint AS nn FROM documents),
+langs AS (SELECT lang, count(*)::bigint AS ns FROM documents GROUP BY 1),
+tdf AS (SELECT term, count(DISTINCT doc_id)::bigint AS n1 FROM dt
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= {MI_MIN_DF}),
+joint AS (SELECT term, lang, count(DISTINCT doc_id)::bigint AS n1s
+          FROM dt GROUP BY 1, 2),
+grid AS (SELECT tdf.term, langs.lang, tdf.n1, langs.ns,
+                coalesce(joint.n1s, 0)::bigint AS n1s, nd.nn
+         FROM tdf CROSS JOIN langs CROSS JOIN nd
+         LEFT JOIN joint ON joint.term = tdf.term
+                        AND joint.lang = langs.lang),
+mi AS (SELECT term,
+         round(sum(
+           (CASE WHEN n1s > 0 AND n1 > 0 THEN
+              (n1s::double / nn) * ln(n1s::double * nn / (n1::double * ns))
+            ELSE 0 END)
+           + (CASE WHEN (ns - n1s) > 0 AND (nn - n1) > 0 THEN
+                ((ns - n1s)::double / nn)
+                * ln((ns - n1s)::double * nn / ((nn - n1)::double * ns))
+              ELSE 0 END)), 6) AS mi
+       FROM grid GROUP BY 1)
+SELECT term, mi FROM mi ORDER BY mi DESC, term ASC LIMIT {MI_TOP}
+"""
+
+
+BH_ALPHA = 0.05
+BH_MIN_DF = 5
+
+
+def q_bh_significant_terms(spark, sf_dir):
+    """Benjamini–Hochberg FDR-controlled significant terms: χ² of term
+    presence × language over the dense 2×L contingency grid (same grid
+    as mutual_info_terms), EXACT p-values from the closed-form χ²
+    survival at df = 4 (five fixture languages; even df ⇒
+    S(x) = e^(−x/2)·Σ_{{i<df/2}} (x/2)^i/i!, here e^(−x/2)(1+x/2) — no
+    incomplete-gamma needed), then the BH step-up rule: reject the
+    smallest k* p-values where k* = max{{i : p_(i) ≤ α·i/m}},
+    α = {BH_ALPHA}. Output: the top-10 hypotheses by rank with p, the
+    BH critical value α·i/m, and the rejection flag — the synthetic
+    fixture is null by construction (term presence ⫫ language), so
+    the flag is honestly false there; a signal-bearing corpus flips
+    it. The multiple-testing machinery is all window arithmetic over
+    the m-sized p-vector; p is rounded to 9dp before ranking
+    (cross-engine selection rule)."""
+    dt = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", F.explode(
+            STANDARD_ANALYZER.tokens_expr("text")
+        ).alias("term"))
+        .select("doc_id", "lang", "term")
+        .distinct()
+    )
+    docs = _docs(spark, sf_dir)
+    nn = docs.count()
+    langs = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("ns")
+    )
+    tdf = (
+        dt.groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n1"))
+        .filter(F.col("n1") >= BH_MIN_DF)
+    )
+    joint = dt.groupBy("term", "lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n1s")
+    )
+    grid = (
+        tdf.crossJoin(F.broadcast(langs))
+        .join(joint, ["term", "lang"], "left")
+        .withColumn("n1s", F.coalesce(F.col("n1s"), F.lit(0)))
+    )
+    N = F.lit(float(nn))
+    cell = lambda o, nb: F.when(  # noqa: E731
+        nb > 0,
+        (o.cast("double") - nb.cast("double") * F.col("ns") / N)
+        * (o.cast("double") - nb.cast("double") * F.col("ns") / N)
+        / (nb.cast("double") * F.col("ns") / N),
+    ).otherwise(F.lit(0.0))
+    chi = cell(F.col("n1s"), F.col("n1")) + cell(
+        F.col("ns") - F.col("n1s"), nn - F.col("n1")
+    )
+    per_term = grid.groupBy("term").agg(F.sum(chi).alias("chi2"))
+    p = F.round(
+        F.exp(-F.col("chi2") / 2) * (1 + F.col("chi2") / 2), 9
+    )
+    ranked = per_term.select(
+        "term", F.round("chi2", 6).alias("chi2"), p.alias("p_value")
+    ).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.asc("p_value"), F.asc("term"))),
+    )
+    m = ranked.agg(F.count("*").cast("long").alias("_m"))
+    flagged = ranked.crossJoin(F.broadcast(m)).withColumn(
+        "_ok",
+        F.col("p_value") <= BH_ALPHA * F.col("rank") / F.col("_m"),
+    )
+    kstar = flagged.agg(
+        F.max(F.when(F.col("_ok"), F.col("rank")).otherwise(F.lit(0)))
+        .alias("_k")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(kstar))
+        .select(
+            "rank",
+            "term",
+            "chi2",
+            "p_value",
+            F.round(
+                F.lit(BH_ALPHA) * F.col("rank") / F.col("_m"), 9
+            ).alias("bh_critical"),
+            (F.col("rank") <= F.col("_k")).alias("significant"),
+        )
+        .orderBy("rank")
+        .limit(10)
+    )
+
+
+O_BH_SIGNIFICANT_TERMS = f"""
+WITH dt AS (SELECT DISTINCT d.doc_id, d.lang, t.term
+            FROM documents d, unnest({TOK_SQL}) AS t(term)),
+nd AS (SELECT count(*)::bigint AS nn FROM documents),
+langs AS (SELECT lang, count(*)::bigint AS ns FROM documents GROUP BY 1),
+tdf AS (SELECT term, count(DISTINCT doc_id)::bigint AS n1 FROM dt
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= {BH_MIN_DF}),
+joint AS (SELECT term, lang, count(DISTINCT doc_id)::bigint AS n1s
+          FROM dt GROUP BY 1, 2),
+grid AS (SELECT tdf.term, langs.lang, tdf.n1, langs.ns,
+                coalesce(joint.n1s, 0)::bigint AS n1s, nd.nn
+         FROM tdf CROSS JOIN langs CROSS JOIN nd
+         LEFT JOIN joint ON joint.term = tdf.term
+                        AND joint.lang = langs.lang),
+chi AS (SELECT term,
+          sum(
+            (CASE WHEN n1 > 0 THEN
+               (n1s - n1::double * ns / nn) * (n1s - n1::double * ns / nn)
+               / (n1::double * ns / nn) ELSE 0 END)
+            + (CASE WHEN (nn - n1) > 0 THEN
+                 ((ns - n1s) - (nn - n1)::double * ns / nn)
+                 * ((ns - n1s) - (nn - n1)::double * ns / nn)
+                 / ((nn - n1)::double * ns / nn) ELSE 0 END)) AS chi2
+        FROM grid GROUP BY 1),
+ranked AS (SELECT term, round(chi2, 6) AS chi2,
+                  round(exp(-chi2 / 2) * (1 + chi2 / 2), 9) AS p_value
+           FROM chi),
+rk AS (SELECT term, chi2, p_value,
+              row_number() OVER (ORDER BY p_value ASC, term ASC) AS rank,
+              count(*) OVER () AS m
+       FROM ranked),
+ks AS (SELECT max(CASE WHEN p_value <= {BH_ALPHA} * rank / m
+                  THEN rank ELSE 0 END) AS kstar
+       FROM rk)
+SELECT rank, term, chi2, p_value,
+       round({BH_ALPHA} * rank / m, 9) AS bh_critical,
+       (rank <= kstar) AS significant
+FROM rk CROSS JOIN ks ORDER BY rank LIMIT 10
 """
 
 
@@ -15721,6 +16098,13 @@ REGISTRY: dict[str, tuple] = {
     "triangle_count": (q_triangle_count, O_TRIANGLE_COUNT),
     "pl2_topk": (q_pl2_topk, O_PL2_TOPK),
     "dph_topk": (q_dph_topk, O_DPH_TOPK),
+    "holt_forecast": (q_holt_forecast, O_HOLT_FORECAST),
+    "label_propagation": (q_label_propagation, O_LABEL_PROPAGATION),
+    "mutual_info_terms": (q_mutual_info_terms, O_MUTUAL_INFO_TERMS),
+    "bh_significant_terms": (
+        q_bh_significant_terms,
+        O_BH_SIGNIFICANT_TERMS,
+    ),
     "reply_latency": (q_reply_latency, O_REPLY_LATENCY),
     "middle_out_truncate": (q_middle_out_truncate, O_MIDDLE_OUT_TRUNCATE),
     "k_anonymity": (q_k_anonymity, O_K_ANONYMITY),
@@ -15782,7 +16166,8 @@ _DRIVER_ORDER = [
     "large_orders", "brand_revenue",
     "cumulative_sum_daily", "stats_bucket", "percentiles_bucket",
     "anova_value", "cramers_v", "spearman_qty_price", "acf_daily",
-    "triangle_count", "pl2_topk", "dph_topk",
+    "triangle_count", "pl2_topk", "dph_topk", "holt_forecast",
+    "label_propagation", "mutual_info_terms", "bh_significant_terms",
     "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
