@@ -14126,6 +14126,184 @@ FROM j WHERE a1 OR a2 OR a3
 """
 
 
+def q_cust_order_dist(spark, sf_dir):
+    """TPC-H Q13 (customer distribution) twin: the histogram of
+    orders-per-customer INCLUDING zero-order customers — the canonical
+    left-outer-join-then-double-aggregate (an inner join silently drops
+    the zero bucket, the classic Q13 trap). The reference's o_comment
+    NOT LIKE exclusion is stood in by an o_orderpriority filter (the
+    fixture has no comment column) applied to the orders side BEFORE
+    the join — same semantics, and the filter pushes to the scan.
+    Spark shape: customer keys left-join the filtered orders, one
+    per-customer count, one histogram count."""
+    sf = lambda t: spark.read.parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet")
+    )
+    cust = sf("customer").select("c_custkey")
+    orders = sf("orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+O_CUST_ORDER_DIST = """
+WITH pc AS (SELECT c_custkey, count(o_orderkey)::bigint AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey
+             AND o_orderpriority <> '1-URGENT'
+            GROUP BY 1)
+SELECT c_count, count(*)::bigint AS custdist
+FROM pc GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity) twin: per nation, the
+    count and total balance of ABOVE-AVERAGE-balance customers with no
+    order since 1999 — the lapsed-high-value list (every fixture
+    customer has SOME order, so the reference's never-ordered predicate
+    becomes an inactivity window; nation stands in for the phone
+    country code). Plan shape: the positive-balance average is a 1-row
+    broadcast scalar; the inactivity condition is a LEFT ANTI join of
+    customers against the date-pruned orders key set (never NOT IN —
+    null-safe and semi-join shaped); balances fold as exact cents."""
+    sf = lambda t: spark.read.parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet")
+    )
+    cust = sf("customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("_bal_c"),
+    )
+    avg_bal = cust.filter(F.col("_bal_c") > 0).agg(
+        (F.sum("_bal_c").cast("double") / F.count("*")).alias("_avg_c")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("_bal_c").cast("double") > F.col("_avg_c")
+    )
+    recent = sf("orders").filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("1999-01-01"))
+    ).select("o_custkey")
+    no_orders = rich.join(
+        recent, rich["c_custkey"] == F.col("o_custkey"), "left_anti"
+    )
+    nation = sf("nation").select("n_nationkey", "n_name")
+    return (
+        no_orders.join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.round(F.sum("_bal_c").cast("double") / 100.0, 6).alias(
+                "totacctbal"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+O_SALES_OPPORTUNITY = """
+WITH c AS (SELECT c_custkey, c_nationkey,
+                  round(c_acctbal * 100)::bigint AS bal_c
+           FROM customer),
+a AS (SELECT sum(bal_c)::double / count(*) AS avg_c
+      FROM c WHERE bal_c > 0)
+SELECT n_name, count(*)::bigint AS numcust,
+       round(sum(bal_c)::double / 100.0, 6) AS totacctbal
+FROM c CROSS JOIN a
+JOIN nation ON c_nationkey = n_nationkey
+WHERE bal_c::double > avg_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY 1 ORDER BY n_name
+"""
+
+
+SUMBASIC_WINDOW = 10
+SUMBASIC_TOP = 15
+
+
+def q_extractive_summary(spark, sf_dir):
+    """SumBasic-style extractive summarization (Nenkova & Vanderwende
+    2005) adapted to the unpunctuated fixture: each document splits
+    into fixed {SUMBASIC_WINDOW}-token passages, a passage scores the
+    MEAN corpus probability of its tokens, and the best passage per
+    document (tie: earliest) represents the doc; top-{SUMBASIC_TOP}
+    docs by passage score reported. Exactness: passage score =
+    Σcf(token) / (len·total_tokens) — a ratio of exact int64 counts, so
+    the argmax and the top-k are float-identical across engines (6dp
+    rounded before selection). Plan: one tokenize pass builds
+    (doc, pos, term); the corpus cf table broadcasts back onto it; one
+    (doc, passage) rollup + one per-doc WindowGroupLimit argmax."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    dt = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(toks).alias("pos", "term")
+    )
+    cf = dt.groupBy("term").agg(F.count("*").cast("long").alias("cf"))
+    total = dt.count()
+    passages = (
+        dt.join(F.broadcast(cf), "term")
+        .withColumn("passage", (F.col("pos") / SUMBASIC_WINDOW).cast("long"))
+        .groupBy("doc_id", "passage")
+        .agg(
+            F.count("*").cast("long").alias("_len"),
+            F.sum("cf").alias("_cfsum"),
+        )
+        .withColumn(
+            "score",
+            F.round(
+                F.col("_cfsum").cast("double")
+                / (F.col("_len") * F.lit(float(total))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("passage")
+    )
+    best = (
+        passages.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "passage", "score")
+    )
+    return best.orderBy(F.desc("score"), F.asc("doc_id")).limit(
+        SUMBASIC_TOP
+    )
+
+
+O_EXTRACTIVE_SUMMARY = f"""
+WITH dt AS (SELECT doc_id, unnest(a) AS term,
+                   generate_subscripts(a, 1) - 1 AS pos
+            FROM (SELECT doc_id, {TOK_SQL} AS a FROM documents)),
+cf AS (SELECT term, count(*)::bigint AS cf FROM dt GROUP BY 1),
+tot AS (SELECT count(*)::bigint AS total FROM dt),
+p AS (SELECT doc_id, (pos // {SUMBASIC_WINDOW})::bigint AS passage,
+             count(*)::bigint AS len, sum(cf)::bigint AS cfsum
+      FROM dt JOIN cf USING (term) GROUP BY 1, 2),
+sc AS (SELECT doc_id, passage,
+              round(cfsum::double / (len * total::double), 6) AS score
+       FROM p CROSS JOIN tot),
+best AS (SELECT doc_id, passage, score FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, passage ASC) AS rn FROM sc)
+         WHERE rn = 1)
+SELECT doc_id, passage, score FROM best
+ORDER BY score DESC, doc_id ASC LIMIT {SUMBASIC_TOP}
+"""
+
+
 # --------------------------------------------------------------------- #
 # ES pipeline-aggregation twins (cumulative_sum, stats_bucket,
 # percentiles_bucket) + classical-statistics twins (one-way ANOVA,
@@ -16099,6 +16277,9 @@ REGISTRY: dict[str, tuple] = {
     "pl2_topk": (q_pl2_topk, O_PL2_TOPK),
     "dph_topk": (q_dph_topk, O_DPH_TOPK),
     "holt_forecast": (q_holt_forecast, O_HOLT_FORECAST),
+    "cust_order_dist": (q_cust_order_dist, O_CUST_ORDER_DIST),
+    "sales_opportunity": (q_sales_opportunity, O_SALES_OPPORTUNITY),
+    "extractive_summary": (q_extractive_summary, O_EXTRACTIVE_SUMMARY),
     "label_propagation": (q_label_propagation, O_LABEL_PROPAGATION),
     "mutual_info_terms": (q_mutual_info_terms, O_MUTUAL_INFO_TERMS),
     "bh_significant_terms": (
@@ -16168,6 +16349,7 @@ _DRIVER_ORDER = [
     "anova_value", "cramers_v", "spearman_qty_price", "acf_daily",
     "triangle_count", "pl2_topk", "dph_topk", "holt_forecast",
     "label_propagation", "mutual_info_terms", "bh_significant_terms",
+    "cust_order_dist", "sales_opportunity", "extractive_summary",
     "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
