@@ -426,6 +426,120 @@ ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+ROCCHIO_ALPHA, ROCCHIO_BETA = 1.0, 0.75
+ROCCHIO_FB_DOCS, ROCCHIO_FB_TERMS = 10, 10
+
+
+def q_rocchio_topk(spark, sf_dir):
+    """Rocchio pseudo-relevance feedback (Rocchio 1971, the vector-space
+    sibling of rm3_topk): initial BM25 top-{ROCCHIO_FB_DOCS} (rounded-
+    score selection), feedback centroid = mean tf·idf vector of those
+    docs (tf length-normalized, BM25 idf), new query weights
+    w(t) = α·1[t∈q] + β·centroid(t) with the top-{ROCCHIO_FB_TERMS}
+    non-query expansion terms kept (rounded rank key, term-asc ties),
+    weighted OR BM25 re-search. Centroid math is driver-side over the
+    {ROCCHIO_FB_DOCS} collected doc maps; the expansion terms' dfs come
+    from one vocabulary-sized exploded-keys aggregate — never a corpus
+    re-tokenize."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    initial = (
+        per_doc.withColumn(
+            "s", F.round(_bm25_score_col(BM25_TERMS, n, avgdl, dfs), 6)
+        )
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(ROCCHIO_FB_DOCS)
+        .select("doc_id", "m", "dl")
+        .collect()
+    )
+    cands = sorted({t for r in initial for t in dict(r["m"])})
+    cdf = {
+        r["t"]: r["df"]
+        for r in per_doc.select(
+            F.explode(F.map_keys("m")).alias("t")
+        )
+        .filter(F.col("t").isin(cands))
+        .groupBy("t")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    }
+    nr = float(len(initial))
+    cen: dict[str, float] = {}
+    for r in initial:
+        dl = float(r["dl"])
+        if not dl:
+            continue
+        for t, tf in dict(r["m"]).items():
+            idf_t = math.log(1.0 + (n - cdf[t] + 0.5) / (cdf[t] + 0.5))
+            cen[t] = cen.get(t, 0.0) + (float(tf) / dl) * idf_t / nr
+    expansion = sorted(
+        ((t, ROCCHIO_BETA * c) for t, c in cen.items() if t not in BM25_TERMS),
+        key=lambda kv: (-round(kv[1], 6), kv[0]),
+    )[:ROCCHIO_FB_TERMS]
+    weights = dict(expansion)
+    for t in BM25_TERMS:
+        weights[t] = ROCCHIO_ALPHA + ROCCHIO_BETA * cen.get(t, 0.0)
+    weights = {t: w for t, w in sorted(weights.items()) if w > 0.0}
+    qterms = list(weights)
+    n2, avgdl2, dfs2 = _bm25_corpus_stats(per_doc, qterms)
+    score = _bm25_score_col(qterms, n2, avgdl2, dfs2, weights)
+    return (
+        per_doc.withColumn("s", score)
+        .filter(F.greatest(*[F.col("m")[t] for t in qterms]).isNotNull())
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_ROCCHIO_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id),
+init AS (SELECT doc_id FROM (SELECT doc_id, round(s, 6) AS s FROM sc)
+         ORDER BY s DESC, doc_id ASC LIMIT {ROCCHIO_FB_DOCS}),
+nr AS (SELECT count(*)::double AS nr FROM init),
+dfa AS (SELECT term, count(*)::double AS df FROM dt GROUP BY 1),
+cen AS (SELECT dt.term,
+               sum((dt.tf / dl.dl)
+                   * ln(1 + (st.n - dfa.df + 0.5) / (dfa.df + 0.5))) / max(nr.nr)
+                 AS c
+        FROM dt JOIN init USING (doc_id) JOIN dl USING (doc_id)
+                JOIN dfa ON dfa.term = dt.term
+                CROSS JOIN st CROSS JOIN nr
+        GROUP BY dt.term),
+fb AS (SELECT term, {ROCCHIO_BETA!r} * c AS w FROM cen
+       WHERE term NOT IN (SELECT term FROM qt)
+       ORDER BY round({ROCCHIO_BETA!r} * c, 6) DESC, term ASC
+       LIMIT {ROCCHIO_FB_TERMS}),
+wts AS (SELECT term, w FROM fb
+        UNION ALL
+        SELECT qt.term, {ROCCHIO_ALPHA!r} + {ROCCHIO_BETA!r} * coalesce(cen.c, 0)
+        FROM qt LEFT JOIN cen USING (term)),
+wpos AS (SELECT term, w FROM wts WHERE w > 0),
+dfm2 AS (SELECT dt.term, count(*)::double AS df
+         FROM dt JOIN wpos USING (term) GROUP BY 1),
+sc2 AS (SELECT dt.doc_id,
+               sum(wpos.w * ln(1 + (n - df + 0.5) / (df + 0.5))
+                   * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+        FROM dt JOIN wpos USING (term) JOIN dfm2 USING (term)
+                JOIN dl USING (doc_id) CROSS JOIN st
+        GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc2
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 def q_facet_counts(spark, sf_dir):
     """Facet counts over a query's matching docs (the Solr facet.field
     surface; index twin Searcher.facets): docs containing >= 1 query
@@ -6211,6 +6325,223 @@ FROM a CROSS JOIN q
 WHERE a.cell IN (SELECT cid FROM p)
 ORDER BY round({_cos_sql("a.embedding", "q.qe")}, 6) DESC, vec_id ASC
 LIMIT 10
+"""
+
+
+SEM_PERC_TAU = 0.4
+
+
+def q_semantic_percolate(spark, sf_dir):
+    """Semantic percolation — the embedding-space form of the percolate
+    surface (stored queries matched against incoming docs): the stored
+    'interest profiles' are the per-label centroids (components
+    6dp-rounded, the label_centroids convention) and every vector
+    routes to each profile whose cosine clears τ = {SEM_PERC_TAU},
+    cross-label included (the alerting case: a vector matching a
+    DIFFERENT label's profile). Output (vec_id, label, matched_label,
+    cosine ≥ τ on the 6dp-rounded value). Plan: profiles are a
+    label-count-sized broadcast; the match is one codegen HOF pass over
+    the vectors — exactly the percolate plan with centroids instead of
+    term sets."""
+    emb = _embeddings(spark, sf_dir)
+    comp = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("matched_label"), "centroid")
+    )
+    cos = F.round(_cos_cols(F.col("embedding"), F.col("centroid")), 6)
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "matched_label", cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEM_PERC_TAU)
+        .orderBy("vec_id", "matched_label")
+    )
+
+
+O_SEMANTIC_PERCOLATE = f"""
+WITH u AS (SELECT label,
+                  unnest(list_zip(range(1, len(embedding) + 1),
+                                  embedding)) AS z
+           FROM embeddings),
+uu AS (SELECT label, z[1] AS i, z[2]::double AS v FROM u),
+c AS (SELECT label, i, round(avg(v), 6) AS c FROM uu GROUP BY 1, 2),
+cent AS (SELECT label AS matched_label, list(c ORDER BY i) AS centroid
+         FROM c GROUP BY label),
+pv AS (SELECT e.vec_id, e.label, cent.matched_label,
+              round({_cos_sql("e.embedding", "cent.centroid")}, 6)
+                AS cosine
+       FROM embeddings e CROSS JOIN cent)
+SELECT vec_id, label, matched_label, cosine
+FROM pv WHERE cosine >= {SEM_PERC_TAU}
+ORDER BY vec_id, matched_label
+"""
+
+
+IVF_CURVE_NPROBES = [1, 2, 4, 8]
+IVF_CURVE_QUERIES = 5
+IVF_CURVE_K = 10
+
+
+def _cos_cols(a, b):
+    """cosine between two array columns as pure SQL HOFs (no UDF)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (na * nb)
+
+
+def q_ivf_tuning_curve(spark, sf_dir):
+    """IVF nprobe recall curve (the ANN counterpart of
+    lsh_tuning_curve — the sweep an engineer runs before fixing the
+    probe budget): for nprobe ∈ {IVF_CURVE_NPROBES}, mean recall@
+    {IVF_CURVE_K} of the IVF-probed result against the exact
+    brute-force ranking, averaged over {IVF_CURVE_QUERIES} query
+    vectors. Same deterministic coarse quantizer as ann_ivf_topk
+    (centroids = first 8 vectors, raw-cosine argmax assignment, cid-asc
+    ties), rankings selected on 6dp-rounded scores (vec_id-asc ties) so
+    both engines pick identical top-k sets; recall is a ratio of exact
+    integer hit counts. Plan: the centroid and query frames broadcast
+    (8 and 5 rows); assignment and scoring are vec_id-partitioned
+    window argmaxes over bounded fanouts (×8 cells, ×5 queries) — no
+    vector ever shuffles by itself, and the probe fanout is the only
+    work that grows with nprobe."""
+    emb = _embeddings(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    queries = emb.filter(F.col("vec_id") < IVF_CURVE_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.desc("_ac"), F.asc("cid")
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("_ac", _cos_cols(F.col("embedding"), F.col("cv")))
+        .withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        "qid",
+        "vec_id",
+        F.round(_cos_cols(F.col("embedding"), F.col("qe")), 6).alias(
+            "score"
+        ),
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    bf = (
+        scored.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= IVF_CURVE_K)
+        .select("qid", "vec_id")
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc("_pc"), F.asc("cid"))
+    probes = (
+        cents.crossJoin(F.broadcast(queries))
+        .withColumn("_pc", _cos_cols(F.col("cv"), F.col("qe")))
+        .withColumn("cell_rank", F.row_number().over(wp))
+        .select("qid", F.col("cid").alias("cell"), "cell_rank")
+    )
+    nps = spark.createDataFrame(
+        [(np_,) for np_ in IVF_CURVE_NPROBES], "nprobe long"
+    )
+    wiv = Window.partitionBy("nprobe", "qid").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    ivf_top = (
+        scored.join(assign, "vec_id")
+        .join(probes, ["qid", "cell"])
+        .crossJoin(F.broadcast(nps))
+        .filter(F.col("cell_rank") <= F.col("nprobe"))
+        .withColumn("_r", F.row_number().over(wiv))
+        .filter(F.col("_r") <= IVF_CURVE_K)
+        .select("nprobe", "qid", "vec_id")
+    )
+    hits = ivf_top.join(bf, ["qid", "vec_id"]).groupBy("nprobe").agg(
+        F.count("*").cast("long").alias("hits")
+    )
+    denom = float(IVF_CURVE_K * IVF_CURVE_QUERIES)
+    return (
+        nps.join(F.broadcast(hits), "nprobe", "left")
+        .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0)))
+        .select(
+            "nprobe",
+            "hits",
+            F.round(F.col("hits").cast("double") / denom, 6).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("nprobe")
+    )
+
+
+O_IVF_TUNING_CURVE = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           WHERE vec_id < 8),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id < {IVF_CURVE_QUERIES}),
+assign AS (SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cid AS cell,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY {_cos_sql("e.embedding", "c.cv")} DESC,
+                               c.cid ASC) AS r
+             FROM embeddings e CROSS JOIN c) WHERE r = 1),
+scored AS (SELECT q.qid, e.vec_id,
+                  round({_cos_sql("e.embedding", "q.qe")}, 6) AS score
+           FROM embeddings e CROSS JOIN q),
+bf AS (SELECT qid, vec_id FROM (
+         SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+           ORDER BY score DESC, vec_id ASC) AS r FROM scored)
+       WHERE r <= {IVF_CURVE_K}),
+probes AS (SELECT qid, cid AS cell,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY {_cos_sql("c.cv", "q.qe")} DESC, cid ASC)
+                    AS cell_rank
+           FROM c CROSS JOIN q),
+nps AS (SELECT unnest({IVF_CURVE_NPROBES}) AS nprobe),
+ivf_top AS (SELECT nprobe, qid, vec_id FROM (
+              SELECT nps.nprobe, s.qid, s.vec_id,
+                     row_number() OVER (PARTITION BY nps.nprobe, s.qid
+                       ORDER BY s.score DESC, s.vec_id ASC) AS r
+              FROM scored s
+              JOIN assign a ON a.vec_id = s.vec_id
+              JOIN probes p ON p.qid = s.qid AND p.cell = a.cell
+              CROSS JOIN nps
+              WHERE p.cell_rank <= nps.nprobe)
+            WHERE r <= {IVF_CURVE_K}),
+hits AS (SELECT nprobe, count(*)::bigint AS hits
+         FROM ivf_top JOIN bf USING (qid, vec_id) GROUP BY 1)
+SELECT nprobe, coalesce(hits, 0)::bigint AS hits,
+       round(coalesce(hits, 0)::double
+             / {float(IVF_CURVE_K * IVF_CURVE_QUERIES)!r}, 6)
+         AS recall_at_10
+FROM nps LEFT JOIN hits USING (nprobe) ORDER BY nprobe
 """
 
 
@@ -16277,6 +16608,9 @@ REGISTRY: dict[str, tuple] = {
     "pl2_topk": (q_pl2_topk, O_PL2_TOPK),
     "dph_topk": (q_dph_topk, O_DPH_TOPK),
     "holt_forecast": (q_holt_forecast, O_HOLT_FORECAST),
+    "ivf_tuning_curve": (q_ivf_tuning_curve, O_IVF_TUNING_CURVE),
+    "rocchio_topk": (q_rocchio_topk, O_ROCCHIO_TOPK),
+    "semantic_percolate": (q_semantic_percolate, O_SEMANTIC_PERCOLATE),
     "cust_order_dist": (q_cust_order_dist, O_CUST_ORDER_DIST),
     "sales_opportunity": (q_sales_opportunity, O_SALES_OPPORTUNITY),
     "extractive_summary": (q_extractive_summary, O_EXTRACTIVE_SUMMARY),
@@ -16350,6 +16684,7 @@ _DRIVER_ORDER = [
     "triangle_count", "pl2_topk", "dph_topk", "holt_forecast",
     "label_propagation", "mutual_info_terms", "bh_significant_terms",
     "cust_order_dist", "sales_opportunity", "extractive_summary",
+    "ivf_tuning_curve", "rocchio_topk", "semantic_percolate",
     "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
