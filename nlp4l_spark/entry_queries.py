@@ -6328,6 +6328,92 @@ LIMIT 10
 """
 
 
+BQ_CAND = 30
+BQ_K = 10
+
+
+def q_ann_bq_topk(spark, sf_dir):
+    """Binary-quantized ANN (the 1-bit RaBitQ/BQ recipe every vector
+    store ships as its cheapest tier): each 64-dim vector packs into
+    ONE int64 sign code (bit i set ⟺ component i > 0 — 32× smaller
+    than float32), candidates come from Hamming distance
+    bit_count(xor(code, qcode)) — pure 2-instruction JVM arithmetic —
+    and the top-{BQ_CAND} Hamming candidates rerank by exact cosine
+    for the final top-{BQ_K}. Deterministic: codes are exact integers,
+    Hamming ties break vec_id-asc, rerank selects on 6dp-rounded
+    cosine. The 64 sign bits pack as TWO 32-bit words (bitwise-OR
+    fold) — a single int64 would need 1<<63, which DuckDB's checked
+    shift rejects; two words keep both engines in safe positive range
+    and the Hamming sum is still two xor+popcounts. Plan: the full
+    scan computes two longs per vector; only {BQ_CAND} vectors ever
+    touch float math."""
+    emb = _embeddings(spark, sf_dir)
+
+    def word(lo: int):
+        bits = F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                (x > 0) & (i >= lo) & (i < lo + 32),
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), i - lo
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(
+            bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
+        )
+
+    coded = emb.select(
+        "vec_id", "embedding", word(0).alias("c0"), word(32).alias("c1")
+    )
+    qrow = coded.filter(F.col("vec_id") == 0).select(
+        F.col("c0").alias("q0"),
+        F.col("c1").alias("q1"),
+        F.col("embedding").alias("qe"),
+    )
+    withq = coded.crossJoin(F.broadcast(qrow))
+    ham = F.bit_count(F.col("c0").bitwiseXOR(F.col("q0"))) + F.bit_count(
+        F.col("c1").bitwiseXOR(F.col("q1"))
+    )
+    cand = (
+        withq.withColumn("hamming", ham.cast("long"))
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(BQ_CAND)
+    )
+    cos = F.round(_cos_cols(F.col("embedding"), F.col("qe")), 6)
+    return (
+        cand.withColumn("cosine", cos)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(BQ_K)
+        .select("vec_id", "hamming", "cosine")
+    )
+
+
+O_ANN_BQ_TOPK = f"""
+WITH coded AS (SELECT vec_id, embedding,
+                 list_aggregate(list_transform(range(1, 33),
+                   i -> CASE WHEN embedding[i] > 0
+                        THEN (1::bigint << (i - 1)) ELSE 0::bigint END),
+                   'bit_or') AS c0,
+                 list_aggregate(list_transform(range(33, 65),
+                   i -> CASE WHEN embedding[i] > 0
+                        THEN (1::bigint << (i - 33)) ELSE 0::bigint END),
+                   'bit_or') AS c1
+               FROM embeddings),
+q AS (SELECT c0 AS q0, c1 AS q1, embedding AS qe FROM coded
+      WHERE vec_id = 0),
+cand AS (SELECT vec_id, embedding,
+                (bit_count(xor(c0, q0)) + bit_count(xor(c1, q1)))::bigint
+                  AS hamming, qe
+         FROM coded CROSS JOIN q
+         ORDER BY hamming ASC, vec_id ASC LIMIT {BQ_CAND})
+SELECT vec_id, hamming,
+       round({_cos_sql("embedding", "qe")}, 6) AS cosine
+FROM cand
+ORDER BY cosine DESC, vec_id ASC LIMIT {BQ_K}
+"""
+
+
 SEM_PERC_TAU = 0.4
 
 
@@ -14635,6 +14721,195 @@ ORDER BY score DESC, doc_id ASC LIMIT {SUMBASIC_TOP}
 """
 
 
+def q_rollup_sales(spark, sf_dir):
+    """OLAP ROLLUP twin (the hierarchical-subtotal surface — Spark's
+    rollup() operator vs SQL GROUP BY ROLLUP): exact-cents revenue and
+    counts at (returnflag, linestatus), per-flag subtotal, and grand
+    total in ONE pass — one shuffle produces all three levels (Spark
+    expands grouping sets map-side, it never re-scans per level). NULL
+    group keys are coalesced to 'ALL' and disambiguated by
+    grouping_id, so a real NULL could never collide."""
+    li = _lineitem(spark, sf_dir)
+    rev_c = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    return (
+        li.select("l_returnflag", "l_linestatus", rev_c.alias("_r"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.sum("_r").cast("double") / 10000.0, 6).alias(
+                "revenue"
+            ),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n_items",
+            "revenue",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+O_ROLLUP_SALES = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       grouping(l_returnflag, l_linestatus)::bigint AS gid,
+       count(*)::bigint AS n_items,
+       round(sum(round(l_extendedprice * 100)::bigint
+                 * (100 - round(l_discount * 100)::bigint))::double
+             / 10000.0, 6) AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, returnflag, linestatus
+"""
+
+
+def q_cube_activity(spark, sf_dir):
+    """OLAP CUBE twin (all 2² marginal combinations in one pass —
+    Spark's cube() operator vs SQL GROUP BY CUBE): event count and
+    exact-cents value sum at (event_type, weekday), each single-axis
+    marginal, and the grand total. Weekday = epoch-day mod 7 (the
+    repo's timezone-free convention); NULL keys coalesce to sentinel
+    values with grouping_id disambiguation."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        (F.floor(sec / 86400) % 7).cast("long").alias("dow"),
+        cents.alias("_c"),
+    )
+    return (
+        e.cube("event_type", "dow")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").cast("long").alias("cnt"),
+            F.round(F.sum("_c").cast("double") / 100.0, 6).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dow"), F.lit(-1)).alias("dow"),
+            "gid",
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("gid", "event_type", "dow")
+    )
+
+
+O_CUBE_ACTIVITY = """
+WITH e AS (SELECT event_type,
+                  (floor(floor(epoch(ts))::bigint / 86400) % 7)::bigint
+                    AS dow,
+                  round(value * 100)::bigint AS c
+           FROM events)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(dow, -1)::bigint AS dow,
+       grouping(event_type, dow)::bigint AS gid,
+       count(*)::bigint AS cnt,
+       round(sum(c)::double / 100.0, 6) AS sum_value
+FROM e
+GROUP BY CUBE (event_type, dow)
+ORDER BY gid, event_type, dow
+"""
+
+
+WEAK_LFS = [
+    ("lf_join", "join", "db"),
+    ("lf_vector", "vector", "ml"),
+    ("lf_stream", "stream", "infra"),
+    ("lf_slow", "slow", "perf"),
+]
+
+
+def q_weak_labels(spark, sf_dir):
+    """Weak-supervision labeling-function analysis (the Snorkel LF
+    summary panel a programmatic-labeling pipeline prints before
+    training the label model): each LF fires a label when its trigger
+    term is present; per LF report coverage (share of docs fired),
+    overlap (fired docs where ≥1 OTHER LF also fired), and conflict
+    (fired docs where another LF voted a DIFFERENT label — here every
+    LF maps to a distinct label, so overlap = conflict structurally;
+    both are reported because the panel's contract has both). Shares
+    are exact integer-count ratios over the corpus size. Plan: ONE
+    tokenize scan emits all LF fire flags as codegen booleans; the
+    stats are a single 4-row aggregate — LFs scale as columns, not
+    scans."""
+    toks = STANDARD_ANALYZER.tokens_expr("text")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        *[
+            F.array_contains(toks, term).alias(name)
+            for name, term, _ in WEAK_LFS
+        ],
+    )
+    nn = F.lit(float(_docs(spark, sf_dir).count()))
+    n_fired = sum(
+        F.col(name).cast("int") for name, _, _ in WEAK_LFS
+    )
+    d = d.withColumn("_nf", n_fired)
+    rows = []
+    for name, term, label in WEAK_LFS:
+        fired = F.col(name)
+        rows.append(
+            d.agg(
+                F.max(F.lit(name)).alias("lf"),
+                F.max(F.lit(label)).alias("label"),
+                F.sum(fired.cast("long")).alias("_n"),
+                F.sum(
+                    (fired & (F.col("_nf") >= 2)).cast("long")
+                ).alias("_ov"),
+            )
+        )
+    from functools import reduce
+
+    stats = reduce(lambda a, b: a.unionAll(b), rows)
+    return stats.select(
+        "lf",
+        "label",
+        F.col("_n").cast("long").alias("n_fired"),
+        F.round(F.col("_n") / nn, 6).alias("coverage"),
+        F.round(F.col("_ov") / nn, 6).alias("overlap"),
+        F.round(F.col("_ov") / nn, 6).alias("conflict"),
+    ).orderBy("lf")
+
+
+def _o_weak_labels() -> str:
+    flag_cols = ",\n       ".join(
+        f"list_contains({TOK_SQL}, '{term}') AS {name}"
+        for name, term, _ in WEAK_LFS
+    )
+    nf = " + ".join(f"{name}::int" for name, _, _ in WEAK_LFS)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS lf, '{label}' AS label,"
+        f" sum({name}::int)::bigint AS n_fired,"
+        f" round(sum({name}::int)::double / max(nn), 6) AS coverage,"
+        f" round(sum(({name} AND nf >= 2)::int)::double / max(nn), 6)"
+        f" AS overlap,"
+        f" round(sum(({name} AND nf >= 2)::int)::double / max(nn), 6)"
+        f" AS conflict"
+        f" FROM d CROSS JOIN nd"
+        for name, _, label in WEAK_LFS
+    )
+    return f"""
+WITH d0 AS (SELECT doc_id,
+       {flag_cols}
+     FROM documents),
+d AS (SELECT *, {nf} AS nf FROM d0),
+nd AS (SELECT count(*)::double AS nn FROM documents)
+SELECT * FROM ({arms}) ORDER BY lf
+"""
+
+
+O_WEAK_LABELS = _o_weak_labels()
+
+
 # --------------------------------------------------------------------- #
 # ES pipeline-aggregation twins (cumulative_sum, stats_bucket,
 # percentiles_bucket) + classical-statistics twins (one-way ANOVA,
@@ -16611,6 +16886,10 @@ REGISTRY: dict[str, tuple] = {
     "ivf_tuning_curve": (q_ivf_tuning_curve, O_IVF_TUNING_CURVE),
     "rocchio_topk": (q_rocchio_topk, O_ROCCHIO_TOPK),
     "semantic_percolate": (q_semantic_percolate, O_SEMANTIC_PERCOLATE),
+    "ann_bq_topk": (q_ann_bq_topk, O_ANN_BQ_TOPK),
+    "rollup_sales": (q_rollup_sales, O_ROLLUP_SALES),
+    "cube_activity": (q_cube_activity, O_CUBE_ACTIVITY),
+    "weak_labels": (q_weak_labels, O_WEAK_LABELS),
     "cust_order_dist": (q_cust_order_dist, O_CUST_ORDER_DIST),
     "sales_opportunity": (q_sales_opportunity, O_SALES_OPPORTUNITY),
     "extractive_summary": (q_extractive_summary, O_EXTRACTIVE_SUMMARY),
@@ -16685,6 +16964,7 @@ _DRIVER_ORDER = [
     "label_propagation", "mutual_info_terms", "bh_significant_terms",
     "cust_order_dist", "sales_opportunity", "extractive_summary",
     "ivf_tuning_curve", "rocchio_topk", "semantic_percolate",
+    "ann_bq_topk", "rollup_sales", "cube_activity", "weak_labels",
     "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
