@@ -309,6 +309,39 @@ EXTRA_QUERIES = [
     "psi_drift",
     "seasonal_decompose",
     "behavior_entropy",
+    # session-12 surface
+    "revenue_change",
+    "returned_items",
+    "promo_revenue",
+    "top_supplier",
+    "large_orders",
+    "brand_revenue",
+    "cust_order_dist",
+    "sales_opportunity",
+    "rollup_sales",
+    "cube_activity",
+    "cumulative_sum_daily",
+    "stats_bucket",
+    "percentiles_bucket",
+    "anova_value",
+    "cramers_v",
+    "spearman_qty_price",
+    "acf_daily",
+    "holt_forecast",
+    "triangle_count",
+    "label_propagation",
+    "mutual_info_terms",
+    "bh_significant_terms",
+    "pl2_topk",
+    "dph_topk",
+    "rocchio_topk",
+    "ivf_tuning_curve",
+    "ann_bq_topk",
+    "semantic_percolate",
+    "extractive_summary",
+    "weak_labels",
+    "ab_test_zscore",
+    "markov_accuracy",
 ]
 
 

@@ -14910,6 +14910,192 @@ SELECT * FROM ({arms}) ORDER BY lf
 O_WEAK_LABELS = _o_weak_labels()
 
 
+def q_ab_test_zscore(spark, sf_dir):
+    """A/B experiment readout (the Welch z-test on a per-user metric —
+    the experimentation-platform panel): users split into arms by the
+    repo's seeded md5-hash bucket (reproducible assignment — the
+    dp_counts/random_score determinism trick), metric = the user's
+    TOTAL event value, z = (x̄A−x̄B)/√(s²A/nA + s²B/nB). Total (not
+    mean) keeps every per-arm moment an exact int64 cent sum — a
+    per-user mean would make the arm aggregation an order-dependent
+    float fold — and every fixture user converts, so a proportion test
+    is degenerate; a value test has real variance. Both engines run
+    identical float ops on identical integers; |z| ≥ 1.96 flags 5%
+    two-sided significance (the fixture assigns uniformly, so the
+    honest expectation is non-significant)."""
+    h32 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    users = (
+        _events(spark, sf_dir)
+        .select("user_id", cents.alias("_c"))
+        .groupBy("user_id")
+        .agg(F.sum("_c").alias("x"))
+        .select((h32 % 2).alias("arm"), "x")
+    )
+    g = users.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    wide = g.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("s"))).alias("s_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("q"))).alias("q_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("s"))).alias("s_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("q"))).alias("q_b"),
+    )
+    ma = F.col("s_a") / F.col("n_a")
+    mb = F.col("s_b") / F.col("n_b")
+    va = (F.col("q_a") - F.col("s_a") * ma) / (F.col("n_a") - 1)
+    vb = (F.col("q_b") - F.col("s_b") * mb) / (F.col("n_b") - 1)
+    z = (ma - mb) / F.sqrt(va / F.col("n_a") + vb / F.col("n_b"))
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(ma / 100.0, 6).alias("mean_a"),
+        F.round(mb / 100.0, 6).alias("mean_b"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(F.round(z, 6)) >= 1.96).alias("significant"),
+    )
+
+
+O_AB_TEST_ZSCORE = """
+WITH u AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::bigint % 2
+                    AS arm,
+                  sum(round(value * 100)::bigint)::bigint AS x
+           FROM events GROUP BY user_id),
+g AS (SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::bigint AS n_a,
+             sum(CASE WHEN arm = 0 THEN x ELSE 0 END)::bigint AS s_a,
+             sum(CASE WHEN arm = 0 THEN x * x ELSE 0 END)::bigint AS q_a,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::bigint AS n_b,
+             sum(CASE WHEN arm = 1 THEN x ELSE 0 END)::bigint AS s_b,
+             sum(CASE WHEN arm = 1 THEN x * x ELSE 0 END)::bigint AS q_b
+      FROM u)
+SELECT n_a, n_b,
+       round(s_a::double / n_a / 100.0, 6) AS mean_a,
+       round(s_b::double / n_b / 100.0, 6) AS mean_b,
+       round((s_a::double / n_a - s_b::double / n_b)
+             / sqrt(((q_a - s_a * (s_a::double / n_a)) / (n_a - 1)) / n_a
+                    + ((q_b - s_b * (s_b::double / n_b)) / (n_b - 1))
+                      / n_b), 6)
+         AS z_score,
+       (abs(round((s_a::double / n_a - s_b::double / n_b)
+             / sqrt(((q_a - s_a * (s_a::double / n_a)) / (n_a - 1)) / n_a
+                    + ((q_b - s_b * (s_b::double / n_b)) / (n_b - 1))
+                      / n_b), 6))
+        >= 1.96) AS significant
+FROM g
+"""
+
+
+MARKOV_SPLIT_DAY_OFFSET = 20
+
+
+def q_markov_accuracy(spark, sf_dir):
+    """First-order Markov next-event prediction with a temporal
+    train/test split (the sanity baseline before any sequence model):
+    per-user consecutive event pairs, a transition belonging to its
+    SECOND event's day; train = first {MARKOV_SPLIT_DAY_OFFSET} days,
+    test = the rest. The model is argmax count next-type per prev-type
+    (tie: type asc, rounded-count-free — counts are exact ints);
+    accuracy = correct test transitions / test transitions whose prev
+    state was seen in training. One user-keyed lag window + two
+    transition-matrix-sized aggregates — the matrix is |types|²,
+    never data-sized."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("_t", "event_id")
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        sec.alias("_t"),
+        F.floor(sec / 86400).cast("long").alias("_day"),
+    )
+    trans = e.select(
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("nxt"),
+        "_day",
+    ).filter(F.col("prev").isNotNull())
+    d0 = trans.agg(F.min("_day").alias("_d0"))
+    t2 = trans.crossJoin(F.broadcast(d0)).withColumn(
+        "is_train",
+        F.col("_day") < F.col("_d0") + MARKOV_SPLIT_DAY_OFFSET,
+    )
+    train_counts = (
+        t2.filter("is_train")
+        .groupBy("prev", "nxt")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wbest = Window.partitionBy("prev").orderBy(
+        F.desc("c"), F.asc("nxt")
+    )
+    model = (
+        train_counts.withColumn("_r", F.row_number().over(wbest))
+        .filter(F.col("_r") == 1)
+        .select("prev", F.col("nxt").alias("pred"))
+    )
+    test = t2.filter(~F.col("is_train"))
+    scored = test.join(F.broadcast(model), "prev", "left")
+    totals = t2.agg(
+        F.sum(F.col("is_train").cast("long")).alias("n_train"),
+        F.sum((~F.col("is_train")).cast("long")).alias("n_test"),
+    )
+    return totals.crossJoin(
+        scored.agg(
+            F.sum(F.col("pred").isNotNull().cast("long")).alias(
+                "n_scored"
+            ),
+            F.sum(
+                (F.col("pred") == F.col("nxt")).cast("long")
+            ).alias("n_correct"),
+        )
+    ).select(
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.col("n_scored").cast("long").alias("n_scored"),
+        F.col("n_correct").cast("long").alias("n_correct"),
+        F.round(
+            F.col("n_correct").cast("double") / F.col("n_scored"), 6
+        ).alias("accuracy"),
+    )
+
+
+O_MARKOV_ACCURACY = f"""
+WITH e AS (SELECT user_id, event_id, event_type,
+                  floor(epoch(ts))::bigint AS t,
+                  floor(floor(epoch(ts))::bigint / 86400)::bigint AS day
+           FROM events),
+tr AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+                ORDER BY t, event_id) AS prev,
+              event_type AS nxt, day
+       FROM e),
+t1 AS (SELECT * FROM tr WHERE prev IS NOT NULL),
+d0 AS (SELECT min(day) AS d0 FROM t1),
+t2 AS (SELECT prev, nxt,
+              (day < d0 + {MARKOV_SPLIT_DAY_OFFSET}) AS is_train
+       FROM t1 CROSS JOIN d0),
+tc AS (SELECT prev, nxt, count(*)::bigint AS c FROM t2
+       WHERE is_train GROUP BY 1, 2),
+model AS (SELECT prev, nxt AS pred FROM (
+            SELECT prev, nxt, row_number() OVER (PARTITION BY prev
+              ORDER BY c DESC, nxt ASC) AS r FROM tc) WHERE r = 1),
+tot AS (SELECT sum(is_train::int)::bigint AS n_train,
+               sum((NOT is_train)::int)::bigint AS n_test
+        FROM t2),
+sc AS (SELECT sum((pred IS NOT NULL)::int)::bigint AS n_scored,
+              sum((pred = nxt)::int)::bigint AS n_correct
+       FROM (SELECT t2.nxt, model.pred
+             FROM t2 LEFT JOIN model ON model.prev = t2.prev
+             WHERE NOT is_train))
+SELECT n_train, n_test, n_scored, n_correct,
+       round(n_correct::double / n_scored, 6) AS accuracy
+FROM tot CROSS JOIN sc
+"""
+
+
 # --------------------------------------------------------------------- #
 # ES pipeline-aggregation twins (cumulative_sum, stats_bucket,
 # percentiles_bucket) + classical-statistics twins (one-way ANOVA,
@@ -16890,6 +17076,8 @@ REGISTRY: dict[str, tuple] = {
     "rollup_sales": (q_rollup_sales, O_ROLLUP_SALES),
     "cube_activity": (q_cube_activity, O_CUBE_ACTIVITY),
     "weak_labels": (q_weak_labels, O_WEAK_LABELS),
+    "ab_test_zscore": (q_ab_test_zscore, O_AB_TEST_ZSCORE),
+    "markov_accuracy": (q_markov_accuracy, O_MARKOV_ACCURACY),
     "cust_order_dist": (q_cust_order_dist, O_CUST_ORDER_DIST),
     "sales_opportunity": (q_sales_opportunity, O_SALES_OPPORTUNITY),
     "extractive_summary": (q_extractive_summary, O_EXTRACTIVE_SUMMARY),
@@ -16965,6 +17153,7 @@ _DRIVER_ORDER = [
     "cust_order_dist", "sales_opportunity", "extractive_summary",
     "ivf_tuning_curve", "rocchio_topk", "semantic_percolate",
     "ann_bq_topk", "rollup_sales", "cube_activity", "weak_labels",
+    "ab_test_zscore", "markov_accuracy",
     "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
