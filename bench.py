@@ -342,6 +342,9 @@ EXTRA_QUERIES = [
     "weak_labels",
     "ab_test_zscore",
     "markov_accuracy",
+    "ols_discount_qty",
+    "rfm_segments",
+    "kaplan_meier",
 ]
 
 

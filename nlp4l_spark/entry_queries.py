@@ -15096,6 +15096,289 @@ FROM tot CROSS JOIN sc
 """
 
 
+def q_ols_discount_qty(spark, sf_dir):
+    """Simple OLS regression twin (the missing member of the stats
+    family next to correlation/ANOVA): quantity regressed on discount
+    percent over lineitem — slope, intercept, and r², all from the five
+    exact int64 sums (n, Σx, Σy, Σxy, Σx², Σy²) of integer-cast
+    columns, so both engines run identical float ops on identical
+    integers. ONE map-side-combined aggregate over the fact scan; the
+    closed form needs no iteration."""
+    li = _lineitem(spark, sf_dir)
+    x = F.round(F.col("l_discount") * 100).cast("long")
+    y = F.round(F.col("l_quantity")).cast("long")
+    s = li.select(x.alias("x"), y.alias("y")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    denx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    slope = num / denx
+    intercept = (F.col("sy") - slope * F.col("sx")) / nd
+    return s.select(
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(num * num / (denx * deny), 6).alias("r2"),
+    )
+
+
+O_OLS_DISCOUNT_QTY = """
+WITH s AS (SELECT count(*)::bigint AS n,
+                  sum(round(l_discount * 100)::bigint)::bigint AS sx,
+                  sum(round(l_quantity)::bigint)::bigint AS sy,
+                  sum(round(l_discount * 100)::bigint
+                      * round(l_quantity)::bigint)::bigint AS sxy,
+                  sum(round(l_discount * 100)::bigint
+                      * round(l_discount * 100)::bigint)::bigint AS sxx,
+                  sum(round(l_quantity)::bigint
+                      * round(l_quantity)::bigint)::bigint AS syy
+           FROM lineitem)
+SELECT n,
+       round((n::double * sxy - sx::double * sy)
+             / (n::double * sxx - sx::double * sx), 6) AS slope,
+       round((sy - ((n::double * sxy - sx::double * sy)
+                    / (n::double * sxx - sx::double * sx)) * sx)
+             / n::double, 6) AS intercept,
+       round((n::double * sxy - sx::double * sy)
+             * (n::double * sxy - sx::double * sy)
+             / ((n::double * sxx - sx::double * sx)
+                * (n::double * syy - sy::double * sy)), 6) AS r2
+FROM s
+"""
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation (the classic marketing rollup): per user,
+    Recency = days since last purchase (vs the window end), Frequency =
+    purchase count, Monetary = exact purchase cents; each scored 1–3 by
+    comparison against the metric's exact interpolated tercile edges
+    (1 = best: low recency, high frequency/monetary). Edge-based
+    scoring — NOT ntile — because ntile needs a single-partition global
+    window over the user dimension, which grows with the data; the
+    edges are a 1-row broadcast and the scoring is a codegen
+    comparison, so the plan stays distributed at any user count.
+    Output: segment counts with average monetary (exact cents)."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.floor(sec / 86400).cast("long").alias("_day"),
+        cents.alias("_c"),
+    )
+    maxday = e.agg(F.max("_day").alias("_maxd"))
+    u = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("_day").alias("_last"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum("_c").alias("monetary_c"),
+        )
+        .crossJoin(F.broadcast(maxday))
+        .withColumn("recency_d", F.col("_maxd") - F.col("_last"))
+    )
+    edges = u.agg(
+        *[
+            F.round(F.expr(f"percentile({c}, {q}D)"), 6).alias(
+                f"_{c}_{int(q * 100)}"
+            )
+            for c in ("recency_d", "frequency", "monetary_c")
+            for q in (1.0 / 3.0, 2.0 / 3.0)
+        ]
+    )
+
+    def score(c, asc):
+        lo, hi = F.col(f"_{c}_33"), F.col(f"_{c}_66")
+        v = F.col(c).cast("double")
+        if asc:  # low = best (recency)
+            return (
+                F.lit(1)
+                + (v > lo).cast("long")
+                + (v > hi).cast("long")
+            )
+        return (
+            F.lit(1) + (v < hi).cast("long") + (v < lo).cast("long")
+        )
+
+    scored = u.crossJoin(F.broadcast(edges)).select(
+        "user_id",
+        "monetary_c",
+        score("recency_d", True).alias("r"),
+        score("frequency", False).alias("f"),
+        score("monetary_c", False).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.round(
+                F.sum("monetary_c").cast("double")
+                / F.count("*")
+                / 100.0,
+                6,
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+O_RFM_SEGMENTS = """
+WITH e AS (SELECT user_id, event_type,
+                  floor(floor(epoch(ts))::bigint / 86400)::bigint AS day,
+                  round(value * 100)::bigint AS c
+           FROM events),
+md AS (SELECT max(day) AS maxd FROM e),
+u AS (SELECT user_id, maxd - max(day) AS recency_d,
+             count(*)::bigint AS frequency,
+             sum(c)::bigint AS monetary_c
+      FROM e CROSS JOIN md WHERE event_type = 'purchase'
+      GROUP BY user_id, maxd),
+edges AS (SELECT
+            round(quantile_cont(recency_d, 1.0/3.0), 6) AS r33,
+            round(quantile_cont(recency_d, 2.0/3.0), 6) AS r66,
+            round(quantile_cont(frequency, 1.0/3.0), 6) AS f33,
+            round(quantile_cont(frequency, 2.0/3.0), 6) AS f66,
+            round(quantile_cont(monetary_c, 1.0/3.0), 6) AS m33,
+            round(quantile_cont(monetary_c, 2.0/3.0), 6) AS m66
+          FROM u),
+scored AS (SELECT user_id, monetary_c,
+             (1 + (recency_d::double > r33)::int
+                + (recency_d::double > r66)::int)::bigint AS r,
+             (1 + (frequency::double < f66)::int
+                + (frequency::double < f33)::int)::bigint AS f,
+             (1 + (monetary_c::double < m66)::int
+                + (monetary_c::double < m33)::int)::bigint AS m
+           FROM u CROSS JOIN edges)
+SELECT r, f, m, count(*)::bigint AS n_users,
+       round(sum(monetary_c)::double / count(*) / 100.0, 6)
+         AS avg_monetary
+FROM scored GROUP BY 1, 2, 3 ORDER BY r, f, m
+"""
+
+
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan–Meier survival curve of inter-purchase time (the churn
+    panel's 'how long until the next purchase, censoring included'):
+    observations are per-user consecutive-purchase gaps in days (event,
+    d=1) plus each user's open gap from the last purchase to the window
+    end (right-censored). At each distinct event time t,
+    S(t) = Π(1 − d_i/n_i) folds as exp of a running Σln over the
+    time-ORDERED risk table — a cumulative window in a total order is
+    sequential on both engines, so the float fold is order-pinned.
+    n_risk/d counts are exact integers; the risk table is
+    distinct-gap-sized, never event-sized."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(sec / 86400).cast("long").alias("_day"),
+    )
+    maxday = e.agg(F.max("_day").alias("_maxd"))
+    p = e.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("_day", "event_id")
+    gaps = p.select(
+        "user_id",
+        (F.col("_day") - F.lag("_day").over(w)).alias("t"),
+    ).filter(F.col("t").isNotNull()).select(
+        "t", F.lit(1).alias("observed")
+    )
+    last = p.groupBy("user_id").agg(F.max("_day").alias("_last"))
+    censored = (
+        last.crossJoin(F.broadcast(maxday))
+        .select(
+            (F.col("_maxd") - F.col("_last")).alias("t"),
+            F.lit(0).alias("observed"),
+        )
+    )
+    obs = gaps.unionAll(censored)
+    risk = (
+        obs.groupBy("t")
+        .agg(
+            F.count("*").cast("long").alias("n_at_t"),
+            F.sum("observed").cast("long").alias("d"),
+        )
+    )
+    wt = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = obs.count()
+    risk2 = risk.withColumn(
+        "n_risk",
+        F.lit(total)
+        - F.coalesce(
+            F.sum("n_at_t").over(
+                Window.orderBy("t").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    # d == n_risk can only happen on the LAST risk row (after it the
+    # risk set is empty); there S(t) = 0 exactly — guard the ln.
+    lnterm = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    surv = risk2.filter(F.col("d") > 0).withColumn(
+        "survival",
+        F.when(F.col("d") == F.col("n_risk"), F.lit(0.0)).otherwise(
+            F.round(F.exp(F.sum(lnterm).over(wcum)), 6)
+        ),
+    )
+    _ = wt
+    return surv.select(
+        F.col("t").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        "d",
+        "survival",
+    ).orderBy("t_days")
+
+
+O_KAPLAN_MEIER = """
+WITH e AS (SELECT user_id, event_id, event_type,
+                  floor(floor(epoch(ts))::bigint / 86400)::bigint AS day
+           FROM events),
+md AS (SELECT max(day) AS maxd FROM e),
+p AS (SELECT user_id, event_id, day FROM e WHERE event_type = 'purchase'),
+gaps AS (SELECT t, 1 AS observed FROM (
+           SELECT day - lag(day) OVER (PARTITION BY user_id
+             ORDER BY day, event_id) AS t
+           FROM p) WHERE t IS NOT NULL),
+censored AS (SELECT maxd - max(day) AS t, 0 AS observed
+             FROM p CROSS JOIN md GROUP BY user_id, maxd),
+obs AS (SELECT * FROM gaps UNION ALL SELECT * FROM censored),
+tot AS (SELECT count(*)::bigint AS total FROM obs),
+risk AS (SELECT t, count(*)::bigint AS n_at_t,
+                sum(observed)::bigint AS d
+         FROM obs GROUP BY t),
+risk2 AS (SELECT t, d,
+                 total - coalesce(sum(n_at_t) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+          FROM risk CROSS JOIN tot)
+SELECT t AS t_days, n_risk::bigint AS n_risk, d,
+       CASE WHEN d = n_risk THEN 0.0 ELSE
+         round(exp(sum(CASE WHEN d < n_risk
+                       THEN ln(1 - d::double / n_risk) ELSE 0 END)
+                   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)), 6) END AS survival
+FROM risk2 WHERE d > 0 ORDER BY t_days
+"""
+
+
 # --------------------------------------------------------------------- #
 # ES pipeline-aggregation twins (cumulative_sum, stats_bucket,
 # percentiles_bucket) + classical-statistics twins (one-way ANOVA,
@@ -17078,6 +17361,9 @@ REGISTRY: dict[str, tuple] = {
     "weak_labels": (q_weak_labels, O_WEAK_LABELS),
     "ab_test_zscore": (q_ab_test_zscore, O_AB_TEST_ZSCORE),
     "markov_accuracy": (q_markov_accuracy, O_MARKOV_ACCURACY),
+    "ols_discount_qty": (q_ols_discount_qty, O_OLS_DISCOUNT_QTY),
+    "rfm_segments": (q_rfm_segments, O_RFM_SEGMENTS),
+    "kaplan_meier": (q_kaplan_meier, O_KAPLAN_MEIER),
     "cust_order_dist": (q_cust_order_dist, O_CUST_ORDER_DIST),
     "sales_opportunity": (q_sales_opportunity, O_SALES_OPPORTUNITY),
     "extractive_summary": (q_extractive_summary, O_EXTRACTIVE_SUMMARY),
@@ -17154,6 +17440,7 @@ _DRIVER_ORDER = [
     "ivf_tuning_curve", "rocchio_topk", "semantic_percolate",
     "ann_bq_topk", "rollup_sales", "cube_activity", "weak_labels",
     "ab_test_zscore", "markov_accuracy",
+    "ols_discount_qty", "rfm_segments", "kaplan_meier",
     "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
