@@ -345,6 +345,7 @@ EXTRA_QUERIES = [
     "ols_discount_qty",
     "rfm_segments",
     "kaplan_meier",
+    "index_highlight",
 ]
 
 

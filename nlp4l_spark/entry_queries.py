@@ -5422,6 +5422,91 @@ def _index_cache_dir(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"nlp4l_idx_{key}")
 
 
+HL_IDX_W = 8
+_STOP_SQL = ", ".join(
+    f"'{w}'" for w in sorted(STANDARD_ANALYZER.stopwords)
+)
+
+
+def q_index_highlight(spark, sf_dir):
+    """Index-served highlighting (Searcher.highlight_indexed): BM25
+    top-k via postings, snippets reconstructed ENTIRELY from the
+    term_vectors forward index — stored text never read, corpus never
+    re-tokenized; stopword holes stay holes (exactly Lucene's
+    offsets-from-postings highlight mode). The term_vectors stage is
+    resume-added to the cached index like pos_postings. Oracle:
+    identical window semantics recomputed from raw-stream token
+    positions with the analyzer's stop list applied."""
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.index.catalog import IndexCatalog
+    from nlp4l_spark.search import Searcher
+
+    idx = _index_cache_dir(sf_dir)
+    cat = IndexCatalog(idx)
+    if not cat.is_committed("term_vectors"):
+        IndexBuilder(
+            sort_cols=("doc_id",), store_term_vectors=True
+        ).build(_docs(spark, sf_dir), idx)
+    s = Searcher(spark, idx)
+    return s.highlight_indexed(BM25_QUERY, k=BM25_K, window=HL_IDX_W)
+
+
+O_INDEX_HIGHLIGHT = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id),
+top AS (SELECT doc_id, round(s, 6) AS score FROM sc
+        ORDER BY round(s, 6) DESC, doc_id ASC LIMIT {BM25_K}),
+ftq AS (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                 AS term,
+               generate_subscripts(
+                 regexp_extract_all(lower(text), '[a-z0-9]+'), 1) - 1
+                 AS pos
+        FROM documents),
+tvx AS (SELECT f.doc_id, f.term, f.pos
+        FROM ftq f JOIN top USING (doc_id)
+        WHERE f.term NOT IN ({_STOP_SQL})),
+qp AS (SELECT doc_id, pos AS p FROM tvx
+       WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})),
+cand AS (SELECT qp.doc_id, qp.p,
+                (SELECT count(DISTINCT t.term) FROM tvx t
+                 WHERE t.doc_id = qp.doc_id AND t.pos >= qp.p
+                   AND t.pos < qp.p + {HL_IDX_W}
+                   AND t.term IN
+                     ({", ".join(f"'{t}'" for t in BM25_TERMS)}))
+                  AS hits
+         FROM qp),
+best AS (SELECT doc_id, p, hits FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY hits DESC, p ASC) AS rn FROM cand)
+         WHERE rn = 1),
+snip AS (SELECT b.doc_id,
+                string_agg(
+                  CASE WHEN t.term IN
+                    ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+                  THEN upper(t.term) ELSE t.term END,
+                  ' ' ORDER BY t.pos) AS snippet
+         FROM best b JOIN tvx t
+           ON t.doc_id = b.doc_id AND t.pos >= b.p
+          AND t.pos < b.p + {HL_IDX_W}
+         GROUP BY b.doc_id)
+SELECT top.doc_id, top.score, best.p::bigint AS start_pos,
+       best.hits::bigint AS n_hits, snip.snippet
+FROM top JOIN best USING (doc_id) JOIN snip USING (doc_id)
+ORDER BY top.score DESC, top.doc_id ASC
+"""
+
+
 def q_index_bm25_topk(spark, sf_dir):
     """The real engine path: build (or reuse) the compressed posting-list
     index for the documents table, answer with block-max WAND."""
@@ -17364,6 +17449,7 @@ REGISTRY: dict[str, tuple] = {
     "ols_discount_qty": (q_ols_discount_qty, O_OLS_DISCOUNT_QTY),
     "rfm_segments": (q_rfm_segments, O_RFM_SEGMENTS),
     "kaplan_meier": (q_kaplan_meier, O_KAPLAN_MEIER),
+    "index_highlight": (q_index_highlight, O_INDEX_HIGHLIGHT),
     "cust_order_dist": (q_cust_order_dist, O_CUST_ORDER_DIST),
     "sales_opportunity": (q_sales_opportunity, O_SALES_OPPORTUNITY),
     "extractive_summary": (q_extractive_summary, O_EXTRACTIVE_SUMMARY),
@@ -17441,6 +17527,7 @@ _DRIVER_ORDER = [
     "ann_bq_topk", "rollup_sales", "cube_activity", "weak_labels",
     "ab_test_zscore", "markov_accuracy",
     "ols_discount_qty", "rfm_segments", "kaplan_meier",
+    "index_highlight",
     "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
     "cumulative_cardinality", "top_metrics", "intervals_ordered",

@@ -240,6 +240,109 @@ class Searcher:
             .select("term", "tf", "positions", "start_offsets", "end_offsets")
         )
 
+    def highlight_indexed(
+        self, query: str, k: int = 10, window: int = 8
+    ) -> DataFrame:
+        """Lucene UnifiedHighlighter served ENTIRELY from the index: BM25
+        top-k via the normal postings path, then the best snippet window
+        per hit reconstructed from the ``term_vectors`` forward index —
+        the stored text is never read and the corpus is never
+        re-tokenized. Candidate windows start AT a query-term hit
+        position (any max-coverage window can be shifted to one); window
+        score = distinct query terms within [p, p+window), ties earliest
+        p; matched terms render UPPERCASE (the em-tag stand-in), and
+        stopword holes stay holes (they were never indexed — exactly
+        what Lucene's offsets-from-postings highlighting mode sees).
+        Requires store_term_vectors=True.
+
+        Scale shape: top-k ids collect as k ints; the term_vectors read
+        is a pushed In(doc_id) point lookup on the doc-sorted table; all
+        window arithmetic is HOFs over k docs' position arrays — corpus
+        size never appears after the BM25 stage."""
+        qterms = sorted(set(self.analyzer.tokenize(query)))
+        top = self.search(query, k=k, method="dataframe").collect()
+        if not top:
+            return self.spark.createDataFrame(
+                [],
+                "doc_id long, score double, start_pos long, "
+                "n_hits long, snippet string",
+            )
+        ids = [int(r["doc_id"]) for r in top]
+        scores = {int(r["doc_id"]): float(r["score"]) for r in top}
+        tv = self.cat.read(self.spark, "term_vectors").filter(
+            F.col("doc_id").isin(ids)
+        )
+        pt = tv.select(
+            "doc_id", "term", F.explode("positions").alias("pos")
+        )
+        qarr = F.array(*[F.lit(t) for t in qterms])
+        agg = pt.groupBy("doc_id").agg(
+            F.array_sort(F.collect_list(F.struct("pos", "term"))).alias(
+                "_toks"
+            ),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.array_contains(qarr, F.col("term")),
+                        F.col("pos"),
+                    )
+                )
+            ).alias("_qpos"),
+        )
+
+        def wscore(p):
+            terms_in = F.transform(
+                F.filter(
+                    F.col("_toks"),
+                    lambda t: (t["pos"] >= p)
+                    & (t["pos"] < p + window)
+                    & F.array_contains(qarr, t["term"]),
+                ),
+                lambda t: t["term"],
+            )
+            return F.size(F.array_distinct(terms_in))
+
+        cands = F.transform(
+            F.col("_qpos"),
+            lambda p: F.struct(
+                wscore(p).alias("sc"), (-p).alias("negp")
+            ),
+        )
+        best = F.array_max(cands)
+        scored = agg.withColumn("_best", best).select(
+            "doc_id",
+            "_toks",
+            F.col("_best.sc").cast("long").alias("n_hits"),
+            (-F.col("_best.negp")).cast("long").alias("start_pos"),
+        )
+        snippet = F.array_join(
+            F.transform(
+                F.filter(
+                    F.col("_toks"),
+                    lambda t: (t["pos"] >= F.col("start_pos"))
+                    & (t["pos"] < F.col("start_pos") + window),
+                ),
+                lambda t: F.when(
+                    F.array_contains(qarr, t["term"]),
+                    F.upper(t["term"]),
+                ).otherwise(t["term"]),
+            ),
+            " ",
+        )
+        smap = F.create_map(
+            *[
+                x
+                for d, s in scores.items()
+                for x in (F.lit(d), F.lit(s))
+            ]
+        )
+        return (
+            scored.withColumn("snippet", snippet)
+            .withColumn("score", F.round(smap[F.col("doc_id")], 6))
+            .select("doc_id", "score", "start_pos", "n_hits", "snippet")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
     def explain(self, query: str, doc_id: int) -> dict:
         """Lucene IndexSearcher.explain parity: the per-term BM25 score
         breakdown for one (query, doc) pair. Returns ``{"doc_id", "score",

@@ -926,3 +926,23 @@ def test_triangle_count_no_cartesian(spark):
     plan = _plan(eq.REGISTRY["triangle_count"][0](spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_highlight_indexed_pushes_docid_lookup(spark, tmp_path):
+    """highlight_indexed's snippet stage must read term_vectors through a
+    pushed In(doc_id) point lookup and never touch the stored text table
+    — the forward-index highlighting contract."""
+    from nlp4l_spark.data.transcripts import synth_transcripts
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.search import Searcher
+
+    idx = str(tmp_path / "idx")
+    IndexBuilder(
+        sort_cols=("conv_id", "turn_idx"), store_term_vectors=True
+    ).build(synth_transcripts(spark, 400, num_partitions=4), idx)
+    df = Searcher(spark, idx).highlight_indexed("w00001 w00002", k=5)
+    plan = _plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("In(doc_id" in ln or "EqualTo(doc_id" in ln for ln in pushed), pushed
+    assert "stored" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -127,3 +127,45 @@ def test_pos_postings_table_decodes_to_exact_token_stream(spark, tmp_path):
     assert got == want
     for (term, doc), v in got_dl.items():
         assert v == dls[doc], (term, doc)
+
+
+def test_highlight_indexed_hand_checked(spark, tmp_path):
+    """highlight_indexed reconstructs the snippet ENTIRELY from the
+    forward index: hand-checkable window choice, UPPERCASE matched
+    terms, and stopword holes staying holes."""
+    from pyspark.sql import functions as F
+
+    docs = [
+        (0, "merge the vector and join the table join again"),
+        (1, "nothing relevant here at all"),
+        (2, "join join join far away padding padding padding padding vector"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("u").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    idx = str(tmp_path / "hlidx")
+    IndexBuilder(
+        sort_cols=("conv_id", "turn_idx"), store_term_vectors=True
+    ).build(df, idx)
+    s = Searcher(spark, idx)
+    rows = {
+        r["doc_id"]: r
+        for r in s.highlight_indexed("join vector", k=5, window=4).collect()
+    }
+    assert sorted(rows) == [0, 2]  # doc 1 matches nothing
+    # doc 0 token stream (stop holes): merge _ vector _ join _ table join
+    # -> positions: merge=0 vector=2 join=4 table=6 join=7
+    # windows start at query hits {2, 4, 7}; [2,6) covers vector+join = 2
+    r0 = rows[0]
+    assert r0["start_pos"] == 2 and r0["n_hits"] == 2
+    assert r0["snippet"] == "VECTOR JOIN"  # holes at 3 and 5 stay holes
+    # doc 2: join@0,1,2 vector@9; window=4 covers only one distinct term
+    # from any start -> earliest hit wins
+    r2 = rows[2]
+    assert r2["start_pos"] == 0 and r2["n_hits"] == 1
+    assert r2["snippet"] == "JOIN JOIN JOIN far"
