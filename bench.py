@@ -346,6 +346,9 @@ EXTRA_QUERIES = [
     "rfm_segments",
     "kaplan_meier",
     "index_highlight",
+    "theil_sen_trend",
+    "mann_kendall",
+    "assoc_rules",
 ]
 
 

@@ -15490,6 +15490,231 @@ O_DAILY_CTE = """d AS (
   FROM events GROUP BY 1)"""
 
 
+def q_theil_sen_trend(spark, sf_dir):
+    """Theil–Sen robust trend of the daily event count (the
+    outlier-immune alternative to the OLS slope a monitoring system
+    prefers): slope = median over ALL pairwise slopes
+    (c_j−c_i)/(day_j−day_i), i<j, intercept = median(c_i − slope·day_i).
+    The pair set is calendar², bounded at any corpus scale; every slope
+    is a ratio of exact integers so the interpolated medians are
+    float-identical across engines. Two histogram-sized self-joins, no
+    data-sized work after the day groupBy."""
+    daily = _daily_counts(spark, sf_dir)
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(b, F.col("b.day") > F.col("a.day")).select(
+        (
+            (F.col("b.cnt") - F.col("a.cnt")).cast("double")
+            / (F.col("b.day") - F.col("a.day"))
+        ).alias("slope")
+    )
+    med = slopes.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5D)").alias("_slope"),
+    )
+    resid = daily.crossJoin(F.broadcast(med)).select(
+        "n_pairs",
+        "_slope",
+        (F.col("cnt").cast("double") - F.col("_slope") * F.col("day")).alias(
+            "_r"
+        ),
+    )
+    return resid.groupBy("n_pairs", "_slope").agg(
+        F.expr("percentile(_r, 0.5D)").alias("_icpt")
+    ).select(
+        "n_pairs",
+        F.round("_slope", 6).alias("slope"),
+        F.round("_icpt", 6).alias("intercept"),
+    )
+
+
+O_THEIL_SEN_TREND = f"""
+WITH {O_DAILY_CTE},
+pairs AS (SELECT (b.cnt - a.cnt)::double / (b.day - a.day) AS slope
+          FROM d a JOIN d b ON b.day > a.day),
+med AS (SELECT count(*)::bigint AS n_pairs,
+               quantile_cont(slope, 0.5) AS slope
+        FROM pairs),
+resid AS (SELECT n_pairs, med.slope,
+                 cnt::double - med.slope * day AS r
+          FROM d CROSS JOIN med)
+SELECT n_pairs, round(slope, 6) AS slope,
+       round(quantile_cont(r, 0.5), 6) AS intercept
+FROM resid GROUP BY n_pairs, slope
+"""
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend test on the daily event count (the
+    non-parametric 'is this metric trending' gate, the inferential
+    sibling of theil_sen_trend): S = Σ_{{i<j}} sign(c_j − c_i), tie-
+    corrected variance [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, and the
+    continuity-corrected z. Everything is exact int64 until the final
+    z division; the pair join is calendar²-bounded. Verdict thresholds
+    at |z| ≥ 1.96 (5% two-sided)."""
+    daily = _daily_counts(spark, sf_dir)
+    a = daily.alias("a")
+    b = daily.alias("b")
+    s = a.join(b, F.col("b.day") > F.col("a.day")).agg(
+        F.sum(
+            F.signum(
+                (F.col("b.cnt") - F.col("a.cnt")).cast("double")
+            ).cast("long")
+        ).alias("s")
+    )
+    nrow = daily.agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        daily.groupBy("cnt")
+        .agg(F.count("*").cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t")
+                    * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("tt")
+        )
+    )
+    j = s.crossJoin(F.broadcast(nrow)).crossJoin(F.broadcast(ties))
+    var = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tt")
+    ).cast("double") / 18.0
+    z = F.when(
+        F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var)
+    ).when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var)).otherwise(
+        F.lit(0.0)
+    )
+    zr = F.round(z, 6)
+    return j.select(
+        "n",
+        "s",
+        F.round(var, 6).alias("var_s"),
+        zr.alias("z_score"),
+        F.when(zr >= 1.96, F.lit("increasing"))
+        .when(zr <= -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+O_MANN_KENDALL = f"""
+WITH {O_DAILY_CTE},
+sgn AS (SELECT sum(CASE WHEN b.cnt > a.cnt THEN 1
+                        WHEN b.cnt < a.cnt THEN -1 ELSE 0 END)::bigint
+          AS s
+        FROM d a JOIN d b ON b.day > a.day),
+nn AS (SELECT count(*)::bigint AS n FROM d),
+ties AS (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)::bigint AS tt
+         FROM (SELECT count(*)::bigint AS t FROM d GROUP BY cnt
+               HAVING count(*) > 1)),
+j AS (SELECT s, n, tt,
+             (n * (n - 1) * (2 * n + 5) - tt)::double / 18.0 AS var_s
+      FROM sgn CROSS JOIN nn CROSS JOIN ties)
+SELECT n, s, round(var_s, 6) AS var_s,
+       round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                  WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                  ELSE 0.0 END, 6) AS z_score,
+       CASE WHEN round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                            WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                            ELSE 0.0 END, 6) >= 1.96 THEN 'increasing'
+            WHEN round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                            WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                            ELSE 0.0 END, 6) <= -1.96 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM j
+"""
+
+
+ASSOC_TOP = 15
+ASSOC_MIN_CO = 3
+
+
+def q_assoc_rules(spark, sf_dir):
+    """Association rules over market baskets (the Apriori output stage
+    on top of frequent_pairs): baskets are orders, items are the
+    DISTINCT part brands in the order; for each ordered rule X→Y with
+    co-support ≥ {ASSOC_MIN_CO}, support = c/n, confidence = c/c_X,
+    lift = c·n/(c_X·c_Y); top-{ASSOC_TOP} by (lift, confidence) with
+    6dp-rounded keys. Every measure is a ratio of exact integers. Plan:
+    one distinct (order, brand) projection, a per-order self-join whose
+    fanout is brands-per-order², brand-count-sized dims broadcast back."""
+    li = _lineitem(spark, sf_dir)
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).select(
+        "p_partkey", "p_brand"
+    )
+    ob = (
+        li.select("l_orderkey", "l_partkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n_orders = ob.select("l_orderkey").distinct().count()
+    isup = ob.groupBy("item").agg(F.count("*").cast("long").alias("ci"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("x"), F.col("b.item").alias("y")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .filter(F.col("c") >= ASSOC_MIN_CO)
+    )
+    cx = isup.select(F.col("item").alias("x"), F.col("ci").alias("cx"))
+    cy = isup.select(F.col("item").alias("y"), F.col("ci").alias("cy"))
+    nn = float(n_orders)
+    r = (
+        co.join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .select(
+            "x",
+            "y",
+            "c",
+            F.round(F.col("c") / F.lit(nn), 6).alias("support"),
+            F.round(
+                F.col("c").cast("double") / F.col("cx"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("c") * F.lit(nn)
+                / (F.col("cx").cast("double") * F.col("cy")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return r.orderBy(
+        F.desc("lift"), F.desc("confidence"), F.asc("x"), F.asc("y")
+    ).limit(ASSOC_TOP)
+
+
+O_ASSOC_RULES = f"""
+WITH ob AS (SELECT DISTINCT l_orderkey, p_brand AS item
+            FROM lineitem JOIN part ON p_partkey = l_partkey),
+nn AS (SELECT count(DISTINCT l_orderkey)::double AS n FROM ob),
+isup AS (SELECT item, count(*)::bigint AS ci FROM ob GROUP BY 1),
+co AS (SELECT a.item AS x, b.item AS y, count(*)::bigint AS c
+       FROM ob a JOIN ob b
+         ON a.l_orderkey = b.l_orderkey AND a.item <> b.item
+       GROUP BY 1, 2 HAVING count(*) >= {ASSOC_MIN_CO})
+SELECT x, y, c,
+       round(c / n, 6) AS support,
+       round(c::double / cx.ci, 6) AS confidence,
+       round(c * n / (cx.ci::double * cy.ci), 6) AS lift
+FROM co CROSS JOIN nn
+JOIN isup cx ON cx.item = co.x
+JOIN isup cy ON cy.item = co.y
+ORDER BY lift DESC, confidence DESC, x ASC, y ASC LIMIT {ASSOC_TOP}
+"""
+
+
+
 def q_cumulative_sum_daily(spark, sf_dir):
     """ES cumulative_sum pipeline aggregation over the daily date
     histogram, plus the normalized running share (cumulative % of the
@@ -17450,6 +17675,9 @@ REGISTRY: dict[str, tuple] = {
     "rfm_segments": (q_rfm_segments, O_RFM_SEGMENTS),
     "kaplan_meier": (q_kaplan_meier, O_KAPLAN_MEIER),
     "index_highlight": (q_index_highlight, O_INDEX_HIGHLIGHT),
+    "theil_sen_trend": (q_theil_sen_trend, O_THEIL_SEN_TREND),
+    "mann_kendall": (q_mann_kendall, O_MANN_KENDALL),
+    "assoc_rules": (q_assoc_rules, O_ASSOC_RULES),
     "cust_order_dist": (q_cust_order_dist, O_CUST_ORDER_DIST),
     "sales_opportunity": (q_sales_opportunity, O_SALES_OPPORTUNITY),
     "extractive_summary": (q_extractive_summary, O_EXTRACTIVE_SUMMARY),
@@ -17527,7 +17755,7 @@ _DRIVER_ORDER = [
     "ann_bq_topk", "rollup_sales", "cube_activity", "weak_labels",
     "ab_test_zscore", "markov_accuracy",
     "ols_discount_qty", "rfm_segments", "kaplan_meier",
-    "index_highlight",
+    "index_highlight", "theil_sen_trend", "mann_kendall", "assoc_rules",
     "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
