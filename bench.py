@@ -349,6 +349,8 @@ EXTRA_QUERIES = [
     "theil_sen_trend",
     "mann_kendall",
     "assoc_rules",
+    "forecast_backtest",
+    "conformal_coverage",
 ]
 
 

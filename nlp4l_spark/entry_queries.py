@@ -15490,6 +15490,208 @@ O_DAILY_CTE = """d AS (
   FROM events GROUP BY 1)"""
 
 
+BACKTEST_DAYS = 7
+
+
+def q_forecast_backtest(spark, sf_dir):
+    """Forecast backtest (the baseline-honesty panel any forecasting
+    stack prints before shipping a model): naive (lag-1 bucket) and
+    seasonal-naive (lag-7 bucket) predictions of the daily value sum,
+    scored on the LAST {BACKTEST_DAYS} buckets by MAE and MAPE. Lags
+    are BUCKET positions (row lag over the day-ordered histogram, the
+    serial_diff convention). Errors are exact integer cents; MAE/MAPE
+    are ratios of exact sums — one histogram-sized window pass, two
+    output rows."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        _events(spark, sf_dir)
+        .select(
+            F.floor(sec / 86400).cast("long").alias("day"),
+            cents.alias("_c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("_c").alias("s"))
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "s",
+        F.lag("s", 1).over(w).alias("p1"),
+        F.lag("s", 7).over(w).alias("p7"),
+        F.row_number().over(w).alias("rn"),
+    )
+    tot = lagged.agg(F.max("rn").alias("_mx"))
+    test = lagged.crossJoin(F.broadcast(tot)).filter(
+        F.col("rn") > F.col("_mx") - BACKTEST_DAYS
+    )
+
+    def arm(pred, name):
+        ae = F.abs(F.col("s") - F.col(pred))
+        return test.filter(F.col(pred).isNotNull()).agg(
+            F.max(F.lit(name)).alias("model"),
+            F.count("*").cast("long").alias("n_days"),
+            F.round(
+                F.sum(ae).cast("double") / F.count("*") / 100.0, 6
+            ).alias("mae"),
+            F.round(
+                F.sum(ae.cast("double") / F.col("s")) / F.count("*"), 6
+            ).alias("mape"),
+        )
+
+    return arm("p1", "naive").unionAll(arm("p7", "seasonal_naive")).orderBy(
+        "model"
+    )
+
+
+O_FORECAST_BACKTEST = f"""
+WITH daily AS (SELECT floor(floor(epoch(ts))::bigint / 86400)::bigint
+                 AS day,
+               sum(round(value * 100)::bigint)::bigint AS s
+               FROM events GROUP BY 1),
+lagged AS (SELECT day, s,
+                  lag(s, 1) OVER (ORDER BY day) AS p1,
+                  lag(s, 7) OVER (ORDER BY day) AS p7,
+                  row_number() OVER (ORDER BY day) AS rn
+           FROM daily),
+mx AS (SELECT max(rn) AS m FROM lagged),
+test AS (SELECT * FROM lagged CROSS JOIN mx
+         WHERE rn > m - {BACKTEST_DAYS})
+SELECT * FROM (
+  SELECT 'naive' AS model, count(*)::bigint AS n_days,
+         round(sum(abs(s - p1))::double / count(*) / 100.0, 6) AS mae,
+         round(sum(abs(s - p1)::double / s) / count(*), 6) AS mape
+  FROM test WHERE p1 IS NOT NULL
+  UNION ALL
+  SELECT 'seasonal_naive', count(*)::bigint,
+         round(sum(abs(s - p7))::double / count(*) / 100.0, 6),
+         round(sum(abs(s - p7)::double / s) / count(*), 6)
+  FROM test WHERE p7 IS NOT NULL)
+ORDER BY model
+"""
+
+
+CONF_ALPHA = 0.1
+CONF_TRAIN_D, CONF_CALIB_D = 20, 5
+
+
+def q_conformal_coverage(spark, sf_dir):
+    """Split-conformal prediction intervals (Vovk; the
+    distribution-free uncertainty wrapper modern ML eval uses) on event
+    value by type: the model is the per-type TRAIN-window mean (exact
+    cents), the conformal radius q̂ is the k-th smallest calibration
+    |residual| with k = ⌈(n_calib+1)(1−α)⌉ (an exact order statistic —
+    no interpolation, the textbook finite-sample rule), and the report
+    is empirical test coverage of mean ± q̂, which the conformal
+    guarantee lower-bounds by 1−α = {1 - CONF_ALPHA}. Residuals are
+    exact integer cents, so the order statistic and the coverage counts
+    are engine-exact. One event scan + type-sized broadcasts."""
+    sec = F.col("ts").cast("timestamp").cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.floor(sec / 86400).cast("long").alias("_day"),
+        cents.alias("_c"),
+    )
+    d0 = e.agg(F.min("_day").alias("_d0"))
+    e2 = e.crossJoin(F.broadcast(d0)).withColumn(
+        "_split",
+        F.when(
+            F.col("_day") < F.col("_d0") + CONF_TRAIN_D, F.lit("train")
+        )
+        .when(
+            F.col("_day") < F.col("_d0") + CONF_TRAIN_D + CONF_CALIB_D,
+            F.lit("calib"),
+        )
+        .otherwise(F.lit("test")),
+    )
+    model = (
+        e2.filter(F.col("_split") == "train")
+        .groupBy("event_type")
+        .agg(
+            (F.sum("_c").cast("double") / F.count("*")).alias("_mu")
+        )
+    )
+    calib = (
+        e2.filter(F.col("_split") == "calib")
+        .join(F.broadcast(model), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("_c").cast("double") - F.col("_mu")).alias("_r"),
+        )
+    )
+    wq = Window.partitionBy("event_type").orderBy("_r")
+    nn = calib.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_calib")
+    )
+    k = F.ceil((F.col("n_calib") + 1) * (1.0 - CONF_ALPHA)).cast("long")
+    qhat = (
+        calib.withColumn("_rn", F.row_number().over(wq))
+        .join(F.broadcast(nn), "event_type")
+        .filter(
+            F.col("_rn")
+            == F.least(k, F.col("n_calib"))
+        )
+        .select("event_type", "n_calib", F.col("_r").alias("_qhat"))
+    )
+    test = e2.filter(F.col("_split") == "test").join(
+        F.broadcast(model), "event_type"
+    ).join(F.broadcast(qhat), "event_type")
+    return (
+        test.groupBy("event_type", "n_calib")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.round(F.max("_qhat") / 100.0, 6).alias("qhat"),
+            F.round(
+                F.sum(
+                    (
+                        F.abs(F.col("_c").cast("double") - F.col("_mu"))
+                        <= F.col("_qhat")
+                    ).cast("long")
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_CONFORMAL_COVERAGE = f"""
+WITH e AS (SELECT event_type,
+                  floor(floor(epoch(ts))::bigint / 86400)::bigint AS day,
+                  round(value * 100)::bigint AS c
+           FROM events),
+d0 AS (SELECT min(day) AS d0 FROM e),
+e2 AS (SELECT event_type, c,
+              CASE WHEN day < d0 + {CONF_TRAIN_D} THEN 'train'
+                   WHEN day < d0 + {CONF_TRAIN_D + CONF_CALIB_D}
+                     THEN 'calib'
+                   ELSE 'test' END AS split
+       FROM e CROSS JOIN d0),
+model AS (SELECT event_type, sum(c)::double / count(*) AS mu
+          FROM e2 WHERE split = 'train' GROUP BY 1),
+calib AS (SELECT e2.event_type, abs(c::double - mu) AS r
+          FROM e2 JOIN model USING (event_type) WHERE split = 'calib'),
+nn AS (SELECT event_type, count(*)::bigint AS n_calib
+       FROM calib GROUP BY 1),
+qhat AS (SELECT event_type, n_calib, r AS qh FROM (
+           SELECT calib.event_type, nn.n_calib, r,
+                  row_number() OVER (PARTITION BY calib.event_type
+                    ORDER BY r) AS rn
+           FROM calib JOIN nn USING (event_type))
+         WHERE rn = least(ceil((n_calib + 1) * {1 - CONF_ALPHA!r})::bigint,
+                          n_calib))
+SELECT e2.event_type, n_calib, count(*)::bigint AS n_test,
+       round(max(qh) / 100.0, 6) AS qhat,
+       round(sum((abs(c::double - mu) <= qh)::int)::double / count(*), 6)
+         AS coverage
+FROM e2 JOIN model USING (event_type) JOIN qhat USING (event_type)
+WHERE split = 'test'
+GROUP BY 1, 2 ORDER BY event_type
+"""
+
+
 def q_theil_sen_trend(spark, sf_dir):
     """Theil–Sen robust trend of the daily event count (the
     outlier-immune alternative to the OLS slope a monitoring system
@@ -17678,6 +17880,8 @@ REGISTRY: dict[str, tuple] = {
     "theil_sen_trend": (q_theil_sen_trend, O_THEIL_SEN_TREND),
     "mann_kendall": (q_mann_kendall, O_MANN_KENDALL),
     "assoc_rules": (q_assoc_rules, O_ASSOC_RULES),
+    "forecast_backtest": (q_forecast_backtest, O_FORECAST_BACKTEST),
+    "conformal_coverage": (q_conformal_coverage, O_CONFORMAL_COVERAGE),
     "cust_order_dist": (q_cust_order_dist, O_CUST_ORDER_DIST),
     "sales_opportunity": (q_sales_opportunity, O_SALES_OPPORTUNITY),
     "extractive_summary": (q_extractive_summary, O_EXTRACTIVE_SUMMARY),
@@ -17756,6 +17960,7 @@ _DRIVER_ORDER = [
     "ab_test_zscore", "markov_accuracy",
     "ols_discount_qty", "rfm_segments", "kaplan_meier",
     "index_highlight", "theil_sen_trend", "mann_kendall", "assoc_rules",
+    "forecast_backtest", "conformal_coverage",
     "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
