@@ -351,6 +351,9 @@ EXTRA_QUERIES = [
     "assoc_rules",
     "forecast_backtest",
     "conformal_coverage",
+    "kcore_peel",
+    "eigencentrality",
+    "kmeans_1d",
 ]
 
 

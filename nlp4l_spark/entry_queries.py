@@ -16475,18 +16475,18 @@ def q_triangle_count(spark, sf_dir):
     return out
 
 
-O_LIFT_EDGES_CTES = f"""dt AS (SELECT DISTINCT doc_id, unnest({TOK_SQL}) AS term
+O_LIFT_EDGES_CTES = f"""dt AS MATERIALIZED (SELECT DISTINCT doc_id, unnest({TOK_SQL}) AS term
             FROM documents),
 nd AS (SELECT count(DISTINCT doc_id)::bigint AS n FROM dt),
-vocab AS (SELECT term, count(*)::bigint AS df FROM dt GROUP BY term
+vocab AS MATERIALIZED (SELECT term, count(*)::bigint AS df FROM dt GROUP BY term
           HAVING count(*) >= {TRI_MIN_DF}
           ORDER BY df DESC, term ASC LIMIT {TRI_VOCAB}),
-dtv AS (SELECT dt.doc_id, dt.term FROM dt JOIN vocab USING (term)),
-co AS (SELECT a.term AS u, b.term AS v, count(*)::bigint AS codocs
+dtv AS MATERIALIZED (SELECT dt.doc_id, dt.term FROM dt JOIN vocab USING (term)),
+co AS MATERIALIZED (SELECT a.term AS u, b.term AS v, count(*)::bigint AS codocs
        FROM dtv a JOIN dtv b
          ON a.doc_id = b.doc_id AND a.term < b.term
        GROUP BY 1, 2),
-edges AS (SELECT u, v
+edges AS MATERIALIZED (SELECT u, v
           FROM co, nd, vocab du, vocab dv
           WHERE du.term = co.u AND dv.term = co.v
             AND codocs >= {TRI_MIN_CODOCS}
@@ -16556,18 +16556,18 @@ def q_label_propagation(spark, sf_dir):
 
 def _lpa_round_ctes() -> str:
     parts = [
-        "adj AS (SELECT u AS t, v AS nb FROM edges "
+        "adj AS MATERIALIZED (SELECT u AS t, v AS nb FROM edges "
         "UNION ALL SELECT v, u FROM edges)",
-        "l0 AS (SELECT DISTINCT t, t AS label FROM adj)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT t, t AS label FROM adj)",
     ]
     for r in range(1, LPA_ROUNDS + 1):
         parts.append(
-            f"c{r} AS (SELECT adj.t, lp.label, count(*) AS c\n"
+            f"c{r} AS MATERIALIZED (SELECT adj.t, lp.label, count(*) AS c\n"
             f"      FROM adj JOIN l{r - 1} lp ON lp.t = adj.nb"
             " GROUP BY 1, 2)"
         )
         parts.append(
-            f"l{r} AS (SELECT t, label FROM (\n"
+            f"l{r} AS MATERIALIZED (SELECT t, label FROM (\n"
             "      SELECT t, label, row_number() OVER (PARTITION BY t"
             " ORDER BY c DESC, label ASC) AS rn\n"
             f"      FROM c{r}) WHERE rn = 1)"
@@ -16580,6 +16580,278 @@ WITH {O_LIFT_EDGES_CTES},
 {_lpa_round_ctes()}
 SELECT label AS community, count(*)::bigint AS size
 FROM l{LPA_ROUNDS} GROUP BY 1 ORDER BY size DESC, community ASC
+"""
+
+
+KCORE_K = 12
+KCORE_ROUNDS = 3
+
+
+def q_kcore_peel(spark, sf_dir):
+    """k-core decomposition trajectory on the lift-edged term graph
+    (the density-skeleton view next to triangle_count/
+    label_propagation): {KCORE_ROUNDS} synchronous peeling rounds —
+    every round simultaneously removes nodes with CURRENT degree <
+    {KCORE_K} — reporting (round, nodes, edges) after each peel. Fixed
+    unrolled rounds, exactly the LPA contract (full convergence is the
+    same loop continued; at real scale you'd checkpoint between
+    rounds). Each round is one degree aggregate + one semi-join —
+    graph-sized, never corpus-sized."""
+    edges = _lift_edges(spark, sf_dir).persist()
+    out_rows = []
+    cur = edges
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            cur.select(F.col("u").alias("t"))
+            .unionAll(cur.select(F.col("v").alias("t")))
+            .groupBy("t")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("t")
+        cur = (
+            cur.join(
+                keep.select(F.col("t").alias("u")), "u", "left_semi"
+            ).join(
+                keep.select(F.col("t").alias("v")), "v", "left_semi"
+            )
+        )
+        nodes = (
+            cur.select(F.col("u").alias("t"))
+            .unionAll(cur.select(F.col("v").alias("t")))
+            .distinct()
+            .count()
+        )
+        n_edges = cur.count()
+        out_rows.append((rnd, nodes, n_edges))
+    return spark.createDataFrame(
+        out_rows, "round long, nodes long, edges long"
+    ).orderBy("round")
+
+
+def _o_kcore() -> str:
+    parts = [f"e0 AS MATERIALIZED (SELECT u, v FROM edges)"]
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT t, count(*) AS d FROM (\n"
+            f"      SELECT u AS t FROM e{r - 1}"
+            f" UNION ALL SELECT v FROM e{r - 1}) GROUP BY 1)"
+        )
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT t FROM d{r} WHERE d >= {KCORE_K})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT u, v FROM e{r - 1}\n"
+            f"      WHERE u IN (SELECT t FROM k{r})"
+            f" AND v IN (SELECT t FROM k{r}))"
+        )
+        parts.append(
+            f"s{r} AS (SELECT {r}::bigint AS round,\n"
+            f"      (SELECT count(DISTINCT t) FROM (SELECT u AS t FROM e{r}"
+            f" UNION ALL SELECT v FROM e{r}))::bigint AS nodes,\n"
+            f"      (SELECT count(*) FROM e{r})::bigint AS edges)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT * FROM s{r}" for r in range(1, KCORE_ROUNDS + 1)
+    )
+    return ",\n".join(parts) + f"\n{sel} ORDER BY round"
+
+
+O_KCORE_PEEL = f"""
+WITH {O_LIFT_EDGES_CTES},
+{_o_kcore()}
+"""
+
+
+EIG_ROUNDS = 2
+EIG_TOP = 10
+
+
+def q_eigencentrality(spark, sf_dir):
+    """Eigenvector centrality on the lift-edged term graph ({EIG_ROUNDS}
+    unrolled power iterations, max-normalized each round — the
+    undamped sibling of textrank's PageRank): x ← A·x / max(A·x),
+    started from all-ones. Scores are integer-valued until the single
+    normalizing division per round (the max is exact), so the fold is
+    engine-exact; top-{EIG_TOP} by 6dp-rounded score, term-asc ties.
+    Each round is one adjacency⋈scores join + one sum — graph-sized."""
+    edges = _lift_edges(spark, sf_dir).persist()
+    adj = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).toDF("t", "nb")
+    scores = adj.select("t").distinct().withColumn(
+        "x", F.lit(1.0)
+    )
+    for _ in range(EIG_ROUNDS):
+        nxt = (
+            adj.join(
+                scores.select(F.col("t").alias("nb"), "x"), "nb"
+            )
+            .groupBy("t")
+            .agg(F.sum("x").alias("_ax"))
+        )
+        mx = nxt.agg(F.max("_ax").alias("_mx"))
+        scores = nxt.crossJoin(F.broadcast(mx)).select(
+            "t", (F.col("_ax") / F.col("_mx")).alias("x")
+        )
+    return (
+        scores.select("t", F.round("x", 6).alias("centrality"))
+        .orderBy(F.desc("centrality"), F.asc("t"))
+        .limit(EIG_TOP)
+    )
+
+
+def _o_eig() -> str:
+    parts = [
+        "adj AS MATERIALIZED (SELECT u AS t, v AS nb FROM edges"
+        " UNION ALL SELECT v, u FROM edges)",
+        "x0 AS MATERIALIZED (SELECT DISTINCT t, 1.0::double AS x FROM adj)",
+    ]
+    for r in range(1, EIG_ROUNDS + 1):
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT adj.t, sum(xp.x) AS ax\n"
+            f"      FROM adj JOIN x{r - 1} xp ON xp.t = adj.nb"
+            " GROUP BY 1)"
+        )
+        parts.append(
+            f"x{r} AS MATERIALIZED (SELECT t, ax / (SELECT max(ax) FROM a{r}) AS x"
+            f" FROM a{r})"
+        )
+    return ",\n".join(parts)
+
+
+O_EIGENCENTRALITY = f"""
+WITH {O_LIFT_EDGES_CTES},
+{_o_eig()}
+SELECT t, round(x, 6) AS centrality
+FROM x{EIG_ROUNDS}
+ORDER BY centrality DESC, t ASC LIMIT {EIG_TOP}
+"""
+
+
+KMEANS_K = 4
+KMEANS_ROUNDS = 3
+
+
+def q_kmeans_1d(spark, sf_dir):
+    """Lloyd's k-means as a pure DataFrame program (1-D, k={KMEANS_K},
+    {KMEANS_ROUNDS} unrolled rounds — the deterministic core of the ES
+    variable_width_histogram agg): seeds are the exact interpolated
+    odd-eighth quantiles of event cents (spread, deterministic);
+    each round assigns every value to the nearest centroid (tie →
+    lower cluster id) and recomputes centroids as exact-cents means.
+    Assignment is a codegen expression per row (k comparisons — no
+    crossJoin row blowup), centroid updates are k-row aggregates; the
+    only data-sized work per round is one scan+groupBy, the canonical
+    distributed k-means shape. Output: cluster, n, centroid, min, max."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    v = _events(spark, sf_dir).select(cents.alias("x"))
+    seeds_row = v.agg(
+        *[
+            F.expr(f"percentile(x, {(2 * i + 1) / (2.0 * KMEANS_K)}D)").alias(
+                f"c{i}"
+            )
+            for i in range(KMEANS_K)
+        ]
+    ).collect()[0]
+    centroids = [float(seeds_row[f"c{i}"]) for i in range(KMEANS_K)]
+
+    def assign_col(cs):
+        best_i = F.lit(0)
+        best_d = F.abs(F.col("x").cast("double") - F.lit(cs[0]))
+        for i in range(1, KMEANS_K):
+            d = F.abs(F.col("x").cast("double") - F.lit(cs[i]))
+            best_i = F.when(d < best_d, F.lit(i)).otherwise(best_i)
+            best_d = F.when(d < best_d, d).otherwise(best_d)
+        return best_i
+
+    for _ in range(KMEANS_ROUNDS):
+        agg = (
+            v.withColumn("c", assign_col(centroids))
+            .groupBy("c")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        upd = {int(r["c"]): float(r["s"]) / int(r["n"]) for r in agg}
+        centroids = [
+            upd.get(i, centroids[i]) for i in range(KMEANS_K)
+        ]
+    final = v.withColumn("c", assign_col(centroids))
+    return (
+        final.groupBy("c")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.sum("x").cast("double") / F.count("*") / 100.0, 6
+            ).alias("centroid"),
+            (F.min("x").cast("double") / 100.0).alias("min_value"),
+            (F.max("x").cast("double") / 100.0).alias("max_value"),
+        )
+        .select(
+            F.col("c").cast("long").alias("cluster"),
+            "n",
+            "centroid",
+            "min_value",
+            "max_value",
+        )
+        .orderBy("cluster")
+    )
+
+
+def _km_best_case() -> str:
+    """argmin-with-lowest-index-tie over d0..d{{k-1}} as a nested CASE —
+    provably equal to the Spark loop's strict-improvement fold."""
+    best = "0"
+    run = "d0"
+    for i in range(1, KMEANS_K):
+        best = f"CASE WHEN d{i} < least({run}) THEN {i} ELSE {best} END"
+        run += f", d{i}"
+    return best
+
+
+def _km_assign_cte(name: str, src: str) -> str:
+    d = ", ".join(
+        f"abs(x::double - {src}.c{i}) AS d{i}" for i in range(KMEANS_K)
+    )
+    return (
+        f"{name} AS MATERIALIZED (SELECT x, ({_km_best_case()}) AS c FROM\n"
+        f"      (SELECT x, {d} FROM v CROSS JOIN {src}))"
+    )
+
+
+def _o_kmeans() -> str:
+    seeds = ", ".join(
+        f"quantile_cont(x, {(2 * i + 1) / (2.0 * KMEANS_K)!r}) AS c{i}"
+        for i in range(KMEANS_K)
+    )
+    parts = [f"s0 AS MATERIALIZED (SELECT {seeds} FROM v)"]
+    for r in range(1, KMEANS_ROUNDS + 1):
+        prev = f"s{r - 1}"
+        parts.append(_km_assign_cte(f"a{r}", prev))
+        parts.append(
+            f"g{r} AS (SELECT c, sum(x)::double AS s,"
+            f" count(*)::double AS n FROM a{r} GROUP BY 1)"
+        )
+        upd = ", ".join(
+            f"coalesce(max(CASE WHEN c = {i} THEN s END)"
+            f" / max(CASE WHEN c = {i} THEN n END),"
+            f" max({prev}.c{i})) AS c{i}"
+            for i in range(KMEANS_K)
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT {upd} FROM g{r} CROSS JOIN {prev})"
+        )
+    parts.append(_km_assign_cte("final", f"s{KMEANS_ROUNDS}"))
+    return ",\n".join(parts)
+
+
+O_KMEANS_1D = f"""
+WITH v AS MATERIALIZED (SELECT round(value * 100)::bigint AS x FROM events),
+{_o_kmeans()}
+SELECT c::bigint AS cluster, count(*)::bigint AS n,
+       round(sum(x)::double / count(*) / 100.0, 6) AS centroid,
+       min(x)::double / 100.0 AS min_value,
+       max(x)::double / 100.0 AS max_value
+FROM final GROUP BY 1 ORDER BY cluster
 """
 
 
@@ -17882,6 +18154,9 @@ REGISTRY: dict[str, tuple] = {
     "assoc_rules": (q_assoc_rules, O_ASSOC_RULES),
     "forecast_backtest": (q_forecast_backtest, O_FORECAST_BACKTEST),
     "conformal_coverage": (q_conformal_coverage, O_CONFORMAL_COVERAGE),
+    "kcore_peel": (q_kcore_peel, O_KCORE_PEEL),
+    "eigencentrality": (q_eigencentrality, O_EIGENCENTRALITY),
+    "kmeans_1d": (q_kmeans_1d, O_KMEANS_1D),
     "cust_order_dist": (q_cust_order_dist, O_CUST_ORDER_DIST),
     "sales_opportunity": (q_sales_opportunity, O_SALES_OPPORTUNITY),
     "extractive_summary": (q_extractive_summary, O_EXTRACTIVE_SUMMARY),
@@ -17961,6 +18236,7 @@ _DRIVER_ORDER = [
     "ols_discount_qty", "rfm_segments", "kaplan_meier",
     "index_highlight", "theil_sen_trend", "mann_kendall", "assoc_rules",
     "forecast_backtest", "conformal_coverage",
+    "kcore_peel", "eigencentrality", "kmeans_1d",
     "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
