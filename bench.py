@@ -354,6 +354,7 @@ EXTRA_QUERIES = [
     "kcore_peel",
     "eigencentrality",
     "kmeans_1d",
+    "kmeans_embeddings",
 ]
 
 

@@ -16855,6 +16855,171 @@ FROM final GROUP BY 1 ORDER BY cluster
 """
 
 
+KME_K = 8
+KME_ROUNDS = 2
+
+
+def q_kmeans_embeddings(spark, sf_dir):
+    """Distributed k-means over the 64-dim embedding column (k={KME_K},
+    {KME_ROUNDS} unrolled Lloyd rounds, euclidean) — the clustering
+    primitive under IVF training, semantic dedup buckets, and topic
+    discovery, expressed as the canonical Spark plan: centroids are a
+    k-row BROADCAST, assignment is one codegen HOF distance argmin per
+    vector (k distances — fanout ×k via the broadcast join, never
+    data²), and the centroid update is one (cluster, dim) posexplode
+    aggregate — vectors are never shuffled whole. Determinism: seeds
+    are the first {KME_K} vectors (the ann_ivf_topk quantizer
+    convention), distances are exact float64 expressions, ties break to
+    the lower cluster id, and updated centroid components round to 6dp
+    before the next round (the label_centroids order-independence
+    rule). Output: per-cluster size, inertia (Σ squared distance,
+    rounded), and centroid norm."""
+    emb = _embeddings(spark, sf_dir)
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y)
+                * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cents = emb.filter(F.col("vec_id") < KME_K).select(
+        F.col("vec_id").cast("long").alias("cid"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double"), 6)
+        ).alias("cv"),
+    )
+    for _ in range(KME_ROUNDS):
+        wa = Window.partitionBy("vec_id").orderBy(
+            F.asc("_d"), F.asc("cid")
+        )
+        assign = (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn("_d", sqdist(F.col("embedding"), F.col("cv")))
+            .withColumn("_r", F.row_number().over(wa))
+            .filter(F.col("_r") == 1)
+            .select("vec_id", "embedding", "cid")
+        )
+        cents = (
+            assign.select(
+                "cid", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("cv")
+            )
+        )
+    wa = Window.partitionBy("vec_id").orderBy(F.asc("_d"), F.asc("cid"))
+    final = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("_d", sqdist(F.col("embedding"), F.col("cv")))
+        .withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") == 1)
+    )
+    cnorm = F.sqrt(
+        F.aggregate(
+            F.transform("cv", lambda c: c * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    # per-vector distances fold as exact integer micros — a plain double
+    # sum would be partition-order-dependent at the last ulp
+    d_micro = F.round(F.col("_d") * 1e6).cast("long")
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.sum(d_micro).cast("double") / 1e6, 6).alias(
+                "inertia"
+            ),
+            F.round(F.max(cnorm), 6).alias("centroid_norm"),
+        )
+        .select(
+            F.col("cid").alias("cluster"),
+            "n_vecs",
+            "inertia",
+            "centroid_norm",
+        )
+        .orderBy("cluster")
+    )
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(range(1, len({a}) + 1),"
+        f" i -> ({a}[i]::double - {b}[i]) * ({a}[i]::double - {b}[i])),"
+        f" 'sum')"
+    )
+
+
+def _o_kme() -> str:
+    parts = [
+        f"""c0 AS MATERIALIZED (
+  SELECT vec_id::bigint AS cid,
+         list_transform(embedding, x -> round(x::double, 6)) AS cv
+  FROM embeddings WHERE vec_id < {KME_K})"""
+    ]
+    for r in range(1, KME_ROUNDS + 1):
+        prev = f"c{r - 1}"
+        parts.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, {prev}.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sqdist_sql("e.embedding", f"{prev}.cv")} ASC,
+                      {prev}.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN {prev}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""u{r} AS MATERIALIZED (
+  SELECT cid, i, round(avg(v), 6) AS c FROM (
+    SELECT cid, z[1] AS i, z[2]::double AS v FROM (
+      SELECT cid,
+             unnest(list_zip(range(1, len(embedding) + 1), embedding))
+               AS z
+      FROM a{r}))
+  GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT cid, list(c ORDER BY i) AS cv"
+            f" FROM u{r} GROUP BY cid)"
+        )
+    return ",\n".join(parts)
+
+
+O_KMEANS_EMBEDDINGS = f"""
+WITH {_o_kme()},
+final AS MATERIALIZED (
+  SELECT vec_id, cid, d FROM (
+    SELECT e.vec_id, c{KME_ROUNDS}.cid,
+           {_sqdist_sql("e.embedding", f"c{KME_ROUNDS}.cv")} AS d,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sqdist_sql("e.embedding", f"c{KME_ROUNDS}.cv")}
+                      ASC, c{KME_ROUNDS}.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c{KME_ROUNDS}) WHERE rn = 1),
+norms AS (SELECT cid,
+                 sqrt(list_aggregate(list_transform(cv, x -> x * x),
+                                     'sum')) AS cn
+          FROM c{KME_ROUNDS})
+SELECT f.cid AS cluster, count(*)::bigint AS n_vecs,
+       round(sum(round(f.d * 1e6)::bigint)::double / 1e6, 6) AS inertia,
+       round(max(norms.cn), 6) AS centroid_norm
+FROM final f JOIN norms USING (cid)
+GROUP BY 1 ORDER BY cluster
+"""
+
+
 MI_MIN_DF = 5
 MI_TOP = 20
 
@@ -18157,6 +18322,7 @@ REGISTRY: dict[str, tuple] = {
     "kcore_peel": (q_kcore_peel, O_KCORE_PEEL),
     "eigencentrality": (q_eigencentrality, O_EIGENCENTRALITY),
     "kmeans_1d": (q_kmeans_1d, O_KMEANS_1D),
+    "kmeans_embeddings": (q_kmeans_embeddings, O_KMEANS_EMBEDDINGS),
     "cust_order_dist": (q_cust_order_dist, O_CUST_ORDER_DIST),
     "sales_opportunity": (q_sales_opportunity, O_SALES_OPPORTUNITY),
     "extractive_summary": (q_extractive_summary, O_EXTRACTIVE_SUMMARY),
@@ -18236,7 +18402,7 @@ _DRIVER_ORDER = [
     "ols_discount_qty", "rfm_segments", "kaplan_meier",
     "index_highlight", "theil_sen_trend", "mann_kendall", "assoc_rules",
     "forecast_backtest", "conformal_coverage",
-    "kcore_peel", "eigencentrality", "kmeans_1d",
+    "kcore_peel", "eigencentrality", "kmeans_1d", "kmeans_embeddings",
     "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
