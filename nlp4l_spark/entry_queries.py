@@ -14628,6 +14628,266 @@ FROM j WHERE a1 OR a2 OR a3
 """
 
 
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (volume shipping) twin: discounted revenue shipped
+    between two nations (either direction, supplier nation ≠ customer
+    nation) per year — the canonical two-dimension-chain fact join.
+    Fixture nations NATION_3/NATION_8 stand in for FRANCE/GERMANY
+    (present in the supplier dim at BOTH SFs). Plan shape: the two
+    nation-filtered dims broadcast onto lineitem and orders; the fact⋈
+    fact join shuffles on orderkey once; revenue folds exact discounted
+    cents (int64), divided back once per group. Reference parity: the
+    reference's fetch/sort surface (RunDAO.fetch, Dao.scala) has no
+    TPC-H, this twin exists for the OLAP query surface."""
+    sf = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))  # noqa: E731
+    nations = ("NATION_3", "NATION_8")
+    nat = sf("nation").filter(F.col("n_name").isin(*nations)).select(
+        "n_nationkey", "n_name"
+    )
+    supp = sf("supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = sf("customer").join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    orders = sf("orders").select("o_orderkey", "o_custkey")
+    lo = F.to_timestamp(F.lit("1996-01-01"))
+    hi = F.to_timestamp(F.lit("1999-01-01"))
+    rev_c = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    li = _lineitem(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+        rev_c.alias("_r"),
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("_r").cast("double") / 10000.0, 6).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+O_VOLUME_SHIPPING = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       date_part('year', l_shipdate)::bigint AS l_year,
+       round(sum(round(l_extendedprice * 100)::bigint
+                 * (100 - round(l_discount * 100)::bigint))::double
+             / 10000.0, 6) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_3', 'NATION_8')
+  AND cn.n_name IN ('NATION_3', 'NATION_8')
+  AND sn.n_name <> cn.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share) twin: NATION_12's share of
+    ASIA-region revenue for PROMO-type parts, per order year. Share is
+    a ratio of two exact int64 cent sums (conditional numerator via
+    CASE), divided once per group — no float accumulation. Plan shape:
+    part/customer-region/supplier dims all broadcast; one orderkey
+    shuffle joins lineitem to orders; single groupBy(year)."""
+    sf = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))  # noqa: E731
+    part = sf("part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    region = sf("region").filter(F.col("r_name") == "ASIA")
+    nat_asia = sf("nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    cust = sf("customer").join(
+        F.broadcast(nat_asia), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    nat = sf("nation").select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("_snm")
+    )
+    supp = sf("supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("_snk")
+    ).select("s_suppkey", "_snm")
+    lo = F.to_timestamp(F.lit("1996-01-01"))
+    hi = F.to_timestamp(F.lit("1999-01-01"))
+    orders = sf("orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    )
+    rev_c = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    li = _lineitem(spark, sf_dir).select(
+        "l_orderkey", "l_partkey", "l_suppkey", rev_c.alias("_r")
+    )
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    num = F.sum(
+        F.when(F.col("_snm") == "NATION_12", F.col("_r")).otherwise(F.lit(0))
+    )
+    return (
+        j.groupBy("o_year")
+        .agg(
+            F.round(
+                num.cast("double") / F.sum("_r").cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+O_MARKET_SHARE = """
+SELECT date_part('year', o_orderdate)::bigint AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_12' THEN r ELSE 0 END)::double
+             / sum(r)::double, 6) AS mkt_share
+FROM (SELECT l_orderkey, l_partkey, l_suppkey,
+             round(l_extendedprice * 100)::bigint
+             * (100 - round(l_discount * 100)::bigint) AS r
+      FROM lineitem) l
+JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 (product-type profit) twin over 'widget' parts: profit
+    per (supplier nation, year). The fixture has no partsupp, so cost
+    is qty × p_retailprice (the fixture's unit cost column) — profit =
+    discounted revenue − cost, folded at a common cents×100 scale so
+    every row is an exact int64. Plan shape: part-name filter broadcast
+    onto lineitem, supplier→nation chain broadcast, one orderkey
+    shuffle for the order year, single groupBy."""
+    sf = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))  # noqa: E731
+    part = sf("part").filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", F.round(F.col("p_retailprice") * 100).cast("long").alias("_rc")
+    )
+    nat = sf("nation").select("n_nationkey", "n_name")
+    supp = sf("supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    orders = sf("orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    li = _lineitem(spark, sf_dir)
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_p = F.round(F.col("l_discount") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    j = (
+        li.select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            (price_c * (100 - disc_p)).alias("_rev"),
+            qty.alias("_q"),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    profit = F.col("_rev") - F.col("_q") * F.col("_rc") * F.lit(100)
+    return (
+        j.select("n_name", "o_year", profit.alias("_p"))
+        .groupBy("n_name", "o_year")
+        .agg(F.round(F.sum("_p").cast("double") / 10000.0, 6).alias("profit"))
+        .orderBy("n_name", F.desc("o_year"))
+    )
+
+
+O_PRODUCT_PROFIT = """
+SELECT n_name, date_part('year', o_orderdate)::bigint AS o_year,
+       round(sum(round(l_extendedprice * 100)::bigint
+                 * (100 - round(l_discount * 100)::bigint)
+                 - round(l_quantity)::bigint
+                   * round(p_retailprice * 100)::bigint * 100)::double
+             / 10000.0, 6) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2 ORDER BY n_name, o_year DESC
+"""
+
+
+def q_late_line_priority(spark, sf_dir):
+    """TPC-H Q12 (shipping modes / order priority) twin: among
+    lineitems shipped in 1997 that were LATE — shipped more than 90
+    days after the order date (the fixture has no commit/receipt dates
+    or shipmode; the 90-day ship lag is the receipt-delay stand-in and
+    l_returnflag stands in for l_shipmode) — count high-priority
+    (1-URGENT / 2-HIGH) vs lower-priority orders per flag. The
+    canonical CASE-sum aggregation over a fact⋈fact join; the date
+    arithmetic stays on the JVM (timestamp + INTERVAL)."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lo = F.to_timestamp(F.lit("1997-01-01"))
+    hi = F.to_timestamp(F.lit("1998-01-01"))
+    li = _lineitem(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    ).select("l_orderkey", "l_returnflag", "l_shipdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+O_LATE_LINE_PRIORITY = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::bigint AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::bigint AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_cust_order_dist(spark, sf_dir):
     """TPC-H Q13 (customer distribution) twin: the histogram of
     orders-per-customer INCLUDING zero-order customers — the canonical
@@ -18280,6 +18540,10 @@ REGISTRY: dict[str, tuple] = {
     "top_supplier": (q_top_supplier, O_TOP_SUPPLIER),
     "large_orders": (q_large_orders, O_LARGE_ORDERS),
     "brand_revenue": (q_brand_revenue, O_BRAND_REVENUE),
+    "volume_shipping": (q_volume_shipping, O_VOLUME_SHIPPING),
+    "market_share": (q_market_share, O_MARKET_SHARE),
+    "product_profit": (q_product_profit, O_PRODUCT_PROFIT),
+    "late_line_priority": (q_late_line_priority, O_LATE_LINE_PRIORITY),
     "cumulative_sum_daily": (q_cumulative_sum_daily, O_CUMULATIVE_SUM_DAILY),
     "stats_bucket": (q_stats_bucket, O_STATS_BUCKET),
     "percentiles_bucket": (q_percentiles_bucket, O_PERCENTILES_BUCKET),
@@ -18379,6 +18643,8 @@ _DRIVER_ORDER = [
     "media_jpeg_sof", "readability", "token_entropy", "burstiness", "span_first_search", "jaccard_topk",
     "dedup_rate_by_source", "highlight",
     # --- position > 50: next round's front ---
+    "volume_shipping", "market_share", "product_profit",
+    "late_line_priority",
     "revenue_change", "returned_items", "promo_revenue", "top_supplier",
     "large_orders", "brand_revenue",
     "cumulative_sum_daily", "stats_bucket", "percentiles_bucket",
