@@ -14888,6 +14888,251 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier) twin: for every size-15 part,
+    the EUROPE supplier(s) offering the lowest unit cost. The fixture
+    has no partsupp, so unit cost is derived from lineitem as
+    min(extendedprice/quantity) per (part, supplier) — folded as exact
+    integer MILLICENTS via int64 floor-division ((price_c*1000) div
+    qty), so the per-part argmin is exact in both engines. Plan shape:
+    part-size filter and the EUROPE supplier chain broadcast onto the
+    lineitem scan; one (part,supp) groupBy; the per-part min folds on
+    the SAME keys' table (map-side combine, no second fact scan); ties
+    all survive (spec semantics). No window over a global sort
+    anywhere."""
+    sf = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))  # noqa: E731
+    part = sf("part").filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_name"
+    )
+    region = sf("region").filter(F.col("r_name") == "EUROPE")
+    nat = sf("nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = sf("supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    li = _lineitem(spark, sf_dir)
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    cost = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(
+                "(cast(round(l_extendedprice * 100) as bigint) * 1000)"
+                " div cast(round(l_quantity) as bigint)"
+            ).alias("_uc"),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("_uc").alias("unit_cost"))
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("unit_cost").alias("_mc")
+    )
+    _ = (price_c, qty)  # documented cost derivation (expr above)
+    return (
+        cost.join(
+            F.broadcast(best),
+            (F.col("l_partkey") == F.col("_pk"))
+            & (F.col("unit_cost") == F.col("_mc")),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "unit_cost",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(20)
+    )
+
+
+O_MIN_COST_SUPPLIER = """
+WITH eu_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+cost AS (
+  SELECT l_partkey, l_suppkey,
+         min((round(l_extendedprice * 100)::bigint * 1000)
+             // round(l_quantity)::bigint) AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_size = 15
+  JOIN eu_supp ON l_suppkey = s_suppkey
+  GROUP BY 1, 2),
+best AS (SELECT l_partkey AS pk, min(unit_cost) AS mc FROM cost GROUP BY 1)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+       l_partkey AS p_partkey, p_name, unit_cost
+FROM cost
+JOIN best ON l_partkey = pk AND unit_cost = mc
+JOIN eu_supp ON l_suppkey = s_suppkey
+JOIN part ON l_partkey = part.p_partkey
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20
+"""
+
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11 (important stock identification) twin: parts whose
+    total EUROPE-supplied extended-price value exceeds 1.5× the average
+    part value — the canonical HAVING-against-a-global-scalar plan. The
+    fixture has no partsupp; lineitem extended price (exact cents)
+    stands in for supplycost×availqty. Spark shape: per-part cent-sum
+    groupBy, then the 1-row (total, count) aggregate broadcast back as
+    a crossJoin filter — the threshold compare is EXACT int64
+    (2·value·n_parts > 3·total), no float division anywhere."""
+    sf = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))  # noqa: E731
+    region = sf("region").filter(F.col("r_name") == "EUROPE")
+    nat = sf("nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    supp = sf("supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = _lineitem(spark, sf_dir)
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per_part = (
+        li.select("l_partkey", "l_suppkey", price_c.alias("_p"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("_p").alias("_v"))
+    )
+    tot = per_part.agg(
+        F.sum("_v").alias("_tot"), F.count("*").alias("_n")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.lit(2) * F.col("_v") * F.col("_n") > F.lit(3) * F.col("_tot"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("_v").cast("double") / 100.0, 2).alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+        .limit(50)
+    )
+
+
+O_IMPORTANT_PARTS = """
+WITH v AS (
+  SELECT l_partkey, sum(round(l_extendedprice * 100)::bigint) AS vc
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE')
+  GROUP BY 1)
+SELECT l_partkey AS p_partkey, round(vc::double / 100.0, 2) AS value
+FROM v
+WHERE 2 * vc * (SELECT count(*) FROM v) > 3 * (SELECT sum(vc) FROM v)
+ORDER BY value DESC, p_partkey LIMIT 50
+"""
+
+
+def q_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship) twin: distinct-supplier
+    counts per (brand, type, size) for parts NOT of Brand#13 / PROMO
+    type, size in the spec's 8-value set, excluding negative-balance
+    suppliers (the fixture stand-in for complaint suppliers; no
+    comments column). The supplier relationship itself is derived from
+    distinct lineitem (part, supplier) pairs — no partsupp in the
+    fixture. Plan: part filter broadcast, the tiny exclusion list
+    broadcast ANTI join, one distinct + one count-distinct groupBy."""
+    sf = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))  # noqa: E731
+    part = sf("part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = sf("supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        _lineitem(spark, sf_dir)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+O_SUPPLIER_PART_COUNTS = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey)::bigint AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue) twin: average yearly
+    revenue lost if Brand#13 orders below half the part's average
+    quantity were not taken. The correlated per-part avg-quantity
+    subquery becomes a per-part (sum, count) groupBy broadcast back
+    onto the same lines; the threshold compare is EXACT int64
+    (2·qty·cnt < sum_qty — no float average). 7 order years in the
+    fixture → /7 for the yearly figure."""
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).filter(
+        F.col("p_brand") == "Brand#13"
+    ).select("p_partkey")
+    li = _lineitem(spark, sf_dir)
+    qty = F.round(F.col("l_quantity")).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    lines = li.select(
+        "l_partkey", qty.alias("_q"), price_c.alias("_p")
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    stats = lines.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("_q").alias("_sq"), F.count("*").alias("_n")
+    )
+    return (
+        lines.join(F.broadcast(stats), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.lit(2) * F.col("_q") * F.col("_n") < F.col("_sq"))
+        .agg(
+            F.round(F.sum("_p").cast("double") / 100.0 / 7.0, 6).alias(
+                "avg_yearly"
+            ),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+O_SMALL_QTY_REVENUE = """
+WITH lines AS (
+  SELECT l_partkey, round(l_quantity)::bigint AS q,
+         round(l_extendedprice * 100)::bigint AS p
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'),
+st AS (SELECT l_partkey AS pk, sum(q) AS sq, count(*) AS n
+       FROM lines GROUP BY 1)
+SELECT round(sum(p)::double / 100.0 / 7.0, 6) AS avg_yearly,
+       count(*)::bigint AS n_lines
+FROM lines JOIN st ON l_partkey = pk
+WHERE 2 * q * n < sq
+"""
+
+
 def q_cust_order_dist(spark, sf_dir):
     """TPC-H Q13 (customer distribution) twin: the histogram of
     orders-per-customer INCLUDING zero-order customers — the canonical
@@ -18544,6 +18789,13 @@ REGISTRY: dict[str, tuple] = {
     "market_share": (q_market_share, O_MARKET_SHARE),
     "product_profit": (q_product_profit, O_PRODUCT_PROFIT),
     "late_line_priority": (q_late_line_priority, O_LATE_LINE_PRIORITY),
+    "min_cost_supplier": (q_min_cost_supplier, O_MIN_COST_SUPPLIER),
+    "important_parts": (q_important_parts, O_IMPORTANT_PARTS),
+    "supplier_part_counts": (
+        q_supplier_part_counts,
+        O_SUPPLIER_PART_COUNTS,
+    ),
+    "small_qty_revenue": (q_small_qty_revenue, O_SMALL_QTY_REVENUE),
     "cumulative_sum_daily": (q_cumulative_sum_daily, O_CUMULATIVE_SUM_DAILY),
     "stats_bucket": (q_stats_bucket, O_STATS_BUCKET),
     "percentiles_bucket": (q_percentiles_bucket, O_PERCENTILES_BUCKET),
@@ -18644,7 +18896,8 @@ _DRIVER_ORDER = [
     "dedup_rate_by_source", "highlight",
     # --- position > 50: next round's front ---
     "volume_shipping", "market_share", "product_profit",
-    "late_line_priority",
+    "late_line_priority", "min_cost_supplier", "important_parts",
+    "supplier_part_counts", "small_qty_revenue",
     "revenue_change", "returned_items", "promo_revenue", "top_supplier",
     "large_orders", "brand_revenue",
     "cumulative_sum_daily", "stats_bucket", "percentiles_bucket",
