@@ -355,6 +355,9 @@ EXTRA_QUERIES = [
     "eigencentrality",
     "kmeans_1d",
     "kmeans_embeddings",
+    # session-13 additions
+    "part_promotion",
+    "waiting_suppliers",
 ]
 
 

@@ -15133,6 +15133,151 @@ WHERE 2 * q * n < sq
 """
 
 
+def q_part_promotion(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion) twin: suppliers holding
+    excess stock of 'widget' parts. The fixture has no partsupp, so a
+    supplier's available quantity for a part is stood in by the exact
+    integer total quantity they ever shipped of it, and Q20's
+    threshold — half the part's 1997 demand across ALL suppliers —
+    compares as 2*avail > need (pure int64, no 0.5 float). Plan shape
+    (ref: TPC-H spec Q20's nested IN-subquery chain): the 'widget'
+    part keys broadcast onto ONE lineitem scan that feeds BOTH
+    aggregates (per-(part,supp) all-time and per-part 1997); the
+    part-cardinality demand table broadcasts back; qualifying
+    suppliers dedup via a key-set distinct; supplier/nation dimensions
+    broadcast. No correlated subquery, no fact self-join."""
+    sf = lambda t: spark.read.parquet(  # noqa: E731
+        os.path.join(sf_dir, f"{t}.parquet")
+    )
+    wp = sf("part").filter(F.col("p_name").like("%widget")).select("p_partkey")
+    li = (
+        _lineitem(spark, sf_dir)
+        .join(F.broadcast(wp), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            "l_shipdate",
+            F.round(F.col("l_quantity")).cast("long").alias("_q"),
+        )
+    )
+    avail = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("_q").alias("_aq"))
+    lo = F.to_timestamp(F.lit("1997-01-01"))
+    hi = F.to_timestamp(F.lit("1998-01-01"))
+    need = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy(F.col("l_partkey").alias("_pk"))
+        .agg(F.sum("_q").alias("_nq"))
+    )
+    keys = (
+        avail.join(F.broadcast(need), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.lit(2) * F.col("_aq") > F.col("_nq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = (
+        sf("supplier")
+        .join(
+            F.broadcast(sf("nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        supp.join(keys, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+O_PART_PROMOTION = """
+WITH wp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%widget'),
+li AS (SELECT l_partkey, l_suppkey, l_shipdate,
+              round(l_quantity)::bigint AS q
+       FROM lineitem JOIN wp ON l_partkey = p_partkey),
+avail AS (SELECT l_partkey, l_suppkey, sum(q) AS aq FROM li GROUP BY 1, 2),
+need AS (SELECT l_partkey, sum(q) AS nq FROM li
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY 1),
+keys AS (SELECT DISTINCT l_suppkey FROM avail JOIN need USING (l_partkey)
+         WHERE 2 * aq > nq)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN keys ON s_suppkey = l_suppkey
+ORDER BY s_name
+"""
+
+
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting) twin: per
+    supplier, the finished ('F') multi-supplier orders where THIS
+    supplier was the ONLY late one (late = shipped >90 days after the
+    order date — the fixture's receipt-delay stand-in, exactly as the
+    Q12 twin). The reference's EXISTS / NOT EXISTS correlated pair
+    (TPC-H spec Q21) becomes pure relational shape: one
+    per-(order,supplier) late-flag aggregate, one window over the
+    order partition for the (supplier count, late count) pair, then
+    the filter ns>=2 AND nl=1 AND late — the fact table is never
+    self-joined against itself (the classic Q21 quadratic trap) and
+    nothing is correlated. The supplier dimension broadcasts."""
+    orders = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _lineitem(spark, sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).cast("int")
+    per = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", late.alias("_late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("_late").alias("_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per.select(
+        "l_orderkey",
+        "l_suppkey",
+        "_late",
+        F.count("*").over(w).alias("_ns"),
+        F.sum("_late").over(w).alias("_nl"),
+    )
+    supp = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet")).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        flagged.filter(
+            (F.col("_late") == 1) & (F.col("_ns") >= 2) & (F.col("_nl") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+O_WAITING_SUPPLIERS = """
+WITH per AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2),
+fl AS (SELECT l_orderkey, l_suppkey, late,
+              count(*) OVER (PARTITION BY l_orderkey) AS ns,
+              sum(late) OVER (PARTITION BY l_orderkey) AS nl
+       FROM per)
+SELECT s_name, count(*)::bigint AS numwait
+FROM fl JOIN supplier ON l_suppkey = s_suppkey
+WHERE late = 1 AND ns >= 2 AND nl = 1
+GROUP BY 1 ORDER BY numwait DESC, s_name
+"""
+
+
 def q_cust_order_dist(spark, sf_dir):
     """TPC-H Q13 (customer distribution) twin: the histogram of
     orders-per-customer INCLUDING zero-order customers — the canonical
@@ -18796,6 +18941,8 @@ REGISTRY: dict[str, tuple] = {
         O_SUPPLIER_PART_COUNTS,
     ),
     "small_qty_revenue": (q_small_qty_revenue, O_SMALL_QTY_REVENUE),
+    "part_promotion": (q_part_promotion, O_PART_PROMOTION),
+    "waiting_suppliers": (q_waiting_suppliers, O_WAITING_SUPPLIERS),
     "cumulative_sum_daily": (q_cumulative_sum_daily, O_CUMULATIVE_SUM_DAILY),
     "stats_bucket": (q_stats_bucket, O_STATS_BUCKET),
     "percentiles_bucket": (q_percentiles_bucket, O_PERCENTILES_BUCKET),
@@ -18898,6 +19045,7 @@ _DRIVER_ORDER = [
     "volume_shipping", "market_share", "product_profit",
     "late_line_priority", "min_cost_supplier", "important_parts",
     "supplier_part_counts", "small_qty_revenue",
+    "part_promotion", "waiting_suppliers",
     "revenue_change", "returned_items", "promo_revenue", "top_supplier",
     "large_orders", "brand_revenue",
     "cumulative_sum_daily", "stats_bucket", "percentiles_bucket",
