@@ -358,6 +358,7 @@ EXTRA_QUERIES = [
     # session-13 additions
     "part_promotion",
     "waiting_suppliers",
+    "bloom_semijoin",
 ]
 
 

@@ -11127,6 +11127,53 @@ ORDER BY type_a, type_b
 """
 
 
+def q_bloom_semijoin(spark, sf_dir):
+    """Runtime-filtered semi-join (the Bloom prefilter Spark's own
+    InjectRuntimeFilter builds internally, here from public primitives
+    — ops/sketches.py::bloom_build/bloom_might_contain): revenue and
+    order count per priority for customers with acctbal > 9000. The
+    dim-side keys (~10% of customers) build a fixed 2^14-bit Bloom
+    bitset; the probe is a pure-JVM bit test INSIDE the orders scan's
+    codegen stage, so non-matching fact rows die before any exchange;
+    survivors are verified exactly with a broadcast semi-join (Bloom
+    admits false positives, never negatives — tests/test_sketches.py).
+    Result is therefore exact; the oracle is the plain join. At 10^12
+    rows the bitset is still 2 KB·8 and the fact shuffle is ∝ matches,
+    not corpus."""
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    keys = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    m, k = 1 << 14, 4
+    words = sketches.bloom_build(keys, "c_custkey", num_bits=m, num_hashes=k)
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    pre = orders.filter(
+        sketches.bloom_might_contain(F.col("o_custkey"), words, m, k)
+    )
+    return (
+        pre.join(
+            F.broadcast(keys),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_c"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+O_BLOOM_SEMIJOIN = """
+SELECT o_orderpriority, count(*)::bigint AS n_orders,
+       sum(round(o_totalprice * 100)::bigint) AS revenue_c
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_acctbal > 9000
+GROUP BY 1 ORDER BY 1
+"""
+
+
 DS_LANG = "en"
 DS_SOURCE = "src3"
 
@@ -18849,6 +18896,7 @@ REGISTRY: dict[str, tuple] = {
     "hll_user_days": (q_hll_user_days, O_HLL_USER_DAYS),
     "cms_term_counts": (q_cms_term_counts, O_CMS_TERM_COUNTS),
     "kmv_event_overlap": (q_kmv_event_overlap, O_KMV_EVENT_OVERLAP),
+    "bloom_semijoin": (q_bloom_semijoin, O_BLOOM_SEMIJOIN),
     "drill_sideways": (q_drill_sideways, O_DRILL_SIDEWAYS),
     "adjacency_matrix": (q_adjacency_matrix, O_ADJACENCY_MATRIX),
     "auto_date_histogram": (q_auto_date_histogram, O_AUTO_DATE_HISTOGRAM),
@@ -19069,7 +19117,7 @@ _DRIVER_ORDER = [
     "has_parent_turns", "rank_feature_topk", "echo_rate", "topic_shifts", "heaps_growth",
     "cross_fields_topk", "has_child_topk", "terms_set_topk",
     "field_value_factor_topk", "pivot_facets",
-    "hll_user_days", "cms_term_counts", "kmv_event_overlap",
+    "hll_user_days", "cms_term_counts", "kmv_event_overlap", "bloom_semijoin",
     "drill_sideways", "adjacency_matrix", "auto_date_histogram", "dataset_split",
     "simple_qs_topk", "diversified_sampler",
     "filters_agg", "bucket_script", "percentile_ranks", "stream_set_ops",

@@ -386,3 +386,69 @@ def dd_quantiles(
         .select(*g, "pct", "bucket", est.alias("estimate"))
         .orderBy(*g, "pct")
     )
+
+
+# --------------------------------------------------------------------- #
+# Bloom filter (Bloom 1970) — the runtime semi-join prefilter.
+#
+# Spark's own engine builds exactly this shape for runtime filtering
+# (InjectRuntimeFilter inserts a BloomFilterAggregate on the small join
+# side and a might_contain probe on the big side), but the aggregate is
+# not registered as a public SQL function, so this is the same design
+# from public primitives: k = num_hashes positions per key via seeded
+# xxhash64, a bitset bounded by num_bits (NEVER by the data), and a
+# pure-JVM probe expression (element_at + shiftright + bit-and over a
+# literal long[] — whole-stage-codegen friendly, no Python anywhere).
+#
+# Exactness contract: a Bloom filter admits false positives, so callers
+# that need exact results MUST verify survivors with the real join —
+# the filter's job is only to keep the big side's shuffle ∝ matching
+# rows instead of ∝ the corpus. No false negatives ever
+# (tests/test_sketches.py proves both properties).
+# --------------------------------------------------------------------- #
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 4,
+) -> list:
+    """Build the bitset over ``df[col]`` (cast to string) and return it
+    as ``num_bits/64`` python ints. The only shuffle is a distinct over
+    set-bit positions — bounded by num_bits; the driver collect is
+    bounded by num_bits/64 words. At 10^12 rows the build side of a
+    semi-join prefilter is the SMALL side (dim keys), so this stays a
+    dim-sized job; the bitset itself is fixed-size either way."""
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    key = F.col(col).cast("string")
+    pos = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(key, F.lit(s)), F.lit(num_bits))
+                    for s in range(num_hashes)
+                ]
+            )
+        ).alias("pos")
+    ).distinct()
+    words = [0] * (num_bits // 64)
+    for r in pos.collect():
+        p = int(r["pos"])
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement into signed int64 range for the JVM literal
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_might_contain(col, words: list, num_bits: int, num_hashes: int = 4):
+    """The probe predicate: ALL k seeded-hash bit positions set. A pure
+    column expression over a literal long[] — lands inside the scan's
+    codegen stage, so the fact table is pruned BEFORE any exchange."""
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    key = col.cast("string")
+    cond = None
+    for s in range(num_hashes):
+        p = F.pmod(F.xxhash64(key, F.lit(s)), F.lit(num_bits))
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        bit = F.call_function("bit_get", word, (p % 64).cast("int")) == 1
+        cond = bit if cond is None else (cond & bit)
+    return cond

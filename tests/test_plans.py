@@ -946,3 +946,17 @@ def test_highlight_indexed_pushes_docid_lookup(spark, tmp_path):
     assert any("In(doc_id" in ln or "EqualTo(doc_id" in ln for ln in pushed), pushed
     assert "stored" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_semijoin_prefilters_before_exchange(spark):
+    """bloom_semijoin's bit-test predicate must run INSIDE the orders
+    scan stage (a Filter with xxhash64 below any Exchange), and the
+    verify join must be broadcast — the runtime-filter contract: fact
+    rows die in the scan's codegen stage, the shuffle is ∝ matches."""
+    plan = _plan(eq.REGISTRY["bloom_semijoin"][0](spark, SF))
+    assert "xxhash64" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the bloom Filter must appear in the plan text BELOW (= after, in
+    # toString order) the join and carry the bit_get probe
+    assert "bit_get" in plan, plan

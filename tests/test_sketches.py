@@ -204,3 +204,47 @@ def test_dds_bucket_keyspace_is_bounded(spark):
     n_buckets = sk.count()
     n_distinct = v.distinct().count()
     assert n_buckets < 600 and n_buckets < n_distinct
+
+
+# --------------------------------------------------------------------- #
+# Bloom filter: no false negatives ever, fp rate within theory, and the
+# prefilter+verify composition is EXACT (the runtime semi-join contract).
+# --------------------------------------------------------------------- #
+def test_bloom_no_false_negatives(spark):
+    keys = spark.range(0, 3000, 3).select(F.col("id").alias("k"))
+    words = sketches.bloom_build(keys, "k", num_bits=1 << 13, num_hashes=4)
+    probe = spark.range(3000).select(F.col("id").alias("x"))
+    passed = probe.filter(
+        sketches.bloom_might_contain(F.col("x"), words, 1 << 13, 4)
+    )
+    missed = keys.join(passed, F.col("k") == F.col("x"), "left_anti").count()
+    assert missed == 0
+
+
+def test_bloom_fp_rate_within_theory(spark):
+    """n=500 keys in m=2^12 bits with k=4 hashes: theoretical fp
+    (1-e^{-kn/m})^k ≈ 2.5%; assert under 4× of that on a disjoint
+    probe set (hash determinism makes this exact-repeatable)."""
+    keys = spark.range(0, 5000, 10).select(F.col("id").alias("k"))  # 500
+    m, k = 1 << 12, 4
+    words = sketches.bloom_build(keys, "k", num_bits=m, num_hashes=k)
+    probe = spark.range(10000, 30000).select(F.col("id").alias("x"))
+    fp = probe.filter(
+        sketches.bloom_might_contain(F.col("x"), words, m, k)
+    ).count()
+    assert fp / 20000 < 0.10
+
+
+def test_bloom_prefilter_verify_is_exact(spark):
+    """bloom prefilter -> exact verify join == plain semi-join. The
+    composition the bloom_semijoin registry query ships."""
+    keys = spark.range(0, 2000, 7).select(F.col("id").alias("k"))
+    words = sketches.bloom_build(keys, "k", num_bits=1 << 12, num_hashes=4)
+    probe = spark.range(4000).select(F.col("id").alias("x"))
+    via_bloom = (
+        probe.filter(sketches.bloom_might_contain(F.col("x"), words, 1 << 12, 4))
+        .join(F.broadcast(keys), F.col("x") == F.col("k"), "left_semi")
+        .count()
+    )
+    plain = probe.join(keys, F.col("x") == F.col("k"), "left_semi").count()
+    assert via_bloom == plain
