@@ -359,6 +359,8 @@ EXTRA_QUERIES = [
     "part_promotion",
     "waiting_suppliers",
     "bloom_semijoin",
+    "embedding_covariance",
+    "pca_project_topk",
 ]
 
 

@@ -6131,6 +6131,63 @@ ORDER BY round(c, 6) DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_embedding_covariance(spark, sf_dir):
+    """Distributed PCA, step 1 (ops/similarity.py::embedding_covariance
+    — the RowMatrix.computePrincipalComponents shape): the 64×64
+    covariance of the embedding column via per-partition NumPy x^T·x
+    partials over QUANTIZED (floor(x·2^20)) values, summed in a
+    dim²-bounded groupBy — exact int64 folds, order-independent, so the
+    final IEEE formula over the sums is bit-identical in both engines.
+    Output: the 2080-row upper triangle (i, j, cov). Vectors never
+    shuffle; nothing ∝ data reaches the driver."""
+    return similarity.embedding_covariance(_embeddings(spark, sf_dir))
+
+
+O_EMBEDDING_COVARIANCE = """
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         floor(unnest(embedding) * 1048576.0)::bigint AS qx
+  FROM embeddings),
+nn AS (SELECT count(*) AS n FROM embeddings),
+lin AS (SELECT d, sum(qx) AS ls FROM q GROUP BY 1),
+quad AS (SELECT a.d AS i, b.d AS j, sum(a.qx * b.qx) AS s
+         FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.d <= b.d
+         GROUP BY 1, 2)
+SELECT i, j,
+       (s::double / n::double
+        - (li.ls::double / n::double) * (lj.ls::double / n::double))
+       / 1099511627776.0 AS cov
+FROM quad CROSS JOIN nn
+JOIN lin li ON i = li.d
+JOIN lin lj ON j = lj.d
+ORDER BY i, j
+"""
+
+
+def q_pca_project_topk(spark, sf_dir):
+    """Distributed PCA, step 2 (rows-only: eigendecomposition is not
+    SQL-expressible — same category as mdlp_cuts): eigh of the 64×64
+    covariance driver-side (sign-fixed, ops/similarity.py::pca_fit),
+    then every vector projects onto PC1/PC2 as a JVM zip_with dot
+    against the literal components — codegen scan, no Python, no
+    shuffle. Top-10 by |pc1|. tests/test_new_ops.py referees the
+    spectrum against numpy.linalg.eigh on the exact covariance."""
+    emb = _embeddings(spark, sf_dir)
+    comps, _ = similarity.pca_fit(
+        similarity.embedding_covariance(emb), k=2
+    )
+    proj = similarity.pca_project(emb, comps)
+    return (
+        proj.select(
+            "vec_id",
+            F.round("pc1", 6).alias("pc1"),
+            F.round("pc2", 6).alias("pc2"),
+        )
+        .orderBy(F.desc(F.abs(F.col("pc1"))), "vec_id")
+        .limit(10)
+    )
+
+
 MMR_LAMBDA = 0.7
 MMR_C = 20
 MMR_K = 10
@@ -18721,6 +18778,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_minhash": (q_dedup_minhash, O_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
     "ann_cosine_topk": (q_ann_cosine_topk, O_ANN_COSINE_TOPK),
+    "embedding_covariance": (q_embedding_covariance, O_EMBEDDING_COVARIANCE),
+    "pca_project_topk": (q_pca_project_topk, None),
     "mmr_rerank": (q_mmr_rerank, O_MMR_RERANK),
     "ann_lsh_topk": (q_ann_lsh_topk, O_ANN_LSH_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, O_ANN_IVF_TOPK),
@@ -19118,6 +19177,7 @@ _DRIVER_ORDER = [
     "cross_fields_topk", "has_child_topk", "terms_set_topk",
     "field_value_factor_topk", "pivot_facets",
     "hll_user_days", "cms_term_counts", "kmv_event_overlap", "bloom_semijoin",
+    "embedding_covariance",
     "drill_sideways", "adjacency_matrix", "auto_date_histogram", "dataset_split",
     "simple_qs_topk", "diversified_sampler",
     "filters_agg", "bucket_script", "percentile_ranks", "stream_set_ops",
@@ -19179,6 +19239,7 @@ _DRIVER_ORDER = [
     "embedding_neardup", "index_bm25_topk", "bm25_topk", "embedding_neardup_lsh", "ann_ivf_topk",
     # --- rows-only tail ---
     "ner_entities", "mdlp_cuts", "acronyms", "ml_classify", "kea_extract",
+    "pca_project_topk",
 ]
 
 assert sorted(_DRIVER_ORDER) == sorted(REGISTRY), (

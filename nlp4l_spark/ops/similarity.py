@@ -596,3 +596,174 @@ def semantic_dedup(
         out = out.localCheckpoint(eager=True)
         cells.unpersist()
     return out
+
+
+# --------------------------------------------------------------------- #
+# Distributed PCA over the embedding column.
+#
+# The classic Spark shape: the Gram/covariance matrix is dim×dim (64×64
+# here) regardless of corpus size, so each partition folds its vectors
+# into ONE dim×dim partial (a NumPy x^T·x per Arrow batch), partials
+# sum in a bounded groupBy, and the eigendecomposition runs driver-side
+# on the 64×64 result (RowMatrix.computePrincipalComponents does exactly
+# this in Spark MLlib's JVM code). Nothing ∝ data ever reaches the
+# driver, and vectors are never shuffled.
+#
+# Determinism contract for the DuckDB oracle: values are QUANTIZED to
+# integers (round(x·2^quant_bits)) before any accumulation, so the fold
+# is exact int64 arithmetic — order-independent — and the covariance is
+# then a fixed IEEE formula over identical integers in both engines.
+# |x| < 1 and n ≤ ~2^20 keep s_ij ≤ 2^(2·quant_bits+20) < 2^63 at test
+# scale; at 10^12 rows the same pipeline runs un-quantized (float sums,
+# approximation-tolerant like every PCA) — the quantization exists for
+# exact external verification, not as the scale path.
+# --------------------------------------------------------------------- #
+def embedding_gram_partials(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    quant_bits: int = 20,
+) -> DataFrame:
+    """(i, j, s) int64 sums: j >= 0 → sum of q_i·q_j over the upper
+    triangle i <= j; j = -1 → the linear sum of q_i; (-1, -1) → n.
+    One Arrow pass; output is ≤ (dim·(dim+1)/2 + dim + 1) rows per
+    partition, summed by a bounded groupBy."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    scale = float(1 << quant_bits)
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("s", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        acc_g = None
+        acc_s = None
+        n = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+            )
+            # floor, not rint: round-half-even vs round-half-away can
+            # disagree with SQL round() on exact .5 fractions; floor is
+            # identical everywhere (the oracle floors too)
+            q = np.floor(mat * scale).astype(np.int64)
+            g = q.T @ q
+            acc_g = g if acc_g is None else acc_g + g
+            acc_s = q.sum(axis=0) if acc_s is None else acc_s + q.sum(axis=0)
+            n += len(pdf)
+        if acc_g is None:
+            return
+        dim = acc_g.shape[0]
+        iu, ju = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([iu, np.arange(dim), [-1]]).astype("int32"),
+                "j": np.concatenate(
+                    [ju, np.full(dim, -1), [-1]]
+                ).astype("int32"),
+                "s": np.concatenate(
+                    [acc_g[iu, ju], acc_s, [n]]
+                ).astype("int64"),
+            }
+        )
+
+    base = df.select(F.col(vec_col).alias("v"))
+    return base.mapInPandas(run, schema).groupBy("i", "j").agg(
+        F.sum("s").alias("s")
+    )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    quant_bits: int = 20,
+) -> DataFrame:
+    """(i, j, cov) for the upper triangle i <= j of the covariance
+    matrix of the quantized embeddings, un-quantized back to value
+    scale. cov = (S_ij/n − (S_i/n)·(S_j/n)) / 2^(2·quant_bits) — a
+    fixed IEEE-double formula over exact int64 sums, so any engine
+    computing the same formula over the same integers produces the
+    identical double (the DuckDB oracle does). All joins here are over
+    ≤ dim²-row tables."""
+    parts = embedding_gram_partials(df, vec_col, quant_bits)
+    n_row = parts.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").alias("_n")
+    )
+    lin = parts.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("_d"), F.col("s").alias("_ls")
+    )
+    quad = parts.filter(F.col("j") >= 0)
+    denom = float(1 << (2 * quant_bits))
+    return (
+        quad.crossJoin(F.broadcast(n_row))
+        .join(F.broadcast(lin).withColumnRenamed("_ls", "_li"), F.col("i") == F.col("_d"))
+        .drop("_d")
+        .join(F.broadcast(lin).withColumnRenamed("_ls", "_lj"), F.col("j") == F.col("_d"))
+        .drop("_d")
+        .select(
+            "i",
+            "j",
+            (
+                (
+                    F.col("s").cast("double") / F.col("_n").cast("double")
+                    - (F.col("_li").cast("double") / F.col("_n").cast("double"))
+                    * (F.col("_lj").cast("double") / F.col("_n").cast("double"))
+                )
+                / F.lit(denom)
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def pca_fit(cov_df: DataFrame, k: int = 2):
+    """Driver-side eigendecomposition of the collected dim×dim
+    covariance (2080 rows for dim=64 — bounded by the sketch, never the
+    data). Returns (components (k, dim) ndarray, eigenvalues (k,)),
+    eigenvalues descending; each component's sign is fixed so its
+    largest-|value| coordinate is positive (eigh's sign is otherwise
+    arbitrary — this makes projections deterministic)."""
+    rows = cov_df.collect()
+    dim = max(int(r["i"]) for r in rows) + 1
+    C = np.zeros((dim, dim))
+    for r in rows:
+        C[r["i"], r["j"]] = r["cov"]
+        C[r["j"], r["i"]] = r["cov"]
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    return comps, vals[order]
+
+
+def pca_project(
+    df: DataFrame,
+    components: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, pc1..pcK) — each projection is a JVM zip_with/aggregate dot
+    against the literal component (codegen scan, no Python, no shuffle);
+    means are NOT re-subtracted (PCA of the covariance is
+    translation-invariant up to a constant offset per component, and
+    top-k / ordering consumers are offset-immune; subtract the mean
+    projection downstream if absolute coordinates matter)."""
+    cols = [F.col(id_col)]
+    for ci, comp in enumerate(components):
+        lit = _as_lit_array(comp)
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cols.append(dot.alias(f"pc{ci + 1}"))
+    return df.select(*cols)

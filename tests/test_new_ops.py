@@ -307,3 +307,44 @@ def test_ngram_novelty_known_values(spark):
         for r in ngram_novelty(df).collect()
     }
     assert got == {0: (2, 1.0), 1: (2, 0.5), 3: (2, 0.0)}
+
+
+# ---------------- distributed PCA ------------------------------------------ #
+def test_pca_matches_numpy_referee(spark):
+    """embedding_covariance == numpy's exact quantized covariance;
+    pca_fit's spectrum == numpy.linalg.eigh; projections onto each
+    component carry variance == its eigenvalue (v^T C v = lambda, mean
+    offset immaterial); components orthonormal."""
+    import numpy as np
+
+    from nlp4l_spark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cov_df = similarity.embedding_covariance(emb)
+    rows = cov_df.collect()
+    # numpy referee on the same quantization
+    pdf = emb.toPandas()
+    mat = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["embedding"]])
+    q = np.floor(mat * (1 << 20)).astype(np.int64)
+    n = len(q)
+    s_lin = q.sum(axis=0)
+    g = q.T @ q
+    denom = float(1 << 40)
+    ref = (
+        g.astype(np.float64) / n
+        - np.outer(s_lin.astype(np.float64) / n, s_lin.astype(np.float64) / n)
+    ) / denom
+    for r in rows:
+        assert r["cov"] == pytest.approx(ref[r["i"], r["j"]], abs=1e-15)
+
+    comps, vals = similarity.pca_fit(cov_df, k=4)
+    ref_vals = np.sort(np.linalg.eigvalsh(ref))[::-1][:4]
+    assert np.allclose(vals, ref_vals, atol=1e-12)
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-10)
+
+    proj = similarity.pca_project(emb, comps).toPandas()
+    for ci in range(4):
+        v = proj[f"pc{ci + 1}"].to_numpy()
+        # population variance of the projections == eigenvalue (within
+        # the quantization error: raw floats project, quantized ints fit)
+        assert v.var() == pytest.approx(vals[ci], rel=1e-3)
