@@ -361,6 +361,7 @@ EXTRA_QUERIES = [
     "bloom_semijoin",
     "embedding_covariance",
     "pca_project_topk",
+    "image_phash_dupes",
 ]
 
 

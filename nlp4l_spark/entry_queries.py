@@ -8118,6 +8118,53 @@ ORDER BY media_id
 """
 
 
+def q_image_phash_dupes(spark, sf_dir):
+    """Image perceptual-dedup (ops/multimodal.py::image_ahash — the
+    aHash of pHash/imagededup lineage): decode the REAL PNG payloads,
+    8×8 nearest-sample thumbnail, integer mean-threshold bits, then
+    exact-equality groupBy on the 64-bit hash string — images that
+    differ only by constant brightness cluster together (the synthetic
+    gradient patterns differ exactly by a per-image offset, so every
+    same-dimensions image lands in one cluster: a true
+    brightness-invariance check, not a bytes-equality one). The oracle
+    recomputes the sampled grid and threshold closed-form from the
+    pixel formula — one misdecoded byte and the hash check fails. At
+    scale: one Arrow decode pass, then phash-only queries prune the
+    payload column; hamming-radius pairing would reuse the SimHash
+    4-piece blocking over the same bits."""
+    media = multimodal.synth_phash_media(spark, n=64)
+    ah = multimodal.image_ahash(media)
+    return (
+        ah.groupBy("phash")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.min("media_id").alias("min_media_id"),
+        )
+        .orderBy("phash")
+    )
+
+
+O_IMAGE_PHASH_DUPES = """
+WITH ids AS (SELECT i FROM generate_series(0, 63) s(i)),
+g AS (SELECT u FROM generate_series(0, 7) t(u)),
+cells AS (SELECT i, gv.u AS v, gu.u AS u,
+                 (CASE i % 4
+                    WHEN 0 THEN 6 * (gu.u * 2) + 2 * (gv.u * 2)
+                    WHEN 1 THEN 2 * (gu.u * 2) + 6 * (gv.u * 2)
+                    WHEN 2 THEN 6 * (15 - gu.u * 2) + 2 * (gv.u * 2)
+                    ELSE 6 * (gu.u * 2) + 2 * (15 - gv.u * 2)
+                  END + i // 4) AS px
+          FROM ids CROSS JOIN g gu CROSS JOIN g gv),
+tot AS (SELECT i, sum(px) AS s FROM cells GROUP BY 1),
+ph AS (SELECT c.i,
+              string_agg(CASE WHEN px * 64 > s THEN '1' ELSE '0' END,
+                         '' ORDER BY v, u) AS phash
+       FROM cells c JOIN tot ON c.i = tot.i GROUP BY c.i)
+SELECT phash, count(*)::bigint AS n_images, min(i) AS min_media_id
+FROM ph GROUP BY 1 ORDER BY phash
+"""
+
+
 def q_media_frame_plan(spark, sf_dir):
     """Video frame-sampling plan: metadata-only explode (payload column
     pruned from the scan), one row per sampled frame timestamp."""
@@ -18827,6 +18874,7 @@ REGISTRY: dict[str, tuple] = {
     "bpe_merges": (q_bpe_merges, O_BPE_MERGES),
     "media_features": (q_media_features, O_MEDIA_FEATURES),
     "media_jpeg_sof": (q_media_jpeg_sof, O_MEDIA_JPEG_SOF),
+    "image_phash_dupes": (q_image_phash_dupes, O_IMAGE_PHASH_DUPES),
     "readability": (q_readability, O_READABILITY),
     "token_entropy": (q_token_entropy, O_TOKEN_ENTROPY),
     "ngram_novelty": (q_ngram_novelty, O_NGRAM_NOVELTY),
@@ -19177,7 +19225,7 @@ _DRIVER_ORDER = [
     "cross_fields_topk", "has_child_topk", "terms_set_topk",
     "field_value_factor_topk", "pivot_facets",
     "hll_user_days", "cms_term_counts", "kmv_event_overlap", "bloom_semijoin",
-    "embedding_covariance",
+    "embedding_covariance", "image_phash_dupes",
     "drill_sideways", "adjacency_matrix", "auto_date_histogram", "dataset_split",
     "simple_qs_topk", "diversified_sampler",
     "filters_agg", "bucket_script", "percentile_ranks", "stream_set_ops",

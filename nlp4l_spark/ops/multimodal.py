@@ -598,3 +598,92 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash over the image payloads: decode the REAL
+    PNG bytes (decode_png), sample a grid×grid nearest-neighbor
+    thumbnail (sx = floor(u·w/grid), sy = floor(v·h/grid) — exact
+    integer sampling so a closed-form oracle can recompute it), then
+    one bit per cell: pixel·grid² > sum(all cells) — the aHash
+    mean-threshold in pure integer arithmetic (strict >, ties → 0, no
+    float mean anywhere). Output (media_id, phash) with phash a
+    grid²-char '0'/'1' string, row-major — portable across engines (no
+    int64 sign trap at bit 63).
+
+    The point of aHash: images differing only by a constant brightness
+    offset (no wrap) threshold identically, so exact-equality groupBy
+    on phash clusters them — the image analogue of text exact-dedup;
+    hamming-radius pairing would reuse the SimHash 4-piece blocking
+    (ops/dedup.py) over the same bits. One Arrow pass; at 100 TB the
+    payload column prunes for every later phash-only query."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("phash", T.StringType()),
+        ]
+    )
+
+    import struct
+    import zlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, hashes = [], []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, px = decode_png(bytes(p))
+                except (ValueError, struct.error, zlib.error, IndexError):
+                    continue
+                if px.ndim == 3:  # RGB -> rec601 luma, integer-exact
+                    px = (
+                        299 * px[:, :, 0].astype(np.int64)
+                        + 587 * px[:, :, 1].astype(np.int64)
+                        + 114 * px[:, :, 2].astype(np.int64)
+                    ) // 1000
+                sx = (np.arange(grid) * w) // grid
+                sy = (np.arange(grid) * h) // grid
+                cells = px.astype(np.int64)[np.ix_(sy, sx)]
+                total = int(cells.sum())
+                bits = (cells * (grid * grid) > total).astype(np.uint8)
+                hashes.append("".join("1" if b else "0" for b in bits.ravel()))
+                ids.append(int(m))
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, out_schema)
+    )
+
+
+def synth_phash_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic REAL 16×16 grayscale PNGs in four gradient-direction
+    classes (k = i % 4), each image brightness-shifted by i//4:
+
+        k=0: px = 6x + 2y + i//4      k=1: px = 2x + 6y + i//4
+        k=2: px = 6(15−x) + 2y + i//4 k=3: px = 6x + 2(15−y) + i//4
+
+    Max value 120 + 15 < 256 — NO wrap, so within a class every image
+    is the same pattern up to a constant offset and must aHash
+    identically, while the four directions threshold differently:
+    exactly four phash clusters of n/4. Closed-form in (i, x, y) for
+    the SQL oracle."""
+    rows = []
+    xs = np.arange(16)[None, :]
+    ys = np.arange(16)[:, None]
+    for i in range(n):
+        k, off = i % 4, i // 4
+        if k == 0:
+            px = 6 * xs + 2 * ys
+        elif k == 1:
+            px = 2 * xs + 6 * ys
+        elif k == 2:
+            px = 6 * (15 - xs) + 2 * ys
+        else:
+            px = 6 * xs + 2 * (15 - ys)
+        payload = encode_png(16, 16, (px + off).astype(np.uint8))
+        rows.append((i, "image", "image/png", 16, 16, None, payload))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

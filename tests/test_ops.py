@@ -1180,3 +1180,35 @@ def test_textrank(spark):
         score = {t: (1.0 - 0.85) + 0.85 * v for t, v in nxt.items()}
     for t, v in score.items():
         assert abs(out[t] - round(v, 6)) < 1e-9, t
+
+
+def test_image_ahash_brightness_invariance(spark):
+    """aHash contract: a constant brightness offset (no wrap) never
+    changes the hash; a different gradient direction always does; and
+    the four synth_phash_media classes form exactly four clusters."""
+    import numpy as np
+
+    from nlp4l_spark.ops import multimodal as mm
+
+    base = ((6 * np.arange(16)[None, :] + 2 * np.arange(16)[:, None])).astype(
+        np.uint8
+    )
+    rows = [
+        (0, "image", "image/png", 16, 16, None, mm.encode_png(16, 16, base)),
+        (1, "image", "image/png", 16, 16, None,
+         mm.encode_png(16, 16, base + 40)),          # offset: same hash
+        (2, "image", "image/png", 16, 16, None,
+         mm.encode_png(16, 16, base.T.copy())),      # direction: differs
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    h = {r["media_id"]: r["phash"] for r in mm.image_ahash(df).collect()}
+    assert h[0] == h[1]
+    assert h[0] != h[2]
+
+    clusters = (
+        mm.image_ahash(mm.synth_phash_media(spark, 64))
+        .groupBy("phash")
+        .count()
+        .collect()
+    )
+    assert sorted(r["count"] for r in clusters) == [16, 16, 16, 16]
