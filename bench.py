@@ -362,6 +362,7 @@ EXTRA_QUERIES = [
     "embedding_covariance",
     "pca_project_topk",
     "image_phash_dupes",
+    "modularity_score",
 ]
 
 

@@ -17329,6 +17329,18 @@ def q_label_propagation(spark, sf_dir):
     + one per-node WindowGroupLimit argmax — the round count is fixed
     and small, so the lineage stays bounded (at real scale you'd
     checkpoint between rounds; 3 rounds needs none)."""
+    _, labels = _lpa_final_labels(spark, sf_dir)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").cast("long").alias("size"))
+        .orderBy(F.desc("size"), F.asc("community"))
+    )
+
+
+def _lpa_final_labels(spark, sf_dir):
+    """(edges, labels) after {LPA_ROUNDS} synchronous LPA rounds over
+    the lift-edged term graph — shared by label_propagation and
+    modularity_score."""
     edges = _lift_edges(spark, sf_dir).persist()
     adj = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -17348,10 +17360,56 @@ def q_label_propagation(spark, sf_dir):
             .filter(F.col("rn") == 1)
             .select("t", "label")
         )
+    return edges, labels
+
+
+def q_modularity_score(spark, sf_dir):
+    """Newman modularity of the LPA communities (Newman & Girvan 2004
+    — the quality score every community detector reports): per
+    community c, Q_c = e_c/m − (d_c/2m)², with e_c intra-community
+    edges, d_c total degree, m the edge count. All three are exact
+    integer counts folded over the BOUNDED edge list (≤ C(vocab,2)
+    rows), so the final IEEE formula is engine-identical. Spark shape:
+    two broadcast label joins onto the edge list + one degree union —
+    nothing ∝ corpus after the shared _lift_edges job."""
+    edges, labels = _lpa_final_labels(spark, sf_dir)
+    lab = labels.select(F.col("t"), F.col("label"))
+    m_df = edges.agg(F.count("*").cast("long").alias("_m"))
+    intra = (
+        edges.join(
+            F.broadcast(lab.toDF("u", "_lu")), "u"
+        )
+        .join(F.broadcast(lab.toDF("v", "_lv")), "v")
+        .filter(F.col("_lu") == F.col("_lv"))
+        .groupBy(F.col("_lu").alias("community"))
+        .agg(F.count("*").cast("long").alias("intra_edges"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("t"))
+        .union(edges.select(F.col("v").alias("t")))
+        .join(F.broadcast(lab), "t")
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    half = F.col("degree").cast("double") / (
+        F.lit(2) * F.col("_m")
+    ).cast("double")
     return (
-        labels.groupBy(F.col("label").alias("community"))
-        .agg(F.count("*").cast("long").alias("size"))
-        .orderBy(F.desc("size"), F.asc("community"))
+        deg.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "community",
+            F.coalesce(F.col("intra_edges"), F.lit(0)).cast("long").alias(
+                "intra_edges"
+            ),
+            "degree",
+            (
+                F.coalesce(F.col("intra_edges"), F.lit(0)).cast("double")
+                / F.col("_m").cast("double")
+                - half * half
+            ).alias("modularity"),
+        )
+        .orderBy("community")
     )
 
 
@@ -17381,6 +17439,28 @@ WITH {O_LIFT_EDGES_CTES},
 {_lpa_round_ctes()}
 SELECT label AS community, count(*)::bigint AS size
 FROM l{LPA_ROUNDS} GROUP BY 1 ORDER BY size DESC, community ASC
+"""
+
+
+O_MODULARITY_SCORE = f"""
+WITH {O_LIFT_EDGES_CTES},
+{_lpa_round_ctes()},
+lab AS MATERIALIZED (SELECT t, label FROM l{LPA_ROUNDS}),
+mm AS (SELECT count(*)::bigint AS m FROM edges),
+intra AS (SELECT lu.label AS community, count(*)::bigint AS e
+          FROM edges
+          JOIN lab lu ON u = lu.t
+          JOIN lab lv ON v = lv.t AND lu.label = lv.label
+          GROUP BY 1),
+deg AS (SELECT label AS community, count(*)::bigint AS d
+        FROM (SELECT u AS t FROM edges UNION ALL SELECT v AS t FROM edges) e
+        JOIN lab ON e.t = lab.t GROUP BY 1)
+SELECT community, coalesce(e, 0)::bigint AS intra_edges, d AS degree,
+       coalesce(e, 0)::double / m::double
+         - (d::double / (2 * m)::double) * (d::double / (2 * m)::double)
+         AS modularity
+FROM deg LEFT JOIN intra USING (community) CROSS JOIN mm
+ORDER BY community
 """
 
 
@@ -19135,6 +19215,7 @@ REGISTRY: dict[str, tuple] = {
     "sales_opportunity": (q_sales_opportunity, O_SALES_OPPORTUNITY),
     "extractive_summary": (q_extractive_summary, O_EXTRACTIVE_SUMMARY),
     "label_propagation": (q_label_propagation, O_LABEL_PROPAGATION),
+    "modularity_score": (q_modularity_score, O_MODULARITY_SCORE),
     "mutual_info_terms": (q_mutual_info_terms, O_MUTUAL_INFO_TERMS),
     "bh_significant_terms": (
         q_bh_significant_terms,
@@ -19225,7 +19306,7 @@ _DRIVER_ORDER = [
     "cross_fields_topk", "has_child_topk", "terms_set_topk",
     "field_value_factor_topk", "pivot_facets",
     "hll_user_days", "cms_term_counts", "kmv_event_overlap", "bloom_semijoin",
-    "embedding_covariance", "image_phash_dupes",
+    "embedding_covariance", "image_phash_dupes", "modularity_score",
     "drill_sideways", "adjacency_matrix", "auto_date_histogram", "dataset_split",
     "simple_qs_topk", "diversified_sampler",
     "filters_agg", "bucket_script", "percentile_ranks", "stream_set_ops",
