@@ -363,6 +363,7 @@ EXTRA_QUERIES = [
     "pca_project_topk",
     "image_phash_dupes",
     "modularity_score",
+    "compression_ratio_topk",
 ]
 
 

@@ -6867,6 +6867,22 @@ def q_quality(spark, sf_dir):
     return textqc.quality_score(_docs(spark, sf_dir)).select("doc_id", "quality")
 
 
+def q_compression_ratio_topk(spark, sf_dir):
+    """Deflate-compressibility quality signal (textqc.compression_ratio
+    — the RefinedWeb/Gopher repetition filter): the 10 most-compressible
+    documents (ratio asc = most template-like). Rows-only: zlib is not
+    SQL-expressible; tests/test_ops.py referees every byte count
+    against direct zlib.compress."""
+    cr = textqc.compression_ratio(_docs(spark, sf_dir))
+    return (
+        cr.select(
+            "doc_id", "n_bytes", "z_bytes", F.round("ratio", 6).alias("ratio")
+        )
+        .orderBy(F.asc("ratio"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 O_QUALITY = f"""
 WITH base AS (
   SELECT doc_id,
@@ -18918,6 +18934,7 @@ REGISTRY: dict[str, tuple] = {
     "semantic_dedup": (q_semantic_dedup, O_SEMANTIC_DEDUP),
     "token_count": (q_token_count, O_TOKEN_COUNT),
     "quality_score": (q_quality, O_QUALITY),
+    "compression_ratio_topk": (q_compression_ratio_topk, None),
     "lang_id": (q_lang_id, O_LANG_ID),
     "fingerprint": (q_fingerprint, O_FINGERPRINT),
     "clean_lines": (q_clean_lines, O_CLEAN_LINES),
@@ -19368,7 +19385,7 @@ _DRIVER_ORDER = [
     "embedding_neardup", "index_bm25_topk", "bm25_topk", "embedding_neardup_lsh", "ann_ivf_topk",
     # --- rows-only tail ---
     "ner_entities", "mdlp_cuts", "acronyms", "ml_classify", "kea_extract",
-    "pca_project_topk",
+    "pca_project_topk", "compression_ratio_topk",
 ]
 
 assert sorted(_DRIVER_ORDER) == sorted(REGISTRY), (

@@ -1488,3 +1488,50 @@ def ngram_novelty(
         )
         .orderBy(F.asc(id_col))
     )
+
+
+# ---- compression-ratio quality signal -------------------------------------- #
+def compression_ratio(df: DataFrame, text_col: str = "text", level: int = 6):
+    """Per-document deflate compressibility (doc_id, n_bytes, z_bytes,
+    ratio = z/n): the RefinedWeb/Gopher-family repetition signal that
+    catches what n-gram rules miss — boilerplate and template spam
+    compress far below prose (ratio << prose band), random/encoded junk
+    compresses above it. Filter downstream with ratio BETWEEN lo AND hi.
+
+    Arrow-batched zlib (stdlib, deterministic for a fixed level across
+    platforms — zlib's DEFLATE is fully specified by level); one pass,
+    no shuffle. Not SQL-expressible, so the registry entry is rows-only
+    with a direct-zlib referee test (tests/test_ops.py)."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow  # noqa: F401  (Arrow batching required, like dedup)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.IntegerType()),
+            T.StructField("z_bytes", T.IntegerType()),
+            T.StructField("ratio", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            raw = [str(t).encode("utf-8") for t in pdf["text"]]
+            nb = [len(b) for b in raw]
+            zb = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": nb,
+                    "z_bytes": zb,
+                    "ratio": [z / n if n else 0.0 for z, n in zip(zb, nb)],
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(run, schema)

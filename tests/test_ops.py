@@ -1212,3 +1212,22 @@ def test_image_ahash_brightness_invariance(spark):
         .collect()
     )
     assert sorted(r["count"] for r in clusters) == [16, 16, 16, 16]
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    """Every (n_bytes, z_bytes) equals direct zlib.compress on the same
+    UTF-8 bytes, and repetitive text compresses below prose."""
+    import zlib
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the bank"),
+        (1, "spam spam spam spam spam spam spam spam spam spam spam"),
+        (2, "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textqc.compression_ratio(df).collect()}
+    for i, t in rows:
+        b = t.encode("utf-8")
+        assert got[i]["n_bytes"] == len(b)
+        assert got[i]["z_bytes"] == len(zlib.compress(b, 6))
+    assert got[1]["ratio"] < got[0]["ratio"]
