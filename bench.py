@@ -364,6 +364,7 @@ EXTRA_QUERIES = [
     "image_phash_dupes",
     "modularity_score",
     "compression_ratio_topk",
+    "collapse_inner_hits",
 ]
 
 

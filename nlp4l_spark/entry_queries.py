@@ -2542,6 +2542,71 @@ ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+def q_collapse_inner_hits(spark, sf_dir):
+    """Field collapsing WITH inner hits (ES collapse.inner_hits /
+    Lucene grouping's TopGroups): the top-5 conversation groups by
+    group-head BM25 score, each expanded to its up-to-3 best members
+    with their rank inside the group — collapse_topk shows only heads;
+    this is the variant real search UIs ship ("other messages in this
+    thread"). Same 6-dp-rounded deterministic head choice; the top-5
+    group table is tiny and broadcasts back onto the ranked rows."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    n, avgdl, dfs = _bm25_corpus_stats(per_doc, BM25_TERMS)
+    scored = (
+        per_doc.withColumn(
+            "s", F.round(_bm25_score_col(BM25_TERMS, n, avgdl, dfs), 6)
+        )
+        .filter(F.greatest(*[F.col("m")[t] for t in BM25_TERMS]).isNotNull())
+        .withColumn("conv_id", F.floor(F.col("doc_id") / 4))
+    )
+    wg = Window.partitionBy("conv_id").orderBy(F.desc("s"), F.asc("doc_id"))
+    ranked = scored.withColumn(
+        "rank_in_group", F.row_number().over(wg)
+    ).filter(F.col("rank_in_group") <= 3)
+    heads = (
+        ranked.filter(F.col("rank_in_group") == 1)
+        .select("conv_id", F.col("s").alias("_hs"), F.col("doc_id").alias("_hd"))
+        .orderBy(F.desc("_hs"), F.asc("_hd"))
+        .limit(5)
+    )
+    return (
+        ranked.join(F.broadcast(heads), "conv_id")
+        .select(
+            "conv_id",
+            "doc_id",
+            F.col("rank_in_group").cast("int").alias("rank_in_group"),
+            F.col("s").alias("score"),
+        )
+        .orderBy("conv_id", "rank_in_group")
+    )
+
+
+O_COLLAPSE_INNER_HITS = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df FROM dt JOIN qt USING (term) GROUP BY 1),
+sc AS (SELECT dt.doc_id,
+              round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id),
+ranked AS (SELECT doc_id, doc_id // 4 AS conv_id, s,
+                  row_number() OVER (PARTITION BY doc_id // 4
+                                     ORDER BY s DESC, doc_id ASC)
+                    AS rank_in_group
+           FROM sc QUALIFY rank_in_group <= 3),
+heads AS (SELECT conv_id FROM ranked WHERE rank_in_group = 1
+          ORDER BY s DESC, doc_id ASC LIMIT 5)
+SELECT conv_id, doc_id, rank_in_group::int AS rank_in_group, s AS score
+FROM ranked JOIN heads USING (conv_id)
+ORDER BY conv_id, rank_in_group
+"""
+
+
 def q_search_after_page2(spark, sf_dir):
     """Cursor pagination, page 2 (Lucene IndexSearcher.searchAfter; index
     twin Searcher.search_after): results 11-20 of the BM25 ranking via
@@ -19058,6 +19123,7 @@ REGISTRY: dict[str, tuple] = {
     "conv_pooling": (q_conv_pooling, O_CONV_POOLING),
     "function_score_topk": (q_function_score_topk, O_FUNCTION_SCORE_TOPK),
     "collapse_topk": (q_collapse_topk, O_COLLAPSE_TOPK),
+    "collapse_inner_hits": (q_collapse_inner_hits, O_COLLAPSE_INNER_HITS),
     "facet_ranges": (q_facet_ranges, O_FACET_RANGES),
     "search_after_page2": (q_search_after_page2, O_SEARCH_AFTER_PAGE2),
     "sorted_by_field": (q_sorted_by_field, O_SORTED_BY_FIELD),
@@ -19324,6 +19390,7 @@ _DRIVER_ORDER = [
     "field_value_factor_topk", "pivot_facets",
     "hll_user_days", "cms_term_counts", "kmv_event_overlap", "bloom_semijoin",
     "embedding_covariance", "image_phash_dupes", "modularity_score",
+    "collapse_inner_hits",
     "drill_sideways", "adjacency_matrix", "auto_date_histogram", "dataset_split",
     "simple_qs_topk", "diversified_sampler",
     "filters_agg", "bucket_script", "percentile_ranks", "stream_set_ops",
