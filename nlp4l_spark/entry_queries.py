@@ -11922,14 +11922,45 @@ def q_shingle_wordcount(spark, sf_dir):
     phrase-boosting and collocation stats without positions. Top-20
     shingles by collection frequency; the oracle re-renders the SAME
     analyzer contract in DuckDB (4-engine identity smoke-tested in
-    tests/test_shingle_edge.py)."""
-    toks = SHINGLE_ANALYZER.tokens_expr("text")
+    tests/test_shingle_edge.py).
+
+    Engine note: the declarative twin (explode(SHINGLE_ANALYZER
+    .tokens_expr) + contains('_')) measured 11.5 s at sf0.1 — the
+    nested transform/slice/array_join HOF chain is interpreted per
+    element. This is the dedup.shingles_udf / collocations precedent a
+    fourth time: per-doc shingle COUNTS via one Arrow pass (the
+    unigram stream never reaches the query: [a-z0-9]+ tokens cannot
+    contain '_'), oracle-identical output."""
+    from pyspark.sql import types as T
+
+    tokenize = STANDARD_ANALYZER.tokenize  # == SHINGLE base stream
+
+    @F.pandas_udf(
+        T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("t", T.StringType()),
+                    T.StructField("c", T.LongType()),
+                ]
+            )
+        )
+    )
+    def _shingle_counts(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = tokenize(t)
+            counts: dict[str, int] = {}
+            for a, b in zip(toks, toks[1:]):
+                s = a + "_" + b
+                counts[s] = counts.get(s, 0) + 1
+            out.append(list(counts.items()))
+        return pd.Series(out)
+
     return (
         _docs(spark, sf_dir)
-        .select(F.explode(toks).alias("term"))
-        .filter(F.col("term").contains("_"))
-        .groupBy("term")
-        .agg(F.count("*").cast("long").alias("cf"))
+        .select(F.explode(_shingle_counts(F.col("text"))).alias("b"))
+        .groupBy(F.col("b.t").alias("term"))
+        .agg(F.sum("b.c").cast("long").alias("cf"))
         .orderBy(F.desc("cf"), F.asc("term"))
         .limit(20)
     )
