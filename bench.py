@@ -365,6 +365,7 @@ EXTRA_QUERIES = [
     "modularity_score",
     "compression_ratio_topk",
     "collapse_inner_hits",
+    "ann_ivfpq_topk",
 ]
 
 

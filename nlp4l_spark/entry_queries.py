@@ -6387,12 +6387,33 @@ def q_ann_ivfsq_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ probe over the materialized layout
+    (ops/ann_index.py::ivfpq_topk_indexed): nprobe=2 partition-pruned
+    cell reads, compressed-domain ADC candidate ranking over the m-byte
+    codes column (pure-JVM literal-LUT fold), exact-cosine re-rank of
+    the ADC top-128. rerank=128 covers the probed cells' candidate
+    count at fixture scale, so the result equals the plain IVF probe
+    and O_ANN_IVF_TOPK is a true oracle — an ADC recall miss inside the
+    probed cells would surface as a hash mismatch (the ann_ivfsq_topk
+    contract, PQ edition)."""
+    from nlp4l_spark.ops.ann_index import ivfpq_topk_indexed
+
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ivfpq_topk_indexed(
+        spark, _ann_index(spark, sf_dir), qvec, k=10, nprobe=2, rerank=128
+    )
+
+
 def _ann_cache_dir(sf_dir: str) -> str:
     key = sf_dir.strip("/").replace("/", "_")
     # params in the key: a changed geometry never reuses a stale layout
-    # (sq1 = round-3 layouts carry SQ codes + meta; m1 = label rides
-    # inline for filtered probes)
-    return os.path.join(tempfile.gettempdir(), f"nlp4l_ann_b2t16sq1m1_{key}")
+    # (sq1 = round-3 layouts carry SQ codes + meta; pq1 = session-13
+    # layouts add PQ codes; m1 = label rides inline for filtered probes)
+    return os.path.join(
+        tempfile.gettempdir(), f"nlp4l_ann_b2t16sq1pq1m1_{key}"
+    )
 
 
 def _ann_index(spark, sf_dir):
@@ -6414,7 +6435,7 @@ def _ann_index(spark, sf_dir):
             for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
         ]
         build_ann_index(
-            emb, d, bits=2, tables=16, centroids=cents, sq=True,
+            emb, d, bits=2, tables=16, centroids=cents, sq=True, pq=True,
             meta_cols=["label"],
         )
     return d
@@ -19025,6 +19046,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_pq_topk": (q_ann_pq_topk, O_ANN_PQ_TOPK),
     "ann_sq_topk": (q_ann_sq_topk, O_ANN_SQ_TOPK),
     "ann_ivfsq_topk": (q_ann_ivfsq_topk, O_ANN_IVF_TOPK),
+    "ann_ivfpq_topk": (q_ann_ivfpq_topk, O_ANN_IVF_TOPK),
     "embedding_neardup": (q_embedding_neardup, O_EMBEDDING_NEARDUP),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, O_EMBEDDING_NEARDUP),
     "semantic_dedup": (q_semantic_dedup, O_SEMANTIC_DEDUP),
@@ -19387,7 +19409,7 @@ _DRIVER_ORDER = [
     "filtered_bm25_topk", "hybrid_rrf_topk", "combsum_topk", "mmr_rerank",
     "kea_features", "kea_bigrams", "kea_top_keyphrases",
     "ltr_features", "ltr_pairwise", "rank_eval",
-    "ann_pq_topk", "ann_sq_topk", "ann_ivfsq_topk",
+    "ann_pq_topk", "ann_sq_topk", "ann_ivfsq_topk", "ann_ivfpq_topk",
     "dedup_spans", "dedup_span_excise", "semantic_dedup",
     "media_jpeg_sof", "readability", "token_entropy", "burstiness", "span_first_search", "jaccard_topk",
     "dedup_rate_by_source", "highlight",

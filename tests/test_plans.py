@@ -960,3 +960,18 @@ def test_bloom_semijoin_prefilters_before_exchange(spark):
     # the bloom Filter must appear in the plan text BELOW (= after, in
     # toString order) the join and carry the bit_get probe
     assert "bit_get" in plan, plan
+
+
+def test_pca_project_is_jvm_and_shuffle_free(spark):
+    """pca_project's projection stage must be a pure codegen scan: no
+    Python eval nodes, no Exchange — the literal-component zip_with dot
+    is the whole plan."""
+    import numpy as np
+
+    from nlp4l_spark.ops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    comps = np.eye(2, 64)
+    plan = _plan(similarity.pca_project(emb, comps))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan, plan
