@@ -366,6 +366,7 @@ EXTRA_QUERIES = [
     "compression_ratio_topk",
     "collapse_inner_hits",
     "ann_ivfpq_topk",
+    "sloppy_phrase3_topk",
 ]
 
 

@@ -1585,6 +1585,131 @@ ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+SLOPPY3_TERMS = ("merge", "join", "query")
+SLOPPY3_SLOP = 4
+
+
+def q_sloppy_phrase3_topk(spark, sf_dir):
+    """THREE-term sloppy PhraseQuery top-k, corpus path (index twin
+    Searcher.search_sloppy_phrase_multi — session 13 closes the
+    documented >2-term fall-through): tf = Σ over strictly increasing
+    position triples (p₁<p₂<p₃) with matchLength L = (p₃−p₁)−2 ≤ slop
+    of 1/(1+L), the k=2 pair decay generalized; the partial prune
+    p₂−p₁−1 ≤ slop applies mid-tuple exactly as the engine's fold.
+    Score = Σ idf · BM25 norm, positions on the full token stream —
+    the sloppy_phrase_topk contract, k=3 edition."""
+    win_mid = SLOPPY3_SLOP + 1
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias(
+            "ft"
+        ),
+        STANDARD_ANALYZER.tokens_expr("text").alias("at"),
+    )
+
+    def _positions(term):
+        return F.filter(
+            F.transform(
+                F.col("ft"),
+                lambda x, i: F.when(x == term, i).otherwise(F.lit(-1)),
+            ),
+            lambda v: v >= 0,
+        )
+
+    ta, tb, tc = SLOPPY3_TERMS
+    pa, pb, pc = _positions(ta), _positions(tb), _positions(tc)
+    tfw = F.aggregate(
+        pa,
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.aggregate(
+            F.filter(pb, lambda j: (j > i) & (j - i <= win_mid)),
+            F.lit(0.0),
+            lambda a2, j: a2
+            + F.aggregate(
+                F.filter(
+                    pc,
+                    lambda m: (m > j) & (m - i - 2 <= F.lit(SLOPPY3_SLOP)),
+                ),
+                F.lit(0.0),
+                lambda a3, m: a3 + F.lit(1.0) / (m - i - 2 + F.lit(1.0)),
+            ),
+        ),
+    )
+    stats = t.agg(
+        F.count("*").alias("n"),
+        F.sum(F.size("at")).alias("sdl"),
+        *[
+            F.count_if(F.array_contains("at", tm)).alias(f"df{x}")
+            for x, tm in enumerate(SLOPPY3_TERMS)
+        ],
+    ).collect()[0]
+    n = float(stats["n"])
+    avgdl = float(stats["sdl"]) / n
+    idf_total = sum(
+        math.log(
+            1.0 + (n - stats[f"df{x}"] + 0.5) / (stats[f"df{x}"] + 0.5)
+        )
+        for x in range(3)
+    )
+    return (
+        t.select(
+            "doc_id", tfw.alias("tf"), F.size("at").cast("double").alias("dl")
+        )
+        .filter(F.col("tf") > 0)
+        .withColumn(
+            "s",
+            F.lit(idf_total)
+            * F.col("tf")
+            * F.lit(2.2)
+            / (
+                F.col("tf")
+                + F.lit(1.2)
+                * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(BM25_K)
+        .select("doc_id", F.round("s", 6).alias("score"))
+    )
+
+
+O_SLOPPY_PHRASE3_TOPK = f"""
+WITH t AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS ft,
+             {TOK_SQL} AS at FROM documents),
+pos AS (SELECT doc_id,
+          list_filter(range(1, len(ft) + 1), i -> ft[i] = 'merge') AS pa,
+          list_filter(range(1, len(ft) + 1), j -> ft[j] = 'join') AS pb,
+          list_filter(range(1, len(ft) + 1), m -> ft[m] = 'query') AS pc,
+          len(at)::double AS dl
+        FROM t),
+base AS (SELECT doc_id, dl,
+           coalesce(list_aggregate(list_transform(pa, i ->
+             coalesce(list_aggregate(list_transform(
+               list_filter(pb, j -> j > i AND j - i <= {SLOPPY3_SLOP + 1}),
+               j -> coalesce(list_aggregate(list_transform(
+                 list_filter(pc, m -> m > j AND m - i - 2 <= {SLOPPY3_SLOP}),
+                 m -> 1.0::double / (m - i - 2 + 1)), 'sum'), 0)), 'sum'),
+               0)), 'sum'), 0) AS tf
+         FROM pos),
+n AS (SELECT count(*)::double AS n,
+             sum(dl) / count(*) AS avgdl FROM base),
+d AS (SELECT
+        (SELECT count(*) FROM t WHERE list_contains(at, 'merge')) AS df0,
+        (SELECT count(*) FROM t WHERE list_contains(at, 'join')) AS df1,
+        (SELECT count(*) FROM t WHERE list_contains(at, 'query')) AS df2)
+SELECT doc_id,
+       round((ln(1 + (n.n - d.df0 + 0.5) / (d.df0 + 0.5))
+              + ln(1 + (n.n - d.df1 + 0.5) / (d.df1 + 0.5))
+              + ln(1 + (n.n - d.df2 + 0.5) / (d.df2 + 0.5)))
+             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / n.avgdl)), 6)
+           AS score
+FROM base, n, d WHERE tf > 0
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 SPAN_A, SPAN_B, SPAN_SLOP = "merge", "join", 2
 
 
@@ -18984,6 +19109,7 @@ REGISTRY: dict[str, tuple] = {
     "multi_index_bm25_topk": (q_multi_index_bm25_topk, _BM25_ORACLE),
     "phrase_bm25_topk": (q_phrase_bm25_topk, O_PHRASE_BM25_TOPK),
     "sloppy_phrase_topk": (q_sloppy_phrase_topk, O_SLOPPY_PHRASE_TOPK),
+    "sloppy_phrase3_topk": (q_sloppy_phrase3_topk, O_SLOPPY_PHRASE3_TOPK),
     "rescore_topk": (q_rescore_topk, O_RESCORE_TOPK),
     "boolean_tree_topk": (q_boolean_tree_topk, O_BOOLEAN_TREE_TOPK),
     "span_near_search": (q_span_near, O_SPAN_NEAR),
@@ -19443,7 +19569,7 @@ _DRIVER_ORDER = [
     "field_value_factor_topk", "pivot_facets",
     "hll_user_days", "cms_term_counts", "kmv_event_overlap", "bloom_semijoin",
     "embedding_covariance", "image_phash_dupes", "modularity_score",
-    "collapse_inner_hits",
+    "collapse_inner_hits", "sloppy_phrase3_topk",
     "drill_sideways", "adjacency_matrix", "auto_date_histogram", "dataset_split",
     "simple_qs_topk", "diversified_sampler",
     "filters_agg", "bucket_script", "percentile_ranks", "stream_set_ops",

@@ -678,10 +678,12 @@ class Searcher:
             slop = int(node.get("slop", 0))
             if slop > 0 and len(toks) == 2:
                 # "a b"~N — Lucene sloppy PhraseQuery via the shared
-                # fractional-tf frame. Phrases of >2 terms with slop
-                # fall through to exact matching (documented deviation:
-                # the multi-term sloppy matcher is not implemented).
+                # fractional-tf frame.
                 return self._sloppy_phrase_frame(toks[0], toks[1], slop, b)
+            if slop > 0:
+                # k-term "..."~N (session 13: the >2-term sloppy matcher
+                # — previously a documented fall-through to exact).
+                return self._sloppy_phrase_frame_multi(toks, slop, b)
             return self._phrase_frame(toks, b)
         if kind == "wild":
             import re as _re
@@ -3127,6 +3129,105 @@ class Searcher:
         avgdl = self.avgdl or 1.0
         scored = (
             self._not_deleted(pa.join(pb, "doc_id"))
+            .withColumn("tf", tf_col)
+            .filter(F.col("tf") > 0)
+            .join(dl_tbl, "doc_id")
+        )
+        score_expr = (
+            F.lit(idf_total * float(boost))
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+            )
+        )
+        return scored.select("doc_id", score_expr.alias("score"))
+
+    def search_sloppy_phrase_multi(
+        self, query: str, slop: int = 2, k: int = 10
+    ) -> DataFrame:
+        """k-term sloppy PhraseQuery (in-order): fractional phrase
+        frequency tf = Σ over strictly increasing position tuples
+        (p₁ < … < p_k) whose total matchLength L = (p_k − p₁) − (k−1)
+        is ≤ slop, of 1/(1 + L) — the exact k=2 case is
+        search_sloppy_phrase's pair decay (L = p₂−p₁−1). Score =
+        Σ idf(term) · BM25 norm over the fractional tf, same recipe.
+        Same documented deviations as the two-term form: in-order only,
+        every qualifying tuple counts (Lucene greedily consumes each
+        position once).
+
+        Scale shape: positions come from the k query terms'
+        term_vectors rows only (df-sized); the tuple fold is a nested
+        array HOF per candidate doc with the partial-matchLength prune
+        (p_i − p₁ − i ≤ slop) applied at EVERY level, so dead prefixes
+        never expand; dl joins from doc_lens on candidates."""
+        if slop < 0:
+            raise ValueError(f"slop must be >= 0, got {slop}")
+        toks = self.analyzer.tokenize(query)
+        if len(toks) < 2:
+            raise ValueError("sloppy_phrase_multi needs >= 2 analyzed terms")
+        if len(toks) == 2:
+            frame = self._sloppy_phrase_frame(toks[0], toks[1], int(slop), 1.0)
+        else:
+            frame = self._sloppy_phrase_frame_multi(toks, int(slop), 1.0)
+        if frame is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return frame.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _sloppy_phrase_frame_multi(
+        self, terms: list, slop: int, boost: float
+    ) -> DataFrame | None:
+        """Unlimited (doc_id, score) frame of the k-term sloppy phrase
+        (see search_sloppy_phrase_multi for the tf contract)."""
+        if not self.cat.is_committed("term_vectors"):
+            raise ValueError(
+                "sloppy_phrase needs term_vectors "
+                "(IndexBuilder(store_term_vectors=True))"
+            )
+        kk = len(terms)
+        dfs = self._term_stats(sorted(set(terms)))
+        if any(t not in dfs for t in terms):
+            return None
+        idf_total = sum(idf(self.num_docs, dfs[t]) for t in terms)
+        tv = self.cat.read(self.spark, "term_vectors")
+        cand = None
+        for i, t in enumerate(terms):
+            p = tv.filter(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias(f"_p{i}")
+            )
+            cand = p if cand is None else cand.join(p, "doc_id")
+
+        def fold(i, prev, first):
+            # positions of term i qualifying after `prev` with the
+            # partial-matchLength prune vs the tuple's first position
+            qual = F.filter(
+                F.col(f"_p{i}"),
+                lambda p: (p > prev) & (p - first - F.lit(i) <= F.lit(slop)),
+            )
+            if i == kk - 1:
+                return F.aggregate(
+                    qual,
+                    F.lit(0.0),
+                    lambda acc, p: acc
+                    + F.lit(1.0) / (p - first - F.lit(kk - 1) + F.lit(1.0)),
+                )
+            return F.aggregate(
+                qual,
+                F.lit(0.0),
+                lambda acc, p: acc + fold(i + 1, p, first),
+            )
+
+        tf_col = F.aggregate(
+            F.col("_p0"),
+            F.lit(0.0),
+            lambda acc, p0: acc + fold(1, p0, p0),
+        )
+        dl_tbl = self.cat.read(self.spark, "doc_lens").select("doc_id", "dl")
+        avgdl = self.avgdl or 1.0
+        scored = (
+            self._not_deleted(cand)
             .withColumn("tf", tf_col)
             .filter(F.col("tf") > 0)
             .join(dl_tbl, "doc_id")

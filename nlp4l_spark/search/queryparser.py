@@ -14,8 +14,8 @@ Supported syntax (the widely-used subset, documented deviations below):
   (…)                   grouping, arbitrarily nested
   term^2.5  (…)^2       boosts on any clause
   "a b c"               exact PhraseQuery clause
-  "a b"~N               sloppy PhraseQuery (two-term: fractional-tf
-                        sloppy frame; longer phrases match exact)
+  "a b"~N  "a b c"~N    sloppy PhraseQuery, any length (fractional-tf
+                        sloppy frame; k-term fold for >2 terms)
   te?m  te*             WildcardQuery clause (constant-score rewrite)
   term~1  term~         FuzzyQuery clause (~ alone = 2 edits)
   [a TO b]  {a TO b}    TermRangeQuery clause (constant-score),
@@ -183,8 +183,9 @@ def _parse_word(val: str) -> dict:
 # syntax"). Shares the classic parser's AST + deterministic operator
 # rule (`+` promotes both neighbors to MUST, `|` keeps SHOULD).
 # Documented deviations: "a b"~N slop compiles to the sloppy-phrase
-# frame for TWO-term phrases (search_sloppy_phrase's fractional tf);
-# longer sloppy phrases match exact. Internal * / ? are literal text
+# frame (search_sloppy_phrase's fractional tf for two terms, the
+# k-term fold of search_sloppy_phrase_multi beyond — session 13 closed
+# the old fall-through-to-exact). Internal * / ? are literal text
 # (only the trailing * is an operator), exactly as SimpleQueryParser's
 # PREFIX_OPERATOR defines.
 # --------------------------------------------------------------------- #

@@ -128,3 +128,91 @@ def test_phrase_without_term_vectors_raises(spark, tmp_path, docs_df):
     IndexBuilder().build(df, d)
     with pytest.raises(ValueError, match="term_vectors"):
         Searcher(spark, d).search_phrase("london bridge")
+
+
+# ---------------- k-term sloppy phrase (session 13) ------------------------ #
+SLOPPY3_DOCS = [
+    (0, "alpha beta gamma end"),                   # exact: L=0 -> tf 1
+    (1, "alpha x beta y gamma"),                   # L=2 -> tf 1/3
+    (2, "alpha beta x x x x x gamma"),             # L=5 > slop 3 -> miss
+    (3, "gamma beta alpha"),                       # out of order -> miss
+    (4, "alpha beta gamma alpha beta gamma"),      # multiple tuples
+    (5, "alpha alpha beta gamma"),                 # two starts
+]
+
+
+def test_sloppy_phrase_multi_matches_bruteforce(spark, tmp_path):
+    """Engine k=3 sloppy tf/scoring == a brute-force tuple enumeration
+    with the same contract (in-order, all qualifying tuples,
+    1/(1+matchLength)); parser '"a b c"~N' routes to the same frame."""
+    import re
+
+    d = str(tmp_path / "idx")
+    df = spark.createDataFrame(
+        SLOPPY3_DOCS, "doc_id long, text string"
+    ).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    IndexBuilder(
+        sort_cols=("conv_id", "turn_idx"), store_term_vectors=True
+    ).build(df, d)
+    s = Searcher(spark, d)
+    slop = 3
+    got = {
+        r["doc_id"]: r["score"]
+        for r in s.search_sloppy_phrase_multi(
+            "alpha beta gamma", slop=slop, k=10
+        ).collect()
+    }
+
+    dls = {r["doc_id"]: r["dl"] for r in s.cat.read(spark, "doc_lens").collect()}
+    stored = {
+        r["doc_id"]: r["text"]
+        for r in s.cat.read(spark, "stored").select("doc_id", "text").collect()
+    }
+    n = len(stored)
+    avgdl = sum(dls.values()) / n
+    terms = ["alpha", "beta", "gamma"]
+    dfc = {
+        t: sum(
+            1
+            for txt in stored.values()
+            if t in re.findall(r"[a-z0-9]+", txt.lower())
+        )
+        for t in terms
+    }
+    idf_total = sum(idf(n, dfc[t]) for t in terms)
+    want = {}
+    for did, txt in stored.items():
+        ft = re.findall(r"[a-z0-9]+", txt.lower())
+        pos = {t: [i for i, x in enumerate(ft) if x == t] for t in terms}
+        tf = 0.0
+        for p0 in pos["alpha"]:
+            for p1 in pos["beta"]:
+                if p1 > p0 and p1 - p0 - 1 <= slop:
+                    for p2 in pos["gamma"]:
+                        if p2 > p1 and p2 - p0 - 2 <= slop:
+                            tf += 1.0 / (p2 - p0 - 2 + 1)
+        if tf > 0:
+            dl = dls[did]
+            want[did] = (
+                idf_total
+                * tf
+                * (K1 + 1.0)
+                / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            )
+    assert set(got) == set(want) == {0, 1, 4, 5}
+    for did, sc in want.items():
+        assert got[did] == pytest.approx(sc, abs=1e-9)
+
+    # parser route: '"alpha beta gamma"~3' must produce the same frame
+    via_parser = {
+        r["doc_id"]: r["score"]
+        for r in s.search_lucene('"alpha beta gamma"~3', k=10).collect()
+    }
+    assert via_parser == got
