@@ -367,6 +367,7 @@ EXTRA_QUERIES = [
     "collapse_inner_hits",
     "ann_ivfpq_topk",
     "sloppy_phrase3_topk",
+    "span_near3_search",
 ]
 
 

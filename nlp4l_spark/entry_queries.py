@@ -1763,6 +1763,68 @@ SELECT doc_id, n_spans FROM s WHERE n_spans > 0 ORDER BY doc_id ASC LIMIT 20
 """
 
 
+def q_span_near3(spark, sf_dir):
+    """Lucene SpanNearQuery with THREE clauses, in-order, slop=4
+    (index twin Searcher.search_span_near_multi — session 13 closes the
+    two-clause-only surface): a span is a strictly increasing triple
+    (p₁<p₂<p₃) with (p₃−p₁)−2 ≤ slop; n_spans counts qualifying start
+    positions, with the partial prune p₂−p₁−1 ≤ slop mid-tuple exactly
+    as the engine's EXISTS chain."""
+    ft = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+
+    def positions(term):
+        return F.filter(
+            F.transform(
+                ft, lambda x, i: F.when(x == term, i).otherwise(F.lit(None))
+            ),
+            lambda v: v.isNotNull(),
+        )
+
+    ta, tb, tc = SLOPPY3_TERMS
+    pa, pb, pc = positions(ta), positions(tb), positions(tc)
+    slop = SLOPPY3_SLOP
+    n_spans = F.size(
+        F.filter(
+            pa,
+            lambda p0: F.exists(
+                pb,
+                lambda p1: (p1 > p0)
+                & (p1 - p0 - 1 <= F.lit(slop))
+                & F.exists(
+                    pc,
+                    lambda p2: (p2 > p1) & (p2 - p0 - 2 <= F.lit(slop)),
+                ),
+            ),
+        )
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", n_spans.cast("long").alias("n_spans"))
+        .filter(F.col("n_spans") > 0)
+        .orderBy(F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+O_SPAN_NEAR3 = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ft
+           FROM documents),
+p AS (SELECT doc_id,
+        list_filter(range(1, len(ft) + 1), i -> ft[i] = 'merge') AS pa,
+        list_filter(range(1, len(ft) + 1), i -> ft[i] = 'join') AS pb,
+        list_filter(range(1, len(ft) + 1), i -> ft[i] = 'query') AS pc
+      FROM t),
+s AS (SELECT doc_id,
+        len(list_filter(pa, p0 ->
+          len(list_filter(pb, p1 -> p1 > p0 AND p1 - p0 - 1 <= {SLOPPY3_SLOP}
+            AND len(list_filter(pc, p2 -> p2 > p1
+                AND p2 - p0 - 2 <= {SLOPPY3_SLOP})) > 0)) > 0
+        ))::bigint AS n_spans
+      FROM p)
+SELECT doc_id, n_spans FROM s WHERE n_spans > 0 ORDER BY doc_id ASC LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------- #
 # Extended similarity / query-type surface (Lucene SynonymQuery,
 # LM Dirichlet / Jelinek-Mercer, ClassicSimilarity, MultiPhraseQuery,
@@ -19113,6 +19175,7 @@ REGISTRY: dict[str, tuple] = {
     "rescore_topk": (q_rescore_topk, O_RESCORE_TOPK),
     "boolean_tree_topk": (q_boolean_tree_topk, O_BOOLEAN_TREE_TOPK),
     "span_near_search": (q_span_near, O_SPAN_NEAR),
+    "span_near3_search": (q_span_near3, O_SPAN_NEAR3),
     "index_phrase_topk": (q_index_phrase_topk, O_PHRASE_BM25_TOPK),
     "bm25_and_topk": (q_bm25_and_topk, _BM25_AND_ORACLE),
     "bm25_msm_topk": (q_bm25_msm_topk, _BM25_MSM_ORACLE),
@@ -19569,7 +19632,7 @@ _DRIVER_ORDER = [
     "field_value_factor_topk", "pivot_facets",
     "hll_user_days", "cms_term_counts", "kmv_event_overlap", "bloom_semijoin",
     "embedding_covariance", "image_phash_dupes", "modularity_score",
-    "collapse_inner_hits", "sloppy_phrase3_topk",
+    "collapse_inner_hits", "sloppy_phrase3_topk", "span_near3_search",
     "drill_sideways", "adjacency_matrix", "auto_date_histogram", "dataset_split",
     "simple_qs_topk", "diversified_sampler",
     "filters_agg", "bucket_script", "percentile_ranks", "stream_set_ops",

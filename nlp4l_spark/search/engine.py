@@ -1736,6 +1736,67 @@ class Searcher:
             .limit(k)
         )
 
+    def search_span_near_multi(
+        self,
+        terms,
+        slop: int = 0,
+        k: int = 10,
+    ) -> DataFrame:
+        """Lucene SpanNearQuery, k clauses, in-order (session 13 —
+        closes the two-clause-only surface): a span match is a strictly
+        increasing position tuple p₁ < … < p_k with total slop
+        (p_k − p₁) − (k−1) ≤ ``slop``; ``n_spans`` counts the p₁
+        positions that admit a completion (the two-clause method's
+        contract generalized). EXISTS-chain evaluation with the partial
+        prune p_i − p₁ − i ≤ slop at every level, so dead prefixes stop
+        immediately. Positions are full-stream (StopFilter holes
+        preserved) from the k terms' df-sized term_vectors rows."""
+        toks = []
+        for t in terms:
+            a = self.analyzer.tokenize(t)
+            if len(a) != 1:
+                raise ValueError(
+                    "span_near clauses must analyze to one term each"
+                )
+            toks.append(a[0])
+        if len(toks) < 2:
+            raise ValueError("span_near_multi needs >= 2 clauses")
+        if not self.cat.is_committed("term_vectors"):
+            raise ValueError(
+                "span_near needs term_vectors "
+                "(IndexBuilder(store_term_vectors=True))"
+            )
+        kk = len(toks)
+        tv = self.cat.read(self.spark, "term_vectors")
+        cand = None
+        for i, t in enumerate(toks):
+            p = tv.filter(F.col("term") == t).select(
+                "doc_id", F.col("positions").alias(f"_p{i}")
+            )
+            cand = p if cand is None else cand.join(p, "doc_id")
+
+        def completes(i, prev, first):
+            cond = lambda p: (p > prev) & (
+                p - first - F.lit(i) <= F.lit(int(slop))
+            )
+            if i == kk - 1:
+                return F.exists(F.col(f"_p{i}"), cond)
+            return F.exists(
+                F.col(f"_p{i}"),
+                lambda p: cond(p) & completes(i + 1, p, first),
+            )
+
+        n_spans = F.size(
+            F.filter(F.col("_p0"), lambda p0: completes(1, p0, p0))
+        )
+        return (
+            self._not_deleted(cand)
+            .select("doc_id", n_spans.cast("long").alias("n_spans"))
+            .filter(F.col("n_spans") > 0)
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
     def search_intervals(
         self,
         term_a: str,

@@ -216,3 +216,35 @@ def test_sloppy_phrase_multi_matches_bruteforce(spark, tmp_path):
         for r in s.search_lucene('"alpha beta gamma"~3', k=10).collect()
     }
     assert via_parser == got
+
+
+def test_span_near_multi_counts(spark, tmp_path):
+    """k=3 in-order span-near: n_spans counts start positions with an
+    in-order completion within total slop — hand-checked fixture."""
+    d = str(tmp_path / "idx_sn3")
+    df = spark.createDataFrame(
+        SLOPPY3_DOCS, "doc_id long, text string"
+    ).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    IndexBuilder(
+        sort_cols=("conv_id", "turn_idx"), store_term_vectors=True
+    ).build(df, d)
+    s = Searcher(spark, d)
+    got = {
+        r["doc_id"]: r["n_spans"]
+        for r in s.search_span_near_multi(
+            ["alpha", "beta", "gamma"], slop=3, k=10
+        ).collect()
+    }
+    # doc0 exact (1 start), doc1 L=2 (1), doc2 L=5 miss, doc3 reversed
+    # miss, doc4 two phrases but FIRST alpha also completes via the
+    # second beta/gamma? positions a@0,b@1,g@2,a@3,b@4,g@5: start 0
+    # completes (L=0); start 3 completes (L=0) -> 2. doc5 a@0,a@1 both
+    # complete -> 2.
+    assert got == {0: 1, 1: 1, 4: 2, 5: 2}
