@@ -368,6 +368,7 @@ EXTRA_QUERIES = [
     "ann_ivfpq_topk",
     "sloppy_phrase3_topk",
     "span_near3_search",
+    "attribution_unmatched",
 ]
 
 

@@ -18674,6 +18674,44 @@ FROM j GROUP BY 1 ORDER BY user_id
 """
 
 
+def q_attribution_unmatched(spark, sf_dir):
+    """Unconverted clicks per user — the LEFT-OUTER side of the
+    attribution interval join (streaming/attribution.py::
+    attribution_unmatched run in batch mode; the streaming form emits
+    these rows on watermark state-expiry,
+    tests/test_streaming_attribution.py): clicks with no purchase by
+    the same user in (0, 3600]s. Same whole-second floor as
+    attribution_pairs so the boundary is engine-identical."""
+    from nlp4l_spark.streaming.attribution import attribution_unmatched
+
+    e = _events(spark, sf_dir).withColumn(
+        "ts",
+        F.col("ts").cast("timestamp").cast("long").cast("timestamp"),
+    )
+    um = attribution_unmatched(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+    return (
+        um.groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_unmatched"))
+        .orderBy("user_id")
+    )
+
+
+O_ATTRIBUTION_UNMATCHED = """
+WITH c AS (SELECT user_id, event_id, floor(epoch(ts))::bigint AS t
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, floor(epoch(ts))::bigint AS t
+      FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, count(*)::bigint AS n_unmatched
+FROM c
+WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                   AND p.t > c.t AND p.t <= c.t + 3600)
+GROUP BY 1 ORDER BY c.user_id
+"""
+
+
 # --------------------------------------------------------------------- #
 # Privacy + catalog-statistics panel: DP counts with seeded noise,
 # equi-depth histogram, ANALYZE-style column stats.
@@ -19551,6 +19589,7 @@ REGISTRY: dict[str, tuple] = {
     "k_anonymity": (q_k_anonymity, O_K_ANONYMITY),
     "injection_scan": (q_injection_scan, O_INJECTION_SCAN),
     "attribution_pairs": (q_attribution_pairs, O_ATTRIBUTION_PAIRS),
+    "attribution_unmatched": (q_attribution_unmatched, O_ATTRIBUTION_UNMATCHED),
     "dp_counts": (q_dp_counts, O_DP_COUNTS),
     "equi_depth_histogram": (
         q_equi_depth_histogram,
@@ -19633,6 +19672,7 @@ _DRIVER_ORDER = [
     "hll_user_days", "cms_term_counts", "kmv_event_overlap", "bloom_semijoin",
     "embedding_covariance", "image_phash_dupes", "modularity_score",
     "collapse_inner_hits", "sloppy_phrase3_topk", "span_near3_search",
+    "attribution_unmatched",
     "drill_sideways", "adjacency_matrix", "auto_date_histogram", "dataset_split",
     "simple_qs_topk", "diversified_sampler",
     "filters_agg", "bucket_script", "percentile_ranks", "stream_set_ops",

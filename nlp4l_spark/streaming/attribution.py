@@ -67,3 +67,53 @@ def attribution_join(
             - F.col("c_ts").cast("timestamp").cast("long")
         ).alias("delay_s"),
     )
+
+
+def attribution_unmatched(
+    clicks: DataFrame,
+    conversions: DataFrame,
+    window_s: int = ATTR_WINDOW_S,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: clicks with NO conversion
+    in (0, window_s] — (user_id, click_id, click_ts). The shape
+    attribution_join doesn't exercise: Spark holds each click in state
+    until the watermark proves no future purchase can match
+    (click_ts + window + watermark delay), and only THEN emits the
+    NULL-padded row — the state-expiry contract that makes streaming
+    outer joins correct (an early emit would be retracted by a late
+    purchase). Batch mode: same predicate, plain left-outer + IS NULL
+    (≡ anti join). tests/test_streaming_attribution.py asserts the
+    streaming output is exactly the batch set RESTRICTED to clicks whose
+    expiry the final watermark passed — the held-back tail is the
+    correctness property, not a loss."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = conversions.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("conv_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("c_ts", watermark)
+        p = p.withWatermark("p_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("c_ts") + F.expr(f"INTERVAL {window_s} SECONDS")
+        )
+    )
+    return (
+        c.join(p, cond, "left_outer")
+        .filter(F.col("conv_id").isNull())
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            F.col("c_ts").alias("click_ts"),
+        )
+    )

@@ -109,3 +109,85 @@ def test_state_eviction_is_watermark_bounded(spark):
     )
     plan = j._jdf.queryExecution().logical().toString()
     assert plan.count("EventTimeWatermark") == 2, plan
+
+
+# ---------------- left-outer (unmatched clicks, session 13) ---------------- #
+from nlp4l_spark.streaming.attribution import attribution_unmatched
+
+
+def _run_unmatched(spark, in_dir, chk, out_dir):
+    s = (
+        spark.readStream.schema(SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    q = (
+        attribution_unmatched(
+            s.filter(F.col("event_type") == "click"),
+            s.filter(F.col("event_type") == "purchase"),
+            watermark="10 minutes",
+        )
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {
+        (r["user_id"], r["click_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+
+def test_stream_outer_join_emits_on_state_expiry(spark, tmp_path):
+    """Unmatched clicks emit ONLY once the watermark proves no future
+    purchase can match; matched clicks never emit; the held-back tail
+    (the sentinel itself) stays in state — the streaming outer-join
+    contract. The emitted set equals the batch anti-join RESTRICTED to
+    expired clicks."""
+    rows_b0 = [
+        _ev(1, 10, "click", 0),
+        _ev(1, 11, "purchase", 600),   # click 10 converts -> never emits
+        _ev(2, 20, "click", 0),        # no purchase -> should emit on expiry
+        _ev(3, 30, "purchase", 100),   # purchase-only user
+    ]
+    # sentinels must advance BOTH sides: the global watermark is the MIN
+    # over the two EventTimeWatermark nodes (multipleWatermarkPolicy=min),
+    # so a click-only sentinel leaves the purchase watermark — and hence
+    # eviction — frozen
+    rows_b1 = [
+        _ev(9, 90, "click", 20000),
+        _ev(7, 70, "purchase", 20000),
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    _write(spark, in_dir, rows_b0, "b0")
+    got0 = _run_unmatched(
+        spark, in_dir, str(tmp_path / "chk"), str(tmp_path / "out")
+    )
+    # watermark after b0 = 600s - 10min <= 0: nothing can have expired
+    assert got0 == set()
+
+    _write(spark, in_dir, rows_b1, "b1")
+    got1 = _run_unmatched(
+        spark, in_dir, str(tmp_path / "chk"), str(tmp_path / "out")
+    )
+    # the b1 data advances BOTH watermarks to 20000-600=19400, past
+    # click 20's expiry (0+3600): availableNow's trailing micro-batch
+    # evicts it and emits the NULL-padded row. Click 10 converted so it
+    # never emits; sentinel click 90's own expiry (23600) not reached.
+    assert got1 == {(2, 20)}
+
+    # batch twin on the same files = all unmatched regardless of expiry
+    df = spark.read.option("recursiveFileLookup", "true").parquet(in_dir)
+    batch = {
+        (r["user_id"], r["click_id"])
+        for r in attribution_unmatched(
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    assert batch == {(2, 20), (9, 90)}
+    assert got1 == {x for x in batch if x[0] == 2}  # expired subset only
