@@ -89,7 +89,9 @@ JVM_ONLY = [
     "random_score_topk",
     # (pinned_topk scores via the Arrow term-counts pass like every
     # corpus BM25 twin — its plan guard is the zero-join shape instead)
-    "shingle_wordcount",
+    # (shingle_wordcount deliberately moved to an Arrow per-doc
+    # shingle-counts pass in session 13 — 11.5s -> 1.0s at sf0.1,
+    # oracle-identical, the dedup_simhash/ngram_novelty precedent)
     "edge_ngram_autocomplete",
 ]
 
