@@ -369,6 +369,7 @@ EXTRA_QUERIES = [
     "sloppy_phrase3_topk",
     "span_near3_search",
     "attribution_unmatched",
+    "qpp_predictors",
 ]
 
 

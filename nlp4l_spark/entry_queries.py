@@ -989,6 +989,125 @@ st AS (SELECT count(*)::double AS n,
 )
 
 
+QPP_K = 100
+
+
+def q_qpp_predictors(spark, sf_dir):
+    """Query-performance prediction (Carmel & Yom-Tov 2010; NQC: Shtok
+    et al. 2012) for the rank_eval query set — the pre-retrieval
+    predictors every query router/rewriter thresholds on (avg/max IDF,
+    query scope = fraction of docs touched) plus post-retrieval NQC
+    (score dispersion of the top-{QPP_K}). Determinism: top-k BM25
+    scores quantize to integer MICROS before the variance fold, so
+    mean/var are exact int64 arithmetic and the final doubles are
+    engine-identical; NQC normalizes by Σidf (the collection-score
+    stand-in, documented — Shtok's D_collection score needs a corpus
+    LM). One tokenize pass feeds every query's stats."""
+    per_doc = _bm25_per_doc(spark, sf_dir)
+    parts = []
+    for qid, terms in sorted(RANKEVAL_QUERIES.items()):
+        n, avgdl, dfs = _bm25_corpus_stats(per_doc, terms)
+        idfs = {
+            t: math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
+            for t in terms
+            if t in dfs
+        }
+        sum_idf = sum(idfs.values())
+        score = None
+        for t in terms:
+            tf = F.col("m")[t].cast("double")
+            s_t = F.when(
+                tf.isNotNull(),
+                F.lit(idfs.get(t, 0.0)) * tf * F.lit(2.2)
+                / (tf + F.lit(1.2)
+                   * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.lit(avgdl))),
+            ).otherwise(F.lit(0.0))
+            score = s_t if score is None else score + s_t
+        nm = sum(
+            (F.col("m")[t].isNotNull().cast("int") for t in terms), F.lit(0)
+        )
+        top = (
+            per_doc.withColumn("_s", score)
+            .filter(nm >= 1)
+            .select(
+                "doc_id", F.round(F.col("_s") * 1e6).cast("long").alias("s6")
+            )
+            .orderBy(F.desc("s6"), F.asc("doc_id"))
+            .limit(QPP_K)
+        )
+        stats = top.agg(
+            F.count("*").alias("k"),
+            F.sum("s6").alias("s1"),
+            F.sum(F.col("s6") * F.col("s6")).alias("s2"),
+        ).collect()[0]
+        kk, s1, s2 = int(stats["k"]), int(stats["s1"]), int(stats["s2"])
+        scope_n = per_doc.filter(nm >= 1).count()
+        var_micros2 = (kk * s2 - s1 * s1) / float(kk * kk) if kk else 0.0
+        nqc = (
+            math.sqrt(max(var_micros2, 0.0)) / 1e6 / sum_idf
+            if sum_idf
+            else 0.0
+        )
+        parts.append(
+            (
+                qid,
+                len(terms),
+                round(sum_idf / len(terms), 6),
+                round(max(idfs.values()) if idfs else 0.0, 6),
+                round(scope_n / n, 6),
+                round(nqc, 6),
+            )
+        )
+    return spark.createDataFrame(
+        parts,
+        "qid int, n_terms int, avg_idf double, max_idf double,"
+        " scope double, nqc double",
+    ).orderBy("qid")
+
+
+def _qpp_block(q: int, terms: list) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+dfm{q} AS (SELECT term, count(*)::double AS df FROM dt
+           WHERE term IN ({tl}) GROUP BY 1),
+idf{q} AS (SELECT term, ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf
+           FROM dfm{q} CROSS JOIN st),
+sc{q} AS (SELECT dt.doc_id,
+            round(sum(idf * tf * 2.2
+                  / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1e6)::bigint
+              AS s6
+          FROM dt JOIN idf{q} USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN st
+          WHERE dt.term IN ({tl}) GROUP BY dt.doc_id),
+top{q} AS (SELECT s6 FROM sc{q} ORDER BY s6 DESC LIMIT {QPP_K}),
+agg{q} AS (SELECT count(*)::bigint AS k, sum(s6)::bigint AS s1,
+                  sum(s6 * s6)::bigint AS s2 FROM top{q}),
+met{q}q AS (SELECT {q}::int AS qid, {len(terms)}::int AS n_terms,
+              round((SELECT sum(idf) FROM idf{q}) / {len(terms)}, 6)
+                AS avg_idf,
+              round((SELECT max(idf) FROM idf{q}), 6) AS max_idf,
+              round((SELECT count(*) FROM sc{q})
+                    / (SELECT n FROM st), 6) AS scope,
+              round(sqrt(greatest((k * s2 - s1 * s1)
+                                  / (k * k)::double, 0.0)) / 1e6
+                    / (SELECT sum(idf) FROM idf{q}), 6) AS nqc
+            FROM agg{q})"""
+
+
+O_QPP_PREDICTORS = (
+    f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),"""
+    + ",".join(
+        _qpp_block(q, terms) for q, terms in sorted(RANKEVAL_QUERIES.items())
+    )
+    + "\nSELECT * FROM met0q UNION ALL SELECT * FROM met1q ORDER BY qid"
+)
+
+
 BM25F_BOOSTS = {"body": 1.0, "title": 2.0}
 
 _T_TITLE = STANDARD_ANALYZER.duckdb_tokens_sql("title")
@@ -19221,6 +19340,7 @@ REGISTRY: dict[str, tuple] = {
     "bm25f_topk": (q_bm25f_topk, _BM25F_ORACLE),
     "hybrid_rrf_topk": (q_hybrid_rrf, O_HYBRID_RRF),
     "rank_eval": (q_rank_eval, O_RANK_EVAL),
+    "qpp_predictors": (q_qpp_predictors, O_QPP_PREDICTORS),
     "prefix_search": (q_prefix_search, O_PREFIX_SEARCH),
     "wildcard_search": (q_wildcard_search, O_WILDCARD_SEARCH),
     "regexp_search": (q_regexp_search, O_REGEXP_SEARCH),
@@ -19672,7 +19792,7 @@ _DRIVER_ORDER = [
     "hll_user_days", "cms_term_counts", "kmv_event_overlap", "bloom_semijoin",
     "embedding_covariance", "image_phash_dupes", "modularity_score",
     "collapse_inner_hits", "sloppy_phrase3_topk", "span_near3_search",
-    "attribution_unmatched",
+    "attribution_unmatched", "qpp_predictors",
     "drill_sideways", "adjacency_matrix", "auto_date_histogram", "dataset_split",
     "simple_qs_topk", "diversified_sampler",
     "filters_agg", "bucket_script", "percentile_ranks", "stream_set_ops",
