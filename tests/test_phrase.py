@@ -248,3 +248,39 @@ def test_span_near_multi_counts(spark, tmp_path):
     # completes (L=0); start 3 completes (L=0) -> 2. doc5 a@0,a@1 both
     # complete -> 2.
     assert got == {0: 1, 1: 1, 4: 2, 5: 2}
+
+
+def test_sloppy_multi_k2_equals_pairwise(spark, tmp_path):
+    """The k-term fold at k=2 must be the SAME function as the original
+    pairwise frame — search_sloppy_phrase_multi dispatches to it, and
+    the general fold's k=2 case is score-identical."""
+    d = str(tmp_path / "idx_k2")
+    df = spark.createDataFrame(
+        SLOPPY3_DOCS, "doc_id long, text string"
+    ).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    IndexBuilder(
+        sort_cols=("conv_id", "turn_idx"), store_term_vectors=True
+    ).build(df, d)
+    s = Searcher(spark, d)
+    via_pair = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.search_sloppy_phrase("alpha", "beta", slop=2, k=10).collect()
+    ]
+    via_multi = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in s.search_sloppy_phrase_multi("alpha beta", slop=2, k=10).collect()
+    ]
+    # and the general fold itself at k=2 (bypassing the dispatch)
+    frame = s._sloppy_phrase_frame_multi(["alpha", "beta"], 2, 1.0)
+    via_fold = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in frame.orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
+    ]
+    assert via_pair == via_multi == via_fold

@@ -248,3 +248,39 @@ def test_bloom_prefilter_verify_is_exact(spark):
     )
     plain = probe.join(keys, F.col("x") == F.col("k"), "left_semi").count()
     assert via_bloom == plain
+
+
+def test_bloom_no_false_negatives_property(spark):
+    """Hypothesis: for ANY key set and probe set, every true key passes
+    the filter (no false negatives, the Bloom invariant)."""
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    built = {}
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        keys=st.lists(
+            st.integers(min_value=-(10**9), max_value=10**9),
+            min_size=1,
+            max_size=50,
+            unique=True,
+        )
+    )
+    def check(keys):
+        kt = tuple(sorted(keys))
+        if kt not in built:
+            kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+            built[kt] = sketches.bloom_build(
+                kdf, "k", num_bits=1 << 10, num_hashes=3
+            )
+        words = built[kt]
+        kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+        passed = kdf.filter(
+            sketches.bloom_might_contain(F.col("k"), words, 1 << 10, 3)
+        ).count()
+        assert passed == len(keys)
+
+    check()
