@@ -19740,119 +19740,125 @@ REGISTRY: dict[str, tuple] = {
 # (trained models / iterative algorithms / Python alignment) sit at the
 # tail.
 _DRIVER_ORDER = [
-    # --- never externally verified (err or unreached), 130 entries ---
-    # Priority within the block (the external gate's budget is ~50
-    # queries/round, so position IS the verification decision):
-    # 1) the two round-1 err-record queries; 2) the surfaces VERDICT r2
-    # called out by name (similarity family, rescore, boolean-tree, KEA,
-    # LTR, dedup-spans, ANN PQ/SQ, more_like_this, rm3, facets);
-    # 3) the new round-3 queries (cheap); 4) the remaining unreached,
-    # cheapest-first; expensive closure/iteration queries last.
-    "ann_lsh_topk", "media_features",
-    "synonym_topk", "lmd_topk", "lmjm_topk", "classic_topk", "dfr_topk", "f2exp_topk",
-    "ib_topk", "dfi_topk",
-    "dismax_topk", "bm25f_topk", "bm25_msm_topk", "boolean_tree_topk", "multi_phrase_topk", "sloppy_phrase_topk",
-    "passage_topk", "index_phrase_topk", "span_near_search", "rescore_topk", "search_after_page2", "more_like_this",
-    "rm3_topk", "facet_counts", "facet_ranges", "collapse_topk", "function_score_topk", "regexp_search",
-    "filtered_bm25_topk", "hybrid_rrf_topk", "combsum_topk", "mmr_rerank",
-    "kea_features", "kea_bigrams", "kea_top_keyphrases",
-    "ltr_features", "ltr_pairwise", "rank_eval",
-    "ann_pq_topk", "ann_sq_topk", "ann_ivfsq_topk", "ann_ivfpq_topk",
-    "dedup_spans", "dedup_span_excise", "semantic_dedup",
-    "media_jpeg_sof", "readability", "token_entropy", "burstiness", "span_first_search", "jaccard_topk",
-    "dedup_rate_by_source", "highlight",
-    # --- position > 50: next round's front ---
-    "volume_shipping", "market_share", "product_profit",
-    "late_line_priority", "min_cost_supplier", "important_parts",
-    "supplier_part_counts", "small_qty_revenue",
-    "part_promotion", "waiting_suppliers",
+    # Round-4 rotation (VERDICT.md r3 #1): the external gate walks this
+    # list front-to-back under a ~50-query budget per round. The 251
+    # oracled queries with NO green external CORRECTNESS row in rounds
+    # 1-3 come FIRST, keeping the round-3 relative order (cheap TPC-H
+    # twins / pipeline-agg twins / graph + forecast ops lead; expensive
+    # closure/iteration queries last), so round 4's window verifies the
+    # next block: jaccard_topk, dedup_rate_by_source, highlight, the
+    # TPC-H Q7-Q21 twins, stats/graph/forecast ops. The 129 queries
+    # with a green row in CORRECTNESS_r01-r03 follow, and the 7
+    # rows-only entries (trained models / iterative algos) sit at the
+    # tail as before.
+    # --- never externally verified (251 oracled entries) ---
+    "jaccard_topk", "dedup_rate_by_source", "highlight", "volume_shipping",
+    "market_share", "product_profit", "late_line_priority",
+    "min_cost_supplier", "important_parts", "supplier_part_counts",
+    "small_qty_revenue", "part_promotion", "waiting_suppliers",
     "revenue_change", "returned_items", "promo_revenue", "top_supplier",
-    "large_orders", "brand_revenue",
-    "cumulative_sum_daily", "stats_bucket", "percentiles_bucket",
-    "anova_value", "cramers_v", "spearman_qty_price", "acf_daily",
-    "triangle_count", "pl2_topk", "dph_topk", "holt_forecast",
+    "large_orders", "brand_revenue", "cumulative_sum_daily", "stats_bucket",
+    "percentiles_bucket", "anova_value", "cramers_v", "spearman_qty_price",
+    "acf_daily", "triangle_count", "pl2_topk", "dph_topk", "holt_forecast",
     "label_propagation", "mutual_info_terms", "bh_significant_terms",
     "cust_order_dist", "sales_opportunity", "extractive_summary",
-    "ivf_tuning_curve", "rocchio_topk", "semantic_percolate",
-    "ann_bq_topk", "rollup_sales", "cube_activity", "weak_labels",
-    "ab_test_zscore", "markov_accuracy",
-    "ols_discount_qty", "rfm_segments", "kaplan_meier",
+    "ivf_tuning_curve", "rocchio_topk", "semantic_percolate", "ann_bq_topk",
+    "rollup_sales", "cube_activity", "weak_labels", "ab_test_zscore",
+    "markov_accuracy", "ols_discount_qty", "rfm_segments", "kaplan_meier",
     "index_highlight", "theil_sen_trend", "mann_kendall", "assoc_rules",
-    "forecast_backtest", "conformal_coverage",
-    "kcore_peel", "eigencentrality", "kmeans_1d", "kmeans_embeddings",
-    "ja_dict_wordcount", "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
+    "forecast_backtest", "conformal_coverage", "kcore_peel",
+    "eigencentrality", "kmeans_1d", "kmeans_embeddings", "ja_dict_wordcount",
+    "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
     "index_sorted_topk", "extended_stats", "multi_terms", "string_stats",
     "cumulative_cardinality", "top_metrics", "intervals_ordered",
-    "truncate_context", "pack_loss_mask", "synonym_graph_topk", "index_block_join_topk",
-    "terms_shard_approx", "common_terms_topk", "synonym_index_wordcount",
-    "bucket_sort_page", "normalize_agg", "percolate_phrase", "lucene_qs_topk",
-    "has_parent_turns", "rank_feature_topk", "echo_rate", "topic_shifts", "heaps_growth",
+    "truncate_context", "pack_loss_mask", "synonym_graph_topk",
+    "index_block_join_topk", "terms_shard_approx", "common_terms_topk",
+    "synonym_index_wordcount", "bucket_sort_page", "normalize_agg",
+    "percolate_phrase", "lucene_qs_topk", "has_parent_turns",
+    "rank_feature_topk", "echo_rate", "topic_shifts", "heaps_growth",
     "cross_fields_topk", "has_child_topk", "terms_set_topk",
-    "field_value_factor_topk", "pivot_facets",
-    "hll_user_days", "cms_term_counts", "kmv_event_overlap", "bloom_semijoin",
+    "field_value_factor_topk", "pivot_facets", "hll_user_days",
+    "cms_term_counts", "kmv_event_overlap", "bloom_semijoin",
     "embedding_covariance", "image_phash_dupes", "modularity_score",
     "collapse_inner_hits", "sloppy_phrase3_topk", "span_near3_search",
-    "attribution_unmatched", "qpp_predictors",
-    "drill_sideways", "adjacency_matrix", "auto_date_histogram", "dataset_split",
-    "simple_qs_topk", "diversified_sampler",
-    "filters_agg", "bucket_script", "percentile_ranks", "stream_set_ops",
-    "reindex_wordcount", "shingle_wordcount", "edge_ngram_autocomplete",
-    "mix_weights", "random_score_topk", "pinned_topk",
-    "boxplot_value", "mad_value", "matrix_stats_fields", "log_templates",
-    "frequent_pairs", "preference_pairs", "constant_score_topk",
-    "match_bool_prefix_topk",
+    "attribution_unmatched", "qpp_predictors", "drill_sideways",
+    "adjacency_matrix", "auto_date_histogram", "dataset_split",
+    "simple_qs_topk", "diversified_sampler", "filters_agg", "bucket_script",
+    "percentile_ranks", "stream_set_ops", "reindex_wordcount",
+    "shingle_wordcount", "edge_ngram_autocomplete", "mix_weights",
+    "random_score_topk", "pinned_topk", "boxplot_value", "mad_value",
+    "matrix_stats_fields", "log_templates", "frequent_pairs",
+    "preference_pairs", "constant_score_topk", "match_bool_prefix_topk",
     "event_ewma", "span_multi_search", "kneser_ney_bigrams",
-    "distance_feature_topk",
-    "dense_histogram", "spellcheck_collate", "solr_join_filter",
-    "scale_score_topk",
-    "percolate_bool", "rate_agg", "max_bucket", "dds_percentiles",
-    "anomaly_days", "code_detect", "terms_by_metric", "dds_by_type",
-    "suggest_context", "lsh_tuning_curve", "wordlist_screen",
-    "bradley_terry", "change_point", "counter_rate", "dow_profile",
-    "dau_mau", "moving_median", "index_keyword_facet",
+    "distance_feature_topk", "dense_histogram", "spellcheck_collate",
+    "solr_join_filter", "scale_score_topk", "percolate_bool", "rate_agg",
+    "max_bucket", "dds_percentiles", "anomaly_days", "code_detect",
+    "terms_by_metric", "dds_by_type", "suggest_context", "lsh_tuning_curve",
+    "wordlist_screen", "bradley_terry", "change_point", "counter_rate",
+    "dow_profile", "dau_mau", "moving_median", "index_keyword_facet",
     "rbo_rankings", "rank_correlation", "matryoshka_recall",
-    "frequent_sequences", "hard_negatives", "cdc_chunks",
-    "pricing_summary", "shipping_priority", "order_priority_count",
-    "local_supplier_volume", "reply_latency", "middle_out_truncate",
-    "k_anonymity", "injection_scan", "attribution_pairs",
-    "dp_counts", "equi_depth_histogram", "analyze_table",
-    "label_maxsim", "uncertainty_sampling", "psi_drift",
-    "seasonal_decompose", "behavior_entropy",
-    "phrase_prefix_topk", "date_histogram", "ngram_novelty",
-    "boosting_topk", "span_containing_search", "span_within_search", "significant_text",
-    "chat_flagged", "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
+    "frequent_sequences", "hard_negatives", "cdc_chunks", "pricing_summary",
+    "shipping_priority", "order_priority_count", "local_supplier_volume",
+    "reply_latency", "middle_out_truncate", "k_anonymity", "injection_scan",
+    "attribution_pairs", "dp_counts", "equi_depth_histogram", "analyze_table",
+    "label_maxsim", "uncertainty_sampling", "psi_drift", "seasonal_decompose",
+    "behavior_entropy", "phrase_prefix_topk", "date_histogram",
+    "ngram_novelty", "boosting_topk", "span_containing_search",
+    "span_within_search", "significant_text", "chat_flagged",
+    "boilerplate_terms", "multi_index_bm25_topk", "term_adjacency",
     "rare_terms", "event_derivative", "composite_page2", "source_ttest",
-    "bm25plus_topk", "bm25l_topk", "vsm_cosine_topk", "event_pipeline", "conv_pooling",
-    "activity_matrix", "source_similarity",
-    "mannwhitney_u", "ks_test", "gini_token", "event_moving_avg",
-    "cardinality_by_source", "top_hits_by_source", "rake_keywords", "phrase_suggest",
-    "decay_gauss_topk", "bucket_selector", "serial_diff", "value_histogram", "weighted_avg",
-    "span_or_search", "explain_score", "shuffle_export", "term_browse", "conv_dedup",
-    "label_centroids", "span_not_search", "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
-    "conversation_stats",
-    "rolling_stats", "sorted_by_field", "repetition_features", "corpus_profile",
-    "chunk_documents", "resample_weighted", "pack_sequences", "funnel_steps", "term_positions",
-    "asof_join", "kwic", "lm_perplexity", "select_features",
-    "tf_vectors", "zipf_fit", "dict_match", "bpe_pair_counts", "replay",
-    "bigram_lm_score", "contamination_pairs", "bpe_merges", "collocations",
-    "term_dispersion", "significant_terms", "dsir_weights", "ccnet_buckets",
-    "dedup_keep_best", "dedup_clusters", "textrank",
-    # --- green external CORRECTNESS row in round 1 or 2 ---
-    "sort_paging", "fingerprint",
-    "label_map", "lang_id", "rate_to_label", "stop_filter", "props_parse", "stats_moments",
-    "token_count", "quality_score", "sample_stratified", "length_percentiles", "merge_records", "redact_pii",
-    "acronym_candidates", "clean_lines", "filter_percentile", "line_dedup", "gopher_filter", "normalize_text",
-    "script_profile", "top_per_lang", "lang_mixture", "suggest_complete", "suggest_next", "chat_validate",
-    "tool_usage", "role_profile", "loop_detect", "percolate", "ascii_fold_wordcount", "token_fertility",
-    "lexical_diversity", "lang_confusion", "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words",
-    "click_rate", "dedup_exact", "doc_lens", "unique_by_source", "search_validator", "spellcheck_suggest",
-    "unicode_wordcount", "winnow_fingerprints", "winnow_pairs", "top_event_types", "validator_regex", "media_frame_plan",
-    "wildcard_search", "total_count", "validator_unique", "term_range_search", "prefix_search", "event_transitions",
-    "count_prefix", "sessionize", "ann_cosine_topk", "count_docset", "wordcount_df", "top_terms_by_totaltermfreq",
-    "field_stats", "tfidf_weights", "top_terms_by_docfreq", "wordcount_cf", "chi2_terms", "dedup_simhash",
-    "dedup_minhash", "fuzzy_bm25_topk", "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk", "dedup_ngram_pairs",
-    "embedding_neardup", "index_bm25_topk", "bm25_topk", "embedding_neardup_lsh", "ann_ivf_topk",
-    # --- rows-only tail ---
+    "bm25plus_topk", "bm25l_topk", "vsm_cosine_topk", "event_pipeline",
+    "conv_pooling", "activity_matrix", "source_similarity", "mannwhitney_u",
+    "ks_test", "gini_token", "event_moving_avg", "cardinality_by_source",
+    "top_hits_by_source", "rake_keywords", "phrase_suggest",
+    "decay_gauss_topk", "bucket_selector", "serial_diff", "value_histogram",
+    "weighted_avg", "span_or_search", "explain_score", "shuffle_export",
+    "term_browse", "conv_dedup", "label_centroids", "span_not_search",
+    "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
+    "conversation_stats", "rolling_stats", "sorted_by_field",
+    "repetition_features", "corpus_profile", "chunk_documents",
+    "resample_weighted", "pack_sequences", "funnel_steps", "term_positions",
+    "asof_join", "kwic", "lm_perplexity", "select_features", "tf_vectors",
+    "zipf_fit", "dict_match", "bpe_pair_counts", "replay", "bigram_lm_score",
+    "contamination_pairs", "bpe_merges", "collocations", "term_dispersion",
+    "significant_terms", "dsir_weights", "ccnet_buckets", "dedup_keep_best",
+    "dedup_clusters", "textrank",
+    # --- green external CORRECTNESS row in rounds 1-3 (129) ---
+    "ann_lsh_topk", "media_features", "synonym_topk", "lmd_topk", "lmjm_topk",
+    "classic_topk", "dfr_topk", "f2exp_topk", "ib_topk", "dfi_topk",
+    "dismax_topk", "bm25f_topk", "bm25_msm_topk", "boolean_tree_topk",
+    "multi_phrase_topk", "sloppy_phrase_topk", "passage_topk",
+    "index_phrase_topk", "span_near_search", "rescore_topk",
+    "search_after_page2", "more_like_this", "rm3_topk", "facet_counts",
+    "facet_ranges", "collapse_topk", "function_score_topk", "regexp_search",
+    "filtered_bm25_topk", "hybrid_rrf_topk", "combsum_topk", "mmr_rerank",
+    "kea_features", "kea_bigrams", "kea_top_keyphrases", "ltr_features",
+    "ltr_pairwise", "rank_eval", "ann_pq_topk", "ann_sq_topk",
+    "ann_ivfsq_topk", "ann_ivfpq_topk", "dedup_spans", "dedup_span_excise",
+    "semantic_dedup", "media_jpeg_sof", "readability", "token_entropy",
+    "burstiness", "span_first_search", "sort_paging", "fingerprint",
+    "label_map", "lang_id", "rate_to_label", "stop_filter", "props_parse",
+    "stats_moments", "token_count", "quality_score", "sample_stratified",
+    "length_percentiles", "merge_records", "redact_pii", "acronym_candidates",
+    "clean_lines", "filter_percentile", "line_dedup", "gopher_filter",
+    "normalize_text", "script_profile", "top_per_lang", "lang_mixture",
+    "suggest_complete", "suggest_next", "chat_validate", "tool_usage",
+    "role_profile", "loop_detect", "percolate", "ascii_fold_wordcount",
+    "token_fertility", "lexical_diversity", "lang_confusion",
+    "solr_log_parse", "dcm_truncate", "ner_candidates", "count_words",
+    "click_rate", "dedup_exact", "doc_lens", "unique_by_source",
+    "search_validator", "spellcheck_suggest", "unicode_wordcount",
+    "winnow_fingerprints", "winnow_pairs", "top_event_types",
+    "validator_regex", "media_frame_plan", "wildcard_search", "total_count",
+    "validator_unique", "term_range_search", "prefix_search",
+    "event_transitions", "count_prefix", "sessionize", "ann_cosine_topk",
+    "count_docset", "wordcount_df", "top_terms_by_totaltermfreq",
+    "field_stats", "tfidf_weights", "top_terms_by_docfreq", "wordcount_cf",
+    "chi2_terms", "dedup_simhash", "dedup_minhash", "fuzzy_bm25_topk",
+    "bm25_not_topk", "phrase_bm25_topk", "bm25_and_topk", "dedup_ngram_pairs",
+    "embedding_neardup", "index_bm25_topk", "bm25_topk",
+    "embedding_neardup_lsh", "ann_ivf_topk",
+    # --- rows-only tail (no SQL oracle by design) ---
     "ner_entities", "mdlp_cuts", "acronyms", "ml_classify", "kea_extract",
     "pca_project_topk", "compression_ratio_topk",
 ]
