@@ -537,9 +537,17 @@ def run_queries(spark) -> tuple[dict[str, float], dict]:
 
     # fresh index cache so index_bm25_topk measures a real build+search
     shutil.rmtree(eq._index_cache_dir(SF_DIR), ignore_errors=True)
-    # fresh ANN cache: ann_lsh_topk pays the materialized-index build,
-    # ann_ivf_topk then probes it warm — both costs visible, labeled
+    # Fresh ANN cache, then time the shared materialized-index build as
+    # its OWN line (ann_index_build_sec) so every ANN probe below is
+    # measured warm on the committed layout. Round-3 folded the build
+    # (now heavier: LSH sigs + IVF cells + SQ + PQ codebooks) into
+    # whichever probe ran first, which made ann_lsh_topk look 10x its
+    # siblings (VERDICT r3 "What's wrong" #1).
     shutil.rmtree(eq._ann_cache_dir(SF_DIR), ignore_errors=True)
+    t0 = time.time()
+    eq._ann_index(spark, SF_DIR)
+    ann_build_sec = round(time.time() - t0, 3)
+    print(f"  ann_index_build: {ann_build_sec}s", file=sys.stderr)
     out: dict[str, float] = {}
     control_fn = eq.REGISTRY[CONTROL_QUERY][0]
     control_times: list[float] = []
@@ -576,7 +584,7 @@ def run_queries(spark) -> tuple[dict[str, float], dict]:
         f"median={med}s spread={control['spread_pct']}%",
         file=sys.stderr,
     )
-    return out, control
+    return out, control, ann_build_sec
 
 
 def main():
@@ -684,7 +692,7 @@ def main():
         f"({len(qset_big) / search_big_secs:.1f} qps)",
         file=sys.stderr,
     )
-    queries, noise_control = run_queries(spark)
+    queries, noise_control, ann_build_sec = run_queries(spark)
     from nlp4l_spark import entry_queries as eq
 
     extras: dict[str, float] = {}
@@ -702,7 +710,13 @@ def main():
         "median": noise_control["median"],
         "spread_pct": noise_control["spread_pct"],
     }
-    result["value"] = round(sum(queries.values()) + build_secs, 3)
+    # one-time shared ANN index build, its own line so probe times mean
+    # probe cost; still folded into `value` to keep the headline total
+    # round-over-round comparable (r3 charged it to ann_lsh_topk)
+    result["ann_index_build_sec"] = ann_build_sec
+    result["value"] = round(
+        sum(queries.values()) + build_secs + ann_build_sec, 3
+    )
     # round-over-round tracker: the BENCH_r01 headline composition
     # (query time only, no build), so per-round comparisons survive
     # headline-mix growth

@@ -1007,10 +1007,13 @@ def q_qpp_predictors(spark, sf_dir):
     parts = []
     for qid, terms in sorted(RANKEVAL_QUERIES.items()):
         n, avgdl, dfs = _bm25_corpus_stats(per_doc, terms)
+        # df=0 terms are excluded exactly as the oracle's dfm CTE
+        # excludes them (GROUP BY over matching rows only) — guards the
+        # day RANKEVAL_QUERIES gains an out-of-vocabulary term
         idfs = {
             t: math.log(1.0 + (n - dfs[t] + 0.5) / (dfs[t] + 0.5))
             for t in terms
-            if t in dfs
+            if dfs.get(t, 0.0) > 0
         }
         sum_idf = sum(idfs.values())
         score = None
@@ -1042,7 +1045,15 @@ def q_qpp_predictors(spark, sf_dir):
         ).collect()[0]
         kk, s1, s2 = int(stats["k"]), int(stats["s1"]), int(stats["s2"])
         scope_n = per_doc.filter(nm >= 1).count()
-        var_micros2 = (kk * s2 - s1 * s1) / float(kk * kk) if kk else 0.0
+        # double-precision numerator, mirroring the oracle's
+        # k::double * s2::double - s1::double * s1::double (s1^2 can
+        # pass 2^63 on larger corpora; int64 would overflow in DuckDB)
+        var_micros2 = (
+            (float(kk) * float(s2) - float(s1) * float(s1))
+            / float(kk * kk)
+            if kk
+            else 0.0
+        )
         nqc = (
             math.sqrt(max(var_micros2, 0.0)) / 1e6 / sum_idf
             if sum_idf
@@ -1088,7 +1099,8 @@ met{q}q AS (SELECT {q}::int AS qid, {len(terms)}::int AS n_terms,
               round((SELECT max(idf) FROM idf{q}), 6) AS max_idf,
               round((SELECT count(*) FROM sc{q})
                     / (SELECT n FROM st), 6) AS scope,
-              round(sqrt(greatest((k * s2 - s1 * s1)
+              round(sqrt(greatest((k::double * s2::double
+                                   - s1::double * s1::double)
                                   / (k * k)::double, 0.0)) / 1e6
                     / (SELECT sum(idf) FROM idf{q}), 6) AS nqc
             FROM agg{q})"""
@@ -1104,7 +1116,11 @@ st AS (SELECT count(*)::double AS n,
     + ",".join(
         _qpp_block(q, terms) for q, terms in sorted(RANKEVAL_QUERIES.items())
     )
-    + "\nSELECT * FROM met0q UNION ALL SELECT * FROM met1q ORDER BY qid"
+    + "\n"
+    + " UNION ALL ".join(
+        f"SELECT * FROM met{q}q" for q in sorted(RANKEVAL_QUERIES)
+    )
+    + " ORDER BY qid"
 )
 
 

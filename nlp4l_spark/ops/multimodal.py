@@ -616,7 +616,12 @@ def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
     on phash clusters them — the image analogue of text exact-dedup;
     hamming-radius pairing would reuse the SimHash 4-piece blocking
     (ops/dedup.py) over the same bits. One Arrow pass; at 100 TB the
-    payload column prunes for every later phash-only query."""
+    payload column prunes for every later phash-only query.
+
+    Rows whose payload fails to PNG-decode are emitted with a NULL
+    phash (never silently dropped), so callers can count decode
+    failures with `phash IS NULL` and downstream dedup counts stay
+    honest."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -636,6 +641,10 @@ def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
                 try:
                     w, h, px = decode_png(bytes(p))
                 except (ValueError, struct.error, zlib.error, IndexError):
+                    # corrupt payload: keep the row, NULL hash (see
+                    # docstring) — decode failures stay countable
+                    ids.append(int(m))
+                    hashes.append(None)
                     continue
                 if px.ndim == 3:  # RGB -> rec601 luma, integer-exact
                     px = (

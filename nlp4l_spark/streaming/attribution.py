@@ -108,12 +108,18 @@ def attribution_unmatched(
             <= F.col("c_ts") + F.expr(f"INTERVAL {window_s} SECONDS")
         )
     )
-    return (
-        c.join(p, cond, "left_outer")
-        .filter(F.col("conv_id").isNull())
-        .select(
-            F.col("c_user").alias("user_id"),
-            "click_id",
-            F.col("c_ts").alias("click_ts"),
-        )
+    if c.isStreaming:
+        # streaming left-outer + NULL sentinel (anti join is not a
+        # streaming-supported join type). Filter on p_user — a join-side
+        # column that cannot be NULL on a matched row — rather than
+        # conv_id, so a conversion that legitimately carries a NULL
+        # event_id still counts as a match.
+        j = c.join(p, cond, "left_outer").filter(F.col("p_user").isNull())
+    else:
+        # batch: a plain anti join states the intent with no sentinel
+        j = c.join(p, cond, "left_anti")
+    return j.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        F.col("c_ts").alias("click_ts"),
     )

@@ -1200,10 +1200,14 @@ def test_image_ahash_brightness_invariance(spark):
         (2, "image", "image/png", 16, 16, None,
          mm.encode_png(16, 16, base.T.copy())),      # direction: differs
     ]
+    rows.append(
+        (3, "image", "image/png", 16, 16, None, b"not a png at all")
+    )  # corrupt payload: emitted with NULL phash, never dropped
     df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     h = {r["media_id"]: r["phash"] for r in mm.image_ahash(df).collect()}
     assert h[0] == h[1]
     assert h[0] != h[2]
+    assert 3 in h and h[3] is None
 
     clusters = (
         mm.image_ahash(mm.synth_phash_media(spark, 64))
