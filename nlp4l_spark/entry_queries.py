@@ -17935,9 +17935,15 @@ def q_kcore_peel(spark, sf_dir):
     re-planned semi-joins measured 38 s at sf0.1 for a graph that fits
     in a Python set (for an UNBOUNDED graph the same rounds are
     degree-aggregate + semi-join pairs with a checkpoint per round)."""
+    from nlp4l_spark.plans.caps import assert_driver_cap
+
     edge_rows = [
         (r["u"], r["v"]) for r in _lift_edges(spark, sf_dir).collect()
     ]
+    # executable precondition for the driver-side peel (plans/caps.py)
+    assert_driver_cap(
+        len(edge_rows), TRI_VOCAB * (TRI_VOCAB - 1) // 2, "kcore_peel edges"
+    )
     out_rows = []
     cur = set(edge_rows)
     for rnd in range(1, KCORE_ROUNDS + 1):

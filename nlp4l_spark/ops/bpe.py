@@ -84,12 +84,17 @@ def learn_bpe_merges(
     Returns ``[(left, right, pair_count), ...]`` in merge order —
     iterative + trained-artifact, hence test-only (no SQL oracle), like
     kea_extract/mdlp_cuts."""
+    from nlp4l_spark.plans.caps import assert_driver_cap
+
     rows = (
         word_counts(df, text_col, analyzer)
         .orderBy(F.desc("cnt"), F.asc("term"))
         .limit(max_vocab_words)
         .collect()
     )
+    # executable precondition: the greedy loop below is driver-safe
+    # only on the pruned vocabulary (plans/caps.py)
+    assert_driver_cap(len(rows), max_vocab_words, "learn_bpe_merges vocab")
     vocab: dict[tuple[str, ...], int] = {
         tuple(r["term"]): int(r["cnt"]) for r in rows
     }

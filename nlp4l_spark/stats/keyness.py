@@ -206,6 +206,7 @@ def textrank_terms(
     iterations: int = 10,
     broadcast_scores: bool = True,
     materialize: bool = True,
+    max_broadcast_terms: int = 2_000_000,
 ) -> DataFrame:
     """Corpus-level TextRank keywords (Mihalcea & Tarau 2004): PageRank
     over the term co-occurrence graph (adjacent-token edges, undirected,
@@ -258,6 +259,18 @@ def textrank_terms(
     if materialize:
         en = en.persist()
         en.count()  # materialize once; every iteration reads the cache
+        if broadcast_scores:
+            # executable precondition: the per-iteration broadcast of
+            # `scores` is vocab-sized; past the cap the caller must use
+            # broadcast_scores=False (shuffle join) — plans/caps.py.
+            # One cheap distinct on the persisted normalized edges.
+            from nlp4l_spark.plans.caps import assert_driver_cap
+
+            assert_driver_cap(
+                en.select("src").distinct().count(),
+                max_broadcast_terms,
+                "textrank_terms broadcast scores",
+            )
     base = F.lit(1.0 - damping)
     scores = deg.select(F.col("src").alias("term"), F.lit(1.0).alias("score"))
     for _ in range(iterations):

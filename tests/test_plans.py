@@ -977,3 +977,44 @@ def test_pca_project_is_jvm_and_shuffle_free(spark):
     plan = _plan(similarity.pca_project(emb, comps))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan, plan
+
+
+def test_driver_cap_guards(spark, monkeypatch):
+    """The three driver-side iterative loops carry executable cap
+    preconditions (plans/caps.py): pointing any of them at an input
+    past its documented bound raises instead of flooding the driver."""
+    import pytest
+
+    from nlp4l_spark.plans.caps import assert_driver_cap
+
+    assert_driver_cap(10, 10, "ok at the cap")
+    with pytest.raises(ValueError, match="documented cap"):
+        assert_driver_cap(11, 10, "over")
+
+    # textrank: per-iteration broadcast guard trips end-to-end
+    from nlp4l_spark.stats.keyness import textrank_terms
+
+    df = spark.createDataFrame(
+        [("alpha beta gamma delta",), ("beta gamma epsilon zeta",)],
+        "text string",
+    )
+    with pytest.raises(ValueError, match="textrank_terms"):
+        textrank_terms(df, max_broadcast_terms=2)
+    # and the documented escape hatch skips the broadcast (and guard)
+    assert textrank_terms(
+        df, max_broadcast_terms=2, broadcast_scores=False, iterations=1
+    ).count() > 0
+
+    # kcore_peel: simulate an edge list past the C(TRI_VOCAB,2) bound
+    # (shrinking TRI_VOCAB alone also shrinks _lift_edges' own prune,
+    # so the unpruned-input scenario needs the source stubbed)
+    monkeypatch.setattr(eq, "TRI_VOCAB", 2)
+    monkeypatch.setattr(
+        eq,
+        "_lift_edges",
+        lambda s, sf: s.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c")], "u string, v string"
+        ),
+    )
+    with pytest.raises(ValueError, match="kcore_peel"):
+        eq.REGISTRY["kcore_peel"][0](spark, SF)
