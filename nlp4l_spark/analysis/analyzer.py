@@ -472,34 +472,36 @@ class Analyzer:
 
         @F.pandas_udf(self.term_counts_schema())
         def _counts(texts: pd.Series) -> pd.DataFrame:
-            terms_out: list[list[str]] = []
-            tfs_out: list[list[int]] = []
-            dls: list[int] = []
-            for t in texts:
-                toks = analyzer.tokenize(t)
-                if not toks:
-                    terms_out.append([])
-                    tfs_out.append([])
-                    dls.append(0)
-                    continue
-                counts: dict[str, int] = {}
-                for x in toks:
-                    counts[x] = counts.get(x, 0) + 1
-                terms_out.append(list(counts.keys()))
-                tfs_out.append(list(counts.values()))
-                # discountOverlaps: dl counts the pre-injection stream
-                dls.append(
-                    len(analyzer._base_tokens(t))
-                    if (
-                        analyzer.synonyms
-                        or analyzer.shingle_size
-                        or analyzer.edge_ngrams
-                    )
-                    else len(toks)
-                )
-            return pd.DataFrame({"terms": terms_out, "tfs": tfs_out, "dl": dls})
+            return analyzer.term_counts_frame(texts)
 
         return _counts
+
+    def term_counts_frame(self, texts) -> pd.DataFrame:
+        """The term_counts_udf body as a plain pandas function — shared
+        by the Arrow UDF and the driver-side micro-generation builder
+        (index/microbuild.py), so the two paths cannot diverge."""
+        terms_out: list[list[str]] = []
+        tfs_out: list[list[int]] = []
+        dls: list[int] = []
+        for t in texts:
+            toks = self.tokenize(t)
+            if not toks:
+                terms_out.append([])
+                tfs_out.append([])
+                dls.append(0)
+                continue
+            counts: dict[str, int] = {}
+            for x in toks:
+                counts[x] = counts.get(x, 0) + 1
+            terms_out.append(list(counts.keys()))
+            tfs_out.append(list(counts.values()))
+            # discountOverlaps: dl counts the pre-injection stream
+            dls.append(
+                len(self._base_tokens(t))
+                if (self.synonyms or self.shingle_size or self.edge_ngrams)
+                else len(toks)
+            )
+        return pd.DataFrame({"terms": terms_out, "tfs": tfs_out, "dl": dls})
 
 
 STANDARD_ANALYZER = Analyzer(stopwords=LUCENE_ENGLISH_STOPWORDS)

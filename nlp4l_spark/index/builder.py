@@ -735,17 +735,16 @@ def _segment_merger(avgdl: float):
         blk_last = d[blk_ends - 1]
         blocks_per_run = (vends - vstarts + bsz - 1) // bsz
         blk_run_cum = np.concatenate(([0], np.cumsum(blocks_per_run)))
-        block_lists = []
-        last_l = blk_last.tolist()
-        max_l = blk_max.tolist()
-        for r in range(vstarts.size):
-            a, b = int(blk_run_cum[r]), int(blk_run_cum[r + 1])
-            block_lists.append(
-                [
-                    {"last_doc": last_l[i], "max_impact": max_l[i]}
-                    for i in range(a, b)
-                ]
-            )
+        # one flat dict build, then per-run slicing — the nested
+        # per-run/per-block loop was the stage's python hot spot
+        flat = [
+            {"last_doc": ld, "max_impact": mi}
+            for ld, mi in zip(blk_last.tolist(), blk_max.tolist())
+        ]
+        cum = blk_run_cum.tolist()
+        block_lists = [
+            flat[a:b] for a, b in zip(cum[:-1], cum[1:])
+        ]
         s_l, e_l = vstarts.tolist(), vends.tolist()
         return pd.DataFrame(
             {

@@ -82,24 +82,54 @@ class GenerationLog:
 
     # ------------------------------------------------------------- ingest
 
+    # micro fast path supports only these builder knobs; any other kwarg
+    # (term vectors, positions, keyword fields, ...) forces the
+    # distributed builder
+    _MICRO_KWARGS = frozenset(
+        {"sort_cols", "sort_desc", "docs_per_shard", "text_col"}
+    )
+
     def ingest(
         self,
         df: DataFrame,
         *,
         analyzer: Analyzer | None = None,
+        micro: bool = True,
+        micro_max_rows: int = 64_000,
         **build_kwargs,
     ) -> str:
         """Build one new generation from a micro-batch and adopt it.
 
         Cost is O(batch): nothing outside the new directory is touched.
         Overwrites an orphan directory left by a crash mid-ingest (it
-        was never adopted, so its contents are garbage)."""
+        was never adopted, so its contents are garbage).
+
+        Batches up to ``micro_max_rows`` rows take the driver-side
+        single-Spark-job fast path (index/microbuild.py — the Lucene
+        in-memory segment flush; same tables, same bytes, ~4x the
+        append throughput); bigger batches, or builds with options the
+        micro path doesn't carry, use the distributed builder. Set
+        ``micro=False`` to force the distributed path."""
         man = self._load()
         name = f"gen_{man['next_id']:06d}"
         gen_dir = os.path.join(self.root, name)
         if os.path.exists(gen_dir):  # unadopted orphan from a crash
             shutil.rmtree(gen_dir)
-        build_index(df, gen_dir, analyzer, **build_kwargs)
+        built = None
+        if micro and set(build_kwargs) <= self._MICRO_KWARGS:
+            from nlp4l_spark.index.microbuild import try_micro_build
+
+            built = try_micro_build(
+                df,
+                gen_dir,
+                analyzer,
+                max_rows=micro_max_rows,
+                **build_kwargs,
+            )
+            if built is None and os.path.exists(gen_dir):
+                shutil.rmtree(gen_dir)  # partial micro attempt: rebuild
+        if built is None:
+            build_index(df, gen_dir, analyzer, **build_kwargs)
         man["generations"].append(name)
         man["next_id"] += 1
         self._adopt(man)

@@ -171,3 +171,55 @@ def test_retention_sweep_drops_expired_generations(spark, corpus, tmp_path):
     # a cutoff beyond every batch drops everything
     dropped = log.retention_sweep(spark, datetime.datetime(2025, 1, 1))
     assert len(dropped) == 2 and log.live_dirs == []
+
+
+def test_micro_build_matches_distributed_builder(spark, corpus, tmp_path):
+    """The driver-side micro path (index/microbuild.py) must produce the
+    SAME index as the distributed builder for the same batch: identical
+    schemas and rows for every partitioning-independent table (segments
+    is per-(term,shard,pid), so it legitimately differs with partition
+    count), and identical WAND results."""
+    from nlp4l_spark.index.microbuild import try_micro_build
+
+    full, b1, _, _ = corpus
+    micro_dir, dist_dir = str(tmp_path / "micro"), str(tmp_path / "dist")
+    assert try_micro_build(b1, micro_dir) is not None
+    build_index(b1, dist_dir)
+    for t in (
+        "stored", "doc_terms_fwd", "doc_lens", "postings", "term_stats",
+        "field_stats",
+    ):
+        a = spark.read.parquet(os.path.join(micro_dir, t))
+        b = spark.read.parquet(os.path.join(dist_dir, t))
+        assert a.schema == b.schema, t
+        key = [c for c in ("doc_id", "term", "shard", "field") if c in a.columns]
+        assert (
+            [tuple(r) for r in a.orderBy(*key).collect()]
+            == [tuple(r) for r in b.orderBy(*key).collect()]
+        ), t
+    q = "w00001 w00002 needle03"
+    assert _rows(Searcher(spark, micro_dir).search(q, k=10)) == _rows(
+        Searcher(spark, dist_dir).search(q, k=10)
+    )
+
+
+def test_micro_build_falls_back_and_gates(spark, corpus, tmp_path):
+    """Oversized batches and NULL sort keys fall back to the distributed
+    builder (try_micro_build returns None, ingest still succeeds)."""
+    from nlp4l_spark.index.microbuild import try_micro_build
+
+    full, b1, _, _ = corpus
+    assert try_micro_build(b1, str(tmp_path / "x"), max_rows=10) is None
+    withnull = b1.withColumn(
+        "conv_id",
+        F.when(F.col("turn_idx") == 0, F.lit(None)).otherwise(
+            F.col("conv_id")
+        ),
+    )
+    assert try_micro_build(withnull, str(tmp_path / "y")) is None
+    # ingest falls back transparently for an oversized micro cap
+    log = GenerationLog(str(tmp_path / "log"))
+    log.ingest(b1, micro_max_rows=10)
+    n = b1.count()
+    s = log.searcher(spark)
+    assert s.search("w00001", k=5).count() > 0
