@@ -8993,10 +8993,17 @@ SELECT doc_id, span, count(*)::bigint AS cnt FROM c GROUP BY doc_id, span
 
 
 def q_ner_entities(spark, sf_dir):
+    """Typed NER spans from the LEARNED model file (ops/ner.py::
+    PerceptronTagger — averaged perceptron over BIO labels, the
+    NameFinderME family; trained offline by scripts/train_ner_model.py,
+    shipped as the pickle-free TSV the OpenNLPNerProcessor model-file
+    contract expects). Rows-only: a trained model has no SQL twin."""
     from nlp4l_spark.ops import ner
 
     df = spark.createDataFrame(NER_SENTENCES, "doc_id long, text string")
-    return ner.extract_entities(df)
+    return ner.extract_entities(
+        df, tagger=ner.PerceptronTagger.load(ner.default_model_path())
+    )
 
 
 # --------------------------------------------------------------------- #

@@ -39,6 +39,17 @@ Span = tuple[int, int, str]
 Tagger = Callable[[list[str]], Iterable[Span]]
 
 
+def default_model_path() -> str:
+    """The shipped averaged-perceptron model (scripts/train_ner_model.py
+    writes it; committed with the package)."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data", "models", "ner_perceptron.tsv",
+    )
+
+
 def heuristic_tagger(tokens: list[str]) -> list[Span]:
     """Deterministic fake model: maximal runs of capitalized tokens
     (skipping the sentence-initial token unless the run extends), typed
@@ -151,6 +162,199 @@ class TrieTagger:
             else:
                 i += 1
         return spans
+
+
+class PerceptronTagger:
+    """Learned statistical tagger in the same model-file slot (VERDICT r3
+    #3): a Collins-style averaged perceptron over BIO labels, greedy
+    left-to-right decoding with the previous predicted tag as a feature —
+    the same family as OpenNLP's NameFinderME (MaxEnt/perceptron over
+    contextual features; OpenNLPNerProcessor.scala:44-107 loads exactly
+    such a model file per entity type). Unlike ``TrieTagger`` it
+    generalizes to UNSEEN surface forms from context/shape features
+    (honorifics, suffixes, neighboring words), which is the property the
+    dictionary path cannot have.
+
+    Model file: deterministic pickle-free TSV, one weight per line —
+    ``label<TAB>feature<TAB>weight`` — '#' comments ignored, UTF-8,
+    sorted (label, feature) so files diff cleanly. Same
+    ``(tokens) -> [(start_tok, end_tok, type)]`` contract as the other
+    taggers, so it drops into ``extract_entities``'s tagger slot."""
+
+    def __init__(self, weights: dict[str, dict[str, float]]):
+        # weights[label][feature] -> float
+        self.weights = weights
+        self.labels = sorted(weights)
+
+    # ---- features ----------------------------------------------------
+    @staticmethod
+    def _norm(t: str) -> str:
+        return t.strip(".,;:!?").lower()
+
+    @classmethod
+    def _features(
+        cls, tokens: list[str], i: int, prev_tag: str
+    ) -> list[str]:
+        w = tokens[i]
+        nw = cls._norm(w)
+        prev = tokens[i - 1] if i > 0 else ""
+        nxt = tokens[i + 1] if i + 1 < len(tokens) else ""
+        nxt2 = tokens[i + 2] if i + 2 < len(tokens) else ""
+        feats = [
+            "bias",
+            f"w={nw}",
+            f"suf3={nw[-3:]}",
+            f"title={w[:1].isupper()}",
+            f"upper={w.isupper()}",
+            f"digit={w.isdigit()}",
+            f"first={i == 0}",
+            f"pw={cls._norm(prev)}",
+            f"ptitle={prev[:1].isupper()}",
+            f"nw={cls._norm(nxt)}",
+            # second right context: at a capitalized-bigram sentence
+            # start (Given Sur ... / Org Inc ...) the first
+            # non-capitalized word is what disambiguates the span type
+            f"nnw={cls._norm(nxt2)}",
+            f"pt={prev_tag}",
+            f"pt+w={prev_tag}+{nw}",
+        ]
+        return feats
+
+    def _score(self, feats: list[str], label: str) -> float:
+        wl = self.weights.get(label)
+        if not wl:
+            return 0.0
+        return sum(wl.get(f, 0.0) for f in feats)
+
+    def _decode(self, tokens: list[str]) -> list[str]:
+        tags: list[str] = []
+        prev = "O"
+        for i in range(len(tokens)):
+            feats = self._features(tokens, i, prev)
+            best, best_s = "O", None
+            for lab in self.labels:
+                s = self._score(feats, lab)
+                if best_s is None or s > best_s or (
+                    s == best_s and lab < best
+                ):
+                    best, best_s = lab, s
+            # BIO constraint: I-x must continue a same-typed span
+            if best.startswith("I-") and prev[2:] != best[2:]:
+                best = "B-" + best[2:]
+            tags.append(best)
+            prev = best
+        return tags
+
+    def __call__(self, tokens: list[str]) -> list[Span]:
+        tags = self._decode(tokens)
+        spans: list[Span] = []
+        i = 0
+        while i < len(tags):
+            if tags[i].startswith("B-"):
+                typ = tags[i][2:]
+                j = i + 1
+                while j < len(tags) and tags[j] == f"I-{typ}":
+                    j += 1
+                spans.append((i, j, typ))
+                i = j
+            else:
+                i += 1
+        return spans
+
+    # ---- persistence --------------------------------------------------
+    def save(self, path: str) -> None:
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write("# averaged-perceptron NER model: label\tfeature\tweight\n")
+            for lab in sorted(self.weights):
+                for feat in sorted(self.weights[lab]):
+                    v = self.weights[lab][feat]
+                    if v:
+                        fh.write(f"{lab}\t{feat}\t{v!r}\n")
+
+    @classmethod
+    def load(cls, path: str) -> "PerceptronTagger":
+        weights: dict[str, dict[str, float]] = {}
+        with open(path, encoding="utf-8") as fh:
+            for ln, raw in enumerate(fh, 1):
+                line = raw.rstrip("\n")
+                if not line.strip() or line.lstrip().startswith("#"):
+                    continue
+                parts = line.split("\t")
+                if len(parts) != 3:
+                    raise ValueError(
+                        f"{path}:{ln}: expected 'label\\tfeature\\tweight'"
+                    )
+                lab, feat, v = parts
+                weights.setdefault(lab, {})[feat] = float(v)
+        return cls(weights)
+
+
+def train_perceptron(
+    sentences: list[tuple[list[str], list[str]]],
+    *,
+    epochs: int = 8,
+    seed: int = 13,
+) -> PerceptronTagger:
+    """Averaged-perceptron training (Collins 2002) with greedy decoding:
+    per token, if the predicted label differs from gold, +1 the gold
+    label's active features and -1 the predicted's; final weights are
+    the running average over all updates (the averaging is what makes
+    the tiny model stable). Deterministic: seeded epoch shuffles, sorted
+    tie-breaks, repr() weight serialization."""
+    import random
+
+    labels = sorted({t for _, tags in sentences for t in tags} | {"O"})
+    weights: dict[str, dict[str, float]] = {lab: {} for lab in labels}
+    totals: dict[str, dict[str, float]] = {lab: {} for lab in labels}
+    stamps: dict[str, dict[str, int]] = {lab: {} for lab in labels}
+    model = PerceptronTagger(weights)
+    rng = random.Random(seed)
+    order = list(range(len(sentences)))
+    step = 0
+
+    def upd(lab: str, feat: str, delta: float) -> None:
+        # lazily fold the since-last-update contribution into the average
+        totals[lab][feat] = totals[lab].get(feat, 0.0) + (
+            step - stamps[lab].get(feat, 0)
+        ) * weights[lab].get(feat, 0.0)
+        stamps[lab][feat] = step
+        weights[lab][feat] = weights[lab].get(feat, 0.0) + delta
+
+    for _ in range(epochs):
+        rng.shuffle(order)
+        for si in order:
+            tokens, gold = sentences[si]
+            prev = "O"
+            for i in range(len(tokens)):
+                step += 1
+                feats = model._features(tokens, i, prev)
+                best, best_s = "O", None
+                for lab in labels:
+                    s = model._score(feats, lab)
+                    if best_s is None or s > best_s or (
+                        s == best_s and lab < best
+                    ):
+                        best, best_s = lab, s
+                if best != gold[i]:
+                    for f in feats:
+                        upd(gold[i], f, 1.0)
+                        upd(best, f, -1.0)
+                # predicted (not gold) history: decoding conditions on
+                # its own predictions, so training must too, or a single
+                # early mistake derails every downstream pt= feature
+                prev = best
+    avg: dict[str, dict[str, float]] = {}
+    for lab in labels:
+        out: dict[str, float] = {}
+        for feat, w in weights[lab].items():
+            total = totals[lab].get(feat, 0.0) + (
+                step - stamps[lab].get(feat, 0)
+            ) * w
+            a = total / step if step else 0.0
+            if a:
+                out[feat] = round(a, 6)
+        avg[lab] = out
+    return PerceptronTagger(avg)
 
 
 _NER_ELEM = T.StructType(
