@@ -85,19 +85,25 @@ class JaUserDictEntry:
     surface: str
     segments: tuple[str, ...]
     readings: tuple[str, ...] = ()
+    #: word cost for the lattice path (Kuromoji UserDictionary assigns
+    #: an internal WORD_COST per entry the Viterbi pass minimizes); None
+    #: -> the lattice analyzer's default length-discounted formula.
+    cost: int | None = None
 
     @staticmethod
     def parse(line: str) -> "JaUserDictEntry":
         """Parse one Kuromoji userdict CSV line (surface, space-joined
         segmentation, space-joined readings, pos — pos ignored here, it
-        rides on the processor)."""
+        rides on the processor; an optional 5th numeric field is the
+        lattice word cost)."""
         parts = [p.strip() for p in line.split(",")]
         if len(parts) < 2:
             raise ValueError(f"userdict line needs surface,segments: {line!r}")
         surface = parts[0]
         segments = tuple(parts[1].split())
         readings = tuple(parts[2].split()) if len(parts) > 2 and parts[2] else ()
-        return JaUserDictEntry(surface, segments, readings)
+        cost = int(parts[4]) if len(parts) > 4 and parts[4] else None
+        return JaUserDictEntry(surface, segments, readings, cost)
 
 
 @dataclass(frozen=True)
@@ -306,6 +312,208 @@ class JaUserDictAnalyzer(UnicodeCJKAnalyzer):
         return out
 
 
+@dataclass(frozen=True)
+class JaLatticeAnalyzer(JaUserDictAnalyzer):
+    """Dictionary-LATTICE segmentation with per-entry costs + min-cost
+    path (VERDICT r3 #4) — the Kuromoji shape: every dictionary surface
+    occurrence is an edge with its word cost, uncovered characters pay
+    ``unk_char_cost`` each, and the chosen segmentation is the cheapest
+    path over non-overlapping edges (Viterbi over the match lattice).
+    Where ``JaUserDictAnalyzer``'s leftmost-longest scan and the
+    min-cost path agree (non-overlapping dictionaries — the common
+    case) the two produce identical tokens; where entries overlap the
+    lattice wins on cost (tests pin a disagreement golden).
+
+    Engines: Python (this class), Arrow (``tokenize_udf`` wraps it);
+    there is deliberately NO JVM ``tokens_expr``/scalar DuckDB
+    ``duckdb_tokens_sql`` — a cost-minimizing path is not a scalar
+    expression. The registry query's DuckDB twin replays the SAME
+    enumeration as a recursive CTE (all non-overlapping match subsets,
+    min by (cost, path)); `lattice_paths_sql_parts` exposes the shared
+    constants so the two cannot drift.
+
+    Determinism: paths are compared by ``(total_cost, path_string)``
+    with ``path_string = '\\x1f'.join(f'{start}:{surface}')`` — a total
+    order both engines compute identically. Path enumeration is bounded
+    (``max_paths``, plans/caps.py style): the fixture dictionaries are
+    tiny; a pathological dictionary fails loudly, never silently slowly.
+    Gap characters between chosen edges fall back to the same CJK
+    bigram scheme as the parent."""
+
+    unk_char_cost: int = 1000
+    max_paths: int = 10_000
+
+    def entry_cost(self, e: JaUserDictEntry) -> int:
+        # longer surfaces cheaper (Kuromoji's user entries are strongly
+        # preferred over unknown-word paths); explicit costs win
+        return e.cost if e.cost is not None else max(200, 2000 - 400 * len(e.surface))
+
+    # ---- lattice core ---------------------------------------------------
+    def _matches(self, run: str) -> list[tuple[int, int, JaUserDictEntry]]:
+        out = []
+        for e in self.entries:
+            s = run.find(e.surface)
+            while s != -1:
+                out.append((s, s + len(e.surface), e))
+                s = run.find(e.surface, s + 1)
+        out.sort(key=lambda m: (m[0], m[1], m[2].surface))
+        return out
+
+    def _gap_tokens(self, seg: str) -> list[str]:
+        if not seg:
+            return []
+        if len(seg) == 1:
+            return [seg]
+        return [seg[i : i + 2] for i in range(len(seg) - 1)]
+
+    def _best_path(self, run: str) -> list[tuple[int, int, JaUserDictEntry]]:
+        """Cheapest non-overlapping match subset by (cost, path string).
+        Exhaustive enumeration — the exact search the DuckDB twin's
+        recursive CTE performs, so tie-breaks agree by construction."""
+        matches = self._matches(run)
+        best: tuple[int, str, list] | None = None
+        count = 0
+
+        def total(cost: int, last_end: int) -> int:
+            return cost + self.unk_char_cost * (len(run) - last_end)
+
+        stack: list[tuple[int, int, int, str, list]] = [(0, 0, 0, "", [])]
+        # (next_match_idx, last_end, cost, path_str, chosen)
+        while stack:
+            idx, last_end, cost, path, chosen = stack.pop()
+            count += 1
+            if count > self.max_paths:
+                raise ValueError(
+                    f"lattice path enumeration exceeded max_paths="
+                    f"{self.max_paths} on a {len(run)}-char run — this "
+                    "dictionary is too ambiguous for the exhaustive "
+                    "lattice; raise max_paths knowingly"
+                )
+            cand = (total(cost, last_end), path, chosen)
+            if best is None or (cand[0], cand[1]) < (best[0], best[1]):
+                best = cand
+            for j in range(idx, len(matches)):
+                s, e, ent = matches[j]
+                if s < last_end:
+                    continue
+                stack.append(
+                    (
+                        j + 1,
+                        e,
+                        cost
+                        + self.entry_cost(ent)
+                        + self.unk_char_cost * (s - last_end),
+                        (path + "\x1f" if path else "")
+                        + f"{s}:{ent.surface}",
+                        chosen + [(s, e, ent)],
+                    )
+                )
+        assert best is not None
+        return best[2]
+
+    def _lattice_tokens(self, run: str) -> list[str]:
+        out: list[str] = []
+        cursor = 0
+        for s, e, ent in self._best_path(run):
+            out.extend(self._gap_tokens(run[cursor:s]))
+            out.extend(ent.segments)
+            cursor = e
+        out.extend(self._gap_tokens(run[cursor:]))
+        return out
+
+    # ---- Python engine --------------------------------------------------
+    def tokenize(self, text: str | None) -> list[str]:
+        if not text:
+            return []
+        if not self.entries:
+            return UnicodeCJKAnalyzer.tokenize(self, text)
+        src = text.lower() if self.lowercase else text
+        src = src.replace(MARK, " ")
+        sub = re.compile(f"[{CJK_CLASS}]+|[^{CJK_CLASS}]+")
+        out: list[str] = []
+        for m in _WORD_RUN.finditer(src):
+            for sm in sub.finditer(m.group(0)):
+                seg = sm.group(0)
+                if _CJK_ONLY.match(seg):
+                    out.extend(self._lattice_tokens(seg))
+                else:
+                    out.append(seg)
+        if self.stopwords:
+            out = [t for t in out if t not in self.stopwords]
+        return out
+
+    # ---- token stream with positions/offsets ----------------------------
+    def token_stream(self, text: str | None) -> list[tuple[str, int, int, int]]:
+        if not text:
+            return []
+        if not self.entries:
+            return UnicodeCJKAnalyzer.token_stream(self, text)
+        src = text.lower() if self.lowercase else text
+        out: list[tuple[str, int, int, int]] = []
+        pos = 0
+
+        def emit(term: str, start: int, end: int) -> None:
+            nonlocal pos
+            if not (self.stopwords and term in self.stopwords):
+                out.append((term, pos, start, end))
+            pos += 1
+
+        def emit_gap(seg: str, base: int) -> None:
+            if not seg:
+                return
+            if len(seg) == 1:
+                emit(seg, base, base + 1)
+            else:
+                for k in range(len(seg) - 1):
+                    emit(seg[k : k + 2], base + k, base + k + 2)
+
+        sub = re.compile(f"[{CJK_CLASS}]+|[^{CJK_CLASS}]+")
+        for m in _WORD_RUN.finditer(src):
+            for sm in sub.finditer(m.group(0)):
+                seg, base = sm.group(0), m.start() + sm.start()
+                if not _CJK_ONLY.match(seg):
+                    emit(seg, base, base + len(seg))
+                    continue
+                cursor = 0
+                for s, e, ent in self._best_path(seg):
+                    emit_gap(seg[cursor:s], base + cursor)
+                    off = base + s
+                    for g in ent.segments:
+                        emit(g, off, off + len(g))
+                        off += len(g)
+                    cursor = e
+                emit_gap(seg[cursor:], base + cursor)
+        return out
+
+    # ---- engines without a scalar form ----------------------------------
+    def tokens_expr(self, col_sql: str) -> Column:
+        raise NotImplementedError(
+            "lattice segmentation is a min-cost path, not a scalar "
+            "expression — use tokenize_udf() (Arrow engine) on the scan; "
+            "the DuckDB twin is a recursive CTE (see "
+            "lattice_paths_sql_parts)"
+        )
+
+    def duckdb_tokens_sql(self, col_sql: str) -> str:
+        raise NotImplementedError(
+            "no scalar DuckDB form; build the recursive-CTE twin from "
+            "lattice_paths_sql_parts()"
+        )
+
+    def lattice_paths_sql_parts(self) -> dict:
+        """The constants the recursive-CTE DuckDB twin shares with this
+        engine: per-entry (surface, cost, segments), the unknown-char
+        cost, and the path-string separator — one source of truth."""
+        return {
+            "entries": [
+                (e.surface, self.entry_cost(e), list(e.segments))
+                for e in self.entries
+            ],
+            "unk_char_cost": self.unk_char_cost,
+            "sep": "\x1f",
+        }
+
+
 # The deterministic fixture dictionary used by tests / registry queries —
 # classic Kuromoji userdict examples (関西国際空港 is the canonical one
 # from Lucene's own userdict.txt), CSV-parsed through the same loader a
@@ -322,3 +530,19 @@ FIXTURE_ENTRIES = tuple(JaUserDictEntry.parse(l) for l in FIXTURE_USERDICT_CSV)
 #: Reference builds JapaneseAnalyzer with an EMPTY stop set
 #: (FeaturedProcessors.scala:304) — mirror that.
 JA_DICT_ANALYZER = JaUserDictAnalyzer(stopwords=frozenset(), entries=FIXTURE_ENTRIES)
+
+# Lattice fixture: the FIXTURE_ENTRIES plus deliberately OVERLAPPING
+# entries around 東京 so the min-cost path and leftmost-longest DISAGREE
+# on 東京都圏 (east-capital-metropolis-area): leftmost-longest takes
+# 東京大学 never, but 東京 (cost 3000, made expensive) then falls back on
+# 都圏; the lattice picks 東 (200) + 京都 (200) + gap 圏 — the classic
+# Kuromoji 東京都 ambiguity, resolved by cost, not scan order.
+LATTICE_USERDICT_CSV = FIXTURE_USERDICT_CSV + [
+    "東京,東京,トウキョウ,カスタム名詞,3000",
+    "東,東,ヒガシ,カスタム名詞,200",
+    "京都,京都,キョウト,カスタム名詞,200",
+]
+LATTICE_ENTRIES = tuple(JaUserDictEntry.parse(l) for l in LATTICE_USERDICT_CSV)
+JA_LATTICE_ANALYZER = JaLatticeAnalyzer(
+    stopwords=frozenset(), entries=LATTICE_ENTRIES
+)

@@ -5804,6 +5804,104 @@ FROM tokd ORDER BY doc_id
 O_JA_USER_DICT_RECORDS = _o_ja_user_dict_records()
 
 
+# Pure-CJK snippets (each a single CJK run — the oracle's lattice CTE
+# operates per run). The first two cross the overlapping 東京/東/京都
+# entries, so the min-cost path VISIBLY disagrees with leftmost-longest
+# (東|京都 beats 東京) — the behavior the lattice exists for.
+JA_LATTICE_SNIPPETS = [
+    "東京都圏の全文検索",
+    "関西国際空港から東京都へ",
+    "形態素解析は基盤技術",
+    "日本経済新聞と東京大学",
+]
+
+
+def q_ja_lattice_records(spark, sf_dir):
+    """Dictionary-LATTICE segmentation (analysis/jadict.py::
+    JaLatticeAnalyzer — per-entry costs + min-cost path over the match
+    lattice, the Kuromoji shape; JaUserDictionaryProcessor semantics,
+    FeaturedProcessors.scala:302-342). Arrow engine on the scan (a
+    cost-minimizing path is not a scalar JVM expression); the DuckDB
+    twin replays the SAME path enumeration as a recursive CTE over
+    (doc, last_end) states, min by the SAME (cost, path-string) order —
+    shared constants via lattice_paths_sql_parts()."""
+    from nlp4l_spark.analysis.jadict import JA_LATTICE_ANALYZER
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 97 == 0)
+    surf = F.element_at(
+        F.array(*[F.lit(s) for s in JA_LATTICE_SNIPPETS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    tok = JA_LATTICE_ANALYZER.tokenize_udf()
+    return (
+        docs.select("doc_id", surf.alias("surface"))
+        .withColumn("terms", F.array_join(tok(F.col("surface")), " "))
+        .orderBy("doc_id")
+    )
+
+
+def _o_ja_lattice_records() -> str:
+    from nlp4l_spark.analysis.jadict import JA_LATTICE_ANALYZER
+
+    parts = JA_LATTICE_ANALYZER.lattice_paths_sql_parts()
+    unk = parts["unk_char_cost"]
+    ent_vals = ", ".join(
+        f"('{s}', {c}, '{' '.join(segs)}')"
+        for s, c, segs in parts["entries"]
+    )
+    whens = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(JA_LATTICE_SNIPPETS)
+    )
+
+    def gap(g: str) -> str:
+        return (
+            f"CASE WHEN len({g}) = 0 THEN CAST([] AS VARCHAR[]) "
+            f"WHEN len({g}) = 1 THEN [{g}] "
+            f"ELSE list_transform(range(1, len({g})), "
+            f"k -> substr({g}, k::int, 2)) END"
+        )
+
+    mid_gap = gap("substr(p.run, p.last_end + 1, m.s1 - 1 - p.last_end)")
+    tail_gap = gap("substr(run, last_end + 1, len(run) - last_end)")
+    return f"""
+WITH RECURSIVE
+src AS (SELECT doc_id, CASE doc_id % 4 {whens} END AS run
+        FROM documents WHERE doc_id % 97 = 0),
+ent(surface, cost, segs) AS (VALUES {ent_vals}),
+pos AS (SELECT doc_id, run, unnest(range(1, len(run) + 1)) AS i FROM src),
+m AS (SELECT p.doc_id, e.surface, e.cost, e.segs, p.i::int AS s1
+      FROM pos p JOIN ent e
+        ON substr(p.run, p.i::int, len(e.surface)) = e.surface),
+paths AS (
+  SELECT doc_id, run, 0::bigint AS cost, 0 AS last_end,
+         '' AS path, CAST([] AS VARCHAR[]) AS toks
+  FROM src
+  UNION ALL
+  SELECT p.doc_id, p.run,
+         p.cost + m.cost + {unk} * (m.s1 - 1 - p.last_end),
+         m.s1 - 1 + len(m.surface),
+         p.path || CASE WHEN p.path = '' THEN '' ELSE chr(31) END
+                || CAST(m.s1 - 1 AS VARCHAR) || ':' || m.surface,
+         p.toks || {mid_gap} || string_split(m.segs, ' ')
+  FROM paths p JOIN m ON m.doc_id = p.doc_id AND m.s1 - 1 >= p.last_end
+),
+done AS (
+  SELECT doc_id, run, cost + {unk} * (len(run) - last_end) AS total, path,
+         toks || {tail_gap} AS toks
+  FROM paths
+),
+best AS (SELECT doc_id, run, toks,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY total, path) AS rn
+         FROM done)
+SELECT doc_id, run AS surface, array_to_string(toks, ' ') AS terms
+FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+O_JA_LATTICE_RECORDS = _o_ja_lattice_records()
+
+
 def _index_cache_dir(sf_dir: str) -> str:
     key = sf_dir.strip("/").replace("/", "_")
     return os.path.join(tempfile.gettempdir(), f"nlp4l_idx_{key}")
@@ -19528,6 +19626,7 @@ REGISTRY: dict[str, tuple] = {
     "unicode_wordcount": (q_unicode_wordcount, O_UNICODE_WORDCOUNT),
     "ja_dict_wordcount": (q_ja_dict_wordcount, O_JA_DICT_WORDCOUNT),
     "ja_user_dict_records": (q_ja_user_dict_records, O_JA_USER_DICT_RECORDS),
+    "ja_lattice_records": (q_ja_lattice_records, O_JA_LATTICE_RECORDS),
     "span_or_search": (q_span_or, O_SPAN_OR),
     "span_containing_search": (q_span_containing, O_SPAN_CONTAINING),
     "span_within_search": (q_span_within, O_SPAN_WITHIN),
@@ -19794,7 +19893,8 @@ _DRIVER_ORDER = [
     "ivf_tuning_curve", "rocchio_topk", "semantic_percolate", "ann_bq_topk",
     "rollup_sales", "cube_activity", "weak_labels", "ab_test_zscore",
     "markov_accuracy", "ols_discount_qty", "rfm_segments", "kaplan_meier",
-    "index_highlight", "theil_sen_trend", "mann_kendall", "assoc_rules",
+    "index_highlight", "theil_sen_trend",
+    "ja_lattice_records", "mann_kendall", "assoc_rules",
     "forecast_backtest", "conformal_coverage", "kcore_peel",
     "eigencentrality", "kmeans_1d", "kmeans_embeddings", "ja_dict_wordcount",
     "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
