@@ -5528,14 +5528,21 @@ O_ASCII_FOLD_WORDCOUNT = _o_ascii_fold_wordcount()
 UAX_SNIPPETS = [
     "don't stop believin' it's o\u2019brien's",
     "u.s.a. vs u.s.s.r. e.g. ph.d",
-    "pi 3.14 total 1,000,000 swiss 1'000 v2.0",
-    "cafe\u0301 nai\u0308ve zu\u0308rich state-of-the-art",
+    "pi 3.14 total 1,000,000 swiss 1'000 v2.0 foo_bar snake_case_id",
+    # round 4: marks beyond U+036F (Devanagari \u094d, Cyrillic \u0483),
+    # ZWJ mid-token, ExtendNumLet joins (underscore, NNBSP \u202f,
+    # undertie \u203f) — the Extend/ENL completeness fixture
+    "cafe\u0301 nai\u0308ve zu\u0308rich state-of-the-art"
+    " ve\u094dda c\u0483x x\u200dy _lead trail_ 1_2"
+    " tok\u202fjoin x\u203f9",
 ]
 UAX_TERMS = [
     "don't", "believin", "it's", "o\u2019brien's",
     "u.s.a", "u.s.s.r", "e.g", "ph.d",
-    "3.14", "1,000,000", "1'000", "v2.0",
+    "3.14", "1,000,000", "1'000", "v2.0", "foo_bar", "snake_case_id",
     "cafe\u0301", "nai\u0308ve", "zu\u0308rich", "state", "art",
+    "ve\u094dda", "c\u0483x", "x\u200dy", "_lead", "trail_", "1_2",
+    "tok\u202fjoin", "x\u203f9",
 ]
 
 
@@ -19894,7 +19901,7 @@ _DRIVER_ORDER = [
     "rollup_sales", "cube_activity", "weak_labels", "ab_test_zscore",
     "markov_accuracy", "ols_discount_qty", "rfm_segments", "kaplan_meier",
     "index_highlight", "theil_sen_trend",
-    "ja_lattice_records", "mann_kendall", "assoc_rules",
+    "ja_lattice_records", "uax29_wordcount", "mann_kendall", "assoc_rules",
     "forecast_backtest", "conformal_coverage", "kcore_peel",
     "eigencentrality", "kmeans_1d", "kmeans_embeddings", "ja_dict_wordcount",
     "ja_user_dict_records", "block_join_topk", "ann_filtered_topk",
@@ -19943,7 +19950,7 @@ _DRIVER_ORDER = [
     "decay_gauss_topk", "bucket_selector", "serial_diff", "value_histogram",
     "weighted_avg", "span_or_search", "explain_score", "shuffle_export",
     "term_browse", "conv_dedup", "label_centroids", "span_not_search",
-    "top_tfidf_terms", "oov_rate", "uax29_wordcount", "retention_cohorts",
+    "top_tfidf_terms", "oov_rate", "retention_cohorts",
     "conversation_stats", "rolling_stats", "sorted_by_field",
     "repetition_features", "corpus_profile", "chunk_documents",
     "resample_weighted", "pack_sequences", "funnel_steps", "term_positions",

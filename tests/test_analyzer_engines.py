@@ -186,6 +186,12 @@ UAX_ALPHABET = list(
     "'\u2019.,-"
     ";:!?()[]\"/"
     "\u0301\u0308"
+    # round-4 Extend completeness: marks beyond U+036F (Cyrillic titlo,
+    # Devanagari vowel signs Mn+Mc, Thai sara u, combining enclosing),
+    # ZWJ, and ExtendNumLet (_ undertie \u2040 fullwidth _ and U+202F NNBSP)
+    "\u0483\u094d\u093e\u0e38\u20e0"
+    "\u200d"
+    "_\u203f\u2040\uff3f\u202f"
 )
 
 
@@ -227,6 +233,17 @@ def test_four_engines_agree_uax29(spark):
     ]
     # the default contract splits at every joiner — the gap this mode closes
     assert STANDARD_ANALYZER.tokenize("don't 3.14") == ["don", "t", "3", "14"]
+    # round-4 goldens: full Mn/Mc Extend, ZWJ transparency, ExtendNumLet
+    assert UAX29_ANALYZER.tokenize("veॄda c҃x") == [
+        "veॄda", "c҃x",   # marks beyond U+036F attach
+    ]
+    assert UAX29_ANALYZER.tokenize("x‍y") == ["x‍y"]  # WB3c/WB4
+    assert UAX29_ANALYZER.tokenize("foo_bar _lead trail_ 1_2 a__b") == [
+        "foo_bar", "_lead", "trail_", "1_2", "a__b",  # WB13a/WB13b
+    ]
+    assert UAX29_ANALYZER.tokenize("tok join x‿9") == [
+        "tok join", "x‿9",  # NNBSP + undertie are ExtendNumLet
+    ]
 
 
 def test_four_engines_agree_ascii_folding(spark):
