@@ -173,8 +173,13 @@ def _commit(
     counters: dict | None = None,
 ) -> None:
     """Write one parquet file + the catalog manifest — same layout and
-    manifest fields as ``IndexCatalog.write`` without a Spark job."""
+    manifest fields as ``IndexCatalog.write`` without a Spark job
+    (including its overwrite semantics: any prior table dir is cleared,
+    so a rebuild into a reused directory can't accumulate part files)."""
+    import shutil
+
     path = cat.table_path(name)
+    shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     t0 = time.time()
     pq.write_table(

@@ -41,13 +41,28 @@ Tagger = Callable[[list[str]], Iterable[Span]]
 
 def default_model_path() -> str:
     """The shipped averaged-perceptron model (scripts/train_ner_model.py
-    writes it; committed with the package)."""
+    writes it; committed with the package). Zip-safe: when the package
+    runs from a ``spark-submit --py-files`` zip the file is materialized
+    to a per-process temp path via importlib.resources."""
     import os
 
-    return os.path.join(
+    p = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "data", "models", "ner_perceptron.tsv",
     )
+    if os.path.exists(p):
+        return p
+    import importlib.resources as ir
+    import tempfile
+
+    res = ir.files("nlp4l_spark") / "data" / "models" / "ner_perceptron.tsv"
+    dst = os.path.join(
+        tempfile.gettempdir(), f"nlp4l_ner_perceptron_{os.getpid()}.tsv"
+    )
+    if not os.path.exists(dst):
+        with open(dst, "w", encoding="utf-8") as fh:
+            fh.write(res.read_text(encoding="utf-8"))
+    return dst
 
 
 def heuristic_tagger(tokens: list[str]) -> list[Span]:

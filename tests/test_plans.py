@@ -1007,10 +1007,14 @@ def test_driver_cap_guards(spark, monkeypatch):
 
     # kcore_peel: simulate an edge list past the C(TRI_VOCAB,2) bound
     # (shrinking TRI_VOCAB alone also shrinks _lift_edges' own prune,
-    # so the unpruned-input scenario needs the source stubbed)
-    monkeypatch.setattr(eq, "TRI_VOCAB", 2)
+    # so the unpruned-input scenario needs the source stubbed). Patch
+    # the DEFINING part module — q_kcore_peel resolves globals there,
+    # not through the package namespace.
+    from nlp4l_spark.entry_queries import es_pipeline_aggs as _epa
+
+    monkeypatch.setattr(_epa, "TRI_VOCAB", 2)
     monkeypatch.setattr(
-        eq,
+        _epa,
         "_lift_edges",
         lambda s, sf: s.createDataFrame(
             [("a", "b"), ("b", "c"), ("a", "c")], "u string, v string"
