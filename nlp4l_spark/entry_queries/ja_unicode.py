@@ -388,6 +388,25 @@ def q_index_bm25_topk(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_index_maxscore_topk(spark, sf_dir):
+    """Same compressed-index path answered with MaxScore dynamic pruning
+    (Lucene's MaxScoreBulkScorer shape; Turtle & Flood) instead of
+    block-max WAND — result-identical by construction (the two strategies
+    share the shard harness and skip rule; tests/test_maxscore.py), so
+    the oracle is the same BM25 SQL."""
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.index.catalog import IndexCatalog
+    from nlp4l_spark.search import Searcher
+
+    idx = _index_cache_dir(sf_dir)
+    cat = IndexCatalog(idx)
+    if not cat.is_committed("field_stats"):
+        IndexBuilder(sort_cols=("doc_id",)).build(_docs(spark, sf_dir), idx)
+    s = Searcher(spark, idx)
+    res = s.search(BM25_QUERY, k=BM25_K, method="maxscore")
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_multi_index_bm25_topk(spark, sf_dir):
     """Federated-search path (Searcher composition, the MultiReader
     shape): the documents table split at its docID midpoint into TWO

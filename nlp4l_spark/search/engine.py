@@ -3573,8 +3573,8 @@ class Searcher:
         postings = self._matching_postings(sorted({r[1] for r in rows}))
         if method == "dataframe":
             scored = self._score_dataframe(postings, qterms)
-        elif method == "wand":
-            scored = self._score_wand(postings, qterms, ks)
+        elif method in ("wand", "maxscore"):
+            scored = self._score_wand(postings, qterms, ks, algo=method)
         else:
             raise ValueError(f"unknown method {method!r}")
 
@@ -3807,10 +3807,20 @@ class Searcher:
         )
 
     def _score_wand(
-        self, postings: DataFrame, qterms: DataFrame, ks: dict[int, int]
+        self,
+        postings: DataFrame,
+        qterms: DataFrame,
+        ks: dict[int, int],
+        algo: str = "wand",
     ) -> DataFrame:
         avgdl = self.avgdl
         max_k = max(ks.values()) if ks else 10
+        # both dynamic-pruning strategies share the shard/decode harness
+        # and are result-identical (tests/test_maxscore.py); see
+        # wand.maxscore_topk for when each wins
+        topk_fn = (
+            wand_mod.maxscore_topk if algo == "maxscore" else wand_mod.wand_topk
+        )
         # live-docs mask for the WAND task: deleted docs are dropped from
         # the decoded arrays before scoring; block-max metadata is then
         # stale-aligned, so it is dropped (upper-bound pruning degrades,
@@ -3842,7 +3852,7 @@ class Searcher:
                         if d.size == 0:
                             continue
                     tps.append((float(row["idf"]), d, tf, dl, bm))
-                for doc, sc in wand_mod.wand_topk(tps, max_k, avgdl):
+                for doc, sc in topk_fn(tps, max_k, avgdl):
                     out_qid.append(int(qid))
                     out_doc.append(doc)
                     out_score.append(sc)
