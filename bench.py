@@ -149,6 +149,7 @@ EXTRA_QUERIES = [
     "chat_flagged",
     "boilerplate_terms",
     "multi_index_bm25_topk",
+    "index_maxscore_topk",  # round 4: MaxScore vs WAND on the same index
     "term_adjacency",
     "rare_terms",
     "event_derivative",

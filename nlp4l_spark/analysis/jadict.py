@@ -1,4 +1,4 @@
-"""Dictionary-based Japanese analysis: JaUserDictionaryProcessor semantics.
+r"""Dictionary-based Japanese analysis: JaUserDictionaryProcessor semantics.
 
 Reference (what, not how): ``JaUserDictionaryProcessor``
 (/root/reference/app/org/nlp4l/framework/builtin/FeaturedProcessors.scala:302-342)
