@@ -1,0 +1,84 @@
+"""Probe-gated scaling measurement: run the N->4N build pairs ONLY when
+the host is actually granting parallel capacity, so the recorded
+efficiency measures the build, not a hypervisor throttle window.
+
+The sandbox host's effective core grant swings between ~2 and ~8+ cores
+on a timescale of minutes (BASELINE.md, every round).  A scaling pair
+measured inside a throttle window is noise; this runner probes first
+(pure-JVM parallel loop at both widths, seconds of work) and only pays
+for the multi-minute build legs when the probe clears --gate.
+
+Usage:
+  python3 scripts/scaling_probe.py [--gate 2.8] [--pairs 2:8:400000]
+          [--attempts 1]
+
+Prints one JSON line per attempted pair (probe-only lines carry
+"skipped": true), suitable for appending to BASELINE.md evidence.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import bench  # noqa: E402
+
+
+def probe_pair(base: int, wide: int) -> tuple[float, float]:
+    sb = bench.make_session(base)
+    sw = bench.make_session(wide)
+    # tiny warm before timing (JIT)
+    sb.range(10_000_000).selectExpr("sum(xxhash64(id)%1000)").collect()
+    sw.range(10_000_000).selectExpr("sum(xxhash64(id)%1000)").collect()
+    pb = bench.host_probe(sb, rows=1_000_000_000)
+    pw = bench.host_probe(sw, rows=1_000_000_000)
+    sb.stop()
+    sw.stop()
+    return pb, pw
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gate", type=float, default=2.8)
+    ap.add_argument("--pairs", default="2:8:400000")
+    ap.add_argument("--attempts", type=int, default=1)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--sleep", type=float, default=120.0,
+                    help="seconds between gated attempts")
+    args = ap.parse_args()
+    pairs = [
+        tuple(int(x) for x in spec.split(":"))
+        for spec in args.pairs.split(",")
+        if spec
+    ]
+    for attempt in range(args.attempts):
+        for base, wide, turns in pairs:
+            pb, pw = probe_pair(base, wide)
+            speedup = pb / pw if pw else 0.0
+            line = {
+                "pair": f"{base}->{wide}",
+                "probe_base_sec": round(pb, 2),
+                "probe_wide_sec": round(pw, 2),
+                "probe_speedup": round(speedup, 2),
+                "gate": args.gate,
+            }
+            if speedup < args.gate:
+                line["skipped"] = True
+                print(json.dumps(line), flush=True)
+                continue
+            reps = bench.run_scaling_width_pair(
+                base, wide, turns, args.repeats
+            )
+            best = max(reps, key=lambda p: p["efficiency"])
+            line.update({"turns": turns, "best": best, "reps": reps})
+            print(json.dumps(line), flush=True)
+        if attempt + 1 < args.attempts:
+            time.sleep(args.sleep)
+
+
+if __name__ == "__main__":
+    main()
