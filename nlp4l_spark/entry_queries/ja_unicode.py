@@ -388,6 +388,61 @@ def q_index_bm25_topk(spark, sf_dir):
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+PRUNE_P = 64
+
+
+def q_pruned_bm25_topk(spark, sf_dir):
+    """Static impact-ordered index pruning (Carmel et al.): top-k served
+    from a bounded tier keeping only each term's top-P postings by BM25
+    impact (tie doc_id asc), scored with FULL-index stats — worst-case
+    query cost O(|q|*P) regardless of corpus size, the 10^12-turn cheap
+    first pass. Engine: index/pruning.py materializes the tier on the
+    committed layout (resume-committed like every stage); WAND runs on
+    it unchanged. Oracle mirrors the exact contract: per-term row_number
+    over (impact DESC, doc_id) <= P, idf/avgdl from the unpruned
+    corpus."""
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.index.catalog import IndexCatalog
+    from nlp4l_spark.index.pruning import prune_postings
+    from nlp4l_spark.search import Searcher
+
+    idx = _index_cache_dir(sf_dir)
+    cat = IndexCatalog(idx)
+    if not cat.is_committed("field_stats"):
+        IndexBuilder(sort_cols=("doc_id",)).build(_docs(spark, sf_dir), idx)
+    tbl = prune_postings(spark, idx, PRUNE_P)
+    s = Searcher(spark, idx, postings_table=tbl)
+    res = s.search(BM25_QUERY, k=BM25_K, method="wand")
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+O_PRUNED_BM25_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df
+        FROM dt JOIN qt USING (term) GROUP BY 1),
+imp AS (SELECT dt.doc_id, dt.term,
+               tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS impact
+        FROM dt JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+kept AS (SELECT doc_id, term, impact FROM (
+           SELECT doc_id, term, impact,
+                  row_number() OVER (PARTITION BY term
+                    ORDER BY impact DESC, doc_id ASC) AS rn
+           FROM imp)
+         WHERE rn <= {PRUNE_P}),
+sc AS (SELECT kept.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * impact) AS s
+       FROM kept JOIN dfm USING (term) CROSS JOIN st
+       GROUP BY kept.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 def q_index_maxscore_topk(spark, sf_dir):
     """Same compressed-index path answered with MaxScore dynamic pruning
     (Lucene's MaxScoreBulkScorer shape; Turtle & Flood) instead of

@@ -119,10 +119,21 @@ class Searcher:
         spark: SparkSession,
         index_dir: str,
         analyzer: Analyzer | None = None,
+        postings_table: str = "postings",
     ):
+        """postings_table: which committed posting table the BM25 scoring
+        paths (_matching_postings: search/search_batch wand | maxscore |
+        dataframe, count, explain) read — e.g. a statically pruned tier
+        from index.pruning.prune_postings. Collection stats (num_docs,
+        avgdl) and term_stats idf always come from the FULL index, the
+        standard static-pruning contract (Carmel et al.): pruning changes
+        the candidate postings, never the scoring model. Term-dictionary
+        rewrite paths (prefix/wildcard/range/fuzzy) stay on the full
+        table."""
         self.spark = spark
         self.cat = IndexCatalog(index_dir)
         self.analyzer = analyzer or STANDARD_ANALYZER
+        self.postings_table = postings_table
         row = self.cat.read(spark, "field_stats").collect()[0]
         self.num_docs = int(row["num_docs"])
         self.avgdl = float(row["avgdl"])
@@ -178,7 +189,7 @@ class Searcher:
         return {r["term"]: int(r["df"]) for r in rows}
 
     def _matching_postings(self, terms: list[str]) -> DataFrame:
-        return self.cat.read(self.spark, "postings").filter(
+        return self.cat.read(self.spark, self.postings_table).filter(
             F.col("term").isin(terms)
         )
 
