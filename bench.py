@@ -39,11 +39,13 @@ BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "100000"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 # Scaling-evidence design: this sandbox VM's effective speed swings ~4x
 # on a timescale of minutes (hypervisor CPU steal + khugepaged compaction
-# stalls), so sequential N-then-4N measurement compares different
-# machines. Instead both sessions stay alive and the levels run in
-# INTERLEAVED pairs (8, 32, 8, 32, ...); adjacent runs see similar host
-# state, each pair yields an efficiency sample, and the best pair is
-# reported (with all raw pairs alongside). The corpus is sized so the
+# stalls), so widely separated N-then-4N measurement compares different
+# machines. The widths therefore run back-to-back in ALTERNATING legs
+# (N, 4N, N, 4N, ...) — each leg a fresh session (one SparkContext per
+# JVM; stop() between widths, see _scaling_leg) — so adjacent runs see
+# similar host state; each pair yields an efficiency sample, and the
+# best pair is reported (with all raw pairs alongside). The corpus is
+# sized so the
 # 8-core build is minutes of real work — per-build fixed overhead
 # (~10s of job launches, python worker spin-up, parquet commits) must be
 # small against the parallel work or the ratio measures overhead, not
@@ -443,38 +445,52 @@ def host_probe(spark, rows: int = 4_000_000_000) -> float:
     return _t.time() - t0
 
 
+def _scaling_leg(cores: int, turns: int):
+    """One width's (probe_sec, build_sec, build_cpu_sec) in a FRESH
+    session. A SparkSession/Context is one-per-JVM: getOrCreate() with a
+    different master silently returns the existing session (rounds 1-3
+    measured BOTH scaling legs at the base width because of exactly
+    this — the 'wide' session was the base session; see BASELINE.md
+    round-4 session-2 correction), so each leg must stop() before the
+    next width can really exist. Warmup re-runs per leg: python workers
+    respawn with the new context (JVM JIT state survives, so it's
+    cheap after the first)."""
+    s = make_session(cores)
+    assert s.sparkContext.master == f"local[{cores}]", (
+        f"session reuse: asked local[{cores}], got {s.sparkContext.master}"
+    )
+    warmup(s)
+    probe = host_probe(s)
+    c0 = executor_cpu_seconds(s)
+    t = timed_build(s, turns, f"/tmp/nlp4l_bench_idx_{cores}")
+    cpu = executor_cpu_seconds(s) - c0
+    s.stop()
+    return probe, t, cpu
+
+
 def run_scaling_width_pair(base: int, wide: int, turns: int, repeats: int):
-    """Interleaved N-vs-wide build reps (see the scaling-evidence design
-    note at the top): both sessions alive, adjacent runs see similar host
-    state, each rep yields an efficiency sample."""
+    """Alternating N-vs-4N build reps (see the scaling-evidence design
+    note at the top): legs run back-to-back so adjacent runs see similar
+    host state; each rep yields an efficiency sample."""
     width_ratio = float(wide) / float(base)
-    sb = make_session(base)
-    warmup(sb)
-    sw = make_session(wide)
-    warmup(sw)
     reps = []
     for rep in range(repeats):
-        pb = host_probe(sb)
-        pw = host_probe(sw)
+        pb, tb, cb = _scaling_leg(base, turns)
+        print(
+            f"  leg@local[{base}] rep{rep}: probe={pb:.1f}s "
+            f"build={tb:.1f}s wall, {cb:.0f}s cpu",
+            file=sys.stderr,
+        )
+        pw, tw, cw = _scaling_leg(wide, turns)
+        print(
+            f"  leg@local[{wide}] rep{rep}: probe={pw:.1f}s "
+            f"build={tw:.1f}s wall, {cw:.0f}s cpu",
+            file=sys.stderr,
+        )
         probe_speedup = round(pb / pw, 2) if pw else None
         print(
-            f"  host probe rep{rep}: local{base}={pb:.1f}s "
-            f"local{wide}={pw:.1f}s speedup={probe_speedup}x "
-            f"(ideal: {width_ratio:.0f}x)",
-            file=sys.stderr,
-        )
-        cb0 = executor_cpu_seconds(sb)
-        tb = timed_build(sb, turns, f"/tmp/nlp4l_bench_idx_{base}")
-        cb = executor_cpu_seconds(sb) - cb0
-        print(
-            f"  build@local[{base}] rep{rep}: {tb:.1f}s wall, {cb:.0f}s cpu",
-            file=sys.stderr,
-        )
-        cw0 = executor_cpu_seconds(sw)
-        tw = timed_build(sw, turns, f"/tmp/nlp4l_bench_idx_{wide}")
-        cw = executor_cpu_seconds(sw) - cw0
-        print(
-            f"  build@local[{wide}] rep{rep}: {tw:.1f}s wall, {cw:.0f}s cpu",
+            f"  rep{rep}: probe speedup={probe_speedup}x, build speedup="
+            f"{tb / tw:.2f}x (ideal: {width_ratio:.0f}x)",
             file=sys.stderr,
         )
         reps.append(
@@ -499,8 +515,6 @@ def run_scaling_width_pair(base: int, wide: int, turns: int, repeats: int):
                 ),
             }
         )
-    sb.stop()
-    sw.stop()
     return reps
 
 

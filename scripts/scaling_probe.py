@@ -29,16 +29,17 @@ import bench  # noqa: E402
 
 
 def probe_pair(base: int, wide: int) -> tuple[float, float]:
-    sb = bench.make_session(base)
-    sw = bench.make_session(wide)
-    # tiny warm before timing (JIT)
-    sb.range(10_000_000).selectExpr("sum(xxhash64(id)%1000)").collect()
-    sw.range(10_000_000).selectExpr("sum(xxhash64(id)%1000)").collect()
-    pb = bench.host_probe(sb, rows=1_000_000_000)
-    pw = bench.host_probe(sw, rows=1_000_000_000)
-    sb.stop()
-    sw.stop()
-    return pb, pw
+    # one SparkContext per JVM: the session MUST be stopped before the
+    # next width can really exist (getOrCreate() silently reuses the
+    # running session otherwise — see bench._scaling_leg)
+    out = []
+    for cores in (base, wide):
+        s = bench.make_session(cores)
+        assert s.sparkContext.master == f"local[{cores}]"
+        s.range(10_000_000).selectExpr("sum(xxhash64(id)%1000)").collect()
+        out.append(bench.host_probe(s, rows=1_000_000_000))
+        s.stop()
+    return out[0], out[1]
 
 
 def main() -> None:
