@@ -443,6 +443,66 @@ ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+TIER_WINDOW = 50
+
+
+def q_tiered_bm25_topk(spark, sf_dir):
+    """Tiered retrieval end-to-end (Searcher.search_tiered): cheap first
+    pass on the P=64 pruned tier picks the rounded top-50 window, exact
+    full-index BM25 rescores the window only — returned scores are
+    bit-identical to the unpruned engine for every surviving doc. The
+    10^12-turn serving shape: first pass O(|q|·P), second pass
+    window-bounded, nothing corpus-sized at query time."""
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.index.catalog import IndexCatalog
+    from nlp4l_spark.index.pruning import prune_postings
+    from nlp4l_spark.search import Searcher
+
+    idx = _index_cache_dir(sf_dir)
+    cat = IndexCatalog(idx)
+    if not cat.is_committed("field_stats"):
+        IndexBuilder(sort_cols=("doc_id",)).build(_docs(spark, sf_dir), idx)
+    prune_postings(spark, idx, PRUNE_P)
+    s = Searcher(spark, idx)
+    res = s.search_tiered(BM25_QUERY, k=BM25_K, window=TIER_WINDOW)
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+O_TIERED_BM25_TOPK = f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df
+        FROM dt JOIN qt USING (term) GROUP BY 1),
+imp AS (SELECT dt.doc_id, dt.term,
+               tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS impact
+        FROM dt JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+kept AS (SELECT doc_id, term, impact FROM (
+           SELECT doc_id, term, impact,
+                  row_number() OVER (PARTITION BY term
+                    ORDER BY impact DESC, doc_id ASC) AS rn
+           FROM imp)
+         WHERE rn <= {PRUNE_P}),
+s1 AS (SELECT kept.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * impact) AS s1
+       FROM kept JOIN dfm USING (term) CROSS JOIN st
+       GROUP BY kept.doc_id),
+win AS (SELECT doc_id FROM s1
+        ORDER BY round(s1, 6) DESC, doc_id ASC LIMIT {TIER_WINDOW}),
+sc AS (SELECT dt.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+       FROM dt JOIN dfm USING (term) JOIN dl USING (doc_id)
+            JOIN win USING (doc_id) CROSS JOIN st
+       GROUP BY dt.doc_id)
+SELECT doc_id, round(s, 6) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+
 def q_index_maxscore_topk(spark, sf_dir):
     """Same compressed-index path answered with MaxScore dynamic pruning
     (Lucene's MaxScoreBulkScorer shape; Turtle & Flood) instead of

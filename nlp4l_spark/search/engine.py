@@ -3019,6 +3019,76 @@ class Searcher:
             .count()
         )
 
+    def search_tiered(
+        self,
+        query: str,
+        k: int = 10,
+        window: int = 50,
+        tier_table: str = "postings_pruned64",
+        method: str = "wand",
+    ) -> DataFrame:
+        """Tiered retrieval — the production pattern a statically pruned
+        tier (index/pruning.py) exists for: the cheap first pass runs on
+        the bounded tier (worst-case O(|q|·P) postings touched) and
+        selects the top-``window`` candidates; the second pass rescores
+        ONLY those candidates with EXACT full-index BM25 (pushed
+        In(doc_id) on the window-sized list), so the returned top-k
+        scores are bit-identical to the unpruned engine's for every doc
+        that survives the window. First-pass scores are rounded to 6 dp
+        before the window cut so the candidate set is deterministic
+        across engines (the search_rescore convention). At 10^12 turns
+        the first pass reads ~|q|·P postings instead of the full lists
+        and the exact pass is window-bounded — query cost is corpus-size
+        independent end to end."""
+        tier = Searcher(
+            self.spark,
+            self.cat.root,
+            analyzer=self.analyzer,
+            postings_table=tier_table,
+        )
+        first = (
+            tier.search(query, k=window, method=method)
+            .select("doc_id", F.round("score", 6).alias("_s1"))
+            .orderBy(F.desc("_s1"), F.asc("doc_id"))
+        )
+        cand = [r["doc_id"] for r in first.collect()]  # window-bounded
+        if not cand:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, rank int"
+            )
+        terms = sorted(set(self.analyzer.tokenize(query)))
+        dfs = self._term_stats(terms)
+        rows = [(t, idf(self.num_docs, dfs[t])) for t in terms if dfs[t] > 0]
+        qterms = F.broadcast(
+            self.spark.createDataFrame(rows, "term string, idf double")
+        )
+        decoded = self._decoded(self._matching_postings(terms)).filter(
+            F.col("doc_id").isin(cand)  # pushed In(doc_id), window-sized
+        )
+        score_expr = (
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(K1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(K1)
+                * (
+                    F.lit(1.0 - B)
+                    + F.lit(B) * F.col("dl") / F.lit(self.avgdl or 1.0)
+                )
+            )
+        )
+        out = (
+            decoded.join(qterms, "term")
+            .withColumn("_s", score_expr)
+            .groupBy("doc_id")
+            .agg(F.sum("_s").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.withColumn("rank", F.row_number().over(w))
+
     def search_after(
         self,
         query: str,

@@ -112,6 +112,42 @@ def test_kept_contributions_identical(spark, pruned_idx):
         assert full[(r["term"], r["doc_id"])] == (r["tf"], r["dl"])
 
 
+def test_search_tiered(spark, pruned_idx):
+    """Tiered = pruned first pass window + EXACT full-index rescore:
+    with a window covering the full candidate set it equals the
+    unpruned top-k bit-for-bit; with a tight window it equals the
+    two-phase referee."""
+    prune_postings(spark, pruned_idx, 16, table="pp16t")
+    s = Searcher(spark, pruned_idx)
+    full = s.search(QUERY, k=10, method="wand").collect()
+    wide = s.search_tiered(
+        QUERY, k=10, window=10**6, tier_table="pp16t"
+    ).collect()
+    assert [r["doc_id"] for r in wide] == [r["doc_id"] for r in full]
+    assert all(
+        abs(a["score"] - b["score"]) < 1e-9 for a, b in zip(wide, full)
+    )
+    # tight window: first pass picks rounded top-5 from the pruned tier,
+    # exact rescore within — referee replays both phases
+    tight = s.search_tiered(QUERY, k=5, window=5, tier_table="pp16t").collect()
+    terms = sorted(set(s.analyzer.tokenize(QUERY)))
+    first = _referee_topk(spark, pruned_idx, terms, 16, 10**6)
+    win = sorted(
+        [(d, round(sc, 6)) for d, sc in first], key=lambda x: (-x[1], x[0])
+    )[:5]
+    win_docs = {d for d, _ in win}
+    exact = {
+        r["doc_id"]: r["score"]
+        for r in s.search(QUERY, k=10**6, method="dataframe").collect()
+        if r["doc_id"] in win_docs
+    }
+    want = sorted(exact.items(), key=lambda x: (-x[1], x[0]))[:5]
+    assert [r["doc_id"] for r in tight] == [d for d, _ in want]
+    assert all(
+        abs(r["score"] - sc) < 1e-9 for r, (_, sc) in zip(tight, want)
+    )
+
+
 def test_resume_returns_committed(spark, pruned_idx):
     t1 = prune_postings(spark, pruned_idx, 64)
     t2 = prune_postings(spark, pruned_idx, 64)  # no rebuild
