@@ -503,6 +503,99 @@ ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+PRUNE_CURVE_PS = (8, 16, 32, 64)
+
+
+def q_prune_tuning_curve(spark, sf_dir):
+    """Pruning quality-vs-cost curve: recall@10 of the P-pruned tier
+    against the full-index top-10, plus the postings actually touchable
+    for this query (Σ min(df, P) over query terms) — the evidence a
+    10^12-turn deployment uses to pick P. Engine path: one materialized
+    tier per P (resume-committed), WAND on each."""
+    from nlp4l_spark.index import IndexBuilder
+    from nlp4l_spark.index.catalog import IndexCatalog
+    from nlp4l_spark.index.pruning import prune_postings
+    from nlp4l_spark.search import Searcher
+
+    idx = _index_cache_dir(sf_dir)
+    cat = IndexCatalog(idx)
+    if not cat.is_committed("field_stats"):
+        IndexBuilder(sort_cols=("doc_id",)).build(_docs(spark, sf_dir), idx)
+    s_full = Searcher(spark, idx)
+    full_ids = {
+        r["doc_id"]
+        for r in s_full.search(BM25_QUERY, k=BM25_K, method="wand").collect()
+    }
+    terms = sorted(set(s_full.analyzer.tokenize(BM25_QUERY)))
+    dfs = s_full._term_stats(terms)
+    rows = []
+    for p in PRUNE_CURVE_PS:
+        tbl = prune_postings(spark, idx, p)
+        got = {
+            r["doc_id"]
+            for r in Searcher(spark, idx, postings_table=tbl)
+            .search(BM25_QUERY, k=BM25_K, method="wand")
+            .collect()
+        }
+        kept = sum(min(int(dfs[t]), p) for t in terms if dfs[t] > 0)
+        rows.append(
+            (p, kept, round(len(got & full_ids) / float(BM25_K), 6))
+        )
+    return spark.createDataFrame(
+        rows, "keep_p int, kept_query_postings long, recall_at_10 double"
+    )
+
+
+def _o_prune_tuning_curve() -> str:
+    per_p = []
+    for p in PRUNE_CURVE_PS:
+        per_p.append(f"""
+SELECT {p} AS keep_p,
+       (SELECT sum(least(df, {p}))::bigint FROM dfm) AS kept_query_postings,
+       (SELECT count(*)::double / {BM25_K} FROM
+          (SELECT doc_id FROM s1_{p}
+           ORDER BY s1 DESC, doc_id ASC LIMIT {BM25_K}) AS t{p}
+          WHERE doc_id IN (SELECT doc_id FROM fulltop)) AS recall_at_10""")
+    s1_ctes = ",\n".join(
+        f"""kept_{p} AS (SELECT doc_id, term, impact FROM ranked
+         WHERE rn <= {p}),
+s1_{p} AS (SELECT kept_{p}.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * impact) AS s1
+       FROM kept_{p} JOIN dfm USING (term) CROSS JOIN st
+       GROUP BY kept_{p}.doc_id)"""
+        for p in PRUNE_CURVE_PS
+    )
+    return f"""
+WITH {TOKS_CTE},
+dt AS (SELECT doc_id, term, count(*)::double AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY 1),
+st AS (SELECT count(*)::double AS n,
+              (SELECT count(*) FROM toks)::double / count(*) AS avgdl FROM dl),
+qt AS (SELECT unnest({BM25_TERMS!r}) AS term),
+dfm AS (SELECT term, count(*)::double AS df
+        FROM dt JOIN qt USING (term) GROUP BY 1),
+imp AS (SELECT dt.doc_id, dt.term,
+               tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS impact
+        FROM dt JOIN qt USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+ranked AS (SELECT doc_id, term, impact,
+                  row_number() OVER (PARTITION BY term
+                    ORDER BY impact DESC, doc_id ASC) AS rn
+           FROM imp),
+fullsc AS (SELECT imp.doc_id,
+              sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * impact) AS s
+       FROM imp JOIN dfm USING (term) CROSS JOIN st
+       GROUP BY imp.doc_id),
+fulltop AS (SELECT doc_id FROM fullsc
+            ORDER BY s DESC, doc_id ASC LIMIT {BM25_K}),
+{s1_ctes}
+{" UNION ALL ".join(per_p)}
+ORDER BY keep_p
+"""
+
+
+O_PRUNE_TUNING_CURVE = _o_prune_tuning_curve()
+
+
 def q_index_maxscore_topk(spark, sf_dir):
     """Same compressed-index path answered with MaxScore dynamic pruning
     (Lucene's MaxScoreBulkScorer shape; Turtle & Flood) instead of
