@@ -66,7 +66,10 @@ SCALING_PAIRS = [
     tuple(int(x) for x in spec.split(":"))
     for spec in os.environ.get(
         "SPARK_GRAFT_SCALING_PAIRS",
-        f"8:32:{SCALING_TURNS},2:8:{SCALING_TURNS // 2}",
+        # in-capacity pair first (the number that means something on
+        # this host); 8->32 second at half turns — it demonstrates the
+        # host cap, it is not a precision measurement
+        f"2:8:{SCALING_TURNS // 2},8:32:{SCALING_TURNS // 2}",
     ).split(",")
     if spec
 ]
