@@ -537,7 +537,7 @@ def q_prune_tuning_curve(spark, sf_dir):
             .search(BM25_QUERY, k=BM25_K, method="wand")
             .collect()
         }
-        kept = sum(min(int(dfs[t]), p) for t in terms if dfs[t] > 0)
+        kept = sum(min(int(dfs[t]), p) for t in terms if t in dfs)
         rows.append(
             (p, kept, round(len(got & full_ids) / float(BM25_K), 6))
         )

@@ -3034,9 +3034,15 @@ class Searcher:
         ONLY those candidates with EXACT full-index BM25 (pushed
         In(doc_id) on the window-sized list), so the returned top-k
         scores are bit-identical to the unpruned engine's for every doc
-        that survives the window. First-pass scores are rounded to 6 dp
-        before the window cut so the candidate set is deterministic
-        across engines (the search_rescore convention). At 10^12 turns
+        that survives the window. The window cut itself is taken in
+        (round(score, 6) DESC, doc_id ASC) order over the WHOLE tier —
+        the first pass over-fetches (doubling) until every doc whose
+        rounded score could reach the window boundary is in hand, then
+        re-ranks on the rounded key and cuts — so the candidate set is
+        deterministic across engines even when a 6 dp near-tie straddles
+        the boundary (the search_rescore convention, extended to the
+        cut; matches the oracle's LIMIT-over-rounded window exactly
+        instead of only generically). At 10^12 turns
         the first pass reads ~|q|·P postings instead of the full lists
         and the exact pass is window-bounded — query cost is corpus-size
         independent end to end."""
@@ -3046,23 +3052,50 @@ class Searcher:
             analyzer=self.analyzer,
             postings_table=tier_table,
         )
-        first = (
-            tier.search(query, k=window, method=method)
-            .select("doc_id", F.round("score", 6).alias("_s1"))
-            .orderBy(F.desc("_s1"), F.asc("doc_id"))
-        )
-        cand = [r["doc_id"] for r in first.collect()]  # window-bounded
+        # Over-fetch on exact scores until the rounded-score window cut
+        # is provably complete: every unfetched doc has exact score <=
+        # the last fetched exact score, and rounding is monotone, so once
+        # round(last_exact, 6) < the rounded boundary value at position
+        # `window`, no unfetched doc can tie into the window. Doubling
+        # terminates in O(log(ties)) passes; the first pass almost always
+        # suffices.
+        k2 = window
+        while True:
+            fetched = (
+                tier.search(query, k=k2, method=method)
+                .select("doc_id", "score")
+                .collect()
+            )  # window-bounded (k2 = window * 2^j, ties-only growth)
+            ranked = sorted(
+                ((round(r["score"], 6), r["doc_id"]) for r in fetched),
+                key=lambda t: (-t[0], t[1]),
+            )
+            if len(fetched) < k2 or len(ranked) <= window:
+                break  # tier exhausted — the fetch IS the whole matchset
+            boundary = ranked[window - 1][0]
+            last_exact_rounded = round(
+                min(r["score"] for r in fetched), 6
+            )
+            if last_exact_rounded < boundary:
+                break
+            k2 *= 2
+        cand = [d for _, d in ranked[:window]]
         if not cand:
             return self.spark.createDataFrame(
                 [], "doc_id long, score double, rank int"
             )
         terms = sorted(set(self.analyzer.tokenize(query)))
         dfs = self._term_stats(terms)
-        rows = [(t, idf(self.num_docs, dfs[t])) for t in terms if dfs[t] > 0]
+        # `t in dfs`, not dfs[t] > 0: _term_stats omits absent terms, so
+        # a mixed query (one indexed + one OOV term) must drop the OOV
+        # term here rather than KeyError (dfs entries are always > 0).
+        rows = [(t, idf(self.num_docs, dfs[t])) for t in terms if t in dfs]
         qterms = F.broadcast(
             self.spark.createDataFrame(rows, "term string, idf double")
         )
-        decoded = self._decoded(self._matching_postings(terms)).filter(
+        decoded = self._decoded(
+            self._matching_postings([t for t, _ in rows])
+        ).filter(
             F.col("doc_id").isin(cand)  # pushed In(doc_id), window-sized
         )
         score_expr = (

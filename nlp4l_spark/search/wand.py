@@ -120,7 +120,16 @@ def maxscore_topk(
 ) -> list[tuple[int, float]]:
     """Block-max MaxScore (Turtle & Flood) top-k — same contract, same
     tie-break, and the same span-skip rule as wand_topk, so the two are
-    result-identical; only the pruning strategy differs. Within each
+    result-identical at the default ``threshold=0.0``; only the pruning
+    strategy differs. With a NONZERO entry threshold the identity holds
+    only up to summation-order ulps: MaxScore accumulates a doc's score
+    essential-terms-first then non-essential, wand/brute sum in term
+    order, so when a doc's exact score EQUALS the threshold the strict
+    ``sc > threshold`` admission can flip on a 1-2 ulp difference
+    (fuzz-confirmed). A cross-shard floor handoff that feeds another
+    shard's floor in as ``threshold`` must therefore quantize both sides
+    (e.g. round to 6 dp, the harness convention) before comparing, or
+    accept ulp-level admission skew at exact-tie scores. Within each
     surviving span, terms are split at the current heap floor into a
     NON-ESSENTIAL prefix (ascending span upper bounds whose running sum
     cannot alone beat the floor — their postings are never enumerated)

@@ -148,6 +148,28 @@ def test_search_tiered(spark, pruned_idx):
     )
 
 
+def test_search_tiered_oov_term(spark, pruned_idx):
+    """A mixed query (indexed terms + a term absent from the corpus)
+    must not KeyError in the exact-rescore phase (_term_stats omits
+    absent terms); the OOV term contributes nothing, so the result
+    equals the same query without it. Round-4 ADVICE.md regression."""
+    prune_postings(spark, pruned_idx, 16, table="pp16t")
+    s = Searcher(spark, pruned_idx)
+    base = s.search_tiered(QUERY, k=5, window=20, tier_table="pp16t").collect()
+    mixed = s.search_tiered(
+        QUERY + " zz_no_such_term_zz", k=5, window=20, tier_table="pp16t"
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in mixed] == [
+        (r["doc_id"], r["score"]) for r in base
+    ]
+    # all-OOV query: empty result, stable schema
+    none = s.search_tiered(
+        "zz_no_such_term_zz", k=5, window=20, tier_table="pp16t"
+    )
+    assert none.count() == 0
+    assert [f.name for f in none.schema.fields] == ["doc_id", "score", "rank"]
+
+
 def test_resume_returns_committed(spark, pruned_idx):
     t1 = prune_postings(spark, pruned_idx, 64)
     t2 = prune_postings(spark, pruned_idx, 64)  # no rebuild
