@@ -58,10 +58,18 @@ def _local_top(avgdl: float, keep: int):
                 "term": [], "shard": [], "doc_ids": [], "tfs": [],
                 "dls": [], "impacts": [],
             }
-            for _, row in pdf.iterrows():
-                d = codec.decode_doc_ids(row["doc_ids_enc"])
-                tf = codec.decode_tfs(row["tfs_enc"])
-                dl = codec.decode_tfs(row["dls_enc"])
+            # column-wise iteration (no per-row pandas Series): a 10^8
+            # -term dictionary pays this loop once per (term, shard)
+            for term, shard, d_enc, tf_enc, dl_enc in zip(
+                pdf["term"].tolist(),
+                pdf["shard"].tolist(),
+                pdf["doc_ids_enc"].tolist(),
+                pdf["tfs_enc"].tolist(),
+                pdf["dls_enc"].tolist(),
+            ):
+                d = codec.decode_doc_ids(d_enc)
+                tf = codec.decode_tfs(tf_enc)
+                dl = codec.decode_tfs(dl_enc)
                 imp = bm25_impact(tf.astype(np.float64), dl, avgdl)
                 if d.size > keep:
                     # stable top-P under (impact DESC, doc_id ASC):
@@ -71,8 +79,8 @@ def _local_top(avgdl: float, keep: int):
                     order = np.lexsort((d, -imp))[:keep]
                     order.sort()  # back to doc_id order for the arrays
                     d, tf, dl, imp = d[order], tf[order], dl[order], imp[order]
-                rows["term"].append(row["term"])
-                rows["shard"].append(int(row["shard"]))
+                rows["term"].append(term)
+                rows["shard"].append(int(shard))
                 rows["doc_ids"].append(d.tolist())
                 rows["tfs"].append(tf.tolist())
                 rows["dls"].append(dl.tolist())
@@ -91,9 +99,7 @@ def _global_prune(avgdl: float, keep: int):
             if pdf.empty:
                 continue
             out: dict[str, list] = {f.name: [] for f in POSTINGS_SCHEMA.fields}
-            for _, row in pdf.iterrows():
-                term = row["term"]
-                segs = row["segs"]
+            for term, segs in zip(pdf["term"].tolist(), pdf["segs"].tolist()):
                 d = np.concatenate([np.asarray(s["doc_ids"], dtype=np.int64) for s in segs])
                 tf = np.concatenate([np.asarray(s["tfs"], dtype=np.int64) for s in segs])
                 dl = np.concatenate([np.asarray(s["dls"], dtype=np.int64) for s in segs])
