@@ -53,7 +53,13 @@ def current_order(src: str) -> list:
 def main() -> int:
     union = set()
     for f in sorted(glob.glob("CORRECTNESS_r0*.json")):
-        union |= set(json.load(open(f)).keys())
+        # green rows only: the driver also records err rows (round 1's
+        # `no_oracle` pair) which must not count as verified
+        union |= {
+            q
+            for q, v in json.load(open(f)).items()
+            if v.get("err") is None and v.get("rows_match")
+        }
     src = open("nlp4l_spark/entry_queries/registry.py").read()
     names = current_order(src)
     oracled = [n for n in names if n not in ROWS_ONLY]
