@@ -53,6 +53,7 @@ slices of the match span.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -512,6 +513,198 @@ class JaLatticeAnalyzer(JaUserDictAnalyzer):
             "unk_char_cost": self.unk_char_cost,
             "sep": "\x1f",
         }
+
+
+@dataclass(frozen=True)
+class JaViterbiAnalyzer(JaLatticeAnalyzer):
+    """True Viterbi DP over the lattice — the scale path for a REAL
+    built-in lexicon (hundreds of entries), where ``JaLatticeAnalyzer``'s
+    exhaustive non-overlapping-subset enumeration is exponential in the
+    number of matches per run (fine for a handful of user entries,
+    hopeless for a lexicon where particles match every other character).
+
+    Same cost model as the parent (per-entry word cost, uncovered chars
+    pay ``unk_char_cost`` each, gaps fall back to CJK bigrams), computed
+    in O(len(run) x distinct-surface-lengths) by position DP:
+
+        dp[0] = (0, "")
+        dp[i] = min over
+            (dp[i-1].cost + unk_char_cost, dp[i-1].path)        # gap char
+            (dp[i-L].cost + cost(e), dp[i-L].path + sep + "s:surface")
+                for each entry e whose surface == run[i-L:i]    # edge
+
+    minimizing by ``(cost, path-string)`` AT EACH POSITION. That local
+    tie-break is this analyzer's DEFINED selection rule (documented
+    deviation from the parent's global-path rule: the two can differ
+    only on exact cost ties between paths whose edge lists prefix each
+    other — never on the chosen cost, which is the true lattice
+    minimum). The DuckDB twin unrolls the SAME DP position by position
+    (``viterbi_sql`` — oracle SQL is generated, so the unroll length is
+    the fixture max run length), applying the same comparisons, so both
+    engines agree by construction. Kuromoji parity: this IS the Viterbi
+    shape Kuromoji runs over IPADIC + user entries (mod connection
+    costs, which need a POS-pair matrix this sandbox has no data for —
+    documented deviation)."""
+
+    def _best_path(self, run: str) -> list[tuple[int, int, JaUserDictEntry]]:
+        surf_map = {e.surface: e for e in self.entries}  # surfaces unique
+        lens = sorted({len(e.surface) for e in self.entries})
+        unk = self.unk_char_cost
+        n = len(run)
+        # dp[i]: (cost, path_str, edges) covering run[:i]
+        dp: list[tuple[int, str, list]] = [(0, "", [])] * (n + 1)
+        for i in range(1, n + 1):
+            p = dp[i - 1]
+            best = (p[0] + unk, p[1], p[2])
+            for L in lens:
+                if L > i:
+                    break
+                e = surf_map.get(run[i - L : i])
+                if e is None:
+                    continue
+                s = i - L
+                prev = dp[s]
+                cand = (
+                    prev[0] + self.entry_cost(e),
+                    (prev[1] + "\x1f" if prev[1] else "")
+                    + f"{s}:{e.surface}",
+                    prev[2] + [(s, i, e)],
+                )
+                if (cand[0], cand[1]) < (best[0], best[1]):
+                    best = cand
+            dp[i] = best
+        return dp[n][2]
+
+    def viterbi_sql(
+        self,
+        src_cte: str,
+        max_len: int,
+        *,
+        doc_col: str = "doc_id",
+        run_col: str = "run",
+    ) -> str:
+        """DuckDB twin: the SAME position DP unrolled to ``max_len``
+        chained CTEs (DuckDB 1.0 has no keyed recursion, and plain
+        recursive CTEs enumerate every path — exponential exactly like
+        the parent class's referee). ``src_cte`` must provide
+        (doc_col, run_col) with len(run) <= max_len; returns SQL text of
+        CTE definitions ``dp0..dp{max_len}, vit`` where ``vit`` has
+        (doc_col, run_col, toks VARCHAR[]). Shares cost constants with
+        the Python engine via entry_cost/unk_char_cost — one source of
+        truth, same comparisons, so the engines cannot drift."""
+        ent_vals = ", ".join(
+            f"('{e.surface}', {len(e.surface)}, {self.entry_cost(e)}, "
+            f"'{' '.join(e.segments)}')"
+            for e in self.entries
+        )
+        unk = self.unk_char_cost
+        gap = (
+            "CASE WHEN len({g}) = 0 THEN CAST([] AS VARCHAR[]) "
+            "WHEN len({g}) = 1 THEN [{g}] "
+            "ELSE list_transform(range(1, len({g})), "
+            "k -> substr({g}, k::int, 2)) END"
+        )
+        # AS MATERIALIZED is load-bearing: each dp{i} is referenced by
+        # every later position whose edge length reaches back to it, and
+        # DuckDB 1.0 inlines plain CTEs per reference — the unrolled
+        # chain would expand exponentially without it
+        parts = [
+            f"ent(surface, slen, cost, segs) AS MATERIALIZED "
+            f"(VALUES {ent_vals})",
+            f"dp0 AS MATERIALIZED (SELECT {doc_col}, {run_col}, "
+            f"0::bigint AS cost, "
+            f"'' AS path, CAST([] AS VARCHAR[]) AS toks, 0 AS last_end "
+            f"FROM {src_cte})",
+        ]
+        for i in range(1, max_len + 1):
+            # gap branch: beyond the run's end the state just rides
+            # along unchanged so dp{max_len} is the answer row for every
+            # doc regardless of its run length
+            gap_branch = (
+                f"SELECT {doc_col}, {run_col}, "
+                f"cost + CASE WHEN len({run_col}) >= {i} THEN {unk} "
+                f"ELSE 0 END AS cost, path, toks, last_end "
+                f"FROM dp{i - 1}"
+            )
+            edge_branches = []
+            for L in sorted({len(e.surface) for e in self.entries}):
+                if L > i:
+                    continue
+                s = i - L  # 0-indexed edge start
+                mid = gap.format(
+                    g=f"substr(p.{run_col}, p.last_end + 1, "
+                    f"{s} - p.last_end)"
+                )
+                edge_branches.append(
+                    f"SELECT p.{doc_col}, p.{run_col}, "
+                    f"p.cost + e.cost AS cost, "
+                    f"p.path || CASE WHEN p.path = '' THEN '' "
+                    f"ELSE chr(31) END || '{s}:' || e.surface AS path, "
+                    f"p.toks || {mid} || string_split(e.segs, ' ') "
+                    f"AS toks, {i} AS last_end "
+                    f"FROM dp{s} p JOIN ent e ON e.slen = {L} "
+                    f"AND substr(p.{run_col}, {s} + 1, {L}) = e.surface"
+                )
+            union = " UNION ALL ".join([gap_branch] + edge_branches)
+            parts.append(
+                f"dp{i} AS MATERIALIZED (SELECT {doc_col}, {run_col}, "
+                f"cost, path, toks, "
+                f"last_end FROM (SELECT *, row_number() OVER ("
+                f"PARTITION BY {doc_col} ORDER BY cost, path) AS rn "
+                f"FROM ({union})) WHERE rn = 1)"
+            )
+        tail = gap.format(
+            g=f"substr({run_col}, last_end + 1, "
+            f"len({run_col}) - last_end)"
+        )
+        parts.append(
+            f"vit AS (SELECT {doc_col}, {run_col}, toks || {tail} AS toks "
+            f"FROM dp{max_len})"
+        )
+        return ",\n".join(parts)
+
+
+def load_dict_csv(path: str) -> tuple[JaUserDictEntry, ...]:
+    """Load a Kuromoji-CSV-shaped dictionary file (``#`` comments and
+    blank lines skipped) through the same per-line parser a user
+    dictionary string would use."""
+    entries = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            entries.append(JaUserDictEntry.parse(line))
+    return tuple(entries)
+
+
+#: The built-in mini lexicon (IPADIC-SHAPED, original content — IPADIC
+#: itself cannot ship in-sandbox): ~280 common-Japanese + IR-domain
+#: entries with explicit word costs, so non-user-dictionary Ja text gets
+#: LATTICE segmentation instead of the bigram fallback (VERDICT r4 #6).
+BUILTIN_DICT_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "data", "dicts", "ja_builtin_mini.csv"
+)
+BUILTIN_ENTRIES = load_dict_csv(BUILTIN_DICT_PATH)
+
+
+def builtin_analyzer(
+    user_csv_lines: tuple[str, ...] = (),
+    stopwords: frozenset[str] = frozenset(),
+) -> JaViterbiAnalyzer:
+    """The default-dictionary analyzer: built-in lexicon + optional user
+    entries, user surface OVERRIDING a built-in entry with the same
+    surface (Kuromoji's user-dictionary-wins contract; user entries with
+    no explicit cost get the strongly-preferred default formula)."""
+    user = tuple(JaUserDictEntry.parse(l) for l in user_csv_lines)
+    user_surfaces = {e.surface for e in user}
+    merged = user + tuple(
+        e for e in BUILTIN_ENTRIES if e.surface not in user_surfaces
+    )
+    return JaViterbiAnalyzer(stopwords=stopwords, entries=merged)
+
+
+JA_BUILTIN_ANALYZER = builtin_analyzer()
 
 
 # The deterministic fixture dictionary used by tests / registry queries —

@@ -282,6 +282,67 @@ FROM best WHERE rn = 1 ORDER BY doc_id
 O_JA_LATTICE_RECORDS = _o_ja_lattice_records()
 
 
+# Pure-CJK snippets for the BUILT-IN dictionary (each a single CJK run;
+# no user entries anywhere — segmentation comes entirely from the
+# shipped ja_builtin_mini.csv lexicon, VERDICT r4 #6). Coverage mix:
+# compounds that must win over their parts (自然言語処理, 関西国際空港),
+# particles, a verb+auxiliary chain, katakana lexicon words, and gap
+# characters (圏/違/人口) that fall back to bigrams.
+JA_BUILTIN_SNIPPETS = [
+    "私は東京大学で自然言語処理を勉強します",
+    "全文検索の索引を作る",
+    "関西国際空港から京都へ行った",
+    "データベースの設計と運用は重要です",
+]
+
+
+def q_ja_builtin_lattice_records(spark, sf_dir):
+    """BUILT-IN-dictionary lattice segmentation (analysis/jadict.py::
+    JaViterbiAnalyzer over the shipped ~285-entry mini lexicon — true
+    Viterbi position-DP, O(run x surface-lengths), because exhaustive
+    path enumeration is exponential at lexicon density): the Kuromoji
+    default-dictionary role (JapaneseAnalyzer always carries IPADIC;
+    JaUserDictionaryProcessor layers user entries on top,
+    FeaturedProcessors.scala:302-342). No user entries here — every
+    segment comes from the built-in lexicon, gaps fall back to CJK
+    bigrams. Arrow engine on the scan; the DuckDB twin unrolls the SAME
+    DP position by position (JaViterbiAnalyzer.viterbi_sql), same
+    (cost, path) comparisons, so the engines agree by construction."""
+    from nlp4l_spark.analysis.jadict import JA_BUILTIN_ANALYZER
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 97 == 0)
+    surf = F.element_at(
+        F.array(*[F.lit(s) for s in JA_BUILTIN_SNIPPETS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    tok = JA_BUILTIN_ANALYZER.tokenize_udf()
+    return (
+        docs.select("doc_id", surf.alias("surface"))
+        .withColumn("terms", F.array_join(tok(F.col("surface")), " "))
+        .orderBy("doc_id")
+    )
+
+
+def _o_ja_builtin_lattice_records() -> str:
+    from nlp4l_spark.analysis.jadict import JA_BUILTIN_ANALYZER
+
+    whens = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(JA_BUILTIN_SNIPPETS)
+    )
+    max_len = max(len(s) for s in JA_BUILTIN_SNIPPETS)
+    return f"""
+WITH src AS MATERIALIZED (
+  SELECT doc_id, CASE doc_id % 4 {whens} END AS run
+  FROM documents WHERE doc_id % 97 = 0),
+{JA_BUILTIN_ANALYZER.viterbi_sql("src", max_len)}
+SELECT doc_id, run AS surface, array_to_string(toks, ' ') AS terms
+FROM vit ORDER BY doc_id
+"""
+
+
+O_JA_BUILTIN_LATTICE_RECORDS = _o_ja_builtin_lattice_records()
+
+
 def _index_cache_dir(sf_dir: str) -> str:
     key = sf_dir.strip("/").replace("/", "_")
     return os.path.join(tempfile.gettempdir(), f"nlp4l_idx_{key}")

@@ -349,3 +349,104 @@ def test_lattice_oracle_parity_duckdb():
         )
         got = con.execute(one).fetchall()
         assert got[0][2] == " ".join(py), (s, got, py)
+
+
+# ---------------------------------------------------------------------------
+# Built-in dictionary (JaViterbiAnalyzer over data/dicts/ja_builtin_mini.csv)
+# ---------------------------------------------------------------------------
+
+
+def test_builtin_segments_without_user_entries():
+    """Round-4 verdict task 6: non-user-dictionary Ja text gets LATTICE
+    segmentation from the shipped lexicon instead of bigram fallback —
+    disagreement golden vs the bigram analyzer."""
+    from nlp4l_spark.analysis.jadict import JA_BUILTIN_ANALYZER
+    from nlp4l_spark.analysis.unicode import UnicodeCJKAnalyzer
+
+    text = "私は東京大学で自然言語処理を勉強します"
+    got = JA_BUILTIN_ANALYZER.tokenize(text)
+    assert got == [
+        "私", "は", "東京", "大学", "で", "自然言語", "処理", "を",
+        "勉強", "し", "ます",
+    ]
+    bigrams = UnicodeCJKAnalyzer(stopwords=frozenset()).tokenize(text)
+    assert got != bigrams and len(bigrams) == len(text) - 1
+
+
+def test_builtin_gap_chars_fall_back_to_bigrams():
+    from nlp4l_spark.analysis.jadict import JA_BUILTIN_ANALYZER
+
+    # 圏 is not in the lexicon: 東京都 wins as a compound (segments
+    # 東京 都), the gap char rides alone; 人口 (2-char gap) -> 1 bigram
+    assert JA_BUILTIN_ANALYZER.tokenize("東京都圏の人口") == [
+        "東京", "都", "圏", "の", "人", "口",
+    ]
+
+
+def test_builtin_compound_beats_parts_on_cost():
+    from nlp4l_spark.analysis.jadict import JA_BUILTIN_ANALYZER
+
+    # 関西国際空港 (790) < 関西 (580) + 国際空港 (700); the chosen entry
+    # is the compound, whose SEGMENTS are then emitted (userdict shape)
+    assert JA_BUILTIN_ANALYZER.tokenize("関西国際空港") == ["関西", "国際空港"]
+
+
+def test_builtin_user_entry_overrides():
+    """Kuromoji contract: a user entry with the same surface replaces
+    the built-in one."""
+    from nlp4l_spark.analysis.jadict import builtin_analyzer
+
+    ua = builtin_analyzer(
+        ("東京大学,東京大学,トウキョウダイガク,カスタム名詞,100",)
+    )
+    assert ua.tokenize("東京大学に行く") == ["東京大学", "に", "行く"]
+    # unrelated text unchanged vs the plain built-in
+    from nlp4l_spark.analysis.jadict import JA_BUILTIN_ANALYZER
+
+    t = "今日は天気が良いです"
+    assert ua.tokenize(t) == JA_BUILTIN_ANALYZER.tokenize(t)
+
+
+def test_viterbi_dp_equals_exhaustive_on_small_fixture():
+    """On the small overlapping fixture dictionary the DP and the
+    exhaustive enumeration must pick the same (unique-min-cost) paths."""
+    from nlp4l_spark.analysis.jadict import (
+        JA_LATTICE_ANALYZER, JaViterbiAnalyzer, LATTICE_ENTRIES,
+    )
+
+    dp = JaViterbiAnalyzer(stopwords=frozenset(), entries=LATTICE_ENTRIES)
+    from nlp4l_spark import entry_queries as eq
+
+    for s in eq.JA_LATTICE_SNIPPETS + [
+        "東京都圏", "関西国際空港", "形態素解析", "全文検索と東京"
+    ]:
+        assert dp.tokenize(s) == JA_LATTICE_ANALYZER.tokenize(s), s
+
+
+def test_viterbi_token_stream_offsets():
+    from nlp4l_spark.analysis.jadict import JA_BUILTIN_ANALYZER
+
+    text = "私は学生です"
+    stream = JA_BUILTIN_ANALYZER.token_stream(text)
+    assert [t[0] for t in stream] == JA_BUILTIN_ANALYZER.tokenize(text)
+    for term, _pos, s, e in stream:
+        assert text[s:e] == term
+
+
+def test_viterbi_sql_twin_matches_python():
+    """The unrolled-DP DuckDB twin (viterbi_sql) reproduces the Python
+    engine token-for-token on the registry snippets plus extras."""
+    from nlp4l_spark import entry_queries as eq
+    from nlp4l_spark.analysis.jadict import JA_BUILTIN_ANALYZER as A
+
+    snips = list(eq.JA_BUILTIN_SNIPPETS) + ["機械学習と統計の評価"]
+    vals = ", ".join(f"({i}, '{s}')" for i, s in enumerate(snips))
+    sql = (
+        f"WITH src(doc_id, run) AS (VALUES {vals}),\n"
+        + A.viterbi_sql("src", max(len(s) for s in snips))
+        + "\nSELECT doc_id, array_to_string(toks, ' ') FROM vit "
+        "ORDER BY doc_id"
+    )
+    got = dict(duckdb.sql(sql).fetchall())
+    for i, s in enumerate(snips):
+        assert got[i] == " ".join(A.tokenize(s)), s
