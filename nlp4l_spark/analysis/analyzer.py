@@ -62,12 +62,19 @@ _TOKEN_RE = re.compile(TOKEN_PATTERN)
 # A joiner with mismatched sides ("x.5", "a,b") or at an edge ("foo.",
 # "'bar") breaks, exactly as UAX#29 prescribes. Hyphens are NOT joiners
 # (UAX#29 breaks "state-of-the-art" into four words — so does Lucene).
-# Extend class (WB4): ALL BMP Mn/Mc combining marks (generated from
-# unicodedata General_Category over U+0000-U+FFFF; 192 ranges) plus ZWJ
-# U+200D, which WB3c/WB4 make transparent mid-token exactly like a
-# combining mark. Supplementary-plane marks and non-ZWJ Format (Cf)
-# transparency remain out of scope (documented); the contract alphabet
-# is still Latin a-z0-9, so marks only ever attach to those bases.
+# Extend class (WB4): ALL Mn/Mc combining marks — BMP (generated from
+# unicodedata General_Category over U+0000-U+FFFF; 192 ranges) AND,
+# since round 5, the supplementary planes (U+10000-U+10FFFF; 110 ranges,
+# 1072 code points, Unicode 14.0 — Brahmi/Kharoshthi/musical/variation-
+# selector families; all three engines accept supplementary code points
+# inside a character class: Python re natively, Java regex as surrogate
+# pairs treated as code points, RE2 as UTF-8) plus ZWJ U+200D, which
+# WB3c/WB4 make transparent mid-token exactly like a combining mark.
+# Remaining divergence from Lucene's StandardTokenizer (documented, with
+# tests): non-ZWJ Format (Cf) transparency, Regional_Indicator pairs,
+# and the script-run rules (WB7a-c Hebrew, Katakana WB13); the contract
+# alphabet is still Latin a-z0-9, so marks only ever attach to those
+# bases.
 _UAX_MN_MC = (
     "\u0300-\u036f\u0483-\u0487\u0591-\u05bd\u05bf\u05c1-\u05c2\u05c4"
     "-\u05c5\u05c7\u0610-\u061a\u064b-\u065f\u0670\u06d6-\u06dc\u06df"
@@ -105,7 +112,45 @@ _UAX_MN_MC = (
     "\uaabe-\uaabf\uaac1\uaaeb-\uaaef\uaaf5-\uaaf6\uabe3-\uabea\uabec"
     "-\uabed\ufb1e\ufe00-\ufe0f\ufe20-\ufe2f"
 )
-_UAX_E = f"[\u200d{_UAX_MN_MC}]*"
+_UAX_MN_MC_SUPP = (
+    "\U000101fd\U000102e0\U00010376-\U0001037a\U00010a01-\U00010a03"
+    "\U00010a05-\U00010a06\U00010a0c-\U00010a0f\U00010a38-\U00010a3a"
+    "\U00010a3f\U00010ae5-\U00010ae6\U00010d24-\U00010d27"
+    "\U00010eab-\U00010eac\U00010f46-\U00010f50\U00010f82-\U00010f85"
+    "\U00011000-\U00011002\U00011038-\U00011046\U00011070"
+    "\U00011073-\U00011074\U0001107f-\U00011082\U000110b0-\U000110ba"
+    "\U000110c2\U00011100-\U00011102\U00011127-\U00011134"
+    "\U00011145-\U00011146\U00011173\U00011180-\U00011182"
+    "\U000111b3-\U000111c0\U000111c9-\U000111cc\U000111ce-\U000111cf"
+    "\U0001122c-\U00011237\U0001123e\U000112df-\U000112ea"
+    "\U00011300-\U00011303\U0001133b-\U0001133c\U0001133e-\U00011344"
+    "\U00011347-\U00011348\U0001134b-\U0001134d\U00011357"
+    "\U00011362-\U00011363\U00011366-\U0001136c\U00011370-\U00011374"
+    "\U00011435-\U00011446\U0001145e\U000114b0-\U000114c3"
+    "\U000115af-\U000115b5\U000115b8-\U000115c0\U000115dc-\U000115dd"
+    "\U00011630-\U00011640\U000116ab-\U000116b7\U0001171d-\U0001172b"
+    "\U0001182c-\U0001183a\U00011930-\U00011935\U00011937-\U00011938"
+    "\U0001193b-\U0001193e\U00011940\U00011942-\U00011943"
+    "\U000119d1-\U000119d7\U000119da-\U000119e0\U000119e4"
+    "\U00011a01-\U00011a0a\U00011a33-\U00011a39\U00011a3b-\U00011a3e"
+    "\U00011a47\U00011a51-\U00011a5b\U00011a8a-\U00011a99"
+    "\U00011c2f-\U00011c36\U00011c38-\U00011c3f\U00011c92-\U00011ca7"
+    "\U00011ca9-\U00011cb6\U00011d31-\U00011d36\U00011d3a"
+    "\U00011d3c-\U00011d3d\U00011d3f-\U00011d45\U00011d47"
+    "\U00011d8a-\U00011d8e\U00011d90-\U00011d91\U00011d93-\U00011d97"
+    "\U00011ef3-\U00011ef6\U00016af0-\U00016af4\U00016b30-\U00016b36"
+    "\U00016f4f\U00016f51-\U00016f87\U00016f8f-\U00016f92\U00016fe4"
+    "\U00016ff0-\U00016ff1\U0001bc9d-\U0001bc9e\U0001cf00-\U0001cf2d"
+    "\U0001cf30-\U0001cf46\U0001d165-\U0001d169\U0001d16d-\U0001d172"
+    "\U0001d17b-\U0001d182\U0001d185-\U0001d18b\U0001d1aa-\U0001d1ad"
+    "\U0001d242-\U0001d244\U0001da00-\U0001da36\U0001da3b-\U0001da6c"
+    "\U0001da75\U0001da84\U0001da9b-\U0001da9f\U0001daa1-\U0001daaf"
+    "\U0001e000-\U0001e006\U0001e008-\U0001e018\U0001e01b-\U0001e021"
+    "\U0001e023-\U0001e024\U0001e026-\U0001e02a\U0001e130-\U0001e136"
+    "\U0001e2ae\U0001e2ec-\U0001e2ef\U0001e8d0-\U0001e8d6"
+    "\U0001e944-\U0001e94a\U000e0100-\U000e01ef"
+)
+_UAX_E = f"[\u200d{_UAX_MN_MC}{_UAX_MN_MC_SUPP}]*"
 # ExtendNumLet (WB13a/WB13b): connector punctuation Pc + U+202F NARROW
 # NO-BREAK SPACE — joins on BOTH sides of letter/number runs, so
 # foo_bar, _foo, foo_, 1_2 each stay one token.

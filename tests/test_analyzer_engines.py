@@ -192,6 +192,10 @@ UAX_ALPHABET = list(
     "\u0483\u094d\u093e\u0e38\u20e0"
     "\u200d"
     "_\u203f\u2040\uff3f\u202f"
+    # round-5 Extend completeness: SUPPLEMENTARY-plane Mn/Mc (Brahmi
+    # candrabindu Mc, Kharoshthi vowel Mn, musical combining stem Mc,
+    # variation selector supplement Mn, Adlam nukta Mn)
+    "\U00011000\U00010a01\U0001d165\U000e0100\U0001e94a"
 )
 
 
@@ -243,6 +247,13 @@ def test_four_engines_agree_uax29(spark):
     ]
     assert UAX29_ANALYZER.tokenize("tok join x‿9") == [
         "tok join", "x‿9",  # NNBSP + undertie are ExtendNumLet
+    ]
+    # round-5 goldens: supplementary-plane Mn/Mc attach like BMP marks
+    assert UAX29_ANALYZER.tokenize("x\U0001d165y ve\U00011000da") == [
+        "x\U0001d165y", "ve\U00011000da",
+    ]
+    assert UAX29_ANALYZER.tokenize("q\U000e0100r 3\U00010a01.14") == [
+        "q\U000e0100r", "3\U00010a01.14",
     ]
 
 
