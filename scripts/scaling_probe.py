@@ -37,7 +37,14 @@ def probe_pair(base: int, wide: int) -> tuple[float, float]:
         s = bench.make_session(cores)
         assert s.sparkContext.master == f"local[{cores}]"
         s.range(10_000_000).selectExpr("sum(xxhash64(id)%1000)").collect()
-        out.append(bench.host_probe(s, rows=1_000_000_000))
+        # size the probe WITH the width (~500M rows/core): a fixed-size
+        # probe finishes in well under a second on the wide leg, where
+        # job-launch overhead dominates and the measured "speedup" is
+        # meaningless (the round-5 first attempt gated out 4->16 on a
+        # 0.62 s wide leg). Per-core work keeps each leg multi-second,
+        # and the reported ratio is corrected for the size difference.
+        t = bench.host_probe(s, rows=500_000_000 * cores)
+        out.append(t / cores)  # normalize to per-fixed-work seconds
         s.stop()
     return out[0], out[1]
 
