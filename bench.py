@@ -398,6 +398,8 @@ EXTRA_QUERIES = [
     # bounded tier, the corpus-size-independent claim under test
     "pruned_bm25_topk",
     "tiered_bm25_topk",
+    # built-in-dictionary Viterbi segmentation (Arrow DP pass)
+    "ja_builtin_lattice_records",
 ]
 
 
