@@ -682,9 +682,30 @@ def load_dict_csv(path: str) -> tuple[JaUserDictEntry, ...]:
 #: itself cannot ship in-sandbox): ~280 common-Japanese + IR-domain
 #: entries with explicit word costs, so non-user-dictionary Ja text gets
 #: LATTICE segmentation instead of the bigram fallback (VERDICT r4 #6).
-BUILTIN_DICT_PATH = os.path.join(
-    os.path.dirname(__file__), "..", "data", "dicts", "ja_builtin_mini.csv"
-)
+def _builtin_dict_path() -> str:
+    """Zip-safe (the ner.py default_model_path pattern): a --py-files
+    zip has no real file path, so the CSV is materialized to a
+    per-process temp file via importlib.resources."""
+    p = os.path.join(
+        os.path.dirname(__file__), "..", "data", "dicts",
+        "ja_builtin_mini.csv",
+    )
+    if os.path.exists(p):
+        return p
+    import importlib.resources as ir
+    import tempfile
+
+    res = ir.files("nlp4l_spark") / "data" / "dicts" / "ja_builtin_mini.csv"
+    dst = os.path.join(
+        tempfile.gettempdir(), f"nlp4l_ja_builtin_{os.getpid()}.csv"
+    )
+    if not os.path.exists(dst):
+        with open(dst, "w", encoding="utf-8") as fh:
+            fh.write(res.read_text(encoding="utf-8"))
+    return dst
+
+
+BUILTIN_DICT_PATH = _builtin_dict_path()
 BUILTIN_ENTRIES = load_dict_csv(BUILTIN_DICT_PATH)
 
 
